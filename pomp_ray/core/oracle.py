@@ -1,0 +1,143 @@
+"""Serial reference implementation of the crawl semantics ("the oracle").
+
+This is a <150-LoC re-statement of pomp's engine loop
+(``Pomp.pump(crawler)``, pomp/core/engine.py ~L60-160 [estimated]; traced
+in SURVEY.md section 3.1) extended with the north_rule additions the
+reference lacks (robots gating + per-host crawl-delay budget), expressed
+round-synchronously so the distributed engine has an exactly-matching
+spec:
+
+* dedup happens at ENQUEUE time against a ``seen`` set of canonical URLs
+  (the standard pomp dedup-middleware pattern); every accepted entry gets
+  a global monotonically increasing ``seq``;
+* BFS = pomp's FIFO queue discipline = select in ``seq`` ascending order
+  (priority descending first); DFS = LIFO = ``seq`` descending, width 1;
+* robots disallow is checked at enqueue: blocked URLs are marked seen and
+  recorded as errors, never fetched;
+* per-host budget: per round at most ``k = max(1, floor(round_budget_s /
+  crawl_delay))`` pages from a host with ``crawl_delay > 0``; the rest
+  defer to the next round keeping their seq.
+
+The Ray engine's conformance tests (tests/test_simple_crawler.py,
+tests/test_contrib_concurrent.py -- ports of pomp's e2e tests named by
+BASELINE.json north_star) compare visited set and per-round order against
+this loop.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from pomp_ray.functions.textfns import (
+    html_extract_links,
+    html_extract_text,
+    html_extract_title,
+    url_canonicalize,
+    url_host,
+    url_join,
+    url_path,
+)
+
+
+@dataclass
+class OracleResult:
+    visited: list[dict] = field(default_factory=list)   # url, round, depth, seq
+    items: list[dict] = field(default_factory=list)     # url,title,text,n_links,round,seq
+    errors: list[dict] = field(default_factory=list)    # url, stage, round
+    seen: set[str] = field(default_factory=set)
+    rounds: int = 0
+
+
+def _robots_maps(robots_rows: list[dict]) -> tuple[dict, dict]:
+    disallow = {r["host"]: list(r.get("disallow_prefixes") or []) for r in robots_rows}
+    delay = {r["host"]: float(r.get("crawl_delay") or 0.0) for r in robots_rows}
+    return disallow, delay
+
+
+def crawl_oracle(
+    corpus: dict[str, bytes],
+    seeds: list[dict],
+    robots_rows: list[dict] | None = None,
+    mode: str = "bfs",
+    round_budget_s: float = 10.0,
+    dfs_width: int = 1,
+    max_depth: int | None = None,
+    max_rounds: int | None = None,
+) -> OracleResult:
+    """``corpus`` maps canonical url -> html bytes; ``seeds`` rows have
+    url/priority/depth; ``robots_rows`` rows follow schemas.ROBOTS."""
+    disallow, delay = _robots_maps(robots_rows or [])
+    res = OracleResult()
+    frontier: list[dict] = []
+    seq_counter = 0
+
+    def try_enqueue(url: str, base: str | None, depth: int, priority: int,
+                    rnd: int) -> None:
+        nonlocal seq_counter
+        full = url_join(base, url) if base else url
+        canon = url_canonicalize(full)
+        if not canon or canon in res.seen:
+            return
+        if max_depth is not None and depth > max_depth:
+            return
+        host = url_host(canon)
+        path = url_path(canon)
+        if any(path.startswith(p) for p in disallow.get(host, ())):
+            res.seen.add(canon)
+            res.errors.append({"url": canon, "stage": "robots", "round": rnd})
+            return
+        res.seen.add(canon)
+        frontier.append(
+            {"url": canon, "host": host, "depth": depth,
+             "priority": priority, "seq": seq_counter}
+        )
+        seq_counter += 1
+
+    for s in seeds:
+        try_enqueue(s["url"], None, int(s.get("depth", 0)),
+                    int(s.get("priority", 0)), rnd=0)
+
+    rnd = 0
+    while frontier and (max_rounds is None or rnd < max_rounds):
+        if mode == "bfs":
+            # FIFO: priority desc, then global enqueue order
+            frontier.sort(key=lambda e: (-e["priority"], e["seq"]))
+            width = len(frontier)
+        else:
+            # LIFO: latest enqueued first
+            frontier.sort(key=lambda e: (-e["priority"], -e["seq"]))
+            width = dfs_width
+        selected: list[dict] = []
+        deferred: list[dict] = []
+        per_host: dict[str, int] = {}
+        for e in frontier:
+            d = delay.get(e["host"], 0.0)
+            cap = math.inf if d <= 0 else max(1, math.floor(round_budget_s / d))
+            if len(selected) < width and per_host.get(e["host"], 0) < cap:
+                per_host[e["host"]] = per_host.get(e["host"], 0) + 1
+                selected.append(e)
+            else:
+                deferred.append(e)
+        frontier = deferred
+
+        for e in selected:
+            html = corpus.get(e["url"])
+            if html is None:
+                res.errors.append({"url": e["url"], "stage": "fetch", "round": rnd})
+                continue
+            res.visited.append(
+                {"url": e["url"], "round": rnd, "depth": e["depth"], "seq": e["seq"]}
+            )
+            links = html_extract_links(html)
+            res.items.append(
+                {"url": e["url"], "title": html_extract_title(html),
+                 "text": html_extract_text(html), "n_links": len(links),
+                 "round": rnd, "seq": e["seq"]}
+            )
+            for href in links:
+                try_enqueue(href, e["url"], e["depth"] + 1, 0, rnd)
+        rnd += 1
+
+    res.rounds = rnd
+    return res

@@ -1,0 +1,208 @@
+"""Deterministic synthetic web-page corpus generator (FIXTURES.md).
+
+Mirrors the reference's test strategy (SURVEY.md section 5): pomp's e2e
+tests crawl a synthetic in-memory sitemap built by test helpers
+(tests/utils.py / mockserver.py [estimated]); expected outputs are computed
+from the same generator.  We replace the mock HTTP server with Parquet
+tables matching the driver's ``input_hint`` schema (BASELINE.json:15).
+
+Everything is keyed off ``seed`` (default 42) and the size profile; a
+manifest file makes generation idempotent so benches can cache under /tmp.
+
+Link topology per FIXTURES.md section 1: within each host page ``i`` links
+to children ``2i+1``/``2i+2`` (binary tree) while in range; plus 5% seeded
+cross-host links, 2% links to nonexistent URLs (fetch-miss path), 1%
+duplicate links and 1% links back to the root (dedup path); 20% of
+same-host links rendered as relative hrefs (exercises url_join).
+
+IMPORTANT: the golden ``text`` column is built directly from the page
+template strings here -- NOT by calling the extractor -- so the pytest
+byte-identity check (extractor(html) == text) is a real two-implementation
+comparison.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pomp_ray import schemas
+
+_WORDS = (
+    "crawl frontier fetch parse arrow batch shard actor stream block "
+    "politeness robots budget depth queue page link host seed round "
+    "vector token corpus index hash salt skew spill lineage metric"
+).split()
+
+
+@dataclass(frozen=True)
+class CorpusProfile:
+    name: str
+    n_hosts: int
+    n_pages: int          # total pages across all hosts
+    zipf_skew: float = 0.0  # 0 = uniform; >0 = zipf(s) host sizes
+    sentence_words: int = 8   # length of the seeded random sentence
+    seed: int = 42
+
+    def key(self) -> str:
+        return (
+            f"{self.name}-h{self.n_hosts}-p{self.n_pages}"
+            f"-z{self.zipf_skew}-w{self.sentence_words}-s{self.seed}"
+        )
+
+
+TINY = CorpusProfile("tiny", n_hosts=2, n_pages=60)
+SMALL = CorpusProfile("small", n_hosts=20, n_pages=2000)
+BENCH = CorpusProfile("bench", n_hosts=200, n_pages=200_000, zipf_skew=1.2,
+                      sentence_words=60)
+
+
+def host_page_counts(p: CorpusProfile) -> list[int]:
+    if p.zipf_skew <= 0:
+        base = p.n_pages // p.n_hosts
+        rem = p.n_pages - base * p.n_hosts
+        return [base + (1 if h < rem else 0) for h in range(p.n_hosts)]
+    w = 1.0 / np.arange(1, p.n_hosts + 1) ** p.zipf_skew
+    w /= w.sum()
+    counts = np.maximum(1, np.floor(w * p.n_pages)).astype(int)
+    # distribute the rounding remainder onto the biggest host
+    counts[0] += p.n_pages - counts.sum()
+    return counts.tolist()
+
+
+def _page_url(h: int, i: int) -> str:
+    return f"http://site{h}.test/p/{i}"
+
+
+def _sentence(rng: np.random.Generator, n: int) -> str:
+    return " ".join(_WORDS[j] for j in rng.integers(0, len(_WORDS), size=n))
+
+
+@dataclass
+class GeneratedCorpus:
+    pages_path: str
+    seeds_path: str
+    robots_path: str
+    profile: CorpusProfile
+    host_counts: list[int] = field(default_factory=list)
+
+
+def generate(out_dir: str, profile: CorpusProfile = TINY) -> GeneratedCorpus:
+    """Write pages/seeds/robots parquet under ``out_dir``; idempotent via a
+    manifest keyed on the profile."""
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = os.path.join(out_dir, "MANIFEST.json")
+    counts = host_page_counts(profile)
+    paths = GeneratedCorpus(
+        pages_path=os.path.join(out_dir, "pages.parquet"),
+        seeds_path=os.path.join(out_dir, "seeds.parquet"),
+        robots_path=os.path.join(out_dir, "robots.parquet"),
+        profile=profile,
+        host_counts=counts,
+    )
+    if os.path.exists(manifest):
+        try:
+            with open(manifest) as f:
+                if json.load(f).get("key") == profile.key():
+                    return paths
+        except (json.JSONDecodeError, OSError):
+            pass
+
+    rng = np.random.default_rng(profile.seed)
+    urls: list[str] = []
+    warc_ts: list[int] = []
+    htmls: list[bytes] = []
+    texts: list[str] = []
+    langs: list[str] = []
+    epoch_us = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z in unix us
+
+    lang_draw = rng.random(profile.n_pages)
+    for h, n_in_host in enumerate(counts):
+        for i in range(n_in_host):
+            url = _page_url(h, i)
+            links: list[str] = []
+            for child in (2 * i + 1, 2 * i + 2):
+                if child < n_in_host:
+                    # 20% of same-host links are relative hrefs
+                    if rng.random() < 0.20:
+                        links.append(f"/p/{child}")
+                    else:
+                        links.append(_page_url(h, child))
+            if rng.random() < 0.05 and profile.n_hosts > 1:  # cross-host link
+                oh = int(rng.integers(0, profile.n_hosts))
+                if oh == h:
+                    oh = (oh + 1) % profile.n_hosts
+                links.append(_page_url(oh, int(rng.integers(0, counts[oh]))))
+            if rng.random() < 0.02:  # dead link -> fetch-miss/errors path
+                links.append(_page_url(h, n_in_host + int(rng.integers(0, 50))))
+            if rng.random() < 0.01 and links:  # duplicate link
+                links.append(links[0])
+            if rng.random() < 0.01:  # link back to the root -> seen-set path
+                links.append(_page_url(h, 0))
+
+            title = f"site{h} page {i}"
+            para = f"text {h}-{i} {_sentence(rng, profile.sentence_words)}"
+            anchors = "".join(f'<a href="{l}">l</a>' for l in links)
+            html = (
+                f"<html><head><title>{title}</title></head>"
+                f"<body><p>{para}</p>{anchors}</body></html>"
+            )
+            k = len(urls)
+            urls.append(url)
+            warc_ts.append(epoch_us + (h * 100_000 + i) * 1_000_000)
+            htmls.append(html.encode("utf-8"))
+            texts.append(f"{title}\n{para}")
+            d = lang_draw[k] if k < len(lang_draw) else rng.random()
+            langs.append("en" if d < 0.90 else ("de" if d < 0.95 else "fr"))
+
+    pages = pa.Table.from_arrays(
+        [
+            pa.array(urls, pa.string()),
+            pa.array(warc_ts, pa.timestamp("us")),
+            pa.array(htmls, pa.binary()),
+            pa.array(texts, pa.string()),
+            pa.array(langs, pa.string()),
+        ],
+        schema=schemas.PAGES,
+    )
+    pq.write_table(pages, paths.pages_path)
+
+    # seeds: each host's root, plus 3 duplicate seeds and 1 unknown url
+    seed_urls = [_page_url(h, 0) for h in range(profile.n_hosts)]
+    seed_urls += [_page_url(0, 0)] * 3 + [_page_url(0, 999_999)]
+    seeds = pa.Table.from_arrays(
+        [
+            pa.array(seed_urls, pa.string()),
+            pa.array([0] * len(seed_urls), pa.int32()),
+            pa.array([0] * len(seed_urls), pa.int32()),
+        ],
+        schema=schemas.SEEDS,
+    )
+    pq.write_table(seeds, paths.seeds_path)
+
+    # robots: every 5th host blocks the /p/7 prefix subtree; every 7th host
+    # has crawl_delay 1.0 (budget-limited)
+    robots = pa.Table.from_arrays(
+        [
+            pa.array([f"site{h}.test" for h in range(profile.n_hosts)]),
+            pa.array(
+                [["/p/7"] if h % 5 == 0 else [] for h in range(profile.n_hosts)],
+                pa.list_(pa.string()),
+            ),
+            pa.array(
+                [1.0 if h % 7 == 0 else 0.0 for h in range(profile.n_hosts)],
+                pa.float64(),
+            ),
+        ],
+        schema=schemas.ROBOTS,
+    )
+    pq.write_table(robots, paths.robots_path)
+
+    with open(manifest, "w") as f:
+        json.dump({"key": profile.key(), "n_pages": len(urls)}, f)
+    return paths
