@@ -1,0 +1,182 @@
+"""Text-analysis scalar/batch functions for large-scale training-data
+pipelines: language ID, quality stats, token counting, fingerprints,
+SimHash and MinHash signatures.
+
+These are engine-level additions beyond the reference (pomp has no text
+analytics at all); they run as vectorized ``map_batches`` stages over the
+``documents`` table and as optional per-page enrichment inside the crawl
+parse stage.
+
+Exactness notes: the integer counters (n_words / n_punct / n_digits) are
+defined by regexes that DuckDB's RE2 evaluates identically, so they are
+oracle-SQL-verifiable; the hash-based signatures are deterministic but not
+SQL-expressible (rows-only checks).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TOKEN_RE = re.compile(r"\S+")
+WORD_RE = re.compile(r"[a-zA-Z]+")
+
+# Tiny stopword lists for the n-gram/stopword language heuristic.
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for",
+           "was", "with", "as", "his", "on", "be", "at", "by", "this"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu",
+           "den", "mit", "von", "auf", "sich", "des", "im", "dem", "für"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "des", "du", "que",
+           "qui", "dans", "pour", "pas", "sur", "avec", "au", "plus"},
+}
+
+
+# ---------------------------------------------------------------- vectorized
+def count_tokens_arr(text: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Whitespace-token count per row, fully vectorized (matches DuckDB
+    ``length(regexp_extract_all(text, '\\S+'))``)."""
+    return pc.count_substring_regex(text, pattern=r"\S+")
+
+
+def quality_columns(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Integer quality counters per document (SQL-verifiable)."""
+    text = batch[text_col]
+    batch = batch.append_column("n_words", pc.count_substring_regex(text, pattern=r"\S+"))
+    batch = batch.append_column("n_punct", pc.count_substring_regex(text, pattern=r"[.,;:!?]"))
+    batch = batch.append_column("n_digits", pc.count_substring_regex(text, pattern=r"[0-9]"))
+    return batch.append_column("n_alpha_words", pc.count_substring_regex(text, pattern=r"[a-zA-Z]+"))
+
+
+def quality_filter_mask(batch: pa.Table, text_col: str = "text",
+                        min_words: int = 5, max_words: int = 100_000,
+                        max_punct_ratio: float = 0.2) -> pa.Array:
+    """Boolean keep-mask: documents passing the quality gate."""
+    text = batch[text_col]
+    n_words = pc.count_substring_regex(text, pattern=r"\S+")
+    n_punct = pc.count_substring_regex(text, pattern=r"[.,;:!?]")
+    n_chars = pc.utf8_length(text)
+    ok_len = pc.and_(pc.greater_equal(n_words, min_words),
+                     pc.less_equal(n_words, max_words))
+    ratio = pc.divide(pc.cast(n_punct, pa.float64()),
+                      pc.cast(pc.max_element_wise(n_chars, 1), pa.float64()))
+    return pc.and_(ok_len, pc.less_equal(ratio, max_punct_ratio))
+
+
+# ------------------------------------------------------------------ language
+def lang_id(text: str) -> str:
+    """Stopword-vote language heuristic over {en,de,fr}; ties and empty
+    input resolve to 'en'.  Deterministic, pure."""
+    words = WORD_RE.findall(text.lower())
+    if not words:
+        return "en"
+    best, best_n = "en", -1
+    for lang in ("en", "de", "fr"):   # fixed order makes ties deterministic
+        sw = _STOPWORDS[lang]
+        n = sum(1 for w in words if w in sw)
+        if n > best_n:
+            best, best_n = lang, n
+    return best
+
+
+def lang_id_batch(batch: pa.Table, text_col: str = "text",
+                  out_col: str = "pred_lang") -> pa.Table:
+    preds = [lang_id(t or "") for t in batch[text_col].to_pylist()]
+    return batch.append_column(out_col, pa.array(preds, pa.string()))
+
+
+# -------------------------------------------------------------- fingerprints
+def fnv1a64(data: bytes) -> int:
+    """64-bit FNV-1a rolling hash (document fingerprint)."""
+    h = 0xCBF29CE484222325
+    for b in data:
+        h ^= b
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def text_fingerprint_batch(batch: pa.Table, text_col: str = "text",
+                           out_col: str = "fingerprint") -> pa.Table:
+    fps = [fnv1a64((t or "").encode()) & 0x7FFFFFFFFFFFFFFF
+           for t in batch[text_col].to_pylist()]
+    return batch.append_column(out_col, pa.array(fps, pa.int64()))
+
+
+def content_hash_batch(batch: pa.Table, text_col: str = "text",
+                       out_col: str = "content_hash") -> pa.Table:
+    """md5 hex of the exact text -- the exact-dedup key (matches DuckDB
+    ``md5(text)``)."""
+    hs = [hashlib.md5((t or "").encode()).hexdigest()
+          for t in batch[text_col].to_pylist()]
+    return batch.append_column(out_col, pa.array(hs, pa.string()))
+
+
+# ------------------------------------------------------------------- simhash
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens (near-dup fingerprint)."""
+    acc = np.zeros(64, np.int64)
+    for tok in TOKEN_RE.findall(text):
+        h = int.from_bytes(
+            hashlib.md5(tok.encode()).digest()[:8], "little")
+        bits = np.unpackbits(
+            np.frombuffer(h.to_bytes(8, "little"), np.uint8)).astype(np.int64)
+        acc += 2 * bits - 1
+    out = 0
+    for i, v in enumerate(acc):
+        if v > 0:
+            out |= 1 << i
+    return out & 0x7FFFFFFFFFFFFFFF
+
+
+def simhash_batch(batch: pa.Table, text_col: str = "text",
+                  out_col: str = "simhash") -> pa.Table:
+    hs = [simhash64(t or "") for t in batch[text_col].to_pylist()]
+    return batch.append_column(out_col, pa.array(hs, pa.int64()))
+
+
+# ------------------------------------------------------------------- minhash
+def shingles(text: str, k: int = 5) -> set[str]:
+    """Word k-shingles (k consecutive whitespace tokens)."""
+    toks = TOKEN_RE.findall(text.lower())
+    if len(toks) < k:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(n_perm: int, seed: int = 42):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=n_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=n_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_signature(text: str, n_perm: int = 64, k: int = 5,
+                      params=None) -> np.ndarray:
+    """n_perm-wide MinHash signature over word shingles (uint64)."""
+    if params is None:
+        params = _minhash_params(n_perm)
+    a, b = params
+    sh = shingles(text, k)
+    if not sh:
+        return np.full(n_perm, _MERSENNE, np.uint64)
+    base = np.array(
+        [int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little") >> 3
+         for s in sh], np.uint64)
+    # (a*x + b) mod p for every (perm, shingle) pair, min over shingles
+    vals = (a[:, None] * base[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+    return vals.min(axis=1)
+
+
+def jaccard_ngrams(a: str, b: str, k: int = 5) -> float:
+    sa, sb = shingles(a, k), shingles(b, k)
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter) if (sa or sb) else 0.0

@@ -1,0 +1,216 @@
+"""Training-data pipelines over the ``documents`` table: dedup (exact,
+MinHash-LSH, SimHash, n-gram Jaccard), text analysis (lang-ID, quality,
+token counts, fingerprints).
+
+Every function takes ``sf_dir`` and returns a Dataset / Arrow table; the
+SQL-verifiable ones have a matching oracle in ``__ray_entry__.oracle_sql``
+with IDENTICAL output column names and integer dtypes (int64) so the
+driver's value-hash comparison matches.
+
+Scale notes: all per-doc scoring is a single vectorized ``map_batches``
+pass (pyarrow.compute regex kernels); dedup is partial-per-batch where
+possible and shuffles only compact key columns (hash, band minhash), never
+full text, except where group-level verification needs it.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Min, Sum
+
+from pomp_ray.functions import analysis as an
+
+
+def _docs(sf_dir: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=columns)
+
+
+def _i64(t: pa.Table, cols: list[str]) -> pa.Table:
+    """Cast counter columns to int64 to match DuckDB BIGINT output."""
+    for c in cols:
+        i = t.column_names.index(c)
+        t = t.set_column(i, c, pc.cast(t[c], pa.int64()))
+    return t
+
+
+# ------------------------------------------------------------------ analysis
+def quality_stats(sf_dir: str) -> rd.Dataset:
+    """Per-doc integer quality counters (SQL-verifiable)."""
+    def f(t: pa.Table) -> pa.Table:
+        t = an.quality_columns(t)
+        t = t.select(["doc_id", "n_words", "n_punct", "n_digits", "n_alpha_words"])
+        return _i64(t, ["n_words", "n_punct", "n_digits", "n_alpha_words"])
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+def quality_filter(sf_dir: str) -> rd.Dataset:
+    """doc_ids passing the quality gate."""
+    def f(t: pa.Table) -> pa.Table:
+        mask = an.quality_filter_mask(t)
+        return t.filter(mask).select(["doc_id"])
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+def token_count_by_lang(sf_dir: str) -> rd.Dataset:
+    """Total whitespace tokens per lang.  Pre-aggregated per batch inside
+    map_batches (one row per lang per batch), then a tiny groupby -- the
+    partial-aggregation pattern that avoids shuffling full rows."""
+    def partial(t: pa.Table) -> pa.Table:
+        n = pc.cast(an.count_tokens_arr(t["text"]), pa.int64())
+        tmp = pa.table({"lang": t["lang"], "n": n})
+        df = tmp.to_pandas().groupby("lang", as_index=False)["n"].sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+    partials = _docs(sf_dir, ["lang", "text"]).map_batches(
+        partial, batch_format="pyarrow")
+    out = partials.groupby("lang").aggregate(Sum("n", alias_name="total_tokens"))
+    return out
+
+
+def lang_predictions(sf_dir: str) -> rd.Dataset:
+    """Heuristic language-ID per doc (rows-only check: the heuristic is
+    not SQL-expressible)."""
+    def f(t: pa.Table) -> pa.Table:
+        return an.lang_id_batch(t).select(["doc_id", "pred_lang"])
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+def fingerprints(sf_dir: str) -> rd.Dataset:
+    """FNV-1a 64-bit document fingerprints + SimHash signatures
+    (deterministic; rows-only)."""
+    def f(t: pa.Table) -> pa.Table:
+        t = an.text_fingerprint_batch(t)
+        t = an.simhash_batch(t)
+        return t.select(["doc_id", "fingerprint", "simhash"])
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------- dedup
+def dedup_exact(sf_dir: str) -> rd.Dataset:
+    """Exact dedup: min doc_id per distinct text (via md5 content hash --
+    hash-partition + per-group first; SURVEY.md guide pattern).  Only the
+    16-byte hash + id shuffle, never the text."""
+    def add_hash(t: pa.Table) -> pa.Table:
+        t = an.content_hash_batch(t)
+        return t.select(["doc_id", "content_hash"])
+    hashed = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        add_hash, batch_format="pyarrow")
+    return hashed.groupby("content_hash").aggregate(Min("doc_id", alias_name="doc_id"))
+
+
+def dedup_exact_survivors(sf_dir: str) -> rd.Dataset:
+    """Count of surviving docs after exact dedup (scalar table)."""
+    d = dedup_exact(sf_dir)
+    n = d.count()
+    return rd.from_arrow(pa.table({"n_unique": pa.array([n], pa.int64())}))
+
+
+def minhash_lsh_pairs(sf_dir: str, n_perm: int = 64, bands: int = 16,
+                      jaccard_threshold: float = 0.5) -> pa.Table:
+    """MinHash + LSH near-dup candidate generation and verification:
+    shingle -> minhash per batch -> explode to (band, band_hash, doc_id)
+    rows -> groupby band bucket -> candidate pairs -> verify n-gram
+    Jaccard.  Returns verified pairs (doc_a < doc_b, jaccard >= thr)."""
+    rows_per_band = n_perm // bands
+    params = an._minhash_params(n_perm)
+
+    def sigs(t: pa.Table) -> pa.Table:
+        out_doc, out_band, out_hash = [], [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            sig = an.minhash_signature(text or "", n_perm, params=params)
+            for b in range(bands):
+                band = sig[b * rows_per_band:(b + 1) * rows_per_band]
+                out_doc.append(doc_id)
+                out_band.append(b)
+                out_hash.append(hash(band.tobytes()) & 0x7FFFFFFFFFFFFFFF)
+        return pa.table({"doc_id": pa.array(out_doc, pa.int64()),
+                         "band": pa.array(out_band, pa.int32()),
+                         "band_hash": pa.array(out_hash, pa.int64())})
+
+    banded = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        sigs, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].unique())
+        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
+        return pd.DataFrame({"doc_a": [p[0] for p in pairs],
+                             "doc_b": [p[1] for p in pairs]})
+
+    cand = banded.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas")
+    cand_pd = cand.to_pandas().drop_duplicates()
+    if len(cand_pd) == 0:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+
+    # verify: fetch texts for candidate docs only (small side -> broadcast)
+    texts = {}
+    docs = _docs(sf_dir, ["doc_id", "text"]).to_arrow_refs()
+    import ray as _ray
+    for ref in docs:
+        t = _ray.get(ref)
+        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            texts[d] = x
+    out_a, out_b, out_j = [], [], []
+    for a, b in zip(cand_pd["doc_a"], cand_pd["doc_b"]):
+        j = an.jaccard_ngrams(texts[a] or "", texts[b] or "")
+        if j >= jaccard_threshold:
+            out_a.append(int(a)); out_b.append(int(b)); out_j.append(j)
+    return pa.table({"doc_a": pa.array(out_a, pa.int64()),
+                     "doc_b": pa.array(out_b, pa.int64()),
+                     "jaccard": pa.array(out_j, pa.float64())})
+
+
+def simhash_dup_groups(sf_dir: str, max_hamming: int = 3) -> pa.Table:
+    """SimHash near-dup: bucket by the 4 16-bit simhash quarters (any
+    exact-matching quarter -> candidate, standard simhash blocking),
+    verify Hamming distance <= max_hamming."""
+    sigs = fingerprints(sf_dir).to_pandas()   # doc_id, fingerprint, simhash
+    sim = dict(zip(sigs["doc_id"], sigs["simhash"]))
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for d, s in sim.items():
+        for q in range(4):
+            key = (q, (int(s) >> (16 * q)) & 0xFFFF)
+            buckets.setdefault(key, []).append(d)
+    pairs = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                if bin(int(sim[a]) ^ int(sim[b])).count("1") <= max_hamming:
+                    pairs.add((a, b))
+    pairs = sorted(pairs)
+    return pa.table({"doc_a": pa.array([p[0] for p in pairs], pa.int64()),
+                     "doc_b": pa.array([p[1] for p in pairs], pa.int64())})
+
+
+# ---------------------------------------------------------- simple SQL peers
+def lang_counts(sf_dir: str) -> rd.Dataset:
+    return _docs(sf_dir, ["lang"]).groupby("lang").aggregate(
+        Count(alias_name="n"))
+
+
+def distinct_langs(sf_dir: str) -> pa.Table:
+    vals = sorted(_docs(sf_dir, ["lang"]).unique("lang"))
+    return pa.table({"lang": pa.array(vals, pa.string())})
+
+
+def per_source_topk(sf_dir: str, k: int = 3) -> rd.Dataset:
+    """Top-k docs per source by (n_chars desc, doc_id asc) -- the per-host
+    politeness top-k pattern (SURVEY.md A1/O3) expressed over documents."""
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        return g.head(k)
+    ds = _docs(sf_dir, ["doc_id", "source", "n_chars"])
+    out = ds.groupby("source").map_groups(topk, batch_format="pandas")
+    return out.map_batches(
+        lambda t: _i64(t.select(["source", "doc_id", "n_chars"]),
+                       ["doc_id", "n_chars"]),
+        batch_format="pyarrow")

@@ -1,0 +1,124 @@
+"""Relational operator demos over the TPC-H-ish testdata tables.
+
+These exercise the engine's join / aggregate / sort / filter building
+blocks (the same primitives the crawl loop composes: fetch-join J1,
+metrics rollups A2, ordering O1) in a form the driver's DuckDB oracle can
+verify 1:1.  Column names match the oracle SQL exactly.
+
+Float discipline: aggregates avoid cross-engine float-sum nondeterminism
+by using exact aggregates (count/min/max) or rounding sums to 2 decimals.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def _t(sf_dir: str, name: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"),
+                           columns=columns)
+
+
+def events_rollup(sf_dir: str) -> rd.Dataset:
+    """Per-event-type metrics rollup (crawl A2 analog): count + exact
+    min/max + rounded sum."""
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+    out = ds.groupby("event_type").aggregate(
+        Count(alias_name="n"),
+        Min("value", alias_name="vmin"),
+        Max("value", alias_name="vmax"),
+        Sum("value", alias_name="vsum"),
+    )
+    def fin(t: pa.Table) -> pa.Table:
+        t = t.set_column(t.column_names.index("vsum"), "vsum",
+                         pc.round(t["vsum"], 2))
+        return t.set_column(t.column_names.index("n"), "n",
+                            pc.cast(t["n"], pa.int64()))
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def events_sorted_head(sf_dir: str, n: int = 100) -> rd.Dataset:
+    """Deterministic ordering projection (O1 analog): first n events by
+    (ts, event_id)."""
+    ds = _t(sf_dir, "events", ["event_id", "ts"])
+    return ds.sort(["ts", "event_id"]).limit(n)
+
+
+def orders_by_mktsegment(sf_dir: str) -> rd.Dataset:
+    """Fetch-join analog (J1): orders joined to customers (broadcast small
+    side would also work; this uses the hash join) then rolled up per
+    market segment."""
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = orders.join(cust, join_type="inner", num_partitions=8,
+                         on=("o_custkey",), right_on=("c_custkey",))
+    out = joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"),
+        Min("o_totalprice", alias_name="min_price"),
+        Max("o_totalprice", alias_name="max_price"),
+    )
+    return out.map_batches(
+        lambda t: t.set_column(t.column_names.index("n_orders"), "n_orders",
+                               pc.cast(t["n_orders"], pa.int64())),
+        batch_format="pyarrow")
+
+
+def lineitem_pricing_summary(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q1-shaped rollup: per (returnflag, linestatus) with partial
+    aggregation inside map_batches before the groupby (the pre-aggregate
+    pattern that shrinks the shuffle)."""
+    ds = _t(sf_dir, "lineitem",
+            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+             "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(t["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        tmp = pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "qty": t["l_quantity"],
+            "disc_price": disc_price,
+        })
+        df = tmp.to_pandas().groupby(
+            ["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("qty", "sum"), sum_disc_price=("disc_price", "sum"),
+            n=("qty", "size"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("n", alias_name="count_order"),
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        t = t.set_column(t.column_names.index("sum_qty"), "sum_qty",
+                         pc.round(t["sum_qty"], 2))
+        t = t.set_column(t.column_names.index("sum_disc_price"),
+                         "sum_disc_price", pc.round(t["sum_disc_price"], 2))
+        return t.set_column(t.column_names.index("count_order"), "count_order",
+                            pc.cast(t["count_order"], pa.int64()))
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def filter_project(sf_dir: str) -> rd.Dataset:
+    """Predicate pushdown + projection demo (M4 middleware filter analog):
+    high-value open orders."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+    return ds.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.equal(t["o_orderstatus"], pa.scalar("O")),
+                    pc.greater(t["o_totalprice"], pa.scalar(200000.0)))
+        ).select(["o_orderkey", "o_totalprice"]),
+        batch_format="pyarrow")

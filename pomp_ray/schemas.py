@@ -64,6 +64,7 @@ ITEMS = pa.schema(
         ("n_links", pa.int32()),
         ("round", pa.int32()),
         ("seq", pa.int64()),
+        ("depth", pa.int32()),
     ]
 )
 
@@ -103,3 +104,15 @@ METRICS = pa.schema(
 
 def empty_table(schema: pa.Schema) -> pa.Table:
     return schema.empty_table()
+
+
+def cast_to(t: pa.Table, schema: pa.Schema) -> pa.Table:
+    """Select the schema's columns and cast to its exact types.  Needed
+    because pandas round-trips (map_groups) promote int32 -> int64 and we
+    require byte-stable parquet schemas across driver/distributed rounds."""
+    return t.select(schema.names).cast(schema)
+
+
+def rename(t: pa.Table, mapping: dict[str, str]) -> pa.Table:
+    """dict-based rename (pyarrow 16's rename_columns only takes a list)."""
+    return t.rename_columns([mapping.get(c, c) for c in t.column_names])

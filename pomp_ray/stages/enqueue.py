@@ -1,0 +1,123 @@
+"""Enqueue pipeline: link candidates -> next round's frontier.
+
+This is the distributed form of pomp's request-admission path: adapter
+middleware normalization (UrllibAdapterMiddleware str->request promotion,
+SURVEY.md M7), user dedup middleware (here: the mandated exact seen-set,
+T3/D1), plus the north_rule robots gate that pomp lacks.
+
+Order of operations (must match pomp_ray.core.oracle.try_enqueue exactly):
+  1. resolve relative hrefs against the parent url + canonicalize + host
+  2. intra-round dedup keeping the FIRST occurrence in enqueue order
+     (min (parent_priority desc -> parent_seq, link_idx)) -- a
+     groupby(canon_url) shuffle (SURVEY.md A4/D2)
+  3. robots disallow flag (broadcast small table -- J2)
+  4. seen-set check-and-add on the shard pool (blocked urls are added too,
+     so they are never re-attempted; already-seen rows drop out)
+  5. blocked rows -> errors table; survivors get their global ``seq``
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from pomp_ray.functions.textfns import (
+    url_canonicalize,
+    url_host,
+    url_join,
+    url_path,
+)
+from pomp_ray.state.seen import check_and_add_via
+
+
+def canonicalize_batch(batch: pa.Table) -> pa.Table:
+    """Resolve + canonicalize candidate urls; adds canon_url, host, path."""
+    urls = batch["url"].to_pylist()
+    bases = batch["base"].to_pylist() if "base" in batch.column_names else [None] * len(urls)
+    canon = [
+        url_canonicalize(url_join(b, u) if b else u) for u, b in zip(urls, bases)
+    ]
+    batch = batch.append_column("canon_url", pa.array(canon, pa.string()))
+    batch = batch.append_column(
+        "host", pa.array([url_host(c) for c in canon], pa.string())
+    )
+    return batch.append_column(
+        "path", pa.array([url_path(c) for c in canon], pa.string())
+    )
+
+
+def make_robots_flag(disallow: dict[str, list[str]]):
+    """Broadcast-small-side robots gate: adds a ``blocked`` bool column.
+    ``disallow`` maps host -> disallow path prefixes (tiny vs the frontier;
+    at production scale ship it via ray.put and read it in actor __init__)."""
+
+    def robots_flag(batch: pa.Table) -> pa.Table:
+        hosts = batch["host"].to_pylist()
+        paths = batch["path"].to_pylist()
+        blocked = [
+            any(p.startswith(pref) for pref in disallow.get(h, ()))
+            for h, p in zip(hosts, paths)
+        ]
+        return batch.append_column("blocked", pa.array(blocked, pa.bool_()))
+
+    return robots_flag
+
+
+def dedup_first_in_order(cands: rd.Dataset, mode: str) -> rd.Dataset:
+    """Keep, per canon_url, the candidate that pomp's serial loop would
+    have enqueued: the first in round enqueue order.  BFS enqueue order is
+    (parent_priority desc, parent_seq asc, link_idx asc); DFS flips the
+    parent_seq direction (LIFO parents fetch in descending seq)."""
+    asc = [False, True, True] if mode == "bfs" else [False, False, True]
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["parent_priority", "parent_seq", "link_idx"],
+            ascending=asc,
+        )
+        return g.head(1)
+
+    return cands.groupby("canon_url").map_groups(first, batch_format="pandas")
+
+
+def dedup_local(batch: pa.Table) -> pa.Table:
+    """Scale-mode cheap dedup: first occurrence per canon_url within the
+    batch only; the seen shards resolve cross-batch duplicates (arbitrary
+    winner -- same SET, relaxed order, exactly like pomp's own concurrent
+    downloader tests relax ordering)."""
+    seen_local: set[str] = set()
+    keep = []
+    for u in batch["canon_url"].to_pylist():
+        if u in seen_local:
+            keep.append(False)
+        else:
+            seen_local.add(u)
+            keep.append(True)
+    return batch.filter(pa.array(keep, pa.bool_()))
+
+
+class SeenFilter:
+    """map_batches hook around the seen-shard actor pool: check_and_add
+    every candidate (blocked ones included), keep only NEW rows.  Runs
+    inside workers; the per-shard actor method is atomic, so no
+    double-enqueue races."""
+
+    def __init__(self, shards: list):
+        self.shards = shards
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        mask = check_and_add_via(self.shards, batch["canon_url"].to_pylist())
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+
+def split_blocked(frontier_cands: pa.Table) -> tuple[pa.Table, pa.Table]:
+    """(accepted, blocked) split after the seen filter."""
+    blocked_mask = frontier_cands["blocked"]
+    return (
+        frontier_cands.filter(pc.invert(blocked_mask)),
+        frontier_cands.filter(blocked_mask),
+    )

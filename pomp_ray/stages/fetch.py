@@ -1,0 +1,179 @@
+"""The fetch stage: ``map_batches`` over the frontier against the corpus.
+
+In the reference, fetching is live I/O -- ``UrllibDownloader.get()`` calls
+``urllib.request.urlopen`` per request (pomp/contrib/urllibtools.py
+~L75-130 [estimated]) and ``ConcurrentDownloader`` runs the same through a
+``concurrent.futures`` pool (pomp/contrib/concurrenttools.py [estimated]).
+This sandbox has no network, so "fetch" is a LOOKUP against the Parquet
+pages corpus: semantically a left join frontier JOIN pages ON canon_url
+(SURVEY.md J1).  Misses become fetch errors, exactly like a 404/timeout
+flowing through pomp's ``process_exception`` middleware hook.
+
+Three implementations, smallest broadcast to largest shuffle:
+
+* ``CorpusIndex`` + ``make_fetch_fn`` -- the default: the driver builds a
+  url-hash -> row index ONCE (sorted uint64 arrays + the html column),
+  ``ray.put``s it, and fetch runs as STATELESS tasks that ``ray.get`` the
+  refs (zero-copy for numpy/Arrow from the object store -- nothing is
+  re-shipped per batch or per round).  This is the broadcast-small-side
+  join pattern.
+* ``CorpusFetcher`` -- classic actor-pool form (pomp's
+  ConcurrentDownloader analog): each actor loads the corpus in
+  ``__init__``.  Used where a long-lived stateful downloader is wanted
+  (e.g. a real HTTP fetcher with sessions/politeness timers).
+* ``fetch_via_join`` -- the all-large path using Ray Data's
+  hash-partitioned ``Dataset.join`` (both sides shuffle once); the 100 TB
+  corpus path when no broadcast fits.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from pomp_ray.functions.textfns import url_canonicalize
+
+
+def _url_hash2(urls: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent 64-bit hashes per url (md5 halves).  128 bits total
+    keeps collision odds negligible at 10^10-url scale."""
+    h1 = np.empty(len(urls), np.uint64)
+    h2 = np.empty(len(urls), np.uint64)
+    for i, u in enumerate(urls):
+        d = hashlib.md5(u.encode("utf-8", "surrogateescape")).digest()
+        h1[i] = int.from_bytes(d[:8], "little")
+        h2[i] = int.from_bytes(d[8:16], "little")
+    return h1, h2
+
+
+@dataclass
+class CorpusIndex:
+    """Driver-held corpus lookup: sorted url-hash arrays + html payloads.
+    ``refs`` ships it to workers through the object store exactly once."""
+
+    h1_sorted: np.ndarray      # uint64, sorted
+    h2_sorted: np.ndarray      # uint64, aligned with h1_sorted
+    row_sorted: np.ndarray     # int64 row index into htmls, aligned
+    htmls: pa.ChunkedArray
+
+    @classmethod
+    def build(cls, pages_path: str) -> "CorpusIndex":
+        t = pq.read_table(pages_path, columns=["url", "html"])
+        canon = [url_canonicalize(u) for u in t["url"].to_pylist()]
+        h1, h2 = _url_hash2(canon)
+        order = np.argsort(h1, kind="stable")
+        return cls(
+            h1_sorted=h1[order],
+            h2_sorted=h2[order],
+            row_sorted=order.astype(np.int64),
+            htmls=t["html"].combine_chunks(),
+        )
+
+    def put(self) -> "CorpusIndexRefs":
+        return CorpusIndexRefs(
+            h1=ray.put(self.h1_sorted),
+            h2=ray.put(self.h2_sorted),
+            row=ray.put(self.row_sorted),
+            htmls=ray.put(self.htmls),
+        )
+
+    def lookup_rows(self, canon_urls: list[str]) -> np.ndarray:
+        """Row index per url, -1 for miss."""
+        return _lookup(self.h1_sorted, self.h2_sorted, self.row_sorted,
+                       canon_urls)
+
+    def fetch_table(self, batch: pa.Table) -> pa.Table:
+        return _attach_html(batch, self.lookup_rows(
+            batch["canon_url"].to_pylist()), self.htmls)
+
+
+@dataclass
+class CorpusIndexRefs:
+    h1: ray.ObjectRef
+    h2: ray.ObjectRef
+    row: ray.ObjectRef
+    htmls: ray.ObjectRef
+
+
+def _lookup(h1s: np.ndarray, h2s: np.ndarray, rows: np.ndarray,
+            canon_urls: list[str]) -> np.ndarray:
+    q1, q2 = _url_hash2(canon_urls)
+    pos = np.searchsorted(h1s, q1)
+    out = np.full(len(canon_urls), -1, np.int64)
+    n = len(h1s)
+    for i in range(len(canon_urls)):
+        p = pos[i]
+        # walk h1 ties (rare) verifying the second hash
+        while p < n and h1s[p] == q1[i]:
+            if h2s[p] == q2[i]:
+                out[i] = rows[p]
+                break
+            p += 1
+    return out
+
+
+def _attach_html(batch: pa.Table, rows: np.ndarray,
+                 htmls: pa.ChunkedArray) -> pa.Table:
+    take = pa.array(
+        [int(r) if r >= 0 else None for r in rows], pa.int64()
+    )
+    html = pc.take(htmls, take)
+    batch = batch.append_column("html", html)
+    return batch.append_column("fetch_ok", pc.is_valid(html))
+
+
+def make_fetch_fn(refs: CorpusIndexRefs):
+    """Stateless-task fetch: each task gets the broadcast index zero-copy."""
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        h1s = ray.get(refs.h1)
+        h2s = ray.get(refs.h2)
+        rows = ray.get(refs.row)
+        htmls = ray.get(refs.htmls)
+        found = _lookup(h1s, h2s, rows, batch["canon_url"].to_pylist())
+        return _attach_html(batch, found, htmls)
+
+    return fetch
+
+
+class CorpusFetcher:
+    """Callable-class for ``map_batches(..., concurrency=N)``: the stateful
+    downloader worker (SURVEY.md T1).  The index is built once per actor;
+    ``__call__`` is a vectorized lookup per batch."""
+
+    def __init__(self, pages_path: str):
+        self.index = CorpusIndex.build(pages_path)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.index.fetch_table(batch)
+
+
+def fetch_via_join(frontier: rd.Dataset, pages_path: str,
+                   num_partitions: int = 64) -> rd.Dataset:
+    """Scale path: hash-join the frontier against the pages corpus on the
+    canonical url.  Left join keeps misses (null html -> fetch_ok False),
+    the same error semantics as the lookup paths."""
+    def canon_pages(t: pa.Table) -> pa.Table:
+        canon = pa.array([url_canonicalize(u) for u in t["url"].to_pylist()])
+        return pa.table({"canon_url": canon, "html": t["html"]})
+
+    pages = rd.read_parquet(pages_path, columns=["url", "html"]).map_batches(
+        canon_pages, batch_format="pyarrow"
+    )
+    joined = frontier.join(
+        pages,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("canon_url",),
+    )
+    return joined.map_batches(
+        lambda t: t.append_column("fetch_ok", pc.is_valid(t["html"])),
+        batch_format="pyarrow",
+    )

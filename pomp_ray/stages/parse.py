@@ -1,0 +1,95 @@
+"""Parse stage: the distributed form of pomp's ``extract_items`` /
+``next_requests`` hooks (pomp/core/base.py ~L105-135 [estimated];
+SURVEY.md M1-M3).
+
+One vectorized ``map_batches`` pass per fetched batch produces BOTH the
+item columns (title, byte-identical text, n_links) and the outgoing-link
+rows (pomp master merges item- and request-yielding into one generator;
+we mirror that by emitting both from one stage).  The heavy ``html``
+column is dropped here so the materialized per-round barrier holds only
+compact parsed rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyarrow as pa
+
+from pomp_ray.functions.textfns import (
+    html_extract_links,
+    html_extract_text,
+    html_extract_title,
+)
+
+# A user "crawler spec" parse hook: html bytes -> (title, text, links).
+ParseFn = Callable[[bytes], tuple[str, str, list[str]]]
+
+
+def default_parse(html: bytes) -> tuple[str, str, list[str]]:
+    return html_extract_title(html), html_extract_text(html), html_extract_links(html)
+
+
+def make_parse_batch(rnd: int, parse_fn: ParseFn = default_parse):
+    """Batch fn: fetched frontier rows -> parsed rows.  Keeps misses
+    (fetch_ok=False) so the error path stays in-band (pomp's
+    process_exception contract: errors flow, never raise)."""
+
+    def parse_batch(batch: pa.Table) -> pa.Table:
+        htmls = batch["html"].to_pylist()
+        oks = batch["fetch_ok"].to_pylist()
+        titles: list[str | None] = []
+        texts: list[str | None] = []
+        links: list[list[str] | None] = []
+        n_links: list[int] = []
+        for ok, html in zip(oks, htmls):
+            if not ok or html is None:
+                titles.append(None); texts.append(None); links.append(None)
+                n_links.append(0)
+                continue
+            title, text, hrefs = parse_fn(html)
+            titles.append(title); texts.append(text); links.append(hrefs)
+            n_links.append(len(hrefs))
+        out = batch.drop_columns(["html"])
+        out = out.append_column("round", pa.array([rnd] * len(oks), pa.int32()))
+        out = out.append_column("title", pa.array(titles, pa.string()))
+        out = out.append_column("text", pa.array(texts, pa.string()))
+        out = out.append_column("links", pa.array(links, pa.list_(pa.string())))
+        return out.append_column("n_links", pa.array(n_links, pa.int32()))
+
+    return parse_batch
+
+
+def explode_links(batch: pa.Table) -> pa.Table:
+    """Parsed rows -> one candidate row per outgoing link, carrying the
+    parent's ordering coordinates so enqueue order reproduces pomp's
+    (parent fetch order, link position) insertion order."""
+    hrefs: list[str] = []
+    bases: list[str] = []
+    depths: list[int] = []
+    p_prio: list[int] = []
+    p_seq: list[int] = []
+    l_idx: list[int] = []
+    for base, depth, prio, seq, links in zip(
+        batch["canon_url"].to_pylist(),
+        batch["depth"].to_pylist(),
+        batch["priority"].to_pylist(),
+        batch["seq"].to_pylist(),
+        batch["links"].to_pylist(),
+    ):
+        if not links:
+            continue
+        for i, href in enumerate(links):
+            hrefs.append(href); bases.append(base); depths.append(depth + 1)
+            p_prio.append(prio); p_seq.append(seq); l_idx.append(i)
+    return pa.table(
+        {
+            "url": pa.array(hrefs, pa.string()),
+            "base": pa.array(bases, pa.string()),
+            "depth": pa.array(depths, pa.int32()),
+            "priority": pa.array([0] * len(hrefs), pa.int32()),
+            "parent_priority": pa.array(p_prio, pa.int32()),
+            "parent_seq": pa.array(p_seq, pa.int64()),
+            "link_idx": pa.array(l_idx, pa.int64()),
+        }
+    )

@@ -1,0 +1,117 @@
+"""Politeness selection: per-host crawl-delay budget (north_rule; absent
+from pomp, whose queue discipline is plain FIFO/LIFO -- SURVEY.md A1/O3/T4).
+
+Per round a host with ``crawl_delay > 0`` may contribute at most
+``k = max(1, floor(round_budget_s / crawl_delay))`` requests, taken in
+selection order (priority desc, seq asc for BFS); the rest defer to the
+next round keeping their seq.
+
+Two paths:
+
+* distributed -- ``groupby(host).map_groups`` (SHUFFLE 1 of the round
+  loop).  Skew from heavy hosts is handled by SALTING: when a frontier is
+  large, the group key becomes (host, salt=hash(url) %% n_salts) and the
+  per-host cap is divided across the salts (sum of sub-caps == cap), so no
+  single task ever holds a whole heavy host.  Salting keeps the selected
+  SET size per host exact but relaxes which k rows win -- scale mode only,
+  mirroring how pomp's own concurrent tests relax ordering.
+* driver-side -- for small frontiers (or exact DFS), a serial walk
+  identical to the oracle's: exact conformance, no shuffle.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def caps_from_delay(delay: dict[str, float], round_budget_s: float) -> dict[str, int]:
+    return {
+        h: max(1, math.floor(round_budget_s / d))
+        for h, d in delay.items()
+        if d > 0
+    }
+
+
+def select_distributed(
+    frontier: rd.Dataset,
+    caps: dict[str, int],
+    mode: str = "bfs",
+    n_salts: int = 1,
+) -> rd.Dataset:
+    """Mark each frontier row selected/deferred.  Returns the marked
+    dataset (caller materializes once, then filters both ways)."""
+    seq_asc = mode == "bfs"
+
+    if n_salts > 1:
+        def add_salt(t: pa.Table) -> pa.Table:
+            salt = pa.array(
+                [hash(u) % n_salts for u in t["canon_url"].to_pylist()],
+                pa.int32(),
+            )
+            return t.append_column("salt", salt)
+
+        frontier = frontier.map_batches(add_salt, batch_format="pyarrow")
+        group_keys = ["host", "salt"]
+    else:
+        group_keys = ["host"]
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        host = g["host"].iloc[0]
+        cap = caps.get(host)
+        if cap is not None and n_salts > 1:
+            salt = int(g["salt"].iloc[0])
+            # split the host budget across salts; remainders to low salts
+            cap = cap // n_salts + (1 if salt < cap % n_salts else 0)
+        if cap is None or len(g) <= cap:
+            g = g.assign(selected=True)
+        else:
+            g = g.sort_values(["priority", "seq"], ascending=[False, seq_asc])
+            sel = np.zeros(len(g), dtype=bool)
+            sel[:cap] = True
+            g = g.assign(selected=sel)
+        if "salt" in g.columns:
+            g = g.drop(columns=["salt"])
+        return g
+
+    return frontier.groupby(group_keys).map_groups(mark, batch_format="pandas")
+
+
+def select_serial(
+    rows: pa.Table,
+    caps: dict[str, int],
+    mode: str,
+    width: int | None,
+) -> tuple[pa.Table, pa.Table]:
+    """Driver-side selection, bit-identical to the oracle's round walk:
+    sort all rows by the queue discipline, take while under per-host caps
+    and the global width.  Returns (selected, deferred) tables."""
+    df = rows.to_pandas()
+    if mode == "bfs":
+        df = df.sort_values(["priority", "seq"], ascending=[False, True])
+    else:
+        df = df.sort_values(["priority", "seq"], ascending=[False, False])
+    if width is None:
+        width = len(df)
+    per_host: dict[str, int] = {}
+    chosen = []
+    n_sel = 0
+    for host in df["host"].tolist():
+        cap = caps.get(host, None)
+        used = per_host.get(host, 0)
+        if n_sel < width and (cap is None or used < cap):
+            per_host[host] = used + 1
+            chosen.append(True)
+            n_sel += 1
+        else:
+            chosen.append(False)
+    df = df.assign(selected=chosen)
+    sel = pa.Table.from_pandas(df[df["selected"]].drop(columns=["selected"]),
+                               preserve_index=False)
+    def_ = pa.Table.from_pandas(df[~df["selected"]].drop(columns=["selected"]),
+                                preserve_index=False)
+    return sel, def_

@@ -1,0 +1,49 @@
+from pomp_ray.functions.textfns import (
+    html_extract_links,
+    html_extract_text,
+    html_extract_title,
+    url_canonicalize,
+    url_host,
+    url_join,
+)
+
+
+def test_canonicalize():
+    assert url_canonicalize("HTTP://Site0.TEST:80/p/1#frag") == "http://site0.test/p/1"
+    assert url_canonicalize("http://a.test") == "http://a.test/"
+    assert url_canonicalize("https://a.test:443/x?q=1") == "https://a.test/x?q=1"
+    assert url_canonicalize("http://a.test:8080/x") == "http://a.test:8080/x"
+    assert url_canonicalize("  http://a.test/x  ") == "http://a.test/x"
+    assert url_canonicalize("") == ""
+
+
+def test_host_join():
+    assert url_host("http://Site3.TEST/p/9") == "site3.test"
+    assert url_join("http://a.test/p/0", "/p/5") == "http://a.test/p/5"
+    assert url_join("http://a.test/p/0", "http://b.test/p/1") == "http://b.test/p/1"
+
+
+def test_extract():
+    html = (b'<html><head><title>t1</title></head>'
+            b'<body><p>hello <b>world</b></p><p>two</p>'
+            b'<a href="/p/1">l</a><a href="http://x.test/p/2">l</a></body></html>')
+    assert html_extract_title(html) == "t1"
+    assert html_extract_text(html) == "t1\nhello world\ntwo"
+    assert html_extract_links(html) == ["/p/1", "http://x.test/p/2"]
+    assert html_extract_text(b"") == ""
+    assert html_extract_links(b"no links") == []
+
+
+def test_byte_identity_over_corpus():
+    """BASELINE.json:15 invariant: extractor(html) == golden text column,
+    byte-for-byte, for every page of the generated corpus."""
+    from tests.helpers import fixture_corpus
+    import pyarrow.parquet as pq
+    from pomp_ray.sources import gen_corpus
+
+    fix = fixture_corpus(gen_corpus.SMALL)
+    pages = pq.read_table(fix.pages_path)
+    for url, html, text in zip(pages["url"].to_pylist(),
+                               pages["html"].to_pylist(),
+                               pages["text"].to_pylist()):
+        assert html_extract_text(html) == text, url
