@@ -1,44 +1,195 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship crawl pipeline end-to-end on a tiny
+deterministic corpus; ``queries()`` exposes every implemented operator/
+pipeline (SURVEY.md section 2 + the training-data additions) over the
+``sf_dir`` testdata tables; ``oracle_sql()`` gives the DuckDB-equivalent
+SQL for the SQL-expressible ones with IDENTICAL column names/dtypes.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in pomp_ray) calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import pyarrow as pa
+import pyarrow.parquet as pq
 
+
+# --------------------------------------------------------------------- entry
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: generate the tiny deterministic corpus, run the BFS crawl
+    (politeness + robots + seen shards + checkpoints), return extracted
+    items as a ray Dataset."""
+    import glob
+
+    import ray.data as rd
+
+    from pomp_ray.crawl import CrawlConfig, CrawlEngine
+    from pomp_ray.sources import gen_corpus
+
+    fix = gen_corpus.generate("/tmp/pomp_entry_corpus", gen_corpus.TINY)
+    ckpt = "/tmp/pomp_entry_ckpt"
+    cfg = CrawlConfig(corpus_path=fix.pages_path, ckpt_dir=ckpt,
+                      robots_path=fix.robots_path, mode="bfs",
+                      min_distributed_rows=16, n_seen_shards=4)
+    eng = CrawlEngine(cfg)
+    try:
+        seeds = pq.read_table(fix.seeds_path).to_pylist()
+        eng.run(seeds=seeds)
+    finally:
+        eng.close()
+    files = sorted(glob.glob(os.path.join(ckpt, "items", "round-*", "*.parquet")))
+    return rd.read_parquet(files)
 
 
+# ------------------------------------------------------------- crawl queries
+def _crawl_outputs(kind: str, mode: str) -> pa.Table:
+    import glob
+
+    from pomp_ray.crawl import CrawlConfig, CrawlEngine
+    from pomp_ray.sources import gen_corpus
+
+    fix = gen_corpus.generate("/tmp/pomp_q_corpus", gen_corpus.TINY)
+    ckpt = f"/tmp/pomp_q_ckpt_{mode}"
+    cfg = CrawlConfig(corpus_path=fix.pages_path, ckpt_dir=ckpt,
+                      robots_path=fix.robots_path, mode=mode,
+                      min_distributed_rows=16, n_seen_shards=4)
+    eng = CrawlEngine(cfg)
+    try:
+        eng.run(seeds=pq.read_table(fix.seeds_path).to_pylist())
+    finally:
+        eng.close()
+    files = sorted(glob.glob(os.path.join(ckpt, kind, "round-*", "*.parquet")))
+    return pa.concat_tables([pq.read_table(f) for f in files],
+                            promote_options="default")
+
+
+# ------------------------------------------------------------------- queries
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from pomp_ray.pipelines import docs, embeddings, relational
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # -- documents: text analysis (SQL-verified)
+        "quality_stats": docs.quality_stats,
+        "quality_filter": docs.quality_filter,
+        "token_count_by_lang": docs.token_count_by_lang,
+        "lang_counts": docs.lang_counts,
+        "distinct_langs": docs.distinct_langs,
+        "per_source_topk": docs.per_source_topk,
+        "dedup_exact": docs.dedup_exact,
+        # -- documents: signatures / near-dup (deterministic, rows-only)
+        "lang_predictions": docs.lang_predictions,
+        "fingerprints": docs.fingerprints,
+        "minhash_lsh_pairs": docs.minhash_lsh_pairs,
+        "simhash_dup_groups": docs.simhash_dup_groups,
+        # -- embeddings: similarity search
+        "ann_topk": embeddings.ann_topk,
+        "neardup_pairs": embeddings.neardup_pairs,
+        "ivf_topk": embeddings.ivf_topk,
+        # -- relational building blocks (join/rollup/sort/filter)
+        "events_rollup": relational.events_rollup,
+        "events_sorted_head": relational.events_sorted_head,
+        "orders_by_mktsegment": relational.orders_by_mktsegment,
+        "lineitem_pricing_summary": relational.lineitem_pricing_summary,
+        "filter_project": relational.filter_project,
+        # -- the crawl engine itself (rows-only; conformance vs the serial
+        #    oracle is asserted in pytest)
+        "crawl_bfs_visited": lambda sf: _crawl_outputs("visited", "bfs"),
+        "crawl_bfs_items": lambda sf: _crawl_outputs("items", "bfs"),
+        "crawl_dfs_visited": lambda sf: _crawl_outputs("visited", "dfs"),
+        "crawl_bfs_errors": lambda sf: _crawl_outputs("errors", "bfs"),
+    }
 
 
+# ---------------------------------------------------------------- oracle SQL
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "quality_stats": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,
+                   CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+                   CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
+                   CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS BIGINT) AS n_alpha_words
+            FROM documents
+        """,
+        "quality_filter": """
+            SELECT doc_id FROM documents
+            WHERE len(regexp_extract_all(text, '\\S+')) BETWEEN 5 AND 100000
+              AND CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+                  / GREATEST(length(text), 1) <= 0.2
+        """,
+        "token_count_by_lang": """
+            SELECT lang,
+                   CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+                       AS total_tokens
+            FROM documents GROUP BY lang
+        """,
+        "lang_counts": """
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents GROUP BY lang
+        """,
+        "distinct_langs": "SELECT DISTINCT lang FROM documents",
+        "per_source_topk": """
+            SELECT source, doc_id, n_chars FROM (
+                SELECT source, doc_id, n_chars,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                                          ORDER BY n_chars DESC, doc_id ASC) AS rn
+                FROM documents) t
+            WHERE rn <= 3
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id
+            FROM documents GROUP BY md5(text)
+        """,
+        "ann_topk": """
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                        WHERE vec_id = 0)), 6) AS score
+            FROM embeddings
+            WHERE vec_id <> 0
+            ORDER BY list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                        WHERE vec_id = 0)) DESC,
+                     vec_id ASC
+            LIMIT 10
+        """,
+        "neardup_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.35
+        """,
+        "events_rollup": """
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   MIN(value) AS vmin, MAX(value) AS vmax,
+                   ROUND(SUM(value), 2) AS vsum
+            FROM events GROUP BY event_type
+        """,
+        "events_sorted_head": """
+            SELECT event_id, ts FROM events ORDER BY ts, event_id LIMIT 100
+        """,
+        "orders_by_mktsegment": """
+            SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "lineitem_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   CAST(COUNT(*) AS BIGINT) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "filter_project": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_orderstatus = 'O' AND o_totalprice > 200000.0
+        """,
+    }

@@ -70,7 +70,8 @@ def token_count_by_lang(sf_dir: str) -> rd.Dataset:
     partials = _docs(sf_dir, ["lang", "text"]).map_batches(
         partial, batch_format="pyarrow")
     out = partials.groupby("lang").aggregate(Sum("n", alias_name="total_tokens"))
-    return out
+    return out.map_batches(lambda t: _i64(t, ["total_tokens"]),
+                           batch_format="pyarrow")
 
 
 def lang_predictions(sf_dir: str) -> rd.Dataset:
@@ -193,8 +194,9 @@ def simhash_dup_groups(sf_dir: str, max_hamming: int = 3) -> pa.Table:
 
 # ---------------------------------------------------------- simple SQL peers
 def lang_counts(sf_dir: str) -> rd.Dataset:
-    return _docs(sf_dir, ["lang"]).groupby("lang").aggregate(
+    out = _docs(sf_dir, ["lang"]).groupby("lang").aggregate(
         Count(alias_name="n"))
+    return out.map_batches(lambda t: _i64(t, ["n"]), batch_format="pyarrow")
 
 
 def distinct_langs(sf_dir: str) -> pa.Table:

@@ -1,0 +1,65 @@
+"""Spot-check the driver query surface against DuckDB at sf0.001 (the
+full sf0.01 sweep is the driver's job; this keeps the suite fast)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+SPOT = [
+    "quality_stats",
+    "token_count_by_lang",
+    "dedup_exact",
+    "per_source_topk",
+    "ann_topk",
+    "neardup_pairs",
+    "events_rollup",
+    "orders_by_mktsegment",
+    "lineitem_pricing_summary",
+]
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _to_pandas(res):
+    import pyarrow as pa
+    import ray.data as rd
+    if isinstance(res, rd.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+@pytest.mark.parametrize("name", SPOT)
+def test_query_matches_oracle(name, oracle_con):
+    import __ray_entry__ as e
+
+    mine = _canon(_to_pandas(e.queries()[name](SF)))
+    ref = _canon(oracle_con.sql(e.oracle_sql()[name]).df())
+    assert list(mine.columns) == list(ref.columns)
+    pd.testing.assert_frame_equal(mine, ref, check_dtype=False,
+                                  check_exact=False, rtol=0, atol=1e-9)
+
+
+def test_entry_smoke():
+    import __ray_entry__ as e
+
+    ds = e.entry()
+    df = _to_pandas(ds)
+    assert len(df) > 0
+    assert {"url", "title", "text", "n_links"} <= set(df.columns)
