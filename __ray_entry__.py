@@ -49,8 +49,7 @@ def entry() -> Any:
 
 # ------------------------------------------------------------- crawl queries
 def _crawl_outputs(kind: str, mode: str) -> pa.Table:
-    import glob
-
+    from pomp_ray import crawl as crawl_mod
     from pomp_ray.crawl import CrawlConfig, CrawlEngine
     from pomp_ray.sources import gen_corpus
 
@@ -64,9 +63,8 @@ def _crawl_outputs(kind: str, mode: str) -> pa.Table:
         eng.run(seeds=pq.read_table(fix.seeds_path).to_pylist())
     finally:
         eng.close()
-    files = sorted(glob.glob(os.path.join(ckpt, kind, "round-*", "*.parquet")))
-    return pa.concat_tables([pq.read_table(f) for f in files],
-                            promote_options="default")
+    return {"items": crawl_mod.read_items, "visited": crawl_mod.read_visited,
+            "errors": crawl_mod.read_errors}[kind](ckpt)
 
 
 # ------------------------------------------------------------------- queries

@@ -2,14 +2,14 @@
 re-expression of pomp's ``Pomp.pump(crawler)`` engine loop
 (pomp/core/engine.py ~L60-160 [estimated]; SURVEY.md section 3.4).
 
-Each round is one bounded Dataset pass:
+Each round is one bounded Dataset pass over the frontier:
 
     read frontier_r -> politeness selection (groupby(host), salted at
     scale) -> fetch (broadcast corpus index, stateless tasks) -> parse
-    (extract_items + next_requests in one vectorized stage) -> items /
-    visited / errors parquet -> explode links -> canonicalize -> dedup ->
-    robots gate -> seen-shard check_and_add -> seq assignment ->
-    frontier_{r+1} parquet -> seen snapshot -> round commit marker
+    (extract_items + next_requests in one vectorized stage) -> items
+    parquet -> explode links -> canonicalize -> dedup -> robots gate ->
+    seen-shard check_and_add -> seq -> frontier_{r+1} parquet ->
+    seen snapshot -> atomic round commit
 
 Two fidelity modes:
 
@@ -17,11 +17,21 @@ Two fidelity modes:
   (deterministic dedup winners via a groupby(canon_url) shuffle, global
   seq via sorted zip_with_index).  This is the conformance mode pomp's
   ported e2e tests run against.
-* ``exact_order=False`` -- scale mode: local dedup + shard-side
-  first-wins, hash-based seq, salted politeness.  Same visited SET
-  (order-independent by construction: enqueue-time dedup makes the
-  reachable set invariant to processing order), relaxed order -- the same
-  relaxation pomp's own concurrent-downloader tests accept.
+* ``exact_order=False`` -- scale mode, tuned for throughput: TWO Dataset
+  executions per round.
+    exec A: read frontier (+ deferred side files) -> politeness groupby
+            (deferred rows written as deterministic per-group side files)
+            -> fetch -> parse -> enrich -> write items/round-r
+            (items rows carry fetch_ok + links; misses ARE the fetch
+            errors -- no separate errors pass)
+    exec B: read items -> explode links -> canonicalize -> robots flag ->
+            local dedup -> seen-shard check_and_add -> write
+            frontier/round-(r+1) (blocked rows stay in the file flagged
+            ``blocked=True``: they are the robots-error records, and the
+            next round's read filters them out)
+  Same visited SET as exact mode (enqueue-time dedup makes the reachable
+  set order-invariant), relaxed order -- the relaxation pomp's own
+  concurrent-downloader tests accept.
 
 Hybrid execution: rounds smaller than ``min_distributed_rows`` run on the
 driver (pomp's serial engine, byte-identical semantics, no per-round
@@ -29,13 +39,16 @@ Dataset overhead -- deep-tree tail rounds and exact DFS are tiny); larger
 rounds run distributed.  Tests exercise both paths explicitly.
 
 Checkpoint layout (the north_rule "resumes from Parquet checkpoints of
-frontier + seen-set state"; every write is committed by an atomically
-renamed rounds/round-r.json marker):
+frontier + seen-set state"; every round is committed by an atomically
+renamed rounds/round-r.json marker; a crashed round is wiped and re-run):
 
-    ckpt/frontier/round-NNNNNN/*.parquet
-    ckpt/items/round-NNNNNN/*.parquet      ckpt/visited/round-NNNNNN/
-    ckpt/errors/round-NNNNNN/              ckpt/seen/seen-shardXXXX-roundNNNNNN.parquet
+    ckpt/frontier/round-NNNNNN/*.parquet   ckpt/deferred/round-NNNNNN/
+    ckpt/items/round-NNNNNN/*.parquet      ckpt/errors/round-NNNNNN/
+    ckpt/seen/seen-shardXXXX-roundNNNNNN.parquet
     ckpt/metrics/round-NNNNNN.parquet      ckpt/rounds/round-NNNNNN.json
+
+Use ``read_items`` / ``read_visited`` / ``read_errors`` to assemble the
+logical output tables from either mode's layout.
 """
 
 from __future__ import annotations
@@ -47,7 +60,6 @@ import shutil
 import time
 from dataclasses import dataclass, field
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -79,6 +91,22 @@ from pomp_ray.state.seen import SeenSet
 
 FRONTIER_COLS = ["url", "canon_url", "host", "depth", "priority", "seq"]
 
+# Uniform frontier-file schema across every writer (seed, driver rounds,
+# exact zip path, scale exec B, deferred side files).  ``blocked`` rows are
+# robots-refused urls kept in place as the error record; reads filter them.
+FRONTIER_FILE_SCHEMA = pa.schema([
+    ("url", pa.string()), ("canon_url", pa.string()), ("host", pa.string()),
+    ("depth", pa.int32()), ("priority", pa.int32()), ("seq", pa.int64()),
+    ("blocked", pa.bool_()),
+])
+
+
+def _cast_frontier(t: pa.Table) -> pa.Table:
+    if "blocked" not in t.column_names:
+        t = t.append_column("blocked",
+                            pa.array([False] * t.num_rows, pa.bool_()))
+    return schemas.cast_to(t, FRONTIER_FILE_SCHEMA)
+
 
 @dataclass
 class CrawlConfig:
@@ -95,6 +123,7 @@ class CrawlConfig:
     n_salts: int = 1                   # politeness salting (scale mode only)
     min_distributed_rows: int = 256    # below this a round runs driver-side
     fetch_batch_size: int = 4096
+    target_block_rows: int = 8192      # coalesce frontier reads to this
     parse_fn: object = None            # ParseFn override (CrawlerSpec hook)
     enrich_fn: object = None           # optional batch fn applied to parsed rows
 
@@ -147,6 +176,25 @@ class CrawlEngine:
         os.makedirs(d, exist_ok=True)
         pq.write_table(table, os.path.join(d, f"{name}.parquet"))
 
+    def _frontier_sources(self, rnd: int) -> list[str]:
+        """Parquet files feeding round ``rnd``: its frontier dir plus any
+        deferred side files written by the previous round's politeness."""
+        files = sorted(glob.glob(os.path.join(self._dir("frontier", rnd),
+                                              "*.parquet")))
+        files += sorted(glob.glob(os.path.join(self._dir("deferred", rnd - 1),
+                                               "*.parquet")))
+        return files
+
+    def _frontier_count(self, rnd: int) -> int:
+        """Pending (non-blocked) rows for round ``rnd``.  Row totals come
+        from parquet metadata; the blocked flag is a single boolean column
+        read (cheap; at extreme scale this would use column statistics)."""
+        n = 0
+        for p in self._frontier_sources(rnd):
+            t = pq.read_table(p, columns=["blocked"])
+            n += t.num_rows - int(pc.sum(t["blocked"]).as_py() or 0)
+        return n
+
     # -------------------------------------------------------- driver enqueue
     def _enqueue_driver(self, cands: list[dict], rnd: int,
                         check_depth: bool = True) -> tuple[list[dict], list[dict]]:
@@ -180,13 +228,13 @@ class CrawlEngine:
             accepted.append({
                 "url": c["url"], "canon_url": c["canon_url"], "host": c["host"],
                 "depth": c["depth"], "priority": c["priority"],
-                "seq": self.seq_counter,
+                "seq": self.seq_counter, "blocked": False,
             })
             self.seq_counter += 1
         return accepted, errors
 
     def _frontier_table(self, rows: list[dict]) -> pa.Table:
-        return pa.Table.from_pylist(rows, schema=_FRONTIER_FILE_SCHEMA)
+        return pa.Table.from_pylist(rows, schema=FRONTIER_FILE_SCHEMA)
 
     # ------------------------------------------------------------------ seed
     def seed(self, seeds: list[dict]) -> int:
@@ -205,31 +253,35 @@ class CrawlEngine:
                 pa.Table.from_pylist(errors, schema=schemas.ERRORS), "errors", 0,
                 name="part-robots-seed")
         self.seen.snapshot(os.path.join(self.cfg.ckpt_dir, "seen"), 0)
-        self._commit_round_init(len(accepted), len(errors))
-        return len(accepted)
-
-    def _commit_round_init(self, n_frontier: int, n_errors: int) -> None:
         os.makedirs(os.path.join(self.cfg.ckpt_dir, "rounds"), exist_ok=True)
         tmp = os.path.join(self.cfg.ckpt_dir, "rounds", "init.json.tmp")
         with open(tmp, "w") as f:
-            json.dump({"n_frontier": n_frontier, "seq_counter": self.seq_counter,
-                       "n_errors": n_errors}, f)
+            json.dump({"n_frontier": len(accepted),
+                       "seq_counter": self.seq_counter,
+                       "n_errors": len(errors)}, f)
         os.replace(tmp, os.path.join(self.cfg.ckpt_dir, "rounds", "init.json"))
+        return len(accepted)
 
     # ------------------------------------------------------------ round: tiny
-    def _run_round_driver(self, frontier: pa.Table, rnd: int) -> dict:
+    def _load_frontier_table(self, rnd: int) -> pa.Table:
+        tables = [pq.read_table(p) for p in self._frontier_sources(rnd)]
+        t = pa.concat_tables([_cast_frontier(x) for x in tables],
+                             promote_options="default")
+        return t.filter(pc.invert(t["blocked"])).select(FRONTIER_COLS)
+
+    def _run_round_driver(self, rnd: int) -> dict:
         """Small-round fast path: pomp's serial loop on the driver against
         the same shard-held seen state and the same corpus index."""
         cfg = self.cfg
+        frontier = self._load_frontier_table(rnd)
         width = cfg.dfs_width if cfg.mode == "dfs" else None
         sel_t, def_t = select_serial(frontier, self.caps, cfg.mode, width)
 
         canon_urls = sel_t["canon_url"].to_pylist()
         rows = self.index.lookup_rows(canon_urls)
-        visited, items, errors, cands = [], [], [], []
+        items, errors, cands = [], [], []
         for i, (canon, row) in enumerate(zip(canon_urls, rows)):
             depth = sel_t["depth"][i].as_py()
-            prio = sel_t["priority"][i].as_py()
             seq = sel_t["seq"][i].as_py()
             if row < 0:
                 errors.append({"url": canon, "stage": "fetch",
@@ -238,7 +290,6 @@ class CrawlEngine:
                 continue
             html = self.index.htmls[int(row)].as_py()
             title, text, links = self.parse_fn(html)
-            visited.append({"url": canon, "round": rnd, "depth": depth, "seq": seq})
             items.append({"url": canon, "title": title, "text": text,
                           "n_links": len(links), "round": rnd, "seq": seq,
                           "depth": depth})
@@ -248,49 +299,56 @@ class CrawlEngine:
         accepted, enq_errors = self._enqueue_driver(cands, rnd)
         errors += enq_errors
 
-        self._write_table(pa.Table.from_pylist(visited, schema=schemas.VISITED),
-                          "visited", rnd)
         self._write_table(pa.Table.from_pylist(items, schema=schemas.ITEMS),
                           "items", rnd)
         if errors:
             self._write_table(pa.Table.from_pylist(errors, schema=schemas.ERRORS),
                               "errors", rnd)
         next_frontier = pa.concat_tables(
-            [self._frontier_table(accepted),
-             schemas.cast_to(def_t, _FRONTIER_FILE_SCHEMA)]
+            [self._frontier_table(accepted), _cast_frontier(def_t)]
         )
         self._write_table(next_frontier, "frontier", rnd + 1)
         return {"round": rnd, "path": "driver", "n_selected": sel_t.num_rows,
-                "n_deferred": def_t.num_rows, "n_visited": len(visited),
+                "n_deferred": def_t.num_rows, "n_visited": len(items),
                 "n_items": len(items), "n_errors": len(errors),
                 "n_new": len(accepted),
                 "n_frontier_next": next_frontier.num_rows}
 
-    # ------------------------------------------------------ round: distributed
-    def _run_round_distributed(self, rnd: int, n_frontier: int) -> dict:
+    # -------------------------------------------------------------- readers
+    def _read_frontier_ds(self, rnd: int, n_rows: int) -> rd.Dataset:
+        files = self._frontier_sources(rnd)
+        blocks = max(1, min(64, n_rows // self.cfg.target_block_rows + 1))
+        ds = rd.read_parquet(files, override_num_blocks=blocks)
+
+        def load(t: pa.Table) -> pa.Table:
+            ft = _cast_frontier(t)
+            return ft.filter(pc.invert(ft["blocked"])).select(FRONTIER_COLS)
+
+        return ds.map_batches(load, batch_format="pyarrow")
+
+    # ----------------------------------------------------- round: exact dist
+    def _run_round_exact(self, rnd: int, n_frontier: int) -> dict:
         cfg = self.cfg
-        fds = rd.read_parquet(self._dir("frontier", rnd))
+        fds = self._read_frontier_ds(rnd, n_frontier)
 
         # --- politeness selection (SHUFFLE 1) ---
         n_deferred = 0
         if self.caps:
-            n_salts = cfg.n_salts if not cfg.exact_order else 1
             marked = select_distributed(fds, self.caps, cfg.mode,
-                                        n_salts=n_salts).materialize()
+                                        n_salts=1).materialize()
             selected = marked.map_batches(
                 lambda t: t.filter(t["selected"]).drop_columns(["selected"]),
                 batch_format="pyarrow")
             deferred = marked.map_batches(
                 lambda t: t.filter(pc.invert(t["selected"])).drop_columns(["selected"]),
                 batch_format="pyarrow")
-            n_deferred = marked.map_batches(
-                lambda t: pa.table({"n": [t.filter(pc.invert(t['selected'])).num_rows]}),
-                batch_format="pyarrow").sum("n")
-            n_deferred = int(n_deferred or 0)
+            n_deferred = int(marked.map_batches(
+                lambda t: pa.table({"n": [t.filter(pc.invert(t["selected"])).num_rows]}),
+                batch_format="pyarrow").sum("n") or 0)
         else:
             selected, deferred = fds, None
 
-        # --- fetch + parse (the streaming hot path) ---
+        # --- fetch + parse ---
         parsed = (
             selected
             .map_batches(make_fetch_fn(self.index_refs), batch_format="pyarrow",
@@ -300,7 +358,7 @@ class CrawlEngine:
         )
         if cfg.enrich_fn is not None:
             parsed = parsed.map_batches(cfg.enrich_fn, batch_format="pyarrow")
-        parsed = parsed.materialize()   # the round barrier; html already dropped
+        parsed = parsed.materialize()   # round barrier; html already dropped
 
         n_selected = parsed.count()
         ok = parsed.map_batches(lambda t: t.filter(t["fetch_ok"]),
@@ -310,21 +368,15 @@ class CrawlEngine:
             t = schemas.rename(t, {"url": "orig_url", "canon_url": "url"})
             return schemas.cast_to(t, schemas.ITEMS)
 
-        def _as_visited(t: pa.Table) -> pa.Table:
-            t = schemas.rename(t, {"url": "orig_url", "canon_url": "url"})
-            return schemas.cast_to(t, schemas.VISITED)
-
         ok.map_batches(_as_items, batch_format="pyarrow").write_parquet(
             self._dir("items", rnd))
-        ok.map_batches(_as_visited, batch_format="pyarrow").write_parquet(
-            self._dir("visited", rnd))
 
-        misses = parsed.map_batches(
-            lambda t: _miss_errors(t, rnd), batch_format="pyarrow")
         n_visited = ok.count()
         n_miss = n_selected - n_visited
         if n_miss:
-            misses.write_parquet(self._dir("errors", rnd))
+            parsed.map_batches(lambda t: _miss_errors(t, rnd),
+                               batch_format="pyarrow").write_parquet(
+                self._dir("errors", rnd))
 
         # --- links -> next frontier (enqueue pipeline) ---
         cands = (
@@ -336,56 +388,122 @@ class CrawlEngine:
             cands = cands.map_batches(
                 lambda t: t.filter(pc.less_equal(t["depth"], md)),
                 batch_format="pyarrow")
-        if cfg.exact_order:
-            cands = dedup_first_in_order(cands, cfg.mode)   # SHUFFLE 2
-        else:
-            cands = cands.map_batches(dedup_local, batch_format="pyarrow")
+        cands = dedup_first_in_order(cands, cfg.mode)   # SHUFFLE 2
         cands = cands.map_batches(make_robots_flag(self.disallow),
                                   batch_format="pyarrow")
         cands = cands.map_batches(SeenFilter(self.seen.shards),
                                   batch_format="pyarrow").materialize()
 
-        blocked = cands.map_batches(
-            lambda t: _robots_errors(t, rnd), batch_format="pyarrow")
         n_blocked = int(cands.map_batches(
             lambda t: pa.table({"n": [int(pc.sum(t["blocked"]).as_py() or 0)]}),
             batch_format="pyarrow").sum("n") or 0)
         if n_blocked:
-            blocked.write_parquet(self._dir("errors", rnd))
+            cands.map_batches(lambda t: _robots_errors(t, rnd),
+                              batch_format="pyarrow").write_parquet(
+                self._dir("errors", rnd))
 
         allowed = cands.map_batches(
             lambda t: t.filter(pc.invert(t["blocked"])).select(
                 ["url", "canon_url", "host", "depth", "priority",
                  "parent_priority", "parent_seq", "link_idx"]),
             batch_format="pyarrow")
-        if cfg.exact_order:
-            desc = [True, False, False] if cfg.mode == "bfs" else [True, True, False]
-            accepted, n_new = zip_with_index_sorted(
-                allowed, ["parent_priority", "parent_seq", "link_idx"],
-                descending=desc, offset=self.seq_counter)
-            self.seq_counter += n_new
-            accepted = accepted.map_batches(_cast_frontier,
-                                            batch_format="pyarrow")
-        else:
-            accepted = allowed.map_batches(_hash_seq, batch_format="pyarrow")
-            n_new = None
+        desc = [True, False, False] if cfg.mode == "bfs" else [True, True, False]
+        accepted, n_new = zip_with_index_sorted(
+            allowed, ["parent_priority", "parent_seq", "link_idx"],
+            descending=desc, offset=self.seq_counter)
+        self.seq_counter += n_new
+        accepted = accepted.map_batches(_cast_frontier, batch_format="pyarrow")
 
         next_dir = self._dir("frontier", rnd + 1)
         accepted.write_parquet(next_dir)
         if deferred is not None and n_deferred:
             deferred.map_batches(_cast_frontier,
                                  batch_format="pyarrow").write_parquet(next_dir)
-        n_next = sum(
-            pq.ParquetFile(p).metadata.num_rows
-            for p in glob.glob(os.path.join(next_dir, "*.parquet"))
-        )
-        if n_new is None:
-            n_new = n_next - n_deferred
         n_errors = n_miss + n_blocked
-        return {"round": rnd, "path": "distributed", "n_selected": n_selected,
+        return {"round": rnd, "path": "exact", "n_selected": n_selected,
                 "n_deferred": n_deferred, "n_visited": n_visited,
                 "n_items": n_visited, "n_errors": n_errors, "n_new": n_new,
-                "n_frontier_next": n_next}
+                "n_frontier_next": n_new + n_deferred}
+
+    # ----------------------------------------------------- round: scale dist
+    def _run_round_scale(self, rnd: int, n_frontier: int) -> dict:
+        """Two-execution scale round (see module docstring)."""
+        cfg = self.cfg
+        fds = self._read_frontier_ds(rnd, n_frontier)
+
+        # exec A: [politeness ->] fetch -> parse -> enrich -> items
+        if self.caps:
+            deferred_dir = self._dir("deferred", rnd)
+            selected = _politeness_inline(
+                fds, self.caps, cfg.n_salts, deferred_dir)
+        else:
+            selected = fds
+        parsed = (
+            selected
+            .map_batches(make_fetch_fn(self.index_refs), batch_format="pyarrow",
+                         batch_size=cfg.fetch_batch_size)
+            .map_batches(make_parse_batch(rnd, self.parse_fn),
+                         batch_format="pyarrow")
+        )
+        if cfg.enrich_fn is not None:
+            parsed = parsed.map_batches(cfg.enrich_fn, batch_format="pyarrow")
+        items_dir = self._dir("items", rnd)
+        parsed.map_batches(
+            lambda t: schemas.rename(t, {"url": "orig_url", "canon_url": "url"}),
+            batch_format="pyarrow",
+        ).write_parquet(items_dir)
+
+        # counts from the written files (metadata + one bool column)
+        n_selected = n_visited = 0
+        for p in glob.glob(os.path.join(items_dir, "*.parquet")):
+            t = pq.read_table(p, columns=["fetch_ok"])
+            n_selected += t.num_rows
+            n_visited += int(pc.sum(t["fetch_ok"]).as_py() or 0)
+        n_deferred = sum(
+            pq.ParquetFile(p).metadata.num_rows
+            for p in glob.glob(os.path.join(self._dir("deferred", rnd),
+                                            "*.parquet")))
+
+        # exec B: links -> canonicalize -> robots -> dedup -> seen -> frontier
+        items_files = sorted(glob.glob(os.path.join(items_dir, "*.parquet")))
+        blocks = max(1, min(64, n_visited // cfg.target_block_rows + 1))
+        cands = (
+            rd.read_parquet(items_files, override_num_blocks=blocks,
+                            columns=["url", "depth", "priority", "seq",
+                                     "links", "fetch_ok"])
+            .map_batches(
+                lambda t: schemas.rename(
+                    t.filter(t["fetch_ok"]), {"url": "canon_url"}),
+                batch_format="pyarrow")
+            .map_batches(explode_links, batch_format="pyarrow")
+            .map_batches(canonicalize_batch, batch_format="pyarrow")
+        )
+        if cfg.max_depth is not None:
+            md = cfg.max_depth
+            cands = cands.map_batches(
+                lambda t: t.filter(pc.less_equal(t["depth"], md)),
+                batch_format="pyarrow")
+        cands = (
+            cands.map_batches(dedup_local, batch_format="pyarrow")
+            .map_batches(make_robots_flag(self.disallow), batch_format="pyarrow")
+            .map_batches(SeenFilter(self.seen.shards), batch_format="pyarrow")
+            .map_batches(_hash_seq, batch_format="pyarrow")
+        )
+        next_dir = self._dir("frontier", rnd + 1)
+        cands.write_parquet(next_dir)
+
+        n_next = n_blocked = 0
+        for p in glob.glob(os.path.join(next_dir, "*.parquet")):
+            t = pq.read_table(p, columns=["blocked"])
+            b = int(pc.sum(t["blocked"]).as_py() or 0)
+            n_blocked += b
+            n_next += t.num_rows - b
+        n_errors = (n_selected - n_visited) + n_blocked
+        return {"round": rnd, "path": "scale", "n_selected": n_selected,
+                "n_deferred": n_deferred, "n_visited": n_visited,
+                "n_items": n_visited, "n_errors": n_errors,
+                "n_new": n_next,
+                "n_frontier_next": n_next + n_deferred}
 
     # ------------------------------------------------------------------- run
     def run(self, seeds: list[dict] | None = None,
@@ -415,23 +533,18 @@ class CrawlEngine:
                 if n_frontier == 0:
                     break
                 # a previously crashed attempt may have left partial output
-                for kind in ("items", "visited", "errors"):
-                    d = self._dir(kind, rnd)
+                for kind, r in (("items", rnd), ("errors", rnd),
+                                ("deferred", rnd), ("frontier", rnd + 1)):
+                    d = self._dir(kind, r)
                     if os.path.isdir(d):
                         shutil.rmtree(d)
-                nxt = self._dir("frontier", rnd + 1)
-                if os.path.isdir(nxt):
-                    shutil.rmtree(nxt)
                 t_r = time.monotonic()
-                # DFS rounds are width-limited (tiny) by construction, so
-                # they always take the serial driver path; BFS goes
-                # distributed above the threshold.
                 if cfg.mode == "dfs" or n_frontier < cfg.min_distributed_rows:
-                    frontier = pq.read_table(
-                        os.path.join(self._dir("frontier", rnd)))
-                    info = self._run_round_driver(frontier, rnd)
+                    info = self._run_round_driver(rnd)
+                elif cfg.exact_order:
+                    info = self._run_round_exact(rnd, n_frontier)
                 else:
-                    info = self._run_round_distributed(rnd, n_frontier)
+                    info = self._run_round_scale(rnd, n_frontier)
                 info["wall_s"] = time.monotonic() - t_r
                 info["seq_counter"] = self.seq_counter
                 self.seen.snapshot(seen_dir, rnd + 1)
@@ -448,13 +561,6 @@ class CrawlEngine:
         summary.n_seen = self.seen.size()
         summary.wall_s = time.monotonic() - t0
         return summary
-
-    def _frontier_count(self, rnd: int) -> int:
-        d = self._dir("frontier", rnd)
-        if not os.path.isdir(d):
-            return 0
-        return sum(pq.ParquetFile(p).metadata.num_rows
-                   for p in glob.glob(os.path.join(d, "*.parquet")))
 
     def _write_metrics(self, info: dict) -> None:
         rows = [
@@ -491,17 +597,76 @@ class CrawlEngine:
         self.seen.kill()
 
 
-def _miss_errors(t: pa.Table, rnd: int) -> pa.Table:
-    miss = t.filter(pc.invert(t["fetch_ok"]))
-    n = miss.num_rows
+# -------------------------------------------------------------- output readers
+def read_items(ckpt_dir: str) -> pa.Table:
+    """Logical items table from either mode's layout, schema schemas.ITEMS."""
+    out = []
+    for p in sorted(glob.glob(os.path.join(ckpt_dir, "items", "round-*",
+                                           "*.parquet"))):
+        t = pq.read_table(p)
+        if "fetch_ok" in t.column_names:   # scale layout: items superset
+            t = t.filter(t["fetch_ok"])
+        out.append(schemas.cast_to(t, schemas.ITEMS))
+    if not out:
+        return schemas.ITEMS.empty_table()
+    return pa.concat_tables(out)
+
+
+def read_visited(ckpt_dir: str) -> pa.Table:
+    t = read_items(ckpt_dir)
+    return schemas.cast_to(t, schemas.VISITED)
+
+
+def read_errors(ckpt_dir: str) -> pa.Table:
+    """Logical errors table: explicit errors dirs (exact/driver/seed
+    layout) + fetch misses embedded in scale items + robots-blocked rows
+    embedded in scale frontier files."""
+    out = [schemas.ERRORS.empty_table()]
+    for p in sorted(glob.glob(os.path.join(ckpt_dir, "errors", "round-*",
+                                           "*.parquet"))):
+        out.append(schemas.cast_to(pq.read_table(p), schemas.ERRORS))
+    for p in sorted(glob.glob(os.path.join(ckpt_dir, "items", "round-*",
+                                           "*.parquet"))):
+        t = pq.read_table(p)
+        if "fetch_ok" not in t.column_names:
+            continue
+        t = t.filter(pc.invert(t["fetch_ok"]))
+        if t.num_rows:
+            out.append(_miss_errors_from(t["url"], t["round"][0].as_py()))
+    for p in sorted(glob.glob(os.path.join(ckpt_dir, "frontier", "round-*",
+                                           "*.parquet"))):
+        t = pq.read_table(p)
+        if "blocked" not in t.column_names:
+            continue
+        blk = t.filter(t["blocked"])
+        if blk.num_rows:
+            rnd = int(os.path.basename(os.path.dirname(p))[len("round-"):]) - 1
+            out.append(pa.table({
+                "url": blk["canon_url"],
+                "stage": pa.array(["robots"] * blk.num_rows),
+                "exc_type": pa.array(["RobotsDisallowed"] * blk.num_rows),
+                "message": pa.array([""] * blk.num_rows),
+                "retryable": pa.array([False] * blk.num_rows),
+                "round": pa.array([rnd] * blk.num_rows, pa.int32()),
+            }, schema=schemas.ERRORS))
+    return pa.concat_tables(out)
+
+
+def _miss_errors_from(urls: pa.ChunkedArray | pa.Array, rnd: int) -> pa.Table:
+    n = len(urls)
     return pa.table({
-        "url": miss["canon_url"],
+        "url": urls,
         "stage": pa.array(["fetch"] * n),
         "exc_type": pa.array(["FetchMiss"] * n),
         "message": pa.array(["not in corpus"] * n),
         "retryable": pa.array([False] * n),
         "round": pa.array([rnd] * n, pa.int32()),
     }, schema=schemas.ERRORS)
+
+
+def _miss_errors(t: pa.Table, rnd: int) -> pa.Table:
+    miss = t.filter(pc.invert(t["fetch_ok"]))
+    return _miss_errors_from(miss["canon_url"], rnd)
 
 
 def _robots_errors(t: pa.Table, rnd: int) -> pa.Table:
@@ -517,16 +682,6 @@ def _robots_errors(t: pa.Table, rnd: int) -> pa.Table:
     }, schema=schemas.ERRORS)
 
 
-_FRONTIER_FILE_SCHEMA = pa.schema([
-    ("url", pa.string()), ("canon_url", pa.string()), ("host", pa.string()),
-    ("depth", pa.int32()), ("priority", pa.int32()), ("seq", pa.int64()),
-])
-
-
-def _cast_frontier(t: pa.Table) -> pa.Table:
-    return schemas.cast_to(t, _FRONTIER_FILE_SCHEMA)
-
-
 def _hash_seq(t: pa.Table) -> pa.Table:
     """Scale-mode seq: deterministic per-url hash (63-bit)."""
     import hashlib
@@ -535,7 +690,51 @@ def _hash_seq(t: pa.Table) -> pa.Table:
         for u in t["canon_url"].to_pylist()
     ]
     t = t.append_column("seq", pa.array(seqs, pa.int64()))
-    return _cast_frontier(t)
+    return _cast_frontier(t.select(FRONTIER_COLS + ["blocked"]))
+
+
+def _politeness_inline(fds: rd.Dataset, caps: dict[str, int], n_salts: int,
+                       deferred_dir: str) -> rd.Dataset:
+    """Scale-mode politeness as a mid-pipeline groupby: capped hosts keep
+    their first ``cap`` rows; overflow rows are written to a DETERMINISTIC
+    per-(host,salt) side file under ``deferred_dir`` (idempotent under task
+    retry) and re-enter the next round's frontier read."""
+    import hashlib as _hl
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        if n_salts <= 1:
+            salt = pa.array([0] * t.num_rows, pa.int32())
+        else:
+            salt = pa.array(
+                [int.from_bytes(_hl.md5(u.encode()).digest()[:4], "little")
+                 % n_salts for u in t["canon_url"].to_pylist()],
+                pa.int32())
+        return t.append_column("salt", salt)
+
+    def mark(g):
+        import pandas as pd  # noqa: F401
+        host = g["host"].iloc[0]
+        salt = int(g["salt"].iloc[0])
+        cap = caps.get(host)
+        if cap is not None and n_salts > 1:
+            cap = cap // n_salts + (1 if salt < cap % n_salts else 0)
+        g = g.drop(columns=["salt"])
+        if cap is None or len(g) <= cap:
+            return g
+        sel, overflow = g.iloc[:cap], g.iloc[cap:]
+        os.makedirs(deferred_dir, exist_ok=True)
+        hh = _hl.md5(host.encode()).hexdigest()[:12]
+        t = _cast_frontier(pa.Table.from_pandas(overflow, preserve_index=False))
+        pq.write_table(t, os.path.join(deferred_dir, f"h{hh}-s{salt}.parquet"))
+        return sel
+
+    return (
+        fds.map_batches(add_salt, batch_format="pyarrow")
+        .groupby(["host", "salt"])
+        .map_groups(mark, batch_format="pandas")
+        .map_batches(lambda t: _cast_frontier(t).drop_columns(["blocked"]),
+                     batch_format="pyarrow")
+    )
 
 
 def run_crawl(cfg: CrawlConfig, seeds: list[dict] | None = None,

@@ -29,12 +29,16 @@ import pyarrow as pa
 import ray.data as rd
 
 
+_UNLIMITED_CAP = 10**8   # caps at/above this can never bind; drop them
+
+
 def caps_from_delay(delay: dict[str, float], round_budget_s: float) -> dict[str, int]:
-    return {
+    caps = {
         h: max(1, math.floor(round_budget_s / d))
         for h, d in delay.items()
         if d > 0
     }
+    return {h: c for h, c in caps.items() if c < _UNLIMITED_CAP}
 
 
 def select_distributed(

@@ -35,12 +35,9 @@ def run_oracle(fix, **kw) -> OracleResult:
 
 
 def read_ckpt(ckpt_dir: str, kind: str) -> pa.Table:
-    files = sorted(glob.glob(os.path.join(ckpt_dir, kind, "round-*", "*.parquet")))
-    tables = [pq.read_table(f) for f in files]
-    tables = [t for t in tables if t.num_rows >= 0]
-    if not tables:
-        return None
-    return pa.concat_tables(tables, promote_options="default")
+    from pomp_ray.crawl import read_errors, read_items, read_visited
+    return {"items": read_items, "visited": read_visited,
+            "errors": read_errors}[kind](ckpt_dir)
 
 
 def visited_tuples(t: pa.Table) -> list[tuple]:
