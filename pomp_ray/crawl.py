@@ -123,9 +123,14 @@ class CrawlConfig:
     n_salts: int = 1                   # politeness salting (scale mode only)
     min_distributed_rows: int = 256    # below this a round runs driver-side
     fetch_batch_size: int = 4096
-    target_block_rows: int = 8192      # coalesce frontier reads to this
+    target_block_rows: int = 512       # min rows per read block (coalesce)
     parse_fn: object = None            # ParseFn override (CrawlerSpec hook)
     enrich_fn: object = None           # optional batch fn applied to parsed rows
+    # Ordered middleware chain (pomp BaseMiddleware parity, SURVEY.md
+    # M4-M6): process_request_batch runs on selected frontier batches
+    # before fetch; process_response_batch after fetch before parse.
+    # Objects must be picklable (they ship into map_batches tasks).
+    middlewares: tuple = ()
 
 
 @dataclass
@@ -174,7 +179,11 @@ class CrawlEngine:
                      name: str = "part-driver") -> None:
         d = self._dir(kind, rnd)
         os.makedirs(d, exist_ok=True)
-        pq.write_table(table, os.path.join(d, f"{name}.parquet"))
+        # Small row groups so Dataset reads can split one driver-written
+        # file into many parallel blocks (a single giant row group caps
+        # the whole downstream fetch+parse chain's parallelism).
+        pq.write_table(table, os.path.join(d, f"{name}.parquet"),
+                       row_group_size=8192)
 
     def _frontier_sources(self, rnd: int) -> list[str]:
         """Parquet files feeding round ``rnd``: its frontier dir plus any
@@ -238,16 +247,44 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------ seed
     def seed(self, seeds: list[dict]) -> int:
-        """ENTRY_REQUESTS admission (SURVEY.md S1): same enqueue path as
-        links; seed order = seed row order regardless of priority (pomp
-        enqueues ENTRY_REQUESTS in iteration order)."""
-        cands = [
-            {"url": s["url"], "base": None, "depth": int(s.get("depth", 0)),
-             "priority": int(s.get("priority", 0))}
-            for s in seeds
-        ]
-        accepted, errors = self._enqueue_driver(cands, rnd=0, check_depth=False)
-        self._write_table(self._frontier_table(accepted), "frontier", 0)
+        """ENTRY_REQUESTS admission (SURVEY.md S1): same semantics as the
+        link enqueue path, column-wise for large seed lists; seed order =
+        seed row order regardless of priority (pomp enqueues
+        ENTRY_REQUESTS in iteration order)."""
+        accepted_rows: dict[str, list] = {c: [] for c in FRONTIER_COLS}
+        errors = []
+        local: set[str] = set()
+        ordered: list[tuple[str, str, str, int, int]] = []
+        for s in seeds:
+            canon = url_canonicalize(s["url"])
+            if not canon or canon in local:
+                continue
+            local.add(canon)
+            ordered.append((s["url"], canon, url_host(canon),
+                            int(s.get("depth", 0)), int(s.get("priority", 0))))
+        mask = self.seen.check_and_add([c[1] for c in ordered])
+        for (url, canon, host, depth, prio), is_new in zip(ordered, mask):
+            if not is_new:
+                continue
+            path = url_path(canon)
+            if any(path.startswith(p) for p in self.disallow.get(host, ())):
+                errors.append({"url": canon, "stage": "robots",
+                               "exc_type": "RobotsDisallowed", "message": path,
+                               "retryable": False, "round": 0})
+                continue
+            accepted_rows["url"].append(url)
+            accepted_rows["canon_url"].append(canon)
+            accepted_rows["host"].append(host)
+            accepted_rows["depth"].append(depth)
+            accepted_rows["priority"].append(prio)
+            accepted_rows["seq"].append(self.seq_counter)
+            self.seq_counter += 1
+        accepted = pa.table(
+            {**{k: accepted_rows[k] for k in FRONTIER_COLS},
+             "blocked": [False] * len(accepted_rows["url"])},
+        ).cast(FRONTIER_FILE_SCHEMA) if accepted_rows["url"] else \
+            FRONTIER_FILE_SCHEMA.empty_table()
+        self._write_table(accepted, "frontier", 0)
         if errors:
             self._write_table(
                 pa.Table.from_pylist(errors, schema=schemas.ERRORS), "errors", 0,
@@ -256,11 +293,11 @@ class CrawlEngine:
         os.makedirs(os.path.join(self.cfg.ckpt_dir, "rounds"), exist_ok=True)
         tmp = os.path.join(self.cfg.ckpt_dir, "rounds", "init.json.tmp")
         with open(tmp, "w") as f:
-            json.dump({"n_frontier": len(accepted),
+            json.dump({"n_frontier": accepted.num_rows,
                        "seq_counter": self.seq_counter,
                        "n_errors": len(errors)}, f)
         os.replace(tmp, os.path.join(self.cfg.ckpt_dir, "rounds", "init.json"))
-        return len(accepted)
+        return accepted.num_rows
 
     # ------------------------------------------------------------ round: tiny
     def _load_frontier_table(self, rnd: int) -> pa.Table:
@@ -277,18 +314,29 @@ class CrawlEngine:
         width = cfg.dfs_width if cfg.mode == "dfs" else None
         sel_t, def_t = select_serial(frontier, self.caps, cfg.mode, width)
 
+        if cfg.middlewares:
+            sel_t = _mw_hook(cfg.middlewares, "process_request_batch")(sel_t)
         canon_urls = sel_t["canon_url"].to_pylist()
         rows = self.index.lookup_rows(canon_urls)
+        htmls = [self.index.htmls[int(r)].as_py() if r >= 0 else None
+                 for r in rows]
+        if cfg.middlewares:
+            fetched = sel_t.append_column(
+                "html", pa.array(htmls, pa.binary())).append_column(
+                "fetch_ok", pa.array([r >= 0 for r in rows], pa.bool_()))
+            fetched = _mw_hook(cfg.middlewares, "process_response_batch")(fetched)
+            canon_urls = fetched["canon_url"].to_pylist()
+            htmls = fetched["html"].to_pylist()
+            sel_t = fetched
         items, errors, cands = [], [], []
-        for i, (canon, row) in enumerate(zip(canon_urls, rows)):
+        for i, (canon, html) in enumerate(zip(canon_urls, htmls)):
             depth = sel_t["depth"][i].as_py()
             seq = sel_t["seq"][i].as_py()
-            if row < 0:
+            if html is None:
                 errors.append({"url": canon, "stage": "fetch",
                                "exc_type": "FetchMiss", "message": "not in corpus",
                                "retryable": False, "round": rnd})
                 continue
-            html = self.index.htmls[int(row)].as_py()
             title, text, links = self.parse_fn(html)
             items.append({"url": canon, "title": title, "text": text,
                           "n_links": len(links), "round": rnd, "seq": seq,
@@ -315,10 +363,17 @@ class CrawlEngine:
                 "n_frontier_next": next_frontier.num_rows}
 
     # -------------------------------------------------------------- readers
+    def _n_blocks(self, n_rows: int) -> int:
+        """Read-block count: coalesce tiny files but never cap parallelism
+        below what the cluster offers (blocks feed the whole fused
+        fetch+parse chain)."""
+        import ray as _ray
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+        return max(1, min(n_rows // self.cfg.target_block_rows + 1, 4 * cpus))
+
     def _read_frontier_ds(self, rnd: int, n_rows: int) -> rd.Dataset:
         files = self._frontier_sources(rnd)
-        blocks = max(1, min(64, n_rows // self.cfg.target_block_rows + 1))
-        ds = rd.read_parquet(files, override_num_blocks=blocks)
+        ds = rd.read_parquet(files, override_num_blocks=self._n_blocks(n_rows))
 
         def load(t: pa.Table) -> pa.Table:
             ft = _cast_frontier(t)
@@ -349,13 +404,19 @@ class CrawlEngine:
             selected, deferred = fds, None
 
         # --- fetch + parse ---
-        parsed = (
-            selected
-            .map_batches(make_fetch_fn(self.index_refs), batch_format="pyarrow",
-                         batch_size=cfg.fetch_batch_size)
-            .map_batches(make_parse_batch(rnd, self.parse_fn),
-                         batch_format="pyarrow")
-        )
+        if cfg.middlewares:
+            selected = selected.map_batches(
+                _mw_hook(cfg.middlewares, "process_request_batch"),
+                batch_format="pyarrow")
+        fetched = selected.map_batches(
+            make_fetch_fn(self.index_refs), batch_format="pyarrow",
+            batch_size=cfg.fetch_batch_size)
+        if cfg.middlewares:
+            fetched = fetched.map_batches(
+                _mw_hook(cfg.middlewares, "process_response_batch"),
+                batch_format="pyarrow")
+        parsed = fetched.map_batches(make_parse_batch(rnd, self.parse_fn),
+                                     batch_format="pyarrow")
         if cfg.enrich_fn is not None:
             parsed = parsed.map_batches(cfg.enrich_fn, batch_format="pyarrow")
         parsed = parsed.materialize()   # round barrier; html already dropped
@@ -429,6 +490,8 @@ class CrawlEngine:
     def _run_round_scale(self, rnd: int, n_frontier: int) -> dict:
         """Two-execution scale round (see module docstring)."""
         cfg = self.cfg
+        _t = time.monotonic
+        t0 = _t()
         fds = self._read_frontier_ds(rnd, n_frontier)
 
         # exec A: [politeness ->] fetch -> parse -> enrich -> items
@@ -438,13 +501,19 @@ class CrawlEngine:
                 fds, self.caps, cfg.n_salts, deferred_dir)
         else:
             selected = fds
-        parsed = (
-            selected
-            .map_batches(make_fetch_fn(self.index_refs), batch_format="pyarrow",
-                         batch_size=cfg.fetch_batch_size)
-            .map_batches(make_parse_batch(rnd, self.parse_fn),
-                         batch_format="pyarrow")
-        )
+        if cfg.middlewares:
+            selected = selected.map_batches(
+                _mw_hook(cfg.middlewares, "process_request_batch"),
+                batch_format="pyarrow")
+        fetched = selected.map_batches(
+            make_fetch_fn(self.index_refs), batch_format="pyarrow",
+            batch_size=cfg.fetch_batch_size)
+        if cfg.middlewares:
+            fetched = fetched.map_batches(
+                _mw_hook(cfg.middlewares, "process_response_batch"),
+                batch_format="pyarrow")
+        parsed = fetched.map_batches(make_parse_batch(rnd, self.parse_fn),
+                                     batch_format="pyarrow")
         if cfg.enrich_fn is not None:
             parsed = parsed.map_batches(cfg.enrich_fn, batch_format="pyarrow")
         items_dir = self._dir("items", rnd)
@@ -453,6 +522,8 @@ class CrawlEngine:
             batch_format="pyarrow",
         ).write_parquet(items_dir)
 
+        t_exec_a = _t() - t0
+        t0 = _t()
         # counts from the written files (metadata + one bool column)
         n_selected = n_visited = 0
         for p in glob.glob(os.path.join(items_dir, "*.parquet")):
@@ -464,11 +535,13 @@ class CrawlEngine:
             for p in glob.glob(os.path.join(self._dir("deferred", rnd),
                                             "*.parquet")))
 
+        t_counts_a = _t() - t0
+        t0 = _t()
         # exec B: links -> canonicalize -> robots -> dedup -> seen -> frontier
         items_files = sorted(glob.glob(os.path.join(items_dir, "*.parquet")))
-        blocks = max(1, min(64, n_visited // cfg.target_block_rows + 1))
         cands = (
-            rd.read_parquet(items_files, override_num_blocks=blocks,
+            rd.read_parquet(items_files,
+                            override_num_blocks=self._n_blocks(n_visited),
                             columns=["url", "depth", "priority", "seq",
                                      "links", "fetch_ok"])
             .map_batches(
@@ -492,6 +565,8 @@ class CrawlEngine:
         next_dir = self._dir("frontier", rnd + 1)
         cands.write_parquet(next_dir)
 
+        t_exec_b = _t() - t0
+        t0 = _t()
         n_next = n_blocked = 0
         for p in glob.glob(os.path.join(next_dir, "*.parquet")):
             t = pq.read_table(p, columns=["blocked"])
@@ -503,7 +578,11 @@ class CrawlEngine:
                 "n_deferred": n_deferred, "n_visited": n_visited,
                 "n_items": n_visited, "n_errors": n_errors,
                 "n_new": n_next,
-                "n_frontier_next": n_next + n_deferred}
+                "n_frontier_next": n_next + n_deferred,
+                "t_exec_a": round(t_exec_a, 3),
+                "t_counts_a": round(t_counts_a, 3),
+                "t_exec_b": round(t_exec_b, 3),
+                "t_counts_b": round(_t() - t0, 3)}
 
     # ------------------------------------------------------------------- run
     def run(self, seeds: list[dict] | None = None,
@@ -518,6 +597,9 @@ class CrawlEngine:
                 shutil.rmtree(cfg.ckpt_dir)
             os.makedirs(cfg.ckpt_dir, exist_ok=True)
             assert seeds is not None, "fresh crawl needs seeds"
+            # fresh crawl on a reused engine: clear crawl state
+            self.seen.reset()
+            self.seq_counter = 0
             self.seed(seeds)
 
         summary = CrawlSummary()
@@ -737,6 +819,18 @@ def _politeness_inline(fds: rd.Dataset, caps: dict[str, int], n_salts: int,
     )
 
 
+def _mw_hook(middlewares: tuple, hook: str):
+    """Batch fn applying a middleware chain hook in order (pomp's
+    middleware semantics: each may transform or filter the batch)."""
+    def apply(batch: pa.Table) -> pa.Table:
+        for mw in middlewares:
+            fn = getattr(mw, hook, None)
+            if fn is not None:
+                batch = fn(batch)
+        return batch
+    return apply
+
+
 def run_crawl(cfg: CrawlConfig, seeds: list[dict] | None = None,
               resume: bool = False) -> CrawlSummary:
     eng = CrawlEngine(cfg)
@@ -744,3 +838,44 @@ def run_crawl(cfg: CrawlConfig, seeds: list[dict] | None = None,
         return eng.run(seeds=seeds, resume=resume)
     finally:
         eng.close()
+
+
+def crawl_spec(spec, corpus_path: str, ckpt_dir: str,
+               robots_path: str | None = None, **cfg_kw) -> CrawlSummary:
+    """Run a crawl from a ``pomp_ray.core.api.CrawlerSpec`` (the
+    BaseCrawler-shaped entry point): seeds + parse hook + mode +
+    middlewares come from the spec; item pipelines run afterwards over
+    the items stream with pomp's start/process/stop lifecycle."""
+    cfg = CrawlConfig(corpus_path=corpus_path, ckpt_dir=ckpt_dir,
+                      robots_path=robots_path, mode=spec.mode,
+                      parse_fn=spec.parse_fn(),
+                      middlewares=tuple(spec.middlewares), **cfg_kw)
+    summary = run_crawl(cfg, seeds=spec.seeds)
+    if spec.pipelines:
+        run_pipelines(ckpt_dir, spec.pipelines, crawler=spec)
+    return summary
+
+
+def run_pipelines(ckpt_dir: str, pipelines: list, crawler=None,
+                  batch_rows: int = 8192) -> int:
+    """Stream the crawl's items through an ordered pipeline chain
+    (pomp BasePipeline parity: start -> process per batch -> stop in
+    reverse order).  Pipelines run in the driver process, like pomp's --
+    they typically hold file handles (CsvPipeline)."""
+    items = read_items(ckpt_dir)
+    for p in pipelines:
+        p.start(crawler)
+    n = 0
+    try:
+        for lo in range(0, items.num_rows, batch_rows):
+            batch = items.slice(lo, batch_rows)
+            for p in pipelines:
+                batch = p.process_batch(crawler, batch)
+                if batch is None or batch.num_rows == 0:
+                    break
+            if batch is not None:
+                n += batch.num_rows
+    finally:
+        for p in reversed(pipelines):
+            p.stop(crawler)
+    return n

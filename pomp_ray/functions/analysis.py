@@ -115,21 +115,69 @@ def content_hash_batch(batch: pa.Table, text_col: str = "text",
     return batch.append_column(out_col, pa.array(hs, pa.string()))
 
 
+# ----------------------------------------------------- token-hash machinery
+# Token md5 hashes are cached per worker process (corpus vocabularies are
+# tiny relative to token counts, so the cache hit rate is ~100% after
+# warmup); shingle hashes derive from token hashes with a vectorized
+# rolling polynomial, so no per-shingle string hashing ever happens.
+_SHIFTS = np.arange(64, dtype=np.uint64)
+_MASK63 = 0x7FFFFFFFFFFFFFFF
+_FNV_PRIME = np.uint64(1099511628211)
+
+
+class TokenHasher:
+    def __init__(self):
+        self.cache: dict[str, int] = {}
+
+    def hashes(self, tokens: list[str]) -> np.ndarray:
+        out = np.empty(len(tokens), np.uint64)
+        c = self.cache
+        for i, t in enumerate(tokens):
+            v = c.get(t)
+            if v is None:
+                v = int.from_bytes(hashlib.md5(t.encode()).digest()[:8],
+                                   "little")
+                c[t] = v
+            out[i] = v
+        return out
+
+
+_HASHER = TokenHasher()   # per-process cache (worker processes persist)
+
+
+def _token_hashes(text: str) -> np.ndarray:
+    return _HASHER.hashes(TOKEN_RE.findall(text))
+
+
+def simhash_from_hashes(h: np.ndarray) -> int:
+    if len(h) == 0:
+        return 0
+    bits = ((h[:, None] >> _SHIFTS) & np.uint64(1)).astype(np.int32)
+    acc = bits.sum(axis=0) * 2 - len(h)
+    out = 0
+    for i in np.nonzero(acc > 0)[0]:
+        out |= 1 << int(i)
+    return out & _MASK63
+
+
+def shingle_hashes(h: np.ndarray, k: int = 5) -> np.ndarray:
+    """Rolling-polynomial k-shingle hashes from token hashes (uint64,
+    wraps mod 2^64)."""
+    if len(h) == 0:
+        return h
+    if len(h) < k:
+        k = len(h)
+    n = len(h) - k + 1
+    s = np.zeros(n, np.uint64)
+    for j in range(k):
+        s = s * _FNV_PRIME + h[j:n + j]
+    return s
+
+
 # ------------------------------------------------------------------- simhash
 def simhash64(text: str) -> int:
     """64-bit SimHash over whitespace tokens (near-dup fingerprint)."""
-    acc = np.zeros(64, np.int64)
-    for tok in TOKEN_RE.findall(text):
-        h = int.from_bytes(
-            hashlib.md5(tok.encode()).digest()[:8], "little")
-        bits = np.unpackbits(
-            np.frombuffer(h.to_bytes(8, "little"), np.uint8)).astype(np.int64)
-        acc += 2 * bits - 1
-    out = 0
-    for i, v in enumerate(acc):
-        if v > 0:
-            out |= 1 << i
-    return out & 0x7FFFFFFFFFFFFFFF
+    return simhash_from_hashes(_token_hashes(text))
 
 
 def simhash_batch(batch: pa.Table, text_col: str = "text",
@@ -140,7 +188,8 @@ def simhash_batch(batch: pa.Table, text_col: str = "text",
 
 # ------------------------------------------------------------------- minhash
 def shingles(text: str, k: int = 5) -> set[str]:
-    """Word k-shingles (k consecutive whitespace tokens)."""
+    """Word k-shingles (k consecutive whitespace tokens) -- used by the
+    exact Jaccard verifier."""
     toks = TOKEN_RE.findall(text.lower())
     if len(toks) < k:
         return {" ".join(toks)} if toks else set()
@@ -159,16 +208,16 @@ def _minhash_params(n_perm: int, seed: int = 42):
 
 def minhash_signature(text: str, n_perm: int = 64, k: int = 5,
                       params=None) -> np.ndarray:
-    """n_perm-wide MinHash signature over word shingles (uint64)."""
+    """n_perm-wide MinHash signature over lowercased word k-shingles
+    (uint64).  Shingle hashes come from the rolling polynomial over cached
+    token hashes -- fully vectorized per document."""
     if params is None:
         params = _minhash_params(n_perm)
     a, b = params
-    sh = shingles(text, k)
-    if not sh:
+    sh = shingle_hashes(_HASHER.hashes(TOKEN_RE.findall(text.lower())), k)
+    if len(sh) == 0:
         return np.full(n_perm, _MERSENNE, np.uint64)
-    base = np.array(
-        [int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little") >> 3
-         for s in sh], np.uint64)
+    base = (sh >> np.uint64(3)).astype(np.uint64)
     # (a*x + b) mod p for every (perm, shingle) pair, min over shingles
     vals = (a[:, None] * base[None, :] + b[:, None]) % np.uint64(_MERSENNE)
     return vals.min(axis=1)

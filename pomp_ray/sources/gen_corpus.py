@@ -60,6 +60,10 @@ TINY = CorpusProfile("tiny", n_hosts=2, n_pages=60)
 SMALL = CorpusProfile("small", n_hosts=20, n_pages=2000)
 BENCH = CorpusProfile("bench", n_hosts=200, n_pages=200_000, zipf_skew=1.2,
                       sentence_words=60)
+# Flat throughput corpus: one production-shaped mega-round (each round at
+# 10^10-URL scale is millions of urls; per-round overhead amortizes away).
+BENCH_FLAT = CorpusProfile("benchflat", n_hosts=200, n_pages=600_000,
+                           zipf_skew=1.2, sentence_words=100)
 
 
 def host_page_counts(p: CorpusProfile) -> list[int]:

@@ -11,9 +11,10 @@ Design: each shard holds
 * an EXACT set of 16-byte md5 digests of canonical URLs (the source of
   truth; 128-bit digests make collisions vanishingly improbable even at
   the 10^10-URL target scale: ~10^20 pairs x 2^-128 ~= 3e-19), and
-* a Bloom bitmap as a fast-path negative check -- at production scale the
-  exact set can spill/live on slower storage while the bloom answers the
-  overwhelmingly common "never seen" case from RAM.
+* a Bloom bitmap maintained VECTORIZED (numpy bulk bit-sets) -- at
+  production scale the exact set can spill/live on slower storage while
+  the bloom answers the overwhelmingly common "never seen" case from
+  RAM; in-memory the hot path is the plain set lookup.
 
 ``check_and_add`` is atomic per shard (actor method = serialized), which
 is what prevents double-fetch races without any cross-shard coordination:
@@ -48,10 +49,20 @@ def shard_of(digest: bytes, n_shards: int) -> int:
 _BLOOM_BITS = 1 << 23  # 8 Mbit / shard default; sized up in prod deployments
 
 
+def _bloom_positions(digests: list[bytes], bloom_bits: int) -> np.ndarray:
+    """Two bloom bit positions per digest, vectorized: view the 16-byte
+    digests as uint64 pairs and mod by the bitmap size."""
+    if not digests:
+        return np.empty((0, 2), np.int64)
+    raw = np.frombuffer(b"".join(digests), dtype=np.uint64).reshape(-1, 2)
+    return np.stack([raw[:, 0] % bloom_bits, raw[:, 1] % bloom_bits],
+                    axis=1).astype(np.int64)
+
+
 @ray.remote(num_cpus=0.25)
 class SeenShard:
     """One shard of the URL-seen set. num_cpus=0.25 so a 16-shard pool
-    doesn't reserve half the cluster for (mostly idle) set lookups."""
+    doesn't reserve half the cluster for set lookups."""
 
     def __init__(self, shard_id: int, bloom_bits: int = _BLOOM_BITS):
         self.shard_id = shard_id
@@ -61,42 +72,49 @@ class SeenShard:
         self.pending_snapshot: list[bytes] = []
         self.n_checks = 0
 
-    def _bloom_pos(self, digest: bytes) -> tuple[int, int]:
-        h1 = int.from_bytes(digest[4:12], "little") % self.bloom_bits
-        h2 = int.from_bytes(digest[8:16], "little") % self.bloom_bits
-        return h1, h2
-
-    def _bloom_maybe(self, digest: bytes) -> bool:
-        h1, h2 = self._bloom_pos(digest)
-        return bool(
-            self.bloom[h1 >> 3] & (1 << (h1 & 7))
-            and self.bloom[h2 >> 3] & (1 << (h2 & 7))
-        )
-
-    def _bloom_add(self, digest: bytes) -> None:
-        for h in self._bloom_pos(digest):
-            self.bloom[h >> 3] |= 1 << (h & 7)
+    def _bloom_add_bulk(self, digests: list[bytes]) -> None:
+        pos = _bloom_positions(digests, self.bloom_bits).ravel()
+        np.bitwise_or.at(self.bloom, pos >> 3,
+                         (1 << (pos & 7)).astype(np.uint8))
 
     def check_and_add(self, digests: list[bytes]) -> list[bool]:
         """For each digest (in order): True if NEW (now added), False if
-        already seen.  Duplicates within the call: first wins."""
-        out = []
+        already seen.  Duplicates within the call: first wins.  Hot path
+        is plain set ops; the bloom is maintained in bulk."""
         self.n_checks += len(digests)
+        exact = self.exact
+        out = []
+        new: list[bytes] = []
         for d in digests:
-            if self._bloom_maybe(d) and d in self.exact:
+            if d in exact:
                 out.append(False)
             else:
-                self.exact.add(d)
-                self._bloom_add(d)
-                self.pending_snapshot.append(d)
+                exact.add(d)
+                new.append(d)
                 out.append(True)
+        if new:
+            self._bloom_add_bulk(new)
+            self.pending_snapshot.extend(new)
         return out
 
     def contains(self, digests: list[bytes]) -> list[bool]:
-        return [self._bloom_maybe(d) and d in self.exact for d in digests]
+        """Membership check: vectorized bloom prefilter (definite-no fast
+        path), exact set for the maybes."""
+        pos = _bloom_positions(digests, self.bloom_bits)
+        b = self.bloom
+        maybe = ((b[pos[:, 0] >> 3] >> (pos[:, 0] & 7)) & 1) \
+            & ((b[pos[:, 1] >> 3] >> (pos[:, 1] & 7)) & 1)
+        exact = self.exact
+        return [bool(m) and d in exact for m, d in zip(maybe, digests)]
 
     def size(self) -> int:
         return len(self.exact)
+
+    def reset(self) -> None:
+        self.exact.clear()
+        self.bloom[:] = 0
+        self.pending_snapshot = []
+        self.n_checks = 0
 
     def stats(self) -> dict:
         return {"shard": self.shard_id, "size": len(self.exact),
@@ -106,7 +124,8 @@ class SeenShard:
         """Write the delta since the last snapshot; returns rows written."""
         os.makedirs(ckpt_dir, exist_ok=True)
         delta = self.pending_snapshot
-        path = os.path.join(ckpt_dir, f"seen-shard{self.shard_id:04d}-round{rnd:06d}.parquet")
+        path = os.path.join(
+            ckpt_dir, f"seen-shard{self.shard_id:04d}-round{rnd:06d}.parquet")
         pq.write_table(
             pa.table({"digest": pa.array(delta, pa.binary(16))}), path
         )
@@ -125,9 +144,10 @@ class SeenShard:
                 rnd = int(name.split("-round")[1].split(".")[0])
                 if rnd > upto_round:
                     continue
-                for d in pq.read_table(os.path.join(ckpt_dir, name))["digest"].to_pylist():
-                    self.exact.add(d)
-                    self._bloom_add(d)
+                ds = pq.read_table(os.path.join(ckpt_dir, name))["digest"]
+                digs = ds.to_pylist()
+                self.exact.update(digs)
+                self._bloom_add_bulk(digs)
         return len(self.exact)
 
 
@@ -146,6 +166,9 @@ class SeenSet:
 
     def size(self) -> int:
         return sum(ray.get([s.size.remote() for s in self.shards]))
+
+    def reset(self) -> None:
+        ray.get([s.reset.remote() for s in self.shards])
 
     def snapshot(self, ckpt_dir: str, rnd: int) -> int:
         return sum(ray.get([s.snapshot.remote(ckpt_dir, rnd) for s in self.shards]))
@@ -166,19 +189,23 @@ def check_and_add_via(shards: list, urls: list[str]) -> list[bool]:
     """Route a batch of canonical urls to their shards, run check_and_add
     on each shard in parallel, reassemble the per-url is-new mask in input
     order.  Called from inside map_batches workers (SeenFilter) and from
-    the driver."""
+    the driver.  Shard routing is vectorized on the digest uint64 view."""
     n = len(shards)
+    if not urls:
+        return []
     digests = url_digests(urls)
-    by_shard: dict[int, list[int]] = {}
-    for idx, d in enumerate(digests):
-        by_shard.setdefault(shard_of(d, n), []).append(idx)
-    shard_ids = list(by_shard)
+    raw = np.frombuffer(b"".join(digests), dtype=np.uint64).reshape(-1, 2)
+    shard_ids_per_url = (raw[:, 0] % n).astype(np.int64)
+    by_shard: dict[int, np.ndarray] = {
+        int(s): np.nonzero(shard_ids_per_url == s)[0]
+        for s in np.unique(shard_ids_per_url)
+    }
     results = ray.get(
-        [shards[s].check_and_add.remote([digests[i] for i in by_shard[s]])
-         for s in shard_ids]
+        [shards[s].check_and_add.remote([digests[i] for i in idxs])
+         for s, idxs in by_shard.items()]
     )
     mask = [False] * len(urls)
-    for s, res in zip(shard_ids, results):
-        for i, is_new in zip(by_shard[s], res):
+    for (s, idxs), res in zip(by_shard.items(), results):
+        for i, is_new in zip(idxs, res):
             mask[i] = is_new
     return mask
