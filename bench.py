@@ -165,6 +165,12 @@ def bench_queries(sf_dir: str) -> dict:
 
 
 def run_once(num_cpus: int, sf_dir: str, flat_only: bool = False) -> dict:
+    # Cap library-internal thread pools to the declared budget, otherwise
+    # pyarrow/numpy threads silently use every host core and the two
+    # parallelism levels measure the same thing.
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
+    import pyarrow as _pa
+    _pa.set_cpu_count(max(2, num_cpus // 2))
     import ray
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
@@ -199,23 +205,26 @@ def main() -> None:
     if "--scaling" in sys.argv:
         from pomp_ray.sources import gen_corpus
         gen_corpus.generate(FLAT_DIR, gen_corpus.BENCH_FLAT)  # warm cache
+        lo, hi = (int(x) for x in
+                  os.environ.get("RAY_GRAFT_SCALE_LEVELS", "8,32").split(","))
         out = {}
-        for n in (8, 32):
+        for n in (lo, hi):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--flat-only"],
                 env=env, capture_output=True, text=True, check=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)))
             out[n] = json.loads(r.stdout.strip().splitlines()[-1])
-        tput8 = out[8]["crawl_pages_per_s"]
-        tput32 = out[32]["crawl_pages_per_s"]
+        tput_lo = out[lo]["crawl_pages_per_s"]
+        tput_hi = out[hi]["crawl_pages_per_s"]
         print(json.dumps({
-            "metric": "crawl throughput scaling 8->32 cpus (N vs 4N stand-in)",
-            "sec_8": out[8]["queries"]["crawl_flat"],
-            "sec_32": out[32]["queries"]["crawl_flat"],
-            "pages_per_s_8": tput8,
-            "pages_per_s_32": tput32,
-            "scaling_efficiency": round(tput32 / (4 * tput8), 3),
+            "metric": f"crawl throughput scaling {lo}->{hi} cpus "
+                      "(N vs 4N stand-in)",
+            f"sec_{lo}": out[lo]["queries"]["crawl_flat"],
+            f"sec_{hi}": out[hi]["queries"]["crawl_flat"],
+            f"pages_per_s_{lo}": tput_lo,
+            f"pages_per_s_{hi}": tput_hi,
+            "scaling_efficiency": round(tput_hi / (hi / lo * tput_lo), 3),
         }))
         return
 

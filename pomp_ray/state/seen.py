@@ -59,10 +59,13 @@ def _bloom_positions(digests: list[bytes], bloom_bits: int) -> np.ndarray:
                     axis=1).astype(np.int64)
 
 
-@ray.remote(num_cpus=0.25)
+@ray.remote(num_cpus=0)
 class SeenShard:
-    """One shard of the URL-seen set. num_cpus=0.25 so a 16-shard pool
-    doesn't reserve half the cluster for set lookups."""
+    """One shard of the URL-seen set.  num_cpus=0: the shards are mostly
+    idle hash-set servers and must never consume scheduling slots the map
+    stages need (a 0.25-cpu pool deadlocks a small `num_cpus=2` session:
+    8 shards reserve everything and no map task can start).  On a real
+    multi-node cluster you would pin them via a placement group instead."""
 
     def __init__(self, shard_id: int, bloom_bits: int = _BLOOM_BITS):
         self.shard_id = shard_id

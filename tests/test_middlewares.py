@@ -3,10 +3,10 @@ engine (pomp's test_middleware / pipeline-ordering coverage, SURVEY.md
 M4-M8)."""
 
 import pyarrow as pa
-import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from pomp_ray.core.api import BasePipeline, CrawlerSpec
+from pomp_ray.core.middlewares import BodyTagMiddleware, HostFilterMiddleware
 from pomp_ray.crawl import (
     CrawlConfig,
     crawl_spec,
@@ -18,24 +18,8 @@ from pomp_ray.sources import gen_corpus
 from tests.helpers import fixture_corpus, run_oracle
 
 
-class DropSite1Requests:
-    """process_request middleware: filter out one host pre-fetch (pomp's
-    'return None to drop' contract, vectorized)."""
-
-    def process_request_batch(self, batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.invert(pc.equal(batch["host"], "site1.test")))
-
-
-class TagResponses:
-    """process_response middleware: transform fetched bodies."""
-
-    def process_response_batch(self, batch: pa.Table) -> pa.Table:
-        htmls = [
-            h.replace(b"<title>", b"<title>MW ") if h is not None else None
-            for h in batch["html"].to_pylist()
-        ]
-        i = batch.column_names.index("html")
-        return batch.set_column(i, "html", pa.array(htmls, pa.binary()))
+DropSite1Requests = lambda: HostFilterMiddleware(deny_hosts={"site1.test"})  # noqa: E731
+TagResponses = BodyTagMiddleware
 
 
 class CountingPipeline(BasePipeline):
