@@ -69,9 +69,12 @@ def _crawl_outputs(kind: str, mode: str) -> pa.Table:
 
 # ------------------------------------------------------------------- queries
 def queries() -> dict[str, Callable[[str], Any]]:
-    from pomp_ray.pipelines import docs, embeddings, relational
+    from pomp_ray.pipelines import docs, embeddings, relational, windows
 
     return {
+        # -- stream-shaped windowed operators (events log)
+        "tumbling_window": windows.tumbling_window,
+        "sessionize": windows.sessionize,
         # -- documents: text analysis (SQL-verified)
         "quality_stats": docs.quality_stats,
         "quality_filter": docs.quality_filter,
@@ -107,6 +110,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # ---------------------------------------------------------------- oracle SQL
 def oracle_sql() -> dict[str, str]:
     return {
+        "tumbling_window": """
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   MIN(value) AS vmin, MAX(value) AS vmax
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "sessionize": """
+            WITH ordered AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                                 OR LAG(ts) OVER w IS NULL
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+                SELECT user_id, ts,
+                       SUM(new_session) OVER (PARTITION BY user_id
+                                              ORDER BY ts
+                                              ROWS UNBOUNDED PRECEDING) AS sid
+                FROM ordered
+            )
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   MIN(ts) AS session_start,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM sess GROUP BY user_id, sid
+        """,
         "quality_stats": """
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,

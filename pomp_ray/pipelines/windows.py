@@ -1,0 +1,78 @@
+"""Stream-shaped operators over the ``events`` log table.
+
+Ray Data has no event-time windows/watermarks (guide: treat the input as
+an ordered, partitioned log).  Windows are expressed as:
+
+* tumbling window -- a derived window-start column + groupby (pure
+  shuffle-aggregate; exactly how a batch engine computes closed windows);
+* session windows -- ``groupby(user).map_groups`` over the ts-sorted
+  group with a gap rule (incremental state stays inside the group fn;
+  the partitioning assumption -- all events of a user in one group -- is
+  the documented requirement).
+
+Both have exact DuckDB oracles (see __ray_entry__.oracle_sql).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min
+
+
+def _events(sf_dir: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                           columns=columns)
+
+
+def tumbling_window(sf_dir: str) -> rd.Dataset:
+    """Hourly tumbling window per event_type: count + exact min/max."""
+    ds = _events(sf_dir, ["ts", "event_type", "value"])
+
+    def add_window(t: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(t["ts"], unit="hour")
+        return t.append_column("window_start", w)
+
+    out = ds.map_batches(add_window, batch_format="pyarrow") \
+        .groupby(["event_type", "window_start"]).aggregate(
+            Count(alias_name="n"),
+            Min("value", alias_name="vmin"),
+            Max("value", alias_name="vmax"),
+        )
+    return out.map_batches(
+        lambda t: t.set_column(t.column_names.index("n"), "n",
+                               pc.cast(t["n"], pa.int64())),
+        batch_format="pyarrow")
+
+
+def sessionize(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
+    """Session windows per user: a new session starts when the gap to the
+    previous event exceeds ``gap_minutes``.  Returns one row per session
+    (user_id, session_start, n_events).  Partitioning assumption: one
+    group holds ALL events of a user (hash-partition by user_id); events
+    are sorted by ts inside the group fn."""
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        new = (g["ts"].diff() > gap).fillna(True)
+        sid = new.cumsum()
+        out = g.groupby(sid).agg(
+            user_id=("user_id", "first"),
+            session_start=("ts", "first"),
+            n_events=("ts", "size"),
+        )
+        return out.reset_index(drop=True)
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id"])
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return out.map_batches(
+        lambda t: t.set_column(t.column_names.index("n_events"), "n_events",
+                               pc.cast(t["n_events"], pa.int64()))
+        .set_column(t.column_names.index("user_id"), "user_id",
+                    pc.cast(t["user_id"], pa.int64())),
+        batch_format="pyarrow")

@@ -1,0 +1,80 @@
+"""Priority ordering, wide DFS, and the Dataset.join fetch path."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from pomp_ray.crawl import CrawlConfig, read_items, run_crawl
+from pomp_ray.sources import gen_corpus
+from pomp_ray.stages.fetch import CorpusIndex, fetch_via_join
+from tests.helpers import (
+    fixture_corpus,
+    oracle_visited_tuples,
+    read_ckpt,
+    run_oracle,
+    visited_tuples,
+)
+
+
+def test_priority_ordering(tmp_path):
+    """Higher-priority seeds are fetched first within a round (pomp's
+    priority queue discipline); engine matches the oracle exactly."""
+    fix = fixture_corpus(gen_corpus.TINY)
+    seeds = [
+        {"url": "http://site0.test/p/0", "priority": 0, "depth": 0},
+        {"url": "http://site1.test/p/0", "priority": 5, "depth": 0},
+    ]
+    ckpt = str(tmp_path / "c")
+    cfg = CrawlConfig(corpus_path=fix.pages_path, ckpt_dir=ckpt,
+                      robots_path=fix.robots_path, mode="bfs")
+    run_crawl(cfg, seeds=seeds)
+    corpus_res = run_oracle(fix, mode="bfs")  # builds inputs; rerun w/ seeds
+    from tests.helpers import oracle_inputs
+    corpus, _, robots, _ = oracle_inputs(fix)
+    from pomp_ray.core.oracle import crawl_oracle
+    res = crawl_oracle(corpus, seeds, robots, mode="bfs")
+    assert visited_tuples(read_ckpt(ckpt, "visited")) == oracle_visited_tuples(res)
+    # round 0 must fetch the priority-5 seed first
+    first = min(res.visited, key=lambda v: (v["round"], 0 if v["url"].startswith("http://site1") else 1, v["seq"]))
+    r0 = [v for v in res.visited if v["round"] == 0]
+    assert r0[0]["url"] == "http://site1.test/p/0"
+
+
+def test_dfs_wide(tmp_path):
+    """DFS with width 4: same reachable set as serial DFS (ordering
+    relaxed, like pomp's concurrent tests)."""
+    fix = fixture_corpus(gen_corpus.TINY)
+    seeds = pq.read_table(fix.seeds_path).to_pylist()
+    ckpt = str(tmp_path / "c")
+    cfg = CrawlConfig(corpus_path=fix.pages_path, ckpt_dir=ckpt,
+                      robots_path=fix.robots_path, mode="dfs", dfs_width=4)
+    run_crawl(cfg, seeds=seeds)
+    res = run_oracle(fix, mode="dfs", dfs_width=4)
+    engine_urls = set(read_items(ckpt)["url"].to_pylist())
+    assert engine_urls == {v["url"] for v in res.visited}
+    # and equal to the width-1 serial DFS set too (set order-invariance)
+    res1 = run_oracle(fix, mode="dfs")
+    assert engine_urls == {v["url"] for v in res1.visited}
+
+
+def test_fetch_via_join(tmp_path):
+    """The all-large fetch path (hash-partitioned Dataset.join) returns
+    the same html per url as the broadcast-index path; misses keep
+    fetch_ok=False."""
+    fix = fixture_corpus(gen_corpus.TINY)
+    index = CorpusIndex.build(fix.pages_path)
+    urls = pq.read_table(fix.pages_path, columns=["url"])["url"].to_pylist()[:40]
+    urls_miss = urls + ["http://site0.test/p/999999"]
+    frontier = rd.from_arrow(pa.table({
+        "canon_url": pa.array(urls_miss),
+        "depth": pa.array([0] * len(urls_miss), pa.int32()),
+    }))
+    joined = fetch_via_join(frontier, fix.pages_path, num_partitions=4)
+    rows = joined.take_all()
+    got = {r["canon_url"]: (r["html"], r["fetch_ok"]) for r in rows}
+    assert len(got) == len(urls_miss)
+    assert got["http://site0.test/p/999999"] == (None, False)
+    lookup = index.fetch_table(pa.table({"canon_url": pa.array(urls)}))
+    want = dict(zip(lookup["canon_url"].to_pylist(), lookup["html"].to_pylist()))
+    for u in urls:
+        assert got[u][0] == want[u] and got[u][1]
