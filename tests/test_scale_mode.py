@@ -1,0 +1,106 @@
+"""Scale-mode specifics: binding politeness caps with deferred side
+files, salted grouping, resume on the scale layout, and seen-shard
+snapshot/restore."""
+
+import collections
+import glob
+
+import pyarrow.parquet as pq
+
+from pomp_ray.crawl import CrawlConfig, CrawlEngine, read_errors, read_items
+from pomp_ray.sources import gen_corpus
+from pomp_ray.state.seen import SeenSet
+from tests.helpers import fixture_corpus
+
+
+def _scale_cfg(fix, ckpt, **kw):
+    base = dict(corpus_path=fix.pages_path, ckpt_dir=ckpt,
+                robots_path=fix.robots_path, mode="bfs", exact_order=False,
+                n_salts=4, min_distributed_rows=64, n_seen_shards=4)
+    base.update(kw)
+    return CrawlConfig(**base)
+
+
+def test_politeness_caps_and_deferral(tmp_path):
+    """Budget 20s -> cap 20/round on delayed hosts; engine defers the
+    overflow via side files and never exceeds the cap in any round."""
+    fix = fixture_corpus(gen_corpus.SMALL)
+    ckpt = str(tmp_path / "c")
+    cfg = _scale_cfg(fix, ckpt, round_budget_s=20.0, max_rounds=20)
+    eng = CrawlEngine(cfg)
+    try:
+        s = eng.run(seeds=pq.read_table(fix.seeds_path).to_pylist())
+    finally:
+        eng.close()
+    assert any(r["n_deferred"] > 0 for r in s.per_round)
+    assert glob.glob(f"{ckpt}/deferred/round-*/*.parquet")
+
+    items = read_items(ckpt)
+    per = collections.Counter()
+    for u, r in zip(items["url"].to_pylist(), items["round"].to_pylist()):
+        per[(u.split("/")[2], r)] += 1
+    for (host, rnd), n in per.items():
+        h = int(host.replace("site", "").replace(".test", ""))
+        if h % 7 == 0:
+            assert n <= 20, (host, rnd, n)
+
+
+def test_scale_resume_with_deferral(tmp_path):
+    fix = fixture_corpus(gen_corpus.SMALL)
+    full, part = str(tmp_path / "f"), str(tmp_path / "p")
+    seeds = pq.read_table(fix.seeds_path).to_pylist()
+    for ck, rounds in ((full, 40), (part, 5)):
+        eng = CrawlEngine(_scale_cfg(fix, ck, round_budget_s=20.0,
+                                     max_rounds=rounds))
+        try:
+            eng.run(seeds=seeds)
+        finally:
+            eng.close()
+    eng = CrawlEngine(_scale_cfg(fix, part, round_budget_s=20.0,
+                                 max_rounds=40))
+    try:
+        eng.run(resume=True)
+    finally:
+        eng.close()
+    assert sorted(read_items(full)["url"].to_pylist()) == \
+        sorted(read_items(part)["url"].to_pylist())
+
+
+def test_scale_errors_assembled(tmp_path):
+    fix = fixture_corpus(gen_corpus.SMALL)
+    ckpt = str(tmp_path / "c")
+    eng = CrawlEngine(_scale_cfg(fix, ckpt))
+    try:
+        eng.run(seeds=pq.read_table(fix.seeds_path).to_pylist())
+    finally:
+        eng.close()
+    errs = read_errors(ckpt)
+    stages = collections.Counter(errs["stage"].to_pylist())
+    assert stages["fetch"] > 0      # dead links in the fixture
+    assert stages["robots"] > 0     # /p/7 subtrees on every 5th host
+
+
+def test_seen_snapshot_restore(tmp_path):
+    seen = SeenSet(3)
+    urls1 = [f"http://a.test/{i}" for i in range(500)]
+    urls2 = [f"http://b.test/{i}" for i in range(300)]
+    assert sum(seen.check_and_add(urls1)) == 500
+    seen.snapshot(str(tmp_path), 1)
+    assert sum(seen.check_and_add(urls2)) == 300
+    seen.snapshot(str(tmp_path), 2)
+    assert sum(seen.check_and_add(urls1)) == 0   # all dupes
+
+    fresh = SeenSet(3)
+    fresh.restore(str(tmp_path), 1)              # only snapshot 1
+    assert fresh.size() == 500
+    assert sum(fresh.check_and_add(urls2)) == 300   # not yet seen at rnd 1
+    fresh.kill()
+
+    fresh2 = SeenSet(3)
+    fresh2.restore(str(tmp_path), 2)
+    assert fresh2.size() == 800
+    assert sum(fresh2.check_and_add(urls1 + urls2)) == 0
+    fresh2.reset()
+    assert fresh2.size() == 0
+    fresh2.kill()
+    seen.kill()
