@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": docs.dedup_exact,
         # -- documents: signatures / near-dup (deterministic, rows-only)
         "lang_predictions": docs.lang_predictions,
+        "sample_docs": docs.sample_docs,
         "fingerprints": docs.fingerprints,
         "minhash_lsh_pairs": docs.minhash_lsh_pairs,
         "simhash_dup_groups": docs.simhash_dup_groups,
@@ -161,6 +162,10 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
+        "sample_docs": """
+            SELECT doc_id, lang FROM documents
+            WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+        """,
         "per_source_topk": """
             SELECT source, doc_id, n_chars FROM (
                 SELECT source, doc_id, n_chars,

@@ -204,6 +204,21 @@ def distinct_langs(sf_dir: str) -> pa.Table:
     return pa.table({"lang": pa.array(vals, pa.string())})
 
 
+def sample_docs(sf_dir: str) -> rd.Dataset:
+    """Deterministic ~1/8 hash-sample (SURVEY.md O4).  Hash-based rather
+    than ``random_sample(seed=)`` because Ray's seeded sample depends on
+    block structure (different sessions -> different rows); a content-hash
+    gate is reproducible anywhere, including in the SQL oracle."""
+    import hashlib
+
+    def f(t: pa.Table) -> pa.Table:
+        keep = [hashlib.md5(str(d).encode()).hexdigest()[0] in "01"
+                for d in t["doc_id"].to_pylist()]
+        return t.filter(pa.array(keep, pa.bool_()))
+    return _docs(sf_dir, ["doc_id", "lang"]).map_batches(
+        f, batch_format="pyarrow")
+
+
 def per_source_topk(sf_dir: str, k: int = 3) -> rd.Dataset:
     """Top-k docs per source by (n_chars desc, doc_id asc) -- the per-host
     politeness top-k pattern (SURVEY.md A1/O3) expressed over documents."""
