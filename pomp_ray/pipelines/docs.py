@@ -122,14 +122,19 @@ def minhash_lsh_pairs(sf_dir: str, n_perm: int = 64, bands: int = 16,
     params = an._minhash_params(n_perm)
 
     def sigs(t: pa.Table) -> pa.Table:
+        import hashlib
         out_doc, out_band, out_hash = [], [], []
         for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
             sig = an.minhash_signature(text or "", n_perm, params=params)
             for b in range(bands):
                 band = sig[b * rows_per_band:(b + 1) * rows_per_band]
+                # md5, NOT builtin hash(): hash() is salted per process, so
+                # identical bands would land in different buckets across
+                # Ray workers and candidates would be silently missed
+                h = hashlib.md5(band.tobytes()).digest()[:8]
                 out_doc.append(doc_id)
                 out_band.append(b)
-                out_hash.append(hash(band.tobytes()) & 0x7FFFFFFFFFFFFFFF)
+                out_hash.append(int.from_bytes(h, "little") >> 1)
         return pa.table({"doc_id": pa.array(out_doc, pa.int64()),
                          "band": pa.array(out_band, pa.int32()),
                          "band_hash": pa.array(out_hash, pa.int64())})

@@ -94,22 +94,39 @@ def neardup_pairs(sf_dir: str, threshold: float = 0.35) -> pa.Table:
 
 def ivf_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10,
              n_cells: int = 16, n_probe: int = 4) -> pa.Table:
-    """IVF-style approximate top-k: seeded random-projection centroids,
-    search only the n_probe nearest cells.  The bucketing column is the
-    partition key at scale."""
-    full = _emb(sf_dir).take_all()
-    ids = np.asarray([r["vec_id"] for r in full], np.int64)
-    mat = _normalize(np.array([r["embedding"] for r in full], np.float64))
+    """IVF-style approximate top-k as a DATASET pipeline (the scale
+    path): seeded random-projection centroids are broadcast via ray.put;
+    each batch assigns its vectors to cells vectorized, keeps only rows
+    in the ``n_probe`` cells closest to the query, scores them with one
+    matmul and emits a per-batch partial top-k; the driver merges the
+    tiny partials.  At production scale the cell id is the partition/
+    shuffle key and cell postings live as partitioned parquet."""
+    q_tbl = _emb(sf_dir).filter(lambda r: r["vec_id"] == query_vec_id).take_all()
+    q = np.asarray(q_tbl[0]["embedding"], np.float64)
+    dim = len(q)
+    q = q / (np.linalg.norm(q) or 1.0)
     rng = np.random.default_rng(42)
-    cent = _normalize(rng.standard_normal((n_cells, mat.shape[1])))
-    assign = (mat @ cent.T).argmax(axis=1)
+    cent = _normalize(rng.standard_normal((n_cells, dim)))
+    probe = set(np.argsort(-(cent @ q))[:n_probe].tolist())
+    ref = ray.put((q, cent, probe))
 
-    qi = int(np.nonzero(ids == query_vec_id)[0][0])
-    q = mat[qi]
-    probe = np.argsort(-(cent @ q))[:n_probe]
-    cand = np.isin(assign, probe) & (ids != query_vec_id)
-    sims = mat[cand] @ q
-    cids = ids[cand]
-    order = np.lexsort((cids, -sims))[:k]
-    return pa.table({"vec_id": pa.array(cids[order], pa.int64()),
+    def score(t: pa.Table) -> pa.Table:
+        qv, c, pr = ray.get(ref)
+        ids, mat = _to_matrix(t)
+        nm = _normalize(mat)
+        assign = (nm @ c.T).argmax(axis=1)
+        keep = np.isin(assign, list(pr)) & (ids != query_vec_id)
+        ids, nm = ids[keep], nm[keep]
+        sims = nm @ qv
+        if len(ids) > k:
+            part = np.argpartition(-sims, k)[:k]
+            ids, sims = ids[part], sims[part]
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "score": pa.array(sims, pa.float64())})
+
+    parts = _emb(sf_dir).map_batches(score, batch_format="pyarrow").take_all()
+    ids = np.array([r["vec_id"] for r in parts], np.int64)
+    sims = np.array([r["score"] for r in parts], np.float64)
+    order = np.lexsort((ids, -sims))[:k]
+    return pa.table({"vec_id": pa.array(ids[order], pa.int64()),
                      "score": pa.array(np.round(sims[order], 6), pa.float64())})

@@ -53,8 +53,13 @@ def select_distributed(
 
     if n_salts > 1:
         def add_salt(t: pa.Table) -> pa.Table:
+            import hashlib
+            # md5, not builtin hash(): per-process hash salting would make
+            # salt assignment nondeterministic across workers/retries
             salt = pa.array(
-                [hash(u) % n_salts for u in t["canon_url"].to_pylist()],
+                [int.from_bytes(hashlib.md5(u.encode()).digest()[:4],
+                                "little") % n_salts
+                 for u in t["canon_url"].to_pylist()],
                 pa.int32(),
             )
             return t.append_column("salt", salt)
