@@ -69,9 +69,13 @@ def _crawl_outputs(kind: str, mode: str) -> pa.Table:
 
 # ------------------------------------------------------------------- queries
 def queries() -> dict[str, Callable[[str], Any]]:
-    from pomp_ray.pipelines import docs, embeddings, relational, windows
+    from pomp_ray.pipelines import docs, embeddings, joins, relational, windows
 
     return {
+        # -- custom join operators (as-of / range / broadcast-dim)
+        "asof_click_before_purchase": joins.asof_click_before_purchase,
+        "errors_near_purchases": joins.errors_near_purchases,
+        "customers_per_region": joins.customers_per_region,
         # -- stream-shaped windowed operators (events log)
         "tumbling_window": windows.tumbling_window,
         "sessionize": windows.sessionize,
@@ -111,6 +115,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # ---------------------------------------------------------------- oracle SQL
 def oracle_sql() -> dict[str, str]:
     return {
+        "asof_click_before_purchase": """
+            SELECT p.event_id, CAST(p.user_id AS BIGINT) AS user_id, p.ts,
+                   (SELECT c.event_id FROM events c
+                    WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                      AND c.ts <= p.ts
+                    ORDER BY c.ts DESC, c.event_id DESC LIMIT 1)
+                       AS click_event_id
+            FROM events p WHERE p.event_type = 'purchase'
+        """,
+        "errors_near_purchases": """
+            SELECT p.event_id,
+                   CAST((SELECT COUNT(*) FROM events e
+                         WHERE e.event_type = 'error'
+                           AND e.ts BETWEEN p.ts - INTERVAL 5 MINUTE
+                                        AND p.ts + INTERVAL 5 MINUTE)
+                        AS BIGINT) AS n_errors_nearby
+            FROM events p WHERE p.event_type = 'purchase'
+        """,
+        "customers_per_region": """
+            SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
         "tumbling_window": """
             SELECT event_type, date_trunc('hour', ts) AS window_start,
                    CAST(COUNT(*) AS BIGINT) AS n,

@@ -27,6 +27,11 @@ _TAG_RE = re.compile(r"<[^>]+>")
 
 _DEFAULT_PORTS = {"http": 80, "https": 443}
 
+# Fast path: urls already in canonical shape (lowercase scheme://host with a
+# path, no port/query/fragment/userinfo/uppercase) pass through untouched.
+# Equivalence with the slow path is property-tested (tests/test_textfns.py).
+_CANON_FAST_RE = re.compile(r"^(?:http|https)://[a-z0-9.-]+/[^#?@\s]*$")
+
 
 def body_decode(body: bytes | str | None, encoding: str = "utf-8") -> str:
     """Decode a fetched body; errors are replaced, never raised."""
@@ -46,6 +51,8 @@ def url_canonicalize(url: str) -> str:
     """
     if not url:
         return ""
+    if _CANON_FAST_RE.match(url):
+        return url
     try:
         parts = urlsplit(url.strip())
     except ValueError:

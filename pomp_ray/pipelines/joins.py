@@ -1,0 +1,120 @@
+"""Custom join operators the reference ecosystem lacks but a data engine
+needs (task brief: as-of join, range join; guide patterns: broadcast
+small side, bucketed merge).
+
+* ``asof_click_before_purchase`` -- AS-OF JOIN: per user, attach the most
+  recent prior 'click' to each 'purchase'.  Implemented as
+  ``groupby(user).map_groups`` with ``pd.merge_asof`` over the ts-sorted
+  group (the documented partitioning assumption: one group holds all of
+  a user's events).
+* ``errors_near_purchases`` -- RANGE JOIN: count 'error' events within
+  +-5 minutes of each purchase.  The error-timestamp array is tiny vs
+  the fact side, so it's broadcast once (ray.put) and each batch does two
+  vectorized searchsorted probes -- the broadcast-small-side range join.
+  When both sides are large, bucket both by floor(ts/width) with
+  replication to adjacent buckets and join per bucket.
+* ``customers_per_region`` -- BROADCAST DIM JOIN: customer x nation x
+  region via ray.put'd lookup dicts inside map_batches (no shuffle),
+  with partial per-batch counts pre-aggregated before the tiny groupby.
+
+All three have exact DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+
+def _t(sf_dir: str, name: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"),
+                           columns=columns)
+
+
+def asof_click_before_purchase(sf_dir: str) -> rd.Dataset:
+    """(purchase event_id, user_id, ts, click_event_id) with the latest
+    click at-or-before the purchase; null when the user never clicked
+    before.  Ties on ts resolve to the highest event_id (both sides)."""
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        p = g[g["event_type"] == "purchase"][["event_id", "user_id", "ts"]]
+        if p.empty:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "user_id": pd.Series([], dtype="int64"),
+                                 "ts": pd.Series([], dtype="datetime64[us]"),
+                                 "click_event_id": pd.Series([], dtype="Int64")})
+        c = g[g["event_type"] == "click"][["event_id", "ts"]].rename(
+            columns={"event_id": "click_event_id", "ts": "click_ts"})
+        m = pd.merge_asof(p, c, left_on="ts", right_on="click_ts",
+                          direction="backward")
+        m["click_event_id"] = m["click_event_id"].astype("Int64")
+        return m[["event_id", "user_id", "ts", "click_event_id"]]
+
+    ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    out = ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+    return out.map_batches(
+        lambda t: t.set_column(t.column_names.index("user_id"), "user_id",
+                               pc.cast(t["user_id"], pa.int64())),
+        batch_format="pyarrow")
+
+
+def errors_near_purchases(sf_dir: str, window_minutes: int = 5) -> rd.Dataset:
+    """Per purchase: count of 'error' events (any user) within the
+    +-window.  Broadcast-small-side range join."""
+    ev = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                       columns=["ts", "event_type"])
+    err_ts = np.sort(np.asarray(
+        ev.filter(pc.equal(ev["event_type"], "error"))["ts"]
+        .cast(pa.int64()).to_numpy(zero_copy_only=False)))
+    ref = ray.put(err_ts)
+    w_us = window_minutes * 60 * 1_000_000
+
+    def count_near(t: pa.Table) -> pa.Table:
+        errs = ray.get(ref)
+        p = t.filter(pc.equal(t["event_type"], "purchase"))
+        ts = p["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(errs, ts - w_us, side="left")
+        hi = np.searchsorted(errs, ts + w_us, side="right")
+        return pa.table({"event_id": p["event_id"],
+                         "n_errors_nearby": pa.array(hi - lo, pa.int64())})
+
+    ds = _t(sf_dir, "events", ["event_id", "ts", "event_type"])
+    return ds.map_batches(count_near, batch_format="pyarrow")
+
+
+def customers_per_region(sf_dir: str) -> rd.Dataset:
+    """Customer count per region name via two broadcast dimension
+    lookups (no shuffle until the 5-row final groupby)."""
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    n2r = dict(zip(nation["n_nationkey"].to_pylist(),
+                   nation["n_regionkey"].to_pylist()))
+    r2name = dict(zip(region["r_regionkey"].to_pylist(),
+                      region["r_name"].to_pylist()))
+    ref = ray.put((n2r, r2name))
+
+    def partial(t: pa.Table) -> pa.Table:
+        n2r_, r2name_ = ray.get(ref)
+        names = [r2name_[n2r_[nk]] for nk in t["c_nationkey"].to_pylist()]
+        df = pd.DataFrame({"r_name": names})
+        out = df.groupby("r_name", as_index=False).size()
+        return pa.table({"r_name": out["r_name"],
+                         "n": pa.array(out["size"], pa.int64())})
+
+    ds = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    out = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("r_name").aggregate(Sum("n", alias_name="n_customers"))
+    return out.map_batches(
+        lambda t: t.set_column(t.column_names.index("n_customers"),
+                               "n_customers",
+                               pc.cast(t["n_customers"], pa.int64())),
+        batch_format="pyarrow")

@@ -17,6 +17,12 @@ SPOT = [
     "events_rollup",
     "orders_by_mktsegment",
     "lineitem_pricing_summary",
+    "tumbling_window",
+    "sessionize",
+    "asof_click_before_purchase",
+    "errors_near_purchases",
+    "customers_per_region",
+    "sample_docs",
 ]
 
 

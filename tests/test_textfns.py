@@ -34,6 +34,37 @@ def test_extract():
     assert html_extract_links(b"no links") == []
 
 
+def test_canonicalize_fast_path_equivalence():
+    """The fast-path regex must NEVER change the result vs the full
+    urlsplit path (property-based over url-shaped strings)."""
+    from hypothesis import given, settings, strategies as st
+
+    from pomp_ray.functions import textfns
+
+    def slow(url: str) -> str:
+        # the full path, with the fast path disabled
+        import re as _re
+        old = textfns._CANON_FAST_RE
+        textfns._CANON_FAST_RE = _re.compile(r"(?!x)x")  # never matches
+        try:
+            return textfns.url_canonicalize(url)
+        finally:
+            textfns._CANON_FAST_RE = old
+
+    url_chars = st.sampled_from(list("abcXYZ09.-_/:?#@ %~[]"))
+    hostish = st.text(alphabet=list("abcXYZ09.-"), min_size=1, max_size=12)
+    pathish = st.text(alphabet=url_chars, max_size=20)
+    scheme = st.sampled_from(["http", "https", "HTTP", "ftp", ""])
+
+    @settings(max_examples=500, deadline=None)
+    @given(scheme, hostish, pathish)
+    def check(sch, host, path):
+        url = f"{sch}://{host}/{path}" if sch else f"{host}/{path}"
+        assert textfns.url_canonicalize(url) == slow(url)
+
+    check()
+
+
 def test_byte_identity_over_corpus():
     """BASELINE.json:15 invariant: extractor(html) == golden text column,
     byte-for-byte, for every page of the generated corpus."""
