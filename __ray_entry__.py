@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs": docs.sample_docs,
         "fingerprints": docs.fingerprints,
         "minhash_lsh_pairs": docs.minhash_lsh_pairs,
+        "jaccard_pairs_sample": docs.jaccard_pairs_sample,
         "simhash_dup_groups": docs.simhash_dup_groups,
         # -- embeddings: similarity search
         "ann_topk": embeddings.ann_topk,

@@ -174,6 +174,36 @@ def minhash_lsh_pairs(sf_dir: str, n_perm: int = 64, bands: int = 16,
                      "jaccard": pa.array(out_j, pa.float64())})
 
 
+def jaccard_pairs_sample(sf_dir: str, threshold: float = 0.9,
+                         k: int = 1) -> pa.Table:
+    """Standalone n-gram Jaccard near-dup: brute-force exact word-k-gram
+    Jaccard over the deterministic 1/8 doc hash-sample (all pairs), kept
+    above threshold.  k=1 (vocabulary Jaccard) because the synthetic
+    docs draw random word sequences -- higher-order shingles never repeat
+    across docs.  At scale the minhash-LSH pipeline replaces this
+    quadratic pair enumeration."""
+    import hashlib
+    t = _docs(sf_dir, ["doc_id", "text"]).take_all()
+    rows = [(r["doc_id"], r["text"]) for r in t
+            if hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[0] in "01"]
+    shingle_sets = {d: an.shingles(x or "", k=k) for d, x in rows}
+    ids = sorted(shingle_sets)
+    out_a, out_b, out_j = [], [], []
+    for i, a in enumerate(ids):
+        sa = shingle_sets[a]
+        for b in ids[i + 1:]:
+            sb = shingle_sets[b]
+            if not sa and not sb:
+                continue
+            inter = len(sa & sb)
+            j = inter / (len(sa) + len(sb) - inter)
+            if j >= threshold:
+                out_a.append(a); out_b.append(b); out_j.append(round(j, 6))
+    return pa.table({"doc_a": pa.array(out_a, pa.int64()),
+                     "doc_b": pa.array(out_b, pa.int64()),
+                     "jaccard": pa.array(out_j, pa.float64())})
+
+
 def simhash_dup_groups(sf_dir: str, max_hamming: int = 3) -> pa.Table:
     """SimHash near-dup: bucket by the 4 16-bit simhash quarters (any
     exact-matching quarter -> candidate, standard simhash blocking),
