@@ -106,14 +106,17 @@ def bench_crawl_flat(warmup_frac: float = 0.02) -> dict:
 
 
 def bench_crawl_bfs() -> dict:
-    """Full BFS wave-by-wave crawl of the 200k BENCH corpus."""
+    """Full BFS wave-by-wave crawl of the 200k BENCH corpus.  Small waves
+    (the tree head and tail) run on the driver (min_distributed_rows);
+    only the wide middle waves pay Dataset-execution overhead."""
     import pyarrow.parquet as pq
 
     from pomp_ray.crawl import CrawlEngine
     from pomp_ray.sources import gen_corpus
 
     fix = gen_corpus.generate(BENCH_DIR, gen_corpus.BENCH)
-    eng = CrawlEngine(_crawl_cfg(fix, "/tmp/pomp_bench_bfs_ckpt"))
+    eng = CrawlEngine(_crawl_cfg(fix, "/tmp/pomp_bench_bfs_ckpt",
+                                 min_distributed_rows=2048))
     try:
         seeds = pq.read_table(fix.seeds_path).to_pylist()
         t0 = time.monotonic()

@@ -347,8 +347,12 @@ class CrawlEngine:
         accepted, enq_errors = self._enqueue_driver(cands, rnd)
         errors += enq_errors
 
-        self._write_table(pa.Table.from_pylist(items, schema=schemas.ITEMS),
-                          "items", rnd)
+        items_t = pa.Table.from_pylist(items, schema=schemas.ITEMS)
+        if cfg.enrich_fn is not None and items_t.num_rows:
+            # same per-page analysis as distributed rounds (the hybrid
+            # must not silently skip work on the driver path)
+            items_t = cfg.enrich_fn(items_t)
+        self._write_table(items_t, "items", rnd)
         if errors:
             self._write_table(pa.Table.from_pylist(errors, schema=schemas.ERRORS),
                               "errors", rnd)
