@@ -226,7 +226,8 @@ def oracle_sql() -> dict[str, str]:
         "neardup_pairs": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.35
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) > 0.35
         """,
         "events_rollup": """
             SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,

@@ -320,19 +320,23 @@ class CrawlEngine:
         rows = self.index.lookup_rows(canon_urls)
         htmls = [self.index.htmls[int(r)].as_py() if r >= 0 else None
                  for r in rows]
+        oks = [r >= 0 for r in rows]
         if cfg.middlewares:
             fetched = sel_t.append_column(
                 "html", pa.array(htmls, pa.binary())).append_column(
-                "fetch_ok", pa.array([r >= 0 for r in rows], pa.bool_()))
+                "fetch_ok", pa.array(oks, pa.bool_()))
             fetched = _mw_hook(cfg.middlewares, "process_response_batch")(fetched)
             canon_urls = fetched["canon_url"].to_pylist()
             htmls = fetched["html"].to_pylist()
+            oks = fetched["fetch_ok"].to_pylist()
             sel_t = fetched
         items, errors, cands = [], [], []
-        for i, (canon, html) in enumerate(zip(canon_urls, htmls)):
+        for i, (canon, html, ok) in enumerate(zip(canon_urls, htmls, oks)):
             depth = sel_t["depth"][i].as_py()
             seq = sel_t["seq"][i].as_py()
-            if html is None:
+            # same miss predicate as parse_batch on the distributed path: a
+            # response middleware may clear either html or fetch_ok alone
+            if not ok or html is None:
                 errors.append({"url": canon, "stage": "fetch",
                                "exc_type": "FetchMiss", "message": "not in corpus",
                                "retryable": False, "round": rnd})
@@ -502,7 +506,7 @@ class CrawlEngine:
         if self.caps:
             deferred_dir = self._dir("deferred", rnd)
             selected = _politeness_inline(
-                fds, self.caps, cfg.n_salts, deferred_dir)
+                fds, self.caps, cfg.n_salts, deferred_dir, rnd=rnd)
         else:
             selected = fds
         if cfg.middlewares:
@@ -543,6 +547,17 @@ class CrawlEngine:
         t0 = _t()
         # exec B: links -> canonicalize -> robots -> dedup -> seen -> frontier
         items_files = sorted(glob.glob(os.path.join(items_dir, "*.parquet")))
+        if not items_files:
+            # a round can select 0 rows (every salt's sub-cap exhausted)
+            # while deferred rows still exist: no items files were written,
+            # so skip exec B entirely instead of read_parquet([]) raising
+            return {"round": rnd, "path": "scale", "n_selected": 0,
+                    "n_deferred": n_deferred, "n_visited": 0, "n_items": 0,
+                    "n_errors": 0, "n_new": 0,
+                    "n_frontier_next": n_deferred,
+                    "t_exec_a": round(t_exec_a, 3),
+                    "t_counts_a": round(t_counts_a, 3),
+                    "t_exec_b": 0.0, "t_counts_b": 0.0}
         cands = (
             rd.read_parquet(items_files,
                             override_num_blocks=self._n_blocks(n_visited),
@@ -780,12 +795,31 @@ def _hash_seq(t: pa.Table) -> pa.Table:
 
 
 def _politeness_inline(fds: rd.Dataset, caps: dict[str, int], n_salts: int,
-                       deferred_dir: str) -> rd.Dataset:
+                       deferred_dir: str, rnd: int = 0) -> rd.Dataset:
     """Scale-mode politeness as a mid-pipeline groupby: capped hosts keep
     their first ``cap`` rows; overflow rows are written to a DETERMINISTIC
     per-(host,salt) side file under ``deferred_dir`` (idempotent under task
-    retry) and re-enter the next round's frontier read."""
+    retry) and re-enter the next round's frontier read.
+
+    Starvation-safety (round-1 ADVICE bug): salt assignment is a FIXED
+    hash of the url, so a host whose cap < n_salts would leave sub-cap 0
+    salts starved forever and stall the crawl.  Two guards:
+
+    * the effective salt count per host is clamped to min(n_salts, cap)
+      -- every salt group then has sub-cap >= 1, so every round makes
+      cap-rate progress on every capped host;
+    * the remainder slot ROTATES by round ((salt - rnd) % n_eff), so the
+      uneven extra budget cycles across salts deterministically.
+
+    Together these preserve the 'same visited SET as exact mode'
+    invariant.  Uncapped hosts keep the full n_salts split (salting
+    exists to break up heavy-host groups, and uncapped hosts select
+    everything anyway)."""
     import hashlib as _hl
+
+    def _eff(host: str) -> int:
+        cap = caps.get(host)
+        return n_salts if cap is None else min(n_salts, max(1, cap))
 
     def add_salt(t: pa.Table) -> pa.Table:
         if n_salts <= 1:
@@ -793,7 +827,9 @@ def _politeness_inline(fds: rd.Dataset, caps: dict[str, int], n_salts: int,
         else:
             salt = pa.array(
                 [int.from_bytes(_hl.md5(u.encode()).digest()[:4], "little")
-                 % n_salts for u in t["canon_url"].to_pylist()],
+                 % _eff(h)
+                 for u, h in zip(t["canon_url"].to_pylist(),
+                                 t["host"].to_pylist())],
                 pa.int32())
         return t.append_column("salt", salt)
 
@@ -802,8 +838,10 @@ def _politeness_inline(fds: rd.Dataset, caps: dict[str, int], n_salts: int,
         host = g["host"].iloc[0]
         salt = int(g["salt"].iloc[0])
         cap = caps.get(host)
-        if cap is not None and n_salts > 1:
-            cap = cap // n_salts + (1 if salt < cap % n_salts else 0)
+        n_eff = _eff(host)
+        if cap is not None and n_eff > 1:
+            cap = cap // n_eff + (
+                1 if (salt - rnd) % n_eff < cap % n_eff else 0)
         g = g.drop(columns=["salt"])
         if cap is None or len(g) <= cap:
             return g

@@ -51,12 +51,15 @@ def asof_click_before_purchase(sf_dir: str) -> rd.Dataset:
             return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
                                  "user_id": pd.Series([], dtype="int64"),
                                  "ts": pd.Series([], dtype="datetime64[us]"),
-                                 "click_event_id": pd.Series([], dtype="Int64")})
+                                 "click_event_id": pd.Series([], dtype="float64")})
         c = g[g["event_type"] == "click"][["event_id", "ts"]].rename(
             columns={"event_id": "click_event_id", "ts": "click_ts"})
         m = pd.merge_asof(p, c, left_on="ts", right_on="click_ts",
                           direction="backward")
-        m["click_event_id"] = m["click_event_id"].astype("Int64")
+        # float64 (NaN for no-prior-click), matching what DuckDB's .df()
+        # yields for a nullable BIGINT -- the driver hashes VALUES, and
+        # Int64 <NA> vs float64 NaN hash differently (round-1 red entry)
+        m["click_event_id"] = m["click_event_id"].astype("float64")
         return m[["event_id", "user_id", "ts", "click_event_id"]]
 
     ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])

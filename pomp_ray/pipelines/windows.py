@@ -34,7 +34,10 @@ def tumbling_window(sf_dir: str) -> rd.Dataset:
     ds = _events(sf_dir, ["ts", "event_type", "value"])
 
     def add_window(t: pa.Table) -> pa.Table:
-        w = pc.floor_temporal(t["ts"], unit="hour")
+        # keep timestamp[us] (floor_temporal narrows to [s]; DuckDB's
+        # date_trunc stays [us] and the driver hashes dtypes-sensitive values)
+        w = pc.cast(pc.floor_temporal(t["ts"], unit="hour"),
+                    pa.timestamp("us"))
         return t.append_column("window_start", w)
 
     out = ds.map_batches(add_window, batch_format="pyarrow") \
@@ -45,7 +48,9 @@ def tumbling_window(sf_dir: str) -> rd.Dataset:
         )
     return out.map_batches(
         lambda t: t.set_column(t.column_names.index("n"), "n",
-                               pc.cast(t["n"], pa.int64())),
+                               pc.cast(t["n"], pa.int64()))
+        .set_column(t.column_names.index("window_start"), "window_start",
+                    pc.cast(t["window_start"], pa.timestamp("us"))),
         batch_format="pyarrow")
 
 

@@ -46,10 +46,17 @@ def select_distributed(
     caps: dict[str, int],
     mode: str = "bfs",
     n_salts: int = 1,
+    rnd: int = 0,
 ) -> rd.Dataset:
     """Mark each frontier row selected/deferred.  Returns the marked
     dataset (caller materializes once, then filters both ways)."""
     seq_asc = mode == "bfs"
+
+    def _eff(host: str) -> int:
+        # clamp effective salts to the host's cap so no salt has sub-cap 0
+        # (hash-fixed salts with a 0 sub-cap would starve forever)
+        cap = caps.get(host)
+        return n_salts if cap is None else min(n_salts, max(1, cap))
 
     if n_salts > 1:
         def add_salt(t: pa.Table) -> pa.Table:
@@ -58,8 +65,9 @@ def select_distributed(
             # salt assignment nondeterministic across workers/retries
             salt = pa.array(
                 [int.from_bytes(hashlib.md5(u.encode()).digest()[:4],
-                                "little") % n_salts
-                 for u in t["canon_url"].to_pylist()],
+                                "little") % _eff(h)
+                 for u, h in zip(t["canon_url"].to_pylist(),
+                                 t["host"].to_pylist())],
                 pa.int32(),
             )
             return t.append_column("salt", salt)
@@ -72,10 +80,14 @@ def select_distributed(
     def mark(g: pd.DataFrame) -> pd.DataFrame:
         host = g["host"].iloc[0]
         cap = caps.get(host)
-        if cap is not None and n_salts > 1:
+        n_eff = _eff(host)
+        if cap is not None and n_eff > 1:
             salt = int(g["salt"].iloc[0])
-            # split the host budget across salts; remainders to low salts
-            cap = cap // n_salts + (1 if salt < cap % n_salts else 0)
+            # split the host budget across salts; the remainder slot
+            # ROTATES by round so the uneven extra budget cycles across
+            # salts deterministically
+            cap = cap // n_eff + (
+                1 if (salt - rnd) % n_eff < cap % n_eff else 0)
         if cap is None or len(g) <= cap:
             g = g.assign(selected=True)
         else:

@@ -104,3 +104,53 @@ def test_seen_snapshot_restore(tmp_path):
     assert fresh2.size() == 0
     fresh2.kill()
     seen.kill()
+
+
+def _tiny_one_host_corpus(tmp_path, n_pages=40, crawl_delay=10.0):
+    """40 leaf pages on one delayed host: with round_budget_s=10 the cap
+    is 1/round -- the round-1 ADVICE starvation scenario (fixed salts with
+    sub-cap 0 deferred forever, then a 0-selected round crashed exec B)."""
+    import pyarrow as pa
+    host = "slow.test"
+    urls = [f"http://{host}/p/{i}" for i in range(n_pages)]
+    htmls = [f"<html><title>t{i}</title><p>body {i}</p></html>".encode()
+             for i in range(n_pages)]
+    pages = pa.table({
+        "url": urls,
+        "warc_ts": pa.array([0] * n_pages, pa.timestamp("us")),
+        "html": pa.array(htmls, pa.binary()),
+        "text": [f"t{i}\nbody {i}" for i in range(n_pages)],
+        "lang": ["en"] * n_pages,
+    })
+    pages_path = str(tmp_path / "pages.parquet")
+    robots_path = str(tmp_path / "robots.parquet")
+    pq.write_table(pages, pages_path)
+    pq.write_table(pa.table({
+        "host": [host],
+        "disallow_prefixes": pa.array([[]], pa.list_(pa.string())),
+        "crawl_delay": [crawl_delay],
+    }), robots_path)
+    return pages_path, robots_path, urls
+
+
+def test_salted_cap_below_salts_no_starvation(tmp_path):
+    """cap(1) < n_salts(4): every page must still be visited (clamped
+    effective salts + rotating remainder), the per-round cap must hold,
+    and no round may crash on an empty exec-A output."""
+    pages_path, robots_path, urls = _tiny_one_host_corpus(tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+    cfg = CrawlConfig(corpus_path=pages_path, ckpt_dir=ckpt,
+                      robots_path=robots_path, mode="bfs", exact_order=False,
+                      n_salts=4, n_seen_shards=2, min_distributed_rows=0,
+                      round_budget_s=10.0, max_rounds=60)
+    eng = CrawlEngine(cfg)
+    try:
+        s = eng.run(seeds=[{"url": u, "depth": 0, "priority": 0}
+                           for u in urls])
+    finally:
+        eng.close()
+    items = read_items(ckpt)
+    assert sorted(items["url"].to_pylist()) == sorted(urls)
+    per_round = collections.Counter(items["round"].to_pylist())
+    assert all(n <= 1 for n in per_round.values())   # cap respected
+    assert s.n_visited == len(urls)

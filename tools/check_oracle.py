@@ -75,10 +75,18 @@ def main() -> int:
             problems.append(f"cols {list(mine.columns)} vs {list(ref.columns)}")
         elif len(mine) != len(ref):
             problems.append(f"rows {len(mine)} vs {len(ref)}")
+        elif list(map(str, mine.dtypes)) != list(map(str, ref.dtypes)):
+            # the driver hashes VALUES; a dtype mismatch (Int64 <NA> vs
+            # float64 NaN, int32 vs int64) changes the hash even when the
+            # values "look" equal -- fail it locally too
+            problems.append(
+                "dtypes "
+                f"{dict(zip(mine.columns, map(str, mine.dtypes)))} vs "
+                f"{dict(zip(ref.columns, map(str, ref.dtypes)))}")
         else:
             try:
                 pd.testing.assert_frame_equal(
-                    mine, ref, check_dtype=False, check_exact=False,
+                    mine, ref, check_dtype=True, check_exact=False,
                     rtol=0, atol=1e-9)
             except AssertionError as ex:
                 problems.append(str(ex).split("\n")[0] + " ...")
