@@ -148,45 +148,78 @@ def minhash_lsh_pairs(sf_dir: str, n_perm: int = 64, bands: int = 16,
         return pd.DataFrame({"doc_a": [p[0] for p in pairs],
                              "doc_b": [p[1] for p in pairs]})
 
+    # Candidate pairs stay a Dataset; dedup is a groupby on the (small)
+    # pair rows -- never the corpus.
     cand = banded.groupby(["band", "band_hash"]).map_groups(
         bucket_pairs, batch_format="pandas")
-    cand_pd = cand.to_pandas().drop_duplicates()
-    if len(cand_pd) == 0:
+    cand = cand.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+    cand_tbl = pa.Table.from_pandas(cand.to_pandas(), preserve_index=False)
+    if cand_tbl.num_rows == 0:
         return pa.table({"doc_a": pa.array([], pa.int64()),
                          "doc_b": pa.array([], pa.int64()),
                          "jaccard": pa.array([], pa.float64())})
 
-    # verify: fetch texts for candidate docs only (small side -> broadcast)
-    texts = {}
-    docs = _docs(sf_dir, ["doc_id", "text"]).to_arrow_refs()
+    # Verify stage, distributed: the candidate-id SET (output-scale, tiny
+    # vs the corpus) gates a distributed filter over documents, so only
+    # candidate texts ever reach the driver/object store; pair rows then
+    # verify against the broadcast text dict inside map_batches.
     import ray as _ray
-    for ref in docs:
-        t = _ray.get(ref)
-        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            texts[d] = x
-    out_a, out_b, out_j = [], [], []
-    for a, b in zip(cand_pd["doc_a"], cand_pd["doc_b"]):
-        j = an.jaccard_ngrams(texts[a] or "", texts[b] or "")
-        if j >= jaccard_threshold:
-            out_a.append(int(a)); out_b.append(int(b)); out_j.append(j)
-    return pa.table({"doc_a": pa.array(out_a, pa.int64()),
-                     "doc_b": pa.array(out_b, pa.int64()),
-                     "jaccard": pa.array(out_j, pa.float64())})
+    cand_ids = set(cand_tbl["doc_a"].to_pylist()) | \
+        set(cand_tbl["doc_b"].to_pylist())
+    ids_ref = _ray.put(cand_ids)
+
+    def keep_candidates(t: pa.Table) -> pa.Table:
+        wanted = _ray.get(ids_ref)
+        mask = pa.array([d in wanted for d in t["doc_id"].to_pylist()],
+                        pa.bool_())
+        return t.filter(mask)
+
+    cand_texts_tbl = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        keep_candidates, batch_format="pyarrow").take_all()
+    texts_ref = _ray.put({r["doc_id"]: r["text"] for r in cand_texts_tbl})
+
+    def verify(t: pa.Table) -> pa.Table:
+        texts = _ray.get(texts_ref)
+        out_a, out_b, out_j = [], [], []
+        for a, b in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()):
+            j = an.jaccard_ngrams(texts.get(a) or "", texts.get(b) or "")
+            if j >= jaccard_threshold:
+                out_a.append(int(a)); out_b.append(int(b)); out_j.append(j)
+        return pa.table({"doc_a": pa.array(out_a, pa.int64()),
+                         "doc_b": pa.array(out_b, pa.int64()),
+                         "jaccard": pa.array(out_j, pa.float64())})
+
+    verified = rd.from_arrow(cand_tbl).map_batches(
+        verify, batch_format="pyarrow").take_all()
+    verified.sort(key=lambda r: (r["doc_a"], r["doc_b"]))
+    return pa.table({
+        "doc_a": pa.array([r["doc_a"] for r in verified], pa.int64()),
+        "doc_b": pa.array([r["doc_b"] for r in verified], pa.int64()),
+        "jaccard": pa.array([r["jaccard"] for r in verified], pa.float64())})
 
 
 def jaccard_pairs_sample(sf_dir: str, threshold: float = 0.9,
                          k: int = 1) -> pa.Table:
     """Standalone n-gram Jaccard near-dup: brute-force exact word-k-gram
     Jaccard over the deterministic 1/8 doc hash-sample (all pairs), kept
-    above threshold.  k=1 (vocabulary Jaccard) because the synthetic
-    docs draw random word sequences -- higher-order shingles never repeat
-    across docs.  At scale the minhash-LSH pipeline replaces this
-    quadratic pair enumeration."""
+    above threshold.  The hash gate runs DISTRIBUTED (map_batches filter)
+    so the driver only ever holds the sample, never the full table.  k=1
+    (vocabulary Jaccard) because the synthetic docs draw random word
+    sequences -- higher-order shingles never repeat across docs.  At scale
+    the minhash-LSH pipeline replaces this quadratic pair enumeration.
+    Exact DuckDB oracle (list_intersect over distinct lowercase tokens)."""
     import hashlib
-    t = _docs(sf_dir, ["doc_id", "text"]).take_all()
-    rows = [(r["doc_id"], r["text"]) for r in t
-            if hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[0] in "01"]
-    shingle_sets = {d: an.shingles(x or "", k=k) for d, x in rows}
+
+    def gate(t: pa.Table) -> pa.Table:
+        keep = [hashlib.md5(str(d).encode()).hexdigest()[0] in "01"
+                for d in t["doc_id"].to_pylist()]
+        return t.filter(pa.array(keep, pa.bool_()))
+
+    rows = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        gate, batch_format="pyarrow").take_all()
+    shingle_sets = {r["doc_id"]: an.shingles(r["text"] or "", k=k)
+                    for r in rows}
     ids = sorted(shingle_sets)
     out_a, out_b, out_j = [], [], []
     for i, a in enumerate(ids):
@@ -198,33 +231,54 @@ def jaccard_pairs_sample(sf_dir: str, threshold: float = 0.9,
             inter = len(sa & sb)
             j = inter / (len(sa) + len(sb) - inter)
             if j >= threshold:
-                out_a.append(a); out_b.append(b); out_j.append(round(j, 6))
+                out_a.append(a); out_b.append(b); out_j.append(j)
     return pa.table({"doc_a": pa.array(out_a, pa.int64()),
                      "doc_b": pa.array(out_b, pa.int64()),
                      "jaccard": pa.array(out_j, pa.float64())})
 
 
 def simhash_dup_groups(sf_dir: str, max_hamming: int = 3) -> pa.Table:
-    """SimHash near-dup: bucket by the 4 16-bit simhash quarters (any
-    exact-matching quarter -> candidate, standard simhash blocking),
-    verify Hamming distance <= max_hamming."""
-    sigs = fingerprints(sf_dir).to_pandas()   # doc_id, fingerprint, simhash
-    sim = dict(zip(sigs["doc_id"], sigs["simhash"]))
-    buckets: dict[tuple[int, int], list[int]] = {}
-    for d, s in sim.items():
-        for q in range(4):
-            key = (q, (int(s) >> (16 * q)) & 0xFFFF)
-            buckets.setdefault(key, []).append(d)
-    pairs = set()
-    for ids in buckets.values():
-        ids = sorted(ids)
-        for i, a in enumerate(ids):
-            for b in ids[i + 1:]:
-                if bin(int(sim[a]) ^ int(sim[b])).count("1") <= max_hamming:
-                    pairs.add((a, b))
-    pairs = sorted(pairs)
-    return pa.table({"doc_a": pa.array([p[0] for p in pairs], pa.int64()),
-                     "doc_b": pa.array([p[1] for p in pairs], pa.int64())})
+    """SimHash near-dup as a DATASET pipeline: explode each doc to its 4
+    16-bit simhash quarters -> groupby (quarter, key) buckets -> per-bucket
+    pair generation with Hamming verify -> distinct pairs.  Standard
+    simhash blocking; for max_hamming <= 3 across 4 quarters the blocking
+    is EXACT by pigeonhole (some quarter must match), so the result equals
+    the brute-force all-pairs scan (the committed golden oracle).  Shuffles
+    carry only (q, key, doc_id, simhash) rows and candidate pairs -- never
+    text."""
+    def explode_quarters(t: pa.Table) -> pa.Table:
+        t = an.text_fingerprint_batch(t)
+        t = an.simhash_batch(t)
+        doc_ids = t["doc_id"].to_pylist()
+        sims = t["simhash"].to_pylist()
+        n = len(doc_ids)
+        return pa.table({
+            "q": pa.array([q for q in range(4) for _ in range(n)], pa.int32()),
+            "key": pa.array([(int(s) >> (16 * q)) & 0xFFFF
+                             for q in range(4) for s in sims], pa.int32()),
+            "doc_id": pa.array(doc_ids * 4, pa.int64()),
+            "simhash": pa.array(sims * 4, pa.int64()),
+        })
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        rows = sorted(zip(g["doc_id"], g["simhash"]))
+        out_a, out_b = [], []
+        for i, (a, sa) in enumerate(rows):
+            for b, sb in rows[i + 1:]:
+                if bin(int(sa) ^ int(sb)).count("1") <= max_hamming:
+                    out_a.append(a); out_b.append(b)
+        return pd.DataFrame({"doc_a": pd.Series(out_a, dtype="int64"),
+                             "doc_b": pd.Series(out_b, dtype="int64")})
+
+    quarters = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        explode_quarters, batch_format="pyarrow")
+    pairs = quarters.groupby(["q", "key"]).map_groups(
+        bucket_pairs, batch_format="pandas")
+    distinct = pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+    out = sorted((r["doc_a"], r["doc_b"]) for r in distinct.take_all())
+    return pa.table({"doc_a": pa.array([p[0] for p in out], pa.int64()),
+                     "doc_b": pa.array([p[1] for p in out], pa.int64())})
 
 
 # ---------------------------------------------------------- simple SQL peers

@@ -92,6 +92,59 @@ def neardup_pairs(sf_dir: str, threshold: float = 0.35) -> pa.Table:
     return _emb(sf_dir).map_batches(pairs, batch_format="pyarrow")
 
 
+def neardup_pairs_ivf(sf_dir: str, threshold: float = 0.35,
+                      n_cells: int = 16, n_probe: int = 6) -> pa.Table:
+    """The 100-TB-scale near-dup path: IVF-cell blocking instead of the
+    all-pairs broadcast matmul.  Each vector is EXPLODED to its ``n_probe``
+    closest cells (multi-probe raises recall); ``groupby(cell)`` co-locates
+    candidates; each cell runs a block-local matmul and emits pairs above
+    the threshold; a pair groupby dedups (a pair can share several cells).
+    Approximate: a pair is found iff the two vectors share at least one
+    probed cell -- recall vs the exact path is asserted in pytest.  The
+    cell id is the only shuffle key; nothing is ever broadcast at corpus
+    scale (centroids only)."""
+    import pandas as pd
+
+    # seeded random-projection centroids, same family as ivf_topk
+    dim = len(_emb(sf_dir).take(1)[0]["embedding"])
+    rng = np.random.default_rng(42)
+    cent = _normalize(rng.standard_normal((n_cells, dim)))
+    cent_ref = ray.put(cent)
+
+    def explode_cells(t: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        ids, mat = _to_matrix(t)
+        nm = _normalize(mat)
+        cells = np.argsort(-(nm @ c.T), axis=1)[:, :n_probe]   # top-P cells
+        n = len(ids)
+        return pa.table({
+            "cell": pa.array(cells.ravel(), pa.int32()),
+            "vec_id": pa.array(np.repeat(ids, n_probe), pa.int64()),
+            "emb": pa.array(list(np.repeat(nm, n_probe, axis=0)),
+                            pa.list_(pa.float64())),
+        })
+
+    def cell_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.asarray(g["vec_id"], np.int64)
+        mat = np.array(g["emb"].tolist(), np.float64)
+        sims = mat @ mat.T
+        ai, bj = np.nonzero(sims > threshold)
+        a, b = ids[ai], ids[bj]
+        keep = a < b
+        return pd.DataFrame({"id_a": pd.Series(a[keep], dtype="int64"),
+                             "id_b": pd.Series(b[keep], dtype="int64")})
+
+    pairs = (
+        _emb(sf_dir).map_batches(explode_cells, batch_format="pyarrow")
+        .groupby("cell").map_groups(cell_pairs, batch_format="pandas")
+        .groupby(["id_a", "id_b"]).map_groups(lambda g: g.head(1),
+                                              batch_format="pandas")
+    )
+    out = sorted((r["id_a"], r["id_b"]) for r in pairs.take_all())
+    return pa.table({"id_a": pa.array([p[0] for p in out], pa.int64()),
+                     "id_b": pa.array([p[1] for p in out], pa.int64())})
+
+
 def ivf_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10,
              n_cells: int = 16, n_probe: int = 4) -> pa.Table:
     """IVF-style approximate top-k as a DATASET pipeline (the scale

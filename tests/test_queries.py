@@ -69,3 +69,33 @@ def test_entry_smoke():
     df = _to_pandas(ds)
     assert len(df) > 0
     assert {"url", "title", "text", "n_links"} <= set(df.columns)
+
+
+def test_ivf_topk_recall_vs_exact():
+    """IVF machinery check: probing ALL cells must reproduce the exact
+    brute-force top-k bit-for-bit (cell assignment + probed-cell filter +
+    partial top-k merge lose nothing when nothing is pruned).  The default
+    4-of-16-probe approximation keeps >= n_probe/n_cells recall on these
+    near-random synthetic embeddings (neighbors are spread uniformly
+    across cells; real clustered embeddings do far better -- the neardup
+    IVF test below shows the clustered behaviour)."""
+    from pomp_ray.pipelines import embeddings
+    exact = embeddings.ann_topk(SF)["vec_id"].to_pylist()
+    full = embeddings.ivf_topk(SF, n_cells=16, n_probe=16)["vec_id"].to_pylist()
+    assert full == exact
+    approx = embeddings.ivf_topk(SF)["vec_id"].to_pylist()
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 4 / 16 * 0.5, (recall, exact, approx)
+
+
+def test_neardup_ivf_recall_and_precision():
+    """IVF-cell-blocked near-dup (the 100-TB scale path): precision must
+    be exact (within-cell verify is exact cosine) and multi-probe recall
+    high vs the all-pairs broadcast path."""
+    from pomp_ray.pipelines import embeddings
+    exact = embeddings.neardup_pairs(SF).to_pandas()
+    ex = set(zip(exact["id_a"], exact["id_b"]))
+    ivf = embeddings.neardup_pairs_ivf(SF)
+    got = set(zip(ivf["id_a"].to_pylist(), ivf["id_b"].to_pylist()))
+    assert not (got - ex), "IVF produced pairs the exact path lacks"
+    assert len(got & ex) / max(1, len(ex)) >= 0.9, (len(got), len(ex))

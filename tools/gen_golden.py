@@ -1,0 +1,138 @@
+"""Generate committed golden parquet oracles under tests/golden/.
+
+Two families, both INDEPENDENT of the engine code paths they check:
+
+* Crawl outputs (crawl_bfs_visited / crawl_bfs_items / crawl_dfs_visited /
+  crawl_bfs_errors): produced by the serial pomp-semantics oracle loop
+  (pomp_ray/core/oracle.py) over the TINY corpus -- the same spec the
+  pytest conformance suite trusts, NOT the distributed engine.  The
+  driver's correctness gate can then hash-compare the engine's output
+  against these via ``SELECT * FROM read_parquet(...)`` oracle SQL.
+
+* Signature tables at sf0.01 (fingerprints / simhash_dup_groups): computed
+  by straight-line pure-Python reimplementations in THIS file (per-token
+  md5 + integer bit counting, byte-at-a-time FNV), deliberately avoiding
+  pomp_ray.functions.analysis's vectorized/cached code so a vectorization
+  bug cannot propagate into its own oracle.  simhash_dup_groups is a
+  brute-force ALL-PAIRS Hamming scan (no LSH blocking) -- for
+  max_hamming=3 over 4 quarters the engine's blocking is exact by
+  pigeonhole, so the sets must match exactly.
+
+The sf0.01 goldens are valid only for /root/testdata/sf0.01 (the scale the
+driver's correctness gate runs at, per the task spec).
+
+Usage: python tools/gen_golden.py
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "..", "tests", "golden")
+SF001 = "/root/testdata/sf0.01"
+
+
+# ------------------------------------------------- independent signature impls
+def indep_fnv1a64(data: bytes) -> int:
+    h = 0xCBF29CE484222325
+    for b in data:
+        h = ((h ^ b) * 0x100000001B3) % (1 << 64)
+    return h & 0x7FFFFFFFFFFFFFFF
+
+
+def indep_simhash63(text: str) -> int:
+    tokens = re.findall(r"\S+", text)
+    if not tokens:
+        return 0
+    counts = [0] * 64
+    for tok in tokens:
+        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
+        for i in range(64):
+            counts[i] += (h >> i) & 1
+    out = 0
+    half, n = None, len(tokens)
+    for i in range(64):
+        if 2 * counts[i] - n > 0:
+            out |= 1 << i
+    del half
+    return out & 0x7FFFFFFFFFFFFFFF
+
+
+def gen_signature_goldens() -> None:
+    t = pq.read_table(os.path.join(SF001, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    doc_ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    fps = [indep_fnv1a64((x or "").encode()) for x in texts]
+    sims = [indep_simhash63(x or "") for x in texts]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
+                  "fingerprint": pa.array(fps, pa.int64()),
+                  "simhash": pa.array(sims, pa.int64())}),
+        os.path.join(GOLDEN_DIR, "fingerprints_sf001.parquet"))
+
+    pairs = []
+    order = sorted(zip(doc_ids, sims))
+    for i, (a, sa) in enumerate(order):
+        for b, sb in order[i + 1:]:
+            if bin(sa ^ sb).count("1") <= 3:
+                pairs.append((a, b))
+    pairs.sort()
+    pq.write_table(
+        pa.table({"doc_a": pa.array([p[0] for p in pairs], pa.int64()),
+                  "doc_b": pa.array([p[1] for p in pairs], pa.int64())}),
+        os.path.join(GOLDEN_DIR, "simhash_dup_groups_sf001.parquet"))
+    print(f"signature goldens: {len(doc_ids)} docs, {len(pairs)} simhash pairs")
+
+
+# ----------------------------------------------------------- crawl goldens
+def gen_crawl_goldens() -> None:
+    from pomp_ray import schemas
+    from pomp_ray.functions.textfns import url_path
+    from pomp_ray.sources import gen_corpus
+    from tests.helpers import oracle_inputs
+
+    fix = gen_corpus.generate("/tmp/pomp_golden_corpus", gen_corpus.TINY)
+    corpus, seeds, robots, _ = oracle_inputs(fix)
+
+    from pomp_ray.core.oracle import crawl_oracle
+
+    for mode in ("bfs", "dfs"):
+        res = crawl_oracle(corpus, seeds, robots, mode=mode)
+        depth_by_url = {v["url"]: v["depth"] for v in res.visited}
+        visited = pa.Table.from_pylist(res.visited, schema=schemas.VISITED)
+        pq.write_table(visited, os.path.join(
+            GOLDEN_DIR, f"crawl_{mode}_visited.parquet"))
+        if mode == "bfs":
+            items = pa.Table.from_pylist(
+                [{**i, "depth": depth_by_url[i["url"]]} for i in res.items],
+                schema=schemas.ITEMS)
+            pq.write_table(items, os.path.join(
+                GOLDEN_DIR, "crawl_bfs_items.parquet"))
+            errors = pa.Table.from_pylist(
+                [{"url": e["url"], "stage": e["stage"],
+                  "exc_type": ("FetchMiss" if e["stage"] == "fetch"
+                               else "RobotsDisallowed"),
+                  "message": ("not in corpus" if e["stage"] == "fetch"
+                              else url_path(e["url"])),
+                  "retryable": False, "round": e["round"]}
+                 for e in res.errors],
+                schema=schemas.ERRORS)
+            pq.write_table(errors, os.path.join(
+                GOLDEN_DIR, "crawl_bfs_errors.parquet"))
+        print(f"crawl golden {mode}: visited={visited.num_rows} "
+              f"errors={len(res.errors)}")
+
+
+if __name__ == "__main__":
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    gen_signature_goldens()
+    gen_crawl_goldens()
