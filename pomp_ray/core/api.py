@@ -163,9 +163,11 @@ class BaseMiddleware:
 
 
 def apply_middlewares(batch: pa.Table, middlewares: list, hook: str) -> pa.Table:
-    for mw in middlewares:
+    # exceptions unwind in REVERSE chain order, like pomp's engine
+    chain = (reversed(middlewares)
+             if hook == "process_exception_batch" else middlewares)
+    for mw in chain:
         batch = getattr(mw, hook)(batch)
-    # exceptions run in reverse order, like pomp's engine unwinding
     return batch
 
 

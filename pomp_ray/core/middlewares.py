@@ -73,3 +73,17 @@ class RequestCounterMiddleware(BaseMiddleware):
     def process_response_batch(self, batch: pa.Table) -> pa.Table:
         self.n_responses += batch.num_rows
         return batch
+
+
+class ErrorTagMiddleware(BaseMiddleware):
+    """Exception-hook middleware (SURVEY.md M6): appends a tag to every
+    error row's message.  Chains unwind in reverse order, so middlewares
+    (ErrorTagMiddleware('a'), ErrorTagMiddleware('b')) append '|b|a'."""
+
+    def __init__(self, tag: str):
+        self.tag = tag
+
+    def process_exception_batch(self, batch: pa.Table) -> pa.Table:
+        msg = [f"{m}|{self.tag}" for m in batch["message"].to_pylist()]
+        i = batch.column_names.index("message")
+        return batch.set_column(i, "message", pa.array(msg, pa.string()))

@@ -31,7 +31,10 @@ Two fidelity modes:
             next round's read filters them out)
   Same visited SET as exact mode (enqueue-time dedup makes the reachable
   set order-invariant), relaxed order -- the relaxation pomp's own
-  concurrent-downloader tests accept.
+  concurrent-downloader tests accept.  Errors live in-band in scale mode
+  (fetch_ok=False items rows / blocked frontier rows), so the
+  process_exception_batch middleware hook fires only where error TABLES
+  are produced (driver + exact paths, the pomp-parity modes).
 
 Hybrid execution: rounds smaller than ``min_distributed_rows`` run on the
 driver (pomp's serial engine, byte-identical semantics, no per-round
@@ -117,6 +120,10 @@ class CrawlConfig:
     exact_order: bool = True
     round_budget_s: float = 10.0
     dfs_width: int = 1
+    # DFS rounds run distributed (width-limited exact rounds) only when
+    # the width itself offers parallelism; a width-1 DFS is inherently
+    # serial and stays on the driver fast path regardless of frontier size.
+    dfs_distributed_min_width: int = 16
     max_depth: int | None = None
     max_rounds: int | None = None
     n_seen_shards: int = 8
@@ -124,6 +131,17 @@ class CrawlConfig:
     min_distributed_rows: int = 256    # below this a round runs driver-side
     fetch_batch_size: int = 4096
     target_block_rows: int = 512       # min rows per read block (coalesce)
+    # Fetch stage implementation for distributed rounds (SURVEY.md J1):
+    #   "broadcast" -- ray.put corpus index once, stateless lookup tasks
+    #                  (default; corpus must fit the object store)
+    #   "actor"     -- CorpusFetcher actor pool (index built once per
+    #                  actor in __init__; pomp ConcurrentDownloader shape)
+    #   "join"      -- hash-partitioned Dataset.join against the corpus
+    #                  parquet (the 100-TB path: nothing broadcast, both
+    #                  sides shuffle once; driver never loads the corpus)
+    fetch_strategy: str = "broadcast"
+    fetch_concurrency: int = 4         # actor-pool size for "actor"
+    join_num_partitions: int = 64      # shuffle partitions for "join"
     parse_fn: object = None            # ParseFn override (CrawlerSpec hook)
     enrich_fn: object = None           # optional batch fn applied to parsed rows
     # Ordered middleware chain (pomp BaseMiddleware parity, SURVEY.md
@@ -156,10 +174,42 @@ class CrawlEngine:
                 self.disallow[r["host"]] = list(r.get("disallow_prefixes") or [])
                 self.delay[r["host"]] = float(r.get("crawl_delay") or 0.0)
         self.caps = caps_from_delay(self.delay, cfg.round_budget_s)
-        self.index = CorpusIndex.build(cfg.corpus_path)
-        self.index_refs = self.index.put()
+        # The broadcast corpus index is built LAZILY: join-strategy crawls
+        # with min_distributed_rows=0 never touch it, so the driver never
+        # materializes the corpus (the point of the join path at scale).
+        self._index: CorpusIndex | None = None
+        self._index_refs = None
         self.seen = SeenSet(cfg.n_seen_shards)
         self.seq_counter = 0
+
+    @property
+    def index(self) -> CorpusIndex:
+        if self._index is None:
+            self._index = CorpusIndex.build(self.cfg.corpus_path)
+        return self._index
+
+    @property
+    def index_refs(self):
+        if self._index_refs is None:
+            self._index_refs = self.index.put()
+        return self._index_refs
+
+    def _fetch_stage(self, selected: rd.Dataset) -> rd.Dataset:
+        """Distributed fetch by configured strategy (SURVEY.md S2/S3/J1)."""
+        cfg = self.cfg
+        if cfg.fetch_strategy == "join":
+            from pomp_ray.stages.fetch import fetch_via_join
+            return fetch_via_join(selected, cfg.corpus_path,
+                                  num_partitions=cfg.join_num_partitions)
+        if cfg.fetch_strategy == "actor":
+            from pomp_ray.stages.fetch import CorpusFetcher
+            return selected.map_batches(
+                CorpusFetcher, fn_constructor_args=(cfg.corpus_path,),
+                concurrency=cfg.fetch_concurrency,
+                batch_size=cfg.fetch_batch_size, batch_format="pyarrow")
+        return selected.map_batches(
+            make_fetch_fn(self.index_refs), batch_format="pyarrow",
+            batch_size=cfg.fetch_batch_size)
 
     # ------------------------------------------------------------------ dirs
     def _dir(self, kind: str, rnd: int) -> str:
@@ -358,8 +408,11 @@ class CrawlEngine:
             items_t = cfg.enrich_fn(items_t)
         self._write_table(items_t, "items", rnd)
         if errors:
-            self._write_table(pa.Table.from_pylist(errors, schema=schemas.ERRORS),
-                              "errors", rnd)
+            errs_t = pa.Table.from_pylist(errors, schema=schemas.ERRORS)
+            if cfg.middlewares:
+                errs_t = _mw_hook(cfg.middlewares,
+                                  "process_exception_batch")(errs_t)
+            self._write_table(errs_t, "errors", rnd)
         next_frontier = pa.concat_tables(
             [self._frontier_table(accepted), _cast_frontier(def_t)]
         )
@@ -411,14 +464,30 @@ class CrawlEngine:
         else:
             selected, deferred = fds, None
 
+        # --- DFS width cut (distributed LIFO: top-`width` rows by
+        # (priority desc, seq desc), exactly the serial oracle's walk --
+        # politeness cap-filtering commutes with the global width prefix,
+        # so the selected SET matches the oracle bit-for-bit) ---
+        width_deferred = None
+        if cfg.mode == "dfs":
+            width = cfg.dfs_width
+            sorted_sel = selected.sort(
+                ["priority", "seq"], descending=[True, True]).materialize()
+            n_sel_total = sorted_sel.count()
+            if n_sel_total > width:
+                head, tail = sorted_sel.split_at_indices([width])
+                selected = head
+                width_deferred = tail
+                n_deferred += n_sel_total - width
+            else:
+                selected = sorted_sel
+
         # --- fetch + parse ---
         if cfg.middlewares:
             selected = selected.map_batches(
                 _mw_hook(cfg.middlewares, "process_request_batch"),
                 batch_format="pyarrow")
-        fetched = selected.map_batches(
-            make_fetch_fn(self.index_refs), batch_format="pyarrow",
-            batch_size=cfg.fetch_batch_size)
+        fetched = self._fetch_stage(selected)
         if cfg.middlewares:
             fetched = fetched.map_batches(
                 _mw_hook(cfg.middlewares, "process_response_batch"),
@@ -440,10 +509,12 @@ class CrawlEngine:
         ok.map_batches(_as_items, batch_format="pyarrow").write_parquet(
             self._dir("items", rnd))
 
+        exc_hook = (_mw_hook(cfg.middlewares, "process_exception_batch")
+                    if cfg.middlewares else (lambda t: t))
         n_visited = ok.count()
         n_miss = n_selected - n_visited
         if n_miss:
-            parsed.map_batches(lambda t: _miss_errors(t, rnd),
+            parsed.map_batches(lambda t: exc_hook(_miss_errors(t, rnd)),
                                batch_format="pyarrow").write_parquet(
                 self._dir("errors", rnd))
 
@@ -467,7 +538,7 @@ class CrawlEngine:
             lambda t: pa.table({"n": [int(pc.sum(t["blocked"]).as_py() or 0)]}),
             batch_format="pyarrow").sum("n") or 0)
         if n_blocked:
-            cands.map_batches(lambda t: _robots_errors(t, rnd),
+            cands.map_batches(lambda t: exc_hook(_robots_errors(t, rnd)),
                               batch_format="pyarrow").write_parquet(
                 self._dir("errors", rnd))
 
@@ -488,6 +559,9 @@ class CrawlEngine:
         if deferred is not None and n_deferred:
             deferred.map_batches(_cast_frontier,
                                  batch_format="pyarrow").write_parquet(next_dir)
+        if width_deferred is not None:
+            width_deferred.map_batches(
+                _cast_frontier, batch_format="pyarrow").write_parquet(next_dir)
         n_errors = n_miss + n_blocked
         return {"round": rnd, "path": "exact", "n_selected": n_selected,
                 "n_deferred": n_deferred, "n_visited": n_visited,
@@ -513,9 +587,7 @@ class CrawlEngine:
             selected = selected.map_batches(
                 _mw_hook(cfg.middlewares, "process_request_batch"),
                 batch_format="pyarrow")
-        fetched = selected.map_batches(
-            make_fetch_fn(self.index_refs), batch_format="pyarrow",
-            batch_size=cfg.fetch_batch_size)
+        fetched = self._fetch_stage(selected)
         if cfg.middlewares:
             fetched = fetched.map_batches(
                 _mw_hook(cfg.middlewares, "process_response_batch"),
@@ -640,9 +712,13 @@ class CrawlEngine:
                     if os.path.isdir(d):
                         shutil.rmtree(d)
                 t_r = time.monotonic()
-                if cfg.mode == "dfs" or n_frontier < cfg.min_distributed_rows:
+                dfs_serial = (cfg.mode == "dfs" and
+                              cfg.dfs_width < cfg.dfs_distributed_min_width)
+                if dfs_serial or n_frontier < cfg.min_distributed_rows:
                     info = self._run_round_driver(rnd)
-                elif cfg.exact_order:
+                elif cfg.exact_order or cfg.mode == "dfs":
+                    # wide-DFS rounds use the exact distributed path (the
+                    # global width cut needs the deterministic seq sort)
                     info = self._run_round_exact(rnd, n_frontier)
                 else:
                     info = self._run_round_scale(rnd, n_frontier)
@@ -784,12 +860,14 @@ def _robots_errors(t: pa.Table, rnd: int) -> pa.Table:
 
 
 def _hash_seq(t: pa.Table) -> pa.Table:
-    """Scale-mode seq: deterministic per-url hash (63-bit)."""
-    import hashlib
-    seqs = [
-        int.from_bytes(hashlib.md5(u.encode()).digest()[:8], "little") >> 1
-        for u in t["canon_url"].to_pylist()
-    ]
+    """Scale-mode seq: deterministic per-url hash (63-bit).  Vectorized
+    via pandas' keyed siphash (stable across processes/sessions -- unlike
+    builtin hash() -- and ~10x cheaper than per-row hashlib.md5; scale
+    mode only needs a stable unique id, not a specific hash family)."""
+    import numpy as np
+    import pandas as pd
+    urls = np.asarray(t["canon_url"].to_pylist(), dtype=object)
+    seqs = (pd.util.hash_array(urls) >> np.uint64(1)).astype(np.int64)
     t = t.append_column("seq", pa.array(seqs, pa.int64()))
     return _cast_frontier(t.select(FRONTIER_COLS + ["blocked"]))
 
@@ -862,10 +940,15 @@ def _politeness_inline(fds: rd.Dataset, caps: dict[str, int], n_salts: int,
 
 
 def _mw_hook(middlewares: tuple, hook: str):
-    """Batch fn applying a middleware chain hook in order (pomp's
-    middleware semantics: each may transform or filter the batch)."""
+    """Batch fn applying a middleware chain hook (pomp's middleware
+    semantics: each may transform or filter the batch).  Request/response
+    hooks run in chain order; the exception hook unwinds in REVERSE chain
+    order, matching pomp's engine (SURVEY.md M6)."""
+    chain = (tuple(reversed(middlewares))
+             if hook == "process_exception_batch" else middlewares)
+
     def apply(batch: pa.Table) -> pa.Table:
-        for mw in middlewares:
+        for mw in chain:
             fn = getattr(mw, hook, None)
             if fn is not None:
                 batch = fn(batch)
@@ -898,19 +981,35 @@ def crawl_spec(spec, corpus_path: str, ckpt_dir: str,
     return summary
 
 
+def iter_item_batches(ckpt_dir: str, batch_rows: int = 8192):
+    """Stream the logical items table batch-by-batch in the same order
+    ``read_items`` concatenates it (sorted files, row groups in order),
+    without ever holding more than one row group in memory."""
+    for p in sorted(glob.glob(os.path.join(ckpt_dir, "items", "round-*",
+                                           "*.parquet"))):
+        pf = pq.ParquetFile(p)
+        for rg in range(pf.num_row_groups):
+            t = pf.read_row_group(rg)
+            if "fetch_ok" in t.column_names:   # scale layout: items superset
+                t = t.filter(t["fetch_ok"])
+            t = schemas.cast_to(t, schemas.ITEMS)
+            for lo in range(0, t.num_rows, batch_rows):
+                yield t.slice(lo, batch_rows)
+
+
 def run_pipelines(ckpt_dir: str, pipelines: list, crawler=None,
                   batch_rows: int = 8192) -> int:
     """Stream the crawl's items through an ordered pipeline chain
     (pomp BasePipeline parity: start -> process per batch -> stop in
     reverse order).  Pipelines run in the driver process, like pomp's --
-    they typically hold file handles (CsvPipeline)."""
-    items = read_items(ckpt_dir)
+    they typically hold file handles (CsvPipeline) -- but the items are
+    STREAMED per parquet row group, so peak driver memory is independent
+    of crawl size."""
     for p in pipelines:
         p.start(crawler)
     n = 0
     try:
-        for lo in range(0, items.num_rows, batch_rows):
-            batch = items.slice(lo, batch_rows)
+        for batch in iter_item_batches(ckpt_dir, batch_rows):
             for p in pipelines:
                 batch = p.process_batch(crawler, batch)
                 if batch is None or batch.num_rows == 0:

@@ -32,20 +32,50 @@ from pomp_ray.functions.textfns import (
 from pomp_ray.state.seen import check_and_add_via
 
 
+# Vectorized fast path: absolute urls already in canonical shape (lowercase
+# scheme://host/path, no port/query/fragment/userinfo) are canonical
+# as-is and urljoin is the identity on them, so one Arrow regex extracts
+# canon/host/path for the whole batch; only the residue (relative hrefs,
+# ports, queries, uppercase) falls back to the per-row library functions.
+# Equivalence with the per-row path is asserted in tests/test_textfns.py.
+_FAST_EXTRACT = r"^(?:http|https)://(?P<host>[a-z0-9.-]+)(?P<path>/[^#?@\s]*)$"
+
+
 def canonicalize_batch(batch: pa.Table) -> pa.Table:
     """Resolve + canonicalize candidate urls; adds canon_url, host, path."""
-    urls = batch["url"].to_pylist()
-    bases = batch["base"].to_pylist() if "base" in batch.column_names else [None] * len(urls)
-    canon = [
-        url_canonicalize(url_join(b, u) if b else u) for u, b in zip(urls, bases)
-    ]
-    batch = batch.append_column("canon_url", pa.array(canon, pa.string()))
-    batch = batch.append_column(
-        "host", pa.array([url_host(c) for c in canon], pa.string())
-    )
-    return batch.append_column(
-        "path", pa.array([url_path(c) for c in canon], pa.string())
-    )
+    urls = batch["url"]
+    ex = pc.extract_regex(urls, pattern=_FAST_EXTRACT)
+    fast = pc.is_valid(ex)
+    n = batch.num_rows
+    n_fast = int(pc.sum(fast).as_py() or 0)
+    if n_fast == n:
+        canon_arr = pc.cast(urls, pa.string())
+        host_arr = pc.struct_field(ex, "host")
+        path_arr = pc.struct_field(ex, "path")
+    else:
+        fast_mask = fast.to_pylist() if hasattr(fast, "to_pylist") else fast
+        urls_py = urls.to_pylist()
+        bases_py = (batch["base"].to_pylist()
+                    if "base" in batch.column_names else [None] * n)
+        hosts_fast = pc.struct_field(ex, "host").to_pylist()
+        paths_fast = pc.struct_field(ex, "path").to_pylist()
+        canon, hosts, paths = [], [], []
+        for i, (u, b, ok) in enumerate(zip(urls_py, bases_py, fast_mask)):
+            if ok:
+                canon.append(u)
+                hosts.append(hosts_fast[i])
+                paths.append(paths_fast[i])
+            else:
+                c = url_canonicalize(url_join(b, u) if b else u)
+                canon.append(c)
+                hosts.append(url_host(c))
+                paths.append(url_path(c))
+        canon_arr = pa.array(canon, pa.string())
+        host_arr = pa.array(hosts, pa.string())
+        path_arr = pa.array(paths, pa.string())
+    batch = batch.append_column("canon_url", canon_arr)
+    batch = batch.append_column("host", host_arr)
+    return batch.append_column("path", path_arr)
 
 
 def make_robots_flag(disallow: dict[str, list[str]]):

@@ -6,7 +6,11 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from pomp_ray.core.api import BasePipeline, CrawlerSpec
-from pomp_ray.core.middlewares import BodyTagMiddleware, HostFilterMiddleware
+from pomp_ray.core.middlewares import (
+    BodyTagMiddleware,
+    ErrorTagMiddleware,
+    HostFilterMiddleware,
+)
 from pomp_ray.crawl import (
     CrawlConfig,
     crawl_spec,
@@ -103,3 +107,26 @@ def test_run_pipelines_filtering(tmp_path):
     assert n == 0
     assert after.n == 0   # chain short-circuits on empty batch
     assert after.started and after.stopped
+
+
+
+def test_exception_middleware_fires_both_paths(tmp_path):
+    """process_exception_batch must fire on fetch-miss errors on BOTH
+    hybrid paths, unwinding in REVERSE chain order (pomp's engine
+    semantics): chain (a, b) must append '|b|a'."""
+    from pomp_ray.crawl import read_errors
+
+    fix = fixture_corpus(gen_corpus.TINY)
+    seeds = pq.read_table(fix.seeds_path).to_pylist()
+    for name, min_rows in (("driver", 10**6), ("exact", 0)):
+        ckpt = str(tmp_path / name)
+        run_crawl(_cfg(fix, ckpt, min_distributed_rows=min_rows,
+                       middlewares=(ErrorTagMiddleware("a"),
+                                    ErrorTagMiddleware("b"))),
+                  seeds=seeds)
+        errs = read_errors(ckpt)
+        fetch_msgs = [m for m, s in zip(errs["message"].to_pylist(),
+                                        errs["stage"].to_pylist())
+                      if s == "fetch"]
+        assert fetch_msgs, name
+        assert all(m.endswith("|b|a") for m in fetch_msgs), (name, fetch_msgs)

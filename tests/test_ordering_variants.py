@@ -78,3 +78,58 @@ def test_fetch_via_join(tmp_path):
     want = dict(zip(lookup["canon_url"].to_pylist(), lookup["html"].to_pylist()))
     for u in urls:
         assert got[u][0] == want[u] and got[u][1]
+
+
+def test_dfs_distributed_exact(tmp_path):
+    """Wide DFS through the DISTRIBUTED exact path (round-1 gap: every
+    DFS round used to serialize onto the driver).  With dfs_width >=
+    dfs_distributed_min_width and min_distributed_rows=0, rounds run the
+    width-limited exact Dataset pipeline and must still match the serial
+    oracle bit-for-bit (visited tuples incl. round+seq, items, errors)."""
+    from pomp_ray.core.oracle import crawl_oracle
+    from tests.helpers import (
+        errors_set,
+        items_map,
+        oracle_errors_set,
+        oracle_inputs,
+        oracle_items_map,
+    )
+
+    fix = fixture_corpus(gen_corpus.SMALL)
+    corpus, seeds, robots, _ = oracle_inputs(fix)
+    ckpt = str(tmp_path / "c")
+    cfg = CrawlConfig(corpus_path=fix.pages_path, ckpt_dir=ckpt,
+                      robots_path=fix.robots_path, mode="dfs", dfs_width=32,
+                      min_distributed_rows=0, n_seen_shards=4)
+    summary = run_crawl(cfg, seeds=seeds)
+    assert any(r["path"] == "exact" for r in summary.per_round), \
+        "distributed DFS path never exercised"
+    res = crawl_oracle(corpus, seeds, robots, mode="dfs", dfs_width=32)
+    assert visited_tuples(read_ckpt(ckpt, "visited")) == \
+        oracle_visited_tuples(res)
+    assert items_map(read_ckpt(ckpt, "items")) == oracle_items_map(res)
+    assert errors_set(read_ckpt(ckpt, "errors")) == oracle_errors_set(res)
+    assert summary.n_seen == len(res.seen)
+
+
+def test_crawl_with_join_and_actor_fetch(tmp_path):
+    """The crawl's fetch stage through the all-large Dataset.join path and
+    the actor-pool path (round-1 gap: join fetch was never the crawl's
+    fetch stage in any test).  Exact BFS conformance must hold for both:
+    the fetch shuffle reorders rows but seq-based ordering restores the
+    oracle's exact visited tuples."""
+    from tests.helpers import oracle_inputs
+
+    fix = fixture_corpus(gen_corpus.TINY)
+    corpus, seeds, robots, _ = oracle_inputs(fix)
+    res = run_oracle(fix, mode="bfs")
+    for strategy in ("join", "actor"):
+        ckpt = str(tmp_path / strategy)
+        cfg = CrawlConfig(corpus_path=fix.pages_path, ckpt_dir=ckpt,
+                          robots_path=fix.robots_path, mode="bfs",
+                          fetch_strategy=strategy, min_distributed_rows=0,
+                          join_num_partitions=4, fetch_concurrency=2,
+                          n_seen_shards=2)
+        run_crawl(cfg, seeds=seeds)
+        assert visited_tuples(read_ckpt(ckpt, "visited")) == \
+            oracle_visited_tuples(res), strategy

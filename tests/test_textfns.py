@@ -78,3 +78,38 @@ def test_byte_identity_over_corpus():
                                pages["html"].to_pylist(),
                                pages["text"].to_pylist()):
         assert html_extract_text(html) == text, url
+
+
+def test_canonicalize_batch_equivalence():
+    """The vectorized canonicalize_batch (Arrow regex fast path + per-row
+    residue) must equal the straight per-row reference on every shape:
+    relative hrefs, ports, queries, fragments, uppercase, userinfo."""
+    import pyarrow as pa
+
+    from pomp_ray.functions.textfns import (
+        url_canonicalize, url_host, url_join, url_path)
+    from pomp_ray.stages.enqueue import canonicalize_batch
+
+    urls = [
+        "http://site0.test/p/1", "https://a.b-c.test/x/y.z",
+        "/p/7", "p/8", "../up", "HTTP://Site0.TEST/p/1",
+        "http://site0.test:80/p/1", "http://site0.test:8080/p/1",
+        "http://site0.test/p/1?q=2", "http://site0.test/p/1#frag",
+        "http://user@site0.test/p/1", "http://site0.test", "",
+        "http://site0.test/p/sp ace",
+    ]
+    bases = ["http://base.test/dir/page"] * len(urls)
+    batch = pa.table({"url": pa.array(urls, pa.string()),
+                      "base": pa.array(bases, pa.string())})
+    out = canonicalize_batch(batch)
+    for u, b, c, h, p in zip(urls, bases, out["canon_url"].to_pylist(),
+                             out["host"].to_pylist(),
+                             out["path"].to_pylist()):
+        ref = url_canonicalize(url_join(b, u) if b else u)
+        assert c == ref, (u, c, ref)
+        assert h == url_host(ref), (u, h)
+        assert p == url_path(ref), (u, p)
+    # and the no-base shape (seed admission)
+    out2 = canonicalize_batch(pa.table({"url": pa.array(urls, pa.string())}))
+    for u, c in zip(urls, out2["canon_url"].to_pylist()):
+        assert c == url_canonicalize(u), (u, c)
