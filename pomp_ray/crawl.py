@@ -127,7 +127,8 @@ class CrawlConfig:
     max_depth: int | None = None
     max_rounds: int | None = None
     n_seen_shards: int = 8
-    n_salts: int = 1                   # politeness salting (scale mode only)
+    n_salts: int = 1                   # max politeness salts/host (scale mode)
+    politeness_group_rows: int = 4096  # target rows per (host,salt) group
     min_distributed_rows: int = 256    # below this a round runs driver-side
     fetch_batch_size: int = 4096
     target_block_rows: int = 512       # min rows per read block (coalesce)
@@ -142,6 +143,13 @@ class CrawlConfig:
     fetch_strategy: str = "broadcast"
     fetch_concurrency: int = 4         # actor-pool size for "actor"
     join_num_partitions: int = 64      # shuffle partitions for "join"
+    # Custom downloader seam (pomp BaseDownloader parity): a callable
+    # class (e.g. stages.fetch.HttpFetcher) run as an actor pool; must
+    # emit html + fetch_ok (optionally fetch_err / fetch_retryable /
+    # fetch_attempts, which flow into the errors table).  Overrides
+    # fetch_strategy when set.
+    fetcher_cls: object = None
+    fetcher_kwargs: dict = field(default_factory=dict)
     parse_fn: object = None            # ParseFn override (CrawlerSpec hook)
     enrich_fn: object = None           # optional batch fn applied to parsed rows
     # Ordered middleware chain (pomp BaseMiddleware parity, SURVEY.md
@@ -197,6 +205,11 @@ class CrawlEngine:
     def _fetch_stage(self, selected: rd.Dataset) -> rd.Dataset:
         """Distributed fetch by configured strategy (SURVEY.md S2/S3/J1)."""
         cfg = self.cfg
+        if cfg.fetcher_cls is not None:
+            return selected.map_batches(
+                cfg.fetcher_cls, fn_constructor_kwargs=cfg.fetcher_kwargs,
+                concurrency=cfg.fetch_concurrency,
+                batch_size=cfg.fetch_batch_size, batch_format="pyarrow")
         if cfg.fetch_strategy == "join":
             from pomp_ray.stages.fetch import fetch_via_join
             return fetch_via_join(selected, cfg.corpus_path,
@@ -247,11 +260,25 @@ class CrawlEngine:
     def _frontier_count(self, rnd: int) -> int:
         """Pending (non-blocked) rows for round ``rnd``.  Row totals come
         from parquet metadata; the blocked flag is a single boolean column
-        read (cheap; at extreme scale this would use column statistics)."""
+        read.  When scale-mode salting is on, the host column is read in
+        the same pass to observe per-host frequencies (skew input for
+        politeness.derive_salt_counts).  Cheap -- two dict-encoded columns
+        -- but O(frontier) driver I/O; at extreme scale both become
+        per-file column statistics / a side aggregate written by exec B."""
+        want_freq = (not self.cfg.exact_order and self.cfg.n_salts > 1
+                     and self.caps)
+        cols = ["blocked", "host"] if want_freq else ["blocked"]
         n = 0
+        freq: dict[str, int] = {}
         for p in self._frontier_sources(rnd):
-            t = pq.read_table(p, columns=["blocked"])
+            t = pq.read_table(p, columns=cols)
             n += t.num_rows - int(pc.sum(t["blocked"]).as_py() or 0)
+            if want_freq:
+                vc = t.filter(pc.invert(t["blocked"]))["host"].value_counts()
+                for v in vc:
+                    h = v["values"].as_py()
+                    freq[h] = freq.get(h, 0) + v["counts"].as_py()
+        self._host_freq = freq
         return n
 
     # -------------------------------------------------------- driver enqueue
@@ -578,9 +605,13 @@ class CrawlEngine:
 
         # exec A: [politeness ->] fetch -> parse -> enrich -> items
         if self.caps:
+            from pomp_ray.stages.politeness import derive_salt_counts
+            salt_counts = derive_salt_counts(
+                getattr(self, "_host_freq", {}), self.caps, cfg.n_salts,
+                cfg.politeness_group_rows)
             deferred_dir = self._dir("deferred", rnd)
             selected = _politeness_inline(
-                fds, self.caps, cfg.n_salts, deferred_dir, rnd=rnd)
+                fds, self.caps, salt_counts, deferred_dir, rnd=rnd)
         else:
             selected = fds
         if cfg.middlewares:
@@ -714,7 +745,10 @@ class CrawlEngine:
                 t_r = time.monotonic()
                 dfs_serial = (cfg.mode == "dfs" and
                               cfg.dfs_width < cfg.dfs_distributed_min_width)
-                if dfs_serial or n_frontier < cfg.min_distributed_rows:
+                # a custom downloader class only runs in distributed
+                # rounds -- never fall back to the driver's corpus lookup
+                if ((dfs_serial or n_frontier < cfg.min_distributed_rows)
+                        and cfg.fetcher_cls is None):
                     info = self._run_round_driver(rnd)
                 elif cfg.exact_order or cfg.mode == "dfs":
                     # wide-DFS rounds use the exact distributed path (the
@@ -809,7 +843,11 @@ def read_errors(ckpt_dir: str) -> pa.Table:
             continue
         t = t.filter(pc.invert(t["fetch_ok"]))
         if t.num_rows:
-            out.append(_miss_errors_from(t["url"], t["round"][0].as_py()))
+            out.append(_miss_errors_from(
+                t["url"], t["round"][0].as_py(),
+                t["fetch_err"] if "fetch_err" in t.column_names else None,
+                (t["fetch_retryable"]
+                 if "fetch_retryable" in t.column_names else None)))
     for p in sorted(glob.glob(os.path.join(ckpt_dir, "frontier", "round-*",
                                            "*.parquet"))):
         t = pq.read_table(p)
@@ -829,21 +867,30 @@ def read_errors(ckpt_dir: str) -> pa.Table:
     return pa.concat_tables(out)
 
 
-def _miss_errors_from(urls: pa.ChunkedArray | pa.Array, rnd: int) -> pa.Table:
+def _miss_errors_from(urls: pa.ChunkedArray | pa.Array, rnd: int,
+                      messages=None, retryable=None) -> pa.Table:
     n = len(urls)
     return pa.table({
         "url": urls,
         "stage": pa.array(["fetch"] * n),
         "exc_type": pa.array(["FetchMiss"] * n),
-        "message": pa.array(["not in corpus"] * n),
-        "retryable": pa.array([False] * n),
+        "message": (messages if messages is not None
+                    else pa.array(["not in corpus"] * n)),
+        "retryable": (retryable if retryable is not None
+                      else pa.array([False] * n)),
         "round": pa.array([rnd] * n, pa.int32()),
     }, schema=schemas.ERRORS)
 
 
 def _miss_errors(t: pa.Table, rnd: int) -> pa.Table:
     miss = t.filter(pc.invert(t["fetch_ok"]))
-    return _miss_errors_from(miss["canon_url"], rnd)
+    # custom downloaders (HttpFetcher) annotate misses with a concrete
+    # message + retryable classification; corpus-lookup misses stay the
+    # plain FetchMiss shape
+    msgs = miss["fetch_err"] if "fetch_err" in miss.column_names else None
+    retry = (miss["fetch_retryable"]
+             if "fetch_retryable" in miss.column_names else None)
+    return _miss_errors_from(miss["canon_url"], rnd, msgs, retry)
 
 
 def _robots_errors(t: pa.Table, rnd: int) -> pa.Table:
@@ -872,40 +919,36 @@ def _hash_seq(t: pa.Table) -> pa.Table:
     return _cast_frontier(t.select(FRONTIER_COLS + ["blocked"]))
 
 
-def _politeness_inline(fds: rd.Dataset, caps: dict[str, int], n_salts: int,
+def _politeness_inline(fds: rd.Dataset, caps: dict[str, int],
+                       salt_counts: dict[str, int],
                        deferred_dir: str, rnd: int = 0) -> rd.Dataset:
     """Scale-mode politeness as a mid-pipeline groupby: capped hosts keep
     their first ``cap`` rows; overflow rows are written to a DETERMINISTIC
     per-(host,salt) side file under ``deferred_dir`` (idempotent under task
     retry) and re-enter the next round's frontier read.
 
+    ``salt_counts`` is the per-host effective salt count DERIVED FROM
+    OBSERVED frontier host frequencies (politeness.derive_salt_counts --
+    the north_rule's salted repartitioning of skew): heavy hosts split
+    into enough (host, salt) groups to bound group size, light hosts
+    keep one group.
+
     Starvation-safety (round-1 ADVICE bug): salt assignment is a FIXED
-    hash of the url, so a host whose cap < n_salts would leave sub-cap 0
-    salts starved forever and stall the crawl.  Two guards:
-
-    * the effective salt count per host is clamped to min(n_salts, cap)
-      -- every salt group then has sub-cap >= 1, so every round makes
-      cap-rate progress on every capped host;
-    * the remainder slot ROTATES by round ((salt - rnd) % n_eff), so the
-      uneven extra budget cycles across salts deterministically.
-
-    Together these preserve the 'same visited SET as exact mode'
-    invariant.  Uncapped hosts keep the full n_salts split (salting
-    exists to break up heavy-host groups, and uncapped hosts select
-    everything anyway)."""
+    hash of the url, so a sub-cap-0 salt would starve forever.  Guards:
+    derive_salt_counts clamps a host's salts to its cap (every salt group
+    has sub-cap >= 1), and the remainder slot ROTATES by round
+    ((salt - rnd) % n_eff) so the uneven extra budget cycles across salts
+    deterministically.  Together these preserve the 'same visited SET as
+    exact mode' invariant."""
     import hashlib as _hl
 
-    def _eff(host: str) -> int:
-        cap = caps.get(host)
-        return n_salts if cap is None else min(n_salts, max(1, cap))
-
     def add_salt(t: pa.Table) -> pa.Table:
-        if n_salts <= 1:
+        if not salt_counts:
             salt = pa.array([0] * t.num_rows, pa.int32())
         else:
             salt = pa.array(
                 [int.from_bytes(_hl.md5(u.encode()).digest()[:4], "little")
-                 % _eff(h)
+                 % salt_counts.get(h, 1)
                  for u, h in zip(t["canon_url"].to_pylist(),
                                  t["host"].to_pylist())],
                 pa.int32())
@@ -916,7 +959,7 @@ def _politeness_inline(fds: rd.Dataset, caps: dict[str, int], n_salts: int,
         host = g["host"].iloc[0]
         salt = int(g["salt"].iloc[0])
         cap = caps.get(host)
-        n_eff = _eff(host)
+        n_eff = salt_counts.get(host, 1)
         if cap is not None and n_eff > 1:
             cap = cap // n_eff + (
                 1 if (salt - rnd) % n_eff < cap % n_eff else 0)

@@ -105,6 +105,32 @@ def dedup_exact(sf_dir: str) -> rd.Dataset:
     return hashed.groupby("content_hash").aggregate(Min("doc_id", alias_name="doc_id"))
 
 
+def dedup_docs(sf_dir: str) -> rd.Dataset:
+    """The MATERIALIZED deduplicated corpus -- the operation a
+    training-data pipeline actually ships: keep each distinct text's
+    survivor row (min doc_id per content hash) with its metadata columns.
+    Semi-join via hash-partitioned ``Dataset.join`` on doc_id: both sides
+    shuffle once on the key, nothing O(corpus) is broadcast or collected.
+    Exact DuckDB oracle."""
+    survivors = dedup_exact(sf_dir).map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow")
+    docs = _docs(sf_dir, ["doc_id", "source", "lang", "n_chars"])
+    return docs.join(survivors, join_type="inner", on=("doc_id",),
+                     num_partitions=16)
+
+
+def write_dedup_corpus(sf_dir: str, out_dir: str) -> int:
+    """Write the deduplicated corpus as partitioned parquet (one file per
+    block -- resumable output, never one giant file).  Returns row count
+    from the written files' metadata."""
+    dedup_docs(sf_dir).write_parquet(out_dir)
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+    return sum(_pq.ParquetFile(p).metadata.num_rows
+               for p in _glob.glob(os.path.join(out_dir, "*.parquet")))
+
+
 def dedup_exact_survivors(sf_dir: str) -> rd.Dataset:
     """Count of surviving docs after exact dedup (scalar table)."""
     d = dedup_exact(sf_dir)

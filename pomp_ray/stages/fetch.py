@@ -155,6 +155,106 @@ class CorpusFetcher:
         return self.index.fetch_table(batch)
 
 
+class HttpFetcher:
+    """Real-network downloader worker, pomp ``UrllibDownloader`` semantics
+    (pomp/contrib/urllibtools.py ~L75-130 [estimated]): one
+    ``urllib.request.urlopen(url, timeout=t)`` per url, with IN-STAGE
+    retries and retryable-error classification:
+
+    * timeouts / connection errors / HTTP 5xx  -> retryable (retried up to
+      ``max_retries`` inside the stage; if exhausted the row is emitted
+      with ``fetch_ok=False, fetch_retryable=True``)
+    * HTTP 4xx / malformed urls                -> permanent
+      (``fetch_retryable=False``), exactly a pomp ``process_exception``
+      flow -- errors ride in-band, never raise.
+
+    Use as an actor-pool stage: ``map_batches(HttpFetcher,
+    fn_constructor_kwargs=..., concurrency=N)``; the opener (and any
+    session state) lives once per actor.  The sandbox has no network, so
+    tests inject a fake ``opener`` callable -- the classification/retry
+    logic is the contract under test.
+    """
+
+    RETRYABLE = ("timeout", "connection", "5")
+
+    def __init__(self, timeout: float = 10.0, max_retries: int = 2,
+                 opener=None):
+        self.timeout = timeout
+        self.max_retries = max_retries
+        if opener is None:
+            import urllib.request
+
+            def opener(url, timeout):
+                with urllib.request.urlopen(url, timeout=timeout) as r:
+                    return r.read()
+        self.opener = opener
+
+    def _classify(self, exc: Exception) -> tuple[str, bool]:
+        """(message, retryable) for an opener exception."""
+        import urllib.error
+        if isinstance(exc, urllib.error.HTTPError):
+            return f"HTTP {exc.code}", 500 <= exc.code < 600
+        if isinstance(exc, (TimeoutError, ConnectionError)):
+            return type(exc).__name__, True
+        if isinstance(exc, urllib.error.URLError):
+            return f"URLError: {exc.reason}", True
+        return f"{type(exc).__name__}: {exc}", False
+
+    def fetch_one(self, url: str) -> tuple[bytes | None, str, bool, int]:
+        """(html, message, retryable, attempts)."""
+        attempts = 0
+        while True:
+            attempts += 1
+            try:
+                return self.opener(url, self.timeout), "", False, attempts
+            except Exception as exc:   # in-band errors, never raise
+                msg, retryable = self._classify(exc)
+                if not retryable or attempts > self.max_retries:
+                    return None, msg, retryable, attempts
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        htmls, msgs, retry, att = [], [], [], []
+        for u in batch["canon_url"].to_pylist():
+            h, m, r, a = self.fetch_one(u)
+            htmls.append(h); msgs.append(m); retry.append(r); att.append(a)
+        batch = batch.append_column("html", pa.array(htmls, pa.binary()))
+        batch = batch.append_column(
+            "fetch_ok", pa.array([h is not None for h in htmls], pa.bool_()))
+        batch = batch.append_column("fetch_err", pa.array(msgs, pa.string()))
+        batch = batch.append_column("fetch_retryable",
+                                    pa.array(retry, pa.bool_()))
+        return batch.append_column("fetch_attempts",
+                                   pa.array(att, pa.int32()))
+
+
+class FlakyCorpusFetcher(HttpFetcher):
+    """Test double wiring HttpFetcher's retry/classification machinery to
+    the corpus lookup: every url's FIRST attempt (per actor) raises a
+    retryable TimeoutError, the retry succeeds; urls missing from the
+    corpus raise HTTP 404 (permanent).  Lets a crawl exercise the
+    timeout->retry->success path and the retryable error column without
+    any network."""
+
+    def __init__(self, pages_path: str, timeout: float = 10.0,
+                 max_retries: int = 2):
+        self.index = CorpusIndex.build(pages_path)
+        self._seen_once: set[str] = set()
+
+        def opener(url, timeout):
+            import urllib.error
+            if url not in self._seen_once:
+                self._seen_once.add(url)
+                raise TimeoutError("first attempt always times out")
+            row = self.index.lookup_rows([url])[0]
+            if row < 0:
+                raise urllib.error.HTTPError(url, 404, "not in corpus",
+                                             None, None)
+            return self.index.htmls[int(row)].as_py()
+
+        super().__init__(timeout=timeout, max_retries=max_retries,
+                         opener=opener)
+
+
 def fetch_via_join(frontier: rd.Dataset, pages_path: str,
                    num_partitions: int = 64) -> rd.Dataset:
     """Scale path: hash-join the frontier against the pages corpus on the

@@ -41,6 +41,29 @@ def caps_from_delay(delay: dict[str, float], round_budget_s: float) -> dict[str,
     return {h: c for h, c in caps.items() if c < _UNLIMITED_CAP}
 
 
+def derive_salt_counts(host_freq: dict[str, int], caps: dict[str, int],
+                       n_salts_max: int, target_rows: int = 4096
+                       ) -> dict[str, int]:
+    """Scale-aware salting (north_rule: salted repartitioning of skew):
+    the number of salts per host derives from the OBSERVED frontier host
+    frequency, not a static config -- a host holding half the frontier
+    splits into enough (host, salt) groups that no politeness group
+    exceeds ~``target_rows`` rows, while light hosts keep a single group
+    (no needless fragmentation).  Clamped to [1, n_salts_max] and to the
+    host's cap (a salt with sub-cap 0 would starve; see
+    select_distributed).  Only hosts needing >1 salt appear in the
+    returned dict (lookup default is 1)."""
+    out: dict[str, int] = {}
+    for host, freq in host_freq.items():
+        k = min(n_salts_max, max(1, -(-freq // max(1, target_rows))))
+        cap = caps.get(host)
+        if cap is not None:
+            k = min(k, max(1, cap))
+        if k > 1:
+            out[host] = k
+    return out
+
+
 def select_distributed(
     frontier: rd.Dataset,
     caps: dict[str, int],

@@ -1,0 +1,99 @@
+"""HttpFetcher retry/classification contract + the pluggable downloader
+seam wired through a full crawl (round-1 gap: the retryable error column
+was never True anywhere and no HTTP-shaped fetch path existed)."""
+
+import urllib.error
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pomp_ray.crawl import CrawlConfig, read_errors, read_items, run_crawl
+from pomp_ray.sources import gen_corpus
+from pomp_ray.stages.fetch import FlakyCorpusFetcher, HttpFetcher
+from tests.helpers import fixture_corpus, run_oracle
+
+
+def _batch(urls):
+    return pa.table({"canon_url": pa.array(urls, pa.string())})
+
+
+def test_http_fetcher_classification_and_retry():
+    calls = {}
+
+    def opener(url, timeout):
+        calls[url] = calls.get(url, 0) + 1
+        if url.endswith("/timeout-then-ok") and calls[url] < 3:
+            raise TimeoutError("slow")
+        if url.endswith("/404"):
+            raise urllib.error.HTTPError(url, 404, "nope", None, None)
+        if url.endswith("/503"):
+            raise urllib.error.HTTPError(url, 503, "busy", None, None)
+        if url.endswith("/refused"):
+            raise urllib.error.URLError(ConnectionRefusedError())
+        return b"<html><title>ok</title></html>"
+
+    f = HttpFetcher(timeout=1.0, max_retries=2, opener=opener)
+    out = f(_batch(["http://h.test/ok", "http://h.test/timeout-then-ok",
+                    "http://h.test/404", "http://h.test/503",
+                    "http://h.test/refused"]))
+    rows = {u: (ok, err, r, a) for u, ok, err, r, a in zip(
+        out["canon_url"].to_pylist(), out["fetch_ok"].to_pylist(),
+        out["fetch_err"].to_pylist(), out["fetch_retryable"].to_pylist(),
+        out["fetch_attempts"].to_pylist())}
+    assert rows["http://h.test/ok"] == (True, "", False, 1)
+    # two timeouts then success -- retries are in-stage
+    assert rows["http://h.test/timeout-then-ok"] == (True, "", False, 3)
+    # 4xx is permanent: one attempt, not retryable
+    assert rows["http://h.test/404"] == (False, "HTTP 404", False, 1)
+    # 5xx retried to exhaustion, then surfaced as retryable
+    assert rows["http://h.test/503"] == (False, "HTTP 503", True, 3)
+    assert rows["http://h.test/refused"][0] is False
+    assert rows["http://h.test/refused"][2] is True  # connection = retryable
+
+
+def test_crawl_with_flaky_fetcher(tmp_path):
+    """Full crawl through the custom-downloader seam: every url times out
+    once and succeeds on the in-stage retry, so the visited set equals
+    the oracle's; dead links surface as permanent HTTP 404 errors."""
+    fix = fixture_corpus(gen_corpus.TINY)
+    seeds = pq.read_table(fix.seeds_path).to_pylist()
+    ckpt = str(tmp_path / "c")
+    cfg = CrawlConfig(corpus_path=fix.pages_path, ckpt_dir=ckpt,
+                      robots_path=fix.robots_path, mode="bfs",
+                      fetcher_cls=FlakyCorpusFetcher,
+                      fetcher_kwargs={"pages_path": fix.pages_path},
+                      fetch_concurrency=2, n_seen_shards=2)
+    run_crawl(cfg, seeds=seeds)
+    res = run_oracle(fix, mode="bfs")
+    assert set(read_items(ckpt)["url"].to_pylist()) == \
+        {v["url"] for v in res.visited}
+    errs = read_errors(ckpt)
+    fetch_errs = {u: m for u, m, s in zip(errs["url"].to_pylist(),
+                                          errs["message"].to_pylist(),
+                                          errs["stage"].to_pylist())
+                  if s == "fetch"}
+    oracle_fetch = {e["url"] for e in res.errors if e["stage"] == "fetch"}
+    assert set(fetch_errs) == oracle_fetch
+    assert all(m == "HTTP 404" for m in fetch_errs.values())
+
+
+def test_crawl_retryable_errors_surface(tmp_path):
+    """With max_retries=0 the first-attempt timeout is surfaced as a
+    retryable fetch error (the column a re-enqueue policy keys on)."""
+    fix = fixture_corpus(gen_corpus.TINY)
+    seeds = pq.read_table(fix.seeds_path).to_pylist()
+    ckpt = str(tmp_path / "c")
+    cfg = CrawlConfig(corpus_path=fix.pages_path, ckpt_dir=ckpt,
+                      robots_path=fix.robots_path, mode="bfs", max_rounds=1,
+                      fetcher_cls=FlakyCorpusFetcher,
+                      fetcher_kwargs={"pages_path": fix.pages_path,
+                                      "max_retries": 0},
+                      fetch_concurrency=1, n_seen_shards=2)
+    run_crawl(cfg, seeds=seeds)
+    errs = read_errors(ckpt)
+    fetch = [(m, r) for m, r, s in zip(errs["message"].to_pylist(),
+                                       errs["retryable"].to_pylist(),
+                                       errs["stage"].to_pylist())
+             if s == "fetch"]
+    assert fetch and all(r for _, r in fetch)
+    assert all(m == "TimeoutError" for m, _ in fetch)

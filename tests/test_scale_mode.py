@@ -154,3 +154,78 @@ def test_salted_cap_below_salts_no_starvation(tmp_path):
     per_round = collections.Counter(items["round"].to_pylist())
     assert all(n <= 1 for n in per_round.values())   # cap respected
     assert s.n_visited == len(urls)
+
+
+def test_derive_salt_counts_unit():
+    """Salt counts derive from observed host frequency (north_rule skew
+    handling): heavy hosts split up to the max, light hosts stay single,
+    capped hosts never exceed their cap (starvation guard); the md5 salt
+    assignment spreads a heavy host's urls evenly."""
+    import hashlib
+
+    from pomp_ray.stages.politeness import derive_salt_counts
+
+    freq = {"heavy.test": 500_000, "light.test": 100, "capped.test": 50_000}
+    caps = {"capped.test": 2, "light.test": 5}
+    sc = derive_salt_counts(freq, caps, n_salts_max=8, target_rows=4096)
+    assert sc["heavy.test"] == 8
+    assert "light.test" not in sc          # default 1, no fragmentation
+    assert sc["capped.test"] == 2          # clamped to cap
+    counts = [0] * 8
+    for i in range(20_000):
+        u = f"http://heavy.test/p/{i}".encode()
+        counts[int.from_bytes(hashlib.md5(u).digest()[:4], "little") % 8] += 1
+    assert max(counts) < 20_000 / 8 * 1.15
+
+
+def test_skewed_host_salted_politeness(tmp_path):
+    """One host holds ~89% of the frontier: scale mode must split it into
+    multiple (host, salt) politeness groups (observed-frequency salting),
+    keep every per-round cap, and still visit every page."""
+    import pyarrow as pa
+
+    heavy, light = "heavy.test", "light.test"
+    urls = [f"http://{heavy}/p/{i}" for i in range(512)] + \
+           [f"http://{light}/p/{i}" for i in range(64)]
+    n = len(urls)
+    pages = pa.table({
+        "url": urls,
+        "warc_ts": pa.array([0] * n, pa.timestamp("us")),
+        "html": [f"<html><title>t{i}</title></html>".encode()
+                 for i in range(n)],
+        "text": [f"t{i}" for i in range(n)],
+        "lang": ["en"] * n,
+    })
+    pages_path = str(tmp_path / "pages.parquet")
+    robots_path = str(tmp_path / "robots.parquet")
+    pq.write_table(pages, pages_path)
+    pq.write_table(pa.table({
+        "host": [heavy],
+        "disallow_prefixes": pa.array([[]], pa.list_(pa.string())),
+        "crawl_delay": [0.1],
+    }), robots_path)
+
+    ckpt = str(tmp_path / "ckpt")
+    cfg = CrawlConfig(corpus_path=pages_path, ckpt_dir=ckpt,
+                      robots_path=robots_path, mode="bfs", exact_order=False,
+                      n_salts=4, politeness_group_rows=64, n_seen_shards=2,
+                      min_distributed_rows=0, round_budget_s=10.0,  # cap=100
+                      max_rounds=20)
+    eng = CrawlEngine(cfg)
+    try:
+        s = eng.run(seeds=[{"url": u, "depth": 0, "priority": 0}
+                           for u in urls])
+    finally:
+        eng.close()
+    items = read_items(ckpt)
+    assert sorted(items["url"].to_pylist()) == sorted(urls)
+    per_round = collections.Counter(
+        (r, u.split("/")[2]) for u, r in zip(items["url"].to_pylist(),
+                                             items["round"].to_pylist()))
+    for (rnd, host), cnt in per_round.items():
+        if host == heavy:
+            assert cnt <= 100, (rnd, cnt)
+    # the heavy host's overflow was split across multiple salts
+    salts = {f.rsplit("-s", 1)[1].split(".")[0]
+             for f in glob.glob(f"{ckpt}/deferred/round-*/*.parquet")}
+    assert len(salts) >= 2, salts
