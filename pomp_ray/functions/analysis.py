@@ -186,6 +186,70 @@ def simhash_batch(batch: pa.Table, text_col: str = "text",
     return batch.append_column(out_col, pa.array(hs, pa.int64()))
 
 
+# ----------------------------------------------------- batch vectorization
+# Whole-batch minhash: one flat token-hash array for the batch, per-doc
+# segment minima via np.minimum.reduceat.  Bit-identical to the per-row
+# function (asserted in tests).  (A batch simhash was tried and REMOVED:
+# per-doc simhash is already a ~100x64 numpy op, and np.add.reduceat over
+# the batch-flat bit matrix measured SLOWER than the per-row loop.)
+def _flat_token_hashes(token_lists: list[list[str]]
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """(flat hashes, doc boundaries) for a batch of token lists."""
+    lens = np.fromiter((len(t) for t in token_lists), np.int64,
+                       len(token_lists))
+    import itertools
+    flat = list(itertools.chain.from_iterable(token_lists))
+    return _HASHER.hashes(flat), np.concatenate(([0], np.cumsum(lens)))
+
+
+def minhash_signatures_batch(texts: list[str], n_perm: int = 64, k: int = 5,
+                             params=None, chunk: int = 512) -> np.ndarray:
+    """Batch minhash: row i == minhash_signature(texts[i], n_perm, k).
+    Shingle hashes are computed over the batch's flat token-hash array
+    with doc-boundary masking; per-doc minima via minimum.reduceat."""
+    if params is None:
+        params = _minhash_params(n_perm)
+    a, b = params
+    out = np.empty((len(texts), n_perm), np.uint64)
+    for lo in range(0, len(texts), chunk):
+        part = texts[lo:lo + chunk]
+        toks = [TOKEN_RE.findall(t.lower()) for t in part]
+        h, bounds = _flat_token_hashes(toks)
+        lens = bounds[1:] - bounds[:-1]
+        # docs with 0 < len < k use k=len (shrunken shingle) -- rare,
+        # handled per-row; empty docs get the sentinel signature
+        sh_parts: list[np.ndarray] = []
+        sh_counts = np.zeros(len(part), np.int64)
+        n = len(h)
+        if n >= k:
+            s = np.zeros(n - k + 1, np.uint64)
+            for j in range(k):
+                s = s * _FNV_PRIME + h[j:n - k + 1 + j]
+        for d in range(len(part)):
+            ln = int(lens[d])
+            if ln >= k:
+                sh = s[bounds[d]:bounds[d + 1] - k + 1]
+            elif ln > 0:
+                sh = shingle_hashes(h[bounds[d]:bounds[d + 1]], k)
+            else:
+                sh = h[:0]
+            sh_parts.append(sh)
+            sh_counts[d] = len(sh)
+        flat_sh = (np.concatenate(sh_parts) if sh_parts
+                   else np.empty(0, np.uint64))
+        res = np.full((len(part), n_perm), _MERSENNE, np.uint64)
+        if len(flat_sh):
+            base = (flat_sh >> np.uint64(3)).astype(np.uint64)
+            vals = (a[:, None] * base[None, :] + b[:, None]) \
+                % np.uint64(_MERSENNE)                      # n_perm x n_sh
+            sb = np.concatenate(([0], np.cumsum(sh_counts)))
+            nonempty = np.nonzero(sh_counts > 0)[0]
+            mins = np.minimum.reduceat(vals, sb[nonempty], axis=1)
+            res[nonempty] = mins.T
+        out[lo:lo + len(part)] = res
+    return out
+
+
 # ------------------------------------------------------------------- minhash
 def shingles(text: str, k: int = 5) -> set[str]:
     """Word k-shingles (k consecutive whitespace tokens) -- used by the

@@ -149,9 +149,13 @@ def minhash_lsh_pairs(sf_dir: str, n_perm: int = 64, bands: int = 16,
 
     def sigs(t: pa.Table) -> pa.Table:
         import hashlib
+        doc_ids = t["doc_id"].to_pylist()
+        texts = [x or "" for x in t["text"].to_pylist()]
+        # batch-vectorized signatures (bit-identical to the per-row fn)
+        mat = an.minhash_signatures_batch(texts, n_perm, params=params)
         out_doc, out_band, out_hash = [], [], []
-        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            sig = an.minhash_signature(text or "", n_perm, params=params)
+        for i, doc_id in enumerate(doc_ids):
+            sig = mat[i]
             for b in range(bands):
                 band = sig[b * rows_per_band:(b + 1) * rows_per_band]
                 # md5, NOT builtin hash(): hash() is salted per process, so
@@ -305,6 +309,44 @@ def simhash_dup_groups(sf_dir: str, max_hamming: int = 3) -> pa.Table:
     out = sorted((r["doc_a"], r["doc_b"]) for r in distinct.take_all())
     return pa.table({"doc_a": pa.array([p[0] for p in out], pa.int64()),
                      "doc_b": pa.array([p[1] for p in out], pa.int64())})
+
+
+def top_words(sf_dir: str, k: int = 50) -> pa.Table:
+    """Heavy hitters: global top-k most frequent lowercase words.  The
+    partial-aggregation pattern end-to-end: per-batch word counts (one
+    tiny table per batch, never the exploded words) -> groupby(word) sum
+    -> top-k sort of the small aggregate.  Ties break on word asc."""
+    word_re = an.WORD_RE
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: Counter = Counter()
+        for x in t["text"].to_pylist():
+            c.update(word_re.findall((x or "").lower()))
+        return pa.table({"word": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    agg = _docs(sf_dir, ["text"]).map_batches(
+        partial, batch_format="pyarrow") \
+        .groupby("word").aggregate(Sum("n", alias_name="n"))
+    top = agg.sort(["n", "word"], descending=[True, False]).limit(k)
+    t = pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
+    return _i64(t.select(["word", "n"]), ["n"])
+
+
+def token_count_bpe(sf_dir: str) -> rd.Dataset:
+    """Per-doc BPE-ish token count: letter runs, single digits, single
+    punctuation marks (the GPT-2-style pre-tokenizer family, simplified
+    to an RE2-safe pattern both Arrow and DuckDB evaluate identically).
+    Fully vectorized pc.count_substring_regex."""
+    pat = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+    def f(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(t["text"], pattern=pat),
+                    pa.int64())
+        return pa.table({"doc_id": t["doc_id"], "n_bpe_tokens": n})
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------- simple SQL peers

@@ -54,6 +54,44 @@ def tumbling_window(sf_dir: str) -> rd.Dataset:
         batch_format="pyarrow")
 
 
+def hopping_window(sf_dir: str, size_minutes: int = 60,
+                   hop_minutes: int = 30) -> rd.Dataset:
+    """Hopping (sliding) window per event_type: 1h windows every 30min,
+    so each event lands in size/hop windows.  Expressed batch-native by
+    EXPLODING each event to its window starts inside map_batches (pure
+    derived-column work, no per-row Python), then one groupby -- the
+    standard batch formulation of overlapping windows."""
+    ds = _events(sf_dir, ["ts", "event_type", "value"])
+    n_win = size_minutes // hop_minutes
+    hop_us = hop_minutes * 60 * 1_000_000
+
+    def explode_windows(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["ts"], pa.int64())
+        base = pc.multiply(pc.divide(ts, hop_us), hop_us)  # floor to hop
+        parts = []
+        for i in range(n_win):
+            w = pc.subtract(base, i * hop_us)
+            parts.append(pa.table({
+                "event_type": t["event_type"],
+                "value": t["value"],
+                "window_start": pc.cast(w, pa.timestamp("us")),
+            }))
+        return pa.concat_tables(parts)
+
+    out = ds.map_batches(explode_windows, batch_format="pyarrow") \
+        .groupby(["event_type", "window_start"]).aggregate(
+            Count(alias_name="n"),
+            Min("value", alias_name="vmin"),
+            Max("value", alias_name="vmax"),
+        )
+    return out.map_batches(
+        lambda t: t.set_column(t.column_names.index("n"), "n",
+                               pc.cast(t["n"], pa.int64()))
+        .set_column(t.column_names.index("window_start"), "window_start",
+                    pc.cast(t["window_start"], pa.timestamp("us"))),
+        batch_format="pyarrow")
+
+
 def sessionize(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
     """Session windows per user: a new session starts when the gap to the
     previous event exceeds ``gap_minutes``.  Returns one row per session

@@ -113,3 +113,20 @@ def test_canonicalize_batch_equivalence():
     out2 = canonicalize_batch(pa.table({"url": pa.array(urls, pa.string())}))
     for u, c in zip(urls, out2["canon_url"].to_pylist()):
         assert c == url_canonicalize(u), (u, c)
+
+
+def test_minhash_signatures_batch_equivalence():
+    """minhash_signatures_batch must be bit-identical to the per-row
+    minhash_signature on every shape (empty, <k tokens, normal docs)."""
+    import numpy as np
+
+    from pomp_ray.functions import analysis as an
+
+    texts = ["", "one", "a b", "a b c d", "a b c d e", "a b c d e f",
+             "the quick brown fox jumps over the lazy dog " * 8,
+             "wort " * 3, "x y z w v u t s r q p o n m"]
+    params = an._minhash_params(64)
+    mat = an.minhash_signatures_batch(texts, 64, params=params, chunk=4)
+    for i, x in enumerate(texts):
+        assert np.array_equal(mat[i],
+                              an.minhash_signature(x, 64, params=params)), i
