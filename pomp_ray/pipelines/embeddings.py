@@ -19,6 +19,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -43,7 +44,10 @@ def ann_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> pa.Table:
     """Exact cosine top-k neighbours of one stored vector (excluding
     itself).  Query vector is broadcast; per-batch scoring is one matmul;
     the global top-k merges tiny per-batch top-k tables (no full sort)."""
-    q_tbl = _emb(sf_dir).filter(lambda r: r["vec_id"] == query_vec_id).take_all()
+    # vectorized predicate (a row-lambda filter calls Python per row)
+    q_tbl = _emb(sf_dir).map_batches(
+        lambda t: t.filter(pc.equal(t["vec_id"], query_vec_id)),
+        batch_format="pyarrow").take_all()
     q = np.asarray(q_tbl[0]["embedding"], np.float64)
     q = q / (np.linalg.norm(q) or 1.0)
     q_ref = ray.put(q)
@@ -154,7 +158,10 @@ def ivf_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10,
     matmul and emits a per-batch partial top-k; the driver merges the
     tiny partials.  At production scale the cell id is the partition/
     shuffle key and cell postings live as partitioned parquet."""
-    q_tbl = _emb(sf_dir).filter(lambda r: r["vec_id"] == query_vec_id).take_all()
+    # vectorized predicate (a row-lambda filter calls Python per row)
+    q_tbl = _emb(sf_dir).map_batches(
+        lambda t: t.filter(pc.equal(t["vec_id"], query_vec_id)),
+        batch_format="pyarrow").take_all()
     q = np.asarray(q_tbl[0]["embedding"], np.float64)
     dim = len(q)
     q = q / (np.linalg.norm(q) or 1.0)

@@ -173,14 +173,29 @@ class HttpFetcher:
     session state) lives once per actor.  The sandbox has no network, so
     tests inject a fake ``opener`` callable -- the classification/retry
     logic is the contract under test.
+
+    Optional TIME-BASED crawl-delay pacing (``crawl_delay``: host ->
+    seconds, or a float applied to every host): consecutive requests to
+    the same host within this worker wait out the remaining interval
+    (monotonic clock, injectable for tests).  This is per-worker pacing
+    -- the per-round politeness caps bound the GLOBAL per-host rate
+    (cap = round_budget / delay), and in-worker pacing spaces the
+    requests inside the round; a stricter global spacing would need a
+    per-host token actor, which the round-synchronous budget model makes
+    redundant.
     """
 
     RETRYABLE = ("timeout", "connection", "5")
 
     def __init__(self, timeout: float = 10.0, max_retries: int = 2,
-                 opener=None):
+                 opener=None, crawl_delay=None, clock=None, sleep=None):
         self.timeout = timeout
         self.max_retries = max_retries
+        self.crawl_delay = crawl_delay
+        import time as _time
+        self.clock = clock or _time.monotonic
+        self.sleep = sleep or _time.sleep
+        self._last_fetch: dict[str, float] = {}
         if opener is None:
             import urllib.request
 
@@ -188,6 +203,26 @@ class HttpFetcher:
                 with urllib.request.urlopen(url, timeout=timeout) as r:
                     return r.read()
         self.opener = opener
+
+    def _delay_for(self, host: str) -> float:
+        if self.crawl_delay is None:
+            return 0.0
+        if isinstance(self.crawl_delay, dict):
+            return float(self.crawl_delay.get(host, 0.0))
+        return float(self.crawl_delay)
+
+    def _pace(self, url: str) -> None:
+        from pomp_ray.functions.textfns import url_host
+        host = url_host(url)
+        d = self._delay_for(host)
+        if d <= 0:
+            return
+        last = self._last_fetch.get(host)
+        if last is not None:
+            wait = d - (self.clock() - last)
+            if wait > 0:
+                self.sleep(wait)
+        self._last_fetch[host] = self.clock()
 
     def _classify(self, exc: Exception) -> tuple[str, bool]:
         """(message, retryable) for an opener exception."""
@@ -202,6 +237,7 @@ class HttpFetcher:
 
     def fetch_one(self, url: str) -> tuple[bytes | None, str, bool, int]:
         """(html, message, retryable, attempts)."""
+        self._pace(url)
         attempts = 0
         while True:
             attempts += 1

@@ -97,3 +97,30 @@ def test_crawl_retryable_errors_surface(tmp_path):
              if s == "fetch"]
     assert fetch and all(r for _, r in fetch)
     assert all(m == "TimeoutError" for m, _ in fetch)
+
+
+def test_crawl_delay_pacing_fake_clock():
+    """Time-based crawl-delay: consecutive same-host requests inside a
+    worker are spaced >= delay apart on the (injected) clock; other
+    hosts are unaffected."""
+    now = [0.0]
+    slept = []
+
+    def clock():
+        return now[0]
+
+    def sleep(s):
+        slept.append(s)
+        now[0] += s
+
+    def opener(url, timeout):
+        now[0] += 0.1   # each fetch takes 100ms
+        return b"<html></html>"
+
+    f = HttpFetcher(opener=opener, crawl_delay={"slow.test": 2.0},
+                    clock=clock, sleep=sleep)
+    f(_batch(["http://slow.test/1", "http://fast.test/1",
+              "http://slow.test/2", "http://slow.test/3"]))
+    # 2 gaps on slow.test, each padding the start-to-start interval to
+    # 2.0s: first had 0.2s of work elapsed (slow+fast fetches), second 0.1
+    assert [round(s, 6) for s in slept] == [1.8, 1.9]

@@ -4,6 +4,11 @@
 order-insensitive value comparison (sorted rows, columns sorted by name).
 
 Usage: python tools/check_oracle.py [sf_dir]
+
+NOTE: the fingerprints / simhash_dup_groups oracles are committed golden
+parquet generated for sf0.01 (the scale the driver's gate runs at, per
+the task spec) -- running this script against another sf_dir reports
+those two as expected mismatches.
 """
 
 from __future__ import annotations
