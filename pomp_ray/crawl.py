@@ -130,6 +130,10 @@ class CrawlConfig:
     n_salts: int = 1                   # max politeness salts/host (scale mode)
     politeness_group_rows: int = 4096  # target rows per (host,salt) group
     min_distributed_rows: int = 256    # below this a round runs driver-side
+    # scale rounds smaller than this hold the round barrier in the object
+    # store (materialize) instead of a parquet round-trip; mega-rounds
+    # stream to disk so the write overlaps compute
+    scale_materialize_max_rows: int = 150_000
     fetch_batch_size: int = 4096
     target_block_rows: int = 512       # min rows per read block (coalesce)
     # Fetch stage implementation for distributed rounds (SURVEY.md J1):
@@ -628,19 +632,44 @@ class CrawlEngine:
         if cfg.enrich_fn is not None:
             parsed = parsed.map_batches(cfg.enrich_fn, batch_format="pyarrow")
         items_dir = self._dir("items", rnd)
-        parsed.map_batches(
+        parsed = parsed.map_batches(
             lambda t: schemas.rename(t, {"url": "orig_url", "canon_url": "url"}),
             batch_format="pyarrow",
-        ).write_parquet(items_dir)
+        )
+        # The round barrier, size-gated:
+        # * mid-size waves (< scale_materialize_max_rows) MATERIALIZE the
+        #   compact parsed rows (html already dropped) in the object
+        #   store; the items write, the counts, and exec B then consume
+        #   those blocks directly -- no recompute and no parquet
+        #   round-trip between the two halves of the round (cuts ~1s of
+        #   fixed overhead per wave; BFS crawls have many such waves).
+        # * mega-rounds stream to parquet (write overlaps compute, no
+        #   object-store residency) and exec B re-reads the files.
+        in_memory = n_frontier < cfg.scale_materialize_max_rows
+        if in_memory:
+            parsed = parsed.materialize()
+            parsed.write_parquet(items_dir)
+        else:
+            parsed.write_parquet(items_dir)
 
         t_exec_a = _t() - t0
         t0 = _t()
-        # counts from the written files (metadata + one bool column)
-        n_selected = n_visited = 0
-        for p in glob.glob(os.path.join(items_dir, "*.parquet")):
-            t = pq.read_table(p, columns=["fetch_ok"])
-            n_selected += t.num_rows
-            n_visited += int(pc.sum(t["fetch_ok"]).as_py() or 0)
+        if in_memory:
+            counts = parsed.map_batches(
+                lambda t: pa.table(
+                    {"n": pa.array([t.num_rows], pa.int64()),
+                     "ok": pa.array([int(pc.sum(t["fetch_ok"]).as_py() or 0)],
+                                    pa.int64())}),
+                batch_format="pyarrow").take_all()
+            n_selected = sum(r["n"] for r in counts)
+            n_visited = sum(r["ok"] for r in counts)
+        else:
+            # counts from the written files (metadata + one bool column)
+            n_selected = n_visited = 0
+            for p in glob.glob(os.path.join(items_dir, "*.parquet")):
+                t = pq.read_table(p, columns=["fetch_ok"])
+                n_selected += t.num_rows
+                n_visited += int(pc.sum(t["fetch_ok"]).as_py() or 0)
         n_deferred = sum(
             pq.ParquetFile(p).metadata.num_rows
             for p in glob.glob(os.path.join(self._dir("deferred", rnd),
@@ -649,11 +678,9 @@ class CrawlEngine:
         t_counts_a = _t() - t0
         t0 = _t()
         # exec B: links -> canonicalize -> robots -> dedup -> seen -> frontier
-        items_files = sorted(glob.glob(os.path.join(items_dir, "*.parquet")))
-        if not items_files:
+        if n_selected == 0:
             # a round can select 0 rows (every salt's sub-cap exhausted)
-            # while deferred rows still exist: no items files were written,
-            # so skip exec B entirely instead of read_parquet([]) raising
+            # while deferred rows still exist: skip exec B entirely
             return {"round": rnd, "path": "scale", "n_selected": 0,
                     "n_deferred": n_deferred, "n_visited": 0, "n_items": 0,
                     "n_errors": 0, "n_new": 0,
@@ -661,14 +688,21 @@ class CrawlEngine:
                     "t_exec_a": round(t_exec_a, 3),
                     "t_counts_a": round(t_counts_a, 3),
                     "t_exec_b": 0.0, "t_counts_b": 0.0}
+        if in_memory:
+            src = parsed
+        else:
+            items_files = sorted(glob.glob(os.path.join(items_dir,
+                                                        "*.parquet")))
+            src = rd.read_parquet(
+                items_files, override_num_blocks=self._n_blocks(n_visited),
+                columns=["url", "depth", "priority", "seq", "links",
+                         "fetch_ok"])
         cands = (
-            rd.read_parquet(items_files,
-                            override_num_blocks=self._n_blocks(n_visited),
-                            columns=["url", "depth", "priority", "seq",
-                                     "links", "fetch_ok"])
-            .map_batches(
+            src.map_batches(
                 lambda t: schemas.rename(
-                    t.filter(t["fetch_ok"]), {"url": "canon_url"}),
+                    t.filter(t["fetch_ok"]).select(
+                        ["url", "depth", "priority", "seq", "links"]),
+                    {"url": "canon_url"}),
                 batch_format="pyarrow")
             .map_batches(explode_links, batch_format="pyarrow")
             .map_batches(canonicalize_batch, batch_format="pyarrow")
