@@ -98,6 +98,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "per_source_topk": docs.per_source_topk,
         "dedup_exact": docs.dedup_exact,
         "dedup_docs": docs.dedup_docs,
+        "pii_scrub": docs.pii_scrub,
+        "normalize_text": docs.normalize_text,
+        "stratified_sample": docs.stratified_sample,
+        "clean_corpus": docs.clean_corpus,
         # -- documents: signatures / near-dup (deterministic, rows-only)
         "lang_predictions": docs.lang_predictions,
         "sample_docs": docs.sample_docs,
@@ -269,6 +273,47 @@ def oracle_sql() -> dict[str, str]:
         "dedup_docs": """
             SELECT doc_id, source, lang, n_chars FROM documents
             WHERE doc_id IN (SELECT MIN(doc_id) FROM documents
+                             GROUP BY md5(text))
+        """,
+        "pii_scrub": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text,
+                       '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b'))
+                       AS BIGINT) AS n_phones,
+                   regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b',
+                       '<PHONE>', 'g') AS clean_text
+            FROM documents
+        """,
+        "normalize_text": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm_text,
+                   CAST(length(trim(regexp_replace(text, '\s+', ' ', 'g')))
+                       AS BIGINT) AS n_chars
+            FROM documents
+        """,
+        "stratified_sample": """
+            SELECT lang, doc_id FROM (
+                SELECT lang, doc_id,
+                       ROW_NUMBER() OVER (PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                           AS rn
+                FROM documents) t
+            WHERE rn <= 20
+        """,
+        "clean_corpus": r"""
+            SELECT doc_id, lang,
+                   trim(regexp_replace(text, '\s+', ' ', 'g')) AS clean_text
+            FROM documents
+            WHERE len(regexp_extract_all(text, '\S+')) BETWEEN 5 AND 100000
+              AND CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+                  / GREATEST(length(text), 1) <= 0.2
+              AND doc_id IN (SELECT MIN(doc_id) FROM documents
                              GROUP BY md5(text))
         """,
         "ann_topk": """

@@ -311,6 +311,88 @@ def simhash_dup_groups(sf_dir: str, max_hamming: int = 3) -> pa.Table:
                      "doc_b": pa.array([p[1] for p in out], pa.int64())})
 
 
+# RE2-safe patterns evaluated identically by pyarrow and DuckDB
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"
+_WS_RE = r"\s+"
+
+
+def pii_scrub(sf_dir: str) -> rd.Dataset:
+    """PII scrubbing, a standard training-data cleaning op: replace
+    emails/phone numbers with placeholder tokens and count the hits --
+    one vectorized pc.replace_substring_regex pass per pattern.  Exact
+    DuckDB oracle (same RE2 patterns)."""
+    def f(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        n_email = pc.cast(pc.count_substring_regex(text, pattern=_EMAIL_RE),
+                          pa.int64())
+        n_phone = pc.cast(pc.count_substring_regex(text, pattern=_PHONE_RE),
+                          pa.int64())
+        clean = pc.replace_substring_regex(text, pattern=_EMAIL_RE,
+                                           replacement="<EMAIL>")
+        clean = pc.replace_substring_regex(clean, pattern=_PHONE_RE,
+                                           replacement="<PHONE>")
+        return pa.table({"doc_id": t["doc_id"], "n_emails": n_email,
+                         "n_phones": n_phone, "clean_text": clean})
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
+
+
+def normalize_text(sf_dir: str) -> rd.Dataset:
+    """Whitespace normalization: collapse runs to single spaces and trim
+    -- vectorized Arrow string kernels, exact DuckDB oracle."""
+    def f(t: pa.Table) -> pa.Table:
+        clean = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(t["text"], pattern=_WS_RE,
+                                       replacement=" "))
+        return pa.table({"doc_id": t["doc_id"], "norm_text": clean,
+                         "n_chars": pc.cast(pc.utf8_length(clean),
+                                            pa.int64())})
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
+
+
+def stratified_sample(sf_dir: str, per_lang: int = 20) -> rd.Dataset:
+    """Deterministic stratified sample: the ``per_lang`` docs per
+    language with the smallest md5(doc_id) (a reproducible shuffle
+    order, NOT Ray's block-structure-dependent random_sample).  Per-group
+    top-k via groupby(lang).map_groups; exact ROW_NUMBER oracle."""
+    import hashlib
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(_h=[hashlib.md5(str(d).encode()).hexdigest()
+                         for d in g["doc_id"]])
+        g = g.sort_values(["_h", "doc_id"]).head(per_lang)
+        return g.drop(columns=["_h"])
+
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+    out = ds.groupby("lang").map_groups(pick, batch_format="pandas")
+    return out.map_batches(lambda t: _i64(t.select(["lang", "doc_id"]),
+                                          ["doc_id"]),
+                           batch_format="pyarrow")
+
+
+def clean_corpus(sf_dir: str) -> rd.Dataset:
+    """The composite SHIPPING pipeline a training-data user runs: quality
+    gate -> exact-dedup survivors -> normalized text, streamed end to end
+    (filter and normalize are vectorized map_batches; the dedup semi-join
+    is the hash-partitioned Dataset.join).  Exact DuckDB oracle."""
+    def gate_and_norm(t: pa.Table) -> pa.Table:
+        t = t.filter(an.quality_filter_mask(t))
+        clean = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(t["text"], pattern=_WS_RE,
+                                       replacement=" "))
+        return pa.table({"doc_id": t["doc_id"], "lang": t["lang"],
+                         "clean_text": clean})
+
+    survivors = dedup_exact(sf_dir).map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow")
+    gated = _docs(sf_dir, ["doc_id", "lang", "text"]).map_batches(
+        gate_and_norm, batch_format="pyarrow")
+    return gated.join(survivors, join_type="inner", on=("doc_id",),
+                      num_partitions=16)
+
+
 def top_words(sf_dir: str, k: int = 50) -> pa.Table:
     """Heavy hitters: global top-k most frequent lowercase words.  The
     partial-aggregation pattern end-to-end: per-batch word counts (one
