@@ -275,7 +275,13 @@ class CrawlEngine:
         n = 0
         freq: dict[str, int] = {}
         for p in self._frontier_sources(rnd):
-            t = pq.read_table(p, columns=cols)
+            pf = pq.ParquetFile(p)
+            if not want_freq and _stats_all_unblocked(pf):
+                # parquet row-group statistics prove blocked is all-false:
+                # metadata-only count, nothing read
+                n += pf.metadata.num_rows
+                continue
+            t = pf.read(columns=cols)
             n += t.num_rows - int(pc.sum(t["blocked"]).as_py() or 0)
             if want_freq:
                 vc = t.filter(pc.invert(t["blocked"]))["host"].value_counts()
@@ -899,6 +905,20 @@ def read_errors(ckpt_dir: str) -> pa.Table:
                 "round": pa.array([rnd] * blk.num_rows, pa.int32()),
             }, schema=schemas.ERRORS))
     return pa.concat_tables(out)
+
+
+def _stats_all_unblocked(pf: pq.ParquetFile) -> bool:
+    """True when every row group's statistics prove blocked max == False."""
+    try:
+        idx = pf.schema_arrow.names.index("blocked")
+    except ValueError:
+        return False
+    md = pf.metadata
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max or st.max:
+            return False
+    return True
 
 
 def _miss_errors_from(urls: pa.ChunkedArray | pa.Array, rnd: int,
