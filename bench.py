@@ -105,6 +105,31 @@ def bench_crawl_flat(warmup_frac: float = 0.02) -> dict:
             "pages_per_s": s.n_visited / dt}
 
 
+def bench_crawl_join() -> dict:
+    """One production-shaped round with the ALL-LARGE fetch path: the
+    frontier hash-joins the pages corpus (Dataset.join) instead of a
+    broadcast index -- the 100-TB fetch strategy, measured on the 200k
+    BENCH corpus (every url seeded at depth 0)."""
+    import pyarrow.parquet as pq
+
+    from pomp_ray.crawl import CrawlEngine
+    from pomp_ray.sources import gen_corpus
+
+    fix = gen_corpus.generate(BENCH_DIR, gen_corpus.BENCH)
+    urls = pq.read_table(fix.pages_path, columns=["url"])["url"].to_pylist()
+    seeds = [{"url": u, "priority": 0, "depth": 0} for u in urls]
+    eng = CrawlEngine(_crawl_cfg(fix, "/tmp/pomp_bench_join_ckpt",
+                                 max_rounds=1, fetch_strategy="join",
+                                 join_num_partitions=32))
+    try:
+        s = eng.run(seeds=seeds)
+    finally:
+        eng.close()
+    dt = sum(r.get("wall_s", 0.0) for r in s.per_round)
+    return {"sec": dt, "pages": s.n_visited,
+            "pages_per_s": s.n_visited / dt}
+
+
 def bench_crawl_bfs() -> dict:
     """Full BFS wave-by-wave crawl of the 200k BENCH corpus.  Small waves
     (the tree head and tail) run on the driver (min_distributed_rows);
@@ -188,6 +213,9 @@ def run_once(num_cpus: int, sf_dir: str, flat_only: bool = False) -> dict:
         "crawl_pages": flat["pages"],
     }
     if not flat_only:
+        join = bench_crawl_join()
+        queries["crawl_join"] = round(join["sec"], 3)
+        result["crawl_join_pages_per_s"] = round(join["pages_per_s"], 1)
         bfs = bench_crawl_bfs()
         queries["crawl_bfs"] = round(bfs["sec"], 3)
         result["crawl_bfs_pages_per_s"] = round(bfs["pages_per_s"], 1)
