@@ -18,6 +18,7 @@ Order of operations (must match pomp_ray.core.oracle.try_enqueue exactly):
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -81,15 +82,23 @@ def canonicalize_batch(batch: pa.Table) -> pa.Table:
 def make_robots_flag(disallow: dict[str, list[str]]):
     """Broadcast-small-side robots gate: adds a ``blocked`` bool column.
     ``disallow`` maps host -> disallow path prefixes (tiny vs the frontier;
-    at production scale ship it via ray.put and read it in actor __init__)."""
+    at production scale ship it via ray.put and read it in actor __init__).
+    Vectorized per (host, prefix) rule: one equality mask + one
+    starts_with kernel per rule, never a Python loop over rows."""
+    rules = [(h, p) for h, prefs in disallow.items() for p in prefs]
 
     def robots_flag(batch: pa.Table) -> pa.Table:
-        hosts = batch["host"].to_pylist()
-        paths = batch["path"].to_pylist()
-        blocked = [
-            any(p.startswith(pref) for pref in disallow.get(h, ()))
-            for h, p in zip(hosts, paths)
-        ]
+        n = batch.num_rows
+        if not rules or n == 0:
+            return batch.append_column(
+                "blocked", pa.array(np.zeros(n, bool), pa.bool_()))
+        hosts = batch["host"]
+        paths = batch["path"]
+        blocked = np.zeros(n, bool)
+        for host, pref in rules:
+            m = pc.and_(pc.equal(hosts, host),
+                        pc.starts_with(paths, pattern=pref))
+            blocked |= np.asarray(m.combine_chunks(), dtype=bool)
         return batch.append_column("blocked", pa.array(blocked, pa.bool_()))
 
     return robots_flag
@@ -116,16 +125,12 @@ def dedup_local(batch: pa.Table) -> pa.Table:
     """Scale-mode cheap dedup: first occurrence per canon_url within the
     batch only; the seen shards resolve cross-batch duplicates (arbitrary
     winner -- same SET, relaxed order, exactly like pomp's own concurrent
-    downloader tests relax ordering)."""
-    seen_local: set[str] = set()
-    keep = []
-    for u in batch["canon_url"].to_pylist():
-        if u in seen_local:
-            keep.append(False)
-        else:
-            seen_local.add(u)
-            keep.append(True)
-    return batch.filter(pa.array(keep, pa.bool_()))
+    downloader tests relax ordering).  First-occurrence mask via pandas'
+    C hash table (keeps the first, like the old Python set loop)."""
+    if batch.num_rows == 0:
+        return batch
+    dup = pd.Index(batch["canon_url"].to_pandas()).duplicated(keep="first")
+    return batch.filter(pa.array(~dup, pa.bool_()))
 
 
 class SeenFilter:
