@@ -229,3 +229,41 @@ def test_skewed_host_salted_politeness(tmp_path):
     salts = {f.rsplit("-s", 1)[1].split(".")[0]
              for f in glob.glob(f"{ckpt}/deferred/round-*/*.parquet")}
     assert len(salts) >= 2, salts
+
+
+def test_resume_wipes_partial_round(tmp_path):
+    """Crash recovery: a crashed (uncommitted) round leaves partial
+    items/frontier files; resume must wipe and re-run it, ending with
+    exactly a clean full run's outputs."""
+    fix = fixture_corpus(gen_corpus.SMALL)
+    seeds = pq.read_table(fix.seeds_path).to_pylist()
+    full, part = str(tmp_path / "f"), str(tmp_path / "p")
+    eng = CrawlEngine(_scale_cfg(fix, full, round_budget_s=20.0))
+    try:
+        eng.run(seeds=seeds)
+    finally:
+        eng.close()
+    eng = CrawlEngine(_scale_cfg(fix, part, round_budget_s=20.0))
+    try:
+        eng.run(seeds=seeds, resume=False)
+    finally:
+        eng.close()
+    # simulate a crash mid-round-3: drop the commit markers for rounds >= 3
+    # and plant garbage partial outputs for round 3
+    import os
+    import pyarrow as pa
+    for p in glob.glob(f"{part}/rounds/round-*.json"):
+        if int(os.path.basename(p)[6:12]) >= 3:
+            os.remove(p)
+    os.makedirs(f"{part}/items/round-000003", exist_ok=True)
+    pq.write_table(pa.table({"garbage": [1, 2, 3]}),
+                   f"{part}/items/round-000003/partial.parquet")
+    eng = CrawlEngine(_scale_cfg(fix, part, round_budget_s=20.0))
+    try:
+        eng.run(resume=True)
+    finally:
+        eng.close()
+    a, b = read_items(full), read_items(part)
+    assert sorted(a["url"].to_pylist()) == sorted(b["url"].to_pylist())
+    assert sorted(read_errors(full)["url"].to_pylist()) == \
+        sorted(read_errors(part)["url"].to_pylist())
