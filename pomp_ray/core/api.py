@@ -162,12 +162,17 @@ class BaseMiddleware:
         return batch
 
 
-def apply_middlewares(batch: pa.Table, middlewares: list, hook: str) -> pa.Table:
-    # exceptions unwind in REVERSE chain order, like pomp's engine
-    chain = (reversed(middlewares)
+def apply_middlewares(batch: pa.Table, middlewares, hook: str) -> pa.Table:
+    """THE middleware-chain ordering rule (single source -- the engine's
+    _mw_hook delegates here): request/response hooks run in chain order,
+    the exception hook unwinds in REVERSE chain order like pomp's engine.
+    Objects without the hook are skipped (duck-typed middlewares)."""
+    chain = (tuple(reversed(tuple(middlewares)))
              if hook == "process_exception_batch" else middlewares)
     for mw in chain:
-        batch = getattr(mw, hook)(batch)
+        fn = getattr(mw, hook, None)
+        if fn is not None:
+            batch = fn(batch)
     return batch
 
 

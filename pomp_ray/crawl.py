@@ -654,9 +654,7 @@ class CrawlEngine:
         in_memory = n_frontier < cfg.scale_materialize_max_rows
         if in_memory:
             parsed = parsed.materialize()
-            parsed.write_parquet(items_dir)
-        else:
-            parsed.write_parquet(items_dir)
+        parsed.write_parquet(items_dir)
 
         t_exec_a = _t() - t0
         t0 = _t()
@@ -1038,18 +1036,12 @@ def _politeness_inline(fds: rd.Dataset, caps: dict[str, int],
 
 def _mw_hook(middlewares: tuple, hook: str):
     """Batch fn applying a middleware chain hook (pomp's middleware
-    semantics: each may transform or filter the batch).  Request/response
-    hooks run in chain order; the exception hook unwinds in REVERSE chain
-    order, matching pomp's engine (SURVEY.md M6)."""
-    chain = (tuple(reversed(middlewares))
-             if hook == "process_exception_batch" else middlewares)
+    semantics: each may transform or filter the batch); ordering rules
+    live in ONE place, core.api.apply_middlewares (SURVEY.md M4-M6)."""
+    from pomp_ray.core.api import apply_middlewares
 
     def apply(batch: pa.Table) -> pa.Table:
-        for mw in chain:
-            fn = getattr(mw, hook, None)
-            if fn is not None:
-                batch = fn(batch)
-        return batch
+        return apply_middlewares(batch, middlewares, hook)
     return apply
 
 

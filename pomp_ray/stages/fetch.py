@@ -185,8 +185,6 @@ class HttpFetcher:
     redundant.
     """
 
-    RETRYABLE = ("timeout", "connection", "5")
-
     def __init__(self, timeout: float = 10.0, max_retries: int = 2,
                  opener=None, crawl_delay=None, clock=None, sleep=None):
         self.timeout = timeout

@@ -58,11 +58,10 @@ def indep_simhash63(text: str) -> int:
         for i in range(64):
             counts[i] += (h >> i) & 1
     out = 0
-    half, n = None, len(tokens)
+    n = len(tokens)
     for i in range(64):
         if 2 * counts[i] - n > 0:
             out |= 1 << i
-    del half
     return out & 0x7FFFFFFFFFFFFFFF
 
 
