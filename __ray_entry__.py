@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- custom join operators (as-of / range / broadcast-dim)
         "asof_click_before_purchase": joins.asof_click_before_purchase,
         "errors_near_purchases": joins.errors_near_purchases,
+        "errors_near_purchases_bucketed": joins.errors_near_purchases_bucketed,
         "customers_per_region": joins.customers_per_region,
         # -- stream-shaped windowed operators (events log)
         "tumbling_window": windows.tumbling_window,
@@ -156,6 +157,15 @@ def oracle_sql() -> dict[str, str]:
                       AND c.ts <= p.ts
                     ORDER BY c.ts DESC, c.event_id DESC LIMIT 1)
                        AS click_event_id
+            FROM events p WHERE p.event_type = 'purchase'
+        """,
+        "errors_near_purchases_bucketed": """
+            SELECT p.event_id,
+                   CAST((SELECT COUNT(*) FROM events e
+                         WHERE e.event_type = 'error'
+                           AND e.ts BETWEEN p.ts - INTERVAL 5 MINUTE
+                                        AND p.ts + INTERVAL 5 MINUTE)
+                        AS BIGINT) AS n_errors_nearby
             FROM events p WHERE p.event_type = 'purchase'
         """,
         "errors_near_purchases": """

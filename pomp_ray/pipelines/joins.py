@@ -94,6 +94,60 @@ def errors_near_purchases(sf_dir: str, window_minutes: int = 5) -> rd.Dataset:
     return ds.map_batches(count_near, batch_format="pyarrow")
 
 
+def errors_near_purchases_bucketed(sf_dir: str,
+                                   window_minutes: int = 5) -> rd.Dataset:
+    """The LARGE-LARGE form of the range join (round 1 documented it,
+    round 2 implements it): bucket both sides by floor(ts / window),
+    REPLICATE each error row to its bucket and both neighbours (a +-w
+    range can only reach adjacent buckets when bucket width == w), then
+    groupby(bucket) co-locates and a per-bucket searchsorted counts.
+    Nothing is broadcast; the bucket id is the only shuffle key -- this
+    is the shape that scales when the error side no longer fits in the
+    object store.  Output is identical to the broadcast variant (same
+    DuckDB oracle)."""
+    w_us = window_minutes * 60 * 1_000_000
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["ts"], pa.int64())
+        bucket = pc.divide(ts, w_us)
+        is_err = pc.equal(t["event_type"], "error")
+        is_p = pc.equal(t["event_type"], "purchase")
+        parts = []
+        p = t.filter(is_p)
+        pts = pc.cast(p["ts"], pa.int64())
+        parts.append(pa.table({
+            "bucket": pc.divide(pts, w_us),
+            "side": pa.array(["p"] * p.num_rows),
+            "event_id": p["event_id"],
+            "ts_us": pts}))
+        e = t.filter(is_err)
+        ets = pc.cast(e["ts"], pa.int64())
+        for d in (-1, 0, 1):      # replicate errors to adjacent buckets
+            parts.append(pa.table({
+                "bucket": pc.add(pc.divide(ets, w_us), d),
+                "side": pa.array(["e"] * e.num_rows),
+                "event_id": e["event_id"],
+                "ts_us": ets}))
+        return pa.concat_tables(parts)
+
+    def count_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["side"] == "p"]
+        if p.empty:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "n_errors_nearby": pd.Series([],
+                                                              dtype="int64")})
+        errs = np.sort(g.loc[g["side"] == "e", "ts_us"].to_numpy(np.int64))
+        ts = p["ts_us"].to_numpy(np.int64)
+        lo = np.searchsorted(errs, ts - w_us, side="left")
+        hi = np.searchsorted(errs, ts + w_us, side="right")
+        return pd.DataFrame({"event_id": p["event_id"].to_numpy(np.int64),
+                             "n_errors_nearby": (hi - lo).astype("int64")})
+
+    ds = _t(sf_dir, "events", ["event_id", "ts", "event_type"])
+    return ds.map_batches(bucketize, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(count_in_bucket, batch_format="pandas")
+
+
 def customers_per_region(sf_dir: str) -> rd.Dataset:
     """Customer count per region name via two broadcast dimension
     lookups (no shuffle until the 5-row final groupby)."""
