@@ -103,6 +103,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": docs.normalize_text,
         "stratified_sample": docs.stratified_sample,
         "clean_corpus": docs.clean_corpus,
+        "inverted_index": docs.inverted_index,
+        "quality_by_source": docs.quality_by_source,
         # -- documents: signatures / near-dup (deterministic, rows-only)
         "lang_predictions": docs.lang_predictions,
         "sample_docs": docs.sample_docs,
@@ -284,6 +286,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, lang, n_chars FROM documents
             WHERE doc_id IN (SELECT MIN(doc_id) FROM documents
                              GROUP BY md5(text))
+        """,
+        "inverted_index": """
+            SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+                   string_agg(DISTINCT CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS postings
+            FROM (SELECT doc_id,
+                         unnest(list_distinct(
+                             regexp_extract_all(lower(text), '[a-z]+')))
+                             AS word
+                  FROM documents) t
+            GROUP BY word HAVING COUNT(DISTINCT doc_id) >= 2
+        """,
+        "quality_by_source": """
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+                       AS total_words,
+                   CAST(MAX(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+                       AS max_words
+            FROM documents GROUP BY source
         """,
         "pii_scrub": r"""
             SELECT doc_id,

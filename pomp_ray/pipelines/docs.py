@@ -22,7 +22,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from pomp_ray.functions import analysis as an
 
@@ -429,6 +429,62 @@ def token_count_bpe(sf_dir: str) -> rd.Dataset:
         return pa.table({"doc_id": t["doc_id"], "n_bpe_tokens": n})
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         f, batch_format="pyarrow")
+
+
+def inverted_index(sf_dir: str, min_df: int = 2) -> rd.Dataset:
+    """Inverted index build, the classic corpus-scale shuffle: per-batch
+    DISTINCT (word, doc_id) postings (partial dedup before the shuffle),
+    groupby(word) assembles each posting list.  Emitted as (word, df,
+    postings-csv) with words below ``min_df`` dropped; exact string_agg
+    oracle.  At 100 TB the word is the partition key and posting lists
+    write as partitioned parquet instead of a query result."""
+    word_re = an.WORD_RE
+
+    def postings(t: pa.Table) -> pa.Table:
+        words, ids = [], []
+        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            for w in set(word_re.findall((x or "").lower())):
+                words.append(w)
+                ids.append(d)
+        return pa.table({"word": pa.array(words, pa.string()),
+                         "doc_id": pa.array(ids, pa.int64())})
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(g["doc_id"]))
+        if len(ids) < min_df:
+            return pd.DataFrame({"word": pd.Series([], dtype="object"),
+                                 "df": pd.Series([], dtype="int64"),
+                                 "postings": pd.Series([], dtype="object")})
+        return pd.DataFrame({"word": [g["word"].iloc[0]],
+                             "df": pd.Series([len(ids)], dtype="int64"),
+                             "postings": [",".join(map(str, ids))]})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        postings, batch_format="pyarrow") \
+        .groupby("word").map_groups(assemble, batch_format="pandas")
+
+
+def quality_by_source(sf_dir: str) -> rd.Dataset:
+    """Per-source corpus quality rollup via the partial-aggregation
+    pattern: one tiny (source, n, words) row per batch, then a small
+    groupby."""
+    def partial(t: pa.Table) -> pa.Table:
+        words = pc.cast(an.count_tokens_arr(t["text"]), pa.int64())
+        tmp = pa.table({"source": t["source"], "w": words})
+        df = tmp.to_pandas().groupby("source", as_index=False).agg(
+            n_docs=("w", "size"), total_words=("w", "sum"),
+            max_words=("w", "max"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = _docs(sf_dir, ["source", "text"]).map_batches(
+        partial, batch_format="pyarrow")
+    out = parts.groupby("source").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("total_words", alias_name="total_words"),
+        Max("max_words", alias_name="max_words"))
+    return out.map_batches(
+        lambda t: _i64(t, ["n_docs", "total_words", "max_words"]),
+        batch_format="pyarrow")
 
 
 # ---------------------------------------------------------- simple SQL peers
