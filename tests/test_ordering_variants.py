@@ -99,12 +99,12 @@ def test_dfs_distributed_exact(tmp_path):
     corpus, seeds, robots, _ = oracle_inputs(fix)
     ckpt = str(tmp_path / "c")
     cfg = CrawlConfig(corpus_path=fix.pages_path, ckpt_dir=ckpt,
-                      robots_path=fix.robots_path, mode="dfs", dfs_width=32,
+                      robots_path=fix.robots_path, mode="dfs", dfs_width=128,
                       min_distributed_rows=0, n_seen_shards=4)
     summary = run_crawl(cfg, seeds=seeds)
     assert any(r["path"] == "exact" for r in summary.per_round), \
         "distributed DFS path never exercised"
-    res = crawl_oracle(corpus, seeds, robots, mode="dfs", dfs_width=32)
+    res = crawl_oracle(corpus, seeds, robots, mode="dfs", dfs_width=128)
     assert visited_tuples(read_ckpt(ckpt, "visited")) == \
         oracle_visited_tuples(res)
     assert items_map(read_ckpt(ckpt, "items")) == oracle_items_map(res)
