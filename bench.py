@@ -200,25 +200,39 @@ def run_once(num_cpus: int, sf_dir: str, flat_only: bool = False) -> dict:
     import pyarrow as _pa
     _pa.set_cpu_count(max(2, num_cpus // 2))
     import ray
-    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
-    from ray.data import DataContext
-    DataContext.get_current().enable_progress_bars = False
+
+    def fresh_session():
+        # each crawl component gets an ISOLATED Ray session: leftover
+        # object-store contents from a previous component (600k-page
+        # corpus broadcasts, spilled shuffle blocks) measurably slow the
+        # next one (crawl_join read 23s fresh vs 40-62s after crawl_flat).
+        # Session startup happens OUTSIDE the timed windows.
+        if ray.is_initialized():
+            ray.shutdown()
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+        from ray.data import DataContext
+        DataContext.get_current().enable_progress_bars = False
 
     queries: dict = {}
-    flat = bench_crawl_flat()
-    queries["crawl_flat"] = round(flat["sec"], 3)
-    result = {
-        "crawl_pages_per_s": round(flat["pages_per_s"], 1),
-        "crawl_pages": flat["pages"],
-    }
+    result: dict = {}
     if not flat_only:
+        fresh_session()
         join = bench_crawl_join()
         queries["crawl_join"] = round(join["sec"], 3)
         result["crawl_join_pages_per_s"] = round(join["pages_per_s"], 1)
+    fresh_session()
+    flat = bench_crawl_flat()
+    queries["crawl_flat"] = round(flat["sec"], 3)
+    result["crawl_pages_per_s"] = round(flat["pages_per_s"], 1)
+    result["crawl_pages"] = flat["pages"]
+    if not flat_only:
+        fresh_session()
         bfs = bench_crawl_bfs()
         queries["crawl_bfs"] = round(bfs["sec"], 3)
         result["crawl_bfs_pages_per_s"] = round(bfs["pages_per_s"], 1)
+        fresh_session()
         dedup = bench_dedup_ops()
         queries["dedup_ops"] = round(dedup["sec"], 3)
         result["dedup_ops_per_s"] = round(dedup["ops_per_s"], 1)
