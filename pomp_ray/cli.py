@@ -1,0 +1,129 @@
+"""Command-line entry point -- the thing ``ray job submit`` runs on a
+cluster (north_rule: "the job runs via ray job submit on fixed
+multi-node clusters"):
+
+    ray job submit -- python -m pomp_ray.cli crawl \\
+        --corpus pages.parquet --ckpt /data/ckpt --robots robots.parquet \\
+        --mode bfs --scale --salts 8
+
+Subcommands:
+  crawl         run a crawl (resume with --resume; scale mode with --scale)
+  dedup-corpus  write the exact-deduplicated documents corpus
+  robots        build a robots table from a corpus's /robots.txt pages
+
+This module OWNS the Ray session (guarded init), unlike the library; on
+a cluster ``ray.init(address="auto")`` attaches to the running cluster,
+locally it starts one.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(address: str | None) -> None:
+    import ray
+    if not ray.is_initialized():
+        kw = {"address": address} if address else {}
+        ray.init(include_dashboard=False, **kw)
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_crawl(args: argparse.Namespace) -> int:
+    import pyarrow.parquet as pq
+
+    from pomp_ray.crawl import CrawlConfig, run_crawl
+
+    cfg = CrawlConfig(
+        corpus_path=args.corpus, ckpt_dir=args.ckpt,
+        robots_path=args.robots, mode=args.mode,
+        exact_order=not args.scale, n_salts=args.salts,
+        n_seen_shards=args.seen_shards, dfs_width=args.dfs_width,
+        max_depth=args.max_depth, max_rounds=args.max_rounds,
+        round_budget_s=args.round_budget,
+        fetch_strategy=args.fetch_strategy,
+        min_distributed_rows=args.min_distributed_rows,
+    )
+    seeds = None
+    if not args.resume:
+        if not args.seeds:
+            print("error: --seeds required for a fresh crawl",
+                  file=sys.stderr)
+            return 2
+        seeds = pq.read_table(args.seeds).to_pylist()
+    s = run_crawl(cfg, seeds=seeds, resume=args.resume)
+    print(json.dumps({"rounds": s.rounds, "visited": s.n_visited,
+                      "items": s.n_items, "errors": s.n_errors,
+                      "seen": s.n_seen, "wall_s": round(s.wall_s, 2)}))
+    return 0
+
+
+def cmd_dedup_corpus(args: argparse.Namespace) -> int:
+    from pomp_ray.pipelines.docs import write_dedup_corpus
+    n = write_dedup_corpus(args.sf_dir, args.out)
+    print(json.dumps({"rows_written": n, "out": args.out}))
+    return 0
+
+
+def cmd_robots(args: argparse.Namespace) -> int:
+    from pomp_ray.functions.robotsfns import write_robots_table
+    n = write_robots_table(args.corpus, args.out, args.user_agent)
+    print(json.dumps({"hosts": n, "out": args.out}))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="pomp_ray")
+    p.add_argument("--address", default=None,
+                   help='ray address ("auto" on a cluster; default: local)')
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("crawl", help="run a crawl")
+    c.add_argument("--corpus", required=True)
+    c.add_argument("--ckpt", required=True)
+    c.add_argument("--seeds", help="seeds parquet (url/priority/depth)")
+    c.add_argument("--robots")
+    c.add_argument("--mode", choices=("bfs", "dfs"), default="bfs")
+    c.add_argument("--scale", action="store_true",
+                   help="scale mode (relaxed order) instead of exact")
+    c.add_argument("--resume", action="store_true")
+    c.add_argument("--salts", type=int, default=8)
+    c.add_argument("--seen-shards", type=int, default=8)
+    c.add_argument("--dfs-width", type=int, default=1)
+    c.add_argument("--max-depth", type=int, default=None)
+    c.add_argument("--max-rounds", type=int, default=None)
+    c.add_argument("--round-budget", type=float, default=10.0)
+    c.add_argument("--min-distributed-rows", type=int, default=256)
+    c.add_argument("--fetch-strategy", default="broadcast",
+                   choices=("broadcast", "actor", "join"))
+    c.set_defaults(fn=cmd_crawl)
+
+    d = sub.add_parser("dedup-corpus",
+                       help="write the exact-deduplicated corpus")
+    d.add_argument("--sf-dir", required=True)
+    d.add_argument("--out", required=True)
+    d.set_defaults(fn=cmd_dedup_corpus)
+
+    r = sub.add_parser("robots", help="robots table from a pages corpus")
+    r.add_argument("--corpus", required=True)
+    r.add_argument("--out", required=True)
+    r.add_argument("--user-agent", default="*")
+    r.set_defaults(fn=cmd_robots)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    _init_ray(args.address)
+    try:
+        return args.fn(args)
+    finally:
+        import ray
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
