@@ -460,6 +460,14 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM read_parquet('{_GOLDEN}/fingerprints_sf001.parquet')",
         "simhash_dup_groups":
             f"SELECT * FROM read_parquet('{_GOLDEN}/simhash_dup_groups_sf001.parquet')",
+        # IVF family: approximate BY DESIGN (pair found iff a probed cell
+        # is shared), but the approximation itself is a deterministic
+        # seeded spec -- pinned by independent straight-line numpy
+        # reimplementations in tools/gen_golden.py (no Dataset machinery).
+        "neardup_pairs_ivf":
+            f"SELECT * FROM read_parquet('{_GOLDEN}/neardup_pairs_ivf_sf001.parquet')",
+        "ivf_topk":
+            f"SELECT * FROM read_parquet('{_GOLDEN}/ivf_topk_sf001.parquet')",
         "crawl_bfs_visited":
             f"SELECT * FROM read_parquet('{_GOLDEN}/crawl_bfs_visited.parquet')",
         "crawl_bfs_items":

@@ -191,29 +191,42 @@ def minhash_lsh_pairs(sf_dir: str, n_perm: int = 64, bands: int = 16,
                          "jaccard": pa.array([], pa.float64())})
 
     # Verify stage, distributed: the candidate-id SET (output-scale, tiny
-    # vs the corpus) gates a distributed filter over documents, so only
-    # candidate texts ever reach the driver/object store; pair rows then
-    # verify against the broadcast text dict inside map_batches.
+    # vs the corpus) gates a distributed filter over documents, which
+    # emits each candidate's SHINGLE SET (computed once, in the workers);
+    # only those sets ever reach the driver/object store, and pair rows
+    # verify against the broadcast set dict inside map_batches.
     import ray as _ray
     cand_ids = set(cand_tbl["doc_a"].to_pylist()) | \
         set(cand_tbl["doc_b"].to_pylist())
     ids_ref = _ray.put(cand_ids)
 
-    def keep_candidates(t: pa.Table) -> pa.Table:
+    def candidate_shingles(t: pa.Table) -> pa.Table:
         wanted = _ray.get(ids_ref)
         mask = pa.array([d in wanted for d in t["doc_id"].to_pylist()],
                         pa.bool_())
-        return t.filter(mask)
+        t = t.filter(mask)
+        sh = [sorted(an.shingles(x or "")) for x in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"],
+                         "sh": pa.array(sh, pa.list_(pa.string()))})
 
-    cand_texts_tbl = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        keep_candidates, batch_format="pyarrow").take_all()
-    texts_ref = _ray.put({r["doc_id"]: r["text"] for r in cand_texts_tbl})
+    cand_sh_tbl = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        candidate_shingles, batch_format="pyarrow").take_all()
+    sets_ref = _ray.put({r["doc_id"]: frozenset(r["sh"])
+                         for r in cand_sh_tbl})
 
     def verify(t: pa.Table) -> pa.Table:
-        texts = _ray.get(texts_ref)
+        sets = _ray.get(sets_ref)
+        empty: frozenset = frozenset()
         out_a, out_b, out_j = [], [], []
         for a, b in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()):
-            j = an.jaccard_ngrams(texts.get(a) or "", texts.get(b) or "")
+            sa, sb = sets.get(a, empty), sets.get(b, empty)
+            if not sa and not sb:
+                # two zero-shingle docs are trivial LSH candidates
+                # (sentinel signatures collide); the oracle excludes them
+                # (len(a.s)+len(b.s) > 0), so skip -- not jaccard 1.0
+                continue
+            inter = len(sa & sb)
+            j = inter / (len(sa) + len(sb) - inter)
             if j >= jaccard_threshold:
                 out_a.append(int(a)); out_b.append(int(b)); out_j.append(j)
         return pa.table({"doc_a": pa.array(out_a, pa.int64()),
@@ -233,38 +246,68 @@ def jaccard_pairs_sample(sf_dir: str, threshold: float = 0.9,
                          k: int = 1) -> pa.Table:
     """Standalone n-gram Jaccard near-dup: brute-force exact word-k-gram
     Jaccard over the deterministic 1/8 doc hash-sample (all pairs), kept
-    above threshold.  The hash gate runs DISTRIBUTED (map_batches filter)
-    so the driver only ever holds the sample, never the full table.  k=1
+    above threshold.  DISTRIBUTED end to end: the hash gate + shingle
+    extraction run in map_batches (the driver only ever holds the
+    sample's compact token sets, never text), pair rows are a Dataset,
+    and the O(sample^2) Jaccard verify runs in map_batches against the
+    broadcast set dict (the minhash_lsh_pairs verify shape).  k=1
     (vocabulary Jaccard) because the synthetic docs draw random word
-    sequences -- higher-order shingles never repeat across docs.  At scale
-    the minhash-LSH pipeline replaces this quadratic pair enumeration.
+    sequences -- higher-order shingles never repeat across docs.  At
+    scale the minhash-LSH pipeline replaces this quadratic pair
+    enumeration (documented sampled VERIFIER).
     Exact DuckDB oracle (list_intersect over distinct lowercase tokens)."""
     import hashlib
 
-    def gate(t: pa.Table) -> pa.Table:
+    import ray as _ray
+
+    def gate_and_shingle(t: pa.Table) -> pa.Table:
         keep = [hashlib.md5(str(d).encode()).hexdigest()[0] in "01"
                 for d in t["doc_id"].to_pylist()]
-        return t.filter(pa.array(keep, pa.bool_()))
+        t = t.filter(pa.array(keep, pa.bool_()))
+        sh = [sorted(an.shingles(x or "", k=k))
+              for x in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"],
+                         "sh": pa.array(sh, pa.list_(pa.string()))})
 
     rows = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        gate, batch_format="pyarrow").take_all()
-    shingle_sets = {r["doc_id"]: an.shingles(r["text"] or "", k=k)
-                    for r in rows}
-    ids = sorted(shingle_sets)
-    out_a, out_b, out_j = [], [], []
-    for i, a in enumerate(ids):
-        sa = shingle_sets[a]
-        for b in ids[i + 1:]:
-            sb = shingle_sets[b]
-            if not sa and not sb:
+        gate_and_shingle, batch_format="pyarrow").take_all()
+    shingle_sets = {r["doc_id"]: frozenset(r["sh"]) for r in rows}
+    ids = np.asarray(sorted(shingle_sets), np.int64)
+    if len(ids) < 2:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    ai, bj = np.triu_indices(len(ids), 1)
+    pairs_tbl = pa.table({"doc_a": pa.array(ids[ai], pa.int64()),
+                          "doc_b": pa.array(ids[bj], pa.int64())})
+    # split pair rows into blocks so the verify fans out across workers
+    blk = 65536
+    blocks = [pairs_tbl.slice(lo, blk)
+              for lo in range(0, pairs_tbl.num_rows, blk)]
+    sets_ref = _ray.put(shingle_sets)
+
+    def verify(t: pa.Table) -> pa.Table:
+        sets = _ray.get(sets_ref)
+        out_a, out_b, out_j = [], [], []
+        for a, b in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()):
+            sa, sb = sets[a], sets[b]
+            if not sa and not sb:   # oracle's len(a.s)+len(b.s) > 0 guard
                 continue
             inter = len(sa & sb)
             j = inter / (len(sa) + len(sb) - inter)
             if j >= threshold:
-                out_a.append(a); out_b.append(b); out_j.append(j)
-    return pa.table({"doc_a": pa.array(out_a, pa.int64()),
-                     "doc_b": pa.array(out_b, pa.int64()),
-                     "jaccard": pa.array(out_j, pa.float64())})
+                out_a.append(int(a)); out_b.append(int(b)); out_j.append(j)
+        return pa.table({"doc_a": pa.array(out_a, pa.int64()),
+                         "doc_b": pa.array(out_b, pa.int64()),
+                         "jaccard": pa.array(out_j, pa.float64())})
+
+    verified = rd.from_arrow(blocks).map_batches(
+        verify, batch_format="pyarrow").take_all()
+    verified.sort(key=lambda r: (r["doc_a"], r["doc_b"]))
+    return pa.table({
+        "doc_a": pa.array([r["doc_a"] for r in verified], pa.int64()),
+        "doc_b": pa.array([r["doc_b"] for r in verified], pa.int64()),
+        "jaccard": pa.array([r["jaccard"] for r in verified], pa.float64())})
 
 
 def simhash_dup_groups(sf_dir: str, max_hamming: int = 3) -> pa.Table:

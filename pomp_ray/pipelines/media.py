@@ -45,15 +45,26 @@ def to_media_batch(t: pa.Table) -> pa.Table:
     })
 
 
-def media_features(sf_dir: str) -> rd.Dataset:
+def media_features(sf_dir: str, batch_size: int = 128,
+                   max_actors: int = 8) -> rd.Dataset:
     """Decode+featurize documents-as-media through the actor-pool stage;
     emit the SQL-checkable plumbing columns.  Feature vectors themselves
-    are deterministic (seeded fake decoder) and pytest-verified."""
+    are deterministic (seeded fake decoder) and pytest-verified.
+
+    Actor-pool size derives from the INPUT size (parquet metadata row
+    count, no read): a pool larger than the number of batches starves
+    idle actors; tiny inputs run one actor."""
+    import pyarrow.parquet as pq
+    n_rows = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    n_batches = max(1, -(-n_rows // batch_size))
+    concurrency = max(1, min(max_actors, n_batches // 2))
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         to_media_batch, batch_format="pyarrow")
     feats = ds.map_batches(
         MediaFeaturizer, fn_constructor_kwargs={"decode": "fake"},
-        concurrency=2, batch_size=128, batch_format="pyarrow")
+        concurrency=concurrency, batch_size=batch_size,
+        batch_format="pyarrow")
 
     def project(t: pa.Table) -> pa.Table:
         dim = pa.array([FEATURE_DIM] * t.num_rows, pa.int64())

@@ -83,19 +83,28 @@ def make_robots_flag(disallow: dict[str, list[str]]):
     """Broadcast-small-side robots gate: adds a ``blocked`` bool column.
     ``disallow`` maps host -> disallow path prefixes (tiny vs the frontier;
     at production scale ship it via ray.put and read it in actor __init__).
-    Vectorized per (host, prefix) rule: one equality mask + one
-    starts_with kernel per rule, never a Python loop over rows."""
-    rules = [(h, p) for h, prefs in disallow.items() for p in prefs]
+    Vectorized per (host, prefix) rule -- one equality mask + one
+    starts_with kernel per rule, never a Python loop over rows -- and the
+    rule loop is RESTRICTED to hosts actually present in the batch (one
+    unique() pass), so per-batch cost scales with the batch's hosts, not
+    the global rule-table size (a production robots table has thousands
+    of hosts; a frontier batch touches a handful)."""
+    by_host = {h: prefs for h, prefs in disallow.items() if prefs}
 
     def robots_flag(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        if not rules or n == 0:
+        if not by_host or n == 0:
             return batch.append_column(
                 "blocked", pa.array(np.zeros(n, bool), pa.bool_()))
         hosts = batch["host"]
         paths = batch["path"]
+        present = pc.unique(hosts.combine_chunks()
+                            if isinstance(hosts, pa.ChunkedArray)
+                            else hosts).to_pylist()
+        active = [(h, p) for h in present
+                  for p in by_host.get(h, ())]
         blocked = np.zeros(n, bool)
-        for host, pref in rules:
+        for host, pref in active:
             m = pc.and_(pc.equal(hosts, host),
                         pc.starts_with(paths, pattern=pref))
             blocked |= np.asarray(m.combine_chunks(), dtype=bool)

@@ -223,14 +223,25 @@ class HttpFetcher:
         self._last_fetch[host] = self.clock()
 
     def _classify(self, exc: Exception) -> tuple[str, bool]:
-        """(message, retryable) for an opener exception."""
+        """(message, retryable) for an opener exception.  URLError is NOT
+        uniformly retryable: name-resolution failures (NXDOMAIN), malformed
+        urls / unknown schemes (ValueError or plain-string reasons) are
+        PERMANENT -- retrying them burns max_retries per fetch and, worse,
+        labels them fetch_retryable=True, which a re-enqueue policy keyed
+        on that column would retry forever.  Only transient transport
+        reasons (timeouts, connection drops, other OS-level errno) stay
+        retryable."""
+        import socket
         import urllib.error
         if isinstance(exc, urllib.error.HTTPError):
             return f"HTTP {exc.code}", 500 <= exc.code < 600
         if isinstance(exc, (TimeoutError, ConnectionError)):
             return type(exc).__name__, True
         if isinstance(exc, urllib.error.URLError):
-            return f"URLError: {exc.reason}", True
+            r = exc.reason
+            permanent = (isinstance(r, (socket.gaierror, ValueError))
+                         or not isinstance(r, OSError))
+            return f"URLError: {r}", not permanent
         return f"{type(exc).__name__}: {exc}", False
 
     def fetch_one(self, url: str) -> tuple[bytes | None, str, bool, int]:

@@ -51,6 +51,38 @@ def test_http_fetcher_classification_and_retry():
     assert rows["http://h.test/refused"][2] is True  # connection = retryable
 
 
+def test_urlerror_permanent_vs_transient_classification():
+    """URLError is not uniformly retryable: DNS NXDOMAIN (gaierror),
+    malformed urls (ValueError / string reasons) are PERMANENT and take
+    exactly ONE attempt; errno-level transport failures stay retryable."""
+    import socket
+
+    def opener(url, timeout):
+        if url.endswith("/nxdomain"):
+            raise urllib.error.URLError(
+                socket.gaierror(-2, "Name or service not known"))
+        if url.endswith("/badvalue"):
+            raise urllib.error.URLError(ValueError("bad port"))
+        if url.endswith("/badscheme"):
+            raise urllib.error.URLError("unknown url type: 'htp'")
+        if url.endswith("/unreachable"):
+            raise urllib.error.URLError(OSError(101, "Network unreachable"))
+        return b"<html></html>"
+
+    f = HttpFetcher(timeout=1.0, max_retries=3, opener=opener)
+    out = f(_batch(["http://h.test/nxdomain", "http://h.test/badvalue",
+                    "http://h.test/badscheme", "http://h.test/unreachable"]))
+    rows = {u: (r, a) for u, r, a in zip(
+        out["canon_url"].to_pylist(), out["fetch_retryable"].to_pylist(),
+        out["fetch_attempts"].to_pylist())}
+    # permanent: not retryable, single attempt (no retry burn)
+    assert rows["http://h.test/nxdomain"] == (False, 1)
+    assert rows["http://h.test/badvalue"] == (False, 1)
+    assert rows["http://h.test/badscheme"] == (False, 1)
+    # transient transport errno: retried to exhaustion, labeled retryable
+    assert rows["http://h.test/unreachable"] == (True, 4)
+
+
 def test_crawl_with_flaky_fetcher(tmp_path):
     """Full crawl through the custom-downloader seam: every url times out
     once and succeeds on the in-stage retry, so the visited set equals

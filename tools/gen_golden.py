@@ -92,6 +92,69 @@ def gen_signature_goldens() -> None:
     print(f"signature goldens: {len(doc_ids)} docs, {len(pairs)} simhash pairs")
 
 
+# ------------------------------------------------------------- IVF goldens
+def gen_ivf_goldens() -> None:
+    """Independent straight-line reimplementation of the IVF similarity
+    spec (pipelines/embeddings.py neardup_pairs_ivf / ivf_topk): seeded
+    random-projection centroids (default_rng(42)), multi-probe cell
+    assignment, cosine scoring.  Deliberately avoids the engine's Dataset
+    pipeline / explode / groupby machinery -- every step here is a plain
+    numpy scan, so a pipeline bug (wrong groupby key, lost explode rows,
+    bad dedup) cannot propagate into its own oracle.  The engine's output
+    is approximate-BY-DESIGN (pair found iff a probed cell is shared);
+    these goldens pin that exact deterministic spec at sf0.01."""
+    t = pq.read_table(os.path.join(SF001, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    import numpy as np
+    ids = np.asarray(t["vec_id"].to_pylist(), np.int64)
+    mat = np.array(t["embedding"].to_pylist(), np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    nm = mat / norms
+    n, dim = nm.shape
+    n_cells = 16
+    rng = np.random.default_rng(42)
+    cent = rng.standard_normal((n_cells, dim))
+    cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+
+    # --- neardup_pairs_ivf (threshold 0.35, n_probe=6): pair iff the two
+    # vectors share >= 1 of their 6 closest cells AND cosine > threshold
+    n_probe = 6
+    probed = [set(np.argsort(-(nm[i] @ cent.T))[:n_probe].tolist())
+              for i in range(n)]
+    pairs = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            if probed[i] & probed[j] and float(nm[i] @ nm[j]) > 0.35:
+                a, b = int(ids[i]), int(ids[j])
+                pairs.append((a, b) if a < b else (b, a))
+    pairs.sort()
+    pq.write_table(
+        pa.table({"id_a": pa.array([p[0] for p in pairs], pa.int64()),
+                  "id_b": pa.array([p[1] for p in pairs], pa.int64())}),
+        os.path.join(GOLDEN_DIR, "neardup_pairs_ivf_sf001.parquet"))
+
+    # --- ivf_topk (query vec_id=0, k=10, n_probe=4): a vector is a
+    # candidate iff its single closest cell is among the 4 cells closest
+    # to the query; top-10 by (cosine desc, vec_id asc), score rounded
+    q = nm[ids.tolist().index(0)]
+    probe_q = set(np.argsort(-(cent @ q))[:4].tolist())
+    cand = []
+    for i in range(n):
+        if int(ids[i]) == 0:
+            continue
+        if int(np.argmax(nm[i] @ cent.T)) in probe_q:
+            cand.append((float(nm[i] @ q), int(ids[i])))
+    cand.sort(key=lambda x: (-x[0], x[1]))
+    top = cand[:10]
+    pq.write_table(
+        pa.table({"vec_id": pa.array([c[1] for c in top], pa.int64()),
+                  "score": pa.array([round(c[0], 6) for c in top],
+                                    pa.float64())}),
+        os.path.join(GOLDEN_DIR, "ivf_topk_sf001.parquet"))
+    print(f"ivf goldens: {len(pairs)} neardup pairs, {len(top)} topk rows")
+
+
 # ----------------------------------------------------------- crawl goldens
 def gen_crawl_goldens() -> None:
     from pomp_ray import schemas
@@ -134,4 +197,5 @@ def gen_crawl_goldens() -> None:
 if __name__ == "__main__":
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     gen_signature_goldens()
+    gen_ivf_goldens()
     gen_crawl_goldens()
