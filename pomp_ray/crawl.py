@@ -994,16 +994,22 @@ def _politeness_inline(fds: rd.Dataset, caps: dict[str, int],
     exact mode' invariant."""
     import hashlib as _hl
 
+    import numpy as np
+    import pandas as pd
+
     def add_salt(t: pa.Table) -> pa.Table:
+        # vectorized: pandas' keyed siphash per url (stable across
+        # processes/sessions, unlike builtin hash()) modulo the host's
+        # effective salt count -- the salt only needs a stable uniform
+        # assignment, not a specific hash family, so no per-row md5
         if not salt_counts:
-            salt = pa.array([0] * t.num_rows, pa.int32())
+            salt = pa.array(np.zeros(t.num_rows, np.int32), pa.int32())
         else:
-            salt = pa.array(
-                [int.from_bytes(_hl.md5(u.encode()).digest()[:4], "little")
-                 % salt_counts.get(h, 1)
-                 for u, h in zip(t["canon_url"].to_pylist(),
-                                 t["host"].to_pylist())],
-                pa.int32())
+            urls = np.asarray(t["canon_url"].to_pylist(), dtype=object)
+            h = pd.util.hash_array(urls)
+            eff = (pd.Series(t["host"].to_pylist(), dtype=object)
+                   .map(salt_counts).fillna(1).to_numpy(np.uint64))
+            salt = pa.array((h % eff).astype(np.int32), pa.int32())
         return t.append_column("salt", salt)
 
     def mark(g):

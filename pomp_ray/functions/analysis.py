@@ -85,7 +85,26 @@ def lang_id(text: str) -> str:
 
 def lang_id_batch(batch: pa.Table, text_col: str = "text",
                   out_col: str = "pred_lang") -> pa.Table:
-    preds = [lang_id(t or "") for t in batch[text_col].to_pylist()]
+    """Vectorized stopword vote: one Arrow tokenize pass + one is_in mask
+    per language + bincount per row; winner = first language (fixed
+    en>de>fr order) holding the max vote, identical to per-row lang_id
+    (np.argmax also takes the first max)."""
+    n = batch.num_rows
+    toks = pc.split_pattern_regex(pc.utf8_lower(batch[text_col]),
+                                  pattern="[^a-zA-Z]+")
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks)
+    keep = pc.not_equal(flat, "")
+    flat = flat.filter(keep).combine_chunks()
+    pi = parent.filter(keep).to_numpy()
+    langs = ("en", "de", "fr")
+    votes = np.zeros((len(langs), n), np.int64)
+    for i, lang in enumerate(langs):
+        m = pc.is_in(flat, value_set=pa.array(sorted(_STOPWORDS[lang])))
+        mb = m.to_numpy(zero_copy_only=False)
+        votes[i] = np.bincount(pi[mb], minlength=n)
+    idx = np.argmax(votes, axis=0)
+    preds = [langs[i] for i in idx]
     return batch.append_column(out_col, pa.array(preds, pa.string()))
 
 

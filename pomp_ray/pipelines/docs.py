@@ -436,20 +436,32 @@ def clean_corpus(sf_dir: str) -> rd.Dataset:
                       num_partitions=16)
 
 
+def _tokenize_flat(t: pa.Table) -> tuple[pa.Array, pa.Array]:
+    """Vectorized batch tokenize: (flat lowercase words, parent row
+    indices), empty tokens dropped.  split_pattern_regex('[^a-z]+') over
+    lowered text == findall('[a-z]+') -- all Arrow kernels, no per-row
+    Python regex."""
+    toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]),
+                                  pattern="[^a-z]+")
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks)
+    keep = pc.not_equal(flat, "")
+    return flat.filter(keep), parent.filter(keep)
+
+
 def top_words(sf_dir: str, k: int = 50) -> pa.Table:
     """Heavy hitters: global top-k most frequent lowercase words.  The
     partial-aggregation pattern end-to-end: per-batch word counts (one
     tiny table per batch, never the exploded words) -> groupby(word) sum
-    -> top-k sort of the small aggregate.  Ties break on word asc."""
-    word_re = an.WORD_RE
+    -> top-k sort of the small aggregate.  Ties break on word asc.
+    Per-batch counting is value_counts over the Arrow-tokenized flat
+    word array -- no Python loop."""
 
     def partial(t: pa.Table) -> pa.Table:
-        from collections import Counter
-        c: Counter = Counter()
-        for x in t["text"].to_pylist():
-            c.update(word_re.findall((x or "").lower()))
-        return pa.table({"word": pa.array(list(c.keys()), pa.string()),
-                         "n": pa.array(list(c.values()), pa.int64())})
+        flat, _ = _tokenize_flat(t)
+        vc = flat.value_counts()
+        return pa.table({"word": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
 
     agg = _docs(sf_dir, ["text"]).map_batches(
         partial, batch_format="pyarrow") \
@@ -481,16 +493,13 @@ def inverted_index(sf_dir: str, min_df: int = 2) -> rd.Dataset:
     postings-csv) with words below ``min_df`` dropped; exact string_agg
     oracle.  At 100 TB the word is the partition key and posting lists
     write as partitioned parquet instead of a query result."""
-    word_re = an.WORD_RE
-
     def postings(t: pa.Table) -> pa.Table:
-        words, ids = [], []
-        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            for w in set(word_re.findall((x or "").lower())):
-                words.append(w)
-                ids.append(d)
-        return pa.table({"word": pa.array(words, pa.string()),
-                         "doc_id": pa.array(ids, pa.int64())})
+        flat, parent = _tokenize_flat(t)
+        doc_ids = pc.take(t["doc_id"], parent)
+        tbl = pa.table({"word": flat, "doc_id": doc_ids})
+        # per-batch DISTINCT (word, doc_id) via Arrow's hash groupby --
+        # the partial dedup before the shuffle, no Python loop
+        return tbl.group_by(["word", "doc_id"]).aggregate([])
 
     def assemble(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(set(g["doc_id"]))

@@ -82,17 +82,19 @@ def select_distributed(
         return n_salts if cap is None else min(n_salts, max(1, cap))
 
     if n_salts > 1:
+        # effective-salt lookup precomputed for capped hosts; uncapped
+        # hosts default to n_salts (Series.map C path, no per-row Python)
+        eff_map = {h: min(n_salts, max(1, c)) for h, c in caps.items()}
+
         def add_salt(t: pa.Table) -> pa.Table:
-            import hashlib
-            # md5, not builtin hash(): per-process hash salting would make
-            # salt assignment nondeterministic across workers/retries
-            salt = pa.array(
-                [int.from_bytes(hashlib.md5(u.encode()).digest()[:4],
-                                "little") % _eff(h)
-                 for u, h in zip(t["canon_url"].to_pylist(),
-                                 t["host"].to_pylist())],
-                pa.int32(),
-            )
+            # pandas' keyed siphash, NOT builtin hash(): per-process hash
+            # salting would make salt assignment nondeterministic across
+            # workers/retries; vectorized, no per-row md5
+            urls = np.asarray(t["canon_url"].to_pylist(), dtype=object)
+            h = pd.util.hash_array(urls)
+            eff = (pd.Series(t["host"].to_pylist(), dtype=object)
+                   .map(eff_map).fillna(n_salts).to_numpy(np.uint64))
+            salt = pa.array((h % eff).astype(np.int32), pa.int32())
             return t.append_column("salt", salt)
 
         frontier = frontier.map_batches(add_salt, batch_format="pyarrow")
