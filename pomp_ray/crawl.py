@@ -249,8 +249,10 @@ class CrawlEngine:
         # Small row groups so Dataset reads can split one driver-written
         # file into many parallel blocks (a single giant row group caps
         # the whole downstream fetch+parse chain's parallelism).
-        pq.write_table(table, os.path.join(d, f"{name}.parquet"),
-                       row_group_size=8192)
+        path = os.path.join(d, f"{name}.parquet")
+        pq.write_table(table, path, row_group_size=8192)
+        if kind == "frontier":
+            _write_stats_sidecar(path, _frontier_stats(table))
 
     def _frontier_sources(self, rnd: int) -> list[str]:
         """Parquet files feeding round ``rnd``: its frontier dir plus any
@@ -262,19 +264,30 @@ class CrawlEngine:
         return files
 
     def _frontier_count(self, rnd: int) -> int:
-        """Pending (non-blocked) rows for round ``rnd``.  Row totals come
-        from parquet metadata; the blocked flag is a single boolean column
-        read.  When scale-mode salting is on, the host column is read in
-        the same pass to observe per-host frequencies (skew input for
-        politeness.derive_salt_counts).  Cheap -- two dict-encoded columns
-        -- but O(frontier) driver I/O; at extreme scale both become
-        per-file column statistics / a side aggregate written by exec B."""
+        """Pending (non-blocked) rows for round ``rnd``, METADATA-ONLY in
+        the steady state: every frontier/deferred writer (exec B's block
+        writer, the politeness overflow files, seed, driver rounds)
+        leaves a ``.stats.json`` sidecar with (n, n_blocked, host
+        histogram), so the driver's per-round pass reads tiny JSON --
+        never frontier columns -- even with salting on (the host
+        histogram feeds politeness.derive_salt_counts).  Files without a
+        sidecar (exact-mode Dataset writes) fall back to parquet
+        row-group statistics, then a one/two-column read."""
         want_freq = (not self.cfg.exact_order and self.cfg.n_salts > 1
                      and self.caps)
         cols = ["blocked", "host"] if want_freq else ["blocked"]
         n = 0
         freq: dict[str, int] = {}
         for p in self._frontier_sources(rnd):
+            sc = p[:-len(".parquet")] + ".stats.json"
+            if os.path.exists(sc):
+                with open(sc) as f:
+                    st = json.load(f)
+                n += st["n"] - st["n_blocked"]
+                if want_freq:
+                    for h, c in st["hosts"].items():
+                        freq[h] = freq.get(h, 0) + c
+                continue
             pf = pq.ParquetFile(p)
             if not want_freq and _stats_all_unblocked(pf):
                 # parquet row-group statistics prove blocked is all-false:
@@ -723,16 +736,15 @@ class CrawlEngine:
             .map_batches(_hash_seq, batch_format="pyarrow")
         )
         next_dir = self._dir("frontier", rnd + 1)
-        cands.write_parquet(next_dir)
+        # custom idempotent block writer + stats sidecars: counts come
+        # back as tiny rows, so no post-write column read-back
+        stats = cands.map_batches(_make_frontier_writer(next_dir),
+                                  batch_format="pyarrow").take_all()
 
         t_exec_b = _t() - t0
         t0 = _t()
-        n_next = n_blocked = 0
-        for p in glob.glob(os.path.join(next_dir, "*.parquet")):
-            t = pq.read_table(p, columns=["blocked"])
-            b = int(pc.sum(t["blocked"]).as_py() or 0)
-            n_blocked += b
-            n_next += t.num_rows - b
+        n_blocked = sum(r["n_blocked"] for r in stats)
+        n_next = sum(r["n"] for r in stats) - n_blocked
         n_errors = (n_selected - n_visited) + n_blocked
         return {"round": rnd, "path": "scale", "n_selected": n_selected,
                 "n_deferred": n_deferred, "n_visited": n_visited,
@@ -847,15 +859,33 @@ class CrawlEngine:
 
 
 # -------------------------------------------------------------- output readers
-def read_items(ckpt_dir: str) -> pa.Table:
-    """Logical items table from either mode's layout, schema schemas.ITEMS."""
-    out = []
-    for p in sorted(glob.glob(os.path.join(ckpt_dir, "items", "round-*",
-                                           "*.parquet"))):
-        t = pq.read_table(p)
+def items_dataset(ckpt_dir: str) -> rd.Dataset:
+    """Logical items table as a STREAMING Ray Dataset (the scale reader:
+    blocks flow through the executor with backpressure, nothing is ever
+    held on the driver).  Same rows as ``read_items``; order is
+    per-block, not global -- consume with write_parquet / map_batches /
+    aggregates, or use ``iter_item_batches`` when file order matters."""
+    files = sorted(glob.glob(os.path.join(ckpt_dir, "items", "round-*",
+                                          "*.parquet")))
+    if not files:
+        return rd.from_arrow(schemas.ITEMS.empty_table())
+
+    def load(t: pa.Table) -> pa.Table:
         if "fetch_ok" in t.column_names:   # scale layout: items superset
             t = t.filter(t["fetch_ok"])
-        out.append(schemas.cast_to(t, schemas.ITEMS))
+        return schemas.cast_to(t, schemas.ITEMS)
+
+    return rd.read_parquet(files).map_batches(load, batch_format="pyarrow")
+
+
+def read_items(ckpt_dir: str) -> pa.Table:
+    """Logical items table from either mode's layout, schema
+    schemas.ITEMS.  Conformance/testing reader: assembles ONE table (so
+    it is O(items) on the driver by construction -- use
+    ``items_dataset`` for big crawls); internally streams per parquet
+    row group via ``iter_item_batches``, so peak overhead beyond the
+    result itself is one row group."""
+    out = list(iter_item_batches(ckpt_dir))
     if not out:
         return schemas.ITEMS.empty_table()
     return pa.concat_tables(out)
@@ -958,6 +988,55 @@ def _robots_errors(t: pa.Table, rnd: int) -> pa.Table:
     }, schema=schemas.ERRORS)
 
 
+def _frontier_stats(t: pa.Table) -> dict:
+    """(row count, blocked count, unblocked host histogram) for one
+    frontier part -- the sidecar payload that makes the driver's
+    per-round frontier pass metadata-only."""
+    nb = int(pc.sum(t["blocked"]).as_py() or 0)
+    un = t.filter(pc.invert(t["blocked"])) if nb else t
+    hosts: dict[str, int] = {}
+    if un.num_rows:
+        for v in un["host"].value_counts():
+            hosts[v["values"].as_py()] = int(v["counts"].as_py())
+    return {"n": t.num_rows, "n_blocked": nb, "hosts": hosts}
+
+
+def _write_stats_sidecar(parquet_path: str, stats: dict) -> None:
+    sc = parquet_path[:-len(".parquet")] + ".stats.json"
+    tmp = sc + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(stats, f)
+    os.replace(tmp, sc)
+
+
+def _make_frontier_writer(next_dir: str):
+    """Exec-B terminal stage: write each next-frontier block as a parquet
+    part named by the block's content hash (the seq column IS already a
+    stable per-url hash, so the name is deterministic and the write is
+    idempotent under task retry), plus its ``.stats.json`` sidecar; emit
+    one tiny (n, n_blocked) row.  The driver consumes only those stats
+    rows -- the round's counts and the next round's ``_frontier_count``
+    never read frontier columns."""
+    def write(t: pa.Table) -> pa.Table:
+        def stats_row(n: int, b: int) -> pa.Table:
+            return pa.table({"n": pa.array([n], pa.int64()),
+                             "n_blocked": pa.array([b], pa.int64())})
+        if t.num_rows == 0:
+            return stats_row(0, 0)
+        import hashlib
+        os.makedirs(next_dir, exist_ok=True)
+        key = hashlib.md5(
+            t["seq"].combine_chunks().to_numpy().tobytes()).hexdigest()[:16]
+        st = _frontier_stats(t)
+        path = os.path.join(next_dir, f"part-{key}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+        _write_stats_sidecar(path, st)
+        return stats_row(st["n"], st["n_blocked"])
+    return write
+
+
 def _hash_seq(t: pa.Table) -> pa.Table:
     """Scale-mode seq: deterministic per-url hash (63-bit).  Vectorized
     via pandas' keyed siphash (stable across processes/sessions -- unlike
@@ -1028,7 +1107,12 @@ def _politeness_inline(fds: rd.Dataset, caps: dict[str, int],
         os.makedirs(deferred_dir, exist_ok=True)
         hh = _hl.md5(host.encode()).hexdigest()[:12]
         t = _cast_frontier(pa.Table.from_pandas(overflow, preserve_index=False))
-        pq.write_table(t, os.path.join(deferred_dir, f"h{hh}-s{salt}.parquet"))
+        path = os.path.join(deferred_dir, f"h{hh}-s{salt}.parquet")
+        pq.write_table(t, path)
+        # one-host stats sidecar so the next round's _frontier_count
+        # stays metadata-only over deferred files too
+        _write_stats_sidecar(path, {"n": t.num_rows, "n_blocked": 0,
+                                    "hosts": {host: t.num_rows}})
         return sel
 
     return (

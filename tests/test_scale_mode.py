@@ -267,3 +267,42 @@ def test_resume_wipes_partial_round(tmp_path):
     assert sorted(a["url"].to_pylist()) == sorted(b["url"].to_pylist())
     assert sorted(read_errors(full)["url"].to_pylist()) == \
         sorted(read_errors(part)["url"].to_pylist())
+
+
+def test_frontier_stats_sidecars_and_streaming_reader(tmp_path):
+    """Every scale-mode frontier/deferred parquet part gets a .stats.json
+    sidecar whose totals equal the real column data (the driver's
+    per-round frontier pass is metadata-only), and the streaming
+    items_dataset reader yields exactly read_items' rows."""
+    import json
+    import os
+
+    import pyarrow.compute as pc
+
+    from pomp_ray.crawl import items_dataset
+
+    fix = fixture_corpus(gen_corpus.SMALL)
+    ckpt = str(tmp_path / "c")
+    cfg = _scale_cfg(fix, ckpt, round_budget_s=20.0, min_distributed_rows=0)
+    eng = CrawlEngine(cfg)
+    try:
+        eng.run(seeds=pq.read_table(fix.seeds_path).to_pylist())
+    finally:
+        eng.close()
+
+    parts = (glob.glob(f"{ckpt}/frontier/round-*/*.parquet")
+             + glob.glob(f"{ckpt}/deferred/round-*/*.parquet"))
+    assert parts
+    for p in parts:
+        sc = p[:-len(".parquet")] + ".stats.json"
+        assert os.path.exists(sc), f"missing sidecar for {p}"
+        with open(sc) as f:
+            st = json.load(f)
+        t = pq.read_table(p, columns=["blocked", "host"])
+        nb = int(pc.sum(t["blocked"]).as_py() or 0)
+        assert st["n"] == t.num_rows and st["n_blocked"] == nb, p
+        assert sum(st["hosts"].values()) == t.num_rows - nb, p
+
+    tbl = read_items(ckpt)
+    ds_rows = sorted(items_dataset(ckpt).to_pandas()["url"])
+    assert ds_rows == sorted(tbl["url"].to_pylist())
