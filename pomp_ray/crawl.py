@@ -618,6 +618,55 @@ class CrawlEngine:
                 "n_items": n_visited, "n_errors": n_errors, "n_new": n_new,
                 "n_frontier_next": n_new + n_deferred}
 
+    # ------------------------------------------------- scale DFS width cut
+    def _lifo_width_cut(self, fds: rd.Dataset, rnd: int) -> rd.Dataset:
+        """Approximate scale-mode DFS (pomp's LIFO queue discipline,
+        pomp/core/engine.py ~L15-45 [estimated], relaxed for scale): pick
+        up to ``dfs_width`` rows per round preferring (priority desc,
+        depth desc) WITHOUT the exact path's global frontier sort.
+
+        Two-level cut: each block keeps its deepest-first top-``width``
+        rows (LOCAL sort, no shuffle) and writes its remainder straight
+        to deferred side files (idempotent content-hash names + stats
+        sidecars); the surviving per-block winners -- bounded by
+        width x n_blocks, not the frontier -- are then cut to the global
+        width with a small sort + split, the tail deferring too.  The
+        visited SET still equals exact mode's (enqueue-time dedup makes
+        the reachable set order-invariant); only the visit order is
+        relaxed, the same relaxation scale-mode BFS accepts.  Exact wide
+        DFS (global sort, bit-identical order) remains the
+        exact_order=True path."""
+        width = self.cfg.dfs_width
+        deferred_dir = self._dir("deferred", rnd)
+        keys = ["priority", "depth", "seq"]
+
+        def block_cut(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t
+            idx = pc.sort_indices(
+                t, sort_keys=[(k, "descending") for k in keys])
+            t = t.take(idx)
+            if t.num_rows > width:
+                _write_frontier_part(deferred_dir,
+                                     _cast_frontier(t.slice(width)))
+                t = t.slice(0, width)
+            return t
+
+        cands = fds.map_batches(block_cut,
+                                batch_format="pyarrow").materialize()
+        n_cand = cands.count()
+        if n_cand > width:
+            s = cands.sort(keys, descending=[True, True, True]).materialize()
+            head, tail = s.split_at_indices([width])
+            tail.map_batches(
+                lambda t: pa.table(
+                    {"n": pa.array([(_write_frontier_part(
+                        deferred_dir, _cast_frontier(t))["n"]
+                        if t.num_rows else 0)], pa.int64())}),
+                batch_format="pyarrow").take_all()
+            cands = head
+        return cands
+
     # ----------------------------------------------------- round: scale dist
     def _run_round_scale(self, rnd: int, n_frontier: int) -> dict:
         """Two-execution scale round (see module docstring)."""
@@ -625,6 +674,10 @@ class CrawlEngine:
         _t = time.monotonic
         t0 = _t()
         fds = self._read_frontier_ds(rnd, n_frontier)
+        if cfg.mode == "dfs":
+            # approximate LIFO: width cut first (bounds everything
+            # downstream, politeness included, to <= width rows)
+            fds = self._lifo_width_cut(fds, rnd)
 
         # exec A: [politeness ->] fetch -> parse -> enrich -> items
         if self.caps:
@@ -800,11 +853,13 @@ class CrawlEngine:
                 if ((dfs_serial or n_frontier < cfg.min_distributed_rows)
                         and cfg.fetcher_cls is None):
                     info = self._run_round_driver(rnd)
-                elif cfg.exact_order or cfg.mode == "dfs":
+                elif cfg.exact_order:
                     # wide-DFS rounds use the exact distributed path (the
                     # global width cut needs the deterministic seq sort)
                     info = self._run_round_exact(rnd, n_frontier)
                 else:
+                    # scale mode; DFS runs the approximate LIFO width cut
+                    # inside the scale round (no global frontier sort)
                     info = self._run_round_scale(rnd, n_frontier)
                 info["wall_s"] = time.monotonic() - t_r
                 info["seq_counter"] = self.seq_counter
@@ -1009,30 +1064,36 @@ def _write_stats_sidecar(parquet_path: str, stats: dict) -> None:
     os.replace(tmp, sc)
 
 
+def _write_frontier_part(out_dir: str, t: pa.Table) -> dict:
+    """Write one frontier-schema parquet part named by the block's
+    content hash (the seq column IS already a stable per-url hash, so the
+    name is deterministic and the write is idempotent under task retry),
+    plus its ``.stats.json`` sidecar.  Returns the stats dict."""
+    import hashlib
+    os.makedirs(out_dir, exist_ok=True)
+    key = hashlib.md5(
+        t["seq"].combine_chunks().to_numpy().tobytes()).hexdigest()[:16]
+    st = _frontier_stats(t)
+    path = os.path.join(out_dir, f"part-{key}.parquet")
+    tmp = path + ".tmp"
+    pq.write_table(t, tmp)
+    os.replace(tmp, path)
+    _write_stats_sidecar(path, st)
+    return st
+
+
 def _make_frontier_writer(next_dir: str):
-    """Exec-B terminal stage: write each next-frontier block as a parquet
-    part named by the block's content hash (the seq column IS already a
-    stable per-url hash, so the name is deterministic and the write is
-    idempotent under task retry), plus its ``.stats.json`` sidecar; emit
-    one tiny (n, n_blocked) row.  The driver consumes only those stats
-    rows -- the round's counts and the next round's ``_frontier_count``
-    never read frontier columns."""
+    """Exec-B terminal stage: write each next-frontier block via
+    ``_write_frontier_part`` and emit one tiny (n, n_blocked) row.  The
+    driver consumes only those stats rows -- the round's counts and the
+    next round's ``_frontier_count`` never read frontier columns."""
     def write(t: pa.Table) -> pa.Table:
         def stats_row(n: int, b: int) -> pa.Table:
             return pa.table({"n": pa.array([n], pa.int64()),
                              "n_blocked": pa.array([b], pa.int64())})
         if t.num_rows == 0:
             return stats_row(0, 0)
-        import hashlib
-        os.makedirs(next_dir, exist_ok=True)
-        key = hashlib.md5(
-            t["seq"].combine_chunks().to_numpy().tobytes()).hexdigest()[:16]
-        st = _frontier_stats(t)
-        path = os.path.join(next_dir, f"part-{key}.parquet")
-        tmp = path + ".tmp"
-        pq.write_table(t, tmp)
-        os.replace(tmp, path)
-        _write_stats_sidecar(path, st)
+        st = _write_frontier_part(next_dir, t)
         return stats_row(st["n"], st["n_blocked"])
     return write
 

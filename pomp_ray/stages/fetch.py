@@ -186,7 +186,8 @@ class HttpFetcher:
     """
 
     def __init__(self, timeout: float = 10.0, max_retries: int = 2,
-                 opener=None, crawl_delay=None, clock=None, sleep=None):
+                 opener=None, crawl_delay=None, clock=None, sleep=None,
+                 async_opener=None, max_concurrency: int = 8):
         self.timeout = timeout
         self.max_retries = max_retries
         self.crawl_delay = crawl_delay
@@ -194,6 +195,15 @@ class HttpFetcher:
         self.clock = clock or _time.monotonic
         self.sleep = sleep or _time.sleep
         self._last_fetch: dict[str, float] = {}
+        # Async seam (pomp AiohttpDownloader / TwistedDownloader parity,
+        # SURVEY.md S4/S5): an ``async def async_opener(url, timeout)``
+        # coroutine runs the batch through one event loop per call with
+        # at most ``max_concurrency`` fetches in flight (bounded
+        # semaphore) -- in-actor I/O concurrency on top of the actor
+        # pool's process concurrency.  Retry/classification semantics
+        # are IDENTICAL to the sync path (_classify is shared).
+        self.async_opener = async_opener
+        self.max_concurrency = max_concurrency
         if opener is None:
             import urllib.request
 
@@ -257,11 +267,49 @@ class HttpFetcher:
                 if not retryable or attempts > self.max_retries:
                     return None, msg, retryable, attempts
 
+    async def _fetch_one_async(self, url: str):
+        """Async mirror of fetch_one: same in-stage retry loop, same
+        _classify semantics; no time-based pacing (the bounded semaphore
+        is the in-actor rate control; per-round politeness caps bound
+        the global per-host rate)."""
+        attempts = 0
+        while True:
+            attempts += 1
+            try:
+                html = await self.async_opener(url, self.timeout)
+                return html, "", False, attempts
+            except Exception as exc:   # in-band errors, never raise
+                msg, retryable = self._classify(exc)
+                if not retryable or attempts > self.max_retries:
+                    return None, msg, retryable, attempts
+
+    def _fetch_batch_async(self, urls: list[str]) -> list[tuple]:
+        import asyncio
+
+        async def run_all():
+            sem = asyncio.Semaphore(self.max_concurrency)
+
+            async def one(u):
+                async with sem:
+                    return await self._fetch_one_async(u)
+
+            return await asyncio.gather(*(one(u) for u in urls))
+
+        return asyncio.run(run_all())
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        htmls, msgs, retry, att = [], [], [], []
-        for u in batch["canon_url"].to_pylist():
-            h, m, r, a = self.fetch_one(u)
-            htmls.append(h); msgs.append(m); retry.append(r); att.append(a)
+        urls = batch["canon_url"].to_pylist()
+        if self.async_opener is not None:
+            results = self._fetch_batch_async(urls)
+            htmls = [r[0] for r in results]
+            msgs = [r[1] for r in results]
+            retry = [r[2] for r in results]
+            att = [r[3] for r in results]
+        else:
+            htmls, msgs, retry, att = [], [], [], []
+            for u in urls:
+                h, m, r, a = self.fetch_one(u)
+                htmls.append(h); msgs.append(m); retry.append(r); att.append(a)
         batch = batch.append_column("html", pa.array(htmls, pa.binary()))
         batch = batch.append_column(
             "fetch_ok", pa.array([h is not None for h in htmls], pa.bool_()))
@@ -298,6 +346,46 @@ class FlakyCorpusFetcher(HttpFetcher):
 
         super().__init__(timeout=timeout, max_retries=max_retries,
                          opener=opener)
+
+
+class AsyncFlakyCorpusFetcher(HttpFetcher):
+    """Async test double (no network in the sandbox): an ``async_opener``
+    backed by the corpus lookup that yields to the event loop, times out
+    every url's FIRST attempt (per actor), 404s corpus misses, and
+    records the max number of fetches in flight -- lets a crawl exercise
+    the async seam's bounded concurrency + retry classification
+    end-to-end.  The in-flight high-water mark rides back in-band as the
+    ``fetch_attempts`` sign bit would be ugly, so it is exposed via the
+    ``max_inflight`` attribute checked by a direct-call pytest."""
+
+    def __init__(self, pages_path: str, timeout: float = 10.0,
+                 max_retries: int = 2, max_concurrency: int = 8):
+        self.index = CorpusIndex.build(pages_path)
+        self._seen_once: set[str] = set()
+        self._inflight = 0
+        self.max_inflight = 0
+
+        async def async_opener(url, timeout):
+            import asyncio
+            import urllib.error
+            self._inflight += 1
+            self.max_inflight = max(self.max_inflight, self._inflight)
+            try:
+                await asyncio.sleep(0.001)   # real suspension point
+                if url not in self._seen_once:
+                    self._seen_once.add(url)
+                    raise TimeoutError("first attempt always times out")
+                row = self.index.lookup_rows([url])[0]
+                if row < 0:
+                    raise urllib.error.HTTPError(url, 404, "not in corpus",
+                                                 None, None)
+                return self.index.htmls[int(row)].as_py()
+            finally:
+                self._inflight -= 1
+
+        super().__init__(timeout=timeout, max_retries=max_retries,
+                         async_opener=async_opener,
+                         max_concurrency=max_concurrency)
 
 
 def fetch_via_join(frontier: rd.Dataset, pages_path: str,

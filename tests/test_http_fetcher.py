@@ -156,3 +156,54 @@ def test_crawl_delay_pacing_fake_clock():
     # 2 gaps on slow.test, each padding the start-to-start interval to
     # 2.0s: first had 0.2s of work elapsed (slow+fast fetches), second 0.1
     assert [round(s, 6) for s in slept] == [1.8, 1.9]
+
+
+def test_async_opener_concurrency_and_classification():
+    """The async seam: fetches overlap up to max_concurrency inside one
+    actor, and retry/classification semantics match the sync path."""
+    from pomp_ray.stages.fetch import AsyncFlakyCorpusFetcher
+    from tests.helpers import fixture_corpus
+
+    fix = fixture_corpus(gen_corpus.TINY)
+    f = AsyncFlakyCorpusFetcher(fix.pages_path, max_retries=2,
+                                max_concurrency=4)
+    urls = [f"http://site0.test/p/{i}" for i in range(8)] \
+        + ["http://nowhere.test/missing"]
+    out = f(_batch(urls))
+    ok = dict(zip(out["canon_url"].to_pylist(), out["fetch_ok"].to_pylist()))
+    att = dict(zip(out["canon_url"].to_pylist(),
+                   out["fetch_attempts"].to_pylist()))
+    err = dict(zip(out["canon_url"].to_pylist(), out["fetch_err"].to_pylist()))
+    # first attempt times out (retryable), in-stage retry succeeds
+    assert all(att[u] == 2 for u in urls)
+    # misses surface as permanent 404s, like the sync FlakyCorpusFetcher
+    assert ok["http://nowhere.test/missing"] is False
+    assert err["http://nowhere.test/missing"] == "HTTP 404"
+    # fetches genuinely overlapped, bounded by the semaphore
+    assert 2 <= f.max_inflight <= 4, f.max_inflight
+
+
+def test_crawl_with_async_fetcher(tmp_path):
+    """Full crawl through the async downloader seam: visited set equals
+    the oracle's, retry classification intact (everything fetched on
+    attempt 2 after the universal first-attempt timeout)."""
+    from pomp_ray.stages.fetch import AsyncFlakyCorpusFetcher
+
+    fix = fixture_corpus(gen_corpus.TINY)
+    seeds = pq.read_table(fix.seeds_path).to_pylist()
+    ckpt = str(tmp_path / "c")
+    cfg = CrawlConfig(corpus_path=fix.pages_path, ckpt_dir=ckpt,
+                      robots_path=fix.robots_path, mode="bfs",
+                      fetcher_cls=AsyncFlakyCorpusFetcher,
+                      fetcher_kwargs={"pages_path": fix.pages_path,
+                                      "max_concurrency": 4},
+                      fetch_concurrency=2, n_seen_shards=2)
+    run_crawl(cfg, seeds=seeds)
+    res = run_oracle(fix, mode="bfs")
+    assert set(read_items(ckpt)["url"].to_pylist()) == \
+        {v["url"] for v in res.visited}
+    errs = read_errors(ckpt)
+    fetch_msgs = {m for m, s in zip(errs["message"].to_pylist(),
+                                    errs["stage"].to_pylist())
+                  if s == "fetch"}
+    assert fetch_msgs == {"HTTP 404"}
