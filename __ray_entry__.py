@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from pomp_ray.pipelines import (
         docs,
         embeddings,
+        graph,
         joins,
         media,
         relational,
@@ -105,6 +106,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus": docs.clean_corpus,
         "inverted_index": docs.inverted_index,
         "quality_by_source": docs.quality_by_source,
+        "repetition_stats": docs.repetition_stats,
+        "span_dup_stats": docs.span_dup_stats,
+        "oov_rate": docs.oov_rate,
         # -- documents: signatures / near-dup (deterministic, rows-only)
         "lang_predictions": docs.lang_predictions,
         "sample_docs": docs.sample_docs,
@@ -118,6 +122,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_pairs": embeddings.neardup_pairs,
         "neardup_pairs_ivf": embeddings.neardup_pairs_ivf,
         "ivf_topk": embeddings.ivf_topk,
+        "label_centroids": embeddings.label_centroids,
+        # -- graph: near-dup pairs -> dup groups (label propagation)
+        "dup_components": graph.dup_components,
         # -- relational building blocks (join/rollup/sort/filter)
         "events_rollup": relational.events_rollup,
         "events_sorted_head": relational.events_sorted_head,
@@ -346,6 +353,92 @@ def oracle_sql() -> dict[str, str]:
                   / GREATEST(length(text), 1) <= 0.2
               AND doc_id IN (SELECT MIN(doc_id) FROM documents
                              GROUP BY md5(text))
+        """,
+        "repetition_stats": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '\\S+') AS tk
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(GREATEST(len(tk) - 1, 0) AS BIGINT) AS n_2grams,
+                   CAST(CASE WHEN len(tk) < 2 THEN 0
+                        ELSE len(list_distinct(list_transform(
+                            range(1, len(tk)),
+                            i -> tk[i] || ' ' || tk[i+1])))
+                        END AS BIGINT) AS n_distinct_2grams
+            FROM toks
+        """,
+        # Same shingle construction as the minhash oracle; a span is
+        # "dup" iff an earlier doc (smaller doc_id) also contains it.
+        "span_dup_stats": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '\\S+') AS tk
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(tk) = 0 THEN []
+                            WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
+                            ELSE list_distinct(list_transform(
+                                range(1, len(tk) - 3),
+                                i -> array_to_string(tk[i:i+4], ' ')))
+                       END AS s
+                FROM toks
+            ), ex AS (
+                SELECT doc_id, unnest(s) AS g FROM sh
+            ), firsts AS (
+                SELECT g, MIN(doc_id) AS first_doc FROM ex GROUP BY g
+            ), dups AS (
+                SELECT ex.doc_id,
+                       SUM(CASE WHEN f.first_doc < ex.doc_id
+                                THEN 1 ELSE 0 END) AS nd
+                FROM ex JOIN firsts f ON f.g = ex.g
+                GROUP BY ex.doc_id
+            )
+            SELECT sh.doc_id, CAST(len(sh.s) AS BIGINT) AS n_spans,
+                   CAST(COALESCE(d.nd, 0) AS BIGINT) AS n_dup_spans
+            FROM sh LEFT JOIN dups d ON d.doc_id = sh.doc_id
+        """,
+        "oov_rate": """
+            WITH topw AS (
+                SELECT word FROM (
+                    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                        AS word
+                    FROM documents) t
+                GROUP BY word ORDER BY COUNT(*) DESC, word ASC LIMIT 10
+            ), v AS (SELECT list(word) AS vw FROM topw)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(lower(text), '[a-z]+'))
+                       AS BIGINT) AS n_words,
+                   CAST(len(list_filter(
+                       regexp_extract_all(lower(text), '[a-z]+'),
+                       w -> NOT list_contains(v.vw, w))) AS BIGINT) AS n_oov
+            FROM documents, v
+        """,
+        "label_centroids": """
+            SELECT label, CAST(i AS BIGINT) AS dim,
+                   ROUND(SUM(CAST(embedding AS DOUBLE[])[i]), 2) AS dim_sum,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM embeddings, range(1, 65) t(i)
+            GROUP BY label, i
+        """,
+        # Connected components of the (golden-verified) simhash near-dup
+        # graph: recursive-CTE reachability, component = min reachable id.
+        "dup_components": f"""
+            WITH RECURSIVE und AS (
+                SELECT doc_a a, doc_b b
+                FROM read_parquet('{_GOLDEN}/simhash_dup_groups_sf001.parquet')
+                UNION
+                SELECT doc_b, doc_a
+                FROM read_parquet('{_GOLDEN}/simhash_dup_groups_sf001.parquet')
+            ), reach(a, b) AS (
+                SELECT a, b FROM und
+                UNION
+                SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+            )
+            SELECT a AS doc_id, CAST(LEAST(a, MIN(b)) AS BIGINT) AS component
+            FROM reach GROUP BY a
         """,
         "ann_topk": """
             SELECT vec_id,

@@ -41,7 +41,10 @@ FLAT_DIR = "/tmp/pomp_bench_flat_corpus"
 
 def make_enrich():
     """Per-page analysis a training-data crawl runs inline: quality
-    counters (vectorized pyarrow), lang-id, simhash, minhash band keys."""
+    counters (vectorized pyarrow), lang-id (vectorized stopword vote),
+    simhash, minhash band keys (whole-batch reduceat minhash -- same
+    values as the per-row path, asserted in the analysis tests)."""
+    import numpy as np
     import pyarrow as pa
 
     from pomp_ray.functions import analysis as an
@@ -50,14 +53,12 @@ def make_enrich():
 
     def enrich(batch: pa.Table) -> pa.Table:
         batch = an.quality_columns(batch)
-        preds, sims, bands = [], [], []
-        for txt in batch["text"].to_pylist():
-            t = txt or ""
-            preds.append(an.lang_id(t))
-            sims.append(an.simhash64(t))
-            sig = an.minhash_signature(t, 64, params=params)
-            bands.append(int(sig[:16].sum()) & 0x7FFFFFFFFFFFFFFF)
-        batch = batch.append_column("pred_lang", pa.array(preds, pa.string()))
+        batch = an.lang_id_batch(batch)
+        texts = [t or "" for t in batch["text"].to_pylist()]
+        sims = [an.simhash64(t) for t in texts]
+        mat = an.minhash_signatures_batch(texts, 64, params=params)
+        bands = (mat[:, :16].sum(axis=1, dtype=np.uint64)
+                 & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
         batch = batch.append_column("simhash", pa.array(sims, pa.int64()))
         return batch.append_column("mh_band", pa.array(bands, pa.int64()))
 
@@ -153,6 +154,31 @@ def bench_crawl_bfs() -> dict:
             "pages_per_s": s.n_visited / dt}
 
 
+def bench_crawl_dfs() -> dict:
+    """Approximate scale-mode DFS over the 200k BENCH corpus, every url
+    seeded flat with width 65536: measures the per-block LIFO width cut
+    (local sorts + a bounded global cut) that replaces the exact path's
+    per-round global frontier sort."""
+    import pyarrow.parquet as pq
+
+    from pomp_ray.crawl import CrawlEngine
+    from pomp_ray.sources import gen_corpus
+
+    fix = gen_corpus.generate(BENCH_DIR, gen_corpus.BENCH)
+    urls = pq.read_table(fix.pages_path, columns=["url"])["url"].to_pylist()
+    seeds = [{"url": u, "priority": 0, "depth": 0} for u in urls]
+    eng = CrawlEngine(_crawl_cfg(fix, "/tmp/pomp_bench_dfs_ckpt",
+                                 mode="dfs", dfs_width=65536,
+                                 dfs_distributed_min_width=16))
+    try:
+        s = eng.run(seeds=seeds)
+    finally:
+        eng.close()
+    dt = sum(r.get("wall_s", 0.0) for r in s.per_round)
+    return {"sec": dt, "pages": s.n_visited, "rounds": s.rounds,
+            "pages_per_s": s.n_visited / dt}
+
+
 def bench_dedup_ops(n_urls: int = 2_000_000, n_tasks: int = 32,
                     n_shards: int = 8) -> dict:
     import ray
@@ -232,6 +258,10 @@ def run_once(num_cpus: int, sf_dir: str, flat_only: bool = False) -> dict:
         bfs = bench_crawl_bfs()
         queries["crawl_bfs"] = round(bfs["sec"], 3)
         result["crawl_bfs_pages_per_s"] = round(bfs["pages_per_s"], 1)
+        fresh_session()
+        dfs = bench_crawl_dfs()
+        queries["crawl_dfs"] = round(dfs["sec"], 3)
+        result["crawl_dfs_pages_per_s"] = round(dfs["pages_per_s"], 1)
         fresh_session()
         dedup = bench_dedup_ops()
         queries["dedup_ops"] = round(dedup["sec"], 3)

@@ -539,6 +539,140 @@ def quality_by_source(sf_dir: str) -> rd.Dataset:
         batch_format="pyarrow")
 
 
+def repetition_stats(sf_dir: str) -> rd.Dataset:
+    """Gopher-style repetition quality counters: per-doc total vs
+    DISTINCT word-2-gram counts (a high duplicate-2-gram fraction flags
+    boilerplate/spam for training-data filtering).  Distinctness is
+    computed over rolling 2-shingle hashes of the cached token hashes
+    (np.unique per doc -- no per-shingle string building); 64-bit hash
+    collisions would undercount distincts at ~n^2/2^64 odds, negligible.
+    Exact DuckDB oracle (list_distinct over materialized 2-gram
+    strings)."""
+    def f(t: pa.Table) -> pa.Table:
+        n_grams, n_distinct = [], []
+        for x in t["text"].to_pylist():
+            toks = an.TOKEN_RE.findall((x or "").lower())
+            if len(toks) < 2:
+                n_grams.append(0); n_distinct.append(0)
+                continue
+            h = an._HASHER.hashes(toks)
+            sh = an.shingle_hashes(h, k=2)
+            n_grams.append(len(sh))
+            n_distinct.append(len(np.unique(sh)))
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_2grams": pa.array(n_grams, pa.int64()),
+                         "n_distinct_2grams": pa.array(n_distinct,
+                                                       pa.int64())})
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
+
+
+def span_dup_stats(sf_dir: str) -> rd.Dataset:
+    """CCNet-style cross-doc span dedup accounting: for each doc, how
+    many of its distinct word-5-shingles already appear in an EARLIER
+    doc (global min doc_id < mine).  The production shape: explode
+    compact (shingle_hash, doc_id) rows -- never shingle strings --
+    shuffle once on the hash to find each span's first owner, then a
+    doc-keyed sum; docs join back by a hash-partitioned left join.
+    64-bit span-hash collisions mislabel a span at ~n^2/2^64 odds
+    (documented approximation; exact at test scale).  Exact DuckDB
+    oracle over materialized shingle strings."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def explode(t: pa.Table) -> pa.Table:
+        hs, ids, span_counts = [], [], []
+        doc_ids = t["doc_id"].to_pylist()
+        for d, x in zip(doc_ids, t["text"].to_pylist()):
+            toks = an.TOKEN_RE.findall((x or "").lower())
+            if not toks:
+                span_counts.append(0)
+                continue
+            uniq = np.unique(an.shingle_hashes(an._HASHER.hashes(toks), k=5))
+            span_counts.append(len(uniq))
+            hs.append(uniq.astype(np.int64))
+            ids.append(np.full(len(uniq), d, np.int64))
+        out_h = np.concatenate(hs) if hs else np.empty(0, np.int64)
+        out_d = np.concatenate(ids) if ids else np.empty(0, np.int64)
+        return pa.table({"h": pa.array(out_h, pa.int64()),
+                         "doc_id": pa.array(out_d, pa.int64())})
+
+    def count_spans(t: pa.Table) -> pa.Table:
+        ns = []
+        for x in t["text"].to_pylist():
+            toks = an.TOKEN_RE.findall((x or "").lower())
+            ns.append(len(np.unique(an.shingle_hashes(
+                an._HASHER.hashes(toks), k=5))) if toks else 0)
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_spans": pa.array(ns, pa.int64())})
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    ex = docs.map_batches(explode, batch_format="pyarrow")
+
+    # each span's first owner via a vectorized Min aggregate (NOT
+    # map_groups: millions of tiny per-span pandas groups would dominate
+    # wall time), then a hash join ships first_doc back to every
+    # (span, doc) row and a per-batch partial sums dups per doc
+    firsts = ex.groupby("h").aggregate(Min("doc_id",
+                                           alias_name="first_doc"))
+    tagged = ex.join(firsts, join_type="inner", on=("h",),
+                     num_partitions=16)
+
+    def dup_partial(t: pa.Table) -> pa.Table:
+        dup = pc.cast(pc.greater(t["doc_id"], t["first_doc"]), pa.int64())
+        tmp = pa.table({"doc_id": t["doc_id"], "dup": dup})
+        df = tmp.to_pandas().groupby("doc_id", as_index=False)["dup"].sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    per_doc = (tagged.map_batches(dup_partial, batch_format="pyarrow")
+               .groupby("doc_id")
+               .aggregate(_Sum("dup", alias_name="n_dup_spans")))
+    spans = docs.map_batches(count_spans, batch_format="pyarrow")
+    joined = spans.join(per_doc, join_type="left_outer", on=("doc_id",),
+                        num_partitions=16)
+
+    def fin(t: pa.Table) -> pa.Table:
+        nd = pc.coalesce(t["n_dup_spans"], pa.scalar(0, pa.int64()))
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_spans": pc.cast(t["n_spans"], pa.int64()),
+                         "n_dup_spans": pc.cast(nd, pa.int64())})
+    return joined.map_batches(fin, batch_format="pyarrow")
+
+
+def oov_rate(sf_dir: str, vocab_k: int = 10) -> rd.Dataset:
+    """Two-phase broadcast-model scoring, the shape every learned-filter
+    pipeline uses (KenLM perplexity, fastText quality, ...): phase 1
+    LEARNS the artifact distributed (top-``vocab_k`` vocabulary via the
+    partial-agg heavy-hitters pass), phase 2 broadcasts it once
+    (ray.put) and scores every doc vectorized (tokenize -> is_in ->
+    bincount).  Integer outputs => exact DuckDB oracle."""
+    import ray as _ray
+
+    vocab = [r["word"] for r in
+             rd.from_arrow(top_words(sf_dir, k=vocab_k)).take_all()]
+    vocab_ref = _ray.put(sorted(vocab))
+
+    def score(t: pa.Table) -> pa.Table:
+        vs = pa.array(_ray.get(vocab_ref), pa.string())
+        n = t.num_rows
+        flat, parent = _tokenize_flat(t)
+        flat = (flat.combine_chunks()
+                if isinstance(flat, pa.ChunkedArray) else flat)
+        pi = (parent.to_numpy() if not isinstance(parent, pa.ChunkedArray)
+              else parent.combine_chunks().to_numpy())
+        n_words = np.bincount(pi, minlength=n) if len(pi) else np.zeros(n, np.int64)
+        oov_mask = pc.invert(pc.is_in(flat, value_set=vs)) \
+            .to_numpy(zero_copy_only=False)
+        n_oov = (np.bincount(pi[oov_mask], minlength=n) if len(pi)
+                 else np.zeros(n, np.int64))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_words": pa.array(n_words.astype(np.int64), pa.int64()),
+            "n_oov": pa.array(n_oov.astype(np.int64), pa.int64())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------- simple SQL peers
 def lang_counts(sf_dir: str) -> rd.Dataset:
     out = _docs(sf_dir, ["lang"]).groupby("lang").aggregate(

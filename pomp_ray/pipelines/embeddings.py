@@ -149,6 +149,47 @@ def neardup_pairs_ivf(sf_dir: str, threshold: float = 0.35,
                      "id_b": pa.array([p[1] for p in out], pa.int64())})
 
 
+def label_centroids(sf_dir: str) -> rd.Dataset:
+    """Vector AGGREGATE over the embedding column: per-label centroid
+    sums, the partial-aggregation pattern applied to vectors -- each
+    batch reduces to one (label, dim, partial_sum, partial_n) row set
+    via a single numpy groupby-matmul, then a tiny groupby(label, dim)
+    sums the partials.  Nothing vector-shaped ever shuffles beyond
+    #labels x dim rows per batch.  Emitted as (label, dim, dim_sum
+    ROUNDed to 2dp, n) so the DuckDB oracle's different summation order
+    cannot flip the hash."""
+    import pandas as pd
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        labels = np.asarray(t["label"].to_pylist(), np.int64)
+        mat = np.array(t["embedding"].to_pylist(), np.float64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        dim = mat.shape[1]
+        sums = np.zeros((len(uniq), dim))
+        np.add.at(sums, inv, mat)
+        ns = np.bincount(inv)
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, dim), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(1, dim + 1), len(uniq)),
+                            pa.int64()),
+            "s": pa.array(sums.ravel(), pa.float64()),
+            "n": pa.array(np.repeat(ns, dim).astype(np.int64), pa.int64()),
+        })
+
+    agg = _emb(sf_dir).map_batches(partial, batch_format="pyarrow") \
+        .groupby(["label", "dim"]).aggregate(
+            _Sum("s", alias_name="dim_sum"), _Sum("n", alias_name="n"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "label": pc.cast(t["label"], pa.int32()),
+            "dim": pc.cast(t["dim"], pa.int64()),
+            "dim_sum": pc.round(t["dim_sum"], ndigits=2),
+            "n": pc.cast(t["n"], pa.int64())})
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
 def ivf_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10,
              n_cells: int = 16, n_probe: int = 4) -> pa.Table:
     """IVF-style approximate top-k as a DATASET pipeline (the scale

@@ -99,3 +99,32 @@ def test_neardup_ivf_recall_and_precision():
     got = set(zip(ivf["id_a"].to_pylist(), ivf["id_b"].to_pylist()))
     assert not (got - ex), "IVF produced pairs the exact path lacks"
     assert len(got & ex) / max(1, len(ex)) >= 0.9, (len(got), len(ex))
+
+
+def test_connected_components_unit():
+    """Label propagation on a hand-built graph: a 4-chain, a triangle
+    sharing no nodes, and a 2-pair -- components must equal the min
+    reachable id, converging across multi-hop chains."""
+    import pyarrow as pa
+
+    from pomp_ray.pipelines.graph import connected_components
+
+    pairs = pa.table({
+        "doc_a": pa.array([10, 11, 12, 20, 21, 20, 30], pa.int64()),
+        "doc_b": pa.array([11, 12, 13, 21, 22, 22, 31], pa.int64()),
+    })
+    out = connected_components(pairs)
+    got = dict(zip(out["doc_id"].to_pylist(), out["component"].to_pylist()))
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10,
+                   20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
+
+
+def test_connected_components_empty():
+    import pyarrow as pa
+
+    from pomp_ray.pipelines.graph import connected_components
+
+    out = connected_components(pa.table({
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64())}))
+    assert out.num_rows == 0
