@@ -172,19 +172,27 @@ def minhash_lsh_pairs(sf_dir: str, n_perm: int = 64, bands: int = 16,
     banded = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         sigs, batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].unique())
-        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
-        return pd.DataFrame({"doc_a": [p[0] for p in pairs],
-                             "doc_b": [p[1] for p in pairs]})
-
-    # Candidate pairs stay a Dataset; dedup is a groupby on the (small)
-    # pair rows -- never the corpus.
-    cand = banded.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas")
-    cand = cand.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
-    cand_tbl = pa.Table.from_pandas(cand.to_pandas(), preserve_index=False)
+    # Candidate pairs via SELF-JOIN on the bucket key (vectorized hash
+    # join; a per-bucket map_groups would pay pandas overhead on
+    # millions of tiny mostly-singleton buckets -- measured 60s vs 2s at
+    # sf0.1).  Join fan-out is sum(bucket_size^2): the LSH blocking
+    # invariant (buckets stay small) is what bounds it, same as any LSH
+    # implementation; pair dedup is a vectorized Count aggregate.
+    right = banded.map_batches(
+        lambda t: pa.table({"doc_b": t["doc_id"], "band": t["band"],
+                            "band_hash": t["band_hash"]}),
+        batch_format="pyarrow")
+    joined = banded.join(right, join_type="inner",
+                         on=("band", "band_hash"), num_partitions=16)
+    pairs = joined.map_batches(
+        lambda t: pa.table(
+            {"doc_a": t["doc_id"], "doc_b": t["doc_b"]}).filter(
+                pc.less(t["doc_id"], t["doc_b"])),
+        batch_format="pyarrow")
+    cand = pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Count(alias_name="n_buckets"))
+    cand_tbl = pa.Table.from_pandas(
+        cand.to_pandas(), preserve_index=False).select(["doc_a", "doc_b"])
     if cand_tbl.num_rows == 0:
         return pa.table({"doc_a": pa.array([], pa.int64()),
                          "doc_b": pa.array([], pa.int64()),
@@ -310,15 +318,26 @@ def jaccard_pairs_sample(sf_dir: str, threshold: float = 0.9,
         "jaccard": pa.array([r["jaccard"] for r in verified], pa.float64())})
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR) -- no per-row bin().count()."""
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + \
+        ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+
 def simhash_dup_groups(sf_dir: str, max_hamming: int = 3) -> pa.Table:
     """SimHash near-dup as a DATASET pipeline: explode each doc to its 4
-    16-bit simhash quarters -> groupby (quarter, key) buckets -> per-bucket
-    pair generation with Hamming verify -> distinct pairs.  Standard
-    simhash blocking; for max_hamming <= 3 across 4 quarters the blocking
-    is EXACT by pigeonhole (some quarter must match), so the result equals
-    the brute-force all-pairs scan (the committed golden oracle).  Shuffles
-    carry only (q, key, doc_id, simhash) rows and candidate pairs -- never
-    text."""
+    16-bit simhash quarters -> SELF-JOIN on the (quarter, key) bucket
+    (vectorized hash join; per-bucket map_groups would pay pandas
+    overhead on one tiny group per distinct quarter value) -> vectorized
+    SWAR-popcount Hamming verify -> distinct pairs via a Count
+    aggregate.  Standard simhash blocking; for max_hamming <= 3 across 4
+    quarters the blocking is EXACT by pigeonhole (some quarter must
+    match), so the result equals the brute-force all-pairs scan (the
+    committed golden oracle).  Shuffles carry only (q, key, doc_id,
+    simhash) rows and candidate pairs -- never text."""
     def explode_quarters(t: pa.Table) -> pa.Table:
         t = an.text_fingerprint_batch(t)
         t = an.simhash_batch(t)
@@ -333,22 +352,26 @@ def simhash_dup_groups(sf_dir: str, max_hamming: int = 3) -> pa.Table:
             "simhash": pa.array(sims * 4, pa.int64()),
         })
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(zip(g["doc_id"], g["simhash"]))
-        out_a, out_b = [], []
-        for i, (a, sa) in enumerate(rows):
-            for b, sb in rows[i + 1:]:
-                if bin(int(sa) ^ int(sb)).count("1") <= max_hamming:
-                    out_a.append(a); out_b.append(b)
-        return pd.DataFrame({"doc_a": pd.Series(out_a, dtype="int64"),
-                             "doc_b": pd.Series(out_b, dtype="int64")})
-
     quarters = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         explode_quarters, batch_format="pyarrow")
-    pairs = quarters.groupby(["q", "key"]).map_groups(
-        bucket_pairs, batch_format="pandas")
-    distinct = pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    right = quarters.map_batches(
+        lambda t: pa.table({"doc_b": t["doc_id"], "sim_b": t["simhash"],
+                            "q": t["q"], "key": t["key"]}),
+        batch_format="pyarrow")
+    joined = quarters.join(right, join_type="inner", on=("q", "key"),
+                           num_partitions=16)
+
+    def ham_filter(t: pa.Table) -> pa.Table:
+        a = t["doc_id"].to_numpy()
+        b = t["doc_b"].to_numpy()
+        sa = t["simhash"].to_numpy().astype(np.uint64)
+        sb = t["sim_b"].to_numpy().astype(np.uint64)
+        keep = (a < b) & (_popcount64(sa ^ sb) <= max_hamming)
+        return pa.table({"doc_a": pa.array(a[keep], pa.int64()),
+                         "doc_b": pa.array(b[keep], pa.int64())})
+
+    distinct = joined.map_batches(ham_filter, batch_format="pyarrow") \
+        .groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="nq"))
     out = sorted((r["doc_a"], r["doc_b"]) for r in distinct.take_all())
     return pa.table({"doc_a": pa.array([p[0] for p in out], pa.int64()),
                      "doc_b": pa.array([p[1] for p in out], pa.int64())})
