@@ -516,27 +516,38 @@ def inverted_index(sf_dir: str, min_df: int = 2) -> rd.Dataset:
     postings-csv) with words below ``min_df`` dropped; exact string_agg
     oracle.  At 100 TB the word is the partition key and posting lists
     write as partitioned parquet instead of a query result."""
+    from ray.data.aggregate import AggregateFn
+
     def postings(t: pa.Table) -> pa.Table:
         flat, parent = _tokenize_flat(t)
         doc_ids = pc.take(t["doc_id"], parent)
         tbl = pa.table({"word": flat, "doc_id": doc_ids})
         # per-batch DISTINCT (word, doc_id) via Arrow's hash groupby --
-        # the partial dedup before the shuffle, no Python loop
+        # the partial dedup before the shuffle, no Python loop.  Each
+        # doc lives in exactly one batch, so these rows are GLOBALLY
+        # distinct too (df below is a plain Count).
         return tbl.group_by(["word", "doc_id"]).aggregate([])
 
-    def assemble(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"]))
-        if len(ids) < min_df:
-            return pd.DataFrame({"word": pd.Series([], dtype="object"),
-                                 "df": pd.Series([], dtype="int64"),
-                                 "postings": pd.Series([], dtype="object")})
-        return pd.DataFrame({"word": [g["word"].iloc[0]],
-                             "df": pd.Series([len(ids)], dtype="int64"),
-                             "postings": [",".join(map(str, ids))]})
+    # posting-list assembly as a custom AggregateFn (accumulate whole
+    # blocks, merge lists, sort once in finalize) -- NOT map_groups: a
+    # real corpus has millions of words, and one pandas DataFrame per
+    # tiny group is the dominant cost at that shape (the lesson from
+    # the LSH bucket rewrite)
+    posting_agg = AggregateFn(
+        init=lambda k: [],
+        accumulate_block=lambda st, blk: st + blk.column("doc_id").to_pylist(),
+        merge=lambda a, b: a + b,
+        finalize=lambda ids: ",".join(map(str, sorted(set(ids)))),
+        name="postings")
 
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        postings, batch_format="pyarrow") \
-        .groupby("word").map_groups(assemble, batch_format="pandas")
+    agg = (_docs(sf_dir, ["doc_id", "text"])
+           .map_batches(postings, batch_format="pyarrow")
+           .groupby("word")
+           .aggregate(Count(alias_name="df"), posting_agg))
+    return agg.map_batches(
+        lambda t: _i64(t.filter(pc.greater_equal(t["df"], min_df))
+                       .select(["word", "df", "postings"]), ["df"]),
+        batch_format="pyarrow")
 
 
 def quality_by_source(sf_dir: str) -> rd.Dataset:
