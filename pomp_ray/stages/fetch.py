@@ -394,7 +394,19 @@ def fetch_via_join(frontier: rd.Dataset, pages_path: str,
     canonical url.  Left join keeps misses (null html -> fetch_ok False),
     the same error semantics as the lookup paths."""
     def canon_pages(t: pa.Table) -> pa.Table:
-        canon = pa.array([url_canonicalize(u) for u in t["url"].to_pylist()])
+        # vectorized fast path: urls already in canonical shape are
+        # identity (one Arrow regex match for the whole batch); only the
+        # residue pays the per-row library call
+        from pomp_ray.stages.enqueue import _FAST_EXTRACT
+        urls = t["url"]
+        fast = pc.is_valid(pc.extract_regex(urls, pattern=_FAST_EXTRACT))
+        if int(pc.sum(fast).as_py() or 0) == t.num_rows:
+            canon = pc.cast(urls, pa.string())
+        else:
+            fast_py = fast.to_pylist()
+            canon = pa.array(
+                [u if ok else url_canonicalize(u)
+                 for u, ok in zip(urls.to_pylist(), fast_py)])
         return pa.table({"canon_url": canon, "html": t["html"]})
 
     pages = rd.read_parquet(pages_path, columns=["url", "html"]).map_batches(
