@@ -21,6 +21,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
@@ -129,6 +130,25 @@ def write_dedup_corpus(sf_dir: str, out_dir: str) -> int:
     import pyarrow.parquet as _pq
     return sum(_pq.ParquetFile(p).metadata.num_rows
                for p in _glob.glob(os.path.join(out_dir, "*.parquet")))
+
+
+def export_corpus_partitioned(sf_dir: str, out_dir: str) -> dict:
+    """Ship the cleaned corpus as LANG-PARTITIONED parquet
+    (``out_dir/lang=xx/*.parquet``) -- the resumable-output layout: a
+    re-run can skip finished partitions, downstream readers prune by
+    partition, and no single giant file ever exists.  Uses Ray's
+    native ``write_parquet(partition_cols=...)`` so the partitioning
+    happens inside the write tasks, streaming.  Returns per-partition
+    row counts read back from file METADATA (no data read)."""
+    import glob as _glob
+
+    clean_corpus(sf_dir).write_parquet(out_dir, partition_cols=["lang"])
+    counts: dict[str, int] = {}
+    for p in _glob.glob(os.path.join(out_dir, "lang=*", "*.parquet")):
+        lang = os.path.basename(os.path.dirname(p)).split("=", 1)[1]
+        counts[lang] = counts.get(lang, 0) + \
+            pq.ParquetFile(p).metadata.num_rows
+    return counts
 
 
 def dedup_exact_survivors(sf_dir: str) -> rd.Dataset:

@@ -128,3 +128,21 @@ def test_connected_components_empty():
         "doc_a": pa.array([], pa.int64()),
         "doc_b": pa.array([], pa.int64())}))
     assert out.num_rows == 0
+
+
+def test_export_corpus_partitioned(tmp_path):
+    """Lang-partitioned parquet export: hive-style partition dirs, and
+    per-partition metadata counts equal the clean corpus' lang counts."""
+    import collections
+    import os
+
+    from pomp_ray.pipelines import docs
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "corpus")
+    counts = docs.export_corpus_partitioned(sf, out)
+    clean = docs.clean_corpus(sf).to_pandas()
+    expect = collections.Counter(clean["lang"])
+    assert counts == dict(expect)
+    for lang in expect:
+        assert os.path.isdir(os.path.join(out, f"lang={lang}"))
