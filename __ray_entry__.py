@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": docs.inverted_index,
         "quality_by_source": docs.quality_by_source,
         "repetition_stats": docs.repetition_stats,
+        "top_bigrams": docs.top_bigrams,
         "span_dup_stats": docs.span_dup_stats,
         "oov_rate": docs.oov_rate,
         # -- documents: signatures / near-dup (deterministic, rows-only)
@@ -353,6 +354,15 @@ def oracle_sql() -> dict[str, str]:
                   / GREATEST(length(text), 1) <= 0.2
               AND doc_id IN (SELECT MIN(doc_id) FROM documents
                              GROUP BY md5(text))
+        """,
+        "top_bigrams": """
+            SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT unnest(list_transform(
+                      range(1, len(tk)),
+                      i -> tk[i] || ' ' || tk[i+1])) AS bigram
+                  FROM (SELECT regexp_extract_all(lower(text), '\\S+') AS tk
+                        FROM documents) t) u
+            GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 50
         """,
         "repetition_stats": """
             WITH toks AS (

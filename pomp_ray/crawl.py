@@ -604,14 +604,19 @@ class CrawlEngine:
         self.seq_counter += n_new
         accepted = accepted.map_batches(_cast_frontier, batch_format="pyarrow")
 
+        # same sidecar-writing block writer as the scale path: the next
+        # round's _frontier_count stays metadata-only in exact mode too
         next_dir = self._dir("frontier", rnd + 1)
-        accepted.write_parquet(next_dir)
+        writer = _make_frontier_writer(next_dir)
+        accepted.map_batches(writer, batch_format="pyarrow").take_all()
         if deferred is not None and n_deferred:
-            deferred.map_batches(_cast_frontier,
-                                 batch_format="pyarrow").write_parquet(next_dir)
+            deferred.map_batches(
+                lambda t: writer(_cast_frontier(t)),
+                batch_format="pyarrow").take_all()
         if width_deferred is not None:
             width_deferred.map_batches(
-                _cast_frontier, batch_format="pyarrow").write_parquet(next_dir)
+                lambda t: writer(_cast_frontier(t)),
+                batch_format="pyarrow").take_all()
         n_errors = n_miss + n_blocked
         return {"round": rnd, "path": "exact", "n_selected": n_selected,
                 "n_deferred": n_deferred, "n_visited": n_visited,

@@ -514,6 +514,31 @@ def top_words(sf_dir: str, k: int = 50) -> pa.Table:
     return _i64(t.select(["word", "n"]), ["n"])
 
 
+def top_bigrams(sf_dir: str, k: int = 50) -> pa.Table:
+    """N-gram language-model counts: global top-k token bigrams, the
+    building block of KenLM-style LM training over a corpus.  Same
+    partial-aggregation shape as ``top_words`` -- per-batch Counter
+    partials (one compact row per distinct bigram per batch, never the
+    exploded bigrams), tiny groupby(bigram) sum, top-k sort.  Exact
+    DuckDB oracle."""
+    from collections import Counter
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for x in t["text"].to_pylist():
+            toks = an.TOKEN_RE.findall((x or "").lower())
+            c.update(map(" ".join, zip(toks, toks[1:])))
+        return pa.table({"bigram": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    agg = _docs(sf_dir, ["text"]).map_batches(
+        partial, batch_format="pyarrow") \
+        .groupby("bigram").aggregate(Sum("n", alias_name="n"))
+    top = agg.sort(["n", "bigram"], descending=[True, False]).limit(k)
+    t = pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
+    return _i64(t.select(["bigram", "n"]), ["n"])
+
+
 def token_count_bpe(sf_dir: str) -> rd.Dataset:
     """Per-doc BPE-ish token count: letter runs, single digits, single
     punctuation marks (the GPT-2-style pre-tokenizer family, simplified
