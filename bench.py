@@ -98,7 +98,9 @@ def bench_crawl_flat(warmup_frac: float = 0.02) -> dict:
     try:
         eng.run(seeds=seeds[:n_warm])
         eng.cfg.ckpt_dir = "/tmp/pomp_bench_flat_ckpt"
-        s = eng.run(seeds=seeds)
+        # timed run seeds straight from the pages parquet: the
+        # distributed seed path, no driver-side seed list
+        s = eng.run(seeds=fix.pages_path)
     finally:
         eng.close()
     dt = sum(r.get("wall_s", 0.0) for r in s.per_round)
@@ -117,13 +119,11 @@ def bench_crawl_join() -> dict:
     from pomp_ray.sources import gen_corpus
 
     fix = gen_corpus.generate(BENCH_DIR, gen_corpus.BENCH)
-    urls = pq.read_table(fix.pages_path, columns=["url"])["url"].to_pylist()
-    seeds = [{"url": u, "priority": 0, "depth": 0} for u in urls]
     eng = CrawlEngine(_crawl_cfg(fix, "/tmp/pomp_bench_join_ckpt",
                                  max_rounds=1, fetch_strategy="join",
                                  join_num_partitions=32))
     try:
-        s = eng.run(seeds=seeds)
+        s = eng.run(seeds=fix.pages_path)
     finally:
         eng.close()
     dt = sum(r.get("wall_s", 0.0) for r in s.per_round)
@@ -165,13 +165,11 @@ def bench_crawl_dfs() -> dict:
     from pomp_ray.sources import gen_corpus
 
     fix = gen_corpus.generate(BENCH_DIR, gen_corpus.BENCH)
-    urls = pq.read_table(fix.pages_path, columns=["url"])["url"].to_pylist()
-    seeds = [{"url": u, "priority": 0, "depth": 0} for u in urls]
     eng = CrawlEngine(_crawl_cfg(fix, "/tmp/pomp_bench_dfs_ckpt",
                                  mode="dfs", dfs_width=65536,
                                  dfs_distributed_min_width=16))
     try:
-        s = eng.run(seeds=seeds)
+        s = eng.run(seeds=fix.pages_path)
     finally:
         eng.close()
     dt = sum(r.get("wall_s", 0.0) for r in s.per_round)

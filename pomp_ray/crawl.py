@@ -346,11 +346,100 @@ class CrawlEngine:
         return pa.Table.from_pylist(rows, schema=FRONTIER_FILE_SCHEMA)
 
     # ------------------------------------------------------------------ seed
-    def seed(self, seeds: list[dict]) -> int:
+    def seed(self, seeds) -> int:
         """ENTRY_REQUESTS admission (SURVEY.md S1): same semantics as the
         link enqueue path, column-wise for large seed lists; seed order =
         seed row order regardless of priority (pomp enqueues
-        ENTRY_REQUESTS in iteration order)."""
+        ENTRY_REQUESTS in iteration order).
+
+        ``seeds`` may be a list of dicts or a PARQUET PATH.  At 10^10-url
+        scale a driver loop over the seed list is impossible, so scale
+        mode routes paths and large lists through ``_seed_distributed``
+        (the same vectorized enqueue chain links use); exact mode always
+        takes the serial order-preserving path (loading the path first)."""
+        cfg = self.cfg
+        if isinstance(seeds, str) and cfg.exact_order:
+            seeds = pq.read_table(seeds).to_pylist()
+        if not cfg.exact_order and (
+                isinstance(seeds, str)
+                or len(seeds) >= max(4 * cfg.min_distributed_rows, 4096)):
+            return self._seed_distributed(seeds)
+        return self._seed_serial(seeds)
+
+    def _seed_distributed(self, seeds) -> int:
+        """Scale-mode seed admission as a Dataset pass: normalize ->
+        canonicalize (vectorized fast path) -> local dedup -> robots flag
+        -> seen-shard check_and_add -> hash seq -> sidecar-writing
+        frontier blocks.  Admitted SET equals the serial path's; seed
+        ORDER is relaxed (hash seqs) exactly like scale-mode link
+        enqueue.  Robots-blocked seeds come back as (tiny) rows and land
+        in errors/round-0, matching the serial layout."""
+        import numpy as np
+
+        cfg = self.cfg
+        if isinstance(seeds, str):
+            cols = None
+            if os.path.isfile(seeds):
+                avail = set(pq.ParquetFile(seeds).schema_arrow.names)
+                cols = [c for c in ("url", "depth", "priority")
+                        if c in avail]
+            ds = rd.read_parquet(seeds, columns=cols)
+        else:
+            ds = rd.from_arrow(pa.table({
+                "url": pa.array([s["url"] for s in seeds], pa.string()),
+                "depth": pa.array([int(s.get("depth", 0)) for s in seeds],
+                                  pa.int32()),
+                "priority": pa.array(
+                    [int(s.get("priority", 0)) for s in seeds], pa.int32()),
+            }))
+
+        def norm(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            out = {"url": pc.cast(t["url"], pa.string())}
+            for c in ("depth", "priority"):
+                out[c] = (pc.cast(t[c], pa.int32())
+                          if c in t.column_names
+                          else pa.array(np.zeros(n, np.int32), pa.int32()))
+            return pa.table(out)
+
+        front_dir = self._dir("frontier", 0)
+
+        def write_split(t: pa.Table) -> pa.Table:
+            ok = t.filter(pc.invert(t["blocked"]))
+            if ok.num_rows:
+                _write_frontier_part(front_dir, _hash_seq(ok))
+            blk = t.filter(t["blocked"])
+            return pa.table({"url": blk["canon_url"],
+                            "message": blk["path"]})
+
+        blocked_rows = (
+            ds.map_batches(norm, batch_format="pyarrow")
+            .map_batches(canonicalize_batch, batch_format="pyarrow")
+            .map_batches(dedup_local, batch_format="pyarrow")
+            .map_batches(make_robots_flag(self.disallow),
+                         batch_format="pyarrow")
+            .map_batches(SeenFilter(self.seen.shards), batch_format="pyarrow")
+            .map_batches(write_split, batch_format="pyarrow")
+        ).take_all()
+        if blocked_rows:
+            errors = pa.Table.from_pylist(
+                [{"url": r["url"], "stage": "robots",
+                  "exc_type": "RobotsDisallowed", "message": r["message"],
+                  "retryable": False, "round": 0} for r in blocked_rows],
+                schema=schemas.ERRORS)
+            self._write_table(errors, "errors", 0, name="part-robots-seed")
+        n_frontier = self._frontier_count(0)
+        self.seen.snapshot(os.path.join(cfg.ckpt_dir, "seen"), 0)
+        os.makedirs(os.path.join(cfg.ckpt_dir, "rounds"), exist_ok=True)
+        tmp = os.path.join(cfg.ckpt_dir, "rounds", "init.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"n_frontier": n_frontier,
+                       "seq_counter": self.seq_counter,
+                       "n_errors": len(blocked_rows)}, f)
+        os.replace(tmp, os.path.join(cfg.ckpt_dir, "rounds", "init.json"))
+        return n_frontier
+
+    def _seed_serial(self, seeds: list[dict]) -> int:
         accepted_rows: dict[str, list] = {c: [] for c in FRONTIER_COLS}
         errors = []
         local: set[str] = set()
@@ -1081,7 +1170,9 @@ def _write_frontier_part(out_dir: str, t: pa.Table) -> dict:
     st = _frontier_stats(t)
     path = os.path.join(out_dir, f"part-{key}.parquet")
     tmp = path + ".tmp"
-    pq.write_table(t, tmp)
+    # small row groups: a giant single-row-group part caps the next
+    # round's read/task parallelism (the whole fused fetch+parse chain)
+    pq.write_table(t, tmp, row_group_size=8192)
     os.replace(tmp, path)
     _write_stats_sidecar(path, st)
     return st

@@ -306,3 +306,29 @@ def test_frontier_stats_sidecars_and_streaming_reader(tmp_path):
     tbl = read_items(ckpt)
     ds_rows = sorted(items_dataset(ckpt).to_pandas()["url"])
     assert ds_rows == sorted(tbl["url"].to_pylist())
+
+
+def test_distributed_seed_from_parquet_path(tmp_path):
+    """Scale-mode seeding from a parquet PATH (the 10^10-seed shape: no
+    driver loop) admits the same visited set and robots-blocked seed
+    errors as the serial seed path."""
+    from pomp_ray.core.oracle import crawl_oracle
+    from tests.helpers import oracle_inputs
+
+    fix = fixture_corpus(gen_corpus.TINY)
+    ckpt = str(tmp_path / "c")
+    cfg = _scale_cfg(fix, ckpt, min_distributed_rows=0, n_salts=1)
+    eng = CrawlEngine(cfg)
+    try:
+        eng.run(seeds=fix.seeds_path)   # str -> _seed_distributed
+    finally:
+        eng.close()
+    corpus, seeds, robots, _ = oracle_inputs(fix)
+    res = crawl_oracle(corpus, seeds, robots, mode="bfs")
+    assert set(read_items(ckpt)["url"].to_pylist()) == \
+        {v["url"] for v in res.visited}
+    errs = read_errors(ckpt)
+    mine = {(u, s) for u, s in zip(errs["url"].to_pylist(),
+                                   errs["stage"].to_pylist())}
+    oracle = {(e["url"], e["stage"]) for e in res.errors}
+    assert mine == oracle
