@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_components": graph.dup_components,
         # -- relational building blocks (join/rollup/sort/filter)
         "events_rollup": relational.events_rollup,
+        "events_normalized": relational.events_normalized,
         "events_sorted_head": relational.events_sorted_head,
         "orders_by_mktsegment": relational.orders_by_mktsegment,
         "lineitem_pricing_summary": relational.lineitem_pricing_summary,
@@ -579,6 +580,15 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM read_parquet('{_GOLDEN}/crawl_dfs_visited.parquet')",
         "crawl_bfs_errors":
             f"SELECT * FROM read_parquet('{_GOLDEN}/crawl_bfs_errors.parquet')",
+        "events_normalized": """
+            SELECT event_id, event_type,
+                   ROUND((value - AVG(value) OVER w)
+                         / CASE WHEN STDDEV_POP(value) OVER w = 0
+                                THEN 1 ELSE STDDEV_POP(value) OVER w END,
+                         2) AS z
+            FROM events
+            WINDOW w AS (PARTITION BY event_type)
+        """,
         "events_rollup": """
             SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
                    MIN(value) AS vmin, MAX(value) AS vmax,

@@ -122,3 +122,51 @@ def filter_project(sf_dir: str) -> rd.Dataset:
                     pc.greater(t["o_totalprice"], pa.scalar(200000.0)))
         ).select(["o_orderkey", "o_totalprice"]),
         batch_format="pyarrow")
+
+
+def events_normalized(sf_dir: str) -> rd.Dataset:
+    """Per-group feature scaling, the two-phase broadcast-stats pattern
+    every training-data pipeline uses for normalization: phase 1 reduces
+    the table to per-event-type (sum, sumsq, n) partials (one tiny row
+    per group per batch -> small groupby), phase 2 broadcasts the
+    group-stats dict (ray.put) and z-scores every row vectorized.
+    Population std; z rounded to 2dp so the oracle's different
+    summation order cannot flip the value hash."""
+    import math
+
+    import numpy as np
+    import ray as _ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy()
+        tmp = pd.DataFrame({"event_type": t["event_type"].to_pylist(),
+                            "s": v, "ss": v * v})
+        g = tmp.groupby("event_type", as_index=False).agg(
+            s=("s", "sum"), ss=("ss", "sum"), n=("s", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    stats_rows = (_t(sf_dir, "events", ["event_type", "value"])
+                  .map_batches(partial, batch_format="pyarrow")
+                  .groupby("event_type")
+                  .aggregate(Sum("s", alias_name="s"),
+                             Sum("ss", alias_name="ss"),
+                             Sum("n", alias_name="n"))).take_all()
+    stats = {}
+    for r in stats_rows:
+        mean = r["s"] / r["n"]
+        var = max(r["ss"] / r["n"] - mean * mean, 0.0)
+        stats[r["event_type"]] = (mean, math.sqrt(var) or 1.0)
+    ref = _ray.put(stats)
+
+    def score(t: pa.Table) -> pa.Table:
+        st = _ray.get(ref)
+        types = t["event_type"].to_pylist()
+        means = np.array([st[x][0] for x in types])
+        stds = np.array([st[x][1] for x in types])
+        z = (t["value"].to_numpy() - means) / stds
+        return pa.table({"event_id": t["event_id"],
+                         "event_type": t["event_type"],
+                         "z": pa.array(np.round(z, 2), pa.float64())})
+
+    return _t(sf_dir, "events", ["event_id", "event_type", "value"]) \
+        .map_batches(score, batch_format="pyarrow")
