@@ -1007,6 +1007,52 @@ class CrawlEngine:
         self.seen.kill()
 
 
+def requeue_retryable(ckpt_dir: str) -> int:
+    """Close the retry loop the ``fetch_retryable`` column exists for:
+    collect every RETRYABLE fetch failure from a finished crawl's scale
+    layout (items rows with fetch_ok=False, fetch_retryable=True) and
+    write them as the next round's frontier (sidecar included), so
+    ``run(resume=True)`` re-crawls exactly those urls -- optionally with
+    a different fetcher config (more retries, longer timeout).
+
+    Permanent failures (4xx, DNS, malformed urls) are never requeued --
+    that is what the classification split in HttpFetcher._classify
+    guarantees; callers bound repeated requeues themselves.  Returns the
+    number of requeued urls."""
+    rounds = sorted(glob.glob(os.path.join(ckpt_dir, "rounds",
+                                           "round-*.json")))
+    if not rounds:
+        raise FileNotFoundError("no committed rounds to requeue from")
+    last = int(os.path.basename(rounds[-1])[len("round-"):].split(".")[0])
+    out = []
+    for p in sorted(glob.glob(os.path.join(ckpt_dir, "items", "round-*",
+                                           "*.parquet"))):
+        t = pq.read_table(p)
+        if ("fetch_ok" not in t.column_names
+                or "fetch_retryable" not in t.column_names):
+            continue
+        bad = t.filter(pc.and_(pc.invert(t["fetch_ok"]),
+                               t["fetch_retryable"]))
+        if bad.num_rows:
+            out.append(pa.table({
+                "url": bad["orig_url"], "canon_url": bad["url"],
+                "host": pa.array([_host_of(u) for u in
+                                  bad["url"].to_pylist()], pa.string()),
+                "depth": bad["depth"], "priority": bad["priority"],
+                "seq": bad["seq"],
+            }))
+    if not out:
+        return 0
+    t = _cast_frontier(pa.concat_tables(out, promote_options="default"))
+    _write_frontier_part(os.path.join(ckpt_dir, "frontier",
+                                      f"round-{last + 1:06d}"), t)
+    return t.num_rows
+
+
+def _host_of(u: str) -> str:
+    return url_host(u)
+
+
 # -------------------------------------------------------------- output readers
 def items_dataset(ckpt_dir: str) -> rd.Dataset:
     """Logical items table as a STREAMING Ray Dataset (the scale reader:

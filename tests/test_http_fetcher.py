@@ -207,3 +207,43 @@ def test_crawl_with_async_fetcher(tmp_path):
                                     errs["stage"].to_pylist())
                   if s == "fetch"}
     assert fetch_msgs == {"HTTP 404"}
+
+
+def test_requeue_retryable_resume_completes_crawl(tmp_path):
+    """The retry loop closed end-to-end: a crawl whose fetcher gives up
+    after one attempt (max_retries=0) fails every url with a RETRYABLE
+    error; requeue_retryable writes them as the next frontier round and
+    run(resume=True) with a retrying fetcher completes the full crawl."""
+    from pomp_ray.crawl import CrawlEngine, requeue_retryable
+
+    fix = fixture_corpus(gen_corpus.TINY)
+    seeds = pq.read_table(fix.seeds_path).to_pylist()
+    ckpt = str(tmp_path / "c")
+
+    def cfg(max_retries):
+        return CrawlConfig(corpus_path=fix.pages_path, ckpt_dir=ckpt,
+                           robots_path=fix.robots_path, mode="bfs",
+                           exact_order=False,
+                           fetcher_cls=FlakyCorpusFetcher,
+                           fetcher_kwargs={"pages_path": fix.pages_path,
+                                           "max_retries": max_retries},
+                           fetch_concurrency=1, n_seen_shards=2)
+
+    eng = CrawlEngine(cfg(0))
+    try:
+        s1 = eng.run(seeds=seeds)
+    finally:
+        eng.close()
+    assert s1.n_visited == 0   # every first attempt timed out, no retry
+
+    n = requeue_retryable(ckpt)
+    assert n == len({s["url"] for s in seeds})
+
+    eng = CrawlEngine(cfg(2))
+    try:
+        eng.run(resume=True)
+    finally:
+        eng.close()
+    res = run_oracle(fix, mode="bfs")
+    assert set(read_items(ckpt)["url"].to_pylist()) == \
+        {v["url"] for v in res.visited}
