@@ -44,6 +44,13 @@ def asof_click_before_purchase(sf_dir: str) -> rd.Dataset:
     click at-or-before the purchase; null when the user never clicked
     before.  Ties on ts resolve to the highest event_id (both sides)."""
 
+    # BUCKETED per-user as-of: users hash into ~64 buckets (one C-speed
+    # merge_asof(by="user_id") per bucket instead of one pandas call per
+    # user -- millions of users would otherwise pay per-group overhead).
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32())
+        return t.append_column("bucket", b)
+
     def asof(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"])
         p = g[g["event_type"] == "purchase"][["event_id", "user_id", "ts"]]
@@ -52,18 +59,19 @@ def asof_click_before_purchase(sf_dir: str) -> rd.Dataset:
                                  "user_id": pd.Series([], dtype="int64"),
                                  "ts": pd.Series([], dtype="datetime64[us]"),
                                  "click_event_id": pd.Series([], dtype="float64")})
-        c = g[g["event_type"] == "click"][["event_id", "ts"]].rename(
-            columns={"event_id": "click_event_id", "ts": "click_ts"})
+        c = g[g["event_type"] == "click"][["event_id", "user_id", "ts"]] \
+            .rename(columns={"event_id": "click_event_id", "ts": "click_ts"})
         m = pd.merge_asof(p, c, left_on="ts", right_on="click_ts",
-                          direction="backward")
+                          by="user_id", direction="backward")
         # float64 (NaN for no-prior-click), matching what DuckDB's .df()
         # yields for a nullable BIGINT -- the driver hashes VALUES, and
         # Int64 <NA> vs float64 NaN hash differently (round-1 red entry)
         m["click_event_id"] = m["click_event_id"].astype("float64")
         return m[["event_id", "user_id", "ts", "click_event_id"]]
 
-    ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
-    out = ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+    ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]) \
+        .map_batches(add_bucket, batch_format="pyarrow")
+    out = ds.groupby("bucket").map_groups(asof, batch_format="pandas")
     return out.map_batches(
         lambda t: t.set_column(t.column_names.index("user_id"), "user_id",
                                pc.cast(t["user_id"], pa.int64())),

@@ -100,9 +100,18 @@ def sessionize(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
     are sorted by ts inside the group fn."""
     gap = pd.Timedelta(minutes=gap_minutes)
 
+    # BUCKETED grouping: millions of users would mean millions of tiny
+    # map_groups calls (pandas overhead per group); hashing users into
+    # ~64 buckets keeps the shuffle but runs ONE C-speed pandas groupby
+    # per bucket.  Partitioning assumption unchanged: all events of a
+    # user land in one bucket.
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32())
+        return t.append_column("bucket", b)
+
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        new = (g["ts"].diff() > gap).fillna(True)
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        new = (g["user_id"] != g["user_id"].shift()) | (g["ts"].diff() > gap)
         sid = new.cumsum()
         out = g.groupby(sid).agg(
             user_id=("user_id", "first"),
@@ -111,8 +120,9 @@ def sessionize(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
         )
         return out.reset_index(drop=True)
 
-    ds = _events(sf_dir, ["event_id", "ts", "user_id"])
-    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    ds = _events(sf_dir, ["event_id", "ts", "user_id"]).map_batches(
+        add_bucket, batch_format="pyarrow")
+    out = ds.groupby("bucket").map_groups(sessions, batch_format="pandas")
     return out.map_batches(
         lambda t: t.set_column(t.column_names.index("n_events"), "n_events",
                                pc.cast(t["n_events"], pa.int64()))
