@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_by_source": docs.quality_by_source,
         "repetition_stats": docs.repetition_stats,
         "top_bigrams": docs.top_bigrams,
+        "length_quantiles": docs.length_quantiles,
         "span_dup_stats": docs.span_dup_stats,
         "oov_rate": docs.oov_rate,
         # -- documents: signatures / near-dup (deterministic, rows-only)
@@ -355,6 +356,16 @@ def oracle_sql() -> dict[str, str]:
                   / GREATEST(length(text), 1) <= 0.2
               AND doc_id IN (SELECT MIN(doc_id) FROM documents
                              GROUP BY md5(text))
+        """,
+        "length_quantiles": """
+            SELECT lang,
+                   CAST(quantile_disc(n, 0.5) AS BIGINT) AS p50,
+                   CAST(quantile_disc(n, 0.9) AS BIGINT) AS p90,
+                   CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99
+            FROM (SELECT lang,
+                         len(regexp_extract_all(text, '\\S+')) AS n
+                  FROM documents) t
+            GROUP BY lang
         """,
         "top_bigrams": """
             SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n

@@ -595,6 +595,53 @@ def inverted_index(sf_dir: str, min_df: int = 2) -> rd.Dataset:
         batch_format="pyarrow")
 
 
+def length_quantiles(sf_dir: str) -> pa.Table:
+    """EXACT distributed quantiles of the per-doc word count, per lang
+    (p50/p90/p99) -- the corpus length-distribution statistic every
+    training-data report carries.  Shape: the full table reduces to a
+    per-(lang, length) HISTOGRAM via partial counts (value cardinality
+    << row count for doc lengths, so the shuffle carries only the
+    compact histogram); the driver walks the tiny cumulative histogram
+    with DuckDB's quantile_disc index rule (sorted[ceil(n*q)-1], probed), so
+    the oracle matches exactly -- no t-digest approximation needed at
+    this value cardinality."""
+    import collections
+    import math
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = pc.cast(an.count_tokens_arr(t["text"]), pa.int64())
+        tmp = pa.table({"lang": t["lang"], "n": n})
+        df = tmp.to_pandas().groupby(["lang", "n"], as_index=False).size()
+        df = df.rename(columns={"size": "c"})
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    hist = _docs(sf_dir, ["lang", "text"]).map_batches(
+        partial, batch_format="pyarrow") \
+        .groupby(["lang", "n"]).aggregate(Sum("c", alias_name="c")).take_all()
+    by_lang: dict = collections.defaultdict(list)
+    for r in hist:
+        by_lang[r["lang"]].append((r["n"], r["c"]))
+    rows = []
+    for lang in sorted(by_lang):
+        vals = sorted(by_lang[lang])
+        total = sum(c for _, c in vals)
+        out = {"lang": lang}
+        for q, name in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            idx = max(0, math.ceil(total * q) - 1)
+            cum = 0
+            for v, c in vals:
+                cum += c
+                if cum > idx:
+                    out[name] = v
+                    break
+        rows.append(out)
+    return pa.table({
+        "lang": pa.array([r["lang"] for r in rows], pa.string()),
+        "p50": pa.array([r["p50"] for r in rows], pa.int64()),
+        "p90": pa.array([r["p90"] for r in rows], pa.int64()),
+        "p99": pa.array([r["p99"] for r in rows], pa.int64())})
+
+
 def quality_by_source(sf_dir: str) -> rd.Dataset:
     """Per-source corpus quality rollup via the partial-aggregation
     pattern: one tiny (source, n, words) row per batch, then a small
