@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sorted_head": relational.events_sorted_head,
         "orders_by_mktsegment": relational.orders_by_mktsegment,
         "lineitem_pricing_summary": relational.lineitem_pricing_summary,
+        "q3_shipping_priority": relational.q3_shipping_priority,
         "filter_project": relational.filter_project,
         # -- the crawl engine itself (hash-checked against committed golden
         #    parquet generated by the serial pomp-semantics oracle loop;
@@ -614,6 +615,21 @@ def oracle_sql() -> dict[str, str]:
                    MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC,
+                     o_orderdate ASC, l_orderkey ASC
+            LIMIT 10
         """,
         "lineitem_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -170,3 +170,64 @@ def events_normalized(sf_dir: str) -> rd.Dataset:
 
     return _t(sf_dir, "events", ["event_id", "event_type", "value"]) \
         .map_batches(score, batch_format="pyarrow")
+
+
+def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                         cutoff: str = "1998-01-01", k: int = 10) -> rd.Dataset:
+    """TPC-H Q3 shape: the classic 3-way join (customer ⋈ orders ⋈
+    lineitem) with predicate pushdown on both date sides, per-order
+    revenue aggregation, top-k.  Scale notes: every read is
+    column-pruned and filtered BEFORE the join; the two hash joins
+    shuffle only join keys + the few carried columns; revenue is
+    pre-aggregated per batch before the final groupby; only the tiny
+    aggregate is sorted.  Revenue ROUNDed to 2dp for the oracle's
+    different summation order."""
+    import numpy as np
+
+    cutoff_ts = pd.Timestamp(cutoff)
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .map_batches(lambda t: t.filter(
+            pc.equal(t["c_mktsegment"], segment)).select(["c_custkey"]),
+            batch_format="pyarrow")
+    orders = _t(sf_dir, "orders",
+                ["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"]) \
+        .map_batches(lambda t: t.filter(
+            pc.less(t["o_orderdate"], pa.scalar(cutoff_ts))),
+            batch_format="pyarrow")
+    li = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]) \
+        .map_batches(lambda t: t.filter(
+            pc.greater(t["l_shipdate"], pa.scalar(cutoff_ts))),
+            batch_format="pyarrow")
+
+    j1 = orders.join(cust, join_type="inner", num_partitions=8,
+                     on=("o_custkey",), right_on=("c_custkey",))
+    j2 = li.join(j1, join_type="inner", num_partitions=8,
+                 on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        tmp = pa.table({"l_orderkey": t["l_orderkey"],
+                        "o_orderdate": t["o_orderdate"],
+                        "o_orderpriority": t["o_orderpriority"],
+                        "rev": rev})
+        df = tmp.to_pandas().groupby(
+            ["l_orderkey", "o_orderdate", "o_orderpriority"],
+            as_index=False)["rev"].sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    agg = j2.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["l_orderkey", "o_orderdate", "o_orderpriority"]) \
+        .aggregate(Sum("rev", alias_name="revenue"))
+    top = agg.sort(["revenue", "o_orderdate", "l_orderkey"],
+                   descending=[True, False, False]).limit(k)
+    return top.map_batches(
+        lambda t: pa.table({
+            "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+            "o_orderdate": pc.cast(t["o_orderdate"], pa.timestamp("us")),
+            "o_orderpriority": t["o_orderpriority"],
+            "revenue": pc.round(t["revenue"], ndigits=2)}),
+        batch_format="pyarrow")
