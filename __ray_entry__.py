@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window": windows.tumbling_window,
         "hopping_window": windows.hopping_window,
         "sessionize": windows.sessionize,
+        "funnel_counts": windows.funnel_counts,
         # -- documents: text analysis (SQL-verified)
         "quality_stats": docs.quality_stats,
         "quality_filter": docs.quality_filter,
@@ -231,6 +232,30 @@ def oracle_sql() -> dict[str, str]:
                        text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT)
                        AS n_bpe_tokens
             FROM documents
+        """,
+        # Funnel: first view, first click strictly after it, first
+        # purchase strictly after that -- chained per-user min-ts joins.
+        "funnel_counts": """
+            WITH v AS (
+                SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ), c AS (
+                SELECT e.user_id, MIN(e.ts) AS t2
+                FROM events e JOIN v ON e.user_id = v.user_id
+                WHERE e.event_type = 'click' AND e.ts > v.t1
+                GROUP BY e.user_id
+            ), p AS (
+                SELECT e.user_id, MIN(e.ts) AS t3
+                FROM events e JOIN c ON e.user_id = c.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > c.t2
+                GROUP BY e.user_id
+            )
+            SELECT 'view' AS stage,
+                   CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_users
+            UNION ALL
+            SELECT 'click', CAST((SELECT COUNT(*) FROM c) AS BIGINT)
+            UNION ALL
+            SELECT 'purchase', CAST((SELECT COUNT(*) FROM p) AS BIGINT)
         """,
         "sessionize": """
             WITH ordered AS (
