@@ -68,7 +68,7 @@ def corpus_from_crawl(ckpt_dir: str, out_dir: str,
                          "clean_text": clean})
 
     deduped.map_batches(norm, batch_format="pyarrow").write_parquet(
-        out_dir, partition_cols=["pred_lang"])
+        out_dir, partition_cols=["pred_lang"], mode="overwrite")
 
     counts: dict[str, int] = {}
     for p in glob.glob(os.path.join(out_dir, "pred_lang=*", "*.parquet")):

@@ -124,7 +124,7 @@ def write_dedup_corpus(sf_dir: str, out_dir: str) -> int:
     """Write the deduplicated corpus as partitioned parquet (one file per
     block -- resumable output, never one giant file).  Returns row count
     from the written files' metadata."""
-    dedup_docs(sf_dir).write_parquet(out_dir)
+    dedup_docs(sf_dir).write_parquet(out_dir, mode="overwrite")
     import glob as _glob
 
     import pyarrow.parquet as _pq
@@ -142,7 +142,8 @@ def export_corpus_partitioned(sf_dir: str, out_dir: str) -> dict:
     row counts read back from file METADATA (no data read)."""
     import glob as _glob
 
-    clean_corpus(sf_dir).write_parquet(out_dir, partition_cols=["lang"])
+    clean_corpus(sf_dir).write_parquet(out_dir, partition_cols=["lang"],
+                                        mode="overwrite")
     counts: dict[str, int] = {}
     for p in _glob.glob(os.path.join(out_dir, "lang=*", "*.parquet")):
         lang = os.path.basename(os.path.dirname(p)).split("=", 1)[1]

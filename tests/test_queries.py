@@ -141,6 +141,9 @@ def test_export_corpus_partitioned(tmp_path):
     sf = "/root/testdata/sf0.001"
     out = str(tmp_path / "corpus")
     counts = docs.export_corpus_partitioned(sf, out)
+    # re-running must OVERWRITE, not append (resumable layout, not 2x data)
+    counts2 = docs.export_corpus_partitioned(sf, out)
+    assert counts2 == counts
     clean = docs.clean_corpus(sf).to_pandas()
     expect = collections.Counter(clean["lang"])
     assert counts == dict(expect)
