@@ -42,6 +42,7 @@ def connected_components(pairs: pa.Table, max_iters: int = 50) -> pa.Table:
     labels = rd.from_arrow(pa.table({"node": nodes, "label": nodes}))
 
     prev_sum = int(pc.sum(nodes).as_py())
+    converged = False
     for _ in range(max_iters):
         # messages: each edge ships its src's current label to dst
         msgs = edges.join(
@@ -70,8 +71,18 @@ def connected_components(pairs: pa.Table, max_iters: int = 50) -> pa.Table:
         s = int(new_labels.sum("label") or 0)
         labels = new_labels
         if s == prev_sum:
+            converged = True
             break
         prev_sum = s
+    if not converged:
+        # a silent partial result would merge only nodes within
+        # max_iters hops of their component minimum -- wrong groups, no
+        # signal.  Long-diameter graphs (chains) need a bigger budget or
+        # a pointer-doubling variant; fail loudly instead of guessing.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            f"iterations (graph diameter exceeds the budget); raise "
+            f"max_iters")
 
     out = sorted((r["node"], r["label"]) for r in labels.take_all())
     return pa.table({

@@ -119,6 +119,25 @@ def test_connected_components_unit():
                    20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
 
 
+def test_connected_components_nonconvergence_raises():
+    """A chain longer than the iteration budget must fail loudly, not
+    return partially-merged groups."""
+    import pyarrow as pa
+    import pytest
+
+    from pomp_ray.pipelines.graph import connected_components
+
+    n = 12
+    chain = pa.table({
+        "doc_a": pa.array(list(range(n - 1)), pa.int64()),
+        "doc_b": pa.array(list(range(1, n)), pa.int64()),
+    })
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iters=3)
+    out = connected_components(chain, max_iters=n + 1)
+    assert set(out["component"].to_pylist()) == {0}
+
+
 def test_connected_components_empty():
     import pyarrow as pa
 
