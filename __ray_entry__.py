@@ -55,9 +55,15 @@ def _crawl_outputs(kind: str, mode: str) -> pa.Table:
 
     fix = gen_corpus.generate("/tmp/pomp_q_corpus", gen_corpus.TINY)
     ckpt = f"/tmp/pomp_q_ckpt_{mode}"
+    kw = {}
+    if mode == "best":
+        # priority-queue mode: wide enough (32 >= dfs_distributed_min_width)
+        # that rounds run the DISTRIBUTED exact best-first path
+        from pomp_ray.stages.enqueue import HashPriority
+        kw = {"best_width": 32, "priority_fn": HashPriority(7)}
     cfg = CrawlConfig(corpus_path=fix.pages_path, ckpt_dir=ckpt,
                       robots_path=fix.robots_path, mode=mode,
-                      min_distributed_rows=16, n_seen_shards=4)
+                      min_distributed_rows=16, n_seen_shards=4, **kw)
     eng = CrawlEngine(cfg)
     try:
         eng.run(seeds=pq.read_table(fix.seeds_path).to_pylist())
@@ -142,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_bfs_visited": lambda sf: _crawl_outputs("visited", "bfs"),
         "crawl_bfs_items": lambda sf: _crawl_outputs("items", "bfs"),
         "crawl_dfs_visited": lambda sf: _crawl_outputs("visited", "dfs"),
+        "crawl_best_visited": lambda sf: _crawl_outputs("visited", "best"),
         "crawl_bfs_errors": lambda sf: _crawl_outputs("errors", "bfs"),
     }
 
@@ -615,6 +622,8 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM read_parquet('{_GOLDEN}/crawl_bfs_items.parquet')",
         "crawl_dfs_visited":
             f"SELECT * FROM read_parquet('{_GOLDEN}/crawl_dfs_visited.parquet')",
+        "crawl_best_visited":
+            f"SELECT * FROM read_parquet('{_GOLDEN}/crawl_best_visited.parquet')",
         "crawl_bfs_errors":
             f"SELECT * FROM read_parquet('{_GOLDEN}/crawl_bfs_errors.parquet')",
         "events_normalized": """

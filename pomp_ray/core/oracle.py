@@ -12,6 +12,11 @@ spec:
   a global monotonically increasing ``seq``;
 * BFS = pomp's FIFO queue discipline = select in ``seq`` ascending order
   (priority descending first); DFS = LIFO = ``seq`` descending, width 1;
+  BEST = priority-queue discipline (north_rule "priority queue") = the
+  ``best_width`` highest-priority entries per round, FIFO within equal
+  priority -- i.e. the BFS total order cut at a width;
+* link priorities come from ``priority_fn(canon_urls, depths) ->
+  ints`` when given (seeds always keep their explicit priority);
 * robots disallow is checked at enqueue: blocked URLs are marked seen and
   recorded as errors, never fetched;
 * per-host budget: per round at most ``k = max(1, floor(round_budget_s /
@@ -62,8 +67,10 @@ def crawl_oracle(
     mode: str = "bfs",
     round_budget_s: float = 10.0,
     dfs_width: int = 1,
+    best_width: int = 64,
     max_depth: int | None = None,
     max_rounds: int | None = None,
+    priority_fn=None,
 ) -> OracleResult:
     """``corpus`` maps canonical url -> html bytes; ``seeds`` rows have
     url/priority/depth; ``robots_rows`` rows follow schemas.ROBOTS."""
@@ -88,6 +95,10 @@ def crawl_oracle(
             res.errors.append({"url": canon, "stage": "robots", "round": rnd})
             return
         res.seen.add(canon)
+        if priority_fn is not None and base is not None:
+            # links are scored by the pluggable priority function on
+            # (canonical url, depth); seeds keep their explicit priority
+            priority = int(priority_fn([canon], [depth])[0])
         frontier.append(
             {"url": canon, "host": host, "depth": depth,
              "priority": priority, "seq": seq_counter}
@@ -104,6 +115,10 @@ def crawl_oracle(
             # FIFO: priority desc, then global enqueue order
             frontier.sort(key=lambda e: (-e["priority"], e["seq"]))
             width = len(frontier)
+        elif mode == "best":
+            # priority queue: same total order as BFS, cut at the width
+            frontier.sort(key=lambda e: (-e["priority"], e["seq"]))
+            width = best_width
         else:
             # LIFO: latest enqueued first
             frontier.sort(key=lambda e: (-e["priority"], -e["seq"]))

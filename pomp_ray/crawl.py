@@ -116,10 +116,19 @@ class CrawlConfig:
     corpus_path: str
     ckpt_dir: str
     robots_path: str | None = None
-    mode: str = "bfs"                  # "bfs" | "dfs"
+    mode: str = "bfs"                  # "bfs" | "dfs" | "best"
     exact_order: bool = True
     round_budget_s: float = 10.0
     dfs_width: int = 1
+    # "best" = priority-queue discipline (north_rule "priority queue"):
+    # each round visits the best_width highest-priority frontier entries,
+    # FIFO within equal priority (the BFS total order cut at a width).
+    best_width: int = 64
+    # Optional link scorer: picklable callable (canon_urls: list[str],
+    # depths: list[int]) -> list[int], applied VECTORIZED per batch on
+    # the enqueue path (seeds keep their explicit priority).  Drives the
+    # "best" frontier order; valid in any mode.
+    priority_fn: object = None
     # DFS rounds run distributed (width-limited exact rounds) only when
     # the width itself offers parallelism; a width-1 DFS is inherently
     # serial and stays on the driver fast path regardless of frontier size.
@@ -340,6 +349,13 @@ class CrawlEngine:
                 "seq": self.seq_counter, "blocked": False,
             })
             self.seq_counter += 1
+        if cfg.priority_fn is not None and accepted:
+            # same link scoring as the distributed enqueue chain (this
+            # method only ever admits LINK candidates; seeds go via seed())
+            prios = cfg.priority_fn([a["canon_url"] for a in accepted],
+                                    [a["depth"] for a in accepted])
+            for a, p in zip(accepted, prios):
+                a["priority"] = int(p)
         return accepted, errors
 
     def _frontier_table(self, rows: list[dict]) -> pa.Table:
@@ -488,6 +504,16 @@ class CrawlEngine:
         os.replace(tmp, os.path.join(self.cfg.ckpt_dir, "rounds", "init.json"))
         return accepted.num_rows
 
+    def _round_width(self) -> int | None:
+        """Per-round selection width of the queue discipline: dfs_width
+        for LIFO, best_width for the priority queue, unbounded for BFS."""
+        cfg = self.cfg
+        if cfg.mode == "dfs":
+            return cfg.dfs_width
+        if cfg.mode == "best":
+            return cfg.best_width
+        return None
+
     # ------------------------------------------------------------ round: tiny
     def _load_frontier_table(self, rnd: int) -> pa.Table:
         tables = [pq.read_table(p) for p in self._frontier_sources(rnd)]
@@ -500,8 +526,8 @@ class CrawlEngine:
         the same shard-held seen state and the same corpus index."""
         cfg = self.cfg
         frontier = self._load_frontier_table(rnd)
-        width = cfg.dfs_width if cfg.mode == "dfs" else None
-        sel_t, def_t = select_serial(frontier, self.caps, cfg.mode, width)
+        sel_t, def_t = select_serial(frontier, self.caps, cfg.mode,
+                                     self._round_width())
 
         if cfg.middlewares:
             sel_t = _mw_hook(cfg.middlewares, "process_request_batch")(sel_t)
@@ -603,15 +629,17 @@ class CrawlEngine:
         else:
             selected, deferred = fds, None
 
-        # --- DFS width cut (distributed LIFO: top-`width` rows by
-        # (priority desc, seq desc), exactly the serial oracle's walk --
-        # politeness cap-filtering commutes with the global width prefix,
-        # so the selected SET matches the oracle bit-for-bit) ---
+        # --- width cut (distributed queue discipline: top-`width` rows by
+        # (priority desc, seq desc) for LIFO/DFS, (priority desc, seq asc)
+        # for the best-first priority queue -- exactly the serial oracle's
+        # walk; politeness cap-filtering commutes with the global width
+        # prefix, so the selected SET matches the oracle bit-for-bit) ---
         width_deferred = None
-        if cfg.mode == "dfs":
-            width = cfg.dfs_width
+        if cfg.mode in ("dfs", "best"):
+            width = self._round_width()
             sorted_sel = selected.sort(
-                ["priority", "seq"], descending=[True, True]).materialize()
+                ["priority", "seq"],
+                descending=[True, cfg.mode == "dfs"]).materialize()
             n_sel_total = sorted_sel.count()
             if n_sel_total > width:
                 head, tail = sorted_sel.split_at_indices([width])
@@ -668,6 +696,9 @@ class CrawlEngine:
                 lambda t: t.filter(pc.less_equal(t["depth"], md)),
                 batch_format="pyarrow")
         cands = dedup_first_in_order(cands, cfg.mode)   # SHUFFLE 2
+        if cfg.priority_fn is not None:
+            cands = cands.map_batches(_make_priority_stage(cfg.priority_fn),
+                                      batch_format="pyarrow")
         cands = cands.map_batches(make_robots_flag(self.disallow),
                                   batch_format="pyarrow")
         cands = cands.map_batches(SeenFilter(self.seen.shards),
@@ -686,7 +717,8 @@ class CrawlEngine:
                 ["url", "canon_url", "host", "depth", "priority",
                  "parent_priority", "parent_seq", "link_idx"]),
             batch_format="pyarrow")
-        desc = [True, False, False] if cfg.mode == "bfs" else [True, True, False]
+        desc = ([True, True, False] if cfg.mode == "dfs"
+                else [True, False, False])
         accepted, n_new = zip_with_index_sorted(
             allowed, ["parent_priority", "parent_seq", "link_idx"],
             descending=desc, offset=self.seq_counter)
@@ -729,16 +761,23 @@ class CrawlEngine:
         the reachable set order-invariant); only the visit order is
         relaxed, the same relaxation scale-mode BFS accepts.  Exact wide
         DFS (global sort, bit-identical order) remains the
-        exact_order=True path."""
-        width = self.cfg.dfs_width
+        exact_order=True path.
+
+        mode="best" reuses the same two-level cut with the priority-queue
+        sort keys (priority desc, seq asc): the approximate best-first
+        scale path."""
+        width = self._round_width()
         deferred_dir = self._dir("deferred", rnd)
-        keys = ["priority", "depth", "seq"]
+        if self.cfg.mode == "dfs":
+            keys, orders = ["priority", "depth", "seq"], ["descending"] * 3
+        else:   # best: highest priority first, FIFO-ish within priority
+            keys, orders = ["priority", "seq"], ["descending", "ascending"]
 
         def block_cut(t: pa.Table) -> pa.Table:
             if t.num_rows == 0:
                 return t
             idx = pc.sort_indices(
-                t, sort_keys=[(k, "descending") for k in keys])
+                t, sort_keys=list(zip(keys, orders)))
             t = t.take(idx)
             if t.num_rows > width:
                 _write_frontier_part(deferred_dir,
@@ -750,7 +789,9 @@ class CrawlEngine:
                                 batch_format="pyarrow").materialize()
         n_cand = cands.count()
         if n_cand > width:
-            s = cands.sort(keys, descending=[True, True, True]).materialize()
+            s = cands.sort(keys,
+                           descending=[o == "descending" for o in orders]
+                           ).materialize()
             head, tail = s.split_at_indices([width])
             tail.map_batches(
                 lambda t: pa.table(
@@ -768,9 +809,9 @@ class CrawlEngine:
         _t = time.monotonic
         t0 = _t()
         fds = self._read_frontier_ds(rnd, n_frontier)
-        if cfg.mode == "dfs":
-            # approximate LIFO: width cut first (bounds everything
-            # downstream, politeness included, to <= width rows)
+        if cfg.mode in ("dfs", "best"):
+            # approximate LIFO / priority-queue: width cut first (bounds
+            # everything downstream, politeness included, to <= width rows)
             fds = self._lifo_width_cut(fds, rnd)
 
         # exec A: [politeness ->] fetch -> parse -> enrich -> items
@@ -876,9 +917,12 @@ class CrawlEngine:
             cands = cands.map_batches(
                 lambda t: t.filter(pc.less_equal(t["depth"], md)),
                 batch_format="pyarrow")
+        cands = cands.map_batches(dedup_local, batch_format="pyarrow")
+        if cfg.priority_fn is not None:
+            cands = cands.map_batches(_make_priority_stage(cfg.priority_fn),
+                                      batch_format="pyarrow")
         cands = (
-            cands.map_batches(dedup_local, batch_format="pyarrow")
-            .map_batches(make_robots_flag(self.disallow), batch_format="pyarrow")
+            cands.map_batches(make_robots_flag(self.disallow), batch_format="pyarrow")
             .map_batches(SeenFilter(self.seen.shards), batch_format="pyarrow")
             .map_batches(_hash_seq, batch_format="pyarrow")
         )
@@ -940,11 +984,14 @@ class CrawlEngine:
                     if os.path.isdir(d):
                         shutil.rmtree(d)
                 t_r = time.monotonic()
-                dfs_serial = (cfg.mode == "dfs" and
-                              cfg.dfs_width < cfg.dfs_distributed_min_width)
+                # width-limited modes below the distributed-width threshold
+                # are inherently serial regardless of frontier size
+                w = self._round_width()
+                narrow_serial = (w is not None and
+                                 w < cfg.dfs_distributed_min_width)
                 # a custom downloader class only runs in distributed
                 # rounds -- never fall back to the driver's corpus lookup
-                if ((dfs_serial or n_frontier < cfg.min_distributed_rows)
+                if ((narrow_serial or n_frontier < cfg.min_distributed_rows)
                         and cfg.fetcher_cls is None):
                     info = self._run_round_driver(rnd)
                 elif cfg.exact_order:
@@ -1047,6 +1094,21 @@ def requeue_retryable(ckpt_dir: str) -> int:
     _write_frontier_part(os.path.join(ckpt_dir, "frontier",
                                       f"round-{last + 1:06d}"), t)
     return t.num_rows
+
+
+def _make_priority_stage(fn):
+    """Vectorized link-priority assignment (CrawlConfig.priority_fn): one
+    call per batch over (canon_url, depth); ships into map_batches tasks,
+    so ``fn`` must be picklable."""
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        p = pa.array([int(x) for x in fn(t["canon_url"].to_pylist(),
+                                         t["depth"].to_pylist())],
+                     pa.int32())
+        return t.set_column(t.schema.get_field_index("priority"),
+                            "priority", p)
+    return assign
 
 
 def _host_of(u: str) -> str:

@@ -113,12 +113,30 @@ def make_robots_flag(disallow: dict[str, list[str]]):
     return robots_flag
 
 
+class HashPriority:
+    """Deterministic md5-bucket link scorer for ``CrawlConfig.priority_fn``
+    (mode="best"): priority = md5(canon_url) first byte mod ``n_buckets``.
+    md5, NOT builtin hash() -- per-process hash salting would score the
+    same url differently across workers/retries.  Importable-class form so
+    instances pickle by reference into map_batches tasks."""
+
+    def __init__(self, n_buckets: int = 7):
+        self.n_buckets = n_buckets
+
+    def __call__(self, urls: list[str], depths: list[int]) -> list[int]:
+        import hashlib
+        n = self.n_buckets
+        return [int(hashlib.md5(u.encode("utf-8", "surrogateescape"))
+                    .hexdigest()[:2], 16) % n for u in urls]
+
+
 def dedup_first_in_order(cands: rd.Dataset, mode: str) -> rd.Dataset:
     """Keep, per canon_url, the candidate that pomp's serial loop would
     have enqueued: the first in round enqueue order.  BFS enqueue order is
     (parent_priority desc, parent_seq asc, link_idx asc); DFS flips the
-    parent_seq direction (LIFO parents fetch in descending seq)."""
-    asc = [False, True, True] if mode == "bfs" else [False, False, True]
+    parent_seq direction (LIFO parents fetch in descending seq); best-first
+    parents fetch in the BFS total order, so it shares the BFS tiebreak."""
+    asc = [False, False, True] if mode == "dfs" else [False, True, True]
 
     def first(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(

@@ -73,7 +73,7 @@ def select_distributed(
 ) -> rd.Dataset:
     """Mark each frontier row selected/deferred.  Returns the marked
     dataset (caller materializes once, then filters both ways)."""
-    seq_asc = mode == "bfs"
+    seq_asc = mode != "dfs"   # bfs + best share the FIFO tiebreak
 
     def _eff(host: str) -> int:
         # clamp effective salts to the host's cap so no salt has sub-cap 0
@@ -137,10 +137,10 @@ def select_serial(
     sort all rows by the queue discipline, take while under per-host caps
     and the global width.  Returns (selected, deferred) tables."""
     df = rows.to_pandas()
-    if mode == "bfs":
-        df = df.sort_values(["priority", "seq"], ascending=[False, True])
-    else:
+    if mode == "dfs":
         df = df.sort_values(["priority", "seq"], ascending=[False, False])
+    else:   # bfs + best: FIFO within priority
+        df = df.sort_values(["priority", "seq"], ascending=[False, True])
     if width is None:
         width = len(df)
     per_host: dict[str, int] = {}

@@ -1,4 +1,5 @@
-"""Priority ordering, wide DFS, and the Dataset.join fetch path."""
+"""Priority ordering, wide DFS, best-first mode, and the join fetch path."""
+
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -6,6 +7,7 @@ import ray.data as rd
 
 from pomp_ray.crawl import CrawlConfig, read_items, run_crawl
 from pomp_ray.sources import gen_corpus
+from pomp_ray.stages.enqueue import HashPriority
 from pomp_ray.stages.fetch import CorpusIndex, fetch_via_join
 from tests.helpers import (
     fixture_corpus,
@@ -133,6 +135,97 @@ def test_crawl_with_join_and_actor_fetch(tmp_path):
         run_crawl(cfg, seeds=seeds)
         assert visited_tuples(read_ckpt(ckpt, "visited")) == \
             oracle_visited_tuples(res), strategy
+
+
+# library-shipped deterministic scorer: importable on Ray workers (a
+# test-module function would not unpickle inside map_batches tasks)
+md5_priority = HashPriority(n_buckets=7)
+
+
+def test_best_first_exact_driver(tmp_path):
+    """mode="best" (priority-queue discipline, north_rule "priority
+    queue"): narrow width routes rounds through the serial driver path;
+    visited order/items/errors must match the oracle's best-first walk
+    bit-for-bit, with link priorities from the pluggable priority_fn."""
+    from pomp_ray.core.oracle import crawl_oracle
+    from tests.helpers import (
+        errors_set,
+        items_map,
+        oracle_errors_set,
+        oracle_inputs,
+        oracle_items_map,
+    )
+
+    fix = fixture_corpus(gen_corpus.TINY)
+    corpus, seeds, robots, _ = oracle_inputs(fix)
+    ckpt = str(tmp_path / "c")
+    cfg = CrawlConfig(corpus_path=fix.pages_path, ckpt_dir=ckpt,
+                      robots_path=fix.robots_path, mode="best", best_width=5,
+                      priority_fn=md5_priority, n_seen_shards=2)
+    summary = run_crawl(cfg, seeds=seeds)
+    res = crawl_oracle(corpus, seeds, robots, mode="best", best_width=5,
+                       priority_fn=md5_priority)
+    assert visited_tuples(read_ckpt(ckpt, "visited")) == \
+        oracle_visited_tuples(res)
+    assert items_map(read_ckpt(ckpt, "items")) == oracle_items_map(res)
+    assert errors_set(read_ckpt(ckpt, "errors")) == oracle_errors_set(res)
+    assert summary.n_seen == len(res.seen)
+    # the width actually bites: the crawl needs more rounds than BFS
+    res_bfs = run_oracle(fix, mode="bfs")
+    assert summary.rounds > res_bfs.rounds
+
+
+def test_best_first_distributed_exact(tmp_path):
+    """Wide best-first through the DISTRIBUTED exact path (global
+    (priority desc, seq asc) sort + width split): bit-exact vs the
+    serial oracle, same proof shape as wide DFS."""
+    from pomp_ray.core.oracle import crawl_oracle
+    from tests.helpers import (
+        errors_set,
+        items_map,
+        oracle_errors_set,
+        oracle_inputs,
+        oracle_items_map,
+    )
+
+    fix = fixture_corpus(gen_corpus.SMALL)
+    corpus, seeds, robots, _ = oracle_inputs(fix)
+    ckpt = str(tmp_path / "c")
+    cfg = CrawlConfig(corpus_path=fix.pages_path, ckpt_dir=ckpt,
+                      robots_path=fix.robots_path, mode="best",
+                      best_width=96, priority_fn=md5_priority,
+                      min_distributed_rows=0, n_seen_shards=4)
+    summary = run_crawl(cfg, seeds=seeds)
+    assert any(r["path"] == "exact" for r in summary.per_round), \
+        "distributed best-first path never exercised"
+    res = crawl_oracle(corpus, seeds, robots, mode="best", best_width=96,
+                       priority_fn=md5_priority)
+    assert visited_tuples(read_ckpt(ckpt, "visited")) == \
+        oracle_visited_tuples(res)
+    assert items_map(read_ckpt(ckpt, "items")) == oracle_items_map(res)
+    assert errors_set(read_ckpt(ckpt, "errors")) == oracle_errors_set(res)
+    assert summary.n_seen == len(res.seen)
+
+
+def test_best_scale_set_equality(tmp_path):
+    """Approximate scale-mode best-first (exact_order=False): per-block
+    priority cut + small global cut, no global frontier sort.  Contract:
+    same visited SET as the oracle, every round selects <= best_width."""
+    fix = fixture_corpus(gen_corpus.TINY)
+    seeds = pq.read_table(fix.seeds_path).to_pylist()
+    ckpt = str(tmp_path / "c")
+    cfg = CrawlConfig(corpus_path=fix.pages_path, ckpt_dir=ckpt,
+                      robots_path=fix.robots_path, mode="best",
+                      best_width=16, priority_fn=md5_priority,
+                      exact_order=False, min_distributed_rows=0,
+                      dfs_distributed_min_width=16, n_seen_shards=2)
+    s = run_crawl(cfg, seeds=seeds)
+    res = run_oracle(fix, mode="best", best_width=16,
+                     priority_fn=md5_priority)
+    mine = set(read_items(ckpt)["url"].to_pylist())
+    assert mine == {v["url"] for v in res.visited}
+    assert all(r["n_selected"] <= 16 for r in s.per_round)
+    assert any(r["n_deferred"] > 0 for r in s.per_round)
 
 
 def test_dfs_scale_set_equality(tmp_path):

@@ -3,7 +3,7 @@
 ``oracle_sql()`` DuckDB result -- row count, column names, and an
 order-insensitive value comparison (sorted rows, columns sorted by name).
 
-Usage: python tools/check_oracle.py [sf_dir]
+Usage: python tools/check_oracle.py [sf_dir] [--only name1,name2,...]
 
 NOTE: the fingerprints / simhash_dup_groups oracles are committed golden
 parquet generated for sf0.01 (the scale the driver's gate runs at, per
@@ -48,7 +48,13 @@ def main() -> int:
 
     import __ray_entry__ as e
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = sys.argv[1:]
+    only: set[str] | None = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem events "
               "documents embeddings").split():
@@ -58,6 +64,8 @@ def main() -> int:
     qs, oracles = e.queries(), e.oracle_sql()
     n_fail = 0
     for name, fn in qs.items():
+        if only is not None and name not in only:
+            continue
         t0 = time.monotonic()
         try:
             mine = canon(to_pandas(fn(sf_dir)))

@@ -167,8 +167,14 @@ def gen_crawl_goldens() -> None:
 
     from pomp_ray.core.oracle import crawl_oracle
 
-    for mode in ("bfs", "dfs"):
-        res = crawl_oracle(corpus, seeds, robots, mode=mode)
+    from pomp_ray.stages.enqueue import HashPriority
+
+    for mode in ("bfs", "dfs", "best"):
+        # best-first golden mirrors _crawl_outputs' config exactly:
+        # width 32, md5-bucket link scorer
+        kw = ({"best_width": 32, "priority_fn": HashPriority(7)}
+              if mode == "best" else {})
+        res = crawl_oracle(corpus, seeds, robots, mode=mode, **kw)
         depth_by_url = {v["url"]: v["depth"] for v in res.visited}
         visited = pa.Table.from_pylist(res.visited, schema=schemas.VISITED)
         pq.write_table(visited, os.path.join(
