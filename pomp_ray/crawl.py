@@ -136,6 +136,9 @@ class CrawlConfig:
     max_depth: int | None = None
     max_rounds: int | None = None
     n_seen_shards: int = 8
+    # RAM prefilter per seen shard: "bloom" (default) or "cuckoo"
+    # (deletion-capable; see state/approx.py + SeenSet.forget)
+    seen_filter_kind: str = "bloom"
     n_salts: int = 1                   # max politeness salts/host (scale mode)
     politeness_group_rows: int = 4096  # target rows per (host,salt) group
     min_distributed_rows: int = 256    # below this a round runs driver-side
@@ -200,7 +203,8 @@ class CrawlEngine:
         # materializes the corpus (the point of the join path at scale).
         self._index: CorpusIndex | None = None
         self._index_refs = None
-        self.seen = SeenSet(cfg.n_seen_shards)
+        self.seen = SeenSet(cfg.n_seen_shards,
+                            filter_kind=cfg.seen_filter_kind)
         self.seq_counter = 0
 
     @property

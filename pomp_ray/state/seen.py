@@ -11,10 +11,13 @@ Design: each shard holds
 * an EXACT set of 16-byte md5 digests of canonical URLs (the source of
   truth; 128-bit digests make collisions vanishingly improbable even at
   the 10^10-URL target scale: ~10^20 pairs x 2^-128 ~= 3e-19), and
-* a Bloom bitmap maintained VECTORIZED (numpy bulk bit-sets) -- at
-  production scale the exact set can spill/live on slower storage while
-  the bloom answers the overwhelmingly common "never seen" case from
-  RAM; in-memory the hot path is the plain set lookup.
+* an approximate RAM filter maintained VECTORIZED -- Bloom bitmap by
+  default, cuckoo filter via ``filter_kind="cuckoo"``
+  (``pomp_ray/state/approx.py``; the cuckoo variant supports deletion,
+  for recrawl policies that re-admit expired URLs).  At production
+  scale the exact set can spill/live on slower storage while the
+  filter answers the overwhelmingly common "never seen" case from RAM;
+  in-memory the hot path is the plain set lookup.
 
 ``check_and_add`` is atomic per shard (actor method = serialized), which
 is what prevents double-fetch races without any cross-shard coordination:
@@ -36,6 +39,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 
+from pomp_ray.state.approx import make_filter
+
 
 def url_digests(urls: list[str]) -> list[bytes]:
     """16-byte md5 digest per canonical url (the shard + membership key)."""
@@ -49,16 +54,6 @@ def shard_of(digest: bytes, n_shards: int) -> int:
 _BLOOM_BITS = 1 << 23  # 8 Mbit / shard default; sized up in prod deployments
 
 
-def _bloom_positions(digests: list[bytes], bloom_bits: int) -> np.ndarray:
-    """Two bloom bit positions per digest, vectorized: view the 16-byte
-    digests as uint64 pairs and mod by the bitmap size."""
-    if not digests:
-        return np.empty((0, 2), np.int64)
-    raw = np.frombuffer(b"".join(digests), dtype=np.uint64).reshape(-1, 2)
-    return np.stack([raw[:, 0] % bloom_bits, raw[:, 1] % bloom_bits],
-                    axis=1).astype(np.int64)
-
-
 @ray.remote(num_cpus=0)
 class SeenShard:
     """One shard of the URL-seen set.  num_cpus=0: the shards are mostly
@@ -67,23 +62,21 @@ class SeenShard:
     8 shards reserve everything and no map task can start).  On a real
     multi-node cluster you would pin them via a placement group instead."""
 
-    def __init__(self, shard_id: int, bloom_bits: int = _BLOOM_BITS):
+    def __init__(self, shard_id: int, bloom_bits: int = _BLOOM_BITS,
+                 filter_kind: str = "bloom"):
         self.shard_id = shard_id
         self.exact: set[bytes] = set()
-        self.bloom_bits = bloom_bits
-        self.bloom = np.zeros(bloom_bits // 8, dtype=np.uint8)
+        self.filter_kind = filter_kind
+        self.approx = (make_filter("bloom", bloom_bits=bloom_bits)
+                       if filter_kind == "bloom"
+                       else make_filter(filter_kind))
         self.pending_snapshot: list[bytes] = []
         self.n_checks = 0
-
-    def _bloom_add_bulk(self, digests: list[bytes]) -> None:
-        pos = _bloom_positions(digests, self.bloom_bits).ravel()
-        np.bitwise_or.at(self.bloom, pos >> 3,
-                         (1 << (pos & 7)).astype(np.uint8))
 
     def check_and_add(self, digests: list[bytes]) -> list[bool]:
         """For each digest (in order): True if NEW (now added), False if
         already seen.  Duplicates within the call: first wins.  Hot path
-        is plain set ops; the bloom is maintained in bulk."""
+        is plain set ops; the approx filter is maintained in bulk."""
         self.n_checks += len(digests)
         exact = self.exact
         out = []
@@ -96,26 +89,37 @@ class SeenShard:
                 new.append(d)
                 out.append(True)
         if new:
-            self._bloom_add_bulk(new)
+            self.approx.add_bulk(new)
             self.pending_snapshot.extend(new)
         return out
 
     def contains(self, digests: list[bytes]) -> list[bool]:
-        """Membership check: vectorized bloom prefilter (definite-no fast
-        path), exact set for the maybes."""
-        pos = _bloom_positions(digests, self.bloom_bits)
-        b = self.bloom
-        maybe = ((b[pos[:, 0] >> 3] >> (pos[:, 0] & 7)) & 1) \
-            & ((b[pos[:, 1] >> 3] >> (pos[:, 1] & 7)) & 1)
+        """Membership check: vectorized approx-filter prefilter
+        (definite-no fast path), exact set for the maybes."""
+        maybe = self.approx.contains_bulk(digests)
         exact = self.exact
         return [bool(m) and d in exact for m, d in zip(maybe, digests)]
+
+    def forget(self, digests: list[bytes]) -> int:
+        """Remove digests from the shard (recrawl admission: an expired
+        URL may be fetched again).  The approx filter drops them too when
+        it supports deletion (cuckoo); a Bloom filter keeps the stale
+        bits -- still correct, just a higher maybe rate."""
+        removed = [d for d in digests if d in self.exact]
+        self.exact.difference_update(removed)
+        if removed and self.approx.supports_delete:
+            # only digests actually present may be deleted (the cuckoo
+            # contract: deleting a never-added item could strip another
+            # item's colliding fingerprint)
+            self.approx.delete_bulk(removed)
+        return len(removed)
 
     def size(self) -> int:
         return len(self.exact)
 
     def reset(self) -> None:
         self.exact.clear()
-        self.bloom[:] = 0
+        self.approx.reset()
         self.pending_snapshot = []
         self.n_checks = 0
 
@@ -138,7 +142,7 @@ class SeenShard:
     def restore(self, ckpt_dir: str, upto_round: int) -> int:
         """Replay all snapshot deltas for this shard up to (incl.) a round."""
         self.exact.clear()
-        self.bloom[:] = 0
+        self.approx.reset()
         self.pending_snapshot = []
         if os.path.isdir(ckpt_dir):
             for name in sorted(os.listdir(ckpt_dir)):
@@ -150,22 +154,41 @@ class SeenShard:
                 ds = pq.read_table(os.path.join(ckpt_dir, name))["digest"]
                 digs = ds.to_pylist()
                 self.exact.update(digs)
-                self._bloom_add_bulk(digs)
+                self.approx.add_bulk(digs)
         return len(self.exact)
 
 
 class SeenSet:
     """Driver-side handle over the shard pool."""
 
-    def __init__(self, n_shards: int = 8, bloom_bits: int = _BLOOM_BITS):
+    def __init__(self, n_shards: int = 8, bloom_bits: int = _BLOOM_BITS,
+                 filter_kind: str = "bloom"):
         self.n_shards = n_shards
         self.shards = [
-            SeenShard.remote(i, bloom_bits) for i in range(n_shards)
+            SeenShard.remote(i, bloom_bits, filter_kind)
+            for i in range(n_shards)
         ]
 
     def check_and_add(self, urls: list[str]) -> list[bool]:
         """Batch check-and-add from the driver (stages use SeenFilter)."""
         return check_and_add_via(self.shards, urls)
+
+    def forget(self, urls: list[str]) -> int:
+        """Remove canonical urls from the seen set (recrawl admission);
+        returns how many were present.  Routed per shard like
+        check_and_add."""
+        if not urls:
+            return 0
+        digests = url_digests(urls)
+        n = len(self.shards)
+        raw = np.frombuffer(b"".join(digests), dtype=np.uint64).reshape(-1, 2)
+        sid = (raw[:, 0] % n).astype(np.int64)
+        futs = []
+        for s in np.unique(sid):
+            idxs = np.nonzero(sid == s)[0]
+            futs.append(self.shards[int(s)].forget.remote(
+                [digests[i] for i in idxs]))
+        return sum(ray.get(futs))
 
     def size(self) -> int:
         return sum(ray.get([s.size.remote() for s in self.shards]))

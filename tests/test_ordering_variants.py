@@ -228,6 +228,23 @@ def test_best_scale_set_equality(tmp_path):
     assert any(r["n_deferred"] > 0 for r in s.per_round)
 
 
+def test_crawl_with_cuckoo_seen_filter(tmp_path):
+    """The cuckoo-filter-backed seen shards (seen_filter_kind="cuckoo",
+    north_rule "bloom/cuckoo") must leave crawl semantics bit-identical:
+    the filter is a RAM prefilter over the same exact digest set."""
+    fix = fixture_corpus(gen_corpus.TINY)
+    seeds = pq.read_table(fix.seeds_path).to_pylist()
+    ckpt = str(tmp_path / "c")
+    cfg = CrawlConfig(corpus_path=fix.pages_path, ckpt_dir=ckpt,
+                      robots_path=fix.robots_path, mode="bfs",
+                      seen_filter_kind="cuckoo", n_seen_shards=2)
+    s = run_crawl(cfg, seeds=seeds)
+    res = run_oracle(fix, mode="bfs")
+    assert visited_tuples(read_ckpt(ckpt, "visited")) == \
+        oracle_visited_tuples(res)
+    assert s.n_seen == len(res.seen)
+
+
 def test_dfs_scale_set_equality(tmp_path):
     """Approximate scale-mode DFS (exact_order=False): the per-block LIFO
     width cut replaces the exact path's global frontier sort.  Contract:

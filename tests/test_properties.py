@@ -53,3 +53,61 @@ def test_connected_components_matches_union_find(edges):
     out = connected_components(pairs)
     got = dict(zip(out["doc_id"].to_pylist(), out["component"].to_pylist()))
     assert got == _uf_components(edges)
+
+
+# --------------------------------------------------- approx membership
+from pomp_ray.state.approx import BloomFilter, CuckooFilter
+from pomp_ray.state.seen import url_digests
+
+
+@given(st.lists(st.text(min_size=1, max_size=40), min_size=1, max_size=300),
+       st.lists(st.text(min_size=1, max_size=40), max_size=100))
+@settings(max_examples=100, deadline=None)
+def test_cuckoo_no_false_negatives(added, probed):
+    """Every added digest answers True; the no-false-negative contract the
+    seen set leans on (a false negative = a silently dropped URL)."""
+    f = CuckooFilter(n_buckets=1 << 8)   # tiny: forces eviction walks
+    da = url_digests(sorted(set(added)))
+    f.add_bulk(da)
+    assert f.contains_bulk(da).all()
+    # absent probes may false-positive but never crash / mis-shape
+    dp = url_digests([p for p in probed if p not in set(added)])
+    if dp:
+        assert f.contains_bulk(dp).shape == (len(dp),)
+
+
+@given(st.lists(st.text(min_size=1, max_size=40), min_size=2, max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_cuckoo_delete_keeps_survivors(items):
+    """Deleting half the items never false-negatives the surviving half
+    (the deletion property Bloom lacks; SeenShard.forget relies on it)."""
+    uniq = sorted(set(items))
+    half = len(uniq) // 2
+    gone, keep = uniq[:half], uniq[half:]
+    f = CuckooFilter(n_buckets=1 << 8)
+    f.add_bulk(url_digests(uniq))
+    if gone:
+        assert f.delete_bulk(url_digests(gone)).all()
+    if keep:
+        assert f.contains_bulk(url_digests(keep)).all()
+
+
+@given(st.lists(st.text(min_size=1, max_size=40), min_size=1, max_size=300))
+@settings(max_examples=50, deadline=None)
+def test_bloom_no_false_negatives(added):
+    f = BloomFilter(bloom_bits=1 << 10)
+    d = url_digests(sorted(set(added)))
+    f.add_bulk(d)
+    assert f.contains_bulk(d).all()
+
+
+def test_cuckoo_overflow_rollback():
+    """Past capacity, failed inserts land in the overflow set and the
+    eviction rollback keeps every earlier item answering True."""
+    f = CuckooFilter(n_buckets=4, slots=2, max_kicks=8)   # 8 slots total
+    d = url_digests([f"http://x.test/{i}" for i in range(64)])
+    f.add_bulk(d)
+    assert f.contains_bulk(d).all()
+    assert f.overflow, "expected overflow at 8x capacity"
+    assert f.delete_bulk(d).all()
+    assert f.n_items == 0 and not f.overflow
