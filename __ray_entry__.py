@@ -118,6 +118,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_quantiles": docs.length_quantiles,
         "span_dup_stats": docs.span_dup_stats,
         "oov_rate": docs.oov_rate,
+        "decontaminate": docs.decontaminate,
+        "tfidf_top_terms": docs.tfidf_top_terms,
         # -- documents: signatures / near-dup (deterministic, rows-only)
         "lang_predictions": docs.lang_predictions,
         "sample_docs": docs.sample_docs,
@@ -454,6 +456,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT sh.doc_id, CAST(len(sh.s) AS BIGINT) AS n_spans,
                    CAST(COALESCE(d.nd, 0) AS BIGINT) AS n_dup_spans
             FROM sh LEFT JOIN dups d ON d.doc_id = sh.doc_id
+        """,
+        "decontaminate": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '\\S+') AS tk
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(tk) = 0 THEN []
+                            WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
+                            ELSE list_distinct(list_transform(
+                                range(1, len(tk) - 3),
+                                i -> array_to_string(tk[i:i+4], ' ')))
+                       END AS s
+                FROM toks
+            ), ex AS (
+                SELECT doc_id, unnest(s) AS g FROM sh
+            ), bench AS (
+                SELECT DISTINCT g FROM ex WHERE doc_id % 97 = 0
+            ), contaminated AS (
+                SELECT DISTINCT e.doc_id FROM ex e
+                JOIN bench b ON b.g = e.g
+                WHERE e.doc_id % 97 <> 0
+            )
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id % 97 <> 0
+              AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        """,
+        "tfidf_top_terms": """
+            WITH terms AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, w, COUNT(*) AS tf
+                FROM terms GROUP BY doc_id, w
+            ), df AS (
+                SELECT w, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY w
+            ), scored AS (
+                SELECT tf.doc_id, tf.w AS term,
+                       tf.tf * ((SELECT COUNT(*) FROM documents) / df.df)
+                           AS score
+                FROM tf JOIN df ON df.w = tf.w
+            ), ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
+                FROM scored
+            )
+            SELECT doc_id, term, CAST(rk AS BIGINT) AS rk, score
+            FROM ranked WHERE rk <= 3
         """,
         "oov_rate": """
             WITH topw AS (

@@ -694,6 +694,25 @@ def repetition_stats(sf_dir: str) -> rd.Dataset:
         f, batch_format="pyarrow")
 
 
+def _span_explode(t: pa.Table) -> pa.Table:
+    """Compact (word-5-shingle hash, doc_id) rows, distinct per doc --
+    the exchange unit of every cross-doc span operator (span_dup_stats,
+    decontaminate): 8 bytes per span cross the shuffle, never strings."""
+    hs, ids = [], []
+    doc_ids = t["doc_id"].to_pylist()
+    for d, x in zip(doc_ids, t["text"].to_pylist()):
+        toks = an.TOKEN_RE.findall((x or "").lower())
+        if not toks:
+            continue
+        uniq = np.unique(an.shingle_hashes(an._HASHER.hashes(toks), k=5))
+        hs.append(uniq.astype(np.int64))
+        ids.append(np.full(len(uniq), d, np.int64))
+    out_h = np.concatenate(hs) if hs else np.empty(0, np.int64)
+    out_d = np.concatenate(ids) if ids else np.empty(0, np.int64)
+    return pa.table({"h": pa.array(out_h, pa.int64()),
+                     "doc_id": pa.array(out_d, pa.int64())})
+
+
 def span_dup_stats(sf_dir: str) -> rd.Dataset:
     """CCNet-style cross-doc span dedup accounting: for each doc, how
     many of its distinct word-5-shingles already appear in an EARLIER
@@ -706,22 +725,7 @@ def span_dup_stats(sf_dir: str) -> rd.Dataset:
     oracle over materialized shingle strings."""
     from ray.data.aggregate import Sum as _Sum
 
-    def explode(t: pa.Table) -> pa.Table:
-        hs, ids, span_counts = [], [], []
-        doc_ids = t["doc_id"].to_pylist()
-        for d, x in zip(doc_ids, t["text"].to_pylist()):
-            toks = an.TOKEN_RE.findall((x or "").lower())
-            if not toks:
-                span_counts.append(0)
-                continue
-            uniq = np.unique(an.shingle_hashes(an._HASHER.hashes(toks), k=5))
-            span_counts.append(len(uniq))
-            hs.append(uniq.astype(np.int64))
-            ids.append(np.full(len(uniq), d, np.int64))
-        out_h = np.concatenate(hs) if hs else np.empty(0, np.int64)
-        out_d = np.concatenate(ids) if ids else np.empty(0, np.int64)
-        return pa.table({"h": pa.array(out_h, pa.int64()),
-                         "doc_id": pa.array(out_d, pa.int64())})
+    explode = _span_explode
 
     def count_spans(t: pa.Table) -> pa.Table:
         ns = []
@@ -798,6 +802,125 @@ def oov_rate(sf_dir: str, vocab_k: int = 10) -> rd.Dataset:
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         score, batch_format="pyarrow")
+
+
+def decontaminate(sf_dir: str, bench_mod: int = 97) -> rd.Dataset:
+    """Benchmark decontamination -- the training-data hygiene step every
+    LLM corpus pipeline runs before release: hold out a deterministic
+    "benchmark" slice (doc_id % bench_mod == 0) and DROP every other doc
+    that shares ANY word-5-shingle with it.  Returns the clean doc ids.
+
+    Scale shape: both sides are the compact (shingle_hash, doc_id)
+    explode (``_span_explode``, 8 bytes/span); the benchmark side
+    dedupes to distinct hashes via a tiny groupby; ONE hash-partitioned
+    inner join on the shingle hash marks contaminated docs; clean ids
+    come back via left_outer join + null filter (anti-join).  Nothing is
+    broadcast or collected -- the only shuffles are keyed on the shingle
+    hash and doc_id, so the benchmark set may itself be huge.  64-bit
+    hash collisions can over-remove a doc at ~n_spans/2^64 odds
+    (documented approximation; exact at test scale)."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    # two consumers (bench side + corpus side) read the explode: pin the
+    # compact span rows once instead of recomputing the tokenize per branch
+    ex = docs.map_batches(_span_explode, batch_format="pyarrow").materialize()
+
+    def _bench_mask(t: pa.Table) -> np.ndarray:
+        ids = t["doc_id"].to_numpy() if not isinstance(
+            t["doc_id"], pa.ChunkedArray) \
+            else t["doc_id"].combine_chunks().to_numpy()
+        return np.mod(ids, bench_mod) == 0
+
+    bench_h = (
+        ex.map_batches(lambda t: t.filter(pa.array(_bench_mask(t))),
+                       batch_format="pyarrow")
+        .groupby("h").aggregate(Count(alias_name="nb"))
+        .repartition(8)   # ray 2.49: hash aggregate can emit an
+    )                     # empty-schema block that breaks Dataset.join
+    corp_ex = ex.map_batches(
+        lambda t: t.filter(pa.array(~_bench_mask(t))),
+        batch_format="pyarrow")
+    # materialize the (tiny, per-contaminated-doc) aggregate: two live
+    # hash-join operators in one streaming DAG deadlock their aggregator
+    # actor pools on small-cpu sessions, and the barrier rows are
+    # output-scale anyway
+    contaminated = (
+        corp_ex.join(bench_h, join_type="inner", on=("h",),
+                     num_partitions=16)
+        .groupby("doc_id").aggregate(Count(alias_name="nhit"))
+        .repartition(8)
+    ).materialize()
+    corpus_ids = docs.map_batches(
+        lambda t: t.select(["doc_id"]).filter(pa.array(~_bench_mask(t))),
+        batch_format="pyarrow")
+    joined = corpus_ids.join(contaminated, join_type="left_outer",
+                             on=("doc_id",), num_partitions=16)
+    return joined.map_batches(
+        lambda t: t.filter(pc.is_null(t["nhit"])).select(["doc_id"]),
+        batch_format="pyarrow")
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 3) -> rd.Dataset:
+    """Per-doc top-``k`` TF-IDF terms.  Phase 1 learns document
+    frequencies distributed (per-batch per-doc-DISTINCT word partials ->
+    groupby(word) sum) and broadcasts the df map once (ray.put;
+    vocabulary-bounded, the learned-artifact shape oov_rate uses).
+    Phase 2 re-scores each doc inside its own batch -- a doc's text
+    lives in exactly one batch, so per-doc tf, scoring, and the top-k
+    cut are all batch-local: zero additional shuffle.
+
+    Score = tf * (N / df), the ratio-idf variant: division and
+    multiplication are correctly-rounded IEEE ops, so the engine and the
+    DuckDB oracle produce bit-identical doubles -- a log() idf would
+    differ in the last ulp between libm and DuckDB and flip near-tie
+    rankings.  Ties: score desc, term asc."""
+    import ray as _ray
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        flat, parent = _tokenize_flat(t)
+        pi = (parent.to_numpy() if not isinstance(parent, pa.ChunkedArray)
+              else parent.combine_chunks().to_numpy())
+        u = pd.DataFrame({"word": flat.to_pandas(),
+                          "p": pi}).drop_duplicates()
+        vc = u["word"].value_counts()
+        return pa.table({"word": pa.array(vc.index, pa.string()),
+                         "df": pa.array(vc.to_numpy(np.int64), pa.int64())})
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n_docs = float(docs.count())
+    df_rows = (docs.map_batches(df_partial, batch_format="pyarrow")
+               .groupby("word").aggregate(Sum("df", alias_name="df"))
+               .take_all())
+    df_ref = _ray.put({r["word"]: int(r["df"]) for r in df_rows})
+
+    def score(t: pa.Table) -> pa.Table:
+        dfm = _ray.get(df_ref)
+        flat, parent = _tokenize_flat(t)
+        pi = (parent.to_numpy() if not isinstance(parent, pa.ChunkedArray)
+              else parent.combine_chunks().to_numpy())
+        g = (pd.DataFrame({"w": flat.to_pandas(), "p": pi})
+             .groupby(["p", "w"], sort=False).size().reset_index(name="tf"))
+        if not len(g):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "rk": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        idf = n_docs / g["w"].map(dfm).to_numpy(np.float64)
+        g["score"] = g["tf"].to_numpy(np.float64) * idf
+        g = g.sort_values(["p", "score", "w"],
+                          ascending=[True, False, True], kind="mergesort")
+        g["rk"] = g.groupby("p").cumcount() + 1
+        g = g[g["rk"] <= k]
+        doc_ids = (t["doc_id"].to_numpy()
+                   if not isinstance(t["doc_id"], pa.ChunkedArray)
+                   else t["doc_id"].combine_chunks().to_numpy())
+        return pa.table({
+            "doc_id": pa.array(doc_ids[g["p"].to_numpy()], pa.int64()),
+            "term": pa.array(g["w"].to_numpy(object), pa.string()),
+            "rk": pa.array(g["rk"].to_numpy(np.int64), pa.int64()),
+            "score": pa.array(g["score"].to_numpy(np.float64),
+                              pa.float64())})
+
+    return docs.map_batches(score, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------- simple SQL peers

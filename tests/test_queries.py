@@ -23,6 +23,8 @@ SPOT = [
     "errors_near_purchases",
     "customers_per_region",
     "sample_docs",
+    "decontaminate",
+    "tfidf_top_terms",
 ]
 
 
