@@ -134,10 +134,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_pairs_ivf": embeddings.neardup_pairs_ivf,
         "ivf_topk": embeddings.ivf_topk,
         "label_centroids": embeddings.label_centroids,
+        "kmeans_clusters": embeddings.kmeans_clusters,
         # -- graph: near-dup pairs -> dup groups (label propagation)
         "dup_components": graph.dup_components,
         # -- relational building blocks (join/rollup/sort/filter)
         "events_rollup": relational.events_rollup,
+        "hll_users_by_type": relational.hll_users_by_type,
         "events_normalized": relational.events_normalized,
         "events_sorted_head": relational.events_sorted_head,
         "orders_by_mktsegment": relational.orders_by_mktsegment,
@@ -676,6 +678,10 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM read_parquet('{_GOLDEN}/crawl_dfs_visited.parquet')",
         "crawl_best_visited":
             f"SELECT * FROM read_parquet('{_GOLDEN}/crawl_best_visited.parquet')",
+        "kmeans_clusters":
+            f"SELECT * FROM read_parquet('{_GOLDEN}/kmeans_sf001.parquet')",
+        "hll_users_by_type":
+            f"SELECT * FROM read_parquet('{_GOLDEN}/hll_users_sf001.parquet')",
         "crawl_bfs_errors":
             f"SELECT * FROM read_parquet('{_GOLDEN}/crawl_bfs_errors.parquet')",
         "events_normalized": """

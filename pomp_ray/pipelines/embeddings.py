@@ -231,3 +231,99 @@ def ivf_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10,
     order = np.lexsort((ids, -sims))[:k]
     return pa.table({"vec_id": pa.array(ids[order], pa.int64()),
                      "score": pa.array(np.round(sims[order], 6), pa.float64())})
+
+
+_KM_SCALE = float(1 << 20)   # embedding quantization unit for exact sums
+
+
+def _km_quant(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(vec_ids, int64 micro-unit matrix): round(x * 2^20).  All k-means
+    arithmetic starts from these integers so distributed partial sums are
+    EXACT (order-independent) -- see kmeans_clusters."""
+    ids, mat = _to_matrix(t)
+    return ids, np.rint(mat * _KM_SCALE).astype(np.int64)
+
+
+def kmeans_iterate(sf_dir: str, k: int = 8, n_iter: int = 5) -> np.ndarray:
+    """Distributed Lloyd's k-means over the embedding column: returns the
+    final (k, dim) float64 centroid matrix (micro-unit scale).
+
+    The iterative broadcast-model shape: each iteration ships the k x dim
+    centroids to every batch (tiny; closure capture), one Dataset pass
+    assigns vectors (vectorized squared-euclidean argmin, per-centroid
+    ufunc reductions -- no BLAS matmul, whose threaded reduction order
+    is nondeterministic) and reduces to per-cluster INTEGER partial sums
+    (the label_centroids partial-agg shape), a tiny groupby(cluster, dim)
+    merges them, and the driver -- holding only k x dim numbers -- forms
+    the new centroids.  Embeddings are quantized once to int64
+    micro-units (round(x * 2^20)), so the sums are exact and repeated
+    runs (and the independent golden in tools/gen_golden.py) get
+    bit-identical centroids regardless of block structure.  Empty
+    clusters keep their previous centroid.  Init: the k smallest
+    vec_ids' vectors.  (Lloyd 1982; the IVF queries use fixed seeded
+    centroids instead -- this is the trained sibling.)"""
+    from ray.data.aggregate import Sum as _Sum
+
+    emb = _emb(sf_dir)
+    init_rows = emb.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], k)),
+        batch_format="pyarrow").take_all()
+    init_rows.sort(key=lambda r: r["vec_id"])
+    cent = np.array([np.rint(np.asarray(r["embedding"], np.float64)
+                             * _KM_SCALE) for r in init_rows], np.float64)
+    assert cent.shape[0] == k, "need vec_ids 0..k-1 for deterministic init"
+
+    for _ in range(n_iter):
+        c = cent.copy()
+
+        def partial(t: pa.Table, cmat=c) -> pa.Table:
+            _, q = _km_quant(t)
+            x = q.astype(np.float64)
+            d2 = np.empty((len(x), cmat.shape[0]))
+            for j in range(cmat.shape[0]):
+                diff = x - cmat[j]
+                d2[:, j] = np.einsum("ij,ij->i", diff, diff)
+            assign = d2.argmin(axis=1)
+            uniq, inv = np.unique(assign, return_inverse=True)
+            sums = np.zeros((len(uniq), q.shape[1]), np.int64)
+            np.add.at(sums, inv, q)
+            ns = np.bincount(inv)
+            return pa.table({
+                "cl": pa.array(np.repeat(uniq, q.shape[1]), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(q.shape[1]),
+                                        len(uniq)), pa.int64()),
+                "s": pa.array(sums.ravel(), pa.int64()),
+                "n": pa.array(np.repeat(ns, q.shape[1]).astype(np.int64),
+                              pa.int64())})
+
+        rows = (emb.map_batches(partial, batch_format="pyarrow")
+                .groupby(["cl", "dim"])
+                .aggregate(_Sum("s", alias_name="s"),
+                           _Sum("n", alias_name="n"))
+                .take_all())
+        for r in rows:
+            # n is the cluster's vector count (repeated per dim row)
+            cent[r["cl"], r["dim"]] = float(r["s"]) / float(r["n"])
+    return cent
+
+
+def kmeans_clusters(sf_dir: str, k: int = 8, n_iter: int = 5) -> rd.Dataset:
+    """Final k-means assignment as a Dataset: (vec_id, cluster) rows from
+    one pass against the kmeans_iterate centroids (broadcast via closure;
+    k x dim floats).  Deterministic end to end -- pinned by an
+    independently recomputed golden parquet (tools/gen_golden.py
+    gen_kmeans_golden)."""
+    cent = kmeans_iterate(sf_dir, k=k, n_iter=n_iter)
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids, q = _km_quant(t)
+        x = q.astype(np.float64)
+        d2 = np.empty((len(x), cent.shape[0]))
+        for j in range(cent.shape[0]):
+            diff = x - cent[j]
+            d2[:, j] = np.einsum("ij,ij->i", diff, diff)
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "cluster": pa.array(d2.argmin(axis=1).astype(np.int64),
+                                             pa.int64())})
+
+    return _emb(sf_dir).map_batches(assign, batch_format="pyarrow")

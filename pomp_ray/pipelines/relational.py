@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -230,4 +231,81 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
             "o_orderdate": pc.cast(t["o_orderdate"], pa.timestamp("us")),
             "o_orderpriority": t["o_orderpriority"],
             "revenue": pc.round(t["revenue"], ndigits=2)}),
+        batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ HLL sketches
+_HLL_P = 12                       # 2^12 = 4096 registers, ~1.6% typ. error
+
+
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized integer bit_length for uint64 -- integer ops only (a
+    float log2 is imprecise above 2^53 and its rounding would change
+    sketch ranks between platforms)."""
+    x = x.copy()
+    out = np.zeros(len(x), np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = (x >> np.uint64(s)) != 0
+        out += s * m
+        x = np.where(m, x >> np.uint64(s), x)
+    return out + (x != 0)
+
+
+def _hll_accumulate(regs: np.ndarray, users: np.ndarray,
+                    p: int = _HLL_P) -> np.ndarray:
+    """Fold a uint64-hash batch into the 2^p register array (max rank per
+    bucket).  pd.util.hash_array: keyed siphash, deterministic across
+    worker processes -- never builtin hash()."""
+    h = pd.util.hash_array(users.astype(np.int64))
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = h << np.uint64(p)            # remaining bits, mod 2^64
+    rank = np.minimum(64 - _bit_length_u64(w) + 1, 64 - p + 1)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray, p: int = _HLL_P) -> float:
+    """Standard HLL estimator (Flajolet et al. 2007) with the
+    small-range linear-counting correction; registers have a fixed
+    length, so the float reduction order -- and thus the estimate -- is
+    deterministic."""
+    m = float(1 << p)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e = alpha * m * m / float(np.sum(np.exp2(-regs.astype(np.float64))))
+    v = int(np.sum(regs == 0))
+    if e <= 2.5 * m and v > 0:
+        e = m * float(np.log(m / v))
+    return e
+
+
+def hll_users_by_type(sf_dir: str) -> rd.Dataset:
+    """Approximate COUNT(DISTINCT user_id) per event_type via a
+    HyperLogLog sketch as a custom AggregateFn -- THE cardinality shape
+    at 100 TB: an exact distinct shuffles every (type, user) pair, while
+    the sketch ships 4 KiB of registers per group and merges with an
+    elementwise max, so any block order / partitioning yields the SAME
+    registers.  Deterministic end to end (keyed siphash + integer rank
+    extraction + fixed-order float reduction); pinned by an
+    independently-recomputed golden parquet (tools/gen_golden.py
+    gen_hll_golden) and tolerance-checked against the exact count in
+    pytest."""
+    from ray.data.aggregate import AggregateFn
+
+    m = 1 << _HLL_P
+
+    hll = AggregateFn(
+        init=lambda k: np.zeros(m, np.int8),
+        accumulate_block=lambda st, blk: _hll_accumulate(
+            st, blk.column("user_id").to_numpy()),
+        merge=lambda a, b: np.maximum(a, b),
+        finalize=lambda regs: float(_hll_estimate(regs)),
+        name="n_users_hll")
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "user_id"])
+    agg = ds.groupby("event_type").aggregate(hll)
+    return agg.map_batches(
+        lambda t: pa.table({
+            "event_type": t["event_type"],
+            "n_users_hll": pc.round(t["n_users_hll"], ndigits=4)}),
         batch_format="pyarrow")

@@ -170,3 +170,30 @@ def test_export_corpus_partitioned(tmp_path):
     assert counts == dict(expect)
     for lang in expect:
         assert os.path.isdir(os.path.join(out, f"lang={lang}"))
+
+
+def test_kmeans_deterministic_and_partitions():
+    """Distributed Lloyd's k-means: two runs must agree bit-for-bit
+    (the int64-quantized partial sums make centroids independent of
+    block/summation order) and every vector gets one of k clusters."""
+    from pomp_ray.pipelines import embeddings
+    a = _canon(_to_pandas(embeddings.kmeans_clusters(SF, k=4, n_iter=3)))
+    b = _canon(_to_pandas(embeddings.kmeans_clusters(SF, k=4, n_iter=3)))
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    assert set(a["cluster"]) <= set(range(4))
+    assert a["vec_id"].is_unique and len(a) > 0
+    assert a["cluster"].nunique() >= 2   # Lloyd actually separated data
+
+
+def test_hll_within_tolerance_of_exact(oracle_con):
+    """HLL distinct-user estimates stay within 5% of the exact
+    per-event-type count (2^12 registers => ~1.6% typical error)."""
+    from pomp_ray.pipelines import relational
+    est = _to_pandas(relational.hll_users_by_type(SF))
+    exact = oracle_con.sql(
+        "SELECT event_type, COUNT(DISTINCT user_id) AS n "
+        "FROM events GROUP BY event_type").df()
+    m = est.merge(exact, on="event_type")
+    assert len(m) == len(exact) > 0
+    rel = (m["n_users_hll"] - m["n"]).abs() / m["n"]
+    assert (rel < 0.05).all(), m

@@ -31,6 +31,8 @@ import os
 import re
 import sys
 
+import numpy as np
+
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -200,8 +202,91 @@ def gen_crawl_goldens() -> None:
               f"errors={len(res.errors)}")
 
 
+def gen_kmeans_golden(sf_dir: str = "/root/testdata/sf0.01",
+                      k: int = 8, n_iter: int = 5) -> None:
+    """Independent serial Lloyd's k-means (one full-matrix numpy loop, no
+    Ray/Dataset machinery) against embeddings.kmeans_clusters' arithmetic
+    contract: int64 micro-unit quantization (exact order-independent
+    sums), per-centroid (x-c)^2 reductions, argmin ties -> lowest
+    cluster, init = vec_ids 0..k-1, empty clusters keep their centroid."""
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = np.asarray(t["vec_id"].to_pylist(), np.int64)
+    mat = np.array(t["embedding"].to_pylist(), np.float64)
+    q = np.rint(mat * float(1 << 20)).astype(np.int64)
+    order = np.argsort(ids)
+    ids, q = ids[order], q[order]
+    cent = q[:k].astype(np.float64)   # ids sorted => rows 0..k-1
+
+    def assign_all(c):
+        x = q.astype(np.float64)
+        d2 = np.empty((len(x), k))
+        for j in range(k):
+            diff = x - c[j]
+            d2[:, j] = np.einsum("ij,ij->i", diff, diff)
+        return d2.argmin(axis=1)
+
+    for _ in range(n_iter):
+        a = assign_all(cent)
+        for j in range(k):
+            m = a == j
+            if m.any():
+                cent[j] = q[m].sum(axis=0).astype(np.float64) / m.sum()
+    final = assign_all(cent)
+    out = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                    "cluster": pa.array(final.astype(np.int64), pa.int64())})
+    pq.write_table(out, os.path.join(GOLDEN_DIR, "kmeans_sf001.parquet"))
+    sizes = np.bincount(final, minlength=k)
+    print(f"kmeans golden: {len(ids)} vectors, cluster sizes {sizes.tolist()}")
+
+
+def gen_hll_golden(sf_dir: str = "/root/testdata/sf0.01",
+                   p: int = 12) -> None:
+    """Independent serial HyperLogLog (per-unique-hash python
+    int.bit_length ranks + a pandas groupby-max over register indices --
+    none of the engine's vectorized clz / np.maximum.at path) against
+    relational.hll_users_by_type.  The hash itself (pandas keyed
+    siphash) is shared by necessity: it defines the sketch."""
+    import pandas as pd
+
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                      columns=["event_type", "user_id"])
+    df = t.to_pandas()
+    m = 1 << p
+    rows = []
+    for et, g in df.groupby("event_type", sort=True):
+        hs = pd.util.hash_array(
+            g["user_id"].to_numpy(np.int64)).astype(np.uint64)
+        reg: dict[int, int] = {}
+        for h in np.unique(hs):
+            h = int(h)
+            idx = h >> (64 - p)
+            w = (h << p) & ((1 << 64) - 1)
+            rank = min((64 - w.bit_length()) + 1, 64 - p + 1)
+            reg[idx] = max(reg.get(idx, 0), rank)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        regs = np.zeros(m, np.int8)
+        for i, r in reg.items():
+            regs[i] = r
+        e = alpha * m * m / float(np.sum(np.exp2(-regs.astype(np.float64))))
+        v = int(np.sum(regs == 0))
+        if e <= 2.5 * m and v > 0:
+            e = m * float(np.log(m / v))
+        exact = g["user_id"].nunique()
+        rel_err = abs(e - exact) / max(1, exact)
+        rows.append((et, round(e, 4), exact, rel_err))
+        assert rel_err < 0.05, (et, e, exact)
+    pq.write_table(
+        pa.table({"event_type": pa.array([r[0] for r in rows], pa.string()),
+                  "n_users_hll": pa.array([r[1] for r in rows],
+                                          pa.float64())}),
+        os.path.join(GOLDEN_DIR, "hll_users_sf001.parquet"))
+    print("hll golden:", [(r[0], r[1], r[2]) for r in rows])
+
+
 if __name__ == "__main__":
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     gen_signature_goldens()
     gen_ivf_goldens()
     gen_crawl_goldens()
+    gen_kmeans_golden()
+    gen_hll_golden()
