@@ -200,7 +200,7 @@ def bench_dedup_ops(n_urls: int = 2_000_000, n_tasks: int = 32,
 
 
 def bench_queries(sf_dir: str) -> dict:
-    from pomp_ray.pipelines import docs, relational
+    from pomp_ray.pipelines import docs, embeddings, relational
 
     out = {}
     for name, fn in (
@@ -209,6 +209,11 @@ def bench_queries(sf_dir: str) -> dict:
         ("lineitem_summary",
          lambda: relational.lineitem_pricing_summary(sf_dir).count()),
         ("events_rollup", lambda: relational.events_rollup(sf_dir).count()),
+        # round-3 shapes: span-hash join decontamination, iterative
+        # broadcast k-means, sketch aggregate
+        ("decontaminate", lambda: docs.decontaminate(sf_dir).count()),
+        ("kmeans", lambda: embeddings.kmeans_clusters(sf_dir).count()),
+        ("hll_users", lambda: relational.hll_users_by_type(sf_dir).count()),
     ):
         t0 = time.monotonic()
         fn()
