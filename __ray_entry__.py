@@ -120,6 +120,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_rate": docs.oov_rate,
         "decontaminate": docs.decontaminate,
         "tfidf_top_terms": docs.tfidf_top_terms,
+        "mixture_sample": docs.mixture_sample,
+        "token_shard_stats": docs.token_shard_stats,
+        "trigram_lm_scores": docs.trigram_lm_scores,
         # -- documents: signatures / near-dup (deterministic, rows-only)
         "lang_predictions": docs.lang_predictions,
         "sample_docs": docs.sample_docs,
@@ -145,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_mktsegment": relational.orders_by_mktsegment,
         "lineitem_pricing_summary": relational.lineitem_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
+        "rolling_user_spend": relational.rolling_user_spend,
         "filter_project": relational.filter_project,
         # -- the crawl engine itself (hash-checked against committed golden
         #    parquet generated by the serial pomp-semantics oracle loop;
@@ -654,6 +658,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(64 AS BIGINT) AS feat_dim
             FROM documents
         """,
+        "mixture_sample": """
+            SELECT source, doc_id FROM (
+                SELECT source, doc_id,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                           AS rn
+                FROM documents) t
+            WHERE rn <= CASE source WHEN 'src0' THEN 40
+                                    WHEN 'src1' THEN 20 ELSE 10 END
+        """,
+        "token_shard_stats": """
+            SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                             1, 4))
+                             AS INTEGER) % 16 AS BIGINT) AS shard,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+                       AS n_tokens
+            FROM documents GROUP BY shard
+        """,
+        "rolling_user_spend": """
+            SELECT event_id, user_id,
+                   CAST(SUM(cents) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id
+                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT)
+                       AS roll_cents
+            FROM (SELECT event_id, ts, user_id,
+                         CAST(FLOOR(value * 100) AS BIGINT) AS cents
+                  FROM events)
+        """,
         # Committed golden oracles (tools/gen_golden.py): independent
         # pure-Python signature reimplementations (sf0.01, the scale the
         # driver's gate runs at) and the serial pomp-semantics oracle loop
@@ -670,6 +703,8 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM read_parquet('{_GOLDEN}/neardup_pairs_ivf_sf001.parquet')",
         "ivf_topk":
             f"SELECT * FROM read_parquet('{_GOLDEN}/ivf_topk_sf001.parquet')",
+        "trigram_lm_scores":
+            f"SELECT * FROM read_parquet('{_GOLDEN}/trigram_lm_sf001.parquet')",
         "crawl_bfs_visited":
             f"SELECT * FROM read_parquet('{_GOLDEN}/crawl_bfs_visited.parquet')",
         "crawl_bfs_items":

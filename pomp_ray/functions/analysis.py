@@ -333,3 +333,33 @@ def jaccard_ngrams(a: str, b: str, k: int = 5) -> float:
         return 1.0
     inter = len(sa & sb)
     return inter / (len(sa) + len(sb) - inter) if (sa or sb) else 0.0
+
+
+def trigram_code_arrays(texts: list[str]) -> tuple[np.ndarray, np.ndarray,
+                                                   np.ndarray]:
+    """Byte-level trigram / leading-bigram integer codes for a batch.
+
+    Returns ``(tri, big, n_tri)``: ``tri[j] = b0*65536 + b1*256 + b2``
+    for every byte trigram of every doc (doc boundaries never crossed),
+    ``big[j]`` is the leading-bigram code of the SAME trigram (so bigrams
+    are counted exactly as conditional-probability denominators), and
+    ``n_tri[i] = max(len_bytes(doc_i) - 2, 0)``.  Fully vectorized: one
+    concatenated uint8 buffer + sliding-window index arithmetic -- no
+    per-character Python."""
+    bs = [t.encode("utf-8", "surrogateescape") for t in texts]
+    lens = np.fromiter((len(b) for b in bs), np.int64, len(bs))
+    n_tri = np.maximum(lens - 2, 0)
+    total_tri = int(n_tri.sum())
+    if total_tri == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64), n_tri)
+    arr = np.frombuffer(b"".join(bs), np.uint8).astype(np.int64)
+    off = np.zeros(len(bs) + 1, np.int64)
+    np.cumsum(lens, out=off[1:])
+    # trigram start byte-positions: for doc i the run [off[i], off[i]+n_tri[i])
+    tri_end = np.cumsum(n_tri)
+    tri_start = tri_end - n_tri
+    j = np.repeat(off[:-1], n_tri) + \
+        (np.arange(total_tri, dtype=np.int64) - np.repeat(tri_start, n_tri))
+    big = arr[j] * 256 + arr[j + 1]
+    tri = big * 256 + arr[j + 2]
+    return tri, big, n_tri

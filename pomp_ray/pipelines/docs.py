@@ -962,3 +962,165 @@ def per_source_topk(sf_dir: str, k: int = 3) -> rd.Dataset:
         lambda t: _i64(t.select(["source", "doc_id", "n_chars"]),
                        ["doc_id", "n_chars"]),
         batch_format="pyarrow")
+
+
+# ------------------------------------------------------- mixture / sharding
+MIXTURE_QUOTAS = {"src0": 40, "src1": 20}
+MIXTURE_DEFAULT_QUOTA = 10
+
+
+def mixture_sample(sf_dir: str, quotas: dict[str, int] | None = None,
+                   default_quota: int = MIXTURE_DEFAULT_QUOTA) -> rd.Dataset:
+    """Weighted data-mixture sampling: per-SOURCE doc quotas (the
+    corpus-mixing step every pretraining pipeline runs: N_i docs from
+    source i per epoch).  Deterministic md5(doc_id) order per source, so
+    the sample is reproducible across sessions and block structures
+    (never ``random_sample`` -- see CLAUDE.md).  Per-group top-quota via
+    groupby(source).map_groups; exact ROW_NUMBER + CASE oracle."""
+    import hashlib
+
+    q = MIXTURE_QUOTAS if quotas is None else quotas
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        k = q.get(g["source"].iloc[0], default_quota)
+        g = g.assign(_h=[hashlib.md5(str(d).encode()).hexdigest()
+                         for d in g["doc_id"]])
+        g = g.sort_values(["_h", "doc_id"]).head(k)
+        return g.drop(columns=["_h"])
+
+    ds = _docs(sf_dir, ["doc_id", "source"])
+    out = ds.groupby("source").map_groups(pick, batch_format="pandas")
+    return out.map_batches(lambda t: _i64(t.select(["source", "doc_id"]),
+                                          ["doc_id"]),
+                           batch_format="pyarrow")
+
+
+def _shard_ids(doc_ids: list[int], n_shards: int) -> np.ndarray:
+    """md5-bucket shard id per doc (md5, never builtin hash(): per-process
+    salting would route the same doc to different shards across workers).
+    Matches DuckDB ``CAST('0x' || substr(md5(id), 1, 4) AS INTEGER) %
+    n_shards`` exactly."""
+    import hashlib
+
+    return np.fromiter(
+        (int(hashlib.md5(str(d).encode()).hexdigest()[:4], 16) % n_shards
+         for d in doc_ids), np.int64, len(doc_ids))
+
+
+def token_shard_stats(sf_dir: str, n_shards: int = 16) -> rd.Dataset:
+    """Per-shard (n_docs, n_tokens) for the hash-sharded corpus export --
+    the shard-balance report a training run reads before consuming.
+    Hash sharding (vs greedy bin-packing) is the 100-TB choice: shard
+    assignment is a pure per-row function (no global state, resumable,
+    same answer under retry), and md5 uniformity balances token counts to
+    ~1/sqrt(docs-per-shard).  Partial-aggregated per batch, tiny final
+    groupby."""
+    def partial(t: pa.Table) -> pa.Table:
+        shard = _shard_ids(t["doc_id"].to_pylist(), n_shards)
+        ntok = an.count_tokens_arr(t["text"]).to_numpy().astype(np.int64)
+        df = pd.DataFrame({"shard": shard, "n_tokens": ntok})
+        g = df.groupby("shard", as_index=False).agg(
+            n_docs=("n_tokens", "size"), n_tokens=("n_tokens", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        partial, batch_format="pyarrow")
+    out = partials.groupby("shard").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("n_tokens", alias_name="n_tokens"))
+    return out.map_batches(lambda t: _i64(t, ["shard", "n_docs", "n_tokens"]),
+                           batch_format="pyarrow")
+
+
+def write_token_shards(sf_dir: str, out_dir: str,
+                       n_shards: int = 16) -> dict[int, int]:
+    """Materialize the training shards: shard-partitioned parquet
+    (``out_dir/shard-NN/...``) written streaming via Ray's native
+    ``partition_cols`` write (dir name is ``shard-NN``-safe only through
+    partition_cols=shard; hive ``key=value`` inference is fine HERE
+    because readers of training shards select by directory).  Returns
+    per-shard row counts from file METADATA only."""
+    import glob as _glob
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        shard = _shard_ids(t["doc_id"].to_pylist(), n_shards)
+        return t.append_column("shard", pa.array(shard, pa.int64()))
+
+    _docs(sf_dir, ["doc_id", "text", "lang", "source"]) \
+        .map_batches(add_shard, batch_format="pyarrow") \
+        .write_parquet(out_dir, partition_cols=["shard"], mode="overwrite")
+    counts: dict[int, int] = {}
+    for p in _glob.glob(os.path.join(out_dir, "shard=*", "*.parquet")):
+        s = int(os.path.basename(os.path.dirname(p)).split("=", 1)[1])
+        counts[s] = counts.get(s, 0) + pq.ParquetFile(p).metadata.num_rows
+    return counts
+
+
+# ------------------------------------------------------- n-gram LM scoring
+def trigram_lm_scores(sf_dir: str) -> rd.Dataset:
+    """Char(byte)-trigram language-model scoring -- the CCNet/Gopher-style
+    perplexity quality signal: score each doc by the mean log2
+    P(b3 | b1 b2) under a trigram model trained on the corpus itself.
+
+    Two-phase broadcast-model shape (the distributed-LM-filter pattern):
+
+    * phase 1 (train): per-batch ``np.unique`` partial counts of trigram
+      and leading-bigram codes -> one tiny (kind, code) groupby.  Only
+      (code, count) rows ever shuffle -- never text.  The model (distinct
+      byte-trigram counts, <= 2^24 codes, realistically ~100k) is
+      driver-collected and ``ray.put`` once -- the broadcast-small-side
+      rule.
+    * phase 2 (score): per batch, recompute code arrays (vectorized,
+      ``an.trigram_code_arrays``), binary-search the broadcast sorted
+      code arrays (np.searchsorted -- no Python dict lookups), per-doc
+      sequential sums via ``np.add.reduceat`` (same left-to-right order
+      as the serial golden, so results are bit-identical pre-round).
+
+    Docs with < 3 bytes score 0.0.  Pinned by an independently
+    recomputed golden (tools/gen_golden.py gen_trigram_lm_golden: serial
+    dict counting, no Dataset machinery)."""
+    import ray as _ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        tri, big, _ = an.trigram_code_arrays(t["text"].to_pylist())
+        ct, nt = np.unique(tri, return_counts=True)
+        cb, nb = np.unique(big, return_counts=True)
+        return pa.table({
+            "kind": pa.array(["t"] * len(ct) + ["b"] * len(cb)),
+            "code": pa.array(np.concatenate([ct, cb]), pa.int64()),
+            "n": pa.array(np.concatenate([nt, nb]).astype(np.int64),
+                          pa.int64())})
+
+    rows = (_docs(sf_dir, ["text"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["kind", "code"])
+            .aggregate(Sum("n", alias_name="n"))).take_all()
+    tri_rows = sorted((r["code"], r["n"]) for r in rows if r["kind"] == "t")
+    big_rows = sorted((r["code"], r["n"]) for r in rows if r["kind"] == "b")
+    model = (np.array([c for c, _ in tri_rows], np.int64),
+             np.array([n for _, n in tri_rows], np.float64),
+             np.array([c for c, _ in big_rows], np.int64),
+             np.array([n for _, n in big_rows], np.float64))
+    ref = _ray.put(model)
+
+    def score(t: pa.Table) -> pa.Table:
+        tc, tn, bc, bn = _ray.get(ref)
+        tri, big, n_tri = an.trigram_code_arrays(t["text"].to_pylist())
+        lp_mean = np.zeros(len(n_tri), np.float64)
+        if tri.size:
+            lp = np.log2(tn[np.searchsorted(tc, tri)]
+                         / bn[np.searchsorted(bc, big)])
+            ends = np.cumsum(n_tri)
+            starts = (ends - n_tri)
+            nz = n_tri > 0
+            # reduceat over the nonempty docs' start offsets: segments are
+            # contiguous in lp (empty docs contribute zero trigrams), and
+            # reduceat sums each segment sequentially left-to-right --
+            # the same float order as the serial golden loop.
+            lp_mean[nz] = np.add.reduceat(lp, starts[nz]) / n_tri[nz]
+        return pa.table({"doc_id": t["doc_id"],
+                         "lp_mean": pa.array(np.round(lp_mean, 4),
+                                             pa.float64())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow")

@@ -309,3 +309,48 @@ def hll_users_by_type(sf_dir: str) -> rd.Dataset:
             "event_type": t["event_type"],
             "n_users_hll": pc.round(t["n_users_hll"], ndigits=4)}),
         batch_format="pyarrow")
+
+
+def rolling_user_spend(sf_dir: str, window: int = 5) -> rd.Dataset:
+    """Per-user ROLLING window aggregate over the events log: for every
+    event, the sum of the user's last ``window`` event values (ordered by
+    ts, event_id) -- the per-entity sliding feature every
+    sessionized-training-data pipeline derives.
+
+    Exactness discipline: values become integer CENTS via floor(value*100)
+    (floor of the identical float64 product is bit-identical across
+    engines; ROUND's half-way rule is not), and integer rolling sums are
+    exact in float64, so the output matches DuckDB's window SUM bit for
+    bit with no rounding tolerance.
+
+    Shape: users hash into 64 buckets (the sessionize lesson: millions of
+    per-user map_groups calls are pandas-overhead-bound; a bucket runs ONE
+    C-speed pandas grouped-rolling pass), one shuffle total.  The
+    partitioning assumption -- all events of a user in one group -- is the
+    same one sessionize documents."""
+    def add_bucket(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.multiply(t["value"], pa.scalar(100.0))),
+                        pa.int64())
+        t = t.append_column("cents", cents)
+        b = pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32())
+        return t.append_column("bucket", b)
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        r = g.groupby("user_id", sort=False)["cents"] \
+            .rolling(window, min_periods=1).sum()
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": g["user_id"].to_numpy(),
+            "roll_cents": r.to_numpy().astype(np.int64),
+        })
+
+    ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "value"]) \
+        .map_batches(add_bucket, batch_format="pyarrow")
+    out = ds.groupby("bucket").map_groups(roll, batch_format="pandas")
+    return out.map_batches(
+        lambda t: pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "roll_cents": pc.cast(t["roll_cents"], pa.int64())}),
+        batch_format="pyarrow")

@@ -25,6 +25,9 @@ SPOT = [
     "sample_docs",
     "decontaminate",
     "tfidf_top_terms",
+    "mixture_sample",
+    "token_shard_stats",
+    "rolling_user_spend",
 ]
 
 
@@ -197,3 +200,33 @@ def test_hll_within_tolerance_of_exact(oracle_con):
     assert len(m) == len(exact) > 0
     rel = (m["n_users_hll"] - m["n"]).abs() / m["n"]
     assert (rel < 0.05).all(), m
+
+
+def test_trigram_lm_scores_invariants():
+    """lp_mean is a mean log2-probability: <= 0 for every doc with a
+    trigram, exactly 0.0 for docs shorter than 3 bytes, and repeated runs
+    are bit-identical (the model train + score path is deterministic)."""
+    from pomp_ray.pipelines import docs
+
+    a = docs.trigram_lm_scores(SF).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    texts = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet') "
+        "ORDER BY doc_id").df()
+    short = texts["text"].str.encode("utf-8").str.len() < 3
+    assert (a.loc[short.values, "lp_mean"] == 0.0).all()
+    assert (a.loc[~short.values, "lp_mean"] <= 0.0).all()
+    b = docs.trigram_lm_scores(SF).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_write_token_shards_matches_stats(tmp_path):
+    """The materialized shard export agrees with the stats query: same
+    per-shard doc counts, read back from parquet METADATA only."""
+    from pomp_ray.pipelines import docs
+
+    counts = docs.write_token_shards(SF, str(tmp_path / "shards"))
+    stats = docs.token_shard_stats(SF).to_pandas()
+    assert counts == dict(zip(stats["shard"], stats["n_docs"]))
+    assert sum(counts.values()) == 500

@@ -283,6 +283,43 @@ def gen_hll_golden(sf_dir: str = "/root/testdata/sf0.01",
     print("hll golden:", [(r[0], r[1], r[2]) for r in rows])
 
 
+def gen_trigram_lm_golden(sf_dir: str = SF001) -> None:
+    """Independent serial trigram-LM scorer against docs.trigram_lm_scores:
+    dict counting over byte slices + a per-doc python accumulation loop --
+    none of the engine's unique/searchsorted/reduceat machinery.  np.log2
+    on the identical (tri/big) float64 quotient in the identical
+    left-to-right order makes the pre-round sums bit-identical, so the
+    4dp round is cosmetic, not a tolerance."""
+    from collections import Counter
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    ids = t["doc_id"].to_pylist()
+    texts = [s.encode("utf-8", "surrogateescape")
+             for s in t["text"].to_pylist()]
+    tri: Counter = Counter()
+    big: Counter = Counter()
+    for b in texts:
+        for j in range(len(b) - 2):
+            tri[b[j:j + 3]] += 1
+            big[b[j:j + 2]] += 1
+    out = []
+    for b in texts:
+        n = len(b) - 2
+        if n <= 0:
+            out.append(0.0)
+            continue
+        s = 0.0
+        for j in range(n):
+            s += float(np.log2(tri[b[j:j + 3]] / big[b[j:j + 2]]))
+        out.append(round(s / n, 4))
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "lp_mean": pa.array(out, pa.float64())}),
+        os.path.join(GOLDEN_DIR, "trigram_lm_sf001.parquet"))
+    print("trigram lm golden:", len(out), "docs")
+
+
 if __name__ == "__main__":
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     gen_signature_goldens()
@@ -290,3 +327,4 @@ if __name__ == "__main__":
     gen_crawl_goldens()
     gen_kmeans_golden()
     gen_hll_golden()
+    gen_trigram_lm_golden()
