@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": embeddings.ann_topk,
         "neardup_pairs": embeddings.neardup_pairs,
         "neardup_pairs_ivf": embeddings.neardup_pairs_ivf,
+        "srp_neardup_pairs": embeddings.srp_neardup_pairs,
         "ivf_topk": embeddings.ivf_topk,
         "label_centroids": embeddings.label_centroids,
         "kmeans_clusters": embeddings.kmeans_clusters,
@@ -705,6 +706,8 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM read_parquet('{_GOLDEN}/ivf_topk_sf001.parquet')",
         "trigram_lm_scores":
             f"SELECT * FROM read_parquet('{_GOLDEN}/trigram_lm_sf001.parquet')",
+        "srp_neardup_pairs":
+            f"SELECT * FROM read_parquet('{_GOLDEN}/srp_neardup_sf001.parquet')",
         "crawl_bfs_visited":
             f"SELECT * FROM read_parquet('{_GOLDEN}/crawl_bfs_visited.parquet')",
         "crawl_bfs_items":

@@ -327,3 +327,79 @@ def kmeans_clusters(sf_dir: str, k: int = 8, n_iter: int = 5) -> rd.Dataset:
                                              pa.int64())})
 
     return _emb(sf_dir).map_batches(assign, batch_format="pyarrow")
+
+
+def srp_neardup_pairs(sf_dir: str, threshold: float = 0.35,
+                      n_bits: int = 4, n_tables: int = 32) -> pa.Table:
+    """Random-hyperplane (signed-random-projection / angular-LSH) near-dup
+    blocking -- the LSH-bucketed sibling of ``neardup_pairs_ivf`` (Charikar
+    2002 SimHash-for-vectors): ``n_tables`` independent ``n_bits``-bit sign
+    codes per vector; candidates share a (table, code) bucket; exact-cosine
+    verify inside the bucket, so precision is exact and recall is governed
+    by P[hit] = 1 - (1 - (1 - theta/pi)^n_bits)^n_tables.
+
+    Tune (n_bits, n_tables) to the threshold: production near-dup runs at
+    cos >= ~0.85 where 12-16 bits keep buckets tiny at high recall; the
+    synthetic testdata only has pairs near 0.35 (a WIDE 70-degree angle),
+    so the defaults here are short codes x many tables (4, 32) -- 99%
+    theoretical recall, at the price of bucket sizes ~n/2^4 (the honest
+    cost of low-threshold angular LSH; at high thresholds the same code
+    path shards finely).
+
+    Determinism discipline (the kmeans lesson): bucket codes come from
+    INTEGER dot products -- embeddings quantized once to int64 micro-units
+    (``_km_quant``) and hyperplanes to int64 units -- so the sign pattern
+    is exact and order-independent (numpy int64 matmul never goes through
+    BLAS float reductions), and the independent serial golden
+    (tools/gen_golden.py gen_srp_golden) reproduces it bit for bit.  Sign
+    bits are scale-invariant, so quantizing the RAW embedding (not the
+    normalized copy) changes nothing.
+
+    Scale shape: the (table, code) bucket id is the ONLY shuffle key;
+    hyperplanes (n_tables x n_bits x dim ints) broadcast once; per-bucket
+    verify is a block-local matmul; the pair groupby dedups cross-table
+    repeats.  Output-scale driver sort only."""
+    import pandas as pd
+
+    dim = len(_emb(sf_dir).take(1)[0]["embedding"])
+    rng = np.random.default_rng(7)
+    planes = np.rint(rng.standard_normal((n_tables * n_bits, dim))
+                     * 1024.0).astype(np.int64)
+    ref = ray.put(planes)
+    weights = (np.uint64(1) << np.arange(n_bits, dtype=np.uint64))
+
+    def explode_buckets(t: pa.Table) -> pa.Table:
+        pl = ray.get(ref)
+        ids, q = _km_quant(t)
+        nm = _normalize(q.astype(np.float64))
+        bits = (q @ pl.T) > 0                       # exact int64 dots
+        codes = (bits.reshape(len(ids), n_tables, n_bits)
+                 .astype(np.uint64) * weights).sum(axis=2).astype(np.int64)
+        bucket = codes + (np.arange(n_tables, dtype=np.int64)
+                          << np.int64(n_bits))[None, :]
+        return pa.table({
+            "bucket": pa.array(bucket.ravel(), pa.int64()),
+            "vec_id": pa.array(np.repeat(ids, n_tables), pa.int64()),
+            "emb": pa.array(list(np.repeat(nm, n_tables, axis=0)),
+                            pa.list_(pa.float64())),
+        })
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.asarray(g["vec_id"], np.int64)
+        mat = np.array(g["emb"].tolist(), np.float64)
+        sims = mat @ mat.T
+        ai, bj = np.nonzero(sims > threshold)
+        a, b = ids[ai], ids[bj]
+        keep = a < b
+        return pd.DataFrame({"id_a": pd.Series(a[keep], dtype="int64"),
+                             "id_b": pd.Series(b[keep], dtype="int64")})
+
+    pairs = (
+        _emb(sf_dir).map_batches(explode_buckets, batch_format="pyarrow")
+        .groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+        .groupby(["id_a", "id_b"]).map_groups(lambda g: g.head(1),
+                                              batch_format="pandas")
+    )
+    out = sorted((r["id_a"], r["id_b"]) for r in pairs.take_all())
+    return pa.table({"id_a": pa.array([p[0] for p in out], pa.int64()),
+                     "id_b": pa.array([p[1] for p in out], pa.int64())})

@@ -230,3 +230,17 @@ def test_write_token_shards_matches_stats(tmp_path):
     stats = docs.token_shard_stats(SF).to_pandas()
     assert counts == dict(zip(stats["shard"], stats["n_docs"]))
     assert sum(counts.values()) == 500
+
+
+def test_srp_neardup_recall_and_precision():
+    """SRP (random-hyperplane) LSH near-dup -- the angular-LSH sibling of
+    the IVF path: precision must be exact (in-bucket verify is exact
+    cosine) and multi-table recall high vs the all-pairs broadcast path
+    (theory at the test threshold/params: 99.3%)."""
+    from pomp_ray.pipelines import embeddings
+    exact = embeddings.neardup_pairs(SF).to_pandas()
+    ex = set(zip(exact["id_a"], exact["id_b"]))
+    srp = embeddings.srp_neardup_pairs(SF)
+    got = set(zip(srp["id_a"].to_pylist(), srp["id_b"].to_pylist()))
+    assert not (got - ex), "SRP produced pairs the exact path lacks"
+    assert len(got & ex) / max(1, len(ex)) >= 0.9, (len(got), len(ex))

@@ -320,6 +320,52 @@ def gen_trigram_lm_golden(sf_dir: str = SF001) -> None:
     print("trigram lm golden:", len(out), "docs")
 
 
+def gen_srp_golden(sf_dir: str = SF001, threshold: float = 0.35,
+                   n_bits: int = 4, n_tables: int = 32) -> None:
+    """Independent serial SRP-LSH near-dup scan against
+    embeddings.srp_neardup_pairs: per-vector python loops over tables
+    with plain integer dots for the sign codes (bit-identical to the
+    engine's int64 matmul because integer arithmetic is exact), a dict of
+    buckets, and per-pair float cosine verify -- none of the engine's
+    explode/groupby machinery."""
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), np.int64)
+    mat = np.array(t["embedding"].to_pylist(), np.float64)
+    q = np.rint(mat * float(1 << 20)).astype(np.int64)
+    qn = np.rint(mat * float(1 << 20)).astype(np.int64).astype(np.float64)
+    qnorm = np.linalg.norm(qn, axis=1, keepdims=True)
+    qnorm[qnorm == 0] = 1.0
+    nm = qn / qnorm
+    n, dim = mat.shape
+    rng = np.random.default_rng(7)
+    planes = np.rint(rng.standard_normal((n_tables * n_bits, dim))
+                     * 1024.0).astype(np.int64)
+    buckets: dict = {}
+    for i in range(n):
+        for ti in range(n_tables):
+            code = 0
+            for b in range(n_bits):
+                if int(np.dot(q[i], planes[ti * n_bits + b])) > 0:
+                    code |= 1 << b
+            buckets.setdefault((ti, code), []).append(i)
+    cand = set()
+    for mem in buckets.values():
+        for x in range(len(mem)):
+            for y in range(x + 1, len(mem)):
+                i, j = mem[x], mem[y]
+                a, b = int(ids[i]), int(ids[j])
+                cand.add((i, j) if a < b else (j, i))
+    pairs = sorted(
+        (int(ids[i]), int(ids[j])) for i, j in cand
+        if float(nm[i] @ nm[j]) > threshold)
+    pq.write_table(
+        pa.table({"id_a": pa.array([p[0] for p in pairs], pa.int64()),
+                  "id_b": pa.array([p[1] for p in pairs], pa.int64())}),
+        os.path.join(GOLDEN_DIR, "srp_neardup_sf001.parquet"))
+    print("srp golden:", len(pairs), "pairs")
+
+
 if __name__ == "__main__":
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     gen_signature_goldens()
@@ -328,3 +374,4 @@ if __name__ == "__main__":
     gen_kmeans_golden()
     gen_hll_golden()
     gen_trigram_lm_golden()
+    gen_srp_golden()
