@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": docs.mixture_sample,
         "token_shard_stats": docs.token_shard_stats,
         "trigram_lm_scores": docs.trigram_lm_scores,
+        "pretraining_shards": docs.pretraining_shards,
         # -- documents: signatures / near-dup (deterministic, rows-only)
         "lang_predictions": docs.lang_predictions,
         "sample_docs": docs.sample_docs,
@@ -677,6 +678,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
                        AS n_tokens
             FROM documents GROUP BY shard
+        """,
+        "pretraining_shards": """
+            WITH quality AS (
+                SELECT doc_id FROM documents
+                WHERE len(regexp_extract_all(text, '\\S+'))
+                          BETWEEN 5 AND 100000
+                  AND CAST(len(regexp_extract_all(text, '[.,;:!?]'))
+                           AS DOUBLE) / GREATEST(length(text), 1) <= 0.2
+            ), survivors AS (
+                SELECT MIN(doc_id) AS doc_id
+                FROM documents GROUP BY md5(text)
+            ), toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '\\S+') AS tk
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(tk) = 0 THEN []
+                            WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
+                            ELSE list_distinct(list_transform(
+                                range(1, len(tk) - 3),
+                                i -> array_to_string(tk[i:i+4], ' ')))
+                       END AS s
+                FROM toks
+            ), ex AS (
+                SELECT doc_id, unnest(s) AS g FROM sh
+            ), bench AS (
+                SELECT DISTINCT g FROM ex WHERE doc_id % 97 = 0
+            ), contaminated AS (
+                SELECT DISTINCT e.doc_id FROM ex e
+                JOIN bench b ON b.g = e.g
+                WHERE e.doc_id % 97 <> 0
+            ), clean AS (
+                SELECT d.doc_id FROM documents d
+                WHERE d.doc_id % 97 <> 0
+                  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+            ), kept AS (
+                SELECT q.doc_id FROM quality q
+                JOIN survivors s USING (doc_id)
+                JOIN clean c USING (doc_id)
+            )
+            SELECT CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+                                             1, 4))
+                             AS INTEGER) % 16 AS BIGINT) AS shard,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(regexp_extract_all(d.text, '\\S+')))
+                        AS BIGINT) AS n_tokens
+            FROM documents d JOIN kept k USING (doc_id)
+            GROUP BY shard
         """,
         "rolling_user_spend": """
             SELECT event_id, user_id,

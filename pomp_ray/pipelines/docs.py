@@ -1124,3 +1124,78 @@ def trigram_lm_scores(sf_dir: str) -> rd.Dataset:
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         score, batch_format="pyarrow")
+
+
+# ------------------------------------------------- pretraining export chain
+def _pretraining_kept_ids(sf_dir: str) -> rd.Dataset:
+    """doc_ids surviving the full pretraining hygiene chain: quality gate
+    AND exact-dedup survivor AND benchmark decontamination.  Gates
+    intersect via hash-partitioned semi-joins on doc_id -- a gate's id
+    set may be corpus-sized, so nothing is ever broadcast or collected.
+    Joins are separated by materialize() barriers (two live hash-join
+    aggregator pools deadlock small sessions -- CLAUDE.md lesson); each
+    barrier holds only doc_id rows."""
+    quality = quality_filter(sf_dir)
+    survivors = dedup_exact(sf_dir).map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow")
+    j1 = quality.join(survivors, join_type="inner", on=("doc_id",),
+                      num_partitions=16).materialize()
+    # decontaminate ENDS in a live left_outer join; materialize its
+    # (doc_id-only) output or that join and the intersection join below
+    # are two live hash joins in one DAG -- the small-session deadlock
+    clean = decontaminate(sf_dir).materialize()
+    return j1.join(clean, join_type="inner", on=("doc_id",),
+                   num_partitions=16).materialize()
+
+
+def pretraining_shards(sf_dir: str, n_shards: int = 16) -> rd.Dataset:
+    """The end-to-end pretraining-data pipeline as a verifiable query:
+    per-shard (n_docs, n_tokens) of the corpus after quality gating,
+    exact dedup and benchmark decontamination -- the report a training
+    run reads off the shipped corpus.  One final semi-join brings text
+    back for token counting; shard assignment and counting reuse the
+    token_shard_stats partial-agg path.  Full composed DuckDB oracle."""
+    kept = _pretraining_kept_ids(sf_dir)
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    joined = docs.join(kept, join_type="inner", on=("doc_id",),
+                       num_partitions=16)
+
+    def partial(t: pa.Table) -> pa.Table:
+        shard = _shard_ids(t["doc_id"].to_pylist(), n_shards)
+        ntok = an.count_tokens_arr(t["text"]).to_numpy().astype(np.int64)
+        df = pd.DataFrame({"shard": shard, "n_tokens": ntok})
+        g = df.groupby("shard", as_index=False).agg(
+            n_docs=("n_tokens", "size"), n_tokens=("n_tokens", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = joined.map_batches(partial, batch_format="pyarrow") \
+        .groupby("shard").aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_tokens", alias_name="n_tokens"))
+    return out.map_batches(lambda t: _i64(t, ["shard", "n_docs", "n_tokens"]),
+                           batch_format="pyarrow")
+
+
+def write_pretraining_shards(sf_dir: str, out_dir: str,
+                             n_shards: int = 16) -> dict[int, int]:
+    """Materialize the gated corpus as shard-partitioned parquet (the
+    artifact a training job consumes).  Same hygiene chain as
+    pretraining_shards; returns per-shard row counts from file METADATA
+    (pytest asserts parity with the stats query)."""
+    import glob as _glob
+
+    kept = _pretraining_kept_ids(sf_dir)
+    docs = _docs(sf_dir, ["doc_id", "text", "lang", "source"])
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        shard = _shard_ids(t["doc_id"].to_pylist(), n_shards)
+        return t.append_column("shard", pa.array(shard, pa.int64()))
+
+    docs.join(kept, join_type="inner", on=("doc_id",), num_partitions=16) \
+        .map_batches(add_shard, batch_format="pyarrow") \
+        .write_parquet(out_dir, partition_cols=["shard"], mode="overwrite")
+    counts: dict[int, int] = {}
+    for p in _glob.glob(os.path.join(out_dir, "shard=*", "*.parquet")):
+        s = int(os.path.basename(os.path.dirname(p)).split("=", 1)[1])
+        counts[s] = counts.get(s, 0) + pq.ParquetFile(p).metadata.num_rows
+    return counts

@@ -28,6 +28,7 @@ SPOT = [
     "mixture_sample",
     "token_shard_stats",
     "rolling_user_spend",
+    "pretraining_shards",
 ]
 
 
@@ -244,3 +245,21 @@ def test_srp_neardup_recall_and_precision():
     got = set(zip(srp["id_a"].to_pylist(), srp["id_b"].to_pylist()))
     assert not (got - ex), "SRP produced pairs the exact path lacks"
     assert len(got & ex) / max(1, len(ex)) >= 0.9, (len(got), len(ex))
+
+
+def test_write_pretraining_shards_matches_stats(tmp_path):
+    """The materialized pretraining export agrees with the stats query:
+    same per-shard doc counts (metadata-only readback), and every written
+    doc passed the three gates (spot: benchmark slice docs are absent)."""
+    import glob
+    import pyarrow.parquet as papq
+
+    from pomp_ray.pipelines import docs
+
+    out = str(tmp_path / "shards")
+    counts = docs.write_pretraining_shards(SF, out)
+    stats = docs.pretraining_shards(SF).to_pandas()
+    assert counts == dict(zip(stats["shard"], stats["n_docs"]))
+    ids = pd.concat([papq.read_table(p, columns=["doc_id"]).to_pandas()
+                     for p in glob.glob(out + "/shard=*/*.parquet")])
+    assert (ids["doc_id"] % 97 != 0).all()
