@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_shard_stats": docs.token_shard_stats,
         "trigram_lm_scores": docs.trigram_lm_scores,
         "pretraining_shards": docs.pretraining_shards,
+        "lm_quality_buckets": docs.lm_quality_buckets,
         # -- documents: signatures / near-dup (deterministic, rows-only)
         "lang_predictions": docs.lang_predictions,
         "sample_docs": docs.sample_docs,
@@ -758,6 +759,27 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM read_parquet('{_GOLDEN}/trigram_lm_sf001.parquet')",
         "srp_neardup_pairs":
             f"SELECT * FROM read_parquet('{_GOLDEN}/srp_neardup_sf001.parquet')",
+        # composed: engine lp_mean is golden-pinned bit-identical, so the
+        # tercile cuts (DuckDB quantile_disc = sorted[ceil(n*q)-1], the
+        # same index rule the engine's histogram walk uses) and the
+        # tie-sharing bucket comparison agree exactly
+        "lm_quality_buckets": f"""
+            WITH s AS (
+                SELECT g.doc_id, d.lang, g.lp_mean
+                FROM read_parquet('{_GOLDEN}/trigram_lm_sf001.parquet') g
+                JOIN documents d USING (doc_id)
+            ), cuts AS (
+                SELECT lang,
+                       quantile_disc(lp_mean, 1.0/3) AS c1,
+                       quantile_disc(lp_mean, 2.0/3) AS c2
+                FROM s GROUP BY lang
+            )
+            SELECT s.doc_id, s.lang,
+                   CAST(1 + CASE WHEN s.lp_mean > c.c1 THEN 1 ELSE 0 END
+                          + CASE WHEN s.lp_mean > c.c2 THEN 1 ELSE 0 END
+                        AS BIGINT) AS bucket
+            FROM s JOIN cuts c USING (lang)
+        """,
         "crawl_bfs_visited":
             f"SELECT * FROM read_parquet('{_GOLDEN}/crawl_bfs_visited.parquet')",
         "crawl_bfs_items":

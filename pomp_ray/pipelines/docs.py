@@ -1079,6 +1079,13 @@ def trigram_lm_scores(sf_dir: str) -> rd.Dataset:
     Docs with < 3 bytes score 0.0.  Pinned by an independently
     recomputed golden (tools/gen_golden.py gen_trigram_lm_golden: serial
     dict counting, no Dataset machinery)."""
+    return _trigram_scored(sf_dir, _trigram_model(sf_dir), [])
+
+
+def _trigram_model(sf_dir: str):
+    """Phase 1 of the trigram LM (see trigram_lm_scores): distributed
+    (code, count) partials -> tiny groupby -> broadcast sorted-array
+    model via ray.put.  Returns the object ref."""
     import ray as _ray
 
     def partial(t: pa.Table) -> pa.Table:
@@ -1101,10 +1108,16 @@ def trigram_lm_scores(sf_dir: str) -> rd.Dataset:
              np.array([n for _, n in tri_rows], np.float64),
              np.array([c for c, _ in big_rows], np.int64),
              np.array([n for _, n in big_rows], np.float64))
-    ref = _ray.put(model)
+    return _ray.put(model)
+
+
+def _trigram_scored(sf_dir: str, model_ref, carry: list[str]) -> rd.Dataset:
+    """Phase 2 of the trigram LM: one vectorized scoring pass emitting
+    (doc_id, *carry, lp_mean)."""
+    import ray as _ray
 
     def score(t: pa.Table) -> pa.Table:
-        tc, tn, bc, bn = _ray.get(ref)
+        tc, tn, bc, bn = _ray.get(model_ref)
         tri, big, n_tri = an.trigram_code_arrays(t["text"].to_pylist())
         lp_mean = np.zeros(len(n_tri), np.float64)
         if tri.size:
@@ -1118,12 +1131,77 @@ def trigram_lm_scores(sf_dir: str) -> rd.Dataset:
             # reduceat sums each segment sequentially left-to-right --
             # the same float order as the serial golden loop.
             lp_mean[nz] = np.add.reduceat(lp, starts[nz]) / n_tri[nz]
-        return pa.table({"doc_id": t["doc_id"],
-                         "lp_mean": pa.array(np.round(lp_mean, 4),
-                                             pa.float64())})
+        cols = {"doc_id": t["doc_id"]}
+        cols.update({c: t[c] for c in carry})
+        cols["lp_mean"] = pa.array(np.round(lp_mean, 4), pa.float64())
+        return pa.table(cols)
 
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+    return _docs(sf_dir, ["doc_id", *carry, "text"]).map_batches(
         score, batch_format="pyarrow")
+
+
+def lm_quality_buckets(sf_dir: str) -> rd.Dataset:
+    """CCNet-style LM-quality bucketing: split each language's docs into
+    head/middle/tail (bucket 3/2/1) by the trigram-LM score's per-lang
+    terciles -- the standard perplexity-bucket curriculum signal.
+
+    Scale shape: the scored table (doc_id, lang, lp_mean -- ~20 B/doc,
+    never text) is materialized once and feeds BOTH passes; pass 1
+    reduces it to a per-(lang, lp) HISTOGRAM via partial counts (4dp-
+    rounded scores have bounded cardinality, ~80k values, so the shuffle
+    carries a compact histogram -- the length_quantiles shape) and the
+    driver walks the tiny cumulative histogram with DuckDB's
+    quantile_disc index rule (sorted[ceil(n*q)-1]); pass 2 broadcasts
+    the per-lang cut PAIRS and assigns buckets vectorized.  Ties at a
+    cut share its bucket (`lp > cut` on bit-identical floats), so the
+    composed DuckDB oracle over the committed golden matches exactly."""
+    import collections
+    import math
+
+    import ray as _ray
+
+    scored = _trigram_scored(sf_dir, _trigram_model(sf_dir),
+                             ["lang"]).materialize()
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"lang": t["lang"].to_pylist(),
+                           "lp": t["lp_mean"].to_numpy()})
+        g = df.groupby(["lang", "lp"], as_index=False).size() \
+            .rename(columns={"size": "c"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = scored.map_batches(hist_partial, batch_format="pyarrow") \
+        .groupby(["lang", "lp"]).aggregate(Sum("c", alias_name="c")).take_all()
+    by_lang: dict = collections.defaultdict(list)
+    for r in hist:
+        by_lang[r["lang"]].append((r["lp"], r["c"]))
+    cuts: dict[str, tuple[float, float]] = {}
+    for lang, vals in by_lang.items():
+        vals.sort()
+        total = sum(c for _, c in vals)
+        qs = []
+        for q in (1.0 / 3.0, 2.0 / 3.0):
+            idx = max(0, math.ceil(total * q) - 1)
+            cum = 0
+            for v, c in vals:
+                cum += c
+                if cum > idx:
+                    qs.append(v)
+                    break
+        cuts[lang] = (qs[0], qs[1])
+    cuts_ref = _ray.put(cuts)
+
+    def assign(t: pa.Table) -> pa.Table:
+        cu = _ray.get(cuts_ref)
+        langs = t["lang"].to_pylist()
+        lp = t["lp_mean"].to_numpy()
+        c1 = np.array([cu[x][0] for x in langs])
+        c2 = np.array([cu[x][1] for x in langs])
+        bucket = 1 + (lp > c1).astype(np.int64) + (lp > c2).astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"], "lang": t["lang"],
+                         "bucket": pa.array(bucket, pa.int64())})
+
+    return scored.map_batches(assign, batch_format="pyarrow")
 
 
 # ------------------------------------------------- pretraining export chain

@@ -263,3 +263,25 @@ def test_write_pretraining_shards_matches_stats(tmp_path):
     ids = pd.concat([papq.read_table(p, columns=["doc_id"]).to_pandas()
                      for p in glob.glob(out + "/shard=*/*.parquet")])
     assert (ids["doc_id"] % 97 != 0).all()
+
+
+def test_lm_quality_buckets_terciles():
+    """Per-lang LM-quality terciles: every lang with >= 3 docs uses all
+    three buckets, bucket sizes are near n/3 (ties at a cut share its
+    bucket, so exact thirds are not guaranteed), and the assignment is
+    deterministic across runs."""
+    from pomp_ray.pipelines import docs
+
+    a = docs.lm_quality_buckets(SF).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert a["doc_id"].is_unique and len(a) == 500
+    for lang, g in a.groupby("lang"):
+        if len(g) < 3:
+            continue
+        sizes = g["bucket"].value_counts()
+        assert set(sizes.index) == {1, 2, 3}, (lang, dict(sizes))
+        assert sizes.max() - sizes.min() <= max(3, len(g) // 4), \
+            (lang, dict(sizes))
+    b = docs.lm_quality_buckets(SF).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
