@@ -138,27 +138,30 @@ def funnel_counts(sf_dir: str,
     first 'click' strictly after it, then the first 'purchase' strictly
     after that).  The MATCH_RECOGNIZE-ish op product analytics runs.
 
-    Shape: users hash into 64 buckets; each bucket does one C-speed
-    pandas pass computing every user's stage-completion depth; per-batch
-    partial counts reduce to one tiny (stage, n_users) table.  Exact
-    integer DuckDB oracle (chained min-ts joins)."""
+    Shape: users hash into 64 buckets; each bucket runs one chained
+    merge-filter-min pandas pass per stage (all C-speed -- the first
+    draft looped users in Python, a scale-killer at billions of users);
+    per-bucket partial counts reduce to one tiny (stage, n_users) table.
+    Exact integer DuckDB oracle (chained min-ts joins: the bucket pass
+    computes the SAME per-user first-completion timestamps)."""
     def add_bucket(t: pa.Table) -> pa.Table:
         b = pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32())
         return t.append_column("bucket", b)
 
     def depth(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
         counts = [0] * len(stages)
-        for _, u in g.groupby("user_id", sort=False):
-            t_prev = None
-            for i, st in enumerate(stages):
-                rows = u[u["event_type"] == st]
-                if t_prev is not None:
-                    rows = rows[rows["ts"] > t_prev]
-                if rows.empty:
-                    break
-                t_prev = rows["ts"].iloc[0]
-                counts[i] += 1
+        prev = None   # Series user_id -> ts of the previous stage's FIRST
+        for i, st in enumerate(stages):
+            ev = g[g["event_type"] == st]
+            if prev is not None:
+                ev = ev.merge(prev.rename("prev_ts"),
+                              left_on="user_id", right_index=True)
+                ev = ev[ev["ts"] > ev["prev_ts"]]
+            cur = ev.groupby("user_id")["ts"].min()
+            counts[i] = len(cur)
+            if cur.empty:
+                break
+            prev = cur
         return pd.DataFrame({"stage": pd.Series(list(stages), dtype="object"),
                              "n_users": pd.Series(counts, dtype="int64")})
 
