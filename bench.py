@@ -214,6 +214,8 @@ def bench_queries(sf_dir: str) -> dict:
         ("decontaminate", lambda: docs.decontaminate(sf_dir).count()),
         ("kmeans", lambda: embeddings.kmeans_clusters(sf_dir).count()),
         ("hll_users", lambda: relational.hll_users_by_type(sf_dir).count()),
+        ("pretraining_shards",
+         lambda: docs.pretraining_shards(sf_dir).count()),
     ):
         t0 = time.monotonic()
         fn()
