@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         joins,
         media,
         relational,
+        tokenizer,
         windows,
     )
 
@@ -143,6 +144,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": embeddings.kmeans_clusters,
         # -- graph: near-dup pairs -> dup groups (label propagation)
         "dup_components": graph.dup_components,
+        "pagerank_clicks": graph.pagerank_clicks,
+        # -- tokenizer training (BPE merge learning over word freqs)
+        "bpe_merges": tokenizer.bpe_merges,
         # -- relational building blocks (join/rollup/sort/filter)
         "events_rollup": relational.events_rollup,
         "hll_users_by_type": relational.hll_users_by_type,
@@ -790,6 +794,16 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM read_parquet('{_GOLDEN}/crawl_best_visited.parquet')",
         "kmeans_clusters":
             f"SELECT * FROM read_parquet('{_GOLDEN}/kmeans_sf001.parquet')",
+        # int64 fixed-point PageRank: bit-identical to the serial
+        # dict-based golden by construction (order-independent integer
+        # sums), so a straight golden read is an exact oracle
+        "pagerank_clicks":
+            f"SELECT * FROM read_parquet('{_GOLDEN}/pagerank_sf001.parquet')",
+        # BPE merge table: integer pair counts + lexicographic tie-break
+        # make the learned merges independent of block layout; golden is
+        # the serial Counter-based learner in tools/gen_golden.py
+        "bpe_merges":
+            f"SELECT * FROM read_parquet('{_GOLDEN}/bpe_merges_sf001.parquet')",
         "hll_users_by_type":
             f"SELECT * FROM read_parquet('{_GOLDEN}/hll_users_sf001.parquet')",
         "crawl_bfs_errors":

@@ -99,3 +99,159 @@ def dup_components(sf_dir: str) -> pa.Table:
     from pomp_ray.pipelines.docs import simhash_dup_groups
 
     return connected_components(simhash_dup_groups(sf_dir))
+
+
+# ------------------------------------------------------------------ pagerank
+PR_SCALE = 10**12  # fixed-point unit: ranks sum to ~PR_SCALE
+
+
+def _click_edges(sf_dir: str) -> rd.Dataset:
+    """Directed transition edges (src, dst) between the per-event ``k``
+    props of CONSECUTIVE events of the same user (ordered by ts then
+    event_id) -- the click/navigation graph product analytics builds
+    from an event log.  Per-user ordering uses the 64-bucket user
+    hashing shape (one C-speed pandas sort per bucket, not one
+    map_groups call per user); the k extraction is one vectorized
+    extract_regex per batch."""
+    import os as _os
+
+    import pandas as pd
+
+    def prep(t: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(t["props"], pattern=r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(ext, "k"), pa.int64())
+        b = pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32())
+        return pa.table({"event_id": t["event_id"], "ts": t["ts"],
+                         "user_id": t["user_id"], "k": k, "bucket": b})
+
+    def edges(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        same = g["user_id"].eq(g["user_id"].shift())
+        out = pd.DataFrame({"src": g["k"].shift(), "dst": g["k"]})[same]
+        return out.astype({"src": "int64", "dst": "int64"})
+
+    ev = rd.read_parquet(
+        _os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "props"])
+    return (ev.map_batches(prep, batch_format="pyarrow")
+            .groupby("bucket").map_groups(edges, batch_format="pandas"))
+
+
+def pagerank(edges: rd.Dataset, n_iters: int = 8,
+             d_num: int = 85, d_den: int = 100,
+             num_partitions: int | None = None) -> pa.Table:
+    """PageRank over an (src, dst) edge Dataset in int64 FIXED-POINT
+    arithmetic: every per-edge contribution is ``rank // outdeg`` and the
+    damping update is integer multiply/divide, so per-node sums are exact
+    integer adds -- order-independent across blocks, hence bit-identical
+    to the serial golden regardless of shuffle layout (the same
+    quantization trick as the kmeans operator).
+
+    Scale shape: the edge table never leaves the cluster.  Each of the
+    ``n_iters`` fixed iterations is ONE hash join (edges x ranks on src,
+    shipping rank+outdeg to the edge) and ONE groupby-sum over compact
+    (node, contrib) rows, unioned with per-node zero rows so nodes
+    without inbound edges keep their base rank without a second join
+    (two live hash joins in one DAG deadlock small sessions -- see
+    CLAUDE.md).  The rank table (O(|V|), not O(edges)) is materialized
+    per iteration, exactly like the label-propagation loop above.
+    Dangling mass is one tiny filtered sum per iteration.
+
+    Ref semantics: standard damped PageRank, r' = (1-d)/N + d*(sum_in +
+    dangling/N), quantized to PR_SCALE."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    # the edge table is consumed once per iteration: pin it in the
+    # object store (it spills under pressure) instead of re-executing
+    # its upstream build chain n_iters times
+    edges = edges.materialize()
+    if num_partitions is None:
+        # size the shuffle width to the edge volume: hash-join/aggregate
+        # actor pools cost ~1 s each to spin up PER EXECUTION, so tiny
+        # graphs must not pay for 8-way pools 2x per iteration; huge
+        # graphs get wider pools (one partition per ~250k edges)
+        num_partitions = max(2, min(64, edges.count() // 250_000))
+
+    # static prep: node set + out-degree, one groupby + one left join
+    both = edges.map_batches(
+        lambda t: pa.table({"node": pa.concat_arrays(
+            [t["src"].combine_chunks(), t["dst"].combine_chunks()])}),
+        batch_format="pyarrow")
+    nodes = both.groupby("node").aggregate(Min("node", alias_name="_"))
+    nodes = nodes.map_batches(lambda t: t.select(["node"]),
+                              batch_format="pyarrow")
+    outdeg = edges.groupby("src").aggregate(Count(alias_name="deg"))
+    outdeg = outdeg.map_batches(
+        lambda t: pa.table({"node": t["src"],
+                            "deg": pc.cast(t["deg"], pa.int64())}),
+        batch_format="pyarrow").repartition(4).materialize()
+    nodes_deg = nodes.repartition(4).join(
+        outdeg, join_type="left_outer", on=("node",), num_partitions=num_partitions)
+    nodes_deg = nodes_deg.map_batches(
+        lambda t: pa.table({
+            "node": t["node"],
+            "deg": pc.fill_null(pc.cast(t["deg"], pa.int64()), 0)}),
+        batch_format="pyarrow").repartition(4).materialize()
+
+    n = nodes_deg.count()
+    if n == 0:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "rank_fp": pa.array([], pa.int64())})
+    base = ((d_den - d_num) * (PR_SCALE // n)) // d_den
+
+    ranks = nodes_deg.map_batches(
+        lambda t: t.append_column(
+            "r", pa.array([PR_SCALE // n] * len(t), pa.int64())),
+        batch_format="pyarrow").materialize()
+
+    for _ in range(n_iters):
+        dang = ranks.map_batches(
+            lambda t: t.filter(pc.equal(t["deg"], 0)).select(["r"]),
+            batch_format="pyarrow")
+        dang_sum = int(dang.sum("r") or 0)
+        share = dang_sum // n
+
+        rank_src = ranks.map_batches(
+            lambda t: pa.table({"src": t["node"], "deg": t["deg"],
+                                "r": t["r"]}),
+            batch_format="pyarrow")
+        msgs = edges.join(rank_src, join_type="inner", on=("src",),
+                          num_partitions=num_partitions)
+        contribs = msgs.map_batches(
+            lambda t: pa.table({
+                "node": t["dst"],
+                "c": pc.divide(t["r"], t["deg"]),
+                "deg": pa.array([-1] * len(t), pa.int64())}),
+            batch_format="pyarrow")
+        zeros = ranks.map_batches(
+            lambda t: pa.table({"node": t["node"],
+                                "c": pa.array([0] * len(t), pa.int64()),
+                                "deg": t["deg"]}),
+            batch_format="pyarrow")
+        agg = (contribs.union(zeros).groupby("node")
+               .aggregate(Sum("c", alias_name="c"),
+                          Max("deg", alias_name="deg")))
+        ranks = agg.map_batches(
+            lambda t: pa.table({
+                "node": t["node"],
+                "deg": pc.cast(t["deg"], pa.int64()),
+                "r": pc.add(
+                    base,
+                    pc.divide(pc.multiply(
+                        pc.add(pc.cast(t["c"], pa.int64()), share),
+                        d_num), d_den))}),
+            batch_format="pyarrow") \
+            .repartition(num_partitions).materialize()
+
+    out = sorted((row["node"], row["r"]) for row in ranks.take_all())
+    return pa.table({"node": pa.array([o[0] for o in out], pa.int64()),
+                     "rank_fp": pa.array([o[1] for o in out], pa.int64())})
+
+
+def pagerank_clicks(sf_dir: str, n_iters: int = 8) -> pa.Table:
+    """PageRank over the per-user event-transition graph (events.props
+    ``k`` values as nodes).  Oracle: committed golden parquet from an
+    independent serial dict-based implementation
+    (tools/gen_golden.py::gen_pagerank_golden) -- bit-identical by the
+    fixed-point construction."""
+    return pagerank(_click_edges(sf_dir), n_iters=n_iters)

@@ -285,3 +285,97 @@ def test_lm_quality_buckets_terciles():
     b = docs.lm_quality_buckets(SF).to_pandas().sort_values("doc_id") \
         .reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_pagerank_clicks_matches_serial():
+    """Distributed fixed-point PageRank vs an inline serial dict
+    reference over the same event transitions -- bit-exact equality is
+    the point of the int64 quantization (order-independent sums)."""
+    import re
+
+    import pyarrow.parquet as papq
+
+    from pomp_ray.pipelines.graph import pagerank_clicks
+
+    eng = pagerank_clicks(SF).to_pandas()
+
+    rows = papq.read_table(
+        f"{SF}/events.parquet",
+        columns=["event_id", "ts", "user_id", "props"]).to_pylist()
+    rows.sort(key=lambda r: (r["user_id"], r["ts"], r["event_id"]))
+    edges, pu, pk = [], None, None
+    for r in rows:
+        k = int(re.search(r'"k": (\d+)', r["props"]).group(1))
+        if r["user_id"] == pu:
+            edges.append((pk, k))
+        pu, pk = r["user_id"], k
+    nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    n = len(nodes)
+    deg = {v: 0 for v in nodes}
+    for s, _ in edges:
+        deg[s] += 1
+    scale = 10**12
+    base = (15 * (scale // n)) // 100
+    rank = {v: scale // n for v in nodes}
+    for _ in range(8):
+        share = sum(rank[v] for v in nodes if deg[v] == 0) // n
+        inbox = {v: 0 for v in nodes}
+        for s, d in edges:
+            inbox[d] += rank[s] // deg[s]
+        rank = {v: base + (85 * (inbox[v] + share)) // 100 for v in nodes}
+    expect = pd.DataFrame({"node": nodes,
+                           "rank_fp": [rank[v] for v in nodes]})
+    pd.testing.assert_frame_equal(
+        eng.sort_values("node").reset_index(drop=True), expect)
+    # rank mass stays ~1.0 (integer floors only ever lose mass)
+    assert 0.9 * scale < eng["rank_fp"].sum() <= scale
+
+
+def test_bpe_merges_match_serial():
+    """Distributed BPE merge learning vs an inline serial Counter
+    learner: identical merge table (integer counts + lexicographic
+    tie-break make the learned merges layout-independent)."""
+    import collections
+    import re
+
+    import pyarrow.parquet as papq
+
+    from pomp_ray.pipelines.tokenizer import bpe_merges
+
+    eng = bpe_merges(SF, n_merges=12).to_pandas()
+
+    texts = papq.read_table(f"{SF}/documents.parquet",
+                            columns=["text"])["text"].to_pylist()
+    wf = collections.Counter()
+    for x in texts:
+        wf.update(re.findall(r"[a-z]+", (x or "").lower()))
+    syms = {w: tuple(list(w) + ["</w>"]) for w in wf}
+    out = []
+    for rk in range(12):
+        pairs = collections.Counter()
+        for w, cnt in wf.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += cnt
+        if not pairs:
+            break
+        (left, right), cnt = sorted(
+            pairs.items(),
+            key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1]))[0]
+        if cnt < 2:
+            break
+        out.append((rk, left, right, cnt))
+        for w in syms:
+            s = syms[w]
+            if left in s and right in s:
+                new, i = [], 0
+                while i < len(s):
+                    if s[i] == left and i + 1 < len(s) and s[i + 1] == right:
+                        new.append(left + right)
+                        i += 2
+                    else:
+                        new.append(s[i])
+                        i += 1
+                syms[w] = tuple(new)
+    expect = pd.DataFrame(out, columns=["rank", "left", "right", "n"])
+    pd.testing.assert_frame_equal(eng, expect)

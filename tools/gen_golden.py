@@ -366,6 +366,101 @@ def gen_srp_golden(sf_dir: str = SF001, threshold: float = 0.35,
     print("srp golden:", len(pairs), "pairs")
 
 
+def gen_pagerank_golden(sf_dir: str = SF001, n_iters: int = 8,
+                        d_num: int = 85, d_den: int = 100) -> None:
+    """Serial dict-based fixed-point PageRank over the per-user event
+    transition graph -- deliberately NO Dataset/numpy machinery, so the
+    engine's distributed join/groupby loop (pipelines/graph.py pagerank)
+    is checked by an independent implementation.  All arithmetic is
+    int64 fixed-point (scale 10**12), so the comparison is bit-exact."""
+    scale = 10**12
+    rows = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "props"]).to_pylist()
+    rows.sort(key=lambda r: (r["user_id"], r["ts"], r["event_id"]))
+    edges = []
+    prev_user, prev_k = None, None
+    for r in rows:
+        k = int(re.search(r'"k": (\d+)', r["props"]).group(1))
+        if r["user_id"] == prev_user:
+            edges.append((prev_k, k))
+        prev_user, prev_k = r["user_id"], k
+    nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    n = len(nodes)
+    deg = {v: 0 for v in nodes}
+    for s, _ in edges:
+        deg[s] += 1
+    base = ((d_den - d_num) * (scale // n)) // d_den
+    rank = {v: scale // n for v in nodes}
+    for _ in range(n_iters):
+        share = sum(rank[v] for v in nodes if deg[v] == 0) // n
+        inbox = {v: 0 for v in nodes}
+        for s, d in edges:
+            inbox[d] += rank[s] // deg[s]
+        rank = {v: base + (d_num * (inbox[v] + share)) // d_den
+                for v in nodes}
+    pq.write_table(
+        pa.table({"node": pa.array(nodes, pa.int64()),
+                  "rank_fp": pa.array([rank[v] for v in nodes],
+                                      pa.int64())}),
+        os.path.join(GOLDEN_DIR, "pagerank_sf001.parquet"))
+    print("pagerank golden:", n, "nodes,", len(edges), "edges, mass",
+          sum(rank.values()) / scale)
+
+
+def gen_bpe_golden(sf_dir: str = SF001, n_merges: int = 24,
+                   min_count: int = 2) -> None:
+    """Serial Counter-based BPE merge learning (Sennrich-style), the
+    independent oracle for pipelines/tokenizer.py: word freqs via a
+    plain re.findall Counter, pair counts via a per-word Python loop,
+    max-count/lexicographic tie-break, left-to-right non-overlapping
+    merge.  Integer counts make the comparison exact."""
+    import collections
+
+    texts = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["text"])["text"].to_pylist()
+    wf = collections.Counter()
+    for x in texts:
+        wf.update(re.findall(r"[a-z]+", (x or "").lower()))
+    syms = {w: tuple(list(w) + ["</w>"]) for w in wf}
+    out = []
+    for rank in range(n_merges):
+        pairs = collections.Counter()
+        for w, n in wf.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += n
+        if not pairs:
+            break
+        (left, right), n = sorted(
+            pairs.items(), key=lambda kv: (-kv[1],
+                                           kv[0][0] + " " + kv[0][1]))[0]
+        if n < min_count:
+            break
+        out.append((rank, left, right, n))
+        for w in syms:
+            s = syms[w]
+            if left in s and right in s:
+                new, i = [], 0
+                while i < len(s):
+                    if (s[i] == left and i + 1 < len(s)
+                            and s[i + 1] == right):
+                        new.append(left + right)
+                        i += 2
+                    else:
+                        new.append(s[i])
+                        i += 1
+                syms[w] = tuple(new)
+    pq.write_table(
+        pa.table({"rank": pa.array([o[0] for o in out], pa.int64()),
+                  "left": pa.array([o[1] for o in out], pa.string()),
+                  "right": pa.array([o[2] for o in out], pa.string()),
+                  "n": pa.array([o[3] for o in out], pa.int64())}),
+        os.path.join(GOLDEN_DIR, "bpe_merges_sf001.parquet"))
+    print("bpe golden:", len(out), "merges, first",
+          out[0] if out else None)
+
+
 if __name__ == "__main__":
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     gen_signature_goldens()
@@ -375,3 +470,5 @@ if __name__ == "__main__":
     gen_hll_golden()
     gen_trigram_lm_golden()
     gen_srp_golden()
+    gen_pagerank_golden()
+    gen_bpe_golden()
