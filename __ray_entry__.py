@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams": docs.top_bigrams,
         "length_quantiles": docs.length_quantiles,
         "span_dup_stats": docs.span_dup_stats,
+        "span_dup_filter": docs.span_dup_filter,
         "oov_rate": docs.oov_rate,
         "decontaminate": docs.decontaminate,
         "tfidf_top_terms": docs.tfidf_top_terms,
@@ -469,6 +470,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT sh.doc_id, CAST(len(sh.s) AS BIGINT) AS n_spans,
                    CAST(COALESCE(d.nd, 0) AS BIGINT) AS n_dup_spans
             FROM sh LEFT JOIN dups d ON d.doc_id = sh.doc_id
+        """,
+        "span_dup_filter": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '\\S+') AS tk
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(tk) = 0 THEN []
+                            WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
+                            ELSE list_distinct(list_transform(
+                                range(1, len(tk) - 3),
+                                i -> array_to_string(tk[i:i+4], ' ')))
+                       END AS s
+                FROM toks
+            ), ex AS (
+                SELECT doc_id, unnest(s) AS g FROM sh
+            ), firsts AS (
+                SELECT g, MIN(doc_id) AS first_doc FROM ex GROUP BY g
+            ), dups AS (
+                SELECT ex.doc_id,
+                       SUM(CASE WHEN f.first_doc < ex.doc_id
+                                THEN 1 ELSE 0 END) AS nd
+                FROM ex JOIN firsts f ON f.g = ex.g
+                GROUP BY ex.doc_id
+            ), stats AS (
+                SELECT sh.doc_id, CAST(len(sh.s) AS BIGINT) AS n_spans,
+                       CAST(COALESCE(d.nd, 0) AS BIGINT) AS n_dup_spans
+                FROM sh LEFT JOIN dups d ON d.doc_id = sh.doc_id
+            )
+            SELECT * FROM stats
+            WHERE n_spans > 0 AND 100 * n_dup_spans <= 20 * n_spans
         """,
         "decontaminate": """
             WITH toks AS (

@@ -769,6 +769,22 @@ def span_dup_stats(sf_dir: str) -> rd.Dataset:
     return joined.map_batches(fin, batch_format="pyarrow")
 
 
+def span_dup_filter(sf_dir: str, max_dup_pct: int = 20) -> rd.Dataset:
+    """CCNet-style span-dedup GATE: keep docs with at least one span
+    whose duplicated-span fraction is <= ``max_dup_pct`` percent -- the
+    materialization step that turns span_dup_stats' accounting into a
+    corpus filter.  Integer comparison (100*n_dup <= pct*n_spans) keeps
+    the DuckDB oracle exact; one extra vectorized filter pass, no new
+    shuffle."""
+    def gate(t: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.greater(t["n_spans"], 0),
+            pc.less_equal(pc.multiply(t["n_dup_spans"], 100),
+                          pc.multiply(t["n_spans"], max_dup_pct)))
+        return t.filter(ok)
+    return span_dup_stats(sf_dir).map_batches(gate, batch_format="pyarrow")
+
+
 def oov_rate(sf_dir: str, vocab_k: int = 10) -> rd.Dataset:
     """Two-phase broadcast-model scoring, the shape every learned-filter
     pipeline uses (KenLM perplexity, fastText quality, ...): phase 1
