@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_pairs_ivf": embeddings.neardup_pairs_ivf,
         "srp_neardup_pairs": embeddings.srp_neardup_pairs,
         "ivf_topk": embeddings.ivf_topk,
+        "pq_topk": embeddings.pq_topk,
         "label_centroids": embeddings.label_centroids,
         "kmeans_clusters": embeddings.kmeans_clusters,
         # -- graph: near-dup pairs -> dup groups (label propagation)
@@ -792,6 +793,8 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM read_parquet('{_GOLDEN}/neardup_pairs_ivf_sf001.parquet')",
         "ivf_topk":
             f"SELECT * FROM read_parquet('{_GOLDEN}/ivf_topk_sf001.parquet')",
+        "pq_topk":
+            f"SELECT * FROM read_parquet('{_GOLDEN}/pq_topk_sf001.parquet')",
         "trigram_lm_scores":
             f"SELECT * FROM read_parquet('{_GOLDEN}/trigram_lm_sf001.parquet')",
         "srp_neardup_pairs":

@@ -403,3 +403,186 @@ def srp_neardup_pairs(sf_dir: str, threshold: float = 0.35,
     out = sorted((r["id_a"], r["id_b"]) for r in pairs.take_all())
     return pa.table({"id_a": pa.array([p[0] for p in out], pa.int64()),
                      "id_b": pa.array([p[1] for p in out], pa.int64())})
+
+
+# --------------------------------------------------------- product quantizer
+def _pq_norm_quant(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(vec_ids, int64 micro-unit matrix of the L2-NORMALIZED rows).
+    PQ trains/encodes on unit vectors so the ADC inner product ranks by
+    cosine; quantizing the normalized floats to 2^20 micro-units makes
+    every distributed partial sum exact (the kmeans trick)."""
+    ids, mat = _to_matrix(t)
+    return ids, np.rint(_normalize(mat) * _KM_SCALE).astype(np.int64)
+
+
+def pq_train(sf_dir: str, m_sub: int = 8, k_sub: int = 16,
+             n_iter: int = 4) -> np.ndarray:
+    """Train per-subspace PQ codebooks (Jegou et al. 2011): the embedding
+    dim is split into ``m_sub`` contiguous sub-vectors and each subspace
+    learns ``k_sub`` centroids by Lloyd's k-means.  Returns a
+    (m_sub, k_sub, sub_dim) float64 codebook in micro-unit scale.
+
+    Scale shape: ALL subspaces train in the same per-iteration Dataset
+    pass -- each batch assigns every sub-vector (per-centroid einsum
+    argmin) and emits int64 partial sums keyed (sub, cl, dim); one tiny
+    groupby merges them; the driver holds only m*k*sub_dim floats.
+    Arithmetic contract (shared with the serial golden): init = the
+    k_sub smallest vec_ids' sub-vectors, per-centroid (x-c)^2 einsum
+    reductions, argmin ties -> lowest centroid, integer sums / count,
+    empty centroids keep their previous value."""
+    from ray.data.aggregate import Sum as _Sum
+
+    emb = _emb(sf_dir)
+    init_rows = emb.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], k_sub)),
+        batch_format="pyarrow").take_all()
+    init_rows.sort(key=lambda r: r["vec_id"])
+    assert len(init_rows) == k_sub, "need vec_ids 0..k_sub-1 for init"
+    mat0 = np.array([np.asarray(r["embedding"], np.float64)
+                     for r in init_rows])
+    q0 = np.rint(_normalize(mat0) * _KM_SCALE).astype(np.int64)
+    dim = q0.shape[1]
+    assert dim % m_sub == 0, (dim, m_sub)
+    sd = dim // m_sub
+    # (m_sub, k_sub, sd) in micro-unit scale
+    books = np.stack([q0[:, m * sd:(m + 1) * sd].astype(np.float64)
+                      for m in range(m_sub)])
+
+    for _ in range(n_iter):
+        b = books.copy()
+
+        def partial(t: pa.Table, bk=b) -> pa.Table:
+            _, q = _pq_norm_quant(t)
+            subs, cls, dims, ss, ns = [], [], [], [], []
+            for m in range(m_sub):
+                x = q[:, m * sd:(m + 1) * sd].astype(np.float64)
+                d2 = np.empty((len(x), k_sub))
+                for j in range(k_sub):
+                    diff = x - bk[m, j]
+                    d2[:, j] = np.einsum("ij,ij->i", diff, diff)
+                assign = d2.argmin(axis=1)
+                uniq, inv = np.unique(assign, return_inverse=True)
+                sums = np.zeros((len(uniq), sd), np.int64)
+                np.add.at(sums, inv, q[:, m * sd:(m + 1) * sd])
+                cnt = np.bincount(inv)
+                subs.append(np.repeat(np.int64(m), len(uniq) * sd))
+                cls.append(np.repeat(uniq, sd))
+                dims.append(np.tile(np.arange(sd), len(uniq)))
+                ss.append(sums.ravel())
+                ns.append(np.repeat(cnt, sd).astype(np.int64))
+            return pa.table({
+                "sub": pa.array(np.concatenate(subs), pa.int64()),
+                "cl": pa.array(np.concatenate(cls), pa.int64()),
+                "dim": pa.array(np.concatenate(dims), pa.int64()),
+                "s": pa.array(np.concatenate(ss), pa.int64()),
+                "n": pa.array(np.concatenate(ns), pa.int64())})
+
+        rows = (emb.map_batches(partial, batch_format="pyarrow")
+                .groupby(["sub", "cl", "dim"])
+                .aggregate(_Sum("s", alias_name="s"),
+                           _Sum("n", alias_name="n"))
+                .take_all())
+        for r in rows:
+            books[r["sub"], r["cl"], r["dim"]] = \
+                float(r["s"]) / float(r["n"])
+    return books
+
+
+def pq_encode(sf_dir: str, books: np.ndarray) -> rd.Dataset:
+    """One pass assigning every vector its m_sub uint8-sized codes --
+    the compressed index (m_sub bytes/vector instead of 4*dim).  Codes
+    ship as a list<int64> column; the embeddings are never read again
+    by the query path."""
+    m_sub, k_sub, sd = books.shape
+    books_ref = ray.put(books)
+
+    def enc(t: pa.Table) -> pa.Table:
+        bk = ray.get(books_ref)
+        ids, q = _pq_norm_quant(t)
+        codes = np.empty((len(ids), m_sub), np.int64)
+        for m in range(m_sub):
+            x = q[:, m * sd:(m + 1) * sd].astype(np.float64)
+            d2 = np.empty((len(x), k_sub))
+            for j in range(k_sub):
+                diff = x - bk[m, j]
+                d2[:, j] = np.einsum("ij,ij->i", diff, diff)
+            codes[:, m] = d2.argmin(axis=1)
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "codes": pa.array(list(codes), pa.list_(pa.int64()))})
+
+    return _emb(sf_dir).map_batches(enc, batch_format="pyarrow")
+
+
+def pq_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10,
+            m_sub: int = 16, k_sub: int = 64, n_iter: int = 4,
+            shortlist: int = 50) -> pa.Table:
+    """Product-quantization ANN top-k with exact re-rank (the IVFADC
+    production shape): train codebooks, encode the corpus ONCE into an
+    m_sub-byte-per-vector codes Dataset, scan CODES ONLY for an ADC
+    shortlist (m_sub table lookups per vector instead of the raw floats
+    -- the memory shape that lets a 100-TB embedding corpus live in a
+    cluster's RAM), then re-rank just the ``shortlist`` candidates with
+    one exact-cosine pass over their raw vectors.  ADC scores accumulate
+    per-subspace in fixed order 0..m (left-to-right float64 adds), so
+    engine == serial golden bit-for-bit; the shortlist is approximate BY
+    DESIGN vs the exact ann_topk (recall asserted in pytest; 1.0 at
+    sf0.01 defaults).  Jegou, Douze, Schmid: 'Product Quantization for
+    Nearest Neighbor Search', TPAMI 2011."""
+    books = pq_train(sf_dir, m_sub=m_sub, k_sub=k_sub, n_iter=n_iter)
+    sd = books.shape[2]
+    codes = pq_encode(sf_dir, books).materialize()
+
+    q_tbl = _emb(sf_dir).map_batches(
+        lambda t: t.filter(pc.equal(t["vec_id"], query_vec_id)),
+        batch_format="pyarrow").take_all()
+    qv = np.asarray(q_tbl[0]["embedding"], np.float64)
+    qv = qv / (np.linalg.norm(qv) or 1.0)
+    # ADC lookup table: table[m][c] = <q_sub_m, centroid_{m,c}>, centroid
+    # reconstructed from micro-units
+    table = np.stack([
+        (books[m] / _KM_SCALE) @ qv[m * sd:(m + 1) * sd]
+        for m in range(books.shape[0])])
+    table_ref = ray.put(table)
+
+    def score(t: pa.Table) -> pa.Table:
+        tb = ray.get(table_ref)
+        ids = np.asarray(t["vec_id"].to_pylist(), np.int64)
+        cd = np.array(t["codes"].to_pylist(), np.int64)
+        s = tb[0][cd[:, 0]].copy()
+        for m in range(1, tb.shape[0]):   # fixed-order accumulation
+            s += tb[m][cd[:, m]]
+        keep = ids != query_vec_id
+        ids, s = ids[keep], s[keep]
+        if len(ids) > shortlist:   # per-batch partial top-shortlist
+            part = np.argpartition(-s, shortlist)[:shortlist]
+            ids, s = ids[part], s[part]
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "score": pa.array(s, pa.float64())})
+
+    parts = codes.map_batches(score, batch_format="pyarrow").take_all()
+    cids = np.array([r["vec_id"] for r in parts], np.int64)
+    csims = np.array([r["score"] for r in parts], np.float64)
+    order = np.lexsort((cids, -csims))[:shortlist]
+    short_ref = ray.put(np.sort(cids[order]))
+
+    # exact re-rank: one pass over the raw vectors of the shortlist only
+    def rerank(t: pa.Table) -> pa.Table:
+        sl = ray.get(short_ref)
+        ids, mat = _to_matrix(t)
+        keep = np.isin(ids, sl)
+        if not keep.any():
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        ids, mat = ids[keep], mat[keep]
+        sims = _normalize(mat) @ qv
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "score": pa.array(sims, pa.float64())})
+
+    parts = _emb(sf_dir).map_batches(
+        rerank, batch_format="pyarrow").take_all()
+    ids = np.array([r["vec_id"] for r in parts], np.int64)
+    sims = np.array([r["score"] for r in parts], np.float64)
+    order = np.lexsort((ids, -sims))[:k]
+    return pa.table({"vec_id": pa.array(ids[order], pa.int64()),
+                     "score": pa.array(np.round(sims[order], 6),
+                                       pa.float64())})

@@ -379,3 +379,16 @@ def test_bpe_merges_match_serial():
                 syms[w] = tuple(new)
     expect = pd.DataFrame(out, columns=["rank", "left", "right", "n"])
     pd.testing.assert_frame_equal(eng, expect)
+
+
+def test_pq_topk_deterministic_and_recall():
+    """PQ ANN with exact re-rank: two runs agree bit-for-bit (integer
+    micro-unit training sums + fixed-order ADC accumulation) and the
+    re-ranked top-10 recalls most of the exact cosine top-10."""
+    from pomp_ray.pipelines.embeddings import ann_topk, pq_topk
+
+    a = pq_topk(SF).to_pandas()
+    b = pq_topk(SF).to_pandas()
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    exact = set(ann_topk(SF)["vec_id"].to_pylist())
+    assert len(exact & set(a["vec_id"])) >= 8, sorted(a["vec_id"])

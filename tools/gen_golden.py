@@ -408,6 +408,71 @@ def gen_pagerank_golden(sf_dir: str = SF001, n_iters: int = 8,
           sum(rank.values()) / scale)
 
 
+def gen_pq_golden(sf_dir: str = SF001, query_vec_id: int = 0, k: int = 10,
+                  m_sub: int = 16, k_sub: int = 64, n_iter: int = 4,
+                  shortlist: int = 50) -> None:
+    """Independent serial product-quantization top-k (straight-line
+    numpy, no Ray/Dataset machinery) against embeddings.pq_topk's
+    arithmetic contract: L2-normalize rows, quantize to 2^20 micro-units
+    (exact integer sums), per-subspace Lloyd's with init = vec_ids
+    0..k_sub-1, per-centroid (x-c)^2 einsum reductions, argmin ties ->
+    lowest, ADC scores accumulated subspace 0..m-1 left-to-right."""
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = np.asarray(t["vec_id"].to_pylist(), np.int64)
+    mat = np.array(t["embedding"].to_pylist(), np.float64)
+    nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    q = np.rint(mat / nrm * float(1 << 20)).astype(np.int64)
+    nmat = mat / nrm
+    order = np.argsort(ids)
+    ids, q, nmat = ids[order], q[order], nmat[order]
+    dim = q.shape[1]
+    sd = dim // m_sub
+    books = np.stack([q[:k_sub, m * sd:(m + 1) * sd].astype(np.float64)
+                      for m in range(m_sub)])
+
+    def assign(m, b):
+        x = q[:, m * sd:(m + 1) * sd].astype(np.float64)
+        d2 = np.empty((len(x), k_sub))
+        for j in range(k_sub):
+            diff = x - b[m, j]
+            d2[:, j] = np.einsum("ij,ij->i", diff, diff)
+        return d2.argmin(axis=1)
+
+    for _ in range(n_iter):
+        prev = books.copy()
+        for m in range(m_sub):
+            a = assign(m, prev)
+            for j in range(k_sub):
+                msk = a == j
+                if msk.any():
+                    books[m, j] = (q[msk, m * sd:(m + 1) * sd]
+                                   .sum(axis=0).astype(np.float64)
+                                   / msk.sum())
+    codes = np.stack([assign(m, books) for m in range(m_sub)], axis=1)
+    qi = int(np.flatnonzero(ids == query_vec_id)[0])
+    qv = mat[order][qi]
+    qv = qv / (np.linalg.norm(qv) or 1.0)
+    table = np.stack([(books[m] / float(1 << 20))
+                      @ qv[m * sd:(m + 1) * sd] for m in range(m_sub)])
+    s = table[0][codes[:, 0]].copy()
+    for m in range(1, m_sub):
+        s += table[m][codes[:, m]]
+    keep = ids != query_vec_id
+    sids, s = ids[keep], s[keep]
+    short = sids[np.lexsort((sids, -s))[:shortlist]]
+    # exact re-rank of the ADC shortlist over the RAW normalized vectors
+    sel = np.isin(ids, short)
+    rids = ids[sel]
+    rs = nmat[sel] @ qv
+    top = np.lexsort((rids, -rs))[:k]
+    pq.write_table(
+        pa.table({"vec_id": pa.array(rids[top], pa.int64()),
+                  "score": pa.array(np.round(rs[top], 6), pa.float64())}),
+        os.path.join(GOLDEN_DIR, "pq_topk_sf001.parquet"))
+    print("pq golden:", rids[top].tolist())
+
+
 def gen_bpe_golden(sf_dir: str = SF001, n_merges: int = 24,
                    min_count: int = 2) -> None:
     """Serial Counter-based BPE merge learning (Sennrich-style), the
@@ -472,3 +537,4 @@ if __name__ == "__main__":
     gen_srp_golden()
     gen_pagerank_golden()
     gen_bpe_golden()
+    gen_pq_golden()
