@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trigram_lm_scores": docs.trigram_lm_scores,
         "pretraining_shards": docs.pretraining_shards,
         "lm_quality_buckets": docs.lm_quality_buckets,
+        "dsir_weights": docs.dsir_weights,
         # -- documents: signatures / near-dup (deterministic, rows-only)
         "lang_predictions": docs.lang_predictions,
         "sample_docs": docs.sample_docs,
@@ -795,6 +796,8 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM read_parquet('{_GOLDEN}/ivf_topk_sf001.parquet')",
         "pq_topk":
             f"SELECT * FROM read_parquet('{_GOLDEN}/pq_topk_sf001.parquet')",
+        "dsir_weights":
+            f"SELECT * FROM read_parquet('{_GOLDEN}/dsir_sf001.parquet')",
         "trigram_lm_scores":
             f"SELECT * FROM read_parquet('{_GOLDEN}/trigram_lm_sf001.parquet')",
         "srp_neardup_pairs":

@@ -1293,3 +1293,91 @@ def write_pretraining_shards(sf_dir: str, out_dir: str,
         s = int(os.path.basename(os.path.dirname(p)).split("=", 1)[1])
         counts[s] = counts.get(s, 0) + pq.ParquetFile(p).metadata.num_rows
     return counts
+
+
+# ------------------------------------------------------------------- DSIR
+def dsir_weights(sf_dir: str, n_buckets: int = 4096,
+                 target_lang: str = "en") -> rd.Dataset:
+    """DSIR-style importance weights (Xie et al. 2023, 'Data Selection
+    for Language Models via Importance Resampling'): score every doc by
+    the mean log-likelihood ratio of its hashed-unigram features under a
+    TARGET distribution (here: the ``target_lang`` slice) vs the RAW
+    corpus distribution -- the importance-resampling signal used to
+    select pretraining data that looks like a target domain.
+
+    Two-phase broadcast-model shape (same as trigram_lm_scores):
+
+    * phase 1: ONE pass emits per-batch (bucket, n_raw, n_tgt) hashed
+      feature-count partials (pd.util.hash_array on the token array --
+      vectorized and process-stable, never builtin hash) -> tiny
+      groupby(bucket) -> the driver builds the n_buckets log2-ratio
+      table with +1 Laplace smoothing and broadcasts it (ray.put).
+    * phase 2: one vectorized scoring pass -- bucket lookup per token,
+      per-doc left-to-right sums via np.add.reduceat (same order as the
+      serial golden => bit-identical), mean over tokens, 0.0 for
+      token-less docs.
+
+    Only (bucket, count) rows ever shuffle; the model is n_buckets
+    doubles.  Pinned by the independent serial golden
+    (tools/gen_golden.py gen_dsir_golden)."""
+    import ray as _ray
+
+    def bucketize(words: np.ndarray) -> np.ndarray:
+        h = pd.util.hash_array(words.astype(object))
+        return (h % np.uint64(n_buckets)).astype(np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, parent = _tokenize_flat(t)
+        words = np.asarray(flat.to_pylist(), object)
+        if len(words) == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "n_raw": pa.array([], pa.int64()),
+                             "n_tgt": pa.array([], pa.int64())})
+        b = bucketize(words)
+        is_tgt = pc.equal(t["lang"], target_lang).to_numpy(
+            zero_copy_only=False)[parent.to_numpy()]
+        uniq, inv = np.unique(b, return_inverse=True)
+        raw = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        tgt = np.bincount(inv, weights=is_tgt.astype(np.float64),
+                          minlength=len(uniq)).astype(np.int64)
+        return pa.table({"bucket": pa.array(uniq, pa.int64()),
+                         "n_raw": pa.array(raw, pa.int64()),
+                         "n_tgt": pa.array(tgt, pa.int64())})
+
+    rows = (_docs(sf_dir, ["text", "lang"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .aggregate(Sum("n_raw", alias_name="n_raw"),
+                       Sum("n_tgt", alias_name="n_tgt"))).take_all()
+    cr = np.zeros(n_buckets, np.int64)
+    ct = np.zeros(n_buckets, np.int64)
+    for r in rows:
+        cr[r["bucket"]] = r["n_raw"]
+        ct[r["bucket"]] = r["n_tgt"]
+    nr, nt = int(cr.sum()), int(ct.sum())
+    pt = (ct + 1.0) / float(nt + n_buckets)
+    pr = (cr + 1.0) / float(nr + n_buckets)
+    lr_ref = _ray.put(np.log2(pt / pr))
+
+    def score(t: pa.Table) -> pa.Table:
+        lr = _ray.get(lr_ref)
+        n = t.num_rows
+        flat, parent = _tokenize_flat(t)
+        words = np.asarray(flat.to_pylist(), object)
+        out = np.zeros(n, np.float64)
+        if len(words):
+            par = parent.to_numpy()
+            vals = lr[bucketize(words)]
+            starts = np.searchsorted(par, np.arange(n))
+            cnt = np.bincount(par, minlength=n)
+            # reduceat over only the docs that own tokens: their starts
+            # are strictly increasing, so each segment is exactly one
+            # doc's tokens, summed left-to-right (= the serial golden)
+            owners = np.flatnonzero(cnt > 0)
+            sums = np.add.reduceat(vals, starts[owners])
+            out[owners] = sums / cnt[owners]
+        return pa.table({"doc_id": t["doc_id"],
+                         "dsir_lw": pa.array(out, pa.float64())})
+
+    return _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        score, batch_format="pyarrow")

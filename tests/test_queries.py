@@ -392,3 +392,44 @@ def test_pq_topk_deterministic_and_recall():
     pd.testing.assert_frame_equal(a, b, check_exact=True)
     exact = set(ann_topk(SF)["vec_id"].to_pylist())
     assert len(exact & set(a["vec_id"])) >= 8, sorted(a["vec_id"])
+
+
+def test_dsir_weights_match_serial():
+    """DSIR hashed-unigram importance weights vs an inline serial
+    reference (same arithmetic contract: pd.util.hash_array buckets,
+    Laplace-smoothed log2 ratio, reduceat segment sums)."""
+    import re
+
+    import numpy as np
+    import pyarrow.parquet as papq
+
+    from pomp_ray.pipelines.docs import dsir_weights
+
+    eng = dsir_weights(SF).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+
+    t = papq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id", "text", "lang"])
+    ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    langs = t["lang"].to_pylist()
+    nb = 4096
+    toks = [re.findall(r"[a-z]+", (x or "").lower()) for x in texts]
+    bks = [(pd.util.hash_array(np.asarray(tk, object))
+            % np.uint64(nb)).astype(np.int64)
+           if tk else np.array([], np.int64) for tk in toks]
+    cr = np.zeros(nb, np.int64)
+    ct = np.zeros(nb, np.int64)
+    for lang, b in zip(langs, bks):
+        for x in b:
+            cr[x] += 1
+            if lang == "en":
+                ct[x] += 1
+    pt = (ct + 1.0) / float(int(ct.sum()) + nb)
+    pr = (cr + 1.0) / float(int(cr.sum()) + nb)
+    lr = np.log2(pt / pr)
+    lw = [float(np.add.reduceat(lr[b], np.array([0]))[0] / len(b))
+          if len(b) else 0.0 for b in bks]
+    expect = pd.DataFrame({"doc_id": ids, "dsir_lw": lw}) \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(eng, expect, check_exact=True)

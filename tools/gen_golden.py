@@ -473,6 +473,55 @@ def gen_pq_golden(sf_dir: str = SF001, query_vec_id: int = 0, k: int = 10,
     print("pq golden:", rids[top].tolist())
 
 
+def gen_dsir_golden(sf_dir: str = SF001, n_buckets: int = 4096,
+                    target_lang: str = "en") -> None:
+    """Independent serial DSIR importance weights (per-doc Python loop,
+    no Dataset machinery) against docs.dsir_weights' arithmetic
+    contract: pd.util.hash_array unigram buckets, +1 Laplace smoothing,
+    lr = log2(((c_t+1)/(N_t+B)) / ((c_r+1)/(N_r+B))), per-doc
+    np.add.reduceat segment sums / token count (the reduction primitive
+    is part of the contract -- reduceat's blocked order differs from a
+    scalar loop in the last ulp), 0.0 for token-less docs."""
+    import pandas as pd
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text", "lang"])
+    doc_ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    langs = t["lang"].to_pylist()
+    toks = [re.findall(r"[a-z]+", (x or "").lower()) for x in texts]
+    bks = [(pd.util.hash_array(np.asarray(tk, object))
+            % np.uint64(n_buckets)).astype(np.int64)
+           if tk else np.array([], np.int64) for tk in toks]
+    cr = np.zeros(n_buckets, np.int64)
+    ct = np.zeros(n_buckets, np.int64)
+    for lang, b in zip(langs, bks):
+        for x in b:
+            cr[x] += 1
+            if lang == target_lang:
+                ct[x] += 1
+    nr, nt = int(cr.sum()), int(ct.sum())
+    pt = (ct + 1.0) / float(nt + n_buckets)
+    pr = (cr + 1.0) / float(nr + n_buckets)
+    lr = np.log2(pt / pr)
+    out = []
+    for b in bks:
+        if len(b) == 0:
+            out.append(0.0)
+            continue
+        s = np.add.reduceat(lr[b], np.array([0]))[0]
+        out.append(float(s / len(b)))
+    pq.write_table(
+        pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
+                  "dsir_lw": pa.array(out, pa.float64())}),
+        os.path.join(GOLDEN_DIR, "dsir_sf001.parquet"))
+    en = [w for w, lg in zip(out, langs) if lg == target_lang]
+    rest = [w for w, lg in zip(out, langs) if lg != target_lang]
+    print("dsir golden:", len(out), "docs; mean lw en",
+          round(float(np.mean(en)), 3), "vs other",
+          round(float(np.mean(rest)), 3))
+
+
 def gen_bpe_golden(sf_dir: str = SF001, n_merges: int = 24,
                    min_count: int = 2) -> None:
     """Serial Counter-based BPE merge learning (Sennrich-style), the
@@ -538,3 +587,4 @@ if __name__ == "__main__":
     gen_pagerank_golden()
     gen_bpe_golden()
     gen_pq_golden()
+    gen_dsir_golden()
