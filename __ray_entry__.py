@@ -73,6 +73,31 @@ def _crawl_outputs(kind: str, mode: str) -> pa.Table:
             "errors": crawl_mod.read_errors}[kind](ckpt)
 
 
+def _crawl_host_pagerank():
+    """Crawl -> host link graph -> PageRank composite over the SMALL
+    corpus (20 hosts): run the distributed BFS crawl, then the
+    pipelines.graph composite over its checkpoint.  Exact-mode crawl ==
+    serial oracle (conformance suite), so the golden's serial-oracle
+    visited set sees the same pages."""
+    import pyarrow.parquet as _pq
+
+    from pomp_ray.crawl import CrawlConfig, CrawlEngine
+    from pomp_ray.pipelines.graph import host_pagerank_from_crawl
+    from pomp_ray.sources import gen_corpus
+
+    fix = gen_corpus.generate("/tmp/pomp_q_corpus_small", gen_corpus.SMALL)
+    ckpt = "/tmp/pomp_q_ckpt_bfs_small"
+    cfg = CrawlConfig(corpus_path=fix.pages_path, ckpt_dir=ckpt,
+                      robots_path=fix.robots_path, mode="bfs",
+                      min_distributed_rows=64)
+    eng = CrawlEngine(cfg)
+    try:
+        eng.run(seeds=_pq.read_table(fix.seeds_path).to_pylist())
+    finally:
+        eng.close()
+    return host_pagerank_from_crawl(ckpt, fix.pages_path)
+
+
 # ------------------------------------------------------------------- queries
 def queries() -> dict[str, Callable[[str], Any]]:
     from pomp_ray.pipelines import (
@@ -148,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- graph: near-dup pairs -> dup groups (label propagation)
         "dup_components": graph.dup_components,
         "pagerank_clicks": graph.pagerank_clicks,
+        "crawl_host_pagerank": lambda sf: _crawl_host_pagerank(),
         # -- tokenizer training (BPE merge learning over word freqs)
         "bpe_merges": tokenizer.bpe_merges,
         # -- relational building blocks (join/rollup/sort/filter)
@@ -838,6 +864,8 @@ def oracle_sql() -> dict[str, str]:
         # sums), so a straight golden read is an exact oracle
         "pagerank_clicks":
             f"SELECT * FROM read_parquet('{_GOLDEN}/pagerank_sf001.parquet')",
+        "crawl_host_pagerank":
+            f"SELECT * FROM read_parquet('{_GOLDEN}/crawl_pagerank.parquet')",
         # BPE merge table: integer pair counts + lexicographic tie-break
         # make the learned merges independent of block layout; golden is
         # the serial Counter-based learner in tools/gen_golden.py

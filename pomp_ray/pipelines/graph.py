@@ -244,7 +244,8 @@ def pagerank(edges: rd.Dataset, n_iters: int = 8,
             .repartition(num_partitions).materialize()
 
     out = sorted((row["node"], row["r"]) for row in ranks.take_all())
-    return pa.table({"node": pa.array([o[0] for o in out], pa.int64()),
+    # node dtype follows the edge key (int ids or string hosts)
+    return pa.table({"node": pa.array([o[0] for o in out]),
                      "rank_fp": pa.array([o[1] for o in out], pa.int64())})
 
 
@@ -255,3 +256,51 @@ def pagerank_clicks(sf_dir: str, n_iters: int = 8) -> pa.Table:
     (tools/gen_golden.py::gen_pagerank_golden) -- bit-identical by the
     fixed-point construction."""
     return pagerank(_click_edges(sf_dir), n_iters=n_iters)
+
+
+def crawl_link_edges(ckpt_dir: str, pages_path: str,
+                     num_partitions: int = 8) -> rd.Dataset:
+    """Host-level link edges of a FINISHED crawl: the visited table
+    (streaming items reader) hash-joins back to the corpus html on
+    canon_url -- the same keying as the join-fetch path -- and each
+    page's hyperlinks are re-extracted and resolved, emitting one
+    (src, dst) host pair per link.  Nothing besides compact (url) /
+    (host, host) rows shuffles; html rides the join once."""
+    from pomp_ray.crawl import items_dataset
+    from pomp_ray.functions.textfns import (html_extract_links, url_host,
+                                            url_join)
+    from pomp_ray.stages.fetch import canon_pages_batch
+
+    vis = items_dataset(ckpt_dir).map_batches(
+        lambda t: pa.table({"canon_url": t["url"]}),
+        batch_format="pyarrow")
+    pages = rd.read_parquet(pages_path, columns=["url", "html"]) \
+        .map_batches(canon_pages_batch, batch_format="pyarrow")
+    joined = vis.join(pages, join_type="inner", on=("canon_url",),
+                      num_partitions=num_partitions)
+
+    def edges(t: pa.Table) -> pa.Table:
+        src, dst = [], []
+        for url, html in zip(t["canon_url"].to_pylist(),
+                             t["html"].to_pylist()):
+            if html is None:
+                continue
+            h = url_host(url)
+            for href in html_extract_links(html):
+                src.append(h)
+                dst.append(url_host(url_join(url, href)))
+        return pa.table({"src": pa.array(src, pa.string()),
+                         "dst": pa.array(dst, pa.string())})
+
+    return joined.map_batches(edges, batch_format="pyarrow")
+
+
+def host_pagerank_from_crawl(ckpt_dir: str, pages_path: str,
+                             n_iters: int = 8) -> pa.Table:
+    """The canonical web pipeline composed end to end: crawl checkpoint
+    -> host link graph -> fixed-point PageRank.  Returns (host,
+    rank_fp); bit-identical to the serial golden by the integer
+    construction (tools/gen_golden.py gen_crawl_pagerank_golden)."""
+    out = pagerank(crawl_link_edges(ckpt_dir, pages_path),
+                   n_iters=n_iters)
+    return out.rename_columns(["host", "rank_fp"])

@@ -388,29 +388,32 @@ class AsyncFlakyCorpusFetcher(HttpFetcher):
                          max_concurrency=max_concurrency)
 
 
+def canon_pages_batch(t: pa.Table) -> pa.Table:
+    """(url, html) corpus batch -> (canon_url, html).  Vectorized fast
+    path: urls already in canonical shape are identity (one Arrow regex
+    match for the whole batch); only the residue pays the per-row
+    library call.  Shared by the join-fetch path and the link-graph
+    reconstruction in pipelines/graph.py."""
+    from pomp_ray.stages.enqueue import _FAST_EXTRACT
+    urls = t["url"]
+    fast = pc.is_valid(pc.extract_regex(urls, pattern=_FAST_EXTRACT))
+    if int(pc.sum(fast).as_py() or 0) == t.num_rows:
+        canon = pc.cast(urls, pa.string())
+    else:
+        fast_py = fast.to_pylist()
+        canon = pa.array(
+            [u if ok else url_canonicalize(u)
+             for u, ok in zip(urls.to_pylist(), fast_py)])
+    return pa.table({"canon_url": canon, "html": t["html"]})
+
+
 def fetch_via_join(frontier: rd.Dataset, pages_path: str,
                    num_partitions: int = 64) -> rd.Dataset:
     """Scale path: hash-join the frontier against the pages corpus on the
     canonical url.  Left join keeps misses (null html -> fetch_ok False),
     the same error semantics as the lookup paths."""
-    def canon_pages(t: pa.Table) -> pa.Table:
-        # vectorized fast path: urls already in canonical shape are
-        # identity (one Arrow regex match for the whole batch); only the
-        # residue pays the per-row library call
-        from pomp_ray.stages.enqueue import _FAST_EXTRACT
-        urls = t["url"]
-        fast = pc.is_valid(pc.extract_regex(urls, pattern=_FAST_EXTRACT))
-        if int(pc.sum(fast).as_py() or 0) == t.num_rows:
-            canon = pc.cast(urls, pa.string())
-        else:
-            fast_py = fast.to_pylist()
-            canon = pa.array(
-                [u if ok else url_canonicalize(u)
-                 for u, ok in zip(urls.to_pylist(), fast_py)])
-        return pa.table({"canon_url": canon, "html": t["html"]})
-
     pages = rd.read_parquet(pages_path, columns=["url", "html"]).map_batches(
-        canon_pages, batch_format="pyarrow"
+        canon_pages_batch, batch_format="pyarrow"
     )
     joined = frontier.join(
         pages,

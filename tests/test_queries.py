@@ -433,3 +433,60 @@ def test_dsir_weights_match_serial():
     expect = pd.DataFrame({"doc_id": ids, "dsir_lw": lw}) \
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(eng, expect, check_exact=True)
+
+
+def test_crawl_host_pagerank_matches_serial(tmp_path):
+    """Crawl -> host link graph -> PageRank composite over the TINY
+    fixture vs an inline serial reference built from the crawl ORACLE's
+    visited set (spec link extraction + dict fixed-point PageRank)."""
+    import pyarrow.parquet as papq
+
+    from pomp_ray.crawl import CrawlConfig, CrawlEngine
+    from pomp_ray.functions.textfns import (html_extract_links,
+                                            url_canonicalize, url_host,
+                                            url_join)
+    from pomp_ray.pipelines.graph import host_pagerank_from_crawl
+    from tests.helpers import fixture_corpus, run_oracle
+
+    fix = fixture_corpus()
+    ckpt = str(tmp_path / "ckpt")
+    cfg = CrawlConfig(corpus_path=fix.pages_path, ckpt_dir=ckpt,
+                      robots_path=fix.robots_path, mode="bfs",
+                      min_distributed_rows=16)
+    eng = CrawlEngine(cfg)
+    try:
+        eng.run(seeds=papq.read_table(fix.seeds_path).to_pylist())
+    finally:
+        eng.close()
+    got = host_pagerank_from_crawl(ckpt, fix.pages_path)
+
+    pages = papq.read_table(fix.pages_path, columns=["url", "html"])
+    html_by = {url_canonicalize(u): h
+               for u, h in zip(pages["url"].to_pylist(),
+                               pages["html"].to_pylist())}
+    edges = []
+    for v in run_oracle(fix).visited:
+        html = html_by.get(v["url"])
+        if html is None:
+            continue
+        sh = url_host(v["url"])
+        for href in html_extract_links(html):
+            edges.append((sh, url_host(url_join(v["url"], href))))
+    scale = 10**12
+    nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    n = len(nodes)
+    deg = {v: 0 for v in nodes}
+    for s, _ in edges:
+        deg[s] += 1
+    base = (15 * (scale // n)) // 100
+    rank = {v: scale // n for v in nodes}
+    for _ in range(8):
+        share = sum(rank[v] for v in nodes if deg[v] == 0) // n
+        inbox = {v: 0 for v in nodes}
+        for s, d in edges:
+            inbox[d] += rank[s] // deg[s]
+        rank = {v: base + (85 * (inbox[v] + share)) // 100 for v in nodes}
+    expect = pd.DataFrame({"host": nodes,
+                           "rank_fp": [rank[v] for v in nodes]})
+    pd.testing.assert_frame_equal(
+        got.to_pandas().sort_values("host").reset_index(drop=True), expect)

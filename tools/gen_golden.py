@@ -366,6 +366,28 @@ def gen_srp_golden(sf_dir: str = SF001, threshold: float = 0.35,
     print("srp golden:", len(pairs), "pairs")
 
 
+def _serial_pagerank(edges, n_iters=8, d_num=85, d_den=100):
+    """Shared serial dict-based fixed-point PageRank core (int64
+    arithmetic, scale 10**12) -- the independent reference for the
+    engine's distributed join/groupby loop."""
+    scale = 10**12
+    nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    n = len(nodes)
+    deg = {v: 0 for v in nodes}
+    for src, _ in edges:
+        deg[src] += 1
+    base = ((d_den - d_num) * (scale // n)) // d_den
+    rank = {v: scale // n for v in nodes}
+    for _ in range(n_iters):
+        share = sum(rank[v] for v in nodes if deg[v] == 0) // n
+        inbox = {v: 0 for v in nodes}
+        for src, dst in edges:
+            inbox[dst] += rank[src] // deg[src]
+        rank = {v: base + (d_num * (inbox[v] + share)) // d_den
+                for v in nodes}
+    return nodes, rank
+
+
 def gen_pagerank_golden(sf_dir: str = SF001, n_iters: int = 8,
                         d_num: int = 85, d_den: int = 100) -> None:
     """Serial dict-based fixed-point PageRank over the per-user event
@@ -385,27 +407,14 @@ def gen_pagerank_golden(sf_dir: str = SF001, n_iters: int = 8,
         if r["user_id"] == prev_user:
             edges.append((prev_k, k))
         prev_user, prev_k = r["user_id"], k
-    nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
-    n = len(nodes)
-    deg = {v: 0 for v in nodes}
-    for s, _ in edges:
-        deg[s] += 1
-    base = ((d_den - d_num) * (scale // n)) // d_den
-    rank = {v: scale // n for v in nodes}
-    for _ in range(n_iters):
-        share = sum(rank[v] for v in nodes if deg[v] == 0) // n
-        inbox = {v: 0 for v in nodes}
-        for s, d in edges:
-            inbox[d] += rank[s] // deg[s]
-        rank = {v: base + (d_num * (inbox[v] + share)) // d_den
-                for v in nodes}
+    nodes, rank = _serial_pagerank(edges, n_iters, d_num, d_den)
     pq.write_table(
         pa.table({"node": pa.array(nodes, pa.int64()),
                   "rank_fp": pa.array([rank[v] for v in nodes],
                                       pa.int64())}),
         os.path.join(GOLDEN_DIR, "pagerank_sf001.parquet"))
-    print("pagerank golden:", n, "nodes,", len(edges), "edges, mass",
-          sum(rank.values()) / scale)
+    print("pagerank golden:", len(nodes), "nodes,", len(edges),
+          "edges, mass", sum(rank.values()) / scale)
 
 
 def gen_pq_golden(sf_dir: str = SF001, query_vec_id: int = 0, k: int = 10,
@@ -522,6 +531,49 @@ def gen_dsir_golden(sf_dir: str = SF001, n_buckets: int = 4096,
           round(float(np.mean(rest)), 3))
 
 
+def gen_crawl_pagerank_golden(n_iters: int = 8) -> None:
+    """Serial host-PageRank over a SMALL-corpus BFS crawl: the visited
+    set comes from the serial pomp-semantics oracle loop (NOT the
+    distributed engine), pages are looked up in a plain dict, links are
+    re-extracted with the SPEC functions (textfns -- the same public
+    link/url semantics the crawl oracle trusts), edges accumulate in a
+    Python loop, and the shared serial fixed-point PageRank core runs.
+    Independent of the engine's Dataset join/groupby machinery end to
+    end.  SMALL (20 hosts / ~1.9k visited) makes the graph non-trivial;
+    TINY has only 2 hosts."""
+    from pomp_ray.core.oracle import crawl_oracle
+    from pomp_ray.functions.textfns import (html_extract_links,
+                                            url_canonicalize, url_host,
+                                            url_join)
+    from pomp_ray.sources import gen_corpus
+    from tests.helpers import oracle_inputs
+
+    fix = gen_corpus.generate("/tmp/pomp_golden_small", gen_corpus.SMALL)
+    corpus, seeds, robots, _ = oracle_inputs(fix)
+    res = crawl_oracle(corpus, seeds, robots, mode="bfs")
+    pages = pq.read_table(fix.pages_path, columns=["url", "html"])
+    html_by = {url_canonicalize(u): h
+               for u, h in zip(pages["url"].to_pylist(),
+                               pages["html"].to_pylist())}
+    edges = []
+    for v in res.visited:
+        u = v["url"]
+        html = html_by.get(u)
+        if html is None:
+            continue
+        sh = url_host(u)
+        for href in html_extract_links(html):
+            edges.append((sh, url_host(url_join(u, href))))
+    nodes, rank = _serial_pagerank(edges, n_iters)
+    pq.write_table(
+        pa.table({"host": pa.array(nodes, pa.string()),
+                  "rank_fp": pa.array([rank[v] for v in nodes],
+                                      pa.int64())}),
+        os.path.join(GOLDEN_DIR, "crawl_pagerank.parquet"))
+    print("crawl pagerank golden:", len(nodes), "hosts,", len(edges),
+          "edges")
+
+
 def gen_bpe_golden(sf_dir: str = SF001, n_merges: int = 24,
                    min_count: int = 2) -> None:
     """Serial Counter-based BPE merge learning (Sennrich-style), the
@@ -588,3 +640,4 @@ if __name__ == "__main__":
     gen_bpe_golden()
     gen_pq_golden()
     gen_dsir_golden()
+    gen_crawl_pagerank_golden()
