@@ -153,6 +153,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pretraining_shards": docs.pretraining_shards,
         "lm_quality_buckets": docs.lm_quality_buckets,
         "dsir_weights": docs.dsir_weights,
+        "pack_sequences": docs.pack_sequences,
+        "cms_word_counts": docs.cms_word_counts,
+        "decontaminate_bloom": docs.decontaminate_bloom,
         # -- documents: signatures / near-dup (deterministic, rows-only)
         "lang_predictions": docs.lang_predictions,
         "sample_docs": docs.sample_docs,
@@ -824,6 +827,12 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM read_parquet('{_GOLDEN}/pq_topk_sf001.parquet')",
         "dsir_weights":
             f"SELECT * FROM read_parquet('{_GOLDEN}/dsir_sf001.parquet')",
+        "pack_sequences":
+            f"SELECT * FROM read_parquet('{_GOLDEN}/pack_sequences_sf001.parquet')",
+        "cms_word_counts":
+            f"SELECT * FROM read_parquet('{_GOLDEN}/cms_sf001.parquet')",
+        "decontaminate_bloom":
+            f"SELECT * FROM read_parquet('{_GOLDEN}/bloom_decon_sf001.parquet')",
         "trigram_lm_scores":
             f"SELECT * FROM read_parquet('{_GOLDEN}/trigram_lm_sf001.parquet')",
         "srp_neardup_pairs":

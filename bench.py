@@ -200,7 +200,7 @@ def bench_dedup_ops(n_urls: int = 2_000_000, n_tasks: int = 32,
 
 
 def bench_queries(sf_dir: str) -> dict:
-    from pomp_ray.pipelines import docs, embeddings, relational
+    from pomp_ray.pipelines import docs, embeddings, graph, relational
 
     out = {}
     for name, fn in (
@@ -216,6 +216,11 @@ def bench_queries(sf_dir: str) -> dict:
         ("hll_users", lambda: relational.hll_users_by_type(sf_dir).count()),
         ("pretraining_shards",
          lambda: docs.pretraining_shards(sf_dir).count()),
+        # late round-3 shapes: iterative graph loop (8 PR iterations of
+        # join+groupby over the click-transition edges), PQ codebook
+        # train + encode + codes-only ADC scan + re-rank
+        ("pagerank", lambda: graph.pagerank_clicks(sf_dir).num_rows),
+        ("pq_topk", lambda: embeddings.pq_topk(sf_dir).num_rows),
     ):
         t0 = time.monotonic()
         fn()

@@ -1381,3 +1381,180 @@ def dsir_weights(sf_dir: str, n_buckets: int = 4096,
 
     return _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
         score, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- sequence packing
+def pack_sequences(sf_dir: str, budget: int = 512,
+                   n_shards: int = 16) -> rd.Dataset:
+    """Greedy sequence packing -- the pretraining batch-construction step
+    that concatenates documents into fixed token-budget training
+    sequences (GPT-style sample packing).  Docs are md5-sharded (pure
+    per-row assignment: resumable, retry-stable) and packed greedily
+    INSIDE each shard in deterministic md5(doc_id) order: a doc that
+    would overflow the running pack starts the next one; oversized docs
+    get a pack of their own.  Packing is sequential BY DEFINITION, so
+    the loop runs per shard after one C-speed sort -- shards are the
+    parallelism unit, exactly how production packers scale out.
+
+    Returns (doc_id, shard, pack_id, n_tokens) with pack_id = shard *
+    2^32 + local ordinal.  Deterministic end to end; pinned by the
+    independent serial golden (tools/gen_golden.py gen_pack_golden)."""
+    import hashlib
+
+    def prep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        shard = _shard_ids(ids, n_shards)
+        ntok = an.count_tokens_arr(t["text"]).to_numpy().astype(np.int64)
+        key = [hashlib.md5(str(d).encode()).hexdigest() for d in ids]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "shard": pa.array(shard, pa.int64()),
+                         "key": pa.array(key, pa.string()),
+                         "n_tokens": pa.array(ntok, pa.int64())})
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["key", "doc_id"]).reset_index(drop=True)
+        pids = np.empty(len(g), np.int64)
+        pid, fill = -1, 0
+        for i, n in enumerate(g["n_tokens"].to_numpy()):
+            if pid < 0 or fill + n > budget:
+                pid += 1
+                fill = 0
+            fill += n
+            pids[i] = pid
+        g = g.assign(pack_id=g["shard"].to_numpy() * (1 << 32) + pids)
+        return g[["doc_id", "shard", "pack_id", "n_tokens"]]
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        prep, batch_format="pyarrow")
+    return ds.groupby("shard").map_groups(pack, batch_format="pandas")
+
+
+# --------------------------------------------------------- count-min sketch
+_CMS_D, _CMS_W = 4, 4096
+
+
+def _cms_positions(word: str) -> np.ndarray:
+    """d row-positions from one md5 (never builtin hash): 4 little-endian
+    uint32 chunks mod w -- the same public spec the golden mirrors."""
+    import hashlib
+
+    dig = hashlib.md5(word.encode()).digest()
+    return np.frombuffer(dig, np.uint32) % np.uint32(_CMS_W)
+
+
+def cms_word_counts(sf_dir: str, k: int = 20) -> pa.Table:
+    """Count-min-sketch word-frequency estimates (Cormode & Muthukrishnan
+    2005) -- the OTHER classic mergeable sketch beside HLL: a global
+    d x w integer counter matrix accumulates per block and merges by
+    elementwise ADD, so any block order / partitioning yields the SAME
+    sketch (integer sums are order-independent).  At 100 TB the sketch
+    ships d*w*8 bytes per partition instead of shuffling every word.
+    Returns (word, n_est) for the exact top-``k`` words (n_est = min
+    over rows, always >= the true count).  Deterministic end to end;
+    pinned by an independent serial golden and bound-checked vs exact
+    counts in pytest."""
+    from ray.data.aggregate import AggregateFn
+
+    def accumulate(st: np.ndarray, blk: pa.Table) -> np.ndarray:
+        flat, _ = _tokenize_flat(
+            pa.table({"text": blk.column("text")}))
+        vc = flat.value_counts()
+        for w, n in zip(vc.field("values").to_pylist(),
+                        vc.field("counts").to_pylist()):
+            st[np.arange(_CMS_D), _cms_positions(w)] += n
+        return st
+
+    cms = AggregateFn(
+        init=lambda k_: np.zeros((_CMS_D, _CMS_W), np.int64),
+        accumulate_block=accumulate,
+        merge=lambda a, b: a + b,
+        finalize=lambda st: st.ravel().tolist(),
+        name="sketch")
+
+    sketch = np.array(
+        _docs(sf_dir, ["text"]).aggregate(cms)["sketch"],
+        np.int64).reshape(_CMS_D, _CMS_W)
+    top = top_words(sf_dir, k=k)
+    ests = [int(sketch[np.arange(_CMS_D), _cms_positions(w)].min())
+            for w in top["word"].to_pylist()]
+    return pa.table({"word": top["word"],
+                     "n_est": pa.array(ests, pa.int64())})
+
+
+# ------------------------------------------------ bloom decontamination
+_BLOOM_M = 1 << 20   # slots (byte-per-slot; 1 MiB broadcast)
+_BLOOM_K = 4
+
+
+def _bloom_positions(h_i64: np.ndarray) -> np.ndarray:
+    """(n, k) slot positions per 64-bit shingle hash via
+    Kirsch-Mitzenmacher double hashing: p_i = (h_lo + i * (h_hi | 1))
+    mod m.  Pure uint64 integer ops -- the golden mirrors them."""
+    h = h_i64.astype(np.int64).view(np.uint64)
+    h1 = h & np.uint64(0xFFFFFFFF)
+    h2 = (h >> np.uint64(32)) | np.uint64(1)
+    i = np.arange(_BLOOM_K, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None])
+            & np.uint64(_BLOOM_M - 1)).astype(np.int64)
+
+
+def decontaminate_bloom(sf_dir: str, bench_mod: int = 97) -> rd.Dataset:
+    """Broadcast-filter sibling of ``decontaminate``: the benchmark
+    shingle set is summarized into a Bloom filter built by an OR-merge
+    AggregateFn (elementwise max of byte slots -- order-independent, so
+    any block layout yields the SAME filter), broadcast once (1 MiB),
+    and the corpus is gated in ONE vectorized map_batches pass.  This is
+    the shape when the corpus is huge but the benchmark fits a sketch:
+    no join, no second shuffle, nothing keyed on the shingle hash ever
+    leaves a worker.
+
+    Deterministic false positives are part of the spec (double hashing
+    from the 64-bit shingle hash), so the output is pinned exactly by
+    the independent serial golden; at 2^20 slots / test scale the FP
+    rate is ~0 and the result equals the exact join-based
+    ``decontaminate`` (asserted in pytest)."""
+    import ray as _ray
+    from ray.data.aggregate import AggregateFn
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    ex = docs.map_batches(_span_explode, batch_format="pyarrow")
+
+    def bench_only(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy() if not isinstance(
+            t["doc_id"], pa.ChunkedArray) \
+            else t["doc_id"].combine_chunks().to_numpy()
+        return t.filter(pa.array(np.mod(ids, bench_mod) == 0))
+
+    def acc(st: np.ndarray, blk: pa.Table) -> np.ndarray:
+        h = blk.column("h").to_numpy()
+        if len(h):
+            st[_bloom_positions(h).ravel()] = 1
+        return st
+
+    bloom_bytes = ex.map_batches(bench_only, batch_format="pyarrow") \
+        .aggregate(AggregateFn(
+            init=lambda k_: np.zeros(_BLOOM_M, np.uint8),
+            accumulate_block=acc,
+            merge=lambda a, b: np.maximum(a, b),
+            finalize=lambda st: st.tobytes(),
+            name="bloom"))["bloom"]
+    bloom_ref = _ray.put(np.frombuffer(bloom_bytes, np.uint8))
+
+    def gate(t: pa.Table) -> pa.Table:
+        bl = _ray.get(bloom_ref)
+        ids = t["doc_id"].to_numpy() if not isinstance(
+            t["doc_id"], pa.ChunkedArray) \
+            else t["doc_id"].combine_chunks().to_numpy()
+        corp = t.filter(pa.array(np.mod(ids, bench_mod) != 0))
+        if corp.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        spans = _span_explode(corp)
+        h = spans["h"].to_numpy()
+        bad = np.empty(0, np.int64)
+        if len(h):
+            hit = bl[_bloom_positions(h)].all(axis=1)
+            bad = np.unique(spans["doc_id"].to_numpy()[hit])
+        keep = ~np.isin(corp["doc_id"].to_numpy(), bad)
+        return corp.select(["doc_id"]).filter(pa.array(keep))
+
+    return docs.map_batches(gate, batch_format="pyarrow")

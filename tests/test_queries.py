@@ -2,6 +2,7 @@
 full sf0.01 sweep is the driver's job; this keeps the suite fast)."""
 
 import duckdb
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -490,3 +491,54 @@ def test_crawl_host_pagerank_matches_serial(tmp_path):
                            "rank_fp": [rank[v] for v in nodes]})
     pd.testing.assert_frame_equal(
         got.to_pandas().sort_values("host").reset_index(drop=True), expect)
+
+
+def test_pack_sequences_invariants():
+    """Greedy packing: no pack exceeds the budget unless it is a single
+    oversized doc; every doc appears exactly once; two runs agree
+    bit-for-bit (md5 order, no session randomness)."""
+    from pomp_ray.pipelines.docs import pack_sequences
+
+    budget = 512
+    a = pack_sequences(SF, budget=budget).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = pack_sequences(SF, budget=budget).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    assert a["doc_id"].is_unique and len(a) == 500
+    per_pack = a.groupby("pack_id").agg(tot=("n_tokens", "sum"),
+                                        n=("n_tokens", "size"))
+    over = per_pack[per_pack["tot"] > budget]
+    assert (over["n"] == 1).all(), over
+    # shard encoded in the pack id
+    assert (a["pack_id"] // (1 << 32) == a["shard"]).all()
+
+
+def test_cms_word_counts_bounds(oracle_con):
+    """Count-min estimates never undercount, and at 4x4096 with this
+    vocab they stay within the classic e/w * total additive bound."""
+    from pomp_ray.pipelines.docs import cms_word_counts
+
+    est = cms_word_counts(SF).to_pandas()
+    exact = oracle_con.sql("""
+        WITH toks AS (SELECT unnest(regexp_extract_all(lower(text),
+                                    '[a-z]+')) AS w FROM documents)
+        SELECT w AS word, COUNT(*) AS n FROM toks GROUP BY w
+    """).df()
+    m = est.merge(exact, on="word")
+    assert len(m) == len(est) == 20
+    total = int(exact["n"].sum())
+    assert (m["n_est"] >= m["n"]).all()
+    assert (m["n_est"] - m["n"] <= np.e / 4096 * total + 1).all()
+
+
+
+def test_decontaminate_bloom_equals_exact():
+    """At 2^20 slots the Bloom gate has ~0 false positives on this
+    corpus, so the broadcast-filter variant must return exactly the
+    join-based decontaminate's clean set."""
+    from pomp_ray.pipelines.docs import decontaminate, decontaminate_bloom
+
+    exact = sorted(decontaminate(SF).to_pandas()["doc_id"])
+    bloom = sorted(decontaminate_bloom(SF).to_pandas()["doc_id"])
+    assert bloom == exact and len(bloom) > 0

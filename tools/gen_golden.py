@@ -574,6 +574,130 @@ def gen_crawl_pagerank_golden(n_iters: int = 8) -> None:
           "edges")
 
 
+def gen_pack_golden(sf_dir: str = SF001, budget: int = 512,
+                    n_shards: int = 16) -> None:
+    """Independent serial sequence packing (plain dict/loop, no Dataset
+    machinery) against docs.pack_sequences' contract: md5[:4] shard,
+    md5-hex order inside the shard (tie doc_id), greedy fill with
+    overflow starting a new pack, whitespace token counts."""
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    rows = []
+    for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        h = hashlib.md5(str(d).encode()).hexdigest()
+        shard = int(h[:4], 16) % n_shards
+        ntok = len(re.findall(r"\S+", x or ""))
+        rows.append((shard, h, d, ntok))
+    out = []
+    for shard in range(n_shards):
+        mine = sorted(r for r in rows if r[0] == shard)
+        pid, fill = -1, 0
+        for _, _, d, n in mine:
+            if pid < 0 or fill + n > budget:
+                pid += 1
+                fill = 0
+            fill += n
+            out.append((d, shard, shard * (1 << 32) + pid, n))
+    out.sort()
+    pq.write_table(
+        pa.table({"doc_id": pa.array([o[0] for o in out], pa.int64()),
+                  "shard": pa.array([o[1] for o in out], pa.int64()),
+                  "pack_id": pa.array([o[2] for o in out], pa.int64()),
+                  "n_tokens": pa.array([o[3] for o in out], pa.int64())}),
+        os.path.join(GOLDEN_DIR, "pack_sequences_sf001.parquet"))
+    n_packs = len({o[2] for o in out})
+    tot = sum(o[3] for o in out)
+    print("pack golden:", len(out), "docs ->", n_packs, "packs, fill",
+          round(tot / (n_packs * budget), 3))
+
+
+def gen_cms_golden(sf_dir: str = SF001, k: int = 20) -> None:
+    """Independent serial count-min sketch (Counter + per-word md5
+    positions, no Dataset machinery) against docs.cms_word_counts'
+    contract: 4 x 4096 int64 counters, positions = 4 LE-uint32 md5
+    chunks mod w, estimate = min over rows, reported for the exact
+    top-k words (count desc, word asc ties)."""
+    import collections
+
+    d, w = 4, 4096
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["text"])
+    cnt = collections.Counter()
+    for x in t["text"].to_pylist():
+        cnt.update(re.findall(r"[a-z]+", (x or "").lower()))
+    sketch = np.zeros((d, w), np.int64)
+    pos = {}
+    for word, n in cnt.items():
+        p = np.frombuffer(hashlib.md5(word.encode()).digest(),
+                          np.uint32) % np.uint32(w)
+        pos[word] = p
+        sketch[np.arange(d), p] += n
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    words = [wd for wd, _ in top]
+    ests = [int(sketch[np.arange(d), pos[wd]].min()) for wd in words]
+    pq.write_table(
+        pa.table({"word": pa.array(words, pa.string()),
+                  "n_est": pa.array(ests, pa.int64())}),
+        os.path.join(GOLDEN_DIR, "cms_sf001.parquet"))
+    over = [e - n for e, (_, n) in zip(ests, top)]
+    print("cms golden:", k, "words, overestimates", over[:5], "...")
+
+
+def gen_bloom_decon_golden(sf_dir: str = SF001, bench_mod: int = 97,
+                           m: int = 1 << 20, k_hash: int = 4) -> None:
+    """Independent serial Bloom decontamination (straight-line numpy +
+    per-token md5, no Dataset machinery, no engine hash cache) against
+    docs.decontaminate_bloom's spec: \\S+ lowercase tokens, md5[:8] LE
+    token hashes, rolling-polynomial 5-shingle hashes (prime
+    1099511628211, uint64 wrap, k = len when shorter), unique per doc,
+    Kirsch-Mitzenmacher double-hash slots, byte-per-slot filter."""
+    prime = np.uint64(1099511628211)
+
+    def shingles(text: str) -> np.ndarray:
+        toks = re.findall(r"\S+", (text or "").lower())
+        if not toks:
+            return np.empty(0, np.uint64)
+        th = np.array([int.from_bytes(hashlib.md5(w.encode()).digest()[:8],
+                                      "little") for w in toks], np.uint64)
+        k = min(5, len(th))
+        n = len(th) - k + 1
+        sh = np.zeros(n, np.uint64)
+        for j in range(k):
+            sh = sh * prime + th[j:n + j]
+        return np.unique(sh)
+
+    def positions(h: np.ndarray) -> np.ndarray:
+        h1 = h & np.uint64(0xFFFFFFFF)
+        h2 = (h >> np.uint64(32)) | np.uint64(1)
+        i = np.arange(k_hash, dtype=np.uint64)
+        return ((h1[:, None] + i[None, :] * h2[:, None])
+                & np.uint64(m - 1)).astype(np.int64)
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    bloom = np.zeros(m, np.uint8)
+    for d, x in zip(ids, texts):
+        if d % bench_mod == 0:
+            sh = shingles(x)
+            if len(sh):
+                bloom[positions(sh).ravel()] = 1
+    clean = []
+    for d, x in zip(ids, texts):
+        if d % bench_mod == 0:
+            continue
+        sh = shingles(x)
+        if len(sh) and bloom[positions(sh)].all(axis=1).any():
+            continue
+        clean.append(d)
+    clean.sort()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(clean, pa.int64())}),
+        os.path.join(GOLDEN_DIR, "bloom_decon_sf001.parquet"))
+    print("bloom decon golden:", len(clean), "clean docs of", len(ids))
+
+
 def gen_bpe_golden(sf_dir: str = SF001, n_merges: int = 24,
                    min_count: int = 2) -> None:
     """Serial Counter-based BPE merge learning (Sennrich-style), the
@@ -641,3 +765,6 @@ if __name__ == "__main__":
     gen_pq_golden()
     gen_dsir_golden()
     gen_crawl_pagerank_golden()
+    gen_pack_golden()
+    gen_cms_golden()
+    gen_bloom_decon_golden()
