@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": docs.pack_sequences,
         "cms_word_counts": docs.cms_word_counts,
         "decontaminate_bloom": docs.decontaminate_bloom,
+        "bm25_topk": docs.bm25_topk,
         # -- documents: signatures / near-dup (deterministic, rows-only)
         "lang_predictions": docs.lang_predictions,
         "sample_docs": docs.sample_docs,
@@ -173,12 +174,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_topk": embeddings.pq_topk,
         "label_centroids": embeddings.label_centroids,
         "kmeans_clusters": embeddings.kmeans_clusters,
+        "semdedup": embeddings.semdedup,
         # -- graph: near-dup pairs -> dup groups (label propagation)
         "dup_components": graph.dup_components,
         "pagerank_clicks": graph.pagerank_clicks,
         "crawl_host_pagerank": lambda sf: _crawl_host_pagerank(),
-        # -- tokenizer training (BPE merge learning over word freqs)
+        # -- tokenizer training (BPE merge learning over word freqs) + apply
         "bpe_merges": tokenizer.bpe_merges,
+        "bpe_token_counts": tokenizer.bpe_token_counts,
         # -- relational building blocks (join/rollup/sort/filter)
         "events_rollup": relational.events_rollup,
         "hll_users_by_type": relational.hll_users_by_type,
@@ -187,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_mktsegment": relational.orders_by_mktsegment,
         "lineitem_pricing_summary": relational.lineitem_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
+        "q6_revenue": relational.q6_revenue,
         "rolling_user_spend": relational.rolling_user_spend,
         "filter_project": relational.filter_project,
         # -- the crawl engine itself (hash-checked against committed golden
@@ -201,6 +205,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 # ---------------------------------------------------------------- oracle SQL
+def _bm25_oracle(terms=("scan", "column", "window"), k=10) -> str:
+    """Compose the BM25 oracle SQL mirroring docs.bm25_topk's literal
+    arithmetic tree (see that docstring for the float discipline)."""
+    tf_cols = ",\n".join(
+        f"                 len(list_filter(regexp_extract_all(lower(text),"
+        f" '[a-z]+'), x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms))
+    df_cols = ",\n".join(
+        f"                 SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms)))
+    term = lambda i: (
+        f"((CAST(n - df{i} AS DOUBLE) + 0.5) / (CAST(df{i} AS DOUBLE) + 0.5))"
+        f" * ((tf{i} * (CAST(1.2 AS DOUBLE) + 1.0)) / (tf{i} +"
+        f" CAST(1.2 AS DOUBLE) * ((1.0 - 0.75) + (0.75 * dl) / avgdl)))")
+    score = " + ".join(term(i) for i in range(len(terms)))
+    return f"""
+        WITH d AS (
+            SELECT doc_id,
+                 len(regexp_extract_all(lower(text), '[a-z]+')) AS dl,
+{tf_cols}
+            FROM documents),
+        s AS (SELECT COUNT(*) AS n,
+                 CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+{df_cols}
+              FROM d)
+        SELECT doc_id, {score} AS score
+        FROM d, s ORDER BY score DESC, doc_id LIMIT {k}
+    """
+
+
+_BM25_ORACLE = _bm25_oracle()
+
 _GOLDEN = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "tests", "golden")
 
@@ -880,6 +916,27 @@ def oracle_sql() -> dict[str, str]:
         # the serial Counter-based learner in tools/gen_golden.py
         "bpe_merges":
             f"SELECT * FROM read_parquet('{_GOLDEN}/bpe_merges_sf001.parquet')",
+        "bpe_token_counts":
+            f"SELECT * FROM read_parquet('{_GOLDEN}/bpe_encode_sf001.parquet')",
+        "semdedup":
+            f"SELECT * FROM read_parquet('{_GOLDEN}/semdedup_sf001.parquet')",
+        # Q6: products formed in integer 10^-4 currency units and summed
+        # exactly, mirroring the engine's int64 arithmetic bit for bit
+        "q6_revenue": """
+            SELECT CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                       * CAST(ROUND(l_discount*100) AS BIGINT)) AS DOUBLE)
+                   / 10000.0 AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        # BM25: the scoring expression mirrors the engine's numpy
+        # arithmetic tree exactly (CAST(1.2 AS DOUBLE) because a bare 1.2
+        # parses as DECIMAL, whose exact 2.2 differs from the engine's
+        # 1.2 + 1.0 double in the last ulp), so scores are bit-identical
+        "bm25_topk": _BM25_ORACLE,
         "hll_users_by_type":
             f"SELECT * FROM read_parquet('{_GOLDEN}/hll_users_sf001.parquet')",
         "crawl_bfs_errors":

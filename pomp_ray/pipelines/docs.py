@@ -1558,3 +1558,75 @@ def decontaminate_bloom(sf_dir: str, bench_mod: int = 97) -> rd.Dataset:
         return corp.select(["doc_id"]).filter(pa.array(keep))
 
     return docs.map_batches(gate, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------------- BM25
+_BM25_TERMS = ("scan", "column", "window")
+
+
+def bm25_topk(sf_dir: str, k: int = 10, k1: float = 1.2,
+              b: float = 0.75) -> pa.Table:
+    """BM25 retrieval (Robertson-Sparck Jones) for a fixed 3-term query:
+    top-``k`` docs by score.  Two corpus passes, both O(1) driver state:
+
+    1. one map_batches pass reduces each doc to 5 integers (dl, per-term
+       tf) -- the (doc_id, ints) table is materialized once and is the
+       ONLY thing the shuffle ever sees (never text);
+    2. a Sum/Count aggregate yields N, sum(dl), per-term df (tiny), and
+       one vectorized pass scores docs with the broadcast scalars; the
+       global top-k merges per-batch partial top-ks (the ann_topk
+       shape, no full sort).
+
+    Cross-engine float discipline: the scoring expression is written
+    with the SAME literal arithmetic tree in numpy and in the DuckDB
+    oracle ((k1 + 1.0), (1.0 - b), left-assoc term sum), and every
+    input is an exact integer, so scores are bit-identical doubles and
+    the (score DESC, doc_id) order agrees exactly."""
+    terms = _BM25_TERMS
+
+    def stats(t: pa.Table) -> pa.Table:
+        flat, parent = _tokenize_flat(t)
+        n = t.num_rows
+        fl = flat.to_numpy(zero_copy_only=False)
+        par = parent.to_numpy()
+        cols = {"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "dl": pa.array(np.bincount(par, minlength=n)
+                               .astype(np.int64), pa.int64())}
+        for i, term in enumerate(terms):
+            tf = np.bincount(par[fl == term], minlength=n).astype(np.int64)
+            cols[f"tf{i}"] = pa.array(tf, pa.int64())
+            cols[f"g{i}"] = pa.array((tf > 0).astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    tf_tbl = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow").materialize()
+    n_docs = tf_tbl.count()
+    aggs = [Sum("dl", alias_name="sdl")]
+    for i in range(len(terms)):
+        aggs.append(Sum(f"g{i}", alias_name=f"df{i}"))
+    g = tf_tbl.aggregate(*aggs)
+    avgdl = float(g["sdl"]) / float(n_docs)
+    idf = [(float(n_docs - g[f"df{i}"]) + 0.5) / (float(g[f"df{i}"]) + 0.5)
+           for i in range(len(terms))]
+
+    def score(t: pa.Table) -> pa.Table:
+        dl = t["dl"].to_numpy().astype(np.float64)
+        s = None
+        for i in range(len(terms)):
+            tf = t[f"tf{i}"].to_numpy().astype(np.float64)
+            term = idf[i] * ((tf * (k1 + 1.0)) /
+                             (tf + k1 * ((1.0 - b) + (b * dl) / avgdl)))
+            s = term if s is None else s + term
+        ids = t["doc_id"].to_numpy()
+        if len(ids) > k:   # per-batch partial top-k
+            part = np.lexsort((ids, -s))[:k]
+            ids, s = ids[part], s[part]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "score": pa.array(s, pa.float64())})
+
+    parts = tf_tbl.map_batches(score, batch_format="pyarrow").take_all()
+    ids = np.array([r["doc_id"] for r in parts], np.int64)
+    sc = np.array([r["score"] for r in parts], np.float64)
+    order = np.lexsort((ids, -sc))[:k]
+    return pa.table({"doc_id": pa.array(ids[order], pa.int64()),
+                     "score": pa.array(sc[order], pa.float64())})

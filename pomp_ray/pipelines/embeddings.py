@@ -586,3 +586,74 @@ def pq_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10,
     return pa.table({"vec_id": pa.array(ids[order], pa.int64()),
                      "score": pa.array(np.round(sims[order], 6),
                                        pa.float64())})
+
+
+# ---------------------------------------------------------------- SemDeDup
+def semdedup(sf_dir: str, k: int = 8, n_iter: int = 5,
+             threshold: float = 0.35) -> rd.Dataset:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embeddings with k-means, then inside each cluster drop all but
+    one member of every cosine-similarity > ``threshold`` duplicate
+    group.  Dup groups are connected components of the in-cluster
+    similarity graph; the keeper is the smallest vec_id (a deterministic
+    stand-in for the paper's lowest-centroid-similarity rule).
+
+    Scale shape: the k x dim centroid matrix is the ONLY broadcast; one
+    pass assigns clusters, ``groupby(cluster)`` co-locates each
+    cluster's vectors, and the all-pairs matmul + union-find runs
+    block-local per cluster (the partitioning assumption: one k-means
+    cluster fits a worker -- raise ``k`` until it does, exactly how the
+    paper shards 100 TB).  Nothing corpus-scale crosses the driver.
+
+    Determinism: cluster assignment reuses kmeans_iterate's bit-exact
+    int64 micro-unit arithmetic; the in-cluster matmul runs on the
+    vec_id-sorted group matrix, so shapes and results match the
+    independent serial golden exactly (the accepted same-BLAS
+    convention used by the IVF/SRP verifies).  Returns (vec_id,
+    cluster, keep)."""
+    cent = kmeans_iterate(sf_dir, k=k, n_iter=n_iter)
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids, q = _km_quant(t)
+        x = q.astype(np.float64)
+        d2 = np.empty((len(x), cent.shape[0]))
+        for j in range(cent.shape[0]):
+            diff = x - cent[j]
+            d2[:, j] = np.einsum("ij,ij->i", diff, diff)
+        _, mat = _to_matrix(t)
+        nm = _normalize(mat)
+        return pa.table({
+            "cluster": pa.array(d2.argmin(axis=1).astype(np.int64),
+                                pa.int64()),
+            "vec_id": pa.array(ids, pa.int64()),
+            "emb": pa.array(list(nm), pa.list_(pa.float64()))})
+
+    def dedup_cluster(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+        g = g.sort_values("vec_id").reset_index(drop=True)
+        ids = g["vec_id"].to_numpy(np.int64)
+        mat = np.array(g["emb"].tolist(), np.float64)
+        sims = mat @ mat.T
+        n = len(ids)
+        # union-find over above-threshold pairs (a < b by sorted order)
+        root = np.arange(n)
+
+        def find(i):
+            while root[i] != i:
+                root[i] = root[root[i]]
+                i = root[i]
+            return i
+
+        ai, bj = np.nonzero(np.triu(sims > threshold, 1))
+        for a, b in zip(ai, bj):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                root[max(ra, rb)] = min(ra, rb)
+        keep = np.array([find(i) == i for i in range(n)])
+        return pd.DataFrame({"vec_id": ids,
+                             "cluster": g["cluster"].to_numpy(np.int64),
+                             "keep": keep})
+
+    return (_emb(sf_dir).map_batches(assign, batch_format="pyarrow")
+            .groupby("cluster")
+            .map_groups(dedup_cluster, batch_format="pandas"))

@@ -354,3 +354,37 @@ def rolling_user_spend(sf_dir: str, window: int = 5) -> rd.Dataset:
             "user_id": pc.cast(t["user_id"], pa.int64()),
             "roll_cents": pc.cast(t["roll_cents"], pa.int64())}),
         batch_format="pyarrow")
+
+
+def q6_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q6 (forecasting revenue change): one filtered scan of
+    lineitem, one scalar SUM(l_extendedprice * l_discount).  Prices and
+    discounts are exact 2-decimal values, so each product is formed in
+    integer 10^-4 currency units (rint(p*100) * rint(d*100)) and summed
+    as int64: the distributed sum is order-independent and the final
+    double (sum / 10000.0) is bit-identical to the DuckDB oracle, which
+    mirrors the same integer arithmetic.  Only the four touched columns
+    leave the parquet scan."""
+    ds = _t(sf_dir, "lineitem",
+            ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+    # the testdata's shipdates start 1995 (TPC-H-ish, not stock TPC-H);
+    # the window is shifted to select a real slice
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1997-01-01")
+
+    def partial(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].to_numpy()
+        disc = t["l_discount"].to_numpy()
+        m = ((ship >= lo) & (ship < hi)
+             & (disc >= 0.05) & (disc <= 0.07)
+             & (t["l_quantity"].to_numpy() < 24))
+        cents_p = np.rint(t["l_extendedprice"].to_numpy()[m] * 100) \
+            .astype(np.int64)
+        cents_d = np.rint(disc[m] * 100).astype(np.int64)
+        s = int((cents_p * cents_d).sum())
+        return pa.table({"s": pa.array([s], pa.int64())})
+
+    total = ds.map_batches(partial, batch_format="pyarrow") \
+        .aggregate(Sum("s", alias_name="s"))["s"]
+    return pa.table({"revenue": pa.array([float(total) / 10000.0],
+                                         pa.float64())})

@@ -155,3 +155,69 @@ def bpe_merges(sf_dir: str, n_merges: int = 24,
                      "left": pa.array(lefts, pa.string()),
                      "right": pa.array(rights, pa.string()),
                      "n": pa.array(counts, pa.int64())})
+
+
+class _BpeEncodeStage:
+    """Stateful encode stage for ``map_batches``: the learned merge list
+    ships once per ACTOR (constructor arg), each actor keeps a
+    word -> subtoken-count cache across batches (vocabulary is tiny
+    next to the corpus, so the cache converges fast and encoding cost
+    amortizes to a dict hit per unique word)."""
+
+    def __init__(self, merges: list):
+        self.merges = [tuple(m) for m in merges]
+        self._cache: dict = {}
+
+    def _n_sub(self, w: str) -> int:
+        c = self._cache.get(w)
+        if c is None:
+            s = list(w) + [EOW]
+            for left, right in self.merges:
+                if left not in s or right not in s:
+                    continue
+                out, j = [], 0
+                while j < len(s):
+                    if (s[j] == left and j + 1 < len(s)
+                            and s[j + 1] == right):
+                        out.append(left + right)
+                        j += 2
+                    else:
+                        out.append(s[j])
+                        j += 1
+                s = out
+            c = len(s)
+            self._cache[w] = c
+        return c
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from pomp_ray.pipelines.docs import _tokenize_flat
+
+        flat, parent = _tokenize_flat(t)
+        n = t.num_rows
+        fl = flat.to_numpy(zero_copy_only=False)
+        par = parent.to_numpy()
+        cnt = np.zeros(n, np.int64)
+        if len(fl):
+            uniq, inv = np.unique(fl, return_inverse=True)
+            lens = np.array([self._n_sub(w) for w in uniq], np.float64)
+            cnt = np.bincount(par, weights=lens[inv],
+                              minlength=n).astype(np.int64)
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "n_tokens_bpe": pa.array(cnt, pa.int64())})
+
+
+def bpe_token_counts(sf_dir: str, n_merges: int = 24) -> rd.Dataset:
+    """Apply the learned BPE merges to the corpus: per-doc subword token
+    counts (doc_id, n_tokens_bpe) -- the tokenizer-apply half that
+    completes the train half above.  Merges apply per word in rank
+    order, left-to-right non-overlapping (the serial Sennrich encode
+    rule), so counts are exact integers and the output is bit-identical
+    to the independent serial golden regardless of block layout.  The
+    merge table (O(n_merges) strings) is the only broadcast; text never
+    crosses a shuffle."""
+    m = bpe_merges(sf_dir, n_merges=n_merges)
+    merges = list(zip(m["left"].to_pylist(), m["right"].to_pylist()))
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"]) \
+        .map_batches(_BpeEncodeStage, fn_constructor_args=(merges,),
+                     concurrency=(1, 4), batch_format="pyarrow")

@@ -30,6 +30,8 @@ SPOT = [
     "token_shard_stats",
     "rolling_user_spend",
     "pretraining_shards",
+    "q6_revenue",
+    "bm25_topk",
 ]
 
 
@@ -542,3 +544,124 @@ def test_decontaminate_bloom_equals_exact():
     exact = sorted(decontaminate(SF).to_pandas()["doc_id"])
     bloom = sorted(decontaminate_bloom(SF).to_pandas()["doc_id"])
     assert bloom == exact and len(bloom) > 0
+
+
+def test_semdedup_matches_serial():
+    """Inline serial SemDeDup (full-matrix numpy + dict union-find, no
+    Dataset machinery) must match the distributed pipeline bit-for-bit
+    at sf0.001 (the committed sf0.01 golden is the driver's check)."""
+    import pyarrow.parquet as pq
+
+    from pomp_ray.pipelines.embeddings import semdedup
+
+    k, n_iter, thr = 8, 5, 0.35
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = np.asarray(t["vec_id"].to_pylist(), np.int64)
+    mat = np.array(t["embedding"].to_pylist(), np.float64)
+    q = np.rint(mat * float(1 << 20)).astype(np.int64)
+    order = np.argsort(ids)
+    ids, mat, q = ids[order], mat[order], q[order]
+    cent = q[:k].astype(np.float64)
+
+    def assign_all(c):
+        x = q.astype(np.float64)
+        d2 = np.empty((len(x), k))
+        for j in range(k):
+            diff = x - c[j]
+            d2[:, j] = np.einsum("ij,ij->i", diff, diff)
+        return d2.argmin(axis=1)
+
+    for _ in range(n_iter):
+        a = assign_all(cent)
+        for j in range(k):
+            m = a == j
+            if m.any():
+                cent[j] = q[m].sum(axis=0).astype(np.float64) / m.sum()
+    final = assign_all(cent)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    nm = mat / norms
+    keep = np.zeros(len(ids), bool)
+    for cl in range(k):
+        sel = np.flatnonzero(final == cl)
+        if not len(sel):
+            continue
+        sims = nm[sel] @ nm[sel].T
+        parent = list(range(len(sel)))
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        for a, b in zip(*np.nonzero(np.triu(sims > thr, 1))):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        for i in range(len(sel)):
+            if find(i) == i:
+                keep[sel[i]] = True
+    expect = pd.DataFrame({"vec_id": ids,
+                           "cluster": final.astype(np.int64),
+                           "keep": keep})
+
+    got = semdedup(SF, k=k, n_iter=n_iter, threshold=thr).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["vec_id", "cluster", "keep"]], expect, check_exact=True)
+    assert 0 < got["keep"].sum() <= len(got)
+
+
+def test_bpe_token_counts_matches_serial():
+    """Inline serial BPE learn + encode (Counter/loops) must match the
+    distributed tokenizer-apply pipeline exactly at sf0.001."""
+    import collections
+    import re as _re
+
+    import pyarrow.parquet as pq
+
+    from pomp_ray.pipelines.tokenizer import bpe_token_counts
+
+    n_merges = 24
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ids, texts = t["doc_id"].to_pylist(), t["text"].to_pylist()
+    wf = collections.Counter()
+    for x in texts:
+        wf.update(_re.findall(r"[a-z]+", (x or "").lower()))
+    syms = {w: tuple(list(w) + ["</w>"]) for w in wf}
+    for _ in range(n_merges):
+        pairs = collections.Counter()
+        for w, n in wf.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += n
+        if not pairs:
+            break
+        (left, right), n = sorted(
+            pairs.items(),
+            key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1]))[0]
+        if n < 2:
+            break
+        for w in syms:
+            s = syms[w]
+            if left in s and right in s:
+                new, i = [], 0
+                while i < len(s):
+                    if s[i] == left and i + 1 < len(s) and s[i + 1] == right:
+                        new.append(left + right)
+                        i += 2
+                    else:
+                        new.append(s[i])
+                        i += 1
+                syms[w] = tuple(new)
+    expect = pd.DataFrame({
+        "doc_id": ids,
+        "n_tokens_bpe": [sum(len(syms[w]) for w in
+                             _re.findall(r"[a-z]+", (x or "").lower()))
+                         for x in texts]}).sort_values("doc_id") \
+        .reset_index(drop=True)
+
+    got = bpe_token_counts(SF, n_merges=n_merges).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, expect, check_exact=True)

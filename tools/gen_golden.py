@@ -751,6 +751,132 @@ def gen_bpe_golden(sf_dir: str = SF001, n_merges: int = 24,
           out[0] if out else None)
 
 
+
+def gen_semdedup_golden(sf_dir: str = SF001, k: int = 8, n_iter: int = 5,
+                        threshold: float = 0.35) -> None:
+    """Independent serial SemDeDup (full-matrix numpy, dict union-find,
+    no Dataset machinery) against embeddings.semdedup's contract: the
+    gen_kmeans_golden serial k-means for clusters, row-normalized
+    embeddings, per-cluster all-pairs cosine on the vec_id-sorted
+    cluster matrix (same-BLAS convention), connected components over
+    sims > threshold, keeper = smallest vec_id per component."""
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = np.asarray(t["vec_id"].to_pylist(), np.int64)
+    mat = np.array(t["embedding"].to_pylist(), np.float64)
+    q = np.rint(mat * float(1 << 20)).astype(np.int64)
+    order = np.argsort(ids)
+    ids, mat, q = ids[order], mat[order], q[order]
+    cent = q[:k].astype(np.float64)
+
+    def assign_all(c):
+        x = q.astype(np.float64)
+        d2 = np.empty((len(x), k))
+        for j in range(k):
+            diff = x - c[j]
+            d2[:, j] = np.einsum("ij,ij->i", diff, diff)
+        return d2.argmin(axis=1)
+
+    for _ in range(n_iter):
+        a = assign_all(cent)
+        for j in range(k):
+            m = a == j
+            if m.any():
+                cent[j] = q[m].sum(axis=0).astype(np.float64) / m.sum()
+    final = assign_all(cent)
+
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    nm = mat / norms
+    keep = np.zeros(len(ids), bool)
+    for cl in range(k):
+        sel = np.flatnonzero(final == cl)   # ids sorted globally
+        if len(sel) == 0:
+            continue
+        sub = nm[sel]
+        sims = sub @ sub.T
+        n = len(sel)
+        parent = list(range(n))
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        ai, bj = np.nonzero(np.triu(sims > threshold, 1))
+        for a, b in zip(ai, bj):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        for i in range(n):
+            if find(i) == i:
+                keep[sel[i]] = True
+    out_order = np.argsort(ids)
+    pq.write_table(
+        pa.table({"vec_id": pa.array(ids[out_order], pa.int64()),
+                  "cluster": pa.array(final[out_order].astype(np.int64),
+                                      pa.int64()),
+                  "keep": pa.array(keep[out_order], pa.bool_())}),
+        os.path.join(GOLDEN_DIR, "semdedup_sf001.parquet"))
+    print("semdedup golden:", len(ids), "vectors,", int(keep.sum()),
+          "kept,", k, "clusters")
+
+
+
+def gen_bpe_encode_golden(sf_dir: str = SF001, n_merges: int = 24,
+                          min_count: int = 2) -> None:
+    """Independent serial BPE ENCODE golden (plain Counter/loop, no
+    Dataset machinery): re-learns the merge table exactly as
+    gen_bpe_golden, then counts each doc's subword tokens as the sum of
+    len(final symbol tuple) over its [a-z]+ lowercase tokens."""
+    import collections
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    wf = collections.Counter()
+    for x in texts:
+        wf.update(re.findall(r"[a-z]+", (x or "").lower()))
+    syms = {w: tuple(list(w) + ["</w>"]) for w in wf}
+    for _rank in range(n_merges):
+        pairs = collections.Counter()
+        for w, n in wf.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += n
+        if not pairs:
+            break
+        (left, right), n = sorted(
+            pairs.items(), key=lambda kv: (-kv[1],
+                                           kv[0][0] + " " + kv[0][1]))[0]
+        if n < min_count:
+            break
+        for w in syms:
+            s = syms[w]
+            if left in s and right in s:
+                new, i = [], 0
+                while i < len(s):
+                    if (s[i] == left and i + 1 < len(s)
+                            and s[i + 1] == right):
+                        new.append(left + right)
+                        i += 2
+                    else:
+                        new.append(s[i])
+                        i += 1
+                syms[w] = tuple(new)
+    counts = []
+    for x in texts:
+        counts.append(sum(len(syms[w]) for w in
+                          re.findall(r"[a-z]+", (x or "").lower())))
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "n_tokens_bpe": pa.array(counts, pa.int64())}),
+        os.path.join(GOLDEN_DIR, "bpe_encode_sf001.parquet"))
+    print("bpe encode golden:", len(ids), "docs, mean",
+          round(sum(counts) / len(counts), 2), "subtokens")
+
+
 if __name__ == "__main__":
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     gen_signature_goldens()
@@ -768,3 +894,5 @@ if __name__ == "__main__":
     gen_pack_golden()
     gen_cms_golden()
     gen_bloom_decon_golden()
+    gen_semdedup_golden()
+    gen_bpe_encode_golden()
