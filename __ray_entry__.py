@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_word_counts": docs.cms_word_counts,
         "decontaminate_bloom": docs.decontaminate_bloom,
         "bm25_topk": docs.bm25_topk,
+        "gopher_quality_flags": docs.gopher_quality_flags,
         # -- documents: signatures / near-dup (deterministic, rows-only)
         "lang_predictions": docs.lang_predictions,
         "sample_docs": docs.sample_docs,
@@ -236,6 +237,46 @@ def _bm25_oracle(terms=("scan", "column", "window"), k=10) -> str:
 
 
 _BM25_ORACLE = _bm25_oracle()
+
+
+def _gopher_oracle() -> str:
+    """Mirror docs.gopher_quality_flags' integer rule arithmetic; the
+    stop list comes from the same _GOPHER_STOPS constant."""
+    from pomp_ray.pipelines.docs import _GOPHER_STOPS
+    stop_sum = " + ".join(
+        f"(CASE WHEN len(regexp_extract_all(text, '\\b{w}\\b')) > 0"
+        f" THEN 1 ELSE 0 END)" for w in _GOPHER_STOPS)
+    gates = ("n_words >= 50 AND n_words <= 100000",
+             "3*n_words <= sum_len AND sum_len <= 10*n_words",
+             "10*n_sym <= n_words",
+             "10*n_bullet <= 9*n_lines",
+             "10*n_ell <= 3*n_lines",
+             "5*n_alpha >= 4*n_words",
+             "n_stop >= 2")
+    return rf"""
+        WITH c AS (
+            SELECT doc_id,
+                len(regexp_extract_all(text, '\S+')) AS n_words,
+                length(regexp_replace(text, '\s+', '', 'g')) AS sum_len,
+                len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS n_alpha,
+                len(regexp_extract_all(text, '#'))
+                  + len(regexp_extract_all(text, '\.\.\.')) AS n_sym,
+                len(regexp_extract_all(text, '\n')) + 1 AS n_lines,
+                len(regexp_extract_all(text, '(?m)^[-*]')) AS n_bullet,
+                len(regexp_extract_all(text, '(?m)\.\.\.$')) AS n_ell,
+                {stop_sum} AS n_stop
+            FROM documents)
+        SELECT doc_id, n_words,
+            ({gates[0]}) AS f_words,
+            ({gates[1]}) AS f_mean_len,
+            ({gates[2]}) AS f_sym,
+            ({gates[3]}) AS f_bullet,
+            ({gates[4]}) AS f_ell,
+            ({gates[5]}) AS f_alpha,
+            ({gates[6]}) AS f_stop,
+            ({" AND ".join(gates)}) AS keep
+        FROM c
+    """
 
 _GOLDEN = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "tests", "golden")
@@ -937,6 +978,8 @@ def oracle_sql() -> dict[str, str]:
         # parses as DECIMAL, whose exact 2.2 differs from the engine's
         # 1.2 + 1.0 double in the last ulp), so scores are bit-identical
         "bm25_topk": _BM25_ORACLE,
+        # Gopher rules: pure integer arithmetic in both engines
+        "gopher_quality_flags": _gopher_oracle(),
         "hll_users_by_type":
             f"SELECT * FROM read_parquet('{_GOLDEN}/hll_users_sf001.parquet')",
         "crawl_bfs_errors":

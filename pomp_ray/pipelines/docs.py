@@ -1630,3 +1630,71 @@ def bm25_topk(sf_dir: str, k: int = 10, k1: float = 1.2,
     order = np.lexsort((ids, -sc))[:k]
     return pa.table({"doc_id": pa.array(ids[order], pa.int64()),
                      "score": pa.array(sc[order], pa.float64())})
+
+
+# -------------------------------------------------- Gopher quality rules
+# Gopher's production rule uses the 8 common English function words
+# ("the be to of and that have with"); the synthetic corpus has no
+# English function words, so the default here is its 8 most frequent
+# content words -- same rule shape, a stop-count that actually
+# discriminates on this vocabulary.
+_GOPHER_STOPS = ("join", "hash", "row", "batch",
+                 "scan", "column", "customer", "filter")
+
+
+def gopher_quality_flags(sf_dir: str) -> rd.Dataset:
+    """Gopher-style document quality rules (Rae et al. 2021, Table A1):
+    per-doc boolean gates for word count (50..100k), mean word length
+    (3..10), symbol-to-word ratio (<= 0.1 for '#'/'...'), bullet-start
+    (<= 90% of lines) and ellipsis-end (<= 30% of lines) line fractions,
+    alphabetic-word fraction (>= 80%), and >= 2 distinct stop words.
+
+    Every rule is evaluated in INTEGER arithmetic (e.g. mean-word-length
+    in [3,10] becomes 3*n_words <= sum_len <= 10*n_words), so the flags
+    are exact and the DuckDB oracle mirrors them bit for bit.  One
+    all-Arrow map_batches pass: counts via count_substring_regex (RE2,
+    the same regex dialect DuckDB uses), no Python over rows."""
+
+    def flags(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+
+        def cnt(pattern: str) -> np.ndarray:
+            return pc.count_substring_regex(txt, pattern) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+
+        n_words = cnt(r"\S+")
+        sum_len = pc.utf8_length(
+            pc.replace_substring_regex(txt, r"\s+", "")) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        n_alpha = cnt(r"\S*[A-Za-z]\S*")
+        n_sym = cnt(r"#") + cnt(r"\.\.\.")
+        n_lines = cnt(r"\n") + 1
+        n_bullet = cnt(r"(?m)^[-*]")
+        n_ell = cnt(r"(?m)\.\.\.$")
+        n_stop = sum((cnt(rf"\b{w}\b") > 0).astype(np.int64)
+                     for w in _GOPHER_STOPS)
+
+        f_words = (n_words >= 50) & (n_words <= 100_000)
+        f_mean_len = (3 * n_words <= sum_len) & (sum_len <= 10 * n_words)
+        f_sym = 10 * n_sym <= n_words
+        f_bullet = 10 * n_bullet <= 9 * n_lines
+        f_ell = 10 * n_ell <= 3 * n_lines
+        f_alpha = 5 * n_alpha >= 4 * n_words
+        f_stop = n_stop >= 2
+        keep = (f_words & f_mean_len & f_sym & f_bullet & f_ell
+                & f_alpha & f_stop)
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_words": pa.array(n_words, pa.int64()),
+            "f_words": pa.array(f_words, pa.bool_()),
+            "f_mean_len": pa.array(f_mean_len, pa.bool_()),
+            "f_sym": pa.array(f_sym, pa.bool_()),
+            "f_bullet": pa.array(f_bullet, pa.bool_()),
+            "f_ell": pa.array(f_ell, pa.bool_()),
+            "f_alpha": pa.array(f_alpha, pa.bool_()),
+            "f_stop": pa.array(f_stop, pa.bool_()),
+            "keep": pa.array(keep, pa.bool_()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        flags, batch_format="pyarrow")

@@ -32,6 +32,7 @@ SPOT = [
     "pretraining_shards",
     "q6_revenue",
     "bm25_topk",
+    "gopher_quality_flags",
 ]
 
 
