@@ -183,6 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- tokenizer training (BPE merge learning over word freqs) + apply
         "bpe_merges": tokenizer.bpe_merges,
         "bpe_token_counts": tokenizer.bpe_token_counts,
+        "tokenized_shard_stats": tokenizer.tokenized_shard_stats,
         # -- relational building blocks (join/rollup/sort/filter)
         "events_rollup": relational.events_rollup,
         "hll_users_by_type": relational.hll_users_by_type,
@@ -959,6 +960,17 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM read_parquet('{_GOLDEN}/bpe_merges_sf001.parquet')",
         "bpe_token_counts":
             f"SELECT * FROM read_parquet('{_GOLDEN}/bpe_encode_sf001.parquet')",
+        # shard balance of the tokenized export: md5 bucketing composed in
+        # SQL over the independent serial encode-counts golden
+        "tokenized_shard_stats": f"""
+            SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                             1, 4))
+                             AS INTEGER) % 16 AS BIGINT) AS shard,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens_bpe) AS BIGINT) AS n_tokens
+            FROM read_parquet('{_GOLDEN}/bpe_encode_sf001.parquet')
+            GROUP BY shard
+        """,
         "semdedup":
             f"SELECT * FROM read_parquet('{_GOLDEN}/semdedup_sf001.parquet')",
         # Q6: products formed in integer 10^-4 currency units and summed

@@ -221,3 +221,137 @@ def bpe_token_counts(sf_dir: str, n_merges: int = 24) -> rd.Dataset:
                            columns=["doc_id", "text"]) \
         .map_batches(_BpeEncodeStage, fn_constructor_args=(merges,),
                      concurrency=(1, 4), batch_format="pyarrow")
+
+
+class _BpeIdsStage:
+    """Stateful encode-to-ids stage: vocabulary is deterministic --
+    ids 0..25 = 'a'..'z', 26 = '</w>', 27+rank = merge `rank`'s merged
+    symbol -- so the SAME merge table always yields the SAME ids,
+    across sessions and engines.  Per-actor word -> ids cache; the
+    per-doc ragged id concatenation is a vectorized gather (offsets
+    arithmetic), not a Python loop over tokens."""
+
+    def __init__(self, merges: list):
+        self.merges = [tuple(m) for m in merges]
+        self.vocab = {c: i for i, c in
+                      enumerate("abcdefghijklmnopqrstuvwxyz")}
+        self.vocab[EOW] = 26
+        for r, (left, right) in enumerate(self.merges):
+            self.vocab[left + right] = 27 + r
+        self._cache: dict = {}
+
+    def _ids(self, w: str) -> np.ndarray:
+        c = self._cache.get(w)
+        if c is None:
+            s = list(w) + [EOW]
+            for left, right in self.merges:
+                if left not in s or right not in s:
+                    continue
+                out, j = [], 0
+                while j < len(s):
+                    if (s[j] == left and j + 1 < len(s)
+                            and s[j + 1] == right):
+                        out.append(left + right)
+                        j += 2
+                    else:
+                        out.append(s[j])
+                        j += 1
+                s = out
+            c = np.array([self.vocab[x] for x in s], np.int32)
+            self._cache[w] = c
+        return c
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from pomp_ray.pipelines.docs import _shard_ids, _tokenize_flat
+
+        doc_ids = t["doc_id"].to_pylist()
+        shard = _shard_ids(doc_ids, self.n_shards)
+        flat, parent = _tokenize_flat(t)
+        n = t.num_rows
+        fl = flat.to_numpy(zero_copy_only=False)
+        par = parent.to_numpy()
+        if len(fl):
+            uniq, inv = np.unique(fl, return_inverse=True)
+            enc = [self._ids(w) for w in uniq]
+            lens = np.array([len(e) for e in enc], np.int64)
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            big = np.concatenate(enc)
+            # ragged gather: token j contributes big[starts[inv[j]] ..
+            # +lens[inv[j]]]; flat/parent are in doc order, so the
+            # concatenation below is each doc's ids in reading order
+            tl = lens[inv]
+            pos = (np.repeat(starts[inv], tl)
+                   + np.arange(tl.sum()) - np.repeat(
+                       np.concatenate([[0], np.cumsum(tl)[:-1]]), tl))
+            all_ids = big[pos]
+            per_doc = np.bincount(par, weights=tl, minlength=n) \
+                .astype(np.int64)
+        else:
+            all_ids = np.array([], np.int32)
+            per_doc = np.zeros(n, np.int64)
+        offsets = np.concatenate([[0], np.cumsum(per_doc)]).astype(np.int32)
+        ids_col = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(all_ids, pa.int32()))
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "shard": pa.array(shard, pa.int64()),
+            "ids": ids_col,
+            "n_tokens": pa.array(per_doc, pa.int64())})
+
+
+def tokenized_docs(sf_dir: str, n_merges: int = 24,
+                   n_shards: int = 16) -> rd.Dataset:
+    """The training-ready export: (doc_id, shard, ids list<int32>,
+    n_tokens) -- each doc BPE-encoded to token ids under the
+    deterministic vocabulary (see _BpeIdsStage), md5-bucket sharded
+    (pure per-row assignment: resumable, retry-stable).  ids lengths
+    equal bpe_token_counts exactly (same encode)."""
+    m = bpe_merges(sf_dir, n_merges=n_merges)
+    merges = list(zip(m["left"].to_pylist(), m["right"].to_pylist()))
+    stage = _BpeIdsStage(merges)
+    stage.n_shards = n_shards
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"]) \
+        .map_batches(stage, batch_format="pyarrow")
+
+
+def tokenized_shard_stats(sf_dir: str, n_merges: int = 24,
+                          n_shards: int = 16) -> rd.Dataset:
+    """Per-shard (n_docs, n_tokens) over the tokenized export -- the
+    shard-balance report a training run reads.  Partial-agg per batch,
+    tiny final groupby; the ids themselves never shuffle."""
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"shard": t["shard"].to_numpy(),
+                           "n_tokens": t["n_tokens"].to_numpy()})
+        g = df.groupby("shard", as_index=False).agg(
+            n_docs=("n_tokens", "size"), n_tokens=("n_tokens", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = tokenized_docs(sf_dir, n_merges, n_shards) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("shard").aggregate(Sum("n_docs", alias_name="n_docs"),
+                                    Sum("n_tokens", alias_name="n_tokens"))
+    return out.map_batches(
+        lambda t: pa.table({c: pc.cast(t[c], pa.int64())
+                            for c in ("shard", "n_docs", "n_tokens")}),
+        batch_format="pyarrow")
+
+
+def write_tokenized_shards(sf_dir: str, out_dir: str, n_merges: int = 24,
+                           n_shards: int = 16) -> dict:
+    """Write the tokenized corpus as shard-partitioned parquet
+    (shard=NN dirs via partition_cols): a failed run re-writes only
+    unfinished shards, a trainer reads one dir per data-parallel rank.
+    Returns {shard: n_docs}."""
+    import collections
+
+    ds = tokenized_docs(sf_dir, n_merges, n_shards)
+    ds.write_parquet(out_dir, partition_cols=["shard"],
+                     mode="overwrite")
+    counts = collections.Counter()
+    for b in rd.read_parquet(out_dir, columns=["shard"]) \
+            .iter_batches(batch_format="pyarrow"):
+        for s, n in zip(*np.unique(np.asarray(b["shard"], np.int64),
+                                   return_counts=True)):
+            counts[int(s)] += int(n)
+    return dict(counts)

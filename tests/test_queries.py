@@ -666,3 +666,50 @@ def test_bpe_token_counts_matches_serial():
     got = bpe_token_counts(SF, n_merges=n_merges).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, expect, check_exact=True)
+
+
+def test_tokenized_docs_roundtrip_and_writer(tmp_path):
+    """The tokenized export must be LOSSLESS: decoding each doc's ids
+    through the deterministic vocabulary and splitting on the
+    end-of-word symbol must reproduce the doc's exact [a-z]+ token
+    stream.  ids lengths must equal the serial-pinned bpe_token_counts,
+    and the shard-partitioned writer must round-trip identically."""
+    import os
+    import re as _re
+
+    import pyarrow.parquet as pq
+
+    from pomp_ray.pipelines.tokenizer import (bpe_merges, bpe_token_counts,
+                                              tokenized_docs,
+                                              write_tokenized_shards)
+
+    got = tokenized_docs(SF).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    m = bpe_merges(SF)
+    inv_vocab = {i: c for i, c in enumerate("abcdefghijklmnopqrstuvwxyz")}
+    inv_vocab[26] = "</w>"
+    for r, (left, right) in enumerate(zip(m["left"].to_pylist(),
+                                          m["right"].to_pylist())):
+        inv_vocab[27 + r] = left + right
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    for _, row in got.head(50).iterrows():
+        decoded = "".join(inv_vocab[i] for i in row["ids"])
+        words = [w for w in decoded.split("</w>") if w]
+        assert words == _re.findall(r"[a-z]+",
+                                    (texts[row["doc_id"]] or "").lower())
+
+    counts = bpe_token_counts(SF).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert (got["n_tokens"] == counts["n_tokens_bpe"]).all()
+    assert (got["ids"].map(len) == got["n_tokens"]).all()
+
+    out = str(tmp_path / "tok")
+    shard_counts = write_tokenized_shards(SF, out)
+    assert sum(shard_counts.values()) == len(got)
+    assert os.path.isdir(os.path.join(out, "shard=0"))
+    back = pq.read_table(out).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert (back["doc_id"] == got["doc_id"]).all()
+    assert all(list(a) == list(b) for a, b in zip(back["ids"], got["ids"]))
