@@ -200,7 +200,8 @@ def bench_dedup_ops(n_urls: int = 2_000_000, n_tasks: int = 32,
 
 
 def bench_queries(sf_dir: str) -> dict:
-    from pomp_ray.pipelines import docs, embeddings, graph, relational
+    from pomp_ray.pipelines import (docs, embeddings, graph, relational,
+                                    tokenizer)
 
     out = {}
     for name, fn in (
@@ -221,6 +222,12 @@ def bench_queries(sf_dir: str) -> dict:
         # train + encode + codes-only ADC scan + re-rank
         ("pagerank", lambda: graph.pagerank_clicks(sf_dir).num_rows),
         ("pq_topk", lambda: embeddings.pq_topk(sf_dir).num_rows),
+        # fourth-block shapes: cluster-blocked semantic dedup, regex-heavy
+        # integer quality gates, BPE train + actor-pool encode
+        ("semdedup", lambda: embeddings.semdedup(sf_dir).count()),
+        ("gopher_flags",
+         lambda: docs.gopher_quality_flags(sf_dir).count()),
+        ("bpe_encode", lambda: tokenizer.bpe_token_counts(sf_dir).count()),
     ):
         t0 = time.monotonic()
         fn()

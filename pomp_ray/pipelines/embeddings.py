@@ -261,23 +261,34 @@ def kmeans_iterate(sf_dir: str, k: int = 8, n_iter: int = 5) -> np.ndarray:
     bit-identical centroids regardless of block structure.  Empty
     clusters keep their previous centroid.  Init: the k smallest
     vec_ids' vectors.  (Lloyd 1982; the IVF queries use fixed seeded
-    centroids instead -- this is the trained sibling.)"""
+    centroids instead -- this is the trained sibling.)
+
+    The quantized (vec_id, q) table is materialized ONCE and every
+    iteration maps over those blocks -- without the barrier each
+    iteration lazily re-reads and re-quantizes the parquet (the
+    iterative-loop lesson from the PageRank pipeline)."""
     from ray.data.aggregate import Sum as _Sum
 
-    emb = _emb(sf_dir)
+    def quant_cols(t: pa.Table) -> pa.Table:
+        ids, q = _km_quant(t)
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "q": pa.array(list(q), pa.list_(pa.int64()))})
+
+    emb = _emb(sf_dir).map_batches(
+        quant_cols, batch_format="pyarrow").materialize()
     init_rows = emb.map_batches(
         lambda t: t.filter(pc.less(t["vec_id"], k)),
         batch_format="pyarrow").take_all()
     init_rows.sort(key=lambda r: r["vec_id"])
-    cent = np.array([np.rint(np.asarray(r["embedding"], np.float64)
-                             * _KM_SCALE) for r in init_rows], np.float64)
+    cent = np.array([np.asarray(r["q"], np.float64) for r in init_rows],
+                    np.float64)
     assert cent.shape[0] == k, "need vec_ids 0..k-1 for deterministic init"
 
     for _ in range(n_iter):
         c = cent.copy()
 
         def partial(t: pa.Table, cmat=c) -> pa.Table:
-            _, q = _km_quant(t)
+            q = np.array(t["q"].to_pylist(), np.int64)
             x = q.astype(np.float64)
             d2 = np.empty((len(x), cmat.shape[0]))
             for j in range(cmat.shape[0]):

@@ -125,6 +125,13 @@ def bpe_merges(sf_dir: str, n_merges: int = 24,
     golden parquet from the independent serial implementation."""
     vocab = _word_freqs(sf_dir).map_batches(
         _to_symbols, batch_format="pyarrow").materialize()
+    # the groupby emits one (near-empty) partition per shuffle bucket;
+    # every merge iteration re-maps the vocab TWICE, so right-size the
+    # block count to the vocab (the iterative-loop lesson: a 31-word
+    # vocab over 64 blocks pays 48 x 64 no-op task schedules)
+    n_blocks = max(1, min(64, vocab.count() // 2048 + 1))
+    if vocab.num_blocks() > 4 * n_blocks:
+        vocab = vocab.repartition(n_blocks).materialize()
 
     ranks, lefts, rights, counts = [], [], [], []
     for rank in range(n_merges):
@@ -220,7 +227,7 @@ def bpe_token_counts(sf_dir: str, n_merges: int = 24) -> rd.Dataset:
     return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "text"]) \
         .map_batches(_BpeEncodeStage, fn_constructor_args=(merges,),
-                     concurrency=(1, 4), batch_format="pyarrow")
+                     concurrency=(1, 16), batch_format="pyarrow")
 
 
 class _BpeIdsStage:
@@ -231,8 +238,9 @@ class _BpeIdsStage:
     per-doc ragged id concatenation is a vectorized gather (offsets
     arithmetic), not a Python loop over tokens."""
 
-    def __init__(self, merges: list):
+    def __init__(self, merges: list, n_shards: int = 16):
         self.merges = [tuple(m) for m in merges]
+        self.n_shards = n_shards
         self.vocab = {c: i for i, c in
                       enumerate("abcdefghijklmnopqrstuvwxyz")}
         self.vocab[EOW] = 26
@@ -308,11 +316,10 @@ def tokenized_docs(sf_dir: str, n_merges: int = 24,
     equal bpe_token_counts exactly (same encode)."""
     m = bpe_merges(sf_dir, n_merges=n_merges)
     merges = list(zip(m["left"].to_pylist(), m["right"].to_pylist()))
-    stage = _BpeIdsStage(merges)
-    stage.n_shards = n_shards
     return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "text"]) \
-        .map_batches(stage, batch_format="pyarrow")
+        .map_batches(_BpeIdsStage, fn_constructor_args=(merges, n_shards),
+                     concurrency=(1, 16), batch_format="pyarrow")
 
 
 def tokenized_shard_stats(sf_dir: str, n_merges: int = 24,
