@@ -61,6 +61,11 @@ def _crawl_outputs(kind: str, mode: str) -> pa.Table:
         # that rounds run the DISTRIBUTED exact best-first path
         from pomp_ray.stages.enqueue import HashPriority
         kw = {"best_width": 32, "priority_fn": HashPriority(7)}
+    elif mode == "focused":
+        # focused crawl = best-first with a domain-whitelist scorer
+        from pomp_ray.stages.enqueue import HostPriority
+        kw = {"best_width": 32, "priority_fn": HostPriority({"site1.test"})}
+        mode = "best"
     cfg = CrawlConfig(corpus_path=fix.pages_path, ckpt_dir=ckpt,
                       robots_path=fix.robots_path, mode=mode,
                       min_distributed_rows=16, n_seen_shards=4, **kw)
@@ -202,6 +207,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_bfs_items": lambda sf: _crawl_outputs("items", "bfs"),
         "crawl_dfs_visited": lambda sf: _crawl_outputs("visited", "dfs"),
         "crawl_best_visited": lambda sf: _crawl_outputs("visited", "best"),
+        "crawl_focused_visited":
+            lambda sf: _crawl_outputs("visited", "focused"),
         "crawl_bfs_errors": lambda sf: _crawl_outputs("errors", "bfs"),
     }
 
@@ -944,6 +951,9 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM read_parquet('{_GOLDEN}/crawl_dfs_visited.parquet')",
         "crawl_best_visited":
             f"SELECT * FROM read_parquet('{_GOLDEN}/crawl_best_visited.parquet')",
+        "crawl_focused_visited":
+            f"SELECT * FROM "
+            f"read_parquet('{_GOLDEN}/crawl_focused_visited.parquet')",
         "kmeans_clusters":
             f"SELECT * FROM read_parquet('{_GOLDEN}/kmeans_sf001.parquet')",
         # int64 fixed-point PageRank: bit-identical to the serial

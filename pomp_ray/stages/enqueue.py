@@ -130,6 +130,27 @@ class HashPriority:
                     .hexdigest()[:2], 16) % n for u in urls]
 
 
+class HostPriority:
+    """Focused-crawl link scorer for ``CrawlConfig.priority_fn``
+    (mode="best"): a domain whitelist -- links into ``preferred`` hosts
+    get priority ``boost``, everything else 0, so the priority queue
+    drains the focus domains first while still (eventually) reaching the
+    rest.  The classic domain-focused crawling discipline (Chakrabarti
+    et al. 1999's topical focus, reduced to its host-whitelist form).
+    Pure per-URL function: deterministic across workers/retries, no
+    state, pickles by reference."""
+
+    def __init__(self, preferred, boost: int = 1):
+        self.preferred = frozenset(preferred)
+        self.boost = boost
+
+    def __call__(self, urls: list[str], depths: list[int]) -> list[int]:
+        from urllib.parse import urlsplit
+        pref, boost = self.preferred, self.boost
+        return [boost if urlsplit(u).hostname in pref else 0
+                for u in urls]
+
+
 def dedup_first_in_order(cands: rd.Dataset, mode: str) -> rd.Dataset:
     """Keep, per canon_url, the candidate that pomp's serial loop would
     have enqueued: the first in round enqueue order.  BFS enqueue order is

@@ -264,3 +264,42 @@ def test_dfs_scale_set_equality(tmp_path):
     assert all(r["n_selected"] <= 16 for r in s.per_round)
     # the LIFO preference actually bites: some round defers width overflow
     assert any(r["n_deferred"] > 0 for r in s.per_round)
+
+
+def test_focused_crawl_distributed_exact(tmp_path):
+    """Focused crawl = best-first with the HostPriority domain-whitelist
+    scorer, through the DISTRIBUTED exact path: bit-exact vs the serial
+    oracle, AND the whitelisted host is actually visited earlier on
+    average than in plain BFS (the focus bites)."""
+    from pomp_ray.core.oracle import crawl_oracle
+    from pomp_ray.stages.enqueue import HostPriority
+    from tests.helpers import oracle_inputs
+
+    fix = fixture_corpus(gen_corpus.SMALL)
+    corpus, seeds, robots, _ = oracle_inputs(fix)
+    pref = HostPriority({"site3.test", "site7.test"})
+    hosts = {u.split("/")[2] for u in corpus}
+    assert pref.preferred & hosts, f"whitelist missing from corpus: {hosts}"
+    ckpt = str(tmp_path / "c")
+    cfg = CrawlConfig(corpus_path=fix.pages_path, ckpt_dir=ckpt,
+                      robots_path=fix.robots_path, mode="best",
+                      best_width=96, priority_fn=pref,
+                      min_distributed_rows=0, n_seen_shards=4)
+    summary = run_crawl(cfg, seeds=seeds)
+    assert any(r["path"] == "exact" for r in summary.per_round)
+    res = crawl_oracle(corpus, seeds, robots, mode="best", best_width=96,
+                       priority_fn=pref)
+    got = visited_tuples(read_ckpt(ckpt, "visited"))
+    assert got == oracle_visited_tuples(res)
+
+    # focus check: mean visit rank of whitelisted-host pages is earlier
+    # than under BFS
+    def mean_rank(order):
+        ranks = [i for i, u in enumerate(order)
+                 if u.split("/")[2] in pref.preferred]
+        return sum(ranks) / len(ranks)
+
+    res_bfs = run_oracle(fix, mode="bfs")
+    focused_order = [v["url"] for v in res.visited]
+    bfs_order = [v["url"] for v in res_bfs.visited]
+    assert mean_rank(focused_order) < mean_rank(bfs_order)

@@ -169,14 +169,20 @@ def gen_crawl_goldens() -> None:
 
     from pomp_ray.core.oracle import crawl_oracle
 
-    from pomp_ray.stages.enqueue import HashPriority
+    from pomp_ray.stages.enqueue import HashPriority, HostPriority
 
-    for mode in ("bfs", "dfs", "best"):
-        # best-first golden mirrors _crawl_outputs' config exactly:
-        # width 32, md5-bucket link scorer
-        kw = ({"best_width": 32, "priority_fn": HashPriority(7)}
-              if mode == "best" else {})
-        res = crawl_oracle(corpus, seeds, robots, mode=mode, **kw)
+    # "focused" = best-first with a domain-whitelist scorer (HostPriority)
+    for mode in ("bfs", "dfs", "best", "focused"):
+        kw = {}
+        if mode == "best":
+            # mirrors _crawl_outputs' config: width 32, md5-bucket scorer
+            kw = {"best_width": 32, "priority_fn": HashPriority(7)}
+        elif mode == "focused":
+            kw = {"best_width": 32,
+                  "priority_fn": HostPriority({"site1.test"})}
+        res = crawl_oracle(corpus, seeds, robots,
+                           mode=("best" if mode == "focused" else mode),
+                           **kw)
         depth_by_url = {v["url"]: v["depth"] for v in res.visited}
         visited = pa.Table.from_pylist(res.visited, schema=schemas.VISITED)
         pq.write_table(visited, os.path.join(
