@@ -1100,6 +1100,41 @@ def requeue_retryable(ckpt_dir: str) -> int:
     return t.num_rows
 
 
+def recrawl_stale(ckpt_dir: str, before_round: int) -> int:
+    """Continuous-crawl sibling of ``requeue_retryable``: re-enqueue every
+    page VISITED before ``before_round`` (age-based freshness policy) as
+    the next round's frontier, so ``run(resume=True)`` re-fetches stale
+    pages.  Frontier rows are fetched unconditionally (the seen set only
+    gates NEW link enqueue), so re-visiting needs no seen-set surgery,
+    and the re-extracted links anti-join against seen as usual -- no
+    re-enqueue explosion.  Latest visit wins: a url revisited at or
+    after ``before_round`` is not stale.  Returns the requeue count."""
+    rounds = sorted(glob.glob(os.path.join(ckpt_dir, "rounds",
+                                           "round-*.json")))
+    if not rounds:
+        raise FileNotFoundError("no committed rounds to recrawl from")
+    last = int(os.path.basename(rounds[-1])[len("round-"):].split(".")[0])
+    vis = read_visited(ckpt_dir)
+    if vis.num_rows == 0:
+        return 0
+    df = vis.to_pandas().sort_values("round") \
+        .groupby("url", as_index=False).last()   # latest visit per url
+    stale = df[df["round"] < before_round]
+    if stale.empty:
+        return 0
+    t = _cast_frontier(pa.table({
+        "url": pa.array(stale["url"], pa.string()),
+        "canon_url": pa.array(stale["url"], pa.string()),
+        "host": pa.array([_host_of(u) for u in stale["url"]], pa.string()),
+        "depth": pa.array(stale["depth"], pa.int32()),
+        "priority": pa.array([0] * len(stale), pa.int64()),
+        "seq": pa.array(stale["seq"], pa.int64()),
+    }))
+    _write_frontier_part(os.path.join(ckpt_dir, "frontier",
+                                      f"round-{last + 1:06d}"), t)
+    return t.num_rows
+
+
 def _make_priority_stage(fn):
     """Vectorized link-priority assignment (CrawlConfig.priority_fn): one
     call per batch over (canon_url, depth); ships into map_batches tasks,
