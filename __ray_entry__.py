@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "per_source_topk": docs.per_source_topk,
         "dedup_exact": docs.dedup_exact,
         "dedup_docs": docs.dedup_docs,
+        "neardup_dedup_docs": docs.neardup_dedup_docs,
         "pii_scrub": docs.pii_scrub,
         "normalize_text": docs.normalize_text,
         "stratified_sample": docs.stratified_sample,
@@ -461,6 +462,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, lang, n_chars FROM documents
             WHERE doc_id IN (SELECT MIN(doc_id) FROM documents
                              GROUP BY md5(text))
+        """,
+        # Near-dup corpus materialization: brute-force word-5-shingle
+        # Jaccard pairs (the minhash_lsh_pairs oracle) -> recursive-CTE
+        # connected components (the dup_components oracle) -> keep docs
+        # outside any component or equal to their component minimum.
+        "neardup_dedup_docs": """
+            WITH RECURSIVE toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '\\S+') AS tk
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(tk) = 0 THEN []
+                            WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
+                            ELSE list_distinct(list_transform(
+                                range(1, len(tk) - 3),
+                                i -> array_to_string(tk[i:i+4], ' ')))
+                       END AS s
+                FROM toks
+            ), p AS (
+                SELECT doc_a, doc_b FROM (
+                    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                           (len(a.s) + len(b.s) - len(list_intersect(a.s,
+                                                                     b.s)))
+                               AS jaccard
+                    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                    WHERE len(a.s) + len(b.s) > 0) t
+                WHERE jaccard >= 0.5
+            ), und AS (
+                SELECT doc_a a, doc_b b FROM p
+                UNION SELECT doc_b, doc_a FROM p
+            ), reach(a, b) AS (
+                SELECT a, b FROM und
+                UNION
+                SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+            ), comp AS (
+                SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+                FROM reach GROUP BY a
+            )
+            SELECT d.doc_id, d.source, d.lang, d.n_chars
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+            WHERE c.component IS NULL OR c.component = d.doc_id
         """,
         "inverted_index": """
             SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,

@@ -132,6 +132,42 @@ def write_dedup_corpus(sf_dir: str, out_dir: str) -> int:
                for p in _glob.glob(os.path.join(out_dir, "*.parquet")))
 
 
+def neardup_dedup_docs(sf_dir: str,
+                       jaccard_threshold: float = 0.5) -> rd.Dataset:
+    """Materialized NEAR-duplicate-deduplicated corpus -- the
+    RefinedWeb / MassiveText fuzzy-dedup pipeline end to end: MinHash-LSH
+    verified pairs (``minhash_lsh_pairs``) -> connected components
+    (``graph.connected_components`` min-label propagation) -> keep each
+    component's minimum doc_id -> anti-join the DROP set (one row per
+    removed near-dup doc, output-scale) back onto the corpus via a
+    hash-partitioned left_outer join + null filter.  Nothing O(corpus)
+    is ever broadcast or collected: the pair/component stages shuffle
+    only id columns, and the final gate is the same semi-join shape as
+    ``dedup_docs``/``decontaminate``.
+
+    Exact DuckDB oracle: the brute-force word-5-shingle Jaccard pair SQL
+    composed with the recursive-CTE reachability used by
+    ``dup_components`` (keep docs with no component or component ==
+    doc_id)."""
+    from pomp_ray.pipelines.graph import connected_components
+
+    pairs = minhash_lsh_pairs(sf_dir, jaccard_threshold=jaccard_threshold)
+    comp = connected_components(pairs)
+    drop = comp.filter(pc.not_equal(comp["doc_id"], comp["component"]))
+    docs = _docs(sf_dir, ["doc_id", "source", "lang", "n_chars"])
+    if drop.num_rows == 0:
+        return docs
+    drop_ds = rd.from_arrow(
+        drop.select(["doc_id"]).append_column(
+            "dup", pa.array([True] * drop.num_rows, pa.bool_())))
+    joined = docs.join(drop_ds, join_type="left_outer", on=("doc_id",),
+                       num_partitions=16)
+    return joined.map_batches(
+        lambda t: t.filter(pc.is_null(t["dup"])).select(
+            ["doc_id", "source", "lang", "n_chars"]),
+        batch_format="pyarrow")
+
+
 def export_corpus_partitioned(sf_dir: str, out_dir: str) -> dict:
     """Ship the cleaned corpus as LANG-PARTITIONED parquet
     (``out_dir/lang=xx/*.parquet``) -- the resumable-output layout: a

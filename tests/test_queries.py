@@ -33,6 +33,7 @@ SPOT = [
     "q6_revenue",
     "bm25_topk",
     "gopher_quality_flags",
+    "neardup_dedup_docs",
 ]
 
 
@@ -109,6 +110,40 @@ def test_neardup_ivf_recall_and_precision():
     got = set(zip(ivf["id_a"].to_pylist(), ivf["id_b"].to_pylist()))
     assert not (got - ex), "IVF produced pairs the exact path lacks"
     assert len(got & ex) / max(1, len(ex)) >= 0.9, (len(got), len(ex))
+
+
+def test_neardup_dedup_docs_matches_union_find():
+    """The materialized near-dup dedup must keep exactly: every doc not
+    in any verified-pair component, plus each component's minimum
+    doc_id -- checked against an independent driver-side union-find over
+    the same verified pair list (no shared code with the label
+    propagation or the join gate)."""
+    import pyarrow.parquet as pq
+
+    from pomp_ray.pipelines import docs
+
+    pairs = docs.minhash_lsh_pairs(SF)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs["doc_a"].to_pylist(), pairs["doc_b"].to_pylist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    drop = {x for x in list(parent) if find(x) != x}
+
+    all_ids = set(pq.read_table(f"{SF}/documents.parquet",
+                                columns=["doc_id"])["doc_id"].to_pylist())
+    kept = set(docs.neardup_dedup_docs(SF).to_pandas()["doc_id"])
+    assert kept == all_ids - drop
+    assert drop, "fixture should contain at least one near-dup group"
 
 
 def test_connected_components_unit():
