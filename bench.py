@@ -77,6 +77,23 @@ def _crawl_cfg(fix, ckpt, **kw):
     return CrawlConfig(**base)
 
 
+def _flat_fixture():
+    """The flat-bench corpus; RAY_GRAFT_SCALE_PAGES overrides the page
+    count (e.g. 1200000 for the input-size sensitivity check in
+    BASELINE.md: per-page throughput rises at BOTH cpu levels as the
+    fixed per-round cost amortizes, while the 2->8 efficiency ratio
+    stays ~0.84-0.85 -- the fixed cost cancels in the ratio)."""
+    from pomp_ray.sources import gen_corpus
+
+    n = int(os.environ.get("RAY_GRAFT_SCALE_PAGES", "0"))
+    if not n or n == gen_corpus.BENCH_FLAT.n_pages:
+        return gen_corpus.generate(FLAT_DIR, gen_corpus.BENCH_FLAT)
+    prof = gen_corpus.CorpusProfile(
+        f"benchflat{n}", n_hosts=200, n_pages=n, zipf_skew=1.2,
+        sentence_words=100)
+    return gen_corpus.generate(f"{FLAT_DIR}_{n}", prof)
+
+
 def bench_crawl_flat(warmup_frac: float = 0.02) -> dict:
     """One mega-round: every corpus url seeded at depth 0.  An untimed
     warmup round (a small url subset) warms worker processes, imports and
@@ -84,9 +101,8 @@ def bench_crawl_flat(warmup_frac: float = 0.02) -> dict:
     import pyarrow.parquet as pq
 
     from pomp_ray.crawl import CrawlEngine
-    from pomp_ray.sources import gen_corpus
 
-    fix = gen_corpus.generate(FLAT_DIR, gen_corpus.BENCH_FLAT)
+    fix = _flat_fixture()
     urls = pq.read_table(fix.pages_path, columns=["url"])["url"].to_pylist()
     seeds = [{"url": u, "priority": 0, "depth": 0} for u in urls]
 
@@ -295,8 +311,7 @@ def main() -> None:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
     if "--scaling" in sys.argv:
-        from pomp_ray.sources import gen_corpus
-        gen_corpus.generate(FLAT_DIR, gen_corpus.BENCH_FLAT)  # warm cache
+        _flat_fixture()  # warm the corpus cache before the timed legs
         lo, hi = (int(x) for x in
                   os.environ.get("RAY_GRAFT_SCALE_LEVELS", "8,32").split(","))
         out = {}
