@@ -21,7 +21,15 @@ spec:
   recorded as errors, never fetched;
 * per-host budget: per round at most ``k = max(1, floor(round_budget_s /
   crawl_delay))`` pages from a host with ``crawl_delay > 0``; the rest
-  defer to the next round keeping their seq.
+  defer to the next round keeping their seq;
+* per-host PAGE budget (``max_pages_per_host``, the host-quota crawler
+  policy): a host may be fetch-ATTEMPTED at most that many times over
+  the whole crawl.  Within a round selection is capped at the host's
+  remaining quota; frontier rows of a host whose quota is already
+  exhausted at round start are DROPPED (recorded as stage="host_budget"
+  errors, never deferred -- deferral would stall termination).  The
+  quota counts selected rows (fetch attempts), not successful fetches,
+  and is spent only after the round's selection completes.
 
 The Ray engine's conformance tests (tests/test_simple_crawler.py,
 tests/test_contrib_concurrent.py -- ports of pomp's e2e tests named by
@@ -71,6 +79,7 @@ def crawl_oracle(
     max_depth: int | None = None,
     max_rounds: int | None = None,
     priority_fn=None,
+    max_pages_per_host: int | None = None,
 ) -> OracleResult:
     """``corpus`` maps canonical url -> html bytes; ``seeds`` rows have
     url/priority/depth; ``robots_rows`` rows follow schemas.ROBOTS."""
@@ -110,6 +119,7 @@ def crawl_oracle(
                     int(s.get("priority", 0)), rnd=0)
 
     rnd = 0
+    budget_left: dict[str, int] = {}
     while frontier and (max_rounds is None or rnd < max_rounds):
         if mode == "bfs":
             # FIFO: priority desc, then global enqueue order
@@ -126,15 +136,27 @@ def crawl_oracle(
         selected: list[dict] = []
         deferred: list[dict] = []
         per_host: dict[str, int] = {}
+        budget = max_pages_per_host
         for e in frontier:
+            if budget is not None and \
+                    budget_left.get(e["host"], budget) <= 0:
+                # host quota exhausted at round start: drop, never defer
+                res.errors.append({"url": e["url"], "stage": "host_budget",
+                                   "round": rnd})
+                continue
             d = delay.get(e["host"], 0.0)
             cap = math.inf if d <= 0 else max(1, math.floor(round_budget_s / d))
+            if budget is not None:
+                cap = min(cap, budget_left.get(e["host"], budget))
             if len(selected) < width and per_host.get(e["host"], 0) < cap:
                 per_host[e["host"]] = per_host.get(e["host"], 0) + 1
                 selected.append(e)
             else:
                 deferred.append(e)
         frontier = deferred
+        if budget is not None:
+            for h, n in per_host.items():
+                budget_left[h] = budget_left.get(h, budget) - n
 
         for e in selected:
             html = corpus.get(e["url"])

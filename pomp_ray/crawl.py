@@ -135,6 +135,14 @@ class CrawlConfig:
     dfs_distributed_min_width: int = 16
     max_depth: int | None = None
     max_rounds: int | None = None
+    # Per-host PAGE budget (host quota): a host may be fetch-ATTEMPTED at
+    # most this many times over the whole crawl.  Selection is capped at
+    # the host's remaining quota each round; frontier rows of an
+    # exhausted host are DROPPED as stage="host_budget" errors (never
+    # deferred, so the crawl still terminates).  Spent counts live on
+    # the driver (O(visited hosts), same posture as the robots maps) and
+    # persist via each round's ``hosts_selected`` commit record.
+    max_pages_per_host: int | None = None
     n_seen_shards: int = 8
     # RAM prefilter per seen shard: "bloom" (default) or "cuckoo"
     # (deletion-capable; see state/approx.py + SeenSet.forget)
@@ -206,6 +214,8 @@ class CrawlEngine:
         self.seen = SeenSet(cfg.n_seen_shards,
                             filter_kind=cfg.seen_filter_kind)
         self.seq_counter = 0
+        # host -> fetch attempts so far (page-budget accounting)
+        self.budget_spent: dict[str, int] = {}
 
     @property
     def index(self) -> CorpusIndex:
@@ -518,6 +528,27 @@ class CrawlEngine:
             return cfg.best_width
         return None
 
+    def _round_caps(self):
+        """Effective per-host selection caps for the coming round: the
+        politeness caps alone, or -- when ``max_pages_per_host`` is set --
+        a ``BudgetCaps`` folding in each spent host's remaining quota
+        (min(politeness cap, remaining); <= 0 marks the host exhausted)
+        with the full budget as the default for untouched hosts."""
+        budget = self.cfg.max_pages_per_host
+        if budget is None:
+            return self.caps
+        from pomp_ray.stages.politeness import BudgetCaps
+        eff: dict[str, int] = {}
+        for h in set(self.caps) | set(self.budget_spent):
+            rem = budget - self.budget_spent.get(h, 0)
+            cap = self.caps.get(h)
+            eff[h] = rem if cap is None else min(cap, rem)
+        return BudgetCaps(eff, budget)
+
+    def _spend_budget(self, hosts_selected: dict[str, int]) -> None:
+        for h, n in hosts_selected.items():
+            self.budget_spent[h] = self.budget_spent.get(h, 0) + int(n)
+
     # ------------------------------------------------------------ round: tiny
     def _load_frontier_table(self, rnd: int) -> pa.Table:
         tables = [pq.read_table(p) for p in self._frontier_sources(rnd)]
@@ -530,8 +561,13 @@ class CrawlEngine:
         the same shard-held seen state and the same corpus index."""
         cfg = self.cfg
         frontier = self._load_frontier_table(rnd)
-        sel_t, def_t = select_serial(frontier, self.caps, cfg.mode,
-                                     self._round_width())
+        sel_t, def_t, drop_t = select_serial(frontier, self._round_caps(),
+                                             cfg.mode, self._round_width())
+        hosts_sel: dict[str, int] | None = None
+        if cfg.max_pages_per_host is not None:
+            hosts_sel = {v["values"].as_py(): int(v["counts"].as_py())
+                         for v in sel_t["host"].value_counts()}
+            self._spend_budget(hosts_sel)
 
         if cfg.middlewares:
             sel_t = _mw_hook(cfg.middlewares, "process_request_batch")(sel_t)
@@ -550,6 +586,11 @@ class CrawlEngine:
             oks = fetched["fetch_ok"].to_pylist()
             sel_t = fetched
         items, errors, cands = [], [], []
+        for u in drop_t["canon_url"].to_pylist():
+            errors.append({"url": u, "stage": "host_budget",
+                           "exc_type": "HostBudget",
+                           "message": "host page budget exhausted",
+                           "retryable": False, "round": rnd})
         for i, (canon, html, ok) in enumerate(zip(canon_urls, htmls, oks)):
             depth = sel_t["depth"][i].as_py()
             seq = sel_t["seq"][i].as_py()
@@ -586,11 +627,14 @@ class CrawlEngine:
             [self._frontier_table(accepted), _cast_frontier(def_t)]
         )
         self._write_table(next_frontier, "frontier", rnd + 1)
-        return {"round": rnd, "path": "driver", "n_selected": sel_t.num_rows,
+        info = {"round": rnd, "path": "driver", "n_selected": sel_t.num_rows,
                 "n_deferred": def_t.num_rows, "n_visited": len(items),
                 "n_items": len(items), "n_errors": len(errors),
                 "n_new": len(accepted),
                 "n_frontier_next": next_frontier.num_rows}
+        if hosts_sel is not None:
+            info["hosts_selected"] = hosts_sel
+        return info
 
     # -------------------------------------------------------------- readers
     def _n_blocks(self, n_rows: int) -> int:
@@ -618,18 +662,37 @@ class CrawlEngine:
 
         # --- politeness selection (SHUFFLE 1) ---
         n_deferred = 0
-        if self.caps:
-            marked = select_distributed(fds, self.caps, cfg.mode,
+        n_budget = 0
+        caps = self._round_caps()
+        if caps:
+            marked = select_distributed(fds, caps, cfg.mode,
                                         n_salts=1).materialize()
+            aux = ["selected", "dropped"]
             selected = marked.map_batches(
-                lambda t: t.filter(t["selected"]).drop_columns(["selected"]),
+                lambda t: t.filter(t["selected"]).drop_columns(aux),
                 batch_format="pyarrow")
+
+            def _deferred_mask(t: pa.Table) -> pa.Array:
+                return pc.and_(pc.invert(t["selected"]),
+                               pc.invert(t["dropped"]))
+
             deferred = marked.map_batches(
-                lambda t: t.filter(pc.invert(t["selected"])).drop_columns(["selected"]),
+                lambda t: t.filter(_deferred_mask(t)).drop_columns(aux),
                 batch_format="pyarrow")
             n_deferred = int(marked.map_batches(
-                lambda t: pa.table({"n": [t.filter(pc.invert(t["selected"])).num_rows]}),
+                lambda t: pa.table(
+                    {"n": [t.filter(_deferred_mask(t)).num_rows]}),
                 batch_format="pyarrow").sum("n") or 0)
+            if cfg.max_pages_per_host is not None:
+                n_budget = int(marked.map_batches(
+                    lambda t: pa.table(
+                        {"n": [int(pc.sum(t["dropped"]).as_py() or 0)]}),
+                    batch_format="pyarrow").sum("n") or 0)
+                if n_budget:
+                    marked.map_batches(
+                        lambda t: _budget_errors(t.filter(t["dropped"]), rnd),
+                        batch_format="pyarrow").write_parquet(
+                        self._dir("errors", rnd))
         else:
             selected, deferred = fds, None
 
@@ -652,6 +715,17 @@ class CrawlEngine:
                 n_deferred += n_sel_total - width
             else:
                 selected = sorted_sel
+
+        # --- page-budget accounting (tiny per-batch host partials over
+        # the post-width selected set = this round's fetch attempts) ---
+        hosts_sel: dict[str, int] | None = None
+        if cfg.max_pages_per_host is not None:
+            parts = selected.map_batches(
+                _host_count_partial, batch_format="pyarrow").take_all()
+            hosts_sel = {}
+            for r in parts:
+                hosts_sel[r["host"]] = hosts_sel.get(r["host"], 0) + r["n"]
+            self._spend_budget(hosts_sel)
 
         # --- fetch + parse ---
         if cfg.middlewares:
@@ -742,11 +816,14 @@ class CrawlEngine:
             width_deferred.map_batches(
                 lambda t: writer(_cast_frontier(t)),
                 batch_format="pyarrow").take_all()
-        n_errors = n_miss + n_blocked
-        return {"round": rnd, "path": "exact", "n_selected": n_selected,
+        n_errors = n_miss + n_blocked + n_budget
+        info = {"round": rnd, "path": "exact", "n_selected": n_selected,
                 "n_deferred": n_deferred, "n_visited": n_visited,
                 "n_items": n_visited, "n_errors": n_errors, "n_new": n_new,
                 "n_frontier_next": n_new + n_deferred}
+        if hosts_sel is not None:
+            info["hosts_selected"] = hosts_sel
+        return info
 
     # ------------------------------------------------- scale DFS width cut
     def _lifo_width_cut(self, fds: rd.Dataset, rnd: int) -> rd.Dataset:
@@ -819,14 +896,16 @@ class CrawlEngine:
             fds = self._lifo_width_cut(fds, rnd)
 
         # exec A: [politeness ->] fetch -> parse -> enrich -> items
-        if self.caps:
+        caps = self._round_caps()
+        if caps:
             from pomp_ray.stages.politeness import derive_salt_counts
             salt_counts = derive_salt_counts(
-                getattr(self, "_host_freq", {}), self.caps, cfg.n_salts,
+                getattr(self, "_host_freq", {}), caps, cfg.n_salts,
                 cfg.politeness_group_rows)
             deferred_dir = self._dir("deferred", rnd)
             selected = _politeness_inline(
-                fds, self.caps, salt_counts, deferred_dir, rnd=rnd)
+                fds, caps, salt_counts, deferred_dir, rnd=rnd,
+                errors_dir=self._dir("errors", rnd))
         else:
             selected = fds
         if cfg.middlewares:
@@ -884,19 +963,50 @@ class CrawlEngine:
             for p in glob.glob(os.path.join(self._dir("deferred", rnd),
                                             "*.parquet")))
 
+        # page-budget accounting: dropped-row count from the budget error
+        # parts' metadata; attempts per host from tiny per-block partials
+        # (in-memory barrier) or the items files' host column (mega-round)
+        hosts_sel: dict[str, int] | None = None
+        n_budget = 0
+        if cfg.max_pages_per_host is not None:
+            n_budget = sum(
+                pq.ParquetFile(p).metadata.num_rows
+                for p in glob.glob(os.path.join(self._dir("errors", rnd),
+                                                "*-budget.parquet")))
+            hosts_sel = {}
+            if in_memory:
+                rows = parsed.map_batches(
+                    _host_count_partial, batch_format="pyarrow").take_all()
+                for r in rows:
+                    hosts_sel[r["host"]] = hosts_sel.get(r["host"], 0) \
+                        + r["n"]
+            else:
+                for p in glob.glob(os.path.join(items_dir, "*.parquet")):
+                    vc = pq.read_table(p, columns=["host"])[
+                        "host"].combine_chunks().value_counts()
+                    for v in vc:
+                        h = v["values"].as_py()
+                        hosts_sel[h] = hosts_sel.get(h, 0) \
+                            + int(v["counts"].as_py())
+            self._spend_budget(hosts_sel)
+
         t_counts_a = _t() - t0
         t0 = _t()
         # exec B: links -> canonicalize -> robots -> dedup -> seen -> frontier
         if n_selected == 0:
-            # a round can select 0 rows (every salt's sub-cap exhausted)
-            # while deferred rows still exist: skip exec B entirely
-            return {"round": rnd, "path": "scale", "n_selected": 0,
+            # a round can select 0 rows (every salt's sub-cap exhausted,
+            # or every row budget-dropped) while deferred rows still
+            # exist: skip exec B entirely
+            info = {"round": rnd, "path": "scale", "n_selected": 0,
                     "n_deferred": n_deferred, "n_visited": 0, "n_items": 0,
-                    "n_errors": 0, "n_new": 0,
+                    "n_errors": n_budget, "n_new": 0,
                     "n_frontier_next": n_deferred,
                     "t_exec_a": round(t_exec_a, 3),
                     "t_counts_a": round(t_counts_a, 3),
                     "t_exec_b": 0.0, "t_counts_b": 0.0}
+            if hosts_sel is not None:
+                info["hosts_selected"] = hosts_sel
+            return info
         if in_memory:
             src = parsed
         else:
@@ -940,8 +1050,8 @@ class CrawlEngine:
         t0 = _t()
         n_blocked = sum(r["n_blocked"] for r in stats)
         n_next = sum(r["n"] for r in stats) - n_blocked
-        n_errors = (n_selected - n_visited) + n_blocked
-        return {"round": rnd, "path": "scale", "n_selected": n_selected,
+        n_errors = (n_selected - n_visited) + n_blocked + n_budget
+        info = {"round": rnd, "path": "scale", "n_selected": n_selected,
                 "n_deferred": n_deferred, "n_visited": n_visited,
                 "n_items": n_visited, "n_errors": n_errors,
                 "n_new": n_next,
@@ -950,6 +1060,9 @@ class CrawlEngine:
                 "t_counts_a": round(t_counts_a, 3),
                 "t_exec_b": round(t_exec_b, 3),
                 "t_counts_b": round(_t() - t0, 3)}
+        if hosts_sel is not None:
+            info["hosts_selected"] = hosts_sel
+        return info
 
     # ------------------------------------------------------------------- run
     def run(self, seeds: list[dict] | None = None,
@@ -967,6 +1080,7 @@ class CrawlEngine:
             # fresh crawl on a reused engine: clear crawl state
             self.seen.reset()
             self.seq_counter = 0
+            self.budget_spent = {}
             self.seed(seeds)
 
         summary = CrawlSummary()
@@ -1046,10 +1160,14 @@ class CrawlEngine:
         with open(init) as f:
             self.seq_counter = json.load(f)["seq_counter"]
         last = -1
+        self.budget_spent = {}
         for p in sorted(glob.glob(os.path.join(rounds_dir, "round-*.json"))):
             r = int(os.path.basename(p)[len("round-"):].split(".")[0])
             with open(p) as f:
-                self.seq_counter = json.load(f)["seq_counter"]
+                data = json.load(f)
+            self.seq_counter = data["seq_counter"]
+            for h, n in data.get("hosts_selected", {}).items():
+                self.budget_spent[h] = self.budget_spent.get(h, 0) + int(n)
             last = r
         self.seen.restore(os.path.join(self.cfg.ckpt_dir, "seen"), last + 1)
         return last + 1
@@ -1284,6 +1402,30 @@ def _robots_errors(t: pa.Table, rnd: int) -> pa.Table:
     }, schema=schemas.ERRORS)
 
 
+def _host_count_partial(t: pa.Table) -> pa.Table:
+    """Per-batch (host, n) partial counts -- the page-budget accounting
+    rows (tiny: one row per host per batch)."""
+    vc = t["host"].combine_chunks().value_counts()
+    return pa.table({
+        "host": vc.field("values"),
+        "n": pc.cast(vc.field("counts"), pa.int64()),
+    })
+
+
+def _budget_errors(t: pa.Table, rnd: int) -> pa.Table:
+    """Frontier rows of a page-budget-exhausted host -> error rows
+    (stage="host_budget"; dropped, matching the oracle's quota drop)."""
+    n = t.num_rows
+    return pa.table({
+        "url": t["canon_url"],
+        "stage": pa.array(["host_budget"] * n),
+        "exc_type": pa.array(["HostBudget"] * n),
+        "message": pa.array(["host page budget exhausted"] * n),
+        "retryable": pa.array([False] * n),
+        "round": pa.array([rnd] * n, pa.int32()),
+    }, schema=schemas.ERRORS)
+
+
 def _frontier_stats(t: pa.Table) -> dict:
     """(row count, blocked count, unblocked host histogram) for one
     frontier part -- the sidecar payload that makes the driver's
@@ -1356,7 +1498,8 @@ def _hash_seq(t: pa.Table) -> pa.Table:
 
 def _politeness_inline(fds: rd.Dataset, caps: dict[str, int],
                        salt_counts: dict[str, int],
-                       deferred_dir: str, rnd: int = 0) -> rd.Dataset:
+                       deferred_dir: str, rnd: int = 0,
+                       errors_dir: str | None = None) -> rd.Dataset:
     """Scale-mode politeness as a mid-pipeline groupby: capped hosts keep
     their first ``cap`` rows; overflow rows are written to a DETERMINISTIC
     per-(host,salt) side file under ``deferred_dir`` (idempotent under task
@@ -1400,6 +1543,18 @@ def _politeness_inline(fds: rd.Dataset, caps: dict[str, int],
         host = g["host"].iloc[0]
         salt = int(g["salt"].iloc[0])
         cap = caps.get(host)
+        if cap is not None and cap <= 0 and errors_dir is not None:
+            # page budget exhausted: the whole group drops to an
+            # idempotent errors part (deterministic per-(host,salt)
+            # name), never to deferred -- mirrors the oracle's quota drop
+            os.makedirs(errors_dir, exist_ok=True)
+            hh = _hl.md5(host.encode()).hexdigest()[:12]
+            t = _budget_errors(
+                pa.Table.from_pandas(g.drop(columns=["salt"]),
+                                     preserve_index=False), rnd)
+            pq.write_table(
+                t, os.path.join(errors_dir, f"h{hh}-s{salt}-budget.parquet"))
+            return g.iloc[0:0].drop(columns=["salt"])
         n_eff = salt_counts.get(host, 1)
         if cap is not None and n_eff > 1:
             cap = cap // n_eff + (

@@ -31,6 +31,37 @@ import ray.data as rd
 
 _UNLIMITED_CAP = 10**8   # caps at/above this can never bind; drop them
 
+_MISS = object()
+
+
+class BudgetCaps(dict):
+    """Per-host caps with a global DEFAULT (the host page budget,
+    ``CrawlConfig.max_pages_per_host``): explicit entries are
+    min(politeness cap, remaining quota) for hosts already spent or
+    delay-capped; every other host gets the full budget.  An entry <= 0
+    marks an EXHAUSTED host -- its rows are dropped by the selection
+    stages (stage="host_budget" errors), never deferred.
+
+    ``get`` intentionally returns the default for missing hosts even
+    when a fallback is passed (the selection stages all ask
+    ``caps.get(host)`` / ``caps.get(host, None)`` meaning "the effective
+    cap"), and the object is truthy whenever a default exists so
+    budget-only crawls still run the politeness stage."""
+
+    def __init__(self, base: dict[str, int], default: int):
+        super().__init__(base)
+        self.default = default
+
+    def get(self, key, fallback=None):   # noqa: ARG002 (see docstring)
+        v = super().get(key, _MISS)
+        return self.default if v is _MISS else v
+
+    def __bool__(self) -> bool:
+        return True
+
+    def __reduce__(self):
+        return (BudgetCaps, (dict(self), self.default))
+
 
 def caps_from_delay(delay: dict[str, float], round_budget_s: float) -> dict[str, int]:
     caps = {
@@ -105,6 +136,13 @@ def select_distributed(
     def mark(g: pd.DataFrame) -> pd.DataFrame:
         host = g["host"].iloc[0]
         cap = caps.get(host)
+        if cap is not None and cap <= 0:
+            # page budget exhausted (BudgetCaps entry <= 0): drop the
+            # whole host group -- errors, never deferred
+            g = g.assign(selected=False, dropped=True)
+            if "salt" in g.columns:
+                g = g.drop(columns=["salt"])
+            return g
         n_eff = _eff(host)
         if cap is not None and n_eff > 1:
             salt = int(g["salt"].iloc[0])
@@ -114,12 +152,12 @@ def select_distributed(
             cap = cap // n_eff + (
                 1 if (salt - rnd) % n_eff < cap % n_eff else 0)
         if cap is None or len(g) <= cap:
-            g = g.assign(selected=True)
+            g = g.assign(selected=True, dropped=False)
         else:
             g = g.sort_values(["priority", "seq"], ascending=[False, seq_asc])
             sel = np.zeros(len(g), dtype=bool)
             sel[:cap] = True
-            g = g.assign(selected=sel)
+            g = g.assign(selected=sel, dropped=False)
         if "salt" in g.columns:
             g = g.drop(columns=["salt"])
         return g
@@ -132,10 +170,12 @@ def select_serial(
     caps: dict[str, int],
     mode: str,
     width: int | None,
-) -> tuple[pa.Table, pa.Table]:
+) -> tuple[pa.Table, pa.Table, pa.Table]:
     """Driver-side selection, bit-identical to the oracle's round walk:
     sort all rows by the queue discipline, take while under per-host caps
-    and the global width.  Returns (selected, deferred) tables."""
+    and the global width; rows of page-budget-EXHAUSTED hosts
+    (BudgetCaps entry <= 0) are dropped, not deferred.  Returns
+    (selected, deferred, dropped) tables."""
     df = rows.to_pandas()
     if mode == "dfs":
         df = df.sort_values(["priority", "seq"], ascending=[False, False])
@@ -145,9 +185,14 @@ def select_serial(
         width = len(df)
     per_host: dict[str, int] = {}
     chosen = []
+    dropped = []
     n_sel = 0
     for host in df["host"].tolist():
         cap = caps.get(host, None)
+        if cap is not None and cap <= 0:
+            chosen.append(False)
+            dropped.append(True)
+            continue
         used = per_host.get(host, 0)
         if n_sel < width and (cap is None or used < cap):
             per_host[host] = used + 1
@@ -155,9 +200,14 @@ def select_serial(
             n_sel += 1
         else:
             chosen.append(False)
-    df = df.assign(selected=chosen)
-    sel = pa.Table.from_pandas(df[df["selected"]].drop(columns=["selected"]),
+        dropped.append(False)
+    df = df.assign(selected=chosen, dropped=dropped)
+    aux = ["selected", "dropped"]
+    sel = pa.Table.from_pandas(df[df["selected"]].drop(columns=aux),
                                preserve_index=False)
-    def_ = pa.Table.from_pandas(df[~df["selected"]].drop(columns=["selected"]),
+    def_ = pa.Table.from_pandas(
+        df[~df["selected"] & ~df["dropped"]].drop(columns=aux),
+        preserve_index=False)
+    drop = pa.Table.from_pandas(df[df["dropped"]].drop(columns=aux),
                                 preserve_index=False)
-    return sel, def_
+    return sel, def_, drop
