@@ -66,6 +66,10 @@ def _crawl_outputs(kind: str, mode: str) -> pa.Table:
         from pomp_ray.stages.enqueue import HostPriority
         kw = {"best_width": 32, "priority_fn": HostPriority({"site1.test"})}
         mode = "best"
+    elif mode == "budget":
+        # per-host page quota: 10 attempts/host binds on TINY (2 hosts)
+        kw = {"max_pages_per_host": 10}
+        mode = "bfs"
     cfg = CrawlConfig(corpus_path=fix.pages_path, ckpt_dir=ckpt,
                       robots_path=fix.robots_path, mode=mode,
                       min_distributed_rows=16, n_seen_shards=4, **kw)
@@ -211,6 +215,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_focused_visited":
             lambda sf: _crawl_outputs("visited", "focused"),
         "crawl_bfs_errors": lambda sf: _crawl_outputs("errors", "bfs"),
+        "crawl_budget_visited": lambda sf: _crawl_outputs("visited", "budget"),
+        "crawl_budget_errors": lambda sf: _crawl_outputs("errors", "budget"),
     }
 
 
@@ -1050,6 +1056,12 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM read_parquet('{_GOLDEN}/hll_users_sf001.parquet')",
         "crawl_bfs_errors":
             f"SELECT * FROM read_parquet('{_GOLDEN}/crawl_bfs_errors.parquet')",
+        "crawl_budget_visited":
+            "SELECT * FROM "
+            f"read_parquet('{_GOLDEN}/crawl_budget_visited.parquet')",
+        "crawl_budget_errors":
+            "SELECT * FROM "
+            f"read_parquet('{_GOLDEN}/crawl_budget_errors.parquet')",
         "events_normalized": """
             SELECT event_id, event_type,
                    ROUND((value - AVG(value) OVER w)

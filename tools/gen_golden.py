@@ -171,39 +171,48 @@ def gen_crawl_goldens() -> None:
 
     from pomp_ray.stages.enqueue import HashPriority, HostPriority
 
-    # "focused" = best-first with a domain-whitelist scorer (HostPriority)
-    for mode in ("bfs", "dfs", "best", "focused"):
+    # "focused" = best-first with a domain-whitelist scorer (HostPriority);
+    # "budget" = BFS under a per-host page quota (max_pages_per_host)
+    for mode in ("bfs", "dfs", "best", "focused", "budget"):
         kw = {}
+        oracle_mode = mode
         if mode == "best":
             # mirrors _crawl_outputs' config: width 32, md5-bucket scorer
             kw = {"best_width": 32, "priority_fn": HashPriority(7)}
         elif mode == "focused":
             kw = {"best_width": 32,
                   "priority_fn": HostPriority({"site1.test"})}
-        res = crawl_oracle(corpus, seeds, robots,
-                           mode=("best" if mode == "focused" else mode),
-                           **kw)
+            oracle_mode = "best"
+        elif mode == "budget":
+            # mirrors _crawl_outputs: quota 10 binds on TINY (2 hosts)
+            kw = {"max_pages_per_host": 10}
+            oracle_mode = "bfs"
+        res = crawl_oracle(corpus, seeds, robots, mode=oracle_mode, **kw)
         depth_by_url = {v["url"]: v["depth"] for v in res.visited}
         visited = pa.Table.from_pylist(res.visited, schema=schemas.VISITED)
         pq.write_table(visited, os.path.join(
             GOLDEN_DIR, f"crawl_{mode}_visited.parquet"))
-        if mode == "bfs":
-            items = pa.Table.from_pylist(
-                [{**i, "depth": depth_by_url[i["url"]]} for i in res.items],
-                schema=schemas.ITEMS)
-            pq.write_table(items, os.path.join(
-                GOLDEN_DIR, "crawl_bfs_items.parquet"))
+        if mode in ("bfs", "budget"):
+            if mode == "bfs":
+                items = pa.Table.from_pylist(
+                    [{**i, "depth": depth_by_url[i["url"]]}
+                     for i in res.items],
+                    schema=schemas.ITEMS)
+                pq.write_table(items, os.path.join(
+                    GOLDEN_DIR, "crawl_bfs_items.parquet"))
+            exc = {"fetch": ("FetchMiss", lambda u: "not in corpus"),
+                   "robots": ("RobotsDisallowed", url_path),
+                   "host_budget": ("HostBudget",
+                                   lambda u: "host page budget exhausted")}
             errors = pa.Table.from_pylist(
                 [{"url": e["url"], "stage": e["stage"],
-                  "exc_type": ("FetchMiss" if e["stage"] == "fetch"
-                               else "RobotsDisallowed"),
-                  "message": ("not in corpus" if e["stage"] == "fetch"
-                              else url_path(e["url"])),
+                  "exc_type": exc[e["stage"]][0],
+                  "message": exc[e["stage"]][1](e["url"]),
                   "retryable": False, "round": e["round"]}
                  for e in res.errors],
                 schema=schemas.ERRORS)
             pq.write_table(errors, os.path.join(
-                GOLDEN_DIR, "crawl_bfs_errors.parquet"))
+                GOLDEN_DIR, f"crawl_{mode}_errors.parquet"))
         print(f"crawl golden {mode}: visited={visited.num_rows} "
               f"errors={len(res.errors)}")
 
