@@ -110,6 +110,7 @@ def _crawl_host_pagerank():
 # ------------------------------------------------------------------- queries
 def queries() -> dict[str, Callable[[str], Any]]:
     from pomp_ray.pipelines import (
+        archive,
         docs,
         embeddings,
         graph,
@@ -159,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": docs.tfidf_top_terms,
         "mixture_sample": docs.mixture_sample,
         "token_shard_stats": docs.token_shard_stats,
+        "warc_shard_stats": archive.warc_shard_stats,
         "trigram_lm_scores": docs.trigram_lm_scores,
         "pretraining_shards": docs.pretraining_shards,
         "lm_quality_buckets": docs.lm_quality_buckets,
@@ -881,6 +883,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_docs,
                    CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
                        AS n_tokens
+            FROM documents GROUP BY shard
+        """,
+        # warc_shard_stats round-trips documents through REAL .warc.gz
+        # files (write -> parse); the oracle computes the same per-shard
+        # numbers straight off the table, so framing/compression/parse
+        # defects break the hash (payload = utf-8 text bytes)
+        "warc_shard_stats": """
+            SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                             1, 4))
+                             AS INTEGER) % 8 AS BIGINT) AS shard,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(octet_length(encode(text))) AS BIGINT) AS n_bytes
             FROM documents GROUP BY shard
         """,
         "pretraining_shards": """

@@ -1,0 +1,106 @@
+"""Archive round-trip pipelines: corpus tables <-> WARC-lite files.
+
+``warc_shard_stats`` is the driver query that proves the WARC sink and
+source against DuckDB: documents are framed into md5-sharded
+``.warc.gz`` archives (real bytes on disk, one file per shard -- the
+Common-Crawl segment layout), read BACK through the streaming
+``read_warc`` source, and reduced to per-shard (n_docs, n_bytes); the
+oracle computes the same numbers straight off the parquet table, so any
+framing/compression/parse defect breaks the hash match.
+
+Scale posture: shard assignment is the pure per-row md5 bucket
+(resumable, retry-stable -- docs._shard_ids contract); the write is a
+bounded groupby (n_shards groups, each streamed to one file); the read
+is file-parallel with per-batch partial aggregation -- page bytes never
+shuffle, only (shard, n, bytes) partials do.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from pomp_ray.pipelines.docs import _docs, _shard_ids
+from pomp_ray.sources.warc import encode_warc, read_warc
+
+N_SHARDS = 8
+
+
+def _to_pages_batch(t: pa.Table) -> pa.Table:
+    """documents rows -> PAGES-shaped rows: url doc://<id>, warc_ts =
+    doc_id seconds since epoch, payload = utf-8 text bytes."""
+    ids = t["doc_id"]
+    urls = pc.binary_join_element_wise(
+        "doc://", pc.cast(ids, pa.string()), "")
+    ts = pc.cast(pc.multiply(pc.cast(ids, pa.int64()), 1_000_000),
+                 pa.timestamp("us"))
+    html = pc.cast(t["text"], pa.binary())
+    shard = _shard_ids(ids.to_pylist(), N_SHARDS)
+    return pa.table({
+        "doc_id": ids, "url": urls, "warc_ts": ts, "html": html,
+        "shard": pa.array(shard, pa.int64()),
+    })
+
+
+def _write_shard(g: pd.DataFrame, out_dir: str) -> pd.DataFrame:
+    """One WARC-lite file per shard group, rows in doc_id order (the
+    deterministic within-file order); fixed shard-N name, atomic
+    replace."""
+    g = g.sort_values("doc_id")
+    shard = int(g["shard"].iloc[0])
+    # pin the pandas datetime unit before the int view: us since epoch
+    ts = g["warc_ts"].astype("datetime64[us]").astype("int64").tolist()
+    blob = encode_warc(g["url"].tolist(), ts, g["html"].tolist())
+    path = os.path.join(out_dir, f"shard-{shard}.warc.gz")
+    tmp = path + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+    return pd.DataFrame({"shard": [shard], "n_written": [len(g)]})
+
+
+def write_warc_shards(sf_dir: str, out_dir: str) -> list[dict]:
+    """Materialize documents as the sharded WARC-lite archive; returns
+    per-shard written counts."""
+    os.makedirs(out_dir, exist_ok=True)
+    pages = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _to_pages_batch, batch_format="pyarrow")
+    return pages.groupby("shard").map_groups(
+        lambda g: _write_shard(g, out_dir), batch_format="pandas").take_all()
+
+
+def warc_shard_stats(sf_dir: str) -> rd.Dataset:
+    """documents -> sharded .warc.gz archive -> read back -> per-shard
+    (n_docs, n_bytes).  n_bytes counts PAYLOAD bytes (utf-8 text), read
+    from the parsed records, not the input table."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out_dir = f"/tmp/pomp_warc_{tag}"
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)   # stale shards from another corpus size
+    write_warc_shards(sf_dir, out_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = pc.cast(pc.replace_substring(t["url"], "doc://", ""),
+                      pa.int64()).to_pylist()
+        shard = _shard_ids(ids, N_SHARDS)
+        nbytes = pc.binary_length(t["html"]).to_numpy().astype(np.int64)
+        df = pd.DataFrame({"shard": shard, "n_bytes": nbytes})
+        g = df.groupby("shard", as_index=False).agg(
+            n_docs=("n_bytes", "size"), n_bytes=("n_bytes", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = read_warc(out_dir).map_batches(
+        partial, batch_format="pyarrow").groupby("shard").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("n_bytes", alias_name="n_bytes"))
+    return out.map_batches(
+        lambda t: pa.table({c: pc.cast(t[c], pa.int64())
+                            for c in ("shard", "n_docs", "n_bytes")}),
+        batch_format="pyarrow")

@@ -50,6 +50,9 @@ def read_pages(path: str, fmt: str = "parquet") -> rd.Dataset:
         ds = rd.read_csv(path)
     elif fmt == "json":
         ds = rd.read_json(path)
+    elif fmt == "warc":
+        from pomp_ray.sources.warc import read_warc
+        ds = read_warc(path)
     else:
         raise ValueError(f"unsupported corpus format: {fmt}")
     return ds.map_batches(_normalize, batch_format="pyarrow")

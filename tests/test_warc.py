@@ -1,0 +1,128 @@
+"""WARC-lite archive source/sink (sources/warc.py): record framing,
+gzip-member compression, round-trip fidelity through real files, the
+read_pages fmt="warc" normalization, and the sharded stats pipeline."""
+
+import gzip
+
+import pyarrow as pa
+
+from pomp_ray import schemas
+from pomp_ray.sources.warc import (
+    encode_record,
+    encode_warc,
+    parse_warc,
+    read_warc,
+    write_warc,
+)
+
+ROWS = [
+    {"url": "http://a.test/x", "warc_ts": 1_700_000_000_123_456,
+     "html": b"<html>plain</html>"},
+    # payload containing the record separator AND gzip magic bytes:
+    # framing must be Content-Length-driven, not scan-driven
+    {"url": "http://a.test/trap", "warc_ts": None,
+     "html": b"ab\r\n\r\nWARC/1.0\r\n\x1f\x8b tail"},
+    {"url": "http://b.test/empty", "warc_ts": 0, "html": b""},
+]
+
+
+def _pages_table():
+    return pa.table({
+        "url": pa.array([r["url"] for r in ROWS]),
+        "warc_ts": pa.array([r["warc_ts"] for r in ROWS],
+                            pa.timestamp("us")),
+        "html": pa.array([r["html"] for r in ROWS], pa.binary()),
+        "text": pa.nulls(len(ROWS), pa.string()),
+        "lang": pa.nulls(len(ROWS), pa.string()),
+    }, schema=schemas.PAGES)
+
+
+def _roundtrip(compress):
+    t = _pages_table()
+    blob = encode_warc([r["url"] for r in ROWS],
+                       [r["warc_ts"] for r in ROWS],
+                       [r["html"] for r in ROWS], compress=compress)
+    back = parse_warc(blob)
+    assert back["url"].to_pylist() == t["url"].to_pylist()
+    assert back["html"].to_pylist() == t["html"].to_pylist()
+    assert back["warc_ts"].cast(pa.int64()).to_pylist() == \
+        [r["warc_ts"] for r in ROWS]
+
+
+def test_roundtrip_plain_and_gzip():
+    _roundtrip(compress=False)
+    _roundtrip(compress=True)
+
+
+def test_gzip_members_are_per_record():
+    blob = encode_warc(["http://a.test/1", "http://a.test/2"],
+                       [None, None], [b"one", b"two"], compress=True)
+    # two independent gzip members: a second magic header exists past
+    # the first, and member-wise decompression yields record 1 alone
+    assert blob.count(b"\x1f\x8b\x08") >= 2
+    first = gzip.GzipFile(fileobj=__import__("io").BytesIO(blob))
+    rec1 = encode_record("http://a.test/1", None, b"one")
+    assert first.read().startswith(b"WARC/1.0")
+    assert parse_warc(gzip.decompress(blob)[:len(rec1)],
+                      compressed=False)["url"].to_pylist() == \
+        ["http://a.test/1"]
+
+
+def test_write_read_dataset_roundtrip(ray_session, tmp_path):
+    import ray.data as rd
+    out = str(tmp_path / "archive")
+    stats = write_warc(rd.from_arrow(_pages_table()), out)
+    assert sum(s["n_records"] for s in stats) == len(ROWS)
+    assert sum(s["n_payload_bytes"] for s in stats) == \
+        sum(len(r["html"]) for r in ROWS)
+    back = read_warc(out).take_all()
+    assert {r["url"] for r in back} == {r["url"] for r in ROWS}
+    by_url = {r["url"]: r for r in back}
+    for r in ROWS:
+        assert by_url[r["url"]]["html"] == r["html"]
+
+
+def test_write_is_idempotent(ray_session, tmp_path):
+    import glob
+
+    import ray.data as rd
+    out = str(tmp_path / "archive")
+    write_warc(rd.from_arrow(_pages_table()), out)
+    files1 = sorted(glob.glob(out + "/*"))
+    write_warc(rd.from_arrow(_pages_table()), out)   # retry/replay
+    assert sorted(glob.glob(out + "/*")) == files1
+
+
+def test_read_pages_warc_normalizes(ray_session, tmp_path):
+    import ray.data as rd
+
+    from pomp_ray.sources.corpus import read_pages
+    out = str(tmp_path / "archive")
+    write_warc(rd.from_arrow(_pages_table()), out)
+    t = pa.concat_tables(
+        b for b in read_pages(out, fmt="warc").iter_batches(
+            batch_format="pyarrow"))
+    assert t.schema.equals(schemas.PAGES)
+    assert set(t["url"].to_pylist()) == {r["url"] for r in ROWS}
+
+
+def test_warc_shard_stats_matches_direct(ray_session):
+    """The driver query's numbers, recomputed straight from the parquet
+    table (independent of the archive round-trip)."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from pomp_ray.pipelines.archive import N_SHARDS, warc_shard_stats
+    from pomp_ray.pipelines.docs import _shard_ids
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["shard"]: (r["n_docs"], r["n_bytes"])
+           for r in warc_shard_stats(sf).take_all()}
+    t = pq.read_table(sf + "/documents.parquet", columns=["doc_id", "text"])
+    shards = _shard_ids(t["doc_id"].to_pylist(), N_SHARDS)
+    want = collections.defaultdict(lambda: [0, 0])
+    for s, txt in zip(shards, t["text"].to_pylist()):
+        want[int(s)][0] += 1
+        want[int(s)][1] += len(txt.encode("utf-8"))
+    assert got == {s: (n, b) for s, (n, b) in want.items()}
