@@ -151,6 +151,43 @@ class HostPriority:
                 for u in urls]
 
 
+class PageRankPriority:
+    """Rank-informed crawl scorer for ``CrawlConfig.priority_fn``
+    (mode="best"): link priority = the quantized PageRank of the link
+    TARGET's host, learned from a PRIOR crawl
+    (``pipelines.graph.host_pagerank_from_crawl``) -- the classic
+    continuous-crawl loop (Cho/Garcia-Molina 2000's importance-driven
+    ordering): crawl, rank, let authority steer the next crawl.
+
+    Ranks quantize to ``n_levels`` integer priorities by linear scale
+    over [0, max_rank] (pure function of the committed rank table, so
+    deterministic across workers/retries); unknown hosts score 0 and are
+    still reached eventually, like any best-first tail.  The host->level
+    dict is O(hosts) and pickles into tasks by value -- same broadcast
+    posture as the robots maps."""
+
+    def __init__(self, host_rank_fp: dict[str, int], n_levels: int = 4):
+        self.n_levels = n_levels
+        top = max(host_rank_fp.values(), default=0)
+        self.levels = ({h: min(n_levels - 1, int(r) * n_levels // (top + 1))
+                        for h, r in host_rank_fp.items()} if top > 0 else
+                       dict.fromkeys(host_rank_fp, 0))
+
+    @classmethod
+    def from_rank_table(cls, rank_table, n_levels: int = 4):
+        """From a (host, rank_fp) arrow table / list of rows, e.g.
+        ``host_pagerank_from_crawl`` output."""
+        if hasattr(rank_table, "to_pylist"):
+            rank_table = rank_table.to_pylist()
+        return cls({r["host"]: int(r["rank_fp"]) for r in rank_table},
+                   n_levels=n_levels)
+
+    def __call__(self, urls: list[str], depths: list[int]) -> list[int]:
+        from urllib.parse import urlsplit
+        lv = self.levels
+        return [lv.get(urlsplit(u).hostname, 0) for u in urls]
+
+
 def dedup_first_in_order(cands: rd.Dataset, mode: str) -> rd.Dataset:
     """Keep, per canon_url, the candidate that pomp's serial loop would
     have enqueued: the first in round enqueue order.  BFS enqueue order is

@@ -303,3 +303,51 @@ def test_focused_crawl_distributed_exact(tmp_path):
     focused_order = [v["url"] for v in res.visited]
     bfs_order = [v["url"] for v in res_bfs.visited]
     assert mean_rank(focused_order) < mean_rank(bfs_order)
+
+
+def test_pagerank_priority_recrawl(tmp_path):
+    """The continuous-crawl loop: BFS crawl -> host PageRank over its
+    link graph -> PageRankPriority steers a best-first recrawl.  The
+    recrawl is bit-exact vs the serial oracle under the same scorer,
+    and top-ranked hosts' pages are visited earlier on average than
+    under BFS (authority ordering bites)."""
+    from pomp_ray.core.oracle import crawl_oracle
+    from pomp_ray.pipelines.graph import host_pagerank_from_crawl
+    from pomp_ray.stages.enqueue import PageRankPriority
+    from tests.helpers import oracle_inputs
+
+    fix = fixture_corpus(gen_corpus.SMALL)
+    corpus, seeds, robots, _ = oracle_inputs(fix)
+    ckpt1 = str(tmp_path / "c1")
+    cfg1 = CrawlConfig(corpus_path=fix.pages_path, ckpt_dir=ckpt1,
+                       robots_path=fix.robots_path, mode="bfs",
+                       min_distributed_rows=64)
+    run_crawl(cfg1, seeds=seeds)
+    ranks = host_pagerank_from_crawl(ckpt1, fix.pages_path)
+    pr = PageRankPriority.from_rank_table(ranks, n_levels=4)
+    assert set(pr.levels.values()) != {0}, "quantization must spread hosts"
+
+    ckpt2 = str(tmp_path / "c2")
+    cfg2 = CrawlConfig(corpus_path=fix.pages_path, ckpt_dir=ckpt2,
+                       robots_path=fix.robots_path, mode="best",
+                       best_width=96, priority_fn=pr,
+                       min_distributed_rows=0, n_seen_shards=4)
+    summary = run_crawl(cfg2, seeds=seeds)
+    assert any(r["path"] == "exact" for r in summary.per_round)
+    res = crawl_oracle(corpus, seeds, robots, mode="best", best_width=96,
+                       priority_fn=pr)
+    got = visited_tuples(read_ckpt(ckpt2, "visited"))
+    assert got == oracle_visited_tuples(res)
+
+    # authority check: pages on the top-level hosts come earlier than BFS
+    top_hosts = {h for h, lv in pr.levels.items()
+                 if lv == max(pr.levels.values())}
+
+    def mean_rank(order):
+        ranks_ = [i for i, u in enumerate(order)
+                  if u.split("/")[2] in top_hosts]
+        return sum(ranks_) / len(ranks_)
+
+    res_bfs = run_oracle(fix, mode="bfs")
+    assert mean_rank([v["url"] for v in res.visited]) < \
+        mean_rank([v["url"] for v in res_bfs.visited])
