@@ -111,6 +111,7 @@ def _crawl_host_pagerank():
 def queries() -> dict[str, Callable[[str], Any]]:
     from pomp_ray.pipelines import (
         archive,
+        classify,
         docs,
         embeddings,
         graph,
@@ -161,6 +162,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": docs.mixture_sample,
         "token_shard_stats": docs.token_shard_stats,
         "warc_shard_stats": archive.warc_shard_stats,
+        # -- model training: distributed least-squares classifier
+        #    (integer sufficient statistics -> pinned solve)
+        "lsq_classifier_weights": classify.lsq_classifier_weights,
+        "lsq_classifier_scores": classify.lsq_classifier_scores,
         "trigram_lm_scores": docs.trigram_lm_scores,
         "pretraining_shards": docs.pretraining_shards,
         "lm_quality_buckets": docs.lm_quality_buckets,
@@ -1076,6 +1081,15 @@ def oracle_sql() -> dict[str, str]:
         "crawl_budget_errors":
             "SELECT * FROM "
             f"read_parquet('{_GOLDEN}/crawl_budget_errors.parquet')",
+        # independent serial learner goldens (tools/gen_golden.py
+        # gen_lsq_classifier_golden): Python string-op features, plain
+        # int sufficient statistics, the same pinned np.linalg.solve
+        "lsq_classifier_weights":
+            "SELECT * FROM "
+            f"read_parquet('{_GOLDEN}/lsq_classifier_weights_sf001.parquet')",
+        "lsq_classifier_scores":
+            "SELECT * FROM "
+            f"read_parquet('{_GOLDEN}/lsq_classifier_scores_sf001.parquet')",
         "events_normalized": """
             SELECT event_id, event_type,
                    ROUND((value - AVG(value) OVER w)

@@ -892,6 +892,59 @@ def gen_bpe_encode_golden(sf_dir: str = SF001, n_merges: int = 24,
           round(sum(counts) / len(counts), 2), "subtokens")
 
 
+def gen_lsq_classifier_golden(sf_dir: str = "/root/testdata/sf0.01") -> None:
+    """Independent serial least-squares classifier vs
+    pipelines/classify.py: features via Python string ops (len,
+    re.findall, str.count -- not Arrow kernels), sufficient statistics
+    accumulated in PLAIN PYTHON INTS per doc (not numpy matmul), the
+    same pinned np.linalg.solve contract, predictions via per-row
+    Python float dot (not a batch matmul)."""
+    import re as _re
+
+    from pomp_ray.pipelines.classify import (
+        FEATURE_CHARS,
+        FEATURES,
+        TEACHER_A,
+        TEACHER_CHARS,
+    )
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    k = len(FEATURES)
+    xtx = [[0] * k for _ in range(k)]
+    xty = [0] * k
+    rows = []
+    for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        x = [1, len(text), len(_re.findall(r"\S+", text))] + \
+            [text.count(c) for c in FEATURE_CHARS]
+        y = 1 if 2 * (TEACHER_A * x[3] - TEACHER_CHARS * x[1]) + 1 > 0 else -1
+        for i in range(k):
+            xi = x[i]
+            xty[i] += xi * y
+            row = xtx[i]
+            for j in range(k):
+                row[j] += xi * x[j]
+        rows.append((doc_id, x, y))
+    w = np.linalg.solve(np.array(xtx, np.float64), np.array(xty, np.float64))
+    pq.write_table(
+        pa.table({"feature": pa.array(list(FEATURES), pa.string()),
+                  "weight": pa.array([float(v) for v in w], pa.float64())}),
+        os.path.join(GOLDEN_DIR, "lsq_classifier_weights_sf001.parquet"))
+    preds, labels, ids = [], [], []
+    for doc_id, x, y in rows:
+        m = float(np.dot(np.asarray(x, np.float64), w))
+        ids.append(doc_id)
+        preds.append(m > 0.0)
+        labels.append(y > 0)
+    acc = sum(p == l for p, l in zip(preds, labels)) / len(preds)
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "pred": pa.array(preds, pa.bool_()),
+                  "label": pa.array(labels, pa.bool_())}),
+        os.path.join(GOLDEN_DIR, "lsq_classifier_scores_sf001.parquet"))
+    print(f"lsq classifier golden: {len(preds)} docs, train acc {acc:.3f}")
+
+
 if __name__ == "__main__":
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     gen_signature_goldens()
@@ -911,3 +964,4 @@ if __name__ == "__main__":
     gen_bloom_decon_golden()
     gen_semdedup_golden()
     gen_bpe_encode_golden()
+    gen_lsq_classifier_golden()
