@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": docs.tfidf_top_terms,
         "mixture_sample": docs.mixture_sample,
         "token_shard_stats": docs.token_shard_stats,
+        "shuffle_positions": docs.shuffle_positions,
         "warc_shard_stats": archive.warc_shard_stats,
         # -- model training: distributed least-squares classifier
         #    (integer sufficient statistics -> pinned solve)
@@ -889,6 +890,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
                        AS n_tokens
             FROM documents GROUP BY shard
+        """,
+        # the reproducible global shuffle: position by ascending
+        # md5(doc_id); ROW_NUMBER is 1-based, the engine 0-based
+        "shuffle_positions": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(ROW_NUMBER() OVER (
+                        ORDER BY md5(CAST(doc_id AS VARCHAR))) - 1
+                        AS BIGINT) AS pos
+            FROM documents
         """,
         # warc_shard_stats round-trips documents through REAL .warc.gz
         # files (write -> parse); the oracle computes the same per-shard

@@ -168,6 +168,28 @@ def neardup_dedup_docs(sf_dir: str,
         batch_format="pyarrow")
 
 
+def shuffle_positions(sf_dir: str) -> rd.Dataset:
+    """Deterministic global training-shuffle order: position 0..n-1 by
+    ascending md5(doc_id) -- the reproducible stand-in for
+    ``random_shuffle`` (which is neither session- nor block-structure
+    stable) that a training export numbers its samples with.  Built on
+    ``stages.index.zip_with_index`` (sort + two block passes; only
+    O(blocks) partials touch the driver)."""
+    import hashlib
+
+    from pomp_ray.stages.index import zip_with_index
+
+    def add_h(t: pa.Table) -> pa.Table:
+        h = [hashlib.md5(str(d).encode()).hexdigest()
+             for d in t["doc_id"].to_pylist()]
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "h": pa.array(h, pa.string())})
+
+    ds = _docs(sf_dir, ["doc_id"]).map_batches(add_h, batch_format="pyarrow")
+    return zip_with_index(ds, "h", out_col="pos").map_batches(
+        lambda t: t.select(["doc_id", "pos"]), batch_format="pyarrow")
+
+
 def export_corpus_partitioned(sf_dir: str, out_dir: str) -> dict:
     """Ship the cleaned corpus as LANG-PARTITIONED parquet
     (``out_dir/lang=xx/*.parquet``) -- the resumable-output layout: a
