@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_shard_stats": docs.token_shard_stats,
         "shuffle_positions": docs.shuffle_positions,
         "warc_shard_stats": archive.warc_shard_stats,
+        "cdx_index": archive.cdx_index,
         # -- model training: distributed least-squares classifier
         #    (integer sufficient statistics -> pinned solve)
         "lsq_classifier_weights": classify.lsq_classifier_weights,
@@ -911,6 +912,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_docs,
                    CAST(SUM(octet_length(encode(text))) AS BIGINT) AS n_bytes
             FROM documents GROUP BY shard
+        """,
+        # CDX capture index: the oracle rebuilds url/surt/ts/digest with
+        # DuckDB string+time functions and numbers rows in SURT order
+        "cdx_index": """
+            WITH p AS (
+                SELECT doc_id, text,
+                       source || '.example.com' AS host,
+                       '/' || lang || '/doc-' || CAST(doc_id AS VARCHAR)
+                           || '.html' AS path
+                FROM documents),
+            s AS (
+                SELECT array_to_string(list_reverse(string_split(host, '.')),
+                                       ',') || ')' || path AS surt_key,
+                       'http://' || host || path AS url,
+                       strftime(epoch_ms(doc_id * 1000),
+                                '%Y%m%d%H%M%S') AS warc_ts,
+                       md5(text) AS digest,
+                       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+                FROM p)
+            SELECT surt_key, url, warc_ts, digest, n_bytes,
+                   CAST(ROW_NUMBER() OVER (ORDER BY surt_key) - 1
+                        AS BIGINT) AS idx
+            FROM s
         """,
         "pretraining_shards": """
             WITH quality AS (

@@ -126,3 +126,36 @@ def test_warc_shard_stats_matches_direct(ray_session):
         want[int(s)][0] += 1
         want[int(s)][1] += len(txt.encode("utf-8"))
     assert got == {s: (n, b) for s, (n, b) in want.items()}
+
+
+def test_cdx_index_surt_order_and_digest(ray_session):
+    """CDX rows come back in strict SURT order with a contiguous global
+    idx; digest/url/ts recomputed independently per row."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from pomp_ray.pipelines.archive import cdx_index, surt_key
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(cdx_index(sf).take_all(), key=lambda r: r["idx"])
+    assert [r["idx"] for r in rows] == list(range(len(rows)))
+    keys = [r["surt_key"] for r in rows]
+    assert keys == sorted(keys) and len(set(keys)) == len(keys)
+
+    t = pq.read_table(sf + "/documents.parquet")
+    assert len(rows) == t.num_rows
+    by_id = {f"doc-{d}.html": i
+             for i, d in enumerate(t["doc_id"].to_pylist())}
+    for r in rows[:25]:
+        name = r["url"].rsplit("/", 1)[1]
+        i = by_id[name]
+        d = t["doc_id"][i].as_py()
+        src, lang = t["source"][i].as_py(), t["lang"][i].as_py()
+        text = t["text"][i].as_py()
+        host = f"{src}.example.com"
+        path = f"/{lang}/doc-{d}.html"
+        assert r["url"] == f"http://{host}{path}"
+        assert r["surt_key"] == surt_key(host, path)
+        assert r["digest"] == hashlib.md5(text.encode()).hexdigest()
+        assert r["n_bytes"] == len(text.encode())
