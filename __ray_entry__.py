@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from pomp_ray.pipelines import (
         archive,
         classify,
+        delta,
         docs,
         embeddings,
         graph,
@@ -164,6 +165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_positions": docs.shuffle_positions,
         "warc_shard_stats": archive.warc_shard_stats,
         "cdx_index": archive.cdx_index,
+        "snapshot_delta": delta.snapshot_delta,
         # -- model training: distributed least-squares classifier
         #    (integer sufficient statistics -> pinned solve)
         "lsq_classifier_weights": classify.lsq_classifier_weights,
@@ -935,6 +937,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROW_NUMBER() OVER (ORDER BY surt_key) - 1
                         AS BIGINT) AS idx
             FROM s
+        """,
+        # snapshot delta: full-outer digest join between the two derived
+        # snapshots (md5 bucket b: 0 missing from OLD, 1 missing from NEW,
+        # 2 revised in NEW) -- mirrors pipelines/delta.py literally
+        "snapshot_delta": """
+            WITH g AS (
+                SELECT doc_id, text,
+                       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                           1, 4) AS INTEGER) % 10 AS b
+                FROM documents),
+            old AS (SELECT doc_id, md5(text) AS d FROM g WHERE b <> 0),
+            new AS (SELECT doc_id,
+                           md5(CASE WHEN b = 2 THEN text || ' [rev2]'
+                                    ELSE text END) AS d
+                    FROM g WHERE b <> 1)
+            SELECT CAST(COALESCE(o.doc_id, n.doc_id) AS BIGINT) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+            WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.d <> n.d
         """,
         "pretraining_shards": """
             WITH quality AS (

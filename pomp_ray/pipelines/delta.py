@@ -1,0 +1,100 @@
+"""Snapshot delta: the incremental-crawl diff between two corpus
+snapshots (the Common-Crawl monthly-snapshot shape -- what changed since
+the last crawl drives recrawl scheduling and incremental downstream
+processing; pomp has no equivalent, this is 100-TB-pipeline surface).
+
+Both snapshots are reduced to skinny (doc_id, digest) tables inside
+map_batches -- TEXT NEVER SHUFFLES, only 16-byte digests do -- then one
+``Dataset.join(full_outer)`` on doc_id classifies every page:
+
+  - ``added``   -- in the new snapshot only,
+  - ``removed`` -- in the old snapshot only,
+  - ``changed`` -- in both but content digest differs,
+
+and unchanged pages are filtered out in the same pass, so the delta the
+driver sees is output-scale (the churn), not corpus-scale.  At 100 TB
+the two digest tables are what a production crawl would persist beside
+each snapshot anyway (the CDX digest column); the join shuffles only
+those.
+
+The test snapshots are derived deterministically from ``documents`` by
+an md5 bucket b = md5(doc_id) % 10 (mirrored literally in the DuckDB
+oracle): bucket 0 is missing from OLD (-> added), bucket 1 is missing
+from NEW (-> removed), bucket 2's text gains a revision suffix in NEW
+(-> changed), everything else is identical (-> dropped).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from pomp_ray.pipelines.docs import _docs, _shard_ids
+
+
+def _digests(t: pa.Table, texts: list[str]) -> pa.Array:
+    return pa.array([hashlib.md5(s.encode("utf-8")).hexdigest()
+                     for s in texts], pa.string())
+
+
+def _old_side(t: pa.Table) -> pa.Table:
+    b = _shard_ids(t["doc_id"].to_pylist(), 10)
+    t = t.filter(pa.array(b != 0))
+    return pa.table({
+        "doc_id": pc.cast(t["doc_id"], pa.int64()),
+        "d_old": _digests(t, t["text"].to_pylist()),
+    })
+
+
+def _new_side(t: pa.Table) -> pa.Table:
+    b = _shard_ids(t["doc_id"].to_pylist(), 10)
+    keep = b != 1
+    t = t.filter(pa.array(keep))
+    texts = t["text"].to_pylist()
+    changed = b[keep] == 2
+    texts = [s + " [rev2]" if c else s for s, c in zip(texts, changed)]
+    return pa.table({
+        "doc_id": pc.cast(t["doc_id"], pa.int64()),
+        "d_new": _digests(t, texts),
+    })
+
+
+def snapshot_delta(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
+    """(doc_id, status) rows for every added / removed / changed page
+    between the derived OLD and NEW snapshots of ``documents``."""
+    old = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _old_side, batch_format="pyarrow")
+    new = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _new_side, batch_format="pyarrow")
+    j = old.join(new, join_type="full_outer", on=("doc_id",),
+                 num_partitions=num_partitions)
+
+    def classify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "status": pa.array([], pa.string())})
+        d_old, d_new = t["d_old"], t["d_new"]
+        added = pc.is_null(d_old).to_numpy(zero_copy_only=False)
+        removed = pc.is_null(d_new).to_numpy(zero_copy_only=False)
+        # not_equal is null on added/removed rows; Kleene AND with the
+        # false "both present" mask pins those to false, never null
+        changed = pc.and_kleene(
+            pa.array(~added & ~removed),
+            pc.not_equal(d_old, d_new).combine_chunks()
+            if isinstance(d_old, pa.ChunkedArray)
+            else pc.not_equal(d_old, d_new),
+        ).to_numpy(zero_copy_only=False)
+        status = np.full(t.num_rows, "", dtype=object)
+        status[added] = "added"
+        status[removed] = "removed"
+        status[changed] = "changed"
+        out = pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                        "status": pa.array(status, pa.string())})
+        return out.filter(pc.not_equal(out["status"], ""))
+
+    return j.map_batches(classify, batch_format="pyarrow")
