@@ -195,6 +195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk": embeddings.ivf_topk,
         "pq_topk": embeddings.pq_topk,
         "label_centroids": embeddings.label_centroids,
+        "embedding_pca": embeddings.embedding_pca,
         "kmeans_clusters": embeddings.kmeans_clusters,
         "semdedup": embeddings.semdedup,
         # -- graph: near-dup pairs -> dup groups (label propagation)
@@ -1038,6 +1039,8 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM read_parquet('{_GOLDEN}/pq_topk_sf001.parquet')",
         "dsir_weights":
             f"SELECT * FROM read_parquet('{_GOLDEN}/dsir_sf001.parquet')",
+        "embedding_pca":
+            f"SELECT * FROM read_parquet('{_GOLDEN}/pca_sf001.parquet')",
         "pack_sequences":
             f"SELECT * FROM read_parquet('{_GOLDEN}/pack_sequences_sf001.parquet')",
         "cms_word_counts":

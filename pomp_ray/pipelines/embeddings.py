@@ -668,3 +668,86 @@ def semdedup(sf_dir: str, k: int = 8, n_iter: int = 5,
     return (_emb(sf_dir).map_batches(assign, batch_format="pyarrow")
             .groupby("cluster")
             .map_groups(dedup_cluster, batch_format="pandas"))
+
+
+# ------------------------------------------------------------ distributed PCA
+def _pca_model(sf_dir: str, k: int):
+    """Phase 1 of PCA: EXACT int64 sufficient statistics (n, s = sum q,
+    G = q'q) from the micro-unit quantized embeddings (``_km_quant``),
+    accumulated as (i, j, v) partial rows through one tiny groupby --
+    integer sums are order-independent, so the Gram matrix is
+    bit-identical across block structures / cluster sizes / retries.
+    The driver then forms the covariance and eigendecomposes dim x dim
+    (64 x 64 -- driver-scale no matter the corpus size).  Returns
+    (Wq int64 (dim,k) micro-unit components, sWq int64 (k,), n)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, q = _km_quant(t)
+        dim = q.shape[1]
+        g = q.T @ q                    # exact int64 Gram partial
+        s = q.sum(axis=0)              # exact int64 column sums
+        ii, jj = np.nonzero(np.ones((dim, dim), bool))
+        i = np.concatenate([ii, np.arange(dim), [-1]])
+        j = np.concatenate([jj, np.full(dim, -1), [-1]])
+        v = np.concatenate([g.ravel(), s, [len(q)]])
+        return pa.table({"i": pa.array(i, pa.int64()),
+                         "j": pa.array(j, pa.int64()),
+                         "v": pa.array(v, pa.int64())})
+
+    rows = _emb(sf_dir).map_batches(
+        partial, batch_format="pyarrow").groupby(["i", "j"]).aggregate(
+        _Sum("v", alias_name="v")).take_all()
+    dim = max(r["i"] for r in rows) + 1
+    G = np.zeros((dim, dim), np.int64)
+    s = np.zeros(dim, np.int64)
+    n = 0
+    for r in rows:
+        if r["i"] < 0:
+            n = int(r["v"])
+        elif r["j"] < 0:
+            s[r["i"]] = r["v"]
+        else:
+            G[r["i"], r["j"]] = r["v"]
+    # fixed double expression from exact ints: identical on every run
+    mu = s / n
+    cov = (G / n - np.outer(mu, mu)) / (_KM_SCALE * _KM_SCALE)
+    w, v = np.linalg.eigh(cov)         # pinned primitive (cf. classify.py)
+    comp = v[:, ::-1][:, :k]           # descending eigenvalue order
+    for c in range(k):                 # sign convention: peak weight > 0
+        p = int(np.abs(comp[:, c]).argmax())
+        if comp[p, c] < 0:
+            comp[:, c] = -comp[:, c]
+    Wq = np.rint(comp * _KM_SCALE).astype(np.int64)
+    sWq = s @ Wq                       # exact int64
+    return Wq, sWq, n
+
+
+def embedding_pca(sf_dir: str, k: int = 2) -> rd.Dataset:
+    """Distributed PCA projection of the embedding column to its top-k
+    principal components -- the dimensionality-reduction front end of
+    embedding dedup/ANN at scale (project once, run the cheap ops in
+    k dims).
+
+    Determinism contract (the lsq/kmeans discipline): all corpus-scale
+    reductions are int64 (quantized Gram/sums -> bit-identical
+    covariance), the eigh runs once on the driver, components are
+    re-quantized to int64 micro-units, and each row's score is
+    q @ Wq (exact int64 dot) centered and scaled by ONE fixed double
+    expression -- so engine output is bit-identical to the independent
+    serial golden (tools/gen_golden.py gen_pca_golden) with no
+    tolerance."""
+    Wq, sWq, n = _pca_model(sf_dir, k)
+    scale = _KM_SCALE * _KM_SCALE
+    offs = sWq / n                     # double (k,), same on both sides
+
+    def score(t: pa.Table) -> pa.Table:
+        ids, q = _km_quant(t)
+        si = q @ Wq                    # exact int64 (rows, k)
+        sc = (si - offs) / scale
+        cols = {"vec_id": pa.array(ids, pa.int64())}
+        for c in range(sc.shape[1]):
+            cols[f"pc{c + 1}"] = pa.array(sc[:, c], pa.float64())
+        return pa.table(cols)
+
+    return _emb(sf_dir).map_batches(score, batch_format="pyarrow")

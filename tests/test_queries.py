@@ -748,3 +748,21 @@ def test_tokenized_docs_roundtrip_and_writer(tmp_path):
         .reset_index(drop=True)
     assert (back["doc_id"] == got["doc_id"]).all()
     assert all(list(a) == list(b) for a, b in zip(back["ids"], got["ids"]))
+
+
+def test_embedding_pca_deterministic_and_orthogonal():
+    """Distributed PCA: two runs agree bit-for-bit (int64 Gram/sum
+    partials), projections are centered (exact-int mean removal), and
+    the two component scores are empirically uncorrelated."""
+    from pomp_ray.pipelines import embeddings
+    a = _canon(_to_pandas(embeddings.embedding_pca(SF, k=2)))
+    b = _canon(_to_pandas(embeddings.embedding_pca(SF, k=2)))
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    assert a["vec_id"].is_unique and len(a) > 0
+    # centered: mean of each score ~ 0 (quantization noise only)
+    assert abs(a["pc1"].mean()) < 1e-5 and abs(a["pc2"].mean()) < 1e-5
+    # decorrelated: PCA scores have ~zero covariance
+    c = np.corrcoef(a["pc1"], a["pc2"])[0, 1]
+    assert abs(c) < 0.05
+    # pc1 captures at least as much variance as pc2
+    assert a["pc1"].var() >= a["pc2"].var() * 0.999

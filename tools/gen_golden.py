@@ -945,6 +945,42 @@ def gen_lsq_classifier_golden(sf_dir: str = "/root/testdata/sf0.01") -> None:
     print(f"lsq classifier golden: {len(preds)} docs, train acc {acc:.3f}")
 
 
+
+def gen_pca_golden(sf_dir: str = SF001, k: int = 2) -> None:
+    """Independent serial PCA against embeddings.embedding_pca's pinned
+    arithmetic contract: int64 micro-unit Gram/sums (one full-matrix
+    numpy pass, no Dataset machinery), covariance via the same fixed
+    double expression, np.linalg.eigh, peak-weight-positive sign rule,
+    int64-requantized components, exact integer projections centered by
+    sWq/n."""
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = np.asarray(t["vec_id"].to_pylist(), np.int64)
+    mat = np.array(t["embedding"].to_pylist(), np.float64)
+    scale1 = float(1 << 20)
+    q = np.rint(mat * scale1).astype(np.int64)
+    n = len(q)
+    G = q.T @ q
+    s = q.sum(axis=0)
+    mu = s / n
+    cov = (G / n - np.outer(mu, mu)) / (scale1 * scale1)
+    w, v = np.linalg.eigh(cov)
+    comp = v[:, ::-1][:, :k]
+    for c in range(k):
+        p = int(np.abs(comp[:, c]).argmax())
+        if comp[p, c] < 0:
+            comp[:, c] = -comp[:, c]
+    Wq = np.rint(comp * scale1).astype(np.int64)
+    sWq = s @ Wq
+    sc = (q @ Wq - sWq / n) / (scale1 * scale1)
+    cols = {"vec_id": pa.array(ids, pa.int64())}
+    for c in range(k):
+        cols[f"pc{c + 1}"] = pa.array(sc[:, c], pa.float64())
+    pq.write_table(pa.table(cols),
+                   os.path.join(GOLDEN_DIR, "pca_sf001.parquet"))
+    var = w[::-1][:k] / w.sum()
+    print(f"pca golden: {n} vectors, top-{k} explained {var.round(3)}")
+
+
 if __name__ == "__main__":
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     gen_signature_goldens()
@@ -958,6 +994,7 @@ if __name__ == "__main__":
     gen_bpe_golden()
     gen_pq_golden()
     gen_dsir_golden()
+    gen_pca_golden()
     gen_crawl_pagerank_golden()
     gen_pack_golden()
     gen_cms_golden()
