@@ -21,6 +21,7 @@ from urllib.parse import urljoin, urlsplit, urlunsplit
 # pomp's canonical quickstart extracts links with a plain href regex over the
 # decoded body (pomp README example [estimated]); we match that behaviour.
 _HREF_RE = re.compile(r'href="([^"]+)"')
+_ANCHOR_RE = re.compile(r'<a href="([^"]+)">([^<]*)</a>')
 _TITLE_RE = re.compile(r"<title>(.*?)</title>", re.DOTALL)
 _PARA_RE = re.compile(r"<p>(.*?)</p>", re.DOTALL)
 _TAG_RE = re.compile(r"<[^>]+>")
@@ -100,6 +101,13 @@ def html_extract_links(html: bytes | str) -> list[str]:
     the frontier's job, exactly as in pomp where ``next_requests`` may yield
     duplicates and the queue/middleware dedups)."""
     return _HREF_RE.findall(body_decode(html))
+
+
+def html_extract_anchors(html: bytes | str) -> list[tuple[str, str]]:
+    """(href, anchor-text) pairs in document order -- the link-graph
+    payload an anchor-text index aggregates (what search engines and
+    web-graph training corpora store per in-link)."""
+    return _ANCHOR_RE.findall(body_decode(html))
 
 
 def html_extract_title(html: bytes | str) -> str:

@@ -304,3 +304,53 @@ def host_pagerank_from_crawl(ckpt_dir: str, pages_path: str,
     out = pagerank(crawl_link_edges(ckpt_dir, pages_path),
                    n_iters=n_iters)
     return out.rename_columns(["host", "rank_fp"])
+
+
+def anchor_texts(pages_path: str, num_partitions: int = 8) -> rd.Dataset:
+    """Anchor-text index over a page corpus: for every link TARGET url,
+    the total in-link count and the sorted distinct anchor terms its
+    in-links carry -- the classic web-graph aggregation (search engines
+    rank on it; web-scale training sets keep it as a per-page signal;
+    pomp users would hand-roll it in a pipeline).
+
+    Scale shape: anchors are extracted and resolved per page inside
+    map_batches (html never shuffles), pre-aggregated per batch to
+    DISTINCT (target, term, count) rows, then ONE groupby(target) with
+    a Sum + a set-merging AggregateFn assembles each target's row (the
+    inverted-index discipline: never one pandas group per tiny target).
+    The target url is the only shuffle key."""
+    from ray.data.aggregate import AggregateFn, Sum
+
+    from pomp_ray.functions.textfns import (html_extract_anchors,
+                                            url_canonicalize, url_join)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        tgt, term = [], []
+        for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            if html is None:
+                continue
+            for href, word in html_extract_anchors(html):
+                tgt.append(url_canonicalize(url_join(url, href)))
+                term.append(word)
+        tbl = pa.table({"target": pa.array(tgt, pa.string()),
+                        "term": pa.array(term, pa.string())})
+        # per-batch partial: (target, term) multiplicity via Arrow hash
+        # groupby -- compact rows to the shuffle, no Python counting
+        return tbl.group_by(["target", "term"]).aggregate([([], "count_all")])
+
+    term_agg = AggregateFn(
+        init=lambda k: [],
+        accumulate_block=lambda st, blk: st + blk.column("term").to_pylist(),
+        merge=lambda a, b: a + b,
+        finalize=lambda ws: " ".join(sorted(set(ws))),
+        name="terms")
+
+    agg = (rd.read_parquet(pages_path, columns=["url", "html"])
+           .map_batches(pairs, batch_format="pyarrow")
+           .groupby("target")
+           .aggregate(Sum("count_all", alias_name="n_anchors"), term_agg))
+    return agg.map_batches(
+        lambda t: pa.table({"target": t["target"],
+                            "n_anchors": pc.cast(t["n_anchors"], pa.int64()),
+                            "terms": t["terms"]}),
+        batch_format="pyarrow")

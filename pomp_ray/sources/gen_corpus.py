@@ -50,9 +50,11 @@ class CorpusProfile:
     seed: int = 42
 
     def key(self) -> str:
+        # -v2: page template gained per-link anchor words; the version
+        # suffix invalidates /tmp corpus caches built from older templates
         return (
             f"{self.name}-h{self.n_hosts}-p{self.n_pages}"
-            f"-z{self.zipf_skew}-w{self.sentence_words}-s{self.seed}"
+            f"-z{self.zipf_skew}-w{self.sentence_words}-s{self.seed}-v2"
         )
 
 
@@ -151,7 +153,9 @@ def generate(out_dir: str, profile: CorpusProfile = TINY) -> GeneratedCorpus:
 
             title = f"site{h} page {i}"
             para = f"text {h}-{i} {_sentence(rng, profile.sentence_words)}"
-            anchors = "".join(f'<a href="{l}">l</a>' for l in links)
+            anchors = "".join(
+                f'<a href="{l}">{_WORDS[(h * 13 + i * 7 + j * 3) % len(_WORDS)]}</a>'
+                for j, l in enumerate(links))
             html = (
                 f"<html><head><title>{title}</title></head>"
                 f"<body><p>{para}</p>{anchors}</body></html>"

@@ -130,3 +130,14 @@ def test_minhash_signatures_batch_equivalence():
     for i, x in enumerate(texts):
         assert np.array_equal(mat[i],
                               an.minhash_signature(x, 64, params=params)), i
+
+
+def test_html_extract_anchors_pairs():
+    html = ('<html><head><title>t</title></head><body><p>x</p>'
+            '<a href="/p/1">alpha</a><a href="http://h.test/p/2">beta</a>'
+            '</body></html>')
+    from pomp_ray.functions.textfns import html_extract_anchors
+    assert html_extract_anchors(html) == [("/p/1", "alpha"),
+                                          ("http://h.test/p/2", "beta")]
+    assert html_extract_anchors(html.encode()) == html_extract_anchors(html)
+    assert html_extract_anchors("<p>no links</p>") == []

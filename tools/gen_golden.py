@@ -981,6 +981,41 @@ def gen_pca_golden(sf_dir: str = SF001, k: int = 2) -> None:
     print(f"pca golden: {n} vectors, top-{k} explained {var.round(3)}")
 
 
+
+def gen_anchor_golden() -> None:
+    """Independent serial anchor-text index over the SMALL corpus:
+    anchors parsed by STRING SPLITTING (no regex shared with the
+    engine), resolved with the shared pure url scalars, aggregated in
+    one dict walk."""
+    from pomp_ray.functions.textfns import url_canonicalize, url_join
+    from pomp_ray.sources import gen_corpus
+
+    fix = gen_corpus.generate("/tmp/pomp_golden_corpus_small",
+                              gen_corpus.SMALL)
+    t = pq.read_table(fix.pages_path, columns=["url", "html"])
+    counts: dict[str, int] = {}
+    terms: dict[str, set] = {}
+    for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+        doc = html.decode("utf-8")
+        for seg in doc.split('<a href="')[1:]:
+            href, rest = seg.split('"', 1)
+            word = rest[rest.index(">") + 1:rest.index("</a>")]
+            tgt = url_canonicalize(url_join(url, href))
+            counts[tgt] = counts.get(tgt, 0) + 1
+            terms.setdefault(tgt, set()).add(word)
+    tgts = sorted(counts)
+    out = pa.table({
+        "target": pa.array(tgts, pa.string()),
+        "n_anchors": pa.array([counts[k] for k in tgts], pa.int64()),
+        "terms": pa.array([" ".join(sorted(terms[k])) for k in tgts],
+                          pa.string()),
+    })
+    pq.write_table(out, os.path.join(GOLDEN_DIR,
+                                     "anchor_texts_small.parquet"))
+    print(f"anchor golden: {len(tgts)} targets, "
+          f"{sum(counts.values())} anchors")
+
+
 if __name__ == "__main__":
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     gen_signature_goldens()
@@ -995,6 +1030,7 @@ if __name__ == "__main__":
     gen_pq_golden()
     gen_dsir_golden()
     gen_pca_golden()
+    gen_anchor_golden()
     gen_crawl_pagerank_golden()
     gen_pack_golden()
     gen_cms_golden()
