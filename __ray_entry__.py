@@ -107,6 +107,16 @@ def _crawl_host_pagerank():
     return host_pagerank_from_crawl(ckpt, fix.pages_path)
 
 
+def _corpus_hits():
+    """Host-level HITS over the SMALL corpus link graph (golden oracle:
+    the independent serial dict impl in tools/gen_golden.py)."""
+    from pomp_ray.pipelines.graph import corpus_hits
+    from pomp_ray.sources import gen_corpus
+
+    fix = gen_corpus.generate("/tmp/pomp_q_corpus_small", gen_corpus.SMALL)
+    return corpus_hits(fix.pages_path)
+
+
 def _anchor_texts():
     """Anchor-text index over the SMALL corpus (golden oracle: the
     independent string-splitting serial impl in tools/gen_golden.py)."""
@@ -213,6 +223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_clicks": graph.pagerank_clicks,
         "crawl_host_pagerank": lambda sf: _crawl_host_pagerank(),
         "anchor_texts": lambda sf: _anchor_texts(),
+        "corpus_hits": lambda sf: _corpus_hits(),
         # -- tokenizer training (BPE merge learning over word freqs) + apply
         "bpe_merges": tokenizer.bpe_merges,
         "bpe_token_counts": tokenizer.bpe_token_counts,
@@ -1054,6 +1065,8 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM read_parquet('{_GOLDEN}/pca_sf001.parquet')",
         "anchor_texts":
             f"SELECT * FROM read_parquet('{_GOLDEN}/anchor_texts_small.parquet')",
+        "corpus_hits":
+            f"SELECT * FROM read_parquet('{_GOLDEN}/hits_small.parquet')",
         "pack_sequences":
             f"SELECT * FROM read_parquet('{_GOLDEN}/pack_sequences_sf001.parquet')",
         "cms_word_counts":

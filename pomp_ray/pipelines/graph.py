@@ -354,3 +354,126 @@ def anchor_texts(pages_path: str, num_partitions: int = 8) -> rd.Dataset:
                             "n_anchors": pc.cast(t["n_anchors"], pa.int64()),
                             "terms": t["terms"]}),
         batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ HITS
+HITS_SCALE = 10**7   # hub/authority fixed-point unit (small enough that
+                     # pre-normalization sums stay far below int64 range
+                     # even at 10^9-edge graphs: score<=~SCALE, sum over
+                     # in-edges <= SCALE * indeg <= 1e16)
+
+
+def corpus_host_edges(pages_path: str) -> rd.Dataset:
+    """(src, dst) host-level link edges straight off a pages corpus --
+    the crawl-free sibling of ``crawl_link_edges`` (same extraction and
+    resolution scalars); html never shuffles, one (host, host) row per
+    hyperlink leaves each batch."""
+    from pomp_ray.functions.textfns import (html_extract_links, url_host,
+                                            url_join)
+
+    def edges(t: pa.Table) -> pa.Table:
+        src, dst = [], []
+        for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            if html is None:
+                continue
+            h = url_host(url)
+            for href in html_extract_links(html):
+                src.append(h)
+                dst.append(url_host(url_join(url, href)))
+        return pa.table({"src": pa.array(src, pa.string()),
+                         "dst": pa.array(dst, pa.string())})
+
+    return rd.read_parquet(pages_path, columns=["url", "html"]) \
+        .map_batches(edges, batch_format="pyarrow")
+
+
+def hits(edges: rd.Dataset, n_iters: int = 6,
+         num_partitions: int | None = None) -> pa.Table:
+    """Kleinberg's HITS (hubs & authorities) over an (src, dst) edge
+    Dataset in int64 fixed point -- the second classic web-graph
+    authority signal beside ``pagerank``, and the one a focused/recrawl
+    scheduler uses to find DIRECTORY pages (hubs) vs content pages
+    (authorities).
+
+    Determinism contract: scores start at HITS_SCALE; each half-step is
+    exact integer adds over the edge join (order-independent), then an
+    integer L1-style renormalization ``x // max(1, S // HITS_SCALE)``
+    with the global sum S -- a single driver scalar per half-step, so
+    every run/block-structure/cluster-size is bit-identical to the
+    serial golden (tools/gen_golden.py gen_hits_golden).
+
+    Scale shape mirrors ``pagerank``: the edge table is materialized
+    once and re-joined per half-step (rank tables are O(|V|)); compact
+    (node, contribution) rows are the only shuffle payload; zero rows
+    ride the union so isolated nodes keep a 0 score without a second
+    join in the same DAG."""
+    from ray.data.aggregate import Sum
+
+    edges = edges.materialize()
+    if num_partitions is None:
+        num_partitions = max(2, min(64, edges.count() // 250_000))
+
+    both = edges.map_batches(
+        lambda t: pa.table({"node": pa.concat_arrays(
+            [t["src"].combine_chunks(), t["dst"].combine_chunks()])}),
+        batch_format="pyarrow")
+    nodes = both.groupby("node").aggregate(Min("node", alias_name="_"))
+    nodes = nodes.map_batches(lambda t: t.select(["node"]),
+                              batch_format="pyarrow") \
+        .repartition(2).materialize()
+    if nodes.count() == 0:
+        return pa.table({"node": pa.array([], pa.string()),
+                         "hub_fp": pa.array([], pa.int64()),
+                         "auth_fp": pa.array([], pa.int64())})
+
+    def init_scores(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"],
+                         "s": pa.array([HITS_SCALE] * len(t), pa.int64())})
+
+    hub = nodes.map_batches(init_scores, batch_format="pyarrow") \
+        .materialize()
+    auth = hub
+
+    def half_step(scores: rd.Dataset, key_in: str, key_out: str):
+        """One HITS half-step: push ``scores`` along edges from
+        ``key_in`` to ``key_out``, sum per target, renormalize."""
+        keyed = scores.map_batches(
+            lambda t: pa.table({key_in: t["node"], "s": t["s"]}),
+            batch_format="pyarrow")
+        msgs = edges.join(keyed, join_type="inner", on=(key_in,),
+                          num_partitions=num_partitions)
+        contribs = msgs.map_batches(
+            lambda t: pa.table({"node": t[key_out], "c": t["s"]}),
+            batch_format="pyarrow")
+        zeros = nodes.map_batches(
+            lambda t: pa.table({"node": t["node"],
+                                "c": pa.array([0] * len(t), pa.int64())}),
+            batch_format="pyarrow")
+        agg = contribs.union(zeros).groupby("node").aggregate(
+            Sum("c", alias_name="c"))
+        agg = agg.map_batches(
+            lambda t: pa.table({"node": t["node"],
+                                "s": pc.cast(t["c"], pa.int64())}),
+            batch_format="pyarrow").repartition(2).materialize()
+        total = int(agg.sum("s") or 0)
+        div = max(1, total // HITS_SCALE)
+        return agg.map_batches(
+            lambda t: pa.table({"node": t["node"],
+                                "s": pc.divide(t["s"], div)}),
+            batch_format="pyarrow").materialize()
+
+    for _ in range(n_iters):
+        auth = half_step(hub, "src", "dst")    # a[dst] = sum h[src]
+        hub = half_step(auth, "dst", "src")    # h[src] = sum a[dst]
+
+    hs = {r["node"]: r["s"] for r in hub.take_all()}
+    as_ = {r["node"]: r["s"] for r in auth.take_all()}
+    ns = sorted(hs)
+    return pa.table({"node": pa.array(ns, pa.string()),
+                     "hub_fp": pa.array([hs[n] for n in ns], pa.int64()),
+                     "auth_fp": pa.array([as_[n] for n in ns], pa.int64())})
+
+
+def corpus_hits(pages_path: str, n_iters: int = 6) -> pa.Table:
+    """corpus -> host link graph -> HITS, composed end to end."""
+    return hits(corpus_host_edges(pages_path), n_iters=n_iters)

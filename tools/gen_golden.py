@@ -1016,6 +1016,52 @@ def gen_anchor_golden() -> None:
           f"{sum(counts.values())} anchors")
 
 
+
+def gen_hits_golden(n_iters: int = 6) -> None:
+    """Independent serial HITS over the SMALL corpus host graph: edges
+    re-extracted with the shared pure scalars, scores as plain Python
+    int dicts with the same integer renormalization contract
+    (x // max(1, S // 10**7))."""
+    from pomp_ray.functions.textfns import (html_extract_links, url_host,
+                                            url_join)
+    from pomp_ray.sources import gen_corpus
+
+    fix = gen_corpus.generate("/tmp/pomp_golden_corpus_small",
+                              gen_corpus.SMALL)
+    t = pq.read_table(fix.pages_path, columns=["url", "html"])
+    edges = []
+    for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+        h = url_host(url)
+        for href in html_extract_links(html.decode("utf-8")):
+            edges.append((h, url_host(url_join(url, href))))
+    nodes = sorted({n for e in edges for n in e})
+    SCALE = 10**7
+    hub = {n: SCALE for n in nodes}
+    auth = {n: SCALE for n in nodes}
+
+    def half(src_scores, src_key):
+        out = {n: 0 for n in nodes}
+        for s, d in edges:
+            if src_key == "src":
+                out[d] += src_scores[s]
+            else:
+                out[s] += src_scores[d]
+        div = max(1, sum(out.values()) // SCALE)
+        return {n: v // div for n, v in out.items()}
+
+    for _ in range(n_iters):
+        auth = half(hub, "src")
+        hub = half(auth, "dst")
+    out = pa.table({
+        "node": pa.array(nodes, pa.string()),
+        "hub_fp": pa.array([hub[n] for n in nodes], pa.int64()),
+        "auth_fp": pa.array([auth[n] for n in nodes], pa.int64()),
+    })
+    pq.write_table(out, os.path.join(GOLDEN_DIR, "hits_small.parquet"))
+    top = max(nodes, key=lambda n: auth[n])
+    print(f"hits golden: {len(nodes)} hosts, top authority {top}")
+
+
 if __name__ == "__main__":
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     gen_signature_goldens()
@@ -1031,6 +1077,7 @@ if __name__ == "__main__":
     gen_dsir_golden()
     gen_pca_golden()
     gen_anchor_golden()
+    gen_hits_golden()
     gen_crawl_pagerank_golden()
     gen_pack_golden()
     gen_cms_golden()
