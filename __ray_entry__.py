@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_bloom": docs.decontaminate_bloom,
         "bm25_topk": docs.bm25_topk,
         "gopher_quality_flags": docs.gopher_quality_flags,
+        "compression_stats": docs.compression_stats,
         # -- documents: signatures / near-dup (deterministic, rows-only)
         "lang_predictions": docs.lang_predictions,
         "sample_docs": docs.sample_docs,
@@ -1067,6 +1068,8 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM read_parquet('{_GOLDEN}/anchor_texts_small.parquet')",
         "corpus_hits":
             f"SELECT * FROM read_parquet('{_GOLDEN}/hits_small.parquet')",
+        "compression_stats":
+            f"SELECT * FROM read_parquet('{_GOLDEN}/compression_sf001.parquet')",
         "pack_sequences":
             f"SELECT * FROM read_parquet('{_GOLDEN}/pack_sequences_sf001.parquet')",
         "cms_word_counts":

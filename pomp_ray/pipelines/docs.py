@@ -1756,3 +1756,36 @@ def gopher_quality_flags(sf_dir: str) -> rd.Dataset:
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         flags, batch_format="pyarrow")
+
+
+def compression_stats(sf_dir: str, level: int = 6) -> rd.Dataset:
+    """Per-doc zlib compression counters -- the classic repetitiveness
+    signal (Gopher-family pipelines drop documents that compress TOO
+    well: boilerplate, keyword stuffing, generated spam).  Emits
+    integer (n_bytes, n_comp) plus the integer-arithmetic gate
+    ``too_compressible`` = 2*n_comp < n_bytes (compression ratio
+    under 0.5, which splits this corpus near its median), so the committed golden (an independent serial loop
+    over the same pinned zlib level -- the library-primitive discipline
+    used for eigh/solve) matches bit-for-bit with no float anywhere.
+
+    Scale: one map_batches pass; zlib is inherently per-record but
+    C-speed and CPU-bound -- exactly what map_batches task parallelism
+    is for.  Only (doc_id, 3 ints, bool) rows leave the workers."""
+    import zlib
+
+    def f(t: pa.Table) -> pa.Table:
+        raw = [s.encode("utf-8") for s in t["text"].to_pylist()]
+        n_bytes = np.fromiter((len(b) for b in raw), np.int64, len(raw))
+        n_comp = np.fromiter(
+            (len(zlib.compress(b, level)) for b in raw),
+            np.int64, len(raw))
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_bytes": pa.array(n_bytes, pa.int64()),
+            "n_comp": pa.array(n_comp, pa.int64()),
+            "too_compressible": pa.array(2 * n_comp < n_bytes,
+                                         pa.bool_()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")

@@ -789,3 +789,15 @@ def test_hits_matches_golden_and_invariants():
     assert got["hub_fp"].sum() <= HITS_SCALE * 1.01
     assert got["auth_fp"].sum() <= HITS_SCALE * 1.01
     assert (got["auth_fp"] >= 0).all() and (got["hub_fp"] >= 0).all()
+
+
+def test_compression_stats_flags_and_bounds():
+    """zlib counters: flag matches its own integer rule, compressed
+    size is positive and (for these word-salad docs) smaller than 2x
+    raw, and the corpus splits nontrivially at the 0.5 gate."""
+    from pomp_ray.pipelines import docs
+    df = _to_pandas(docs.compression_stats(SF))
+    assert ((2 * df["n_comp"] < df["n_bytes"])
+            == df["too_compressible"]).all()
+    assert (df["n_comp"] > 0).all() and (df["n_comp"] < 2 * df["n_bytes"]).all()
+    assert 0 < df["too_compressible"].sum() < len(df)

@@ -1062,6 +1062,33 @@ def gen_hits_golden(n_iters: int = 6) -> None:
     print(f"hits golden: {len(nodes)} hosts, top authority {top}")
 
 
+
+def gen_compression_golden(sf_dir: str = SF001, level: int = 6) -> None:
+    """Independent serial zlib counters for docs.compression_stats
+    (same pinned zlib level; plain Python loop, no Dataset/arrow
+    machinery)."""
+    import zlib
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    ids, nb, ncp, flag = [], [], [], []
+    for d, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        b = s.encode("utf-8")
+        c = zlib.compress(b, level)
+        ids.append(d)
+        nb.append(len(b))
+        ncp.append(len(c))
+        flag.append(2 * len(c) < len(b))
+    out = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "n_bytes": pa.array(nb, pa.int64()),
+                    "n_comp": pa.array(ncp, pa.int64()),
+                    "too_compressible": pa.array(flag, pa.bool_())})
+    pq.write_table(out, os.path.join(GOLDEN_DIR,
+                                     "compression_sf001.parquet"))
+    print(f"compression golden: {len(ids)} docs, "
+          f"{sum(flag)} too-compressible")
+
+
 if __name__ == "__main__":
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     gen_signature_goldens()
@@ -1078,6 +1105,7 @@ if __name__ == "__main__":
     gen_pca_golden()
     gen_anchor_golden()
     gen_hits_golden()
+    gen_compression_golden()
     gen_crawl_pagerank_golden()
     gen_pack_golden()
     gen_cms_golden()
