@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": docs.dedup_exact,
         "dedup_docs": docs.dedup_docs,
         "neardup_dedup_docs": docs.neardup_dedup_docs,
+        "canonical_docs": docs.canonical_docs,
         "pii_scrub": docs.pii_scrub,
         "normalize_text": docs.normalize_text,
         "stratified_sample": docs.stratified_sample,
@@ -793,6 +794,40 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a AS doc_id, CAST(LEAST(a, MIN(b)) AS BIGINT) AS component
             FROM reach GROUP BY a
+        """,
+        # canonical selection: same reachability CTE as dup_components,
+        # winner per component = max n_words (ties -> lowest doc_id) via
+        # the identical integer key encoding the engine aggregates
+        "canonical_docs": f"""
+            WITH RECURSIVE und AS (
+                SELECT doc_a a, doc_b b
+                FROM read_parquet('{_GOLDEN}/simhash_dup_groups_sf001.parquet')
+                UNION
+                SELECT doc_b, doc_a
+                FROM read_parquet('{_GOLDEN}/simhash_dup_groups_sf001.parquet')
+            ), reach(a, b) AS (
+                SELECT a, b FROM und
+                UNION
+                SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+            ), comp AS (
+                SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+                FROM reach GROUP BY a
+            ), j AS (
+                SELECT c.doc_id, c.component,
+                       len(regexp_extract_all(d.text, '\\S+')) AS n_words
+                FROM comp c JOIN documents d USING (doc_id)
+            ), win AS (
+                SELECT component,
+                       MAX(n_words * 4294967296
+                           + (4294967295 - doc_id)) AS k
+                FROM j GROUP BY component
+            ), losers AS (
+                SELECT j.doc_id FROM j JOIN win USING (component)
+                WHERE j.doc_id <> 4294967295 - (win.k % 4294967296)
+            )
+            SELECT doc_id, source, lang, CAST(n_chars AS BIGINT) AS n_chars
+            FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM losers)
         """,
         "ann_topk": """
             SELECT vec_id,

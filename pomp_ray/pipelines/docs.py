@@ -1789,3 +1789,66 @@ def compression_stats(sf_dir: str, level: int = 6) -> rd.Dataset:
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         f, batch_format="pyarrow")
+
+
+def canonical_docs(sf_dir: str) -> rd.Dataset:
+    """Near-dup dedup that keeps the BEST page of each duplicate
+    cluster instead of the smallest id -- the canonical-selection
+    policy production corpora use (when a page exists in N near-equal
+    variants, keep the longest/highest-quality one, drop the rest).
+
+    Shape: simhash pair components (``graph.dup_components``,
+    output-scale) hash-join the per-doc word count; each component's
+    winner falls out of ONE integer Max aggregate over the encoded key
+    ``n_words * 2^32 + (2^32-1 - doc_id)`` (max words, ties -> lowest
+    doc_id; no per-group pandas), losers anti-join the corpus away.
+    Text never shuffles; every join key is an int64."""
+    from pomp_ray.pipelines.graph import dup_components
+
+    comp = dup_components(sf_dir)
+    docs_ds = _docs(sf_dir, ["doc_id", "source", "lang", "n_chars"])
+    if comp.num_rows == 0:
+        return docs_ds
+
+    comp_ds = rd.from_arrow(comp)
+    nw = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_words": pc.cast(an.count_tokens_arr(t["text"]), pa.int64())}),
+        batch_format="pyarrow")
+    j = comp_ds.join(nw, join_type="inner", on=("doc_id",),
+                     num_partitions=8).map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"], "component": t["component"],
+            "k": pc.add(pc.multiply(t["n_words"], 2**32),
+                        pc.subtract(2**32 - 1, t["doc_id"]))}),
+        batch_format="pyarrow").materialize()   # two joins ahead: barrier
+    win = j.groupby("component").aggregate(Max("k", alias_name="wk"))
+    lose = j.join(win, join_type="inner", on=("component",),
+                  num_partitions=8).map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "drop": pc.not_equal(
+                t["doc_id"],
+                pc.subtract(2**32 - 1,
+                            pc.bit_wise_and(t["wk"], 2**32 - 1)))}),
+        batch_format="pyarrow")
+    lose = lose.map_batches(
+        lambda t: t.filter(t["drop"].combine_chunks()
+                           if isinstance(t["drop"], pa.ChunkedArray)
+                           else t["drop"]).select(["doc_id"]),
+        batch_format="pyarrow").map_batches(
+        lambda t: t.append_column(
+            "dup", pa.array([True] * t.num_rows, pa.bool_())),
+        batch_format="pyarrow").materialize()   # ends in a live join
+    out = docs_ds.join(lose, join_type="left_outer", on=("doc_id",),
+                       num_partitions=8)
+    def keep_only(t: pa.Table) -> pa.Table:
+        keep = pc.is_null(t["dup"]).to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(keep))
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "source": t["source"], "lang": t["lang"],
+            "n_chars": pc.cast(t["n_chars"], pa.int64())})
+
+    return out.map_batches(keep_only, batch_format="pyarrow")

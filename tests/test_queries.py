@@ -801,3 +801,45 @@ def test_compression_stats_flags_and_bounds():
             == df["too_compressible"]).all()
     assert (df["n_comp"] > 0).all() and (df["n_comp"] < 2 * df["n_bytes"]).all()
     assert 0 < df["too_compressible"].sum() < len(df)
+
+
+def test_canonical_docs_keeps_best_per_cluster():
+    """Quality-ranked near-dup dedup: independent union-find over the
+    simhash pairs + argmax-by-(n_words, -doc_id) must reproduce the
+    kept set exactly; one doc survives per cluster."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from pomp_ray.pipelines import docs
+
+    pairs = docs.simhash_dup_groups(SF)
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"].to_pylist(), pairs["doc_b"].to_pylist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    t = pq.read_table(SF + "/documents.parquet",
+                      columns=["doc_id", "text"])
+    nw = {d: len(re.findall(r"\S+", s))
+          for d, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())}
+    clusters: dict[int, list[int]] = {}
+    for d in {x for p in zip(pairs["doc_a"].to_pylist(),
+                             pairs["doc_b"].to_pylist()) for x in p}:
+        clusters.setdefault(find(d), []).append(d)
+    drop = set()
+    for mem in clusters.values():
+        best = max(mem, key=lambda d: (nw[d], -d))
+        drop |= set(mem) - {best}
+
+    all_ids = set(t["doc_id"].to_pylist())
+    kept = set(docs.canonical_docs(SF).to_pandas()["doc_id"])
+    assert kept == all_ids - drop
+    assert drop, "fixture should contain at least one near-dup cluster"
