@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": docs.bm25_topk,
         "gopher_quality_flags": docs.gopher_quality_flags,
         "compression_stats": docs.compression_stats,
+        "source_skew_report": docs.source_skew_report,
         # -- documents: signatures / near-dup (deterministic, rows-only)
         "lang_predictions": docs.lang_predictions,
         "sample_docs": docs.sample_docs,
@@ -828,6 +829,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, lang, CAST(n_chars AS BIGINT) AS n_chars
             FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        """,
+        "source_skew_report": """
+            WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+                       FROM documents GROUP BY source),
+            s AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM c)
+            SELECT source, n,
+                   CAST((n * 1000000) // t AS BIGINT) AS ppm,
+                   CAST(LEAST(4, GREATEST(1, (n + 7) // 8))
+                        AS BIGINT) AS n_salts
+            FROM c, s
         """,
         "ann_topk": """
             SELECT vec_id,

@@ -1852,3 +1852,39 @@ def canonical_docs(sf_dir: str) -> rd.Dataset:
             "n_chars": pc.cast(t["n_chars"], pa.int64())})
 
     return out.map_batches(keep_only, batch_format="pyarrow")
+
+
+def source_skew_report(sf_dir: str, target_rows: int = 8,
+                       n_salts_max: int = 4) -> rd.Dataset:
+    """Partition-skew diagnostic: per-source row count, parts-per-
+    million share, and the SALT COUNT the crawler's politeness stage
+    would assign that key (same ceil(freq/target) clamp as
+    ``stages.politeness.derive_salt_counts`` -- pytest asserts the tie)
+    -- the report an operator reads before pointing a 100-TB shuffle at
+    a key column.  All integer arithmetic, exact SQL oracle.
+
+    Scale: per-batch partial counts -> one tiny groupby; the grand
+    total is a scalar ``Dataset.sum``; shares/salts are computed
+    vectorized over the counts table (never a driver dict of all
+    keys)."""
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({"source": t["source"]}).group_by(
+            "source").aggregate([([], "count_all")])
+
+    counts = _docs(sf_dir, ["source"]).map_batches(
+        partial, batch_format="pyarrow").groupby("source").aggregate(
+        Sum("count_all", alias_name="n")).materialize()
+    total = int(counts.sum("n") or 0)
+
+    def fin(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n"], pa.int64()).to_numpy()
+        salts = np.minimum(n_salts_max,
+                           np.maximum(1, -(-n // target_rows)))
+        return pa.table({
+            "source": t["source"],
+            "n": pa.array(n, pa.int64()),
+            "ppm": pa.array(n * 1_000_000 // total, pa.int64()),
+            "n_salts": pa.array(salts.astype(np.int64), pa.int64()),
+        })
+
+    return counts.map_batches(fin, batch_format="pyarrow")

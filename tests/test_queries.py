@@ -843,3 +843,20 @@ def test_canonical_docs_keeps_best_per_cluster():
     kept = set(docs.canonical_docs(SF).to_pandas()["doc_id"])
     assert kept == all_ids - drop
     assert drop, "fixture should contain at least one near-dup cluster"
+
+
+def test_source_skew_report_ties_to_politeness_salts():
+    """The report's n_salts column must equal what
+    derive_salt_counts assigns from the same frequencies (default 1
+    for keys it omits)."""
+    from pomp_ray.pipelines import docs
+    from pomp_ray.stages.politeness import derive_salt_counts
+
+    df = _to_pandas(docs.source_skew_report(SF, target_rows=8,
+                                            n_salts_max=4))
+    freq = dict(zip(df["source"], df["n"]))
+    want = derive_salt_counts(freq, caps={}, n_salts_max=4,
+                              target_rows=8)
+    got = dict(zip(df["source"], df["n_salts"]))
+    assert got == {s: want.get(s, 1) for s in freq}
+    assert df["ppm"].sum() <= 1_000_000
