@@ -56,3 +56,40 @@ def read_pages(path: str, fmt: str = "parquet") -> rd.Dataset:
     else:
         raise ValueError(f"unsupported corpus format: {fmt}")
     return ds.map_batches(_normalize, batch_format="pyarrow")
+
+
+def write_pages(ds: rd.Dataset, out_dir: str, fmt: str = "parquet") -> None:
+    """Sink side of ``read_pages``: materialize a pages Dataset in any
+    of the supported interchange formats.  Parquet is the native
+    layout; JSONL/CSV encode html as base64 text (``html_b64``) and
+    timestamps as ISO strings, exactly the shapes ``read_pages``
+    normalizes back -- so every format round-trips losslessly (pytest).
+    Writes stream per block (one file per block, Ray-native); no
+    driver-side collection."""
+    if fmt == "parquet":
+        ds.write_parquet(out_dir, mode="overwrite")
+        return
+    if fmt not in ("json", "csv"):
+        raise ValueError(f"unsupported corpus format: {fmt}")
+
+    def enc(t: pa.Table) -> pa.Table:
+        import base64
+        b64 = pa.array(
+            [base64.b64encode(x).decode("ascii") if x is not None else None
+             for x in t["html"].to_pylist()], pa.string())
+        cols = {}
+        for name in t.column_names:
+            if name == "html":
+                continue
+            col = t[name]
+            if pa.types.is_timestamp(col.type):
+                col = col.cast(pa.string())
+            cols[name] = col
+        cols["html_b64"] = b64
+        return pa.table(cols)
+
+    out = ds.map_batches(enc, batch_format="pyarrow")
+    if fmt == "json":
+        out.write_json(out_dir)
+    else:
+        out.write_csv(out_dir)

@@ -72,3 +72,30 @@ def test_read_pages_formats(tmp_path):
     a = {r["url"]: r["html"] for r in native}
     b = {r["url"]: r["html"] for r in via_json}
     assert a == b
+
+
+def test_write_pages_roundtrip_json_csv(ray_session, tmp_path):
+    """write_pages -> read_pages must round-trip the canonical PAGES
+    schema losslessly through JSONL and CSV (html via base64,
+    timestamps via ISO strings)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pomp_ray import schemas
+    from pomp_ray.sources.corpus import read_pages, write_pages
+    from pomp_ray.sources import gen_corpus
+
+    fix = gen_corpus.generate("/tmp/pomp_rt_corpus", gen_corpus.TINY)
+    src = read_pages(fix.pages_path)
+    want = pa.concat_tables(
+        b for b in src.iter_batches(batch_format="pyarrow"))
+    want = want.sort_by("url")
+    for fmt in ("json", "csv"):
+        out = str(tmp_path / fmt)
+        write_pages(read_pages(fix.pages_path), out, fmt=fmt)
+        got = pa.concat_tables(
+            b for b in read_pages(out, fmt=fmt).iter_batches(
+                batch_format="pyarrow"))
+        got = got.sort_by("url")
+        assert got.schema.equals(schemas.PAGES), fmt
+        assert got.equals(want), fmt
