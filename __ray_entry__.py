@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_dup_filter": docs.span_dup_filter,
         "oov_rate": docs.oov_rate,
         "decontaminate": docs.decontaminate,
+        "contamination_report": docs.contamination_report,
         "tfidf_top_terms": docs.tfidf_top_terms,
         "mixture_sample": docs.mixture_sample,
         "token_shard_stats": docs.token_shard_stats,
@@ -732,6 +733,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id FROM documents d
             WHERE d.doc_id % 97 <> 0
               AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        """,
+        "contamination_report": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '\\S+') AS tk
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(tk) = 0 THEN []
+                            WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
+                            ELSE list_distinct(list_transform(
+                                range(1, len(tk) - 3),
+                                i -> array_to_string(tk[i:i+4], ' ')))
+                       END AS s
+                FROM toks
+            ), ex AS (
+                SELECT doc_id, unnest(s) AS g FROM sh
+            ), bench AS (
+                SELECT DISTINCT g FROM ex WHERE doc_id % 97 = 0
+            ), spans AS (
+                SELECT doc_id, COUNT(*) AS n_spans FROM ex
+                WHERE doc_id % 97 <> 0 GROUP BY doc_id
+            ), hits AS (
+                SELECT e.doc_id, COUNT(*) AS n_hit FROM ex e
+                JOIN bench b ON b.g = e.g
+                WHERE e.doc_id % 97 <> 0 GROUP BY e.doc_id
+            )
+            SELECT s.doc_id, CAST(s.n_spans AS BIGINT) AS n_spans,
+                   CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+                   CAST(COALESCE(h.n_hit, 0) * 1000000 // s.n_spans
+                        AS BIGINT) AS ppm
+            FROM spans s LEFT JOIN hits h USING (doc_id)
         """,
         "tfidf_top_terms": """
             WITH terms AS (

@@ -1888,3 +1888,58 @@ def source_skew_report(sf_dir: str, target_rows: int = 8,
         })
 
     return counts.map_batches(fin, batch_format="pyarrow")
+
+
+def contamination_report(sf_dir: str, bench_mod: int = 97) -> rd.Dataset:
+    """Per-doc benchmark-overlap accounting -- the REPORT sibling of
+    ``decontaminate``: instead of dropping contaminated docs, emit for
+    every non-benchmark doc its distinct word-5-shingle count, how many
+    of those shingles appear in the held-out benchmark slice, and the
+    overlap in integer parts-per-million (what a release report tables
+    before choosing a drop threshold).
+
+    Same scale shape as decontaminate: compact (hash, doc_id) explode,
+    one shingle-hash join, doc-keyed counts, one left join to attach
+    zeros; all integer arithmetic, exact composed SQL oracle (same
+    64-bit collision caveat)."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    ex = docs.map_batches(_span_explode, batch_format="pyarrow").materialize()
+
+    def _bench_mask(t: pa.Table) -> np.ndarray:
+        ids = t["doc_id"].to_numpy() if not isinstance(
+            t["doc_id"], pa.ChunkedArray) \
+            else t["doc_id"].combine_chunks().to_numpy()
+        return np.mod(ids, bench_mod) == 0
+
+    bench_h = (
+        ex.map_batches(lambda t: t.filter(pa.array(_bench_mask(t))),
+                       batch_format="pyarrow")
+        .groupby("h").aggregate(Count(alias_name="nb"))
+        .repartition(8)
+    )
+    corp_ex = ex.map_batches(
+        lambda t: t.filter(pa.array(~_bench_mask(t))),
+        batch_format="pyarrow")
+    spans = corp_ex.groupby("doc_id").aggregate(
+        Count(alias_name="n_spans")).repartition(8).materialize()
+    hits = (
+        corp_ex.join(bench_h, join_type="inner", on=("h",),
+                     num_partitions=16)
+        .groupby("doc_id").aggregate(Count(alias_name="n_hit"))
+        .repartition(8)
+    ).materialize()   # barrier before the second live join
+    joined = spans.join(hits, join_type="left_outer", on=("doc_id",),
+                        num_partitions=16)
+
+    def fin(t: pa.Table) -> pa.Table:
+        ns = pc.cast(t["n_spans"], pa.int64()).to_numpy()
+        nh = pc.fill_null(pc.cast(t["n_hit"], pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_spans": pa.array(ns, pa.int64()),
+            "n_hit": pa.array(nh, pa.int64()),
+            "ppm": pa.array(nh * 1_000_000 // ns, pa.int64()),
+        })
+
+    return joined.map_batches(fin, batch_format="pyarrow")

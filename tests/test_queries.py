@@ -860,3 +860,17 @@ def test_source_skew_report_ties_to_politeness_salts():
     got = dict(zip(df["source"], df["n_salts"]))
     assert got == {s: want.get(s, 1) for s in freq}
     assert df["ppm"].sum() <= 1_000_000
+
+
+def test_contamination_report_consistent_with_decontaminate():
+    """The report must agree with the gate: decontaminate keeps exactly
+    the non-benchmark docs whose report shows zero hits."""
+    from pomp_ray.pipelines import docs
+    rep = _to_pandas(docs.contamination_report(SF))
+    kept = set(_to_pandas(docs.decontaminate(SF))["doc_id"])
+    clean_per_report = set(rep[rep["n_hit"] == 0]["doc_id"])
+    dirty = set(rep[rep["n_hit"] > 0]["doc_id"])
+    assert dirty and clean_per_report  # fixture exercises both sides
+    assert clean_per_report <= kept
+    assert not (dirty & kept)
+    assert ((rep["ppm"] >= 0) & (rep["ppm"] <= 1_000_000)).all()
