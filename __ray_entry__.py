@@ -107,6 +107,53 @@ def _crawl_host_pagerank():
     return host_pagerank_from_crawl(ckpt, fix.pages_path)
 
 
+def _crawl_publish_stats():
+    """Crawl -> WARC/CDX publish -> read the shards BACK -> per-shard
+    page counts.  Oracle: md5-bucket SQL over the committed serial-
+    oracle visited golden (the publish must cover exactly the visited
+    set, correctly sharded and re-parseable)."""
+    import hashlib
+    import shutil
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from pomp_ray.crawl import CrawlConfig, CrawlEngine
+    from pomp_ray.pipelines.archive import publish_crawl_archive
+    from pomp_ray.sources import gen_corpus
+    from pomp_ray.sources.warc import read_warc
+
+    fix = gen_corpus.generate("/tmp/pomp_q_corpus", gen_corpus.TINY)
+    ckpt = "/tmp/pomp_q_ckpt_publish"
+    cfg = CrawlConfig(corpus_path=fix.pages_path, ckpt_dir=ckpt,
+                      robots_path=fix.robots_path, mode="bfs",
+                      min_distributed_rows=16, n_seen_shards=4)
+    eng = CrawlEngine(cfg)
+    try:
+        eng.run(seeds=pq.read_table(fix.seeds_path).to_pylist())
+    finally:
+        eng.close()
+    out = "/tmp/pomp_q_publish_archive"
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    publish_crawl_archive(ckpt, out)
+
+    def partial(t):
+        shard = [int(hashlib.md5(u.encode()).hexdigest()[:4], 16) % 8
+                 for u in t["url"].to_pylist()]
+        return pa.table({"shard": pa.array(shard, pa.int64())}).group_by(
+            "shard").aggregate([([], "count_all")])
+
+    from ray.data.aggregate import Sum as _Sum
+    agg = read_warc(os.path.join(out, "warc")).map_batches(
+        partial, batch_format="pyarrow").groupby("shard").aggregate(
+        _Sum("count_all", alias_name="n_pages"))
+    return agg.map_batches(
+        lambda t: pa.table({"shard": pc.cast(t["shard"], pa.int64()),
+                            "n_pages": pc.cast(t["n_pages"], pa.int64())}),
+        batch_format="pyarrow")
+
+
 def _corpus_hits():
     """Host-level HITS over the SMALL corpus link graph (golden oracle:
     the independent serial dict impl in tools/gen_golden.py)."""
@@ -255,6 +302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_bfs_errors": lambda sf: _crawl_outputs("errors", "bfs"),
         "crawl_budget_visited": lambda sf: _crawl_outputs("visited", "budget"),
         "crawl_budget_errors": lambda sf: _crawl_outputs("errors", "budget"),
+        "crawl_publish_stats": lambda sf: _crawl_publish_stats(),
     }
 
 
@@ -1182,6 +1230,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "crawl_bfs_visited":
             f"SELECT * FROM read_parquet('{_GOLDEN}/crawl_bfs_visited.parquet')",
+        "crawl_publish_stats": f"""
+            SELECT CAST(CAST(('0x' || substr(md5(url), 1, 4)) AS INTEGER)
+                        % 8 AS BIGINT) AS shard,
+                   CAST(COUNT(*) AS BIGINT) AS n_pages
+            FROM read_parquet('{_GOLDEN}/crawl_bfs_visited.parquet')
+            GROUP BY shard
+        """,
         "crawl_bfs_items":
             f"SELECT * FROM read_parquet('{_GOLDEN}/crawl_bfs_items.parquet')",
         "crawl_dfs_visited":

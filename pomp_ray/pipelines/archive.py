@@ -24,6 +24,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 import ray.data as rd
 from ray.data.aggregate import Sum
 
@@ -162,3 +163,93 @@ def cdx_index(sf_dir: str) -> rd.Dataset:
     ds = _docs(sf_dir, ["doc_id", "text", "lang", "source"]).map_batches(
         build, batch_format="pyarrow")
     return zip_with_index(ds, "surt_key", out_col="idx")
+
+
+# ------------------------------------------------- crawl -> archive publish
+def publish_crawl_archive(ckpt_dir: str, out_dir: str,
+                          n_shards: int = N_SHARDS) -> dict:
+    """Publish a FINISHED crawl checkpoint as a Common-Crawl-style
+    archive: md5-url-sharded WARC-lite files (``warc/``) of the
+    extracted page texts plus the SURT-sorted CDX index (``cdx/``)
+    -- the end-to-end shape a production crawl ships (segment WARCs +
+    cc-index).  Returns {shards, pages, cdx_rows}.
+
+    Scale: items stream from the checkpoint (never one driver table);
+    shard assignment is the pure md5(url) bucket (resumable,
+    retry-stable); each WARC file is one bounded group write; the CDX
+    build reuses ``zip_with_index`` (one sort on the unique surt key,
+    O(blocks) driver partials).  warc_ts derives from the crawl seq
+    (deterministic under re-publish)."""
+    import hashlib
+
+    from pomp_ray.crawl import items_dataset
+    from pomp_ray.functions.textfns import url_host, url_path
+    from pomp_ray.stages.index import zip_with_index
+
+    os.makedirs(os.path.join(out_dir, "warc"), exist_ok=True)
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        urls = t["url"].to_pylist()
+        shard = np.fromiter(
+            (int(hashlib.md5(u.encode("utf-8", "surrogateescape"))
+                 .hexdigest()[:4], 16) % n_shards for u in urls),
+            np.int64, len(urls))
+        ts = pc.cast(pc.multiply(pc.cast(t["seq"], pa.int64()),
+                                 1_000_000), pa.timestamp("us"))
+        return pa.table({
+            "url": t["url"],
+            "seq": pc.cast(t["seq"], pa.int64()),
+            "warc_ts": ts,
+            "html": pc.cast(t["text"], pa.binary()),
+            "shard": pa.array(shard, pa.int64()),
+        })
+
+    pages = items_dataset(ckpt_dir).map_batches(
+        to_pages, batch_format="pyarrow").materialize()  # 2 consumers
+
+    def write_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("seq")
+        shard = int(g["shard"].iloc[0])
+        ts = g["warc_ts"].astype("datetime64[us]").astype("int64").tolist()
+        blob = encode_warc(g["url"].tolist(), ts,
+                           [x.encode("utf-8") if isinstance(x, str) else x
+                            for x in g["html"].tolist()])
+        path = os.path.join(out_dir, "warc",
+                            f"crawl-shard-{shard}.warc.gz")
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+        return pd.DataFrame({"shard": [shard], "n": [len(g)]})
+
+    written = pages.groupby("shard").map_groups(
+        write_shard, batch_format="pandas").take_all()
+
+    def cdx_rows(t: pa.Table) -> pa.Table:
+        urls = t["url"].to_pylist()
+        surts, digs = [], []
+        for u, payload in zip(urls, t["html"].to_pylist()):
+            surts.append(surt_key(url_host(u), url_path(u)))
+            digs.append(hashlib.md5(payload).hexdigest())
+        ts = (pd.to_datetime(
+            pc.cast(t["warc_ts"], pa.int64()).to_numpy(), unit="us")
+            .strftime("%Y%m%d%H%M%S"))
+        return pa.table({
+            "surt_key": pa.array(surts, pa.string()),
+            "url": t["url"],
+            "warc_ts": pa.array(ts, pa.string()),
+            "digest": pa.array(digs, pa.string()),
+            "n_bytes": pc.cast(pc.binary_length(t["html"]), pa.int64()),
+            "shard": t["shard"],
+        })
+
+    cdx = zip_with_index(
+        pages.map_batches(cdx_rows, batch_format="pyarrow"),
+        "surt_key", out_col="idx")
+    cdx.write_parquet(os.path.join(out_dir, "cdx"), mode="overwrite")
+    n_pages = sum(r["n"] for r in written)
+    n_cdx = sum(
+        pq.ParquetFile(os.path.join(out_dir, "cdx", f)).metadata.num_rows
+        for f in os.listdir(os.path.join(out_dir, "cdx"))
+        if f.endswith(".parquet"))
+    return {"shards": len(written), "pages": n_pages, "cdx_rows": n_cdx}

@@ -159,3 +159,54 @@ def test_cdx_index_surt_order_and_digest(ray_session):
         assert r["surt_key"] == surt_key(host, path)
         assert r["digest"] == hashlib.md5(text.encode()).hexdigest()
         assert r["n_bytes"] == len(text.encode())
+
+
+def test_publish_crawl_archive_roundtrip(ray_session, tmp_path):
+    """Crawl -> WARC shards + CDX: reading the published shards back
+    must reproduce every visited page's extracted text byte-for-byte,
+    and the CDX index must cover the same pages in strict SURT order
+    with matching digests."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from pomp_ray import crawl as crawl_mod
+    from pomp_ray.crawl import CrawlConfig, CrawlEngine
+    from pomp_ray.pipelines.archive import publish_crawl_archive
+    from pomp_ray.sources import gen_corpus
+    from pomp_ray.sources.warc import read_warc
+
+    fix = gen_corpus.generate("/tmp/pomp_pub_corpus", gen_corpus.TINY)
+    ckpt = str(tmp_path / "ckpt")
+    cfg = CrawlConfig(corpus_path=fix.pages_path, ckpt_dir=ckpt,
+                      robots_path=fix.robots_path, mode="bfs",
+                      min_distributed_rows=16, n_seen_shards=2)
+    eng = CrawlEngine(cfg)
+    try:
+        eng.run(seeds=pq.read_table(fix.seeds_path).to_pylist())
+    finally:
+        eng.close()
+
+    out = str(tmp_path / "archive")
+    stats = publish_crawl_archive(ckpt, out)
+    items = crawl_mod.read_items(ckpt)
+    want = {u: t for u, t in zip(items["url"].to_pylist(),
+                                 items["text"].to_pylist())}
+    assert stats["pages"] == len(want) == stats["cdx_rows"]
+
+    got = {}
+    for b in read_warc(out + "/warc").iter_batches(
+            batch_format="pyarrow"):
+        for u, h in zip(b["url"].to_pylist(), b["html"].to_pylist()):
+            got[u] = h.decode("utf-8")
+    assert got == want   # byte-identical extracted text per url
+
+    cdx = pq.read_table(out + "/cdx").to_pandas().sort_values("idx")
+    assert list(cdx["idx"]) == list(range(len(cdx)))
+    keys = list(cdx["surt_key"])
+    assert keys == sorted(keys)
+    assert set(cdx["url"]) == set(want)
+    for _, r in cdx.head(20).iterrows():
+        assert r["digest"] == hashlib.md5(
+            want[r["url"]].encode()).hexdigest()
