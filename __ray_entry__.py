@@ -289,6 +289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q6_revenue": relational.q6_revenue,
         "rolling_user_spend": relational.rolling_user_spend,
+        "record_events": relational.record_events,
         "filter_project": relational.filter_project,
         # -- the crawl engine itself (hash-checked against committed golden
         #    parquet generated by the serial pomp-semantics oracle loop;
@@ -910,6 +911,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, lang, CAST(n_chars AS BIGINT) AS n_chars
             FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        """,
+        # distributed prefix scan vs the SQL cumulative window frame
+        "record_events": """
+            SELECT event_id, value,
+                   MAX(value) OVER w AS prev_max,
+                   COALESCE(value > MAX(value) OVER w, TRUE) AS is_record
+            FROM events
+            WINDOW w AS (ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING)
         """,
         "source_skew_report": """
             WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n

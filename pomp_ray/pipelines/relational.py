@@ -388,3 +388,32 @@ def q6_revenue(sf_dir: str) -> pa.Table:
         .aggregate(Sum("s", alias_name="s"))["s"]
     return pa.table({"revenue": pa.array([float(total) / 10000.0],
                                          pa.float64())})
+
+
+def record_events(sf_dir: str) -> rd.Dataset:
+    """Record-breaking detection over the event stream: for every event
+    (in event_id arrival order) the all-time-maximum ``value`` seen
+    BEFORE it and whether this event sets a new record -- the classic
+    streaming cumulative-window query (alerting on new maxima), and the
+    driver query for the distributed prefix-scan primitive
+    (``stages.scan.prefix_max``: one sort, O(blocks) partials to the
+    driver, block-local seeded cummax -- never a serial pass over the
+    stream).  Running max involves NO summation, so engine and DuckDB
+    window-function doubles agree bit-for-bit."""
+    from pomp_ray.stages.scan import prefix_max
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "value"])
+    out = prefix_max(ev, "event_id", "value", out_col="prev_max")
+
+    def fin(t: pa.Table) -> pa.Table:
+        prev = t["prev_max"]
+        rec = pc.fill_null(pc.greater(t["value"], prev), True)
+        return pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "value": pc.cast(t["value"], pa.float64()),
+            "prev_max": prev,
+            "is_record": rec,
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow")

@@ -35,3 +35,30 @@ def test_empty_dataset(ray_session):
     empty = rd.from_arrow(pa.table({"i": pa.array([], pa.int64()),
                                     "h": pa.array([], pa.string())}))
     assert zip_with_index(empty, "h").take_all() == []
+
+
+def test_prefix_max_matches_pandas_cummax(ray_session):
+    """Distributed exclusive prefix max == pandas cummax().shift(1),
+    across forced multi-block layouts and int keys that would break a
+    lexicographic partial order (2 vs 10)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pomp_ray.stages.scan import prefix_max
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    keys = rng.permutation(n).astype(np.int64)   # unsorted arrival
+    vals = np.round(rng.random(n) * 100, 2)
+    ds = rd.from_arrow(pa.table({"k": keys, "v": vals})).repartition(13)
+    out = prefix_max(ds, "k", "v", out_col="pm").to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    want = pd.DataFrame({"k": np.sort(keys)})
+    sv = pd.Series(vals[np.argsort(keys)])
+    want["pm"] = sv.cummax().shift(1)
+    assert out["pm"].isna().tolist() == want["pm"].isna().tolist()
+    got = out["pm"].fillna(-1).to_numpy()
+    exp = want["pm"].fillna(-1).to_numpy()
+    assert (got == exp).all()
