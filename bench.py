@@ -216,8 +216,8 @@ def bench_dedup_ops(n_urls: int = 2_000_000, n_tasks: int = 32,
 
 
 def bench_queries(sf_dir: str) -> dict:
-    from pomp_ray.pipelines import (docs, embeddings, graph, relational,
-                                    tokenizer)
+    from pomp_ray.pipelines import (archive, docs, embeddings, graph,
+                                    relational, tokenizer)
 
     out = {}
     for name, fn in (
@@ -244,6 +244,14 @@ def bench_queries(sf_dir: str) -> dict:
         ("gopher_flags",
          lambda: docs.gopher_quality_flags(sf_dir).count()),
         ("bpe_encode", lambda: tokenizer.bpe_token_counts(sf_dir).count()),
+        # sixth-block shapes: SURT-sorted capture index (global sort +
+        # per-record digest), span-hash contamination join, distributed
+        # prefix scan (cumulative window)
+        ("cdx_index", lambda: archive.cdx_index(sf_dir).count()),
+        ("contamination_report",
+         lambda: docs.contamination_report(sf_dir).count()),
+        ("record_events",
+         lambda: relational.record_events(sf_dir).count()),
     ):
         t0 = time.monotonic()
         fn()

@@ -1658,3 +1658,63 @@ def run_pipelines(ckpt_dir: str, pipelines: list, crawler=None,
         for p in reversed(pipelines):
             p.stop(crawler)
     return n
+
+
+def export_frontier_seeds(ckpt_dir: str, out_path: str) -> int:
+    """Compact a STOPPED crawl's pending work into a standalone seed
+    parquet directory (SEEDS schema) -- the cluster-migration export: a
+    crawl halted by ``max_rounds`` (or killed) on one cluster continues
+    on another by pointing a fresh engine's ``seeds=`` at this path
+    (the distributed seed chain re-canonicalizes, re-gates robots, and
+    re-dedups, so the export carries only url + priority).
+
+    Gathers the NEXT round's frontier files plus the last round's
+    deferred side files as a DATASET (a 10^10-url crawl's pending
+    frontier is itself huge -- nothing ever lands on the driver),
+    drops robots-blocked rows, dedups by canonical url keeping the
+    LOWEST seq (the earliest enqueue, FIFO winner: one Min aggregate +
+    one hash join, both keyed on canon_url), and streams the result to
+    partitioned parquet; the original depths ride along (SEEDS carries depth), so
+    max_depth semantics survive the migration.  Returns the number of
+    exported urls."""
+    from ray.data.aggregate import Min as _Min
+
+    rounds = sorted(glob.glob(os.path.join(ckpt_dir, "rounds",
+                                           "round-*.json")))
+    if not rounds:
+        raise FileNotFoundError("no committed rounds to export from")
+    last = int(os.path.basename(rounds[-1])[6:12])
+    files = sorted(glob.glob(os.path.join(
+        ckpt_dir, "frontier", f"round-{last + 1:06d}", "*.parquet")))
+    files += sorted(glob.glob(os.path.join(
+        ckpt_dir, "deferred", f"round-{last:06d}", "*.parquet")))
+    os.makedirs(out_path, exist_ok=True)
+    if not files:
+        pq.write_table(schemas.SEEDS.empty_table(),
+                       os.path.join(out_path, "part-empty.parquet"))
+        return 0
+
+    def unblocked(t: pa.Table) -> pa.Table:
+        if "blocked" in t.column_names:
+            t = t.filter(pc.invert(pc.fill_null(t["blocked"], False)))
+            t = t.drop_columns(["blocked"])
+        return t.select(["url", "canon_url", "priority", "depth", "seq"])
+
+    ds = rd.read_parquet(files).map_batches(
+        unblocked, batch_format="pyarrow").materialize()  # 2 consumers
+    winners = ds.groupby("canon_url").aggregate(
+        _Min("seq", alias_name="mseq")).repartition(8)
+    j = ds.join(winners, join_type="inner", on=("canon_url",),
+                num_partitions=8)
+
+    def pick(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["seq"], t["mseq"]))
+        return pa.table({
+            "url": t["url"],
+            "priority": pc.cast(t["priority"], pa.int32()),
+            "depth": pc.cast(t["depth"], pa.int32()),
+        }, schema=schemas.SEEDS)
+
+    out = j.map_batches(pick, batch_format="pyarrow").materialize()
+    out.write_parquet(out_path, mode="overwrite")
+    return out.count()

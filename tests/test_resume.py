@@ -31,3 +31,41 @@ def test_recrawl_stale_refetches_old_pages(tmp_path):
     assert sorted(new_rows["url"].unique()) == expect
     # links of refetched pages are all seen already: no growth beyond them
     assert s2.n_seen == s1.n_seen
+
+
+def test_export_frontier_seeds_continuation_covers_full_crawl(
+        ray_session, tmp_path):
+    """Migration contract: stop a crawl early (max_rounds), export the
+    pending frontier as seeds, continue in a FRESH engine (new
+    checkpoint, empty seen set) from that export -- the union of both
+    crawls' visited sets must equal the uninterrupted crawl's set."""
+    import pyarrow.parquet as pq
+
+    from pomp_ray import crawl as crawl_mod
+    from pomp_ray.crawl import (CrawlConfig, CrawlEngine,
+                                export_frontier_seeds)
+    from pomp_ray.sources import gen_corpus
+
+    fix = gen_corpus.generate("/tmp/pomp_mig_corpus", gen_corpus.TINY)
+    seeds = pq.read_table(fix.seeds_path).to_pylist()
+
+    def crawl(ckpt, seed_arg, **kw):
+        cfg = CrawlConfig(corpus_path=fix.pages_path, ckpt_dir=ckpt,
+                          robots_path=fix.robots_path, mode="bfs",
+                          min_distributed_rows=16, n_seen_shards=2, **kw)
+        eng = CrawlEngine(cfg)
+        try:
+            eng.run(seeds=seed_arg)
+        finally:
+            eng.close()
+        return set(crawl_mod.read_visited(ckpt)["url"].to_pylist())
+
+    full = crawl(str(tmp_path / "full"), seeds)
+    partial = crawl(str(tmp_path / "part"), seeds, max_rounds=3)
+    assert partial < full   # actually stopped early
+
+    out = str(tmp_path / "migrated_seeds")
+    n = export_frontier_seeds(str(tmp_path / "part"), out)
+    assert n > 0
+    cont = crawl(str(tmp_path / "cont"), out)   # seeds as a parquet PATH
+    assert partial | cont == full
