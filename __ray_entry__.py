@@ -107,6 +107,45 @@ def _crawl_host_pagerank():
     return host_pagerank_from_crawl(ckpt, fix.pages_path)
 
 
+def _crawl_round_metrics():
+    """Per-round (n_visited, n_errors) straight from the METRICS tables
+    of a fresh TINY bfs crawl -- lineage validation: the counters the
+    engine wrote per round must equal what actually landed in the
+    visited/errors outputs (the committed serial-oracle goldens)."""
+    import glob as _glob
+
+    import pyarrow.compute as pc
+
+    from pomp_ray.crawl import CrawlConfig, CrawlEngine
+    from pomp_ray.sources import gen_corpus
+
+    fix = gen_corpus.generate("/tmp/pomp_q_corpus", gen_corpus.TINY)
+    ckpt = "/tmp/pomp_q_ckpt_metrics"
+    cfg = CrawlConfig(corpus_path=fix.pages_path, ckpt_dir=ckpt,
+                      robots_path=fix.robots_path, mode="bfs",
+                      min_distributed_rows=16, n_seen_shards=4)
+    eng = CrawlEngine(cfg)
+    try:
+        eng.run(seeds=pq.read_table(fix.seeds_path).to_pylist())
+    finally:
+        eng.close()
+    files = sorted(_glob.glob(os.path.join(ckpt, "metrics", "*.parquet")))
+    t = pa.concat_tables([pq.read_table(f) for f in files])
+    out: dict[int, dict[str, int]] = {}
+    for rnd, stage, n in zip(t["round"].to_pylist(),
+                             t["stage"].to_pylist(),
+                             t["n_rows"].to_pylist()):
+        out.setdefault(rnd, {})[stage] = n
+    rounds = sorted(out)
+    return pa.table({
+        "round": pa.array(rounds, pa.int64()),
+        "n_visited": pa.array([out[r].get("n_visited", 0)
+                               for r in rounds], pa.int64()),
+        "n_errors": pa.array([out[r].get("n_errors", 0)
+                              for r in rounds], pa.int64()),
+    })
+
+
 def _crawl_publish_stats():
     """Crawl -> WARC/CDX publish -> read the shards BACK -> per-shard
     page counts.  Oracle: md5-bucket SQL over the committed serial-
@@ -305,6 +344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_budget_visited": lambda sf: _crawl_outputs("visited", "budget"),
         "crawl_budget_errors": lambda sf: _crawl_outputs("errors", "budget"),
         "crawl_publish_stats": lambda sf: _crawl_publish_stats(),
+        "crawl_round_metrics": lambda sf: _crawl_round_metrics(),
     }
 
 
@@ -1262,6 +1302,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "crawl_bfs_visited":
             f"SELECT * FROM read_parquet('{_GOLDEN}/crawl_bfs_visited.parquet')",
+        "crawl_round_metrics": f"""
+            WITH v AS (
+                SELECT round, COUNT(*) AS n
+                FROM read_parquet('{_GOLDEN}/crawl_bfs_visited.parquet')
+                GROUP BY round),
+            e AS (
+                SELECT round, COUNT(*) AS n
+                FROM read_parquet('{_GOLDEN}/crawl_bfs_errors.parquet')
+                GROUP BY round)
+            SELECT CAST(COALESCE(v.round, e.round) AS BIGINT) AS round,
+                   CAST(COALESCE(v.n, 0) AS BIGINT) AS n_visited,
+                   CAST(COALESCE(e.n, 0) AS BIGINT) AS n_errors
+            FROM v FULL OUTER JOIN e ON v.round = e.round
+        """,
         "crawl_publish_stats": f"""
             SELECT CAST(CAST(('0x' || substr(md5(url), 1, 4)) AS INTEGER)
                         % 8 AS BIGINT) AS shard,
