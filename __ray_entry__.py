@@ -291,6 +291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_skew_report": docs.source_skew_report,
         # -- documents: signatures / near-dup (deterministic, rows-only)
         "lang_predictions": docs.lang_predictions,
+        "lang_confusion": docs.lang_confusion,
         "sample_docs": docs.sample_docs,
         "fingerprints": docs.fingerprints,
         "media_features": media.media_features,
@@ -1016,6 +1017,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Stopword-occurrence vote with the engine's fixed en>de>fr tie
         # order, via list_filter lambdas (verified exact vs lang_id).
+        "lang_confusion": f"""
+            WITH w AS (
+                SELECT doc_id, lang,
+                       regexp_extract_all(lower(text), '[a-z]+') AS words
+                FROM documents
+            ), votes AS (
+                SELECT doc_id, lang,
+                    len(list_filter(words,
+                        x -> list_contains({_sql_list(_STOP_EN)}, x))) AS n_en,
+                    len(list_filter(words,
+                        x -> list_contains({_sql_list(_STOP_DE)}, x))) AS n_de,
+                    len(list_filter(words,
+                        x -> list_contains({_sql_list(_STOP_FR)}, x))) AS n_fr
+                FROM w
+            )
+            SELECT lang,
+                   CASE WHEN n_fr > n_en AND n_fr > n_de THEN 'fr'
+                        WHEN n_de > n_en THEN 'de' ELSE 'en' END AS pred_lang,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM votes GROUP BY lang, pred_lang
+        """,
         "lang_predictions": f"""
             WITH w AS (
                 SELECT doc_id,

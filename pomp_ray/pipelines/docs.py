@@ -1943,3 +1943,23 @@ def contamination_report(sf_dir: str, bench_mod: int = 97) -> rd.Dataset:
         })
 
     return joined.map_batches(fin, batch_format="pyarrow")
+
+
+def lang_confusion(sf_dir: str) -> rd.Dataset:
+    """Language-ID evaluation: confusion matrix of labeled ``lang`` vs
+    the stopword-vote prediction -- the QA table a corpus pipeline
+    reviews before trusting its language gates.  Per-batch (lang, pred)
+    partial counts, one tiny groupby; exact SQL oracle composes the
+    lang_predictions vote with a GROUP BY."""
+    def partial(t: pa.Table) -> pa.Table:
+        t = an.lang_id_batch(t)
+        return pa.table({"lang": t["lang"], "pred_lang": t["pred_lang"]}) \
+            .group_by(["lang", "pred_lang"]).aggregate([([], "count_all")])
+
+    agg = _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        partial, batch_format="pyarrow").groupby(
+        ["lang", "pred_lang"]).aggregate(Sum("count_all", alias_name="n"))
+    return agg.map_batches(
+        lambda t: pa.table({"lang": t["lang"], "pred_lang": t["pred_lang"],
+                            "n": pc.cast(t["n"], pa.int64())}),
+        batch_format="pyarrow")

@@ -892,3 +892,21 @@ def test_late_events_lateness_semantics():
     exp = (prev - df["ets"].reset_index(drop=True).astype("float64")
            ).clip(lower=0).fillna(0)
     assert (df["lag_us"].reset_index(drop=True) == exp.astype("int64")).all()
+
+
+def test_lang_confusion_totals_match_corpus():
+    """Confusion matrix totals must equal the corpus lang counts, and
+    row-level predictions must be internally consistent with
+    lang_predictions."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from pomp_ray.pipelines import docs
+    cm = _to_pandas(docs.lang_confusion(SF))
+    t = pq.read_table(SF + "/documents.parquet", columns=["lang"])
+    want = collections.Counter(t["lang"].to_pylist())
+    got = cm.groupby("lang")["n"].sum().to_dict()
+    assert got == dict(want)
+    preds = _to_pandas(docs.lang_predictions(SF))
+    assert cm["n"].sum() == len(preds)
