@@ -270,6 +270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": docs.tfidf_top_terms,
         "mixture_sample": docs.mixture_sample,
         "token_shard_stats": docs.token_shard_stats,
+        "ngram_shard_stats": docs.ngram_shard_stats,
         "shuffle_positions": docs.shuffle_positions,
         "warc_shard_stats": archive.warc_shard_stats,
         "cdx_index": archive.cdx_index,
@@ -983,6 +984,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN wm IS NULL OR wm <= ets THEN 0
                              ELSE wm - ets END AS BIGINT) AS lag_us
             FROM w
+        """,
+        "ngram_shard_stats": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z]+') AS tk
+                FROM documents),
+            bg AS (
+                SELECT unnest(list_transform(range(1, len(tk)),
+                              i -> tk[i] || ' ' || tk[i+1])) AS g
+                FROM toks WHERE len(tk) >= 2),
+            cnt AS (SELECT g, COUNT(*) AS c FROM bg GROUP BY g)
+            SELECT CAST(CAST(('0x' || substr(md5(g), 1, 4)) AS INTEGER)
+                        % 8 AS BIGINT) AS shard,
+                   CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+                   CAST(SUM(c) AS BIGINT) AS total_count
+            FROM cnt GROUP BY shard
         """,
         "source_skew_report": """
             WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n

@@ -1963,3 +1963,79 @@ def lang_confusion(sf_dir: str) -> rd.Dataset:
         lambda t: pa.table({"lang": t["lang"], "pred_lang": t["pred_lang"],
                             "n": pc.cast(t["n"], pa.int64())}),
         batch_format="pyarrow")
+
+
+def _bigram_counts(sf_dir: str) -> rd.Dataset:
+    """(gram, c) global word-bigram counts -- the LM-training count
+    table (KenLM / n-gram model input).  Per-batch pandas-vectorized
+    pair join + value_counts partials, then the gram-keyed groupby:
+    this is the one legitimately vocabulary-scale shuffle in the module
+    (compact (gram, c) rows; text never moves)."""
+    def partial(t: pa.Table) -> pa.Table:
+        flat, parent = _tokenize_flat(t)
+        f = flat.to_numpy(zero_copy_only=False)
+        p = parent.to_numpy(zero_copy_only=False)
+        if len(f) < 2:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        m = p[:-1] == p[1:]
+        grams = (pd.Series(f[:-1][m]) + " " + pd.Series(f[1:][m])) \
+            .value_counts()
+        return pa.table({"gram": pa.array(grams.index, pa.string()),
+                         "c": pa.array(grams.to_numpy(), pa.int64())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        partial, batch_format="pyarrow").groupby("gram").aggregate(
+        Sum("c", alias_name="c"))
+
+
+def ngram_shard_stats(sf_dir: str, n_shards: int = 8) -> rd.Dataset:
+    """Per-shard (n_ngrams, total_count) of the md5-sharded bigram count
+    table -- the balance report for the LM-training export
+    (``write_ngram_counts``); md5 bucketing is per DISTINCT gram
+    (vocabulary-scale), mirrored exactly by the DuckDB hex-cast SQL."""
+    import hashlib
+
+    def shard_partial(t: pa.Table) -> pa.Table:
+        shard = np.fromiter(
+            (int(hashlib.md5(g.encode()).hexdigest()[:4], 16) % n_shards
+             for g in t["gram"].to_pylist()), np.int64, t.num_rows)
+        df = pd.DataFrame({"shard": shard,
+                           "c": pc.cast(t["c"], pa.int64()).to_numpy()})
+        g = df.groupby("shard", as_index=False).agg(
+            n_ngrams=("c", "size"), total_count=("c", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = _bigram_counts(sf_dir).map_batches(
+        shard_partial, batch_format="pyarrow").groupby("shard").aggregate(
+        Sum("n_ngrams", alias_name="n_ngrams"),
+        Sum("total_count", alias_name="total_count"))
+    return out.map_batches(
+        lambda t: _i64(t, ["shard", "n_ngrams", "total_count"]),
+        batch_format="pyarrow")
+
+
+def write_ngram_counts(sf_dir: str, out_dir: str,
+                       n_shards: int = 8) -> dict[int, int]:
+    """Materialize the bigram count table as shard-partitioned parquet
+    (streaming partition_cols write); returns per-shard row counts from
+    file METADATA only."""
+    import glob as _glob
+    import hashlib
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        shard = np.fromiter(
+            (int(hashlib.md5(g.encode()).hexdigest()[:4], 16) % n_shards
+             for g in t["gram"].to_pylist()), np.int64, t.num_rows)
+        return pa.table({"gram": t["gram"],
+                         "c": pc.cast(t["c"], pa.int64()),
+                         "shard": pa.array(shard, pa.int64())})
+
+    _bigram_counts(sf_dir).map_batches(
+        add_shard, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["shard"], mode="overwrite")
+    counts: dict[int, int] = {}
+    for p in _glob.glob(os.path.join(out_dir, "shard=*", "*.parquet")):
+        s = int(os.path.basename(os.path.dirname(p)).split("=", 1)[1])
+        counts[s] = counts.get(s, 0) + pq.ParquetFile(p).metadata.num_rows
+    return counts

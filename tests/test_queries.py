@@ -910,3 +910,21 @@ def test_lang_confusion_totals_match_corpus():
     assert got == dict(want)
     preds = _to_pandas(docs.lang_predictions(SF))
     assert cm["n"].sum() == len(preds)
+
+
+def test_write_ngram_counts_parity(tmp_path):
+    """The materialized bigram shards' metadata counts must equal the
+    stats query's per-shard n_ngrams, and total bigrams equal
+    sum(len(tokens)-1) over docs with >= 2 tokens."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from pomp_ray.pipelines import docs
+    stats = _to_pandas(docs.ngram_shard_stats(SF))
+    counts = docs.write_ngram_counts(SF, str(tmp_path / "ngrams"))
+    assert counts == dict(zip(stats["shard"], stats["n_ngrams"]))
+    t = pq.read_table(SF + "/documents.parquet", columns=["text"])
+    want_total = sum(max(0, len(re.findall(r"[a-z]+", s.lower())) - 1)
+                     for s in t["text"].to_pylist())
+    assert stats["total_count"].sum() == want_total
