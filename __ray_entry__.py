@@ -272,6 +272,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_shard_stats": docs.token_shard_stats,
         "ngram_shard_stats": docs.ngram_shard_stats,
         "shuffle_positions": docs.shuffle_positions,
+        "corpus_splits": docs.corpus_splits,
+        "epoch_order": lambda sf: docs.epoch_order(sf, epoch=2),
         "warc_shard_stats": archive.warc_shard_stats,
         "cdx_index": archive.cdx_index,
         "snapshot_delta": delta.snapshot_delta,
@@ -984,6 +986,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN wm IS NULL OR wm <= ets THEN 0
                              ELSE wm - ets END AS BIGINT) AS lag_us
             FROM w
+        """,
+        "corpus_splits": """
+            WITH b AS (
+                SELECT CASE CAST(('0x' ||
+                           substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                           AS INTEGER) % 100
+                       WHEN 0 THEN 'test' WHEN 1 THEN 'val'
+                       ELSE 'train' END AS split,
+                       len(regexp_extract_all(text, '\\S+')) AS ntok
+                FROM documents)
+            SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(ntok) AS BIGINT) AS n_tokens
+            FROM b GROUP BY split
+        """,
+        "epoch_order": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY
+                        md5(CAST(doc_id AS VARCHAR) || ':2')) - 1
+                        AS BIGINT) AS pos
+            FROM documents
         """,
         "ngram_shard_stats": """
             WITH toks AS (

@@ -2039,3 +2039,46 @@ def write_ngram_counts(sf_dir: str, out_dir: str,
         s = int(os.path.basename(os.path.dirname(p)).split("=", 1)[1])
         counts[s] = counts.get(s, 0) + pq.ParquetFile(p).metadata.num_rows
     return counts
+
+
+def corpus_splits(sf_dir: str) -> rd.Dataset:
+    """Deterministic train/val/test split accounting: md5(doc_id) % 100
+    -> bucket 0 = test, 1 = val, rest = train (the 98/1/1 hash split
+    every training corpus ships with -- pure per-row assignment:
+    resumable, retry-stable, no global state).  Returns per-split
+    (n_docs, n_tokens); exact hex-cast SQL oracle."""
+    def partial(t: pa.Table) -> pa.Table:
+        b = _shard_ids(t["doc_id"].to_pylist(), 100)
+        split = np.where(b == 0, "test", np.where(b == 1, "val", "train"))
+        ntok = an.count_tokens_arr(t["text"]).to_numpy().astype(np.int64)
+        df = pd.DataFrame({"split": split, "n_tokens": ntok})
+        g = df.groupby("split", as_index=False).agg(
+            n_docs=("n_tokens", "size"), n_tokens=("n_tokens", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        partial, batch_format="pyarrow").groupby("split").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("n_tokens", alias_name="n_tokens"))
+    return out.map_batches(
+        lambda t: _i64(t, ["n_docs", "n_tokens"]), batch_format="pyarrow")
+
+
+def epoch_order(sf_dir: str, epoch: int = 1) -> rd.Dataset:
+    """Per-EPOCH reshuffle order: position 0..n-1 by ascending
+    md5(doc_id ':' epoch) -- shuffle_positions generalized so every
+    training epoch gets a different but fully reproducible order (same
+    zip_with_index machinery: one sort, O(blocks) driver partials)."""
+    import hashlib
+
+    from pomp_ray.stages.index import zip_with_index
+
+    def add_h(t: pa.Table) -> pa.Table:
+        h = [hashlib.md5(f"{d}:{epoch}".encode()).hexdigest()
+             for d in t["doc_id"].to_pylist()]
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "h": pa.array(h, pa.string())})
+
+    ds = _docs(sf_dir, ["doc_id"]).map_batches(add_h, batch_format="pyarrow")
+    return zip_with_index(ds, "h", out_col="pos").map_batches(
+        lambda t: t.select(["doc_id", "pos"]), batch_format="pyarrow")

@@ -928,3 +928,20 @@ def test_write_ngram_counts_parity(tmp_path):
     want_total = sum(max(0, len(re.findall(r"[a-z]+", s.lower())) - 1)
                      for s in t["text"].to_pylist())
     assert stats["total_count"].sum() == want_total
+
+
+def test_corpus_splits_and_epoch_order():
+    """Split fractions land near 98/1/1 (hash uniformity), totals cover
+    the corpus; epoch orders are permutations that differ across
+    epochs but are identical across runs."""
+    from pomp_ray.pipelines import docs
+    sp = _to_pandas(docs.corpus_splits(SF)).set_index("split")
+    total = sp["n_docs"].sum()
+    assert total == len(_to_pandas(docs.lang_predictions(SF)))
+    assert sp.loc["train", "n_docs"] > 0.9 * total
+    e1 = _to_pandas(docs.epoch_order(SF, epoch=1)).sort_values("doc_id")
+    e2 = _to_pandas(docs.epoch_order(SF, epoch=2)).sort_values("doc_id")
+    e1b = _to_pandas(docs.epoch_order(SF, epoch=1)).sort_values("doc_id")
+    assert sorted(e1["pos"]) == list(range(len(e1)))
+    assert (e1["pos"].to_numpy() == e1b["pos"].to_numpy()).all()
+    assert (e1["pos"].to_numpy() != e2["pos"].to_numpy()).any()
