@@ -310,6 +310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_topk": embeddings.pq_topk,
         "label_centroids": embeddings.label_centroids,
         "embedding_pca": embeddings.embedding_pca,
+        "quantized_embeddings": embeddings.quantized_embeddings,
         "kmeans_clusters": embeddings.kmeans_clusters,
         "semdedup": embeddings.semdedup,
         # -- graph: near-dup pairs -> dup groups (label propagation)
@@ -1324,6 +1325,8 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM read_parquet('{_GOLDEN}/dsir_sf001.parquet')",
         "embedding_pca":
             f"SELECT * FROM read_parquet('{_GOLDEN}/pca_sf001.parquet')",
+        "quantized_embeddings":
+            f"SELECT * FROM read_parquet('{_GOLDEN}/quantized_sf001.parquet')",
         "anchor_texts":
             f"SELECT * FROM read_parquet('{_GOLDEN}/anchor_texts_small.parquet')",
         "corpus_hits":

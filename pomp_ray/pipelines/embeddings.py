@@ -751,3 +751,29 @@ def embedding_pca(sf_dir: str, k: int = 2) -> rd.Dataset:
         return pa.table(cols)
 
     return _emb(sf_dir).map_batches(score, batch_format="pyarrow")
+
+
+# ------------------------------------------------- int8 quantized export
+def quantized_embeddings(sf_dir: str) -> rd.Dataset:
+    """Symmetric per-vector int8 quantization of the embedding column --
+    the vector-store ingestion handoff (4x smaller than float32, what
+    FAISS/scalar-quantizer indexes consume).  scale = maxabs/127 per
+    vector, q = rint(x * 127 / maxabs) as int8; both are ELEMENTWISE
+    float expressions (no reductions), so engine output is bit-identical
+    to the independent serial golden regardless of batching.  Emits
+    (vec_id, scale float64, qhex) -- the code bytes hex-encoded so the
+    row is a flat hashable string (the driver compare sorts columns;
+    list cells don't sort)."""
+    def quant(t: pa.Table) -> pa.Table:
+        ids, mat = _to_matrix(t)
+        maxabs = np.abs(mat).max(axis=1)
+        maxabs[maxabs == 0] = 1.0
+        q = np.rint(mat * (127.0 / maxabs)[:, None]).astype(np.int8)
+        qhex = [row.astype(np.uint8).tobytes().hex() for row in q]
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "scale": pa.array(maxabs / 127.0, pa.float64()),
+            "qhex": pa.array(qhex, pa.string()),
+        })
+
+    return _emb(sf_dir).map_batches(quant, batch_format="pyarrow")

@@ -945,3 +945,25 @@ def test_corpus_splits_and_epoch_order():
     assert sorted(e1["pos"]) == list(range(len(e1)))
     assert (e1["pos"].to_numpy() == e1b["pos"].to_numpy()).all()
     assert (e1["pos"].to_numpy() != e2["pos"].to_numpy()).any()
+
+
+def test_quantized_embeddings_reconstruction():
+    """int8 quantization: reconstruction error bounded by scale/2 per
+    element, codes use the full range somewhere, round-trip hex parses."""
+    import pyarrow.parquet as pq
+
+    from pomp_ray.pipelines import embeddings
+    df = _to_pandas(embeddings.quantized_embeddings(SF))
+    t = pq.read_table(SF + "/embeddings.parquet")
+    emb = {v: np.array(e, dtype=np.float64)
+           for v, e in zip(t["vec_id"].to_pylist(),
+                           t["embedding"].to_pylist())}
+    hit127 = False
+    for _, r in df.iterrows():
+        q = np.frombuffer(bytes.fromhex(r["qhex"]), dtype=np.int8)
+        x = emb[r["vec_id"]]
+        assert len(q) == len(x)
+        err = np.abs(x - q * r["scale"]).max()
+        assert err <= r["scale"] / 2 + 1e-12
+        hit127 |= bool((np.abs(q) == 127).any())
+    assert hit127

@@ -1089,6 +1089,31 @@ def gen_compression_golden(sf_dir: str = SF001, level: int = 6) -> None:
           f"{sum(flag)} too-compressible")
 
 
+
+def gen_quantized_golden(sf_dir: str = SF001) -> None:
+    """Independent serial int8 quantizer mirroring
+    embeddings.quantized_embeddings' elementwise expressions."""
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = np.asarray(t["vec_id"].to_pylist(), np.int64)
+    mat = np.array(t["embedding"].to_pylist(), np.float64)
+    out_ids, scales, qvecs = [], [], []
+    for i in range(len(ids)):
+        row = mat[i]
+        m = float(np.abs(row).max()) or 1.0
+        q = np.rint(row * (127.0 / m)).astype(np.int8)
+        out_ids.append(int(ids[i]))
+        scales.append(m / 127.0)
+        qvecs.append(q)
+    out = pa.table({
+        "vec_id": pa.array(out_ids, pa.int64()),
+        "scale": pa.array(scales, pa.float64()),
+        "qhex": pa.array([q.astype(np.uint8).tobytes().hex()
+                          for q in qvecs], pa.string()),
+    })
+    pq.write_table(out, os.path.join(GOLDEN_DIR, "quantized_sf001.parquet"))
+    print(f"quantized golden: {len(out_ids)} vectors")
+
+
 if __name__ == "__main__":
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     gen_signature_goldens()
@@ -1106,6 +1131,7 @@ if __name__ == "__main__":
     gen_anchor_golden()
     gen_hits_golden()
     gen_compression_golden()
+    gen_quantized_golden()
     gen_crawl_pagerank_golden()
     gen_pack_golden()
     gen_cms_golden()
