@@ -311,6 +311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": embeddings.label_centroids,
         "embedding_pca": embeddings.embedding_pca,
         "quantized_embeddings": embeddings.quantized_embeddings,
+        "sq8_topk": embeddings.sq8_topk,
         "kmeans_clusters": embeddings.kmeans_clusters,
         "semdedup": embeddings.semdedup,
         # -- graph: near-dup pairs -> dup groups (label propagation)
@@ -1327,6 +1328,8 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM read_parquet('{_GOLDEN}/pca_sf001.parquet')",
         "quantized_embeddings":
             f"SELECT * FROM read_parquet('{_GOLDEN}/quantized_sf001.parquet')",
+        "sq8_topk":
+            f"SELECT * FROM read_parquet('{_GOLDEN}/sq8_topk_sf001.parquet')",
         "anchor_texts":
             f"SELECT * FROM read_parquet('{_GOLDEN}/anchor_texts_small.parquet')",
         "corpus_hits":

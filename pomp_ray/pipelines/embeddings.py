@@ -777,3 +777,61 @@ def quantized_embeddings(sf_dir: str) -> rd.Dataset:
         })
 
     return _emb(sf_dir).map_batches(quant, batch_format="pyarrow")
+
+
+def sq8_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10,
+             shortlist_mult: int = 4) -> pa.Table:
+    """Scalar-quantized (SQ8) approximate top-k with exact re-rank --
+    the faiss-SQ8 shape completing the quantized-export story: the
+    coarse scan runs on int8 CODES (one int32 integer matmul per batch
+    -- exact, order-independent), each batch keeps a shortlist of
+    k*shortlist_mult candidates by approximate reconstructed dot
+    product, computes EXACT cosine only for those, and the driver
+    merges shortlists and returns the exact-cosine top-k (same 6dp
+    rounding + (score desc, vec_id) tiebreak as ``ann_topk``).
+
+    Determinism: quantization is elementwise (bit-identical per row),
+    the integer dot is exact, approx = idot * (s_row * s_q) is one
+    fixed float expression, exact cosine matches ann_topk's kernel --
+    golden (independent serial impl) matches bit-for-bit; pytest also
+    asserts recall vs the exact brute-force path."""
+    q_tbl = _emb(sf_dir).map_batches(
+        lambda t: t.filter(pc.equal(t["vec_id"], query_vec_id)),
+        batch_format="pyarrow").take_all()
+    qx = np.asarray(q_tbl[0]["embedding"], np.float64)
+    qmax = float(np.abs(qx).max()) or 1.0
+    qq = np.rint(qx * (127.0 / qmax)).astype(np.int8)
+    sq = qmax / 127.0
+    qn = qx / (np.linalg.norm(qx) or 1.0)
+    ref = ray.put((qq, sq, qn))
+    short = k * shortlist_mult
+
+    def score(t: pa.Table) -> pa.Table:
+        qq_, sq_, qn_ = ray.get(ref)
+        ids, mat = _to_matrix(t)
+        maxabs = np.abs(mat).max(axis=1)
+        maxabs[maxabs == 0] = 1.0
+        codes = np.rint(mat * (127.0 / maxabs)[:, None]).astype(np.int8)
+        idot = codes.astype(np.int32) @ qq_.astype(np.int32)
+        approx = idot * ((maxabs / 127.0) * sq_)
+        keep = ids != query_vec_id
+        ids, approx, mat = ids[keep], approx[keep], mat[keep]
+        if len(ids) > short:
+            part = np.argpartition(-approx, short)[:short]
+            ids, approx, mat = ids[part], approx[part], mat[part]
+        exact = _normalize(mat) @ qn_
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "approx": pa.array(approx, pa.float64()),
+                         "score": pa.array(exact, pa.float64())})
+
+    parts = _emb(sf_dir).map_batches(score, batch_format="pyarrow").take_all()
+    ids = np.array([r["vec_id"] for r in parts], np.int64)
+    approx = np.array([r["approx"] for r in parts], np.float64)
+    exact = np.array([r["score"] for r in parts], np.float64)
+    # global shortlist by approximate score, then exact-cosine ranking
+    order = np.lexsort((ids, -approx))[:short]
+    ids, exact = ids[order], exact[order]
+    fin = np.lexsort((ids, -exact))[:k]
+    return pa.table({"vec_id": pa.array(ids[fin], pa.int64()),
+                     "score": pa.array(np.round(exact[fin], 6),
+                                       pa.float64())})

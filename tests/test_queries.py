@@ -967,3 +967,19 @@ def test_quantized_embeddings_reconstruction():
         assert err <= r["scale"] / 2 + 1e-12
         hit127 |= bool((np.abs(q) == 127).any())
     assert hit127
+
+
+def test_sq8_topk_recall_vs_exact():
+    """SQ8 coarse scan + exact re-rank: high recall vs the brute-force
+    exact top-k (int8 reconstruction error is small at 64 dims), and
+    returned scores are the EXACT cosines for the returned ids."""
+    from pomp_ray.pipelines import embeddings
+    exact = embeddings.ann_topk(SF)
+    sq8 = embeddings.sq8_topk(SF)
+    ex = dict(zip(exact["vec_id"].to_pylist(), exact["score"].to_pylist()))
+    got = dict(zip(sq8["vec_id"].to_pylist(), sq8["score"].to_pylist()))
+    recall = len(set(ex) & set(got)) / len(ex)
+    assert recall >= 0.8, (recall, ex, got)
+    for v, s in got.items():
+        if v in ex:
+            assert s == ex[v]

@@ -1114,6 +1114,41 @@ def gen_quantized_golden(sf_dir: str = SF001) -> None:
     print(f"quantized golden: {len(out_ids)} vectors")
 
 
+
+def gen_sq8_golden(sf_dir: str = SF001, query_vec_id: int = 0,
+                   k: int = 10, shortlist_mult: int = 4) -> None:
+    """Independent serial SQ8 top-k mirroring embeddings.sq8_topk's
+    pinned arithmetic (single full-matrix pass, no Dataset code)."""
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = np.asarray(t["vec_id"].to_pylist(), np.int64)
+    mat = np.array(t["embedding"].to_pylist(), np.float64)
+    qx = mat[list(ids).index(query_vec_id)]
+    qmax = float(np.abs(qx).max()) or 1.0
+    qq = np.rint(qx * (127.0 / qmax)).astype(np.int8)
+    sq = qmax / 127.0
+    qn = qx / (np.linalg.norm(qx) or 1.0)
+    maxabs = np.abs(mat).max(axis=1)
+    maxabs[maxabs == 0] = 1.0
+    codes = np.rint(mat * (127.0 / maxabs)[:, None]).astype(np.int8)
+    idot = codes.astype(np.int32) @ qq.astype(np.int32)
+    approx = idot * ((maxabs / 127.0) * sq)
+    keep = ids != query_vec_id
+    ids2, approx2, mat2 = ids[keep], approx[keep], mat[keep]
+    short = k * shortlist_mult
+    order = np.lexsort((ids2, -approx2))[:short]
+    ids3 = ids2[order]
+    m3 = mat2[order]
+    n = np.linalg.norm(m3, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    exact = (m3 / n) @ qn
+    fin = np.lexsort((ids3, -exact))[:k]
+    out = pa.table({"vec_id": pa.array(ids3[fin], pa.int64()),
+                    "score": pa.array(np.round(exact[fin], 6),
+                                      pa.float64())})
+    pq.write_table(out, os.path.join(GOLDEN_DIR, "sq8_topk_sf001.parquet"))
+    print(f"sq8 golden: top-{k} ids {ids3[fin].tolist()}")
+
+
 if __name__ == "__main__":
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     gen_signature_goldens()
@@ -1132,6 +1167,7 @@ if __name__ == "__main__":
     gen_hits_golden()
     gen_compression_golden()
     gen_quantized_golden()
+    gen_sq8_golden()
     gen_crawl_pagerank_golden()
     gen_pack_golden()
     gen_cms_golden()
