@@ -298,6 +298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs": docs.sample_docs,
         "fingerprints": docs.fingerprints,
         "media_features": media.media_features,
+        "media_frame_stats": media.media_frame_stats,
         "minhash_lsh_pairs": docs.minhash_lsh_pairs,
         "jaccard_pairs_sample": docs.jaccard_pairs_sample,
         "simhash_dup_groups": docs.simhash_dup_groups,
@@ -1008,6 +1009,30 @@ def oracle_sql() -> dict[str, str]:
                         md5(CAST(doc_id AS VARCHAR) || ':2')) - 1
                         AS BIGINT) AS pos
             FROM documents
+        """,
+        # frame sampler: mirror the deterministic chunking formula
+        # (video 64-byte frames cap 8, audio 32-byte windows cap 16,
+        # image 1; empty payloads still yield one empty frame)
+        "media_frame_stats": """
+            WITH m AS (
+                SELECT doc_id,
+                       CASE doc_id % 3 WHEN 0 THEN 'image'
+                            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                       octet_length(encode(text)) AS b
+                FROM documents)
+            SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_media,
+                   CAST(SUM(CASE kind
+                        WHEN 'image' THEN 1
+                        WHEN 'audio' THEN GREATEST(1,
+                             LEAST(16, (b + 31) // 32))
+                        ELSE GREATEST(1, LEAST(8, (b + 63) // 64))
+                        END) AS BIGINT) AS n_frames,
+                   CAST(SUM(CASE kind
+                        WHEN 'image' THEN b
+                        WHEN 'audio' THEN LEAST(b, 16 * 32)
+                        ELSE LEAST(b, 8 * 64)
+                        END) AS BIGINT) AS frame_bytes
+            FROM m GROUP BY kind
         """,
         "ngram_shard_stats": """
             WITH toks AS (

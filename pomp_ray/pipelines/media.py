@@ -76,3 +76,54 @@ def media_features(sf_dir: str, batch_size: int = 128,
         })
 
     return feats.map_batches(project, batch_format="pyarrow")
+
+
+def media_frame_stats(sf_dir: str, batch_size: int = 128,
+                      max_actors: int = 8) -> rd.Dataset:
+    """Frame-sampling plumbing proof: documents-as-media through the
+    ``FrameSampler`` actor pool (row explosion inside the pool), then
+    per-kind (n_media, n_frames, frame_bytes) -- all integers derived
+    from payload sizes, so the DuckDB oracle mirrors the deterministic
+    chunking formula exactly."""
+    import pyarrow.parquet as _pq
+
+    from pomp_ray.stages.multimodal import FrameSampler
+
+    n_rows = _pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    n_batches = max(1, -(-n_rows // batch_size))
+    concurrency = max(1, min(max_actors, n_batches // 2))
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        to_media_batch, batch_format="pyarrow")
+    frames = ds.map_batches(
+        FrameSampler, fn_constructor_kwargs={"decode": "fake"},
+        concurrency=concurrency, batch_size=batch_size,
+        batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({
+            "kind": t["kind"].to_pylist(),
+            "first": pc.equal(t["frame_idx"], 0).to_numpy(
+                zero_copy_only=False).astype("int64"),
+            "fb": pc.binary_length(t["frame"]).to_numpy()
+            .astype("int64"),
+        })
+        g = df.groupby("kind", as_index=False).agg(
+            n_media=("first", "sum"), n_frames=("first", "size"),
+            frame_bytes=("fb", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum as _Sum
+    out = frames.map_batches(partial, batch_format="pyarrow") \
+        .groupby("kind").aggregate(
+        _Sum("n_media", alias_name="n_media"),
+        _Sum("n_frames", alias_name="n_frames"),
+        _Sum("frame_bytes", alias_name="frame_bytes"))
+    return out.map_batches(
+        lambda t: pa.table({
+            "kind": t["kind"],
+            "n_media": pc.cast(t["n_media"], pa.int64()),
+            "n_frames": pc.cast(t["n_frames"], pa.int64()),
+            "frame_bytes": pc.cast(t["frame_bytes"], pa.int64())}),
+        batch_format="pyarrow")

@@ -108,3 +108,48 @@ def synth_media_table(n: int = 256, seed: int = 42) -> pa.Table:
         "duration_ms": [int(rng.integers(0, 60_000)) for _ in range(n)],
     }
     return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+class FrameSampler:
+    """Actor-pool flat-map stage: one media row in, one row PER SAMPLED
+    FRAME out -- the video frame-sample / audio window-split shape
+    (images pass through as a single frame).  Sampling is
+    deterministic from the payload size (fixed chunking: video 64-byte
+    "frames" capped at 8, audio 32-byte windows capped at 16), so the
+    row explosion is SQL-mirrorable; the real ffmpeg/torchaudio
+    segmentation plugs into ``real_decode``'s slot (``decode="real"``
+    raises the explicit stub error).  Once-per-actor setup holds the
+    (stand-in) codec table; batches stay Arrow end to end."""
+
+    CHUNK = {"video": (64, 8), "audio": (32, 16), "image": (None, 1)}
+
+    def __init__(self, decode: str = "fake"):
+        if decode == "real":
+            real_decode(b"", "video")   # raises the explicit stub error
+        self.codec = dict(self.CHUNK)   # per-actor "codec" state
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, kinds, idxs, frames = [], [], [], []
+        for mid, kind, payload in zip(batch["media_id"].to_pylist(),
+                                      batch["kind"].to_pylist(),
+                                      batch["payload"].to_pylist()):
+            payload = payload or b""
+            chunk, cap = self.codec.get(kind, (None, 1))
+            if chunk is None:
+                parts = [payload]
+            else:
+                parts = [payload[i * chunk:(i + 1) * chunk]
+                         for i in range(min(cap, -(-len(payload) // chunk)
+                                            if payload else 0))]
+                parts = parts or [b""]
+            for j, p in enumerate(parts):
+                ids.append(mid)
+                kinds.append(kind)
+                idxs.append(j)
+                frames.append(p)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+            "frame_idx": pa.array(idxs, pa.int32()),
+            "frame": pa.array(frames, pa.binary()),
+        })

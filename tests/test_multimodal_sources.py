@@ -99,3 +99,37 @@ def test_write_pages_roundtrip_json_csv(ray_session, tmp_path):
         got = got.sort_by("url")
         assert got.schema.equals(schemas.PAGES), fmt
         assert got.equals(want), fmt
+
+
+def test_frame_sampler_explosion_and_stub(ray_session):
+    """FrameSampler: per-kind chunking caps hold, frames reassemble to
+    the payload prefix, images pass through whole, and decode='real'
+    raises the explicit stub error."""
+    import pytest
+    import ray.data as rd
+
+    from pomp_ray.stages.multimodal import FrameSampler, synth_media_table
+
+    t = synth_media_table(n=48)
+    out = rd.from_arrow(t).map_batches(
+        FrameSampler, fn_constructor_kwargs={"decode": "fake"},
+        concurrency=1, batch_size=16, batch_format="pyarrow").take_all()
+    payloads = {r["media_id"]: (r["kind"], r["payload"])
+                for r in t.to_pylist()}
+    by_media: dict[int, list] = {}
+    for r in out:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert set(by_media) == set(payloads)
+    for mid, rows in by_media.items():
+        kind, payload = payloads[mid]
+        rows.sort(key=lambda r: r["frame_idx"])
+        chunk, cap = FrameSampler.CHUNK[kind]
+        if chunk is None:
+            assert len(rows) == 1 and rows[0]["frame"] == payload
+        else:
+            assert len(rows) <= cap
+            joined = b"".join(r["frame"] for r in rows)
+            assert joined == payload[:len(joined)]
+
+    with pytest.raises(NotImplementedError):
+        FrameSampler(decode="real")
