@@ -170,7 +170,8 @@ def publish_crawl_archive(ckpt_dir: str, out_dir: str,
                           n_shards: int = N_SHARDS) -> dict:
     """Publish a FINISHED crawl checkpoint as a Common-Crawl-style
     archive: md5-url-sharded WARC-lite files (``warc/``) of the
-    extracted page texts plus the SURT-sorted CDX index (``cdx/``)
+    extracted page texts plus the SURT-sorted CDX index (``cdx/``);
+    re-fetched urls (continuous crawl) keep only their latest capture
     -- the end-to-end shape a production crawl ships (segment WARCs +
     cc-index).  Returns {shards, pages, cdx_rows}.
 
@@ -199,6 +200,7 @@ def publish_crawl_archive(ckpt_dir: str, out_dir: str,
         return pa.table({
             "url": t["url"],
             "seq": pc.cast(t["seq"], pa.int64()),
+            "round": pc.cast(t["round"], pa.int64()),
             "warc_ts": ts,
             "html": pc.cast(t["text"], pa.binary()),
             "shard": pa.array(shard, pa.int64()),
@@ -206,6 +208,19 @@ def publish_crawl_archive(ckpt_dir: str, out_dir: str,
 
     pages = items_dataset(ckpt_dir).map_batches(
         to_pages, batch_format="pyarrow").materialize()  # 2 consumers
+    # a CONTINUOUS crawl re-fetches pages (stale recrawl, retry
+    # requeue): the archive keeps each url's LATEST capture only.  A
+    # url is visited at most once per ROUND (intra-round dedup), and a
+    # requeued row may reuse its original seq -- so the winner key is
+    # the max round, under which (url, round) is unique.
+    from ray.data.aggregate import Max as _Max
+    latest = pages.groupby("url").aggregate(
+        _Max("round", alias_name="wround")).repartition(4)
+    pages = pages.join(latest, join_type="inner", on=("url",),
+                       num_partitions=8).map_batches(
+        lambda t: t.filter(pc.equal(t["round"], t["wround"]))
+        .drop_columns(["wround"]),
+        batch_format="pyarrow").materialize()
 
     def write_shard(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("seq")
