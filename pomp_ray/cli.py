@@ -10,6 +10,10 @@ Subcommands:
   crawl         run a crawl (resume with --resume; scale mode with --scale)
   dedup-corpus  write the exact-deduplicated documents corpus
   robots        build a robots table from a corpus's /robots.txt pages
+  publish       ship a finished checkpoint as WARC shards + CDX index
+  tick          continuous-crawl maintenance pass (requeue + stale
+                recrawl + resume + optional publish)
+  export-seeds  compact a stopped crawl's pending frontier to seeds
 
 This module OWNS the Ray session (guarded init), unlike the library; on
 a cluster ``ray.init(address="auto")`` attaches to the running cluster,
@@ -75,6 +79,33 @@ def cmd_robots(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_publish(args: argparse.Namespace) -> int:
+    from pomp_ray.pipelines.archive import publish_crawl_archive
+    out = publish_crawl_archive(args.ckpt, args.out)
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_tick(args: argparse.Namespace) -> int:
+    from pomp_ray.crawl import CrawlConfig
+    from pomp_ray.pipelines.continuous import crawl_tick
+
+    cfg = CrawlConfig(corpus_path=args.corpus, ckpt_dir=args.ckpt,
+                      robots_path=args.robots, mode=args.mode,
+                      fetch_strategy=args.fetch_strategy)
+    out = crawl_tick(cfg, freshness_rounds=args.freshness_rounds,
+                     archive_dir=args.archive)
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_export_seeds(args: argparse.Namespace) -> int:
+    from pomp_ray.crawl import export_frontier_seeds
+    n = export_frontier_seeds(args.ckpt, args.out)
+    print(json.dumps({"seeds_exported": n, "out": args.out}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="pomp_ray")
     p.add_argument("--address", default=None,
@@ -112,6 +143,30 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--out", required=True)
     r.add_argument("--user-agent", default="*")
     r.set_defaults(fn=cmd_robots)
+
+    pub = sub.add_parser("publish",
+                         help="checkpoint -> WARC shards + CDX index")
+    pub.add_argument("--ckpt", required=True)
+    pub.add_argument("--out", required=True)
+    pub.set_defaults(fn=cmd_publish)
+
+    t = sub.add_parser("tick", help="continuous-crawl maintenance pass")
+    t.add_argument("--corpus", required=True)
+    t.add_argument("--ckpt", required=True)
+    t.add_argument("--robots")
+    t.add_argument("--mode", choices=("bfs", "dfs"), default="bfs")
+    t.add_argument("--fetch-strategy", default="broadcast",
+                   choices=("broadcast", "actor", "join"))
+    t.add_argument("--freshness-rounds", type=int, default=0)
+    t.add_argument("--archive", default=None,
+                   help="also publish WARC+CDX here after the tick")
+    t.set_defaults(fn=cmd_tick)
+
+    e = sub.add_parser("export-seeds",
+                       help="pending frontier -> seeds parquet dir")
+    e.add_argument("--ckpt", required=True)
+    e.add_argument("--out", required=True)
+    e.set_defaults(fn=cmd_export_seeds)
     return p
 
 

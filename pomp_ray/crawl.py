@@ -1689,7 +1689,11 @@ def export_frontier_seeds(ckpt_dir: str, out_path: str) -> int:
     files += sorted(glob.glob(os.path.join(
         ckpt_dir, "deferred", f"round-{last:06d}", "*.parquet")))
     os.makedirs(out_path, exist_ok=True)
-    if not files:
+    # metadata-only emptiness check: a drained crawl leaves zero-row
+    # frontier files, and zero-row blocks BYPASS map_batches (ray 2.49),
+    # feeding the join an empty-schema block it cannot key
+    n_pending = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    if not files or n_pending == 0:
         pq.write_table(schemas.SEEDS.empty_table(),
                        os.path.join(out_path, "part-empty.parquet"))
         return 0
