@@ -146,6 +146,43 @@ def _crawl_round_metrics():
     })
 
 
+def _crawl_host_health():
+    """Per-host fetch health of a finished TINY bfs crawl: successful
+    visits vs errors (the ops dashboard a crawl scheduler watches).
+    Oracle: host split + counts over the two committed serial-oracle
+    goldens."""
+    from urllib.parse import urlsplit
+
+    from pomp_ray import crawl as crawl_mod
+    from pomp_ray.crawl import CrawlConfig, CrawlEngine
+    from pomp_ray.sources import gen_corpus
+
+    fix = gen_corpus.generate("/tmp/pomp_q_corpus", gen_corpus.TINY)
+    ckpt = "/tmp/pomp_q_ckpt_health"
+    cfg = CrawlConfig(corpus_path=fix.pages_path, ckpt_dir=ckpt,
+                      robots_path=fix.robots_path, mode="bfs",
+                      min_distributed_rows=16, n_seen_shards=4)
+    eng = CrawlEngine(cfg)
+    try:
+        eng.run(seeds=pq.read_table(fix.seeds_path).to_pylist())
+    finally:
+        eng.close()
+    ok: dict[str, int] = {}
+    err: dict[str, int] = {}
+    for u in crawl_mod.read_visited(ckpt)["url"].to_pylist():
+        h = urlsplit(u).hostname or ""
+        ok[h] = ok.get(h, 0) + 1
+    for u in crawl_mod.read_errors(ckpt)["url"].to_pylist():
+        h = urlsplit(u).hostname or ""
+        err[h] = err.get(h, 0) + 1
+    hosts = sorted(set(ok) | set(err))
+    return pa.table({
+        "host": pa.array(hosts, pa.string()),
+        "n_ok": pa.array([ok.get(h, 0) for h in hosts], pa.int64()),
+        "n_err": pa.array([err.get(h, 0) for h in hosts], pa.int64()),
+    })
+
+
 def _crawl_publish_stats():
     """Crawl -> WARC/CDX publish -> read the shards BACK -> per-shard
     page counts.  Oracle: md5-bucket SQL over the committed serial-
@@ -352,6 +389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_budget_errors": lambda sf: _crawl_outputs("errors", "budget"),
         "crawl_publish_stats": lambda sf: _crawl_publish_stats(),
         "crawl_round_metrics": lambda sf: _crawl_round_metrics(),
+        "crawl_host_health": lambda sf: _crawl_host_health(),
     }
 
 
@@ -1407,6 +1445,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(v.n, 0) AS BIGINT) AS n_visited,
                    CAST(COALESCE(e.n, 0) AS BIGINT) AS n_errors
             FROM v FULL OUTER JOIN e ON v.round = e.round
+        """,
+        "crawl_host_health": f"""
+            WITH v AS (
+                SELECT split_part(replace(url, 'http://', ''),
+                                  '/', 1) AS host, COUNT(*) AS n
+                FROM read_parquet('{_GOLDEN}/crawl_bfs_visited.parquet')
+                GROUP BY host),
+            e AS (
+                SELECT split_part(replace(url, 'http://', ''),
+                                  '/', 1) AS host, COUNT(*) AS n
+                FROM read_parquet('{_GOLDEN}/crawl_bfs_errors.parquet')
+                GROUP BY host)
+            SELECT COALESCE(v.host, e.host) AS host,
+                   CAST(COALESCE(v.n, 0) AS BIGINT) AS n_ok,
+                   CAST(COALESCE(e.n, 0) AS BIGINT) AS n_err
+            FROM v FULL OUTER JOIN e ON v.host = e.host
         """,
         "crawl_publish_stats": f"""
             SELECT CAST(CAST(('0x' || substr(md5(url), 1, 4)) AS INTEGER)
