@@ -314,6 +314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_shard_stats": archive.warc_shard_stats,
         "cdx_index": archive.cdx_index,
         "snapshot_delta": delta.snapshot_delta,
+        "host_change_rates": delta.host_change_rates,
         # -- model training: distributed least-squares classifier
         #    (integer sufficient statistics -> pinned solve)
         "lsq_classifier_weights": classify.lsq_classifier_weights,
@@ -1307,6 +1308,21 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'changed' END AS status
             FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
             WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.d <> n.d
+        """,
+        "host_change_rates": """
+            WITH g AS (
+                SELECT doc_id, source,
+                       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                           1, 4) AS INTEGER) % 10 AS b
+                FROM documents),
+            both_s AS (SELECT doc_id, source, (b = 2) AS chg
+                       FROM g WHERE b <> 0 AND b <> 1)
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN chg THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_changed,
+                   CAST(SUM(CASE WHEN chg THEN 1 ELSE 0 END) * 1000000
+                        // COUNT(*) AS BIGINT) AS change_ppm
+            FROM both_s GROUP BY source
         """,
         "pretraining_shards": """
             WITH quality AS (

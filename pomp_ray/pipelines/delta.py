@@ -98,3 +98,65 @@ def snapshot_delta(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
         return out.filter(pc.not_equal(out["status"], ""))
 
     return j.map_batches(classify, batch_format="pyarrow")
+
+
+def host_change_rates(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
+    """Per-source change rates between the two derived snapshots -- the
+    signal an adaptive recrawl scheduler feeds back into per-host
+    priorities (hosts that churn get short revisit intervals; see
+    ``enqueue.HostPriority`` / ``PageRankPriority`` for the consuming
+    side).  Counts docs present in BOTH snapshots per source and how
+    many of those changed, as integer parts-per-million.
+
+    Shape: the delta is already churn-scale; one hash join attaches the
+    source key, two tiny groupbys aggregate.  All integers, exact SQL
+    oracle composed from the same snapshot CTEs."""
+    changed = snapshot_delta(sf_dir, num_partitions).map_batches(
+        lambda t: t.filter(pc.equal(t["status"], "changed"))
+        .select(["doc_id"]),
+        batch_format="pyarrow").repartition(2).materialize()
+    # ^ repartition: the upstream join can leave zero-row EMPTY-SCHEMA
+    #   blocks that the next join cannot key (ray 2.49 trap);
+    #   materialize = barrier before the second live join
+
+    def in_both(t: pa.Table) -> pa.Table:
+        b = _shard_ids(t["doc_id"].to_pylist(), 10)
+        keep = (b != 0) & (b != 1)   # present in old AND new
+        t = t.filter(pa.array(keep))
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "source": t["source"]})
+
+    base = _docs(sf_dir, ["doc_id", "source"]).map_batches(
+        in_both, batch_format="pyarrow")
+    j = base.join(changed.map_batches(
+        lambda t: t.append_column(
+            "chg", pa.array([True] * t.num_rows, pa.bool_())),
+        batch_format="pyarrow"), join_type="left_outer", on=("doc_id",),
+        num_partitions=num_partitions)
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        chg = pc.fill_null(t["chg"], False).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"source": t["source"].to_pylist(),
+                           "c": chg.astype("int64")})
+        g = df.groupby("source", as_index=False).agg(
+            n_docs=("c", "size"), n_changed=("c", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum as _Sum
+    agg = j.map_batches(partial, batch_format="pyarrow") \
+        .groupby("source").aggregate(
+        _Sum("n_docs", alias_name="n_docs"),
+        _Sum("n_changed", alias_name="n_changed"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        nd = pc.cast(t["n_docs"], pa.int64()).to_numpy()
+        nc = pc.cast(t["n_changed"], pa.int64()).to_numpy()
+        return pa.table({
+            "source": t["source"],
+            "n_docs": pa.array(nd, pa.int64()),
+            "n_changed": pa.array(nc, pa.int64()),
+            "change_ppm": pa.array(nc * 1_000_000 // nd, pa.int64()),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")
