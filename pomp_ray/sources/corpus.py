@@ -93,3 +93,42 @@ def write_pages(ds: rd.Dataset, out_dir: str, fmt: str = "parquet") -> None:
         out.write_json(out_dir)
     else:
         out.write_csv(out_dir)
+
+
+def discover_sitemap_seeds(pages_path: str) -> rd.Dataset:
+    """Sitemap-driven seed discovery: find every host's
+    ``/sitemap.txt`` page in the corpus (plain-text sitemap format --
+    one url per line, sitemaps.org) and emit its listed urls as a
+    SEEDS-schema Dataset, ready for ``CrawlEngine.run(seeds=...)`` /
+    the distributed seed chain (which re-canonicalizes, robots-gates
+    and dedups as usual).  This is pomp's ENTRY_REQUESTS generation
+    done from crawl data instead of hand-written lists.
+
+    Scale: the sitemap filter is a pruned 2-column read + one
+    vectorized url-suffix mask; parsing touches only sitemap rows (one
+    per host).  Dedup across sitemaps rides the seed chain's existing
+    intra-round dedup -- this source only dedups within each page."""
+    from pomp_ray import schemas as _schemas
+
+    def parse(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        mask = pc.ends_with(t["url"], pattern="/sitemap.txt")
+        t = t.filter(mask)
+        out: list[str] = []
+        seen: set[str] = set()
+        for text in t["text"].to_pylist():
+            for line in (text or "").splitlines():
+                line = line.strip()
+                if line.startswith(("http://", "https://")) \
+                        and line not in seen:
+                    seen.add(line)
+                    out.append(line)
+        n = len(out)
+        return pa.table({
+            "url": pa.array(out, pa.string()),
+            "priority": pa.array([0] * n, pa.int32()),
+            "depth": pa.array([0] * n, pa.int32()),
+        }, schema=_schemas.SEEDS)
+
+    return rd.read_parquet(pages_path, columns=["url", "text"]) \
+        .map_batches(parse, batch_format="pyarrow")

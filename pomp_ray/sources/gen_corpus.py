@@ -50,11 +50,12 @@ class CorpusProfile:
     seed: int = 42
 
     def key(self) -> str:
-        # -v2: page template gained per-link anchor words; the version
-        # suffix invalidates /tmp corpus caches built from older templates
+        # -v2: page template gained per-link anchor words; -v3: per-host
+        # plain-text sitemap pages.  The version suffix invalidates /tmp
+        # corpus caches built from older templates
         return (
             f"{self.name}-h{self.n_hosts}-p{self.n_pages}"
-            f"-z{self.zipf_skew}-w{self.sentence_words}-s{self.seed}-v2"
+            f"-z{self.zipf_skew}-w{self.sentence_words}-s{self.seed}-v3"
         )
 
 
@@ -167,6 +168,22 @@ def generate(out_dir: str, profile: CorpusProfile = TINY) -> GeneratedCorpus:
             texts.append(f"{title}\n{para}")
             d = lang_draw[k] if k < len(lang_draw) else rng.random()
             langs.append("en" if d < 0.90 else ("de" if d < 0.95 else "fr"))
+
+    # one plain-text sitemap page per host (sitemaps.org text format:
+    # one url per line) -- unreachable from the link graph, so crawl
+    # goldens are untouched; ``sources.corpus.discover_sitemap_seeds`` reads them
+    for h, n_in_host in enumerate(counts):
+        listed = [_page_url(h, i) for i in range(0, n_in_host,
+                                                 max(1, n_in_host // 8))]
+        body = "\n".join(listed)
+        title = f"sitemap site{h}"
+        urls.append(f"http://site{h}.test/sitemap.txt")
+        warc_ts.append(epoch_us + (profile.n_hosts * 100_000 + h)
+                       * 1_000_000)
+        htmls.append((f"<html><head><title>{title}</title></head>"
+                      f"<body><p>{body}</p></body></html>").encode())
+        texts.append(f"{title}\n{body}")
+        langs.append("en")
 
     pages = pa.Table.from_arrays(
         [

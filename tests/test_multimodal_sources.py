@@ -133,3 +133,48 @@ def test_frame_sampler_explosion_and_stub(ray_session):
 
     with pytest.raises(NotImplementedError):
         FrameSampler(decode="real")
+
+
+def test_discover_sitemap_seeds_crawl_equivalence(ray_session, tmp_path):
+    """Seeding a crawl from the discovered sitemap urls must reach
+    exactly the same page set as the standard root seeds (every
+    sitemap entry is in the root's reachable closure, and the root is
+    listed first)."""
+    import pyarrow.parquet as pq
+
+    from pomp_ray import crawl as crawl_mod
+    from pomp_ray.crawl import CrawlConfig, CrawlEngine
+    from pomp_ray.sources import gen_corpus
+    from pomp_ray.sources.corpus import discover_sitemap_seeds
+
+    fix = gen_corpus.generate("/tmp/pomp_sm_corpus", gen_corpus.TINY)
+    seeds = discover_sitemap_seeds(fix.pages_path).take_all()
+    assert len(seeds) > 2
+    assert all(s["url"].startswith("http://") for s in seeds)
+    roots = {f"http://site{h}.test/p/0" for h in range(2)}
+    assert roots <= {s["url"] for s in seeds}
+
+    def crawl(ckpt, seed_rows):
+        cfg = CrawlConfig(corpus_path=fix.pages_path, ckpt_dir=ckpt,
+                          robots_path=fix.robots_path, mode="bfs",
+                          min_distributed_rows=16, n_seen_shards=2)
+        eng = CrawlEngine(cfg)
+        try:
+            eng.run(seeds=seed_rows)
+        finally:
+            eng.close()
+        return set(crawl_mod.read_visited(ckpt)["url"].to_pylist())
+
+    std = crawl(str(tmp_path / "std"),
+                pq.read_table(fix.seeds_path).to_pylist())
+    sm = crawl(str(tmp_path / "sm"), seeds)
+    # sitemaps exist precisely to surface pages the link graph hides:
+    # the sitemap crawl covers everything the root crawl reached PLUS
+    # pages orphaned behind the robots-blocked /p/7 subtree -- directly
+    # listed pages are fetchable, only the /p/7-prefixed ones stay out
+    assert std <= sm
+    extras = sm - std
+    corpus_urls = set(
+        pq.read_table(fix.pages_path, columns=["url"])["url"].to_pylist())
+    assert extras <= corpus_urls
+    assert not {u for u in extras if "site0.test/p/7" in u}
