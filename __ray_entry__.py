@@ -372,6 +372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing_summary": relational.lineitem_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q6_revenue": relational.q6_revenue,
+        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
         "rolling_user_spend": relational.rolling_user_spend,
         "record_events": relational.record_events,
         "late_events": relational.late_events,
@@ -1525,6 +1526,25 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM read_parquet('{_GOLDEN}/semdedup_sf001.parquet')",
         # Q6: products formed in integer 10^-4 currency units and summed
         # exactly, mirroring the engine's int64 arithmetic bit for bit
+        # Q5: same integer 10^-4-unit revenue discipline as q6; the
+        # c_nationkey = s_nationkey local-supplier wrinkle included
+        "q5_local_supplier_volume": """
+            SELECT n_name,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                       AS DOUBLE) / 10000.0 AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey
+              AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+        """,
         "q6_revenue": """
             SELECT CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
                        * CAST(ROUND(l_discount*100) AS BIGINT)) AS DOUBLE)

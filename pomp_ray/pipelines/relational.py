@@ -466,3 +466,104 @@ def late_events(sf_dir: str, lateness_s: int = 60) -> rd.Dataset:
         })
 
     return out.map_batches(fin, batch_format="pyarrow")
+
+
+def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA",
+                             date_lo: str = "1996-01-01",
+                             date_hi: str = "1997-01-01") -> pa.Table:
+    """TPC-H Q5 (local supplier volume): revenue by nation for orders
+    where the CUSTOMER and the SUPPLIER share a nation inside one
+    region -- the deep multi-join shape (lineitem ⋈ orders ⋈ customer ⋈
+    supplier, with region/nation as broadcast dimensions).
+
+    Plan: date predicate pushed below everything; region→nation-set and
+    nation names broadcast (tiny dims, the customers_per_region
+    discipline); customer and supplier ride HASH joins (at scale they
+    are large tables); each live join materializes before the next (the
+    two-live-joins deadlock lesson).  Revenue forms in integer 10^-4
+    currency units (rint(p*100) * (100 - rint(d*100)), the q6_revenue
+    discipline) so the distributed sum is order-independent and the
+    final doubles are bit-identical to the mirrored DuckDB oracle."""
+    import ray
+
+    # broadcast dims: region -> nation keys + names
+    reg = _t(sf_dir, "region").take_all()
+    rkey = next(r["r_regionkey"] for r in reg if r["r_name"] == region)
+    nat = _t(sf_dir, "nation").take_all()
+    nkeys = {n["n_nationkey"] for n in nat if n["n_regionkey"] == rkey}
+    names = {n["n_nationkey"]: n["n_name"] for n in nat}
+    lo = np.datetime64(date_lo)
+    hi = np.datetime64(date_hi)
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(
+        lambda t: pa.table({
+            "o_custkey": pc.cast(t["c_custkey"], pa.int64()),
+            "c_nation": pc.cast(t["c_nationkey"], pa.int64())})
+        .filter(pa.array(np.isin(
+            t["c_nationkey"].to_numpy(zero_copy_only=False),
+            list(nkeys)))),
+        batch_format="pyarrow")
+
+    def ord_prep(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].to_numpy()
+        m = (d >= lo) & (d < hi)
+        t = t.filter(pa.array(m))
+        return pa.table({
+            "l_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "o_custkey": pc.cast(t["o_custkey"], pa.int64())})
+
+    orders = _t(sf_dir, "orders",
+                ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(ord_prep, batch_format="pyarrow")
+    ord_cust = orders.join(cust, join_type="inner", on=("o_custkey",),
+                           num_partitions=8).map_batches(
+        lambda t: t.select(["l_orderkey", "c_nation"]),
+        batch_format="pyarrow").materialize()
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        cents_p = np.rint(
+            t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        cents_d = np.rint(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        return pa.table({
+            "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+            "s_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+            "rev": pa.array(cents_p * (100 - cents_d), pa.int64())})
+
+    li = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]) \
+        .map_batches(li_prep, batch_format="pyarrow")
+    li_ord = li.join(ord_cust, join_type="inner", on=("l_orderkey",),
+                     num_partitions=8).materialize()
+
+    supp = _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]) \
+        .map_batches(
+        lambda t: pa.table({
+            "s_suppkey": pc.cast(t["s_suppkey"], pa.int64()),
+            "s_nation": pc.cast(t["s_nationkey"], pa.int64())}),
+        batch_format="pyarrow")
+    full = li_ord.join(supp, join_type="inner", on=("s_suppkey",),
+                       num_partitions=8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cn = t["c_nation"].to_numpy(zero_copy_only=False)
+        sn = t["s_nation"].to_numpy(zero_copy_only=False)
+        m = cn == sn
+        rev = t["rev"].to_numpy(zero_copy_only=False)[m]
+        nk = cn[m]
+        uniq, inv = np.unique(nk, return_inverse=True)
+        sums = np.zeros(len(uniq), np.int64)
+        np.add.at(sums, inv, rev)
+        return pa.table({"nation": pa.array(uniq, pa.int64()),
+                         "rev": pa.array(sums, pa.int64())})
+
+    from ray.data.aggregate import Sum as _Sum
+    agg = full.map_batches(partial, batch_format="pyarrow") \
+        .groupby("nation").aggregate(_Sum("rev", alias_name="rev"))
+    rows = sorted(agg.take_all(),
+                  key=lambda r: (-r["rev"], names[r["nation"]]))
+    return pa.table({
+        "n_name": pa.array([names[r["nation"]] for r in rows], pa.string()),
+        "revenue": pa.array([r["rev"] / 10_000.0 for r in rows],
+                            pa.float64()),
+    })

@@ -983,3 +983,15 @@ def test_sq8_topk_recall_vs_exact():
     for v, s in got.items():
         if v in ex:
             assert s == ex[v]
+
+
+def test_q5_nonempty_and_region_scoped(oracle_con):
+    """Q5: matches DuckDB at sf0.001 and only ASIA nations appear."""
+    import __ray_entry__ as e
+    mine = _canon(_to_pandas(e.queries()["q5_local_supplier_volume"](SF)))
+    ref = _canon(oracle_con.sql(e.oracle_sql()["q5_local_supplier_volume"])
+                 .df())
+    pd.testing.assert_frame_equal(mine, ref, check_dtype=False,
+                                  check_exact=False, rtol=0, atol=1e-9)
+    asia = {f"NATION_{k}" for k in (2, 7, 12, 17, 22)}
+    assert set(mine["n_name"]) <= asia and len(mine) > 0
