@@ -333,6 +333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- documents: signatures / near-dup (deterministic, rows-only)
         "lang_predictions": docs.lang_predictions,
         "lang_confusion": docs.lang_confusion,
+        "lang_rank": docs.lang_rank,
         "sample_docs": docs.sample_docs,
         "fingerprints": docs.fingerprints,
         "media_features": media.media_features,
@@ -1073,6 +1074,15 @@ def oracle_sql() -> dict[str, str]:
                         ELSE LEAST(b, 8 * 64)
                         END) AS BIGINT) AS frame_bytes
             FROM m GROUP BY kind
+        """,
+        "lang_rank": """
+            SELECT doc_id, lang,
+                   CAST(len(regexp_extract_all(text, '\\S+'))
+                        AS BIGINT) AS n_words,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                        ORDER BY len(regexp_extract_all(text, '\\S+')),
+                                 doc_id) AS BIGINT) AS lang_rnk
+            FROM documents
         """,
         "ngram_shard_stats": """
             WITH toks AS (

@@ -2082,3 +2082,49 @@ def epoch_order(sf_dir: str, epoch: int = 1) -> rd.Dataset:
     ds = _docs(sf_dir, ["doc_id"]).map_batches(add_h, batch_format="pyarrow")
     return zip_with_index(ds, "h", out_col="pos").map_batches(
         lambda t: t.select(["doc_id", "pos"]), batch_format="pyarrow")
+
+
+def lang_rank(sf_dir: str) -> rd.Dataset:
+    """Partitioned window ranking (ROW_NUMBER PARTITION BY lang ORDER BY
+    n_words, doc_id) without ever co-locating a whole partition: ONE
+    global zip_with_index over the composite key ``lang:zfill(n_words):
+    zfill(doc_id)`` (lexicographic == (lang, n_words, doc_id) order),
+    then each row subtracts its language's broadcast prefix offset --
+    the tiny lang histogram is the only driver state, so a corpus that is 80% one language
+    never lands on one worker (the failure mode of
+    groupby(lang).map_groups ranking)."""
+    from pomp_ray.stages.index import zip_with_index
+
+    def add_key(t: pa.Table) -> pa.Table:
+        nw = an.count_tokens_arr(t["text"]).to_numpy().astype(np.int64)
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy()
+        langs = t["lang"].to_pylist()
+        key = [f"{lg}:{w:010d}:{d:012d}"
+               for lg, w, d in zip(langs, nw, ids)]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "lang": t["lang"],
+            "n_words": pa.array(nw, pa.int64()),
+            "k": pa.array(key, pa.string())})
+
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        add_key, batch_format="pyarrow")
+    pos = zip_with_index(ds, "k", out_col="pos")
+
+    counts = {r["lang"]: r["n"] for r in lang_counts(sf_dir).take_all()}
+    off: dict[str, int] = {}
+    acc = 0
+    for lg in sorted(counts):   # the global sort orders langs the same way
+        off[lg] = acc
+        acc += counts[lg]
+
+    def fin(t: pa.Table) -> pa.Table:
+        langs = t["lang"].to_pylist()
+        o = np.fromiter((off[lg] for lg in langs), np.int64, len(langs))
+        p = pc.cast(t["pos"], pa.int64()).to_numpy()
+        return pa.table({
+            "doc_id": t["doc_id"], "lang": t["lang"],
+            "n_words": t["n_words"],
+            "lang_rnk": pa.array(p - o + 1, pa.int64())})
+
+    return pos.map_batches(fin, batch_format="pyarrow")

@@ -995,3 +995,15 @@ def test_q5_nonempty_and_region_scoped(oracle_con):
                                   check_exact=False, rtol=0, atol=1e-9)
     asia = {f"NATION_{k}" for k in (2, 7, 12, 17, 22)}
     assert set(mine["n_name"]) <= asia and len(mine) > 0
+
+
+def test_lang_rank_is_dense_per_lang():
+    """Partitioned ranking: within every lang, ranks are exactly
+    1..count and ordered by (n_words, doc_id)."""
+    from pomp_ray.pipelines import docs
+    df = _to_pandas(docs.lang_rank(SF))
+    for lg, g in df.groupby("lang"):
+        g = g.sort_values("lang_rnk")
+        assert list(g["lang_rnk"]) == list(range(1, len(g) + 1))
+        ordered = g.sort_values(["n_words", "doc_id"])
+        assert list(ordered["lang_rnk"]) == list(g["lang_rnk"])
