@@ -311,6 +311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_positions": docs.shuffle_positions,
         "corpus_splits": docs.corpus_splits,
         "epoch_order": lambda sf: docs.epoch_order(sf, epoch=2),
+        "token_budget_cut": docs.token_budget_cut,
         "warc_shard_stats": archive.warc_shard_stats,
         "cdx_index": archive.cdx_index,
         "snapshot_delta": delta.snapshot_delta,
@@ -1083,6 +1084,23 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY len(regexp_extract_all(text, '\\S+')),
                                  doc_id) AS BIGINT) AS lang_rnk
             FROM documents
+        """,
+        "token_budget_cut": """
+            WITH w AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '\\S+'))
+                            AS BIGINT) AS n_tokens,
+                       md5(CAST(doc_id AS VARCHAR)) AS h
+                FROM documents),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY h
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS BIGINT)
+                           AS prev_tokens
+                FROM w)
+            SELECT doc_id, n_tokens, prev_tokens
+            FROM c WHERE prev_tokens < 20000
         """,
         "ngram_shard_stats": """
             WITH toks AS (

@@ -2128,3 +2128,32 @@ def lang_rank(sf_dir: str) -> rd.Dataset:
             "lang_rnk": pa.array(p - o + 1, pa.int64())})
 
     return pos.map_batches(fin, batch_format="pyarrow")
+
+
+def token_budget_cut(sf_dir: str, budget: int = 20_000) -> rd.Dataset:
+    """Token-budget corpus cut: walk docs in the reproducible global
+    shuffle order (ascending md5(doc_id)) and keep every doc whose
+    PRECEDING cumulative token count is under ``budget`` -- "give me
+    the first N tokens of the shuffled corpus", the standard way a
+    training run sizes a data mixture.  Built on the distributed
+    prefix-sum scan (``stages.scan.prefix_sum``): exact int64
+    cumulative sums, O(blocks) driver traffic, no serial pass."""
+    import hashlib
+
+    from pomp_ray.stages.scan import prefix_sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy()
+        h = [hashlib.md5(str(d).encode()).hexdigest() for d in ids]
+        nw = an.count_tokens_arr(t["text"]).to_numpy().astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "h": pa.array(h, pa.string()),
+                         "n_tokens": pa.array(nw, pa.int64())})
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        prep, batch_format="pyarrow")
+    out = prefix_sum(ds, "h", "n_tokens", out_col="prev_tokens")
+    return out.map_batches(
+        lambda t: t.filter(pc.less(t["prev_tokens"], budget))
+        .select(["doc_id", "n_tokens", "prev_tokens"]),
+        batch_format="pyarrow")

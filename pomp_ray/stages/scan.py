@@ -69,3 +69,42 @@ def prefix_max(ds: rd.Dataset, order_key: str, value_col: str,
             out_col, pa.array(prev, pa.float64(), mask=mask))
 
     return s.map_batches(assign, batch_size=None, batch_format="pyarrow")
+
+
+def prefix_sum(ds: rd.Dataset, order_key: str, value_col: str,
+               out_col: str = "prev_sum") -> rd.Dataset:
+    """Sort by ``order_key`` and append ``out_col`` = the EXCLUSIVE
+    running int64 SUM of ``value_col`` (0 for the global first row) --
+    same two-pass shape as ``prefix_max`` with + as the combine; exact
+    integer arithmetic end to end."""
+    s = ds.sort(order_key).materialize()
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"first": pa.array([], pa.float64()),
+                             "sm": pa.array([], pa.int64())})
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "first": pa.array([t[order_key][0].as_py()]),
+            "sm": pa.array([int(v.sum())], pa.int64())})
+
+    parts = sorted(
+        s.map_batches(partial, batch_size=None,
+                      batch_format="pyarrow").take_all(),
+        key=lambda r: r["first"])
+    seeds: dict = {}
+    acc = 0
+    for r in parts:
+        seeds[r["first"]] = acc
+        acc += r["sm"]
+    ref = ray.put(seeds)
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        seed = ray.get(ref)[t[order_key][0].as_py()]
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        prev = seed + np.concatenate([[0], np.cumsum(v[:-1])])
+        return t.append_column(out_col, pa.array(prev, pa.int64()))
+
+    return s.map_batches(assign, batch_size=None, batch_format="pyarrow")

@@ -62,3 +62,25 @@ def test_prefix_max_matches_pandas_cummax(ray_session):
     got = out["pm"].fillna(-1).to_numpy()
     exp = want["pm"].fillna(-1).to_numpy()
     assert (got == exp).all()
+
+
+def test_prefix_sum_matches_pandas_cumsum(ray_session):
+    """Distributed exclusive prefix sum == pandas cumsum().shift(1),
+    across multi-block layouts and numeric keys."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pomp_ray.stages.scan import prefix_sum
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    keys = rng.permutation(n).astype(np.int64)
+    vals = rng.integers(0, 50, n).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"k": keys, "v": vals})).repartition(9)
+    out = prefix_sum(ds, "k", "v", out_col="ps").to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    sv = pd.Series(vals[np.argsort(keys)])
+    want = sv.cumsum().shift(1).fillna(0).astype("int64")
+    assert (out["ps"].to_numpy() == want.to_numpy()).all()
