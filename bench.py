@@ -252,6 +252,8 @@ def bench_queries(sf_dir: str) -> dict:
          lambda: docs.contamination_report(sf_dir).count()),
         ("record_events",
          lambda: relational.record_events(sf_dir).count()),
+        ("q5_join_tree",
+         lambda: relational.q5_local_supplier_volume(sf_dir).num_rows),
     ):
         t0 = time.monotonic()
         fn()
