@@ -308,6 +308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": docs.mixture_sample,
         "token_shard_stats": docs.token_shard_stats,
         "ngram_shard_stats": docs.ngram_shard_stats,
+        "pmi_top_pairs": docs.pmi_top_pairs,
         "shuffle_positions": docs.shuffle_positions,
         "corpus_splits": docs.corpus_splits,
         "epoch_order": lambda sf: docs.epoch_order(sf, epoch=2),
@@ -1084,6 +1085,30 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY len(regexp_extract_all(text, '\\S+')),
                                  doc_id) AS BIGINT) AS lang_rnk
             FROM documents
+        """,
+        "pmi_top_pairs": """
+            WITH toks AS (
+                SELECT regexp_extract_all(lower(text), '[a-z]+') AS tk
+                FROM documents),
+            uni AS (
+                SELECT unnest(tk) AS w FROM toks),
+            uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+            n AS (SELECT SUM(c) AS n_tok FROM uc),
+            bg AS (
+                SELECT unnest(list_transform(range(1, len(tk)),
+                              i -> tk[i] || ' ' || tk[i+1])) AS g
+                FROM toks WHERE len(tk) >= 2),
+            bc AS (SELECT g, COUNT(*) AS cxy FROM bg GROUP BY g
+                   HAVING COUNT(*) >= 5),
+            s AS (
+                SELECT bc.g AS gram, bc.cxy AS c,
+                       CAST(bc.cxy * n.n_tok * 1000000
+                            // (x.c * y.c) AS BIGINT) AS pmi_score
+                FROM bc, n
+                JOIN uc x ON x.w = split_part(bc.g, ' ', 1)
+                JOIN uc y ON y.w = split_part(bc.g, ' ', 2))
+            SELECT gram, CAST(c AS BIGINT) AS c, pmi_score
+            FROM s ORDER BY pmi_score DESC, gram LIMIT 30
         """,
         "token_budget_cut": """
             WITH w AS (

@@ -2157,3 +2157,64 @@ def token_budget_cut(sf_dir: str, budget: int = 20_000) -> rd.Dataset:
         lambda t: t.filter(pc.less(t["prev_tokens"], budget))
         .select(["doc_id", "n_tokens", "prev_tokens"]),
         batch_format="pyarrow")
+
+
+def pmi_top_pairs(sf_dir: str, k: int = 30, min_count: int = 5) -> pa.Table:
+    """Collocation extraction: top-k word bigrams by pointwise mutual
+    information -- the classic phrase-mining signal (new-term discovery,
+    tokenizer seeding).  PMI's log is monotone in the ratio inside it,
+    so ranking uses the INTEGER score ``c_xy * N_tok * 1_000_000 //
+    (c_x * c_y)`` -- exact on both engine and DuckDB sides, no float
+    ordering anywhere.
+
+    Shape: the bigram count table (one vocabulary-scale groupby,
+    ``_bigram_counts``) plus a broadcast unigram count map (vocab-
+    bounded, the oov_rate artifact shape); scoring and the per-batch
+    partial top-k run vectorized; only 2k rows merge on the driver."""
+    import ray
+
+    from ray.data.aggregate import Sum as _Sum
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        flat, _ = _tokenize_flat(t)
+        tbl = pa.table({"word": flat})
+        return tbl.group_by("word").aggregate([([], "count_all")])
+
+    uni = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        uni_partial, batch_format="pyarrow").groupby("word").aggregate(
+        _Sum("count_all", alias_name="c")).take_all()
+    counts = {r["word"]: int(r["c"]) for r in uni}
+    n_tok = sum(counts.values())
+    ref = ray.put(counts)
+
+    def score(t: pa.Table) -> pa.Table:
+        cm = ray.get(ref)
+        grams = t["gram"].to_pylist()
+        cxy = pc.cast(t["c"], pa.int64()).to_numpy()
+        keep = cxy >= min_count
+        grams = [g for g, m in zip(grams, keep) if m]
+        cxy = cxy[keep]
+        if not grams:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64()),
+                             "pmi_score": pa.array([], pa.int64())})
+        cx = np.fromiter((cm[g.split(" ", 1)[0]] for g in grams),
+                         np.int64, len(grams))
+        cy = np.fromiter((cm[g.split(" ", 1)[1]] for g in grams),
+                         np.int64, len(grams))
+        s = cxy * n_tok * 1_000_000 // (cx * cy)
+        order = np.lexsort((np.array(grams, dtype=object), -s))[:k]
+        return pa.table({
+            "gram": pa.array([grams[i] for i in order], pa.string()),
+            "c": pa.array(cxy[order], pa.int64()),
+            "pmi_score": pa.array(s[order], pa.int64())})
+
+    parts = _bigram_counts(sf_dir).map_batches(
+        score, batch_format="pyarrow").take_all()
+    parts.sort(key=lambda r: (-r["pmi_score"], r["gram"]))
+    parts = parts[:k]
+    return pa.table({
+        "gram": pa.array([r["gram"] for r in parts], pa.string()),
+        "c": pa.array([r["c"] for r in parts], pa.int64()),
+        "pmi_score": pa.array([r["pmi_score"] for r in parts], pa.int64()),
+    })

@@ -1007,3 +1007,30 @@ def test_lang_rank_is_dense_per_lang():
         assert list(g["lang_rnk"]) == list(range(1, len(g) + 1))
         ordered = g.sort_values(["n_words", "doc_id"])
         assert list(ordered["lang_rnk"]) == list(g["lang_rnk"])
+
+
+def test_pmi_top_pairs_scores_match_serial():
+    """Integer-PMI collocations: recompute the top list serially from
+    raw text (Counter-based, no Dataset code) and compare exactly."""
+    import collections
+    import re
+
+    import pyarrow.parquet as pq
+
+    from pomp_ray.pipelines import docs
+    got = docs.pmi_top_pairs(SF, k=10).to_pylist()
+    t = pq.read_table(SF + "/documents.parquet", columns=["text"])
+    uni = collections.Counter()
+    bi = collections.Counter()
+    for s in t["text"].to_pylist():
+        toks = re.findall(r"[a-z]+", s.lower())
+        uni.update(toks)
+        bi.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    n_tok = sum(uni.values())
+    scored = sorted(
+        ((-(cxy * n_tok * 1_000_000 // (uni[g.split(" ")[0]]
+                                        * uni[g.split(" ")[1]])), g, cxy)
+         for g, cxy in bi.items() if cxy >= 5))
+    want = [{"gram": g, "c": cxy, "pmi_score": -s}
+            for s, g, cxy in scored[:10]]
+    assert got == want
