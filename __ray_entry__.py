@@ -343,6 +343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": docs.minhash_lsh_pairs,
         "jaccard_pairs_sample": docs.jaccard_pairs_sample,
         "simhash_dup_groups": docs.simhash_dup_groups,
+        "dedup_method_agreement": docs.dedup_method_agreement,
         # -- embeddings: similarity search
         "ann_topk": embeddings.ann_topk,
         "neardup_pairs": embeddings.neardup_pairs,
@@ -1109,6 +1110,40 @@ def oracle_sql() -> dict[str, str]:
                 JOIN uc y ON y.w = split_part(bc.g, ' ', 2))
             SELECT gram, CAST(c AS BIGINT) AS c, pmi_score
             FROM s ORDER BY pmi_score DESC, gram LIMIT 30
+        """,
+        # method agreement: brute-force Jaccard pair SQL x the committed
+        # simhash golden
+        "dedup_method_agreement": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '\\S+') AS tk
+                FROM documents
+            ), sh0 AS (
+                SELECT doc_id,
+                       CASE WHEN len(tk) = 0 THEN []
+                            WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
+                            ELSE list_distinct(list_transform(
+                                range(1, len(tk) - 3),
+                                i -> array_to_string(tk[i:i+4], ' ')))
+                       END AS s
+                FROM toks
+            ), lsh AS (
+                SELECT doc_a, doc_b FROM (
+                    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                           (len(a.s) + len(b.s)
+                            - len(list_intersect(a.s, b.s))) AS jaccard
+                    FROM sh0 a JOIN sh0 b ON a.doc_id < b.doc_id
+                    WHERE len(a.s) + len(b.s) > 0) t
+                WHERE jaccard >= 0.5
+            ), sim AS (
+                SELECT doc_a, doc_b
+                FROM read_parquet('{_GOLDEN}/simhash_dup_groups_sf001.parquet')
+            )
+            SELECT CAST((SELECT COUNT(*) FROM lsh) AS BIGINT) AS n_lsh,
+                   CAST((SELECT COUNT(*) FROM sim) AS BIGINT) AS n_simhash,
+                   CAST((SELECT COUNT(*) FROM lsh
+                         JOIN sim USING (doc_a, doc_b)) AS BIGINT) AS n_both
         """,
         "token_budget_cut": """
             WITH w AS (

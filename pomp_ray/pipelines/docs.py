@@ -2218,3 +2218,27 @@ def pmi_top_pairs(sf_dir: str, k: int = 30, min_count: int = 5) -> pa.Table:
         "c": pa.array([r["c"] for r in parts], pa.int64()),
         "pmi_score": pa.array([r["pmi_score"] for r in parts], pa.int64()),
     })
+
+
+def dedup_method_agreement(sf_dir: str) -> pa.Table:
+    """Method-agreement report between the two near-dup detectors: how
+    many verified pairs MinHash-LSH (5-shingle Jaccard >= 0.5) and
+    SimHash (hamming <= 3) each find, and how many they share -- the
+    evaluation table a pipeline owner reads before picking the
+    production dedup gate.  Both pair tables are output-scale (churn,
+    not corpus), so the intersection is a driver set op on compact id
+    pairs; everything upstream is the existing distributed detectors."""
+    import ray.data as _rd
+
+    def pairs_of(res) -> set:
+        t = res.to_pandas() if isinstance(res, _rd.Dataset) \
+            else res.to_pandas()
+        return set(zip(t["doc_a"].astype(int), t["doc_b"].astype(int)))
+
+    lsh = pairs_of(minhash_lsh_pairs(sf_dir))
+    sh = pairs_of(simhash_dup_groups(sf_dir))
+    return pa.table({
+        "n_lsh": pa.array([len(lsh)], pa.int64()),
+        "n_simhash": pa.array([len(sh)], pa.int64()),
+        "n_both": pa.array([len(lsh & sh)], pa.int64()),
+    })
