@@ -380,6 +380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_user_spend": relational.rolling_user_spend,
         "record_events": relational.record_events,
         "late_events": relational.late_events,
+        "incremental_rollup": relational.incremental_rollup,
         "filter_project": relational.filter_project,
         # -- the crawl engine itself (hash-checked against committed golden
         #    parquet generated by the serial pomp-semantics oracle loop;
@@ -1144,6 +1145,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST((SELECT COUNT(*) FROM sim) AS BIGINT) AS n_simhash,
                    CAST((SELECT COUNT(*) FROM lsh
                          JOIN sim USING (doc_a, doc_b)) AS BIGINT) AS n_both
+        """,
+        # incremental materialized view: after the last micro-batch tick
+        # the checkpointed state MUST equal the one-shot batch rollup
+        "incremental_rollup": """
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM events GROUP BY event_type
         """,
         "token_budget_cut": """
             WITH w AS (

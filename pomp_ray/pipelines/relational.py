@@ -17,6 +17,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
@@ -567,3 +568,93 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA",
         "revenue": pa.array([r["rev"] / 10_000.0 for r in rows],
                             pa.float64()),
     })
+
+
+def incremental_rollup(sf_dir: str, n_ticks: int = 5,
+                       state_dir: str | None = None) -> rd.Dataset:
+    """Incremental materialized view -- the micro-batch streaming shape
+    (§2.9): the event log arrives in ``n_ticks`` arrival chunks
+    (event_id ranges); each tick aggregates ONLY its chunk and merges
+    into a checkpointed state parquet (count/sum per (event_type)),
+    exactly how a structured-streaming rollup maintains state between
+    triggers.  After the last tick the state must equal the one-shot
+    batch aggregate -- which is what the DuckDB oracle computes, so the
+    equality IS the correctness check.  Sums stay in floor-cents int64
+    (the rolling_user_spend discipline): merge order cannot move a
+    float.
+
+    Restart safety: each tick rewrites the state atomically
+    (content-complete replace) keyed by tick number; re-running a
+    finished tick is a no-op (the tick marker is checked), so a killed
+    run resumes at the failed tick."""
+    import json as _json
+    import shutil as _shutil
+
+    if state_dir is None:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        state_dir = f"/tmp/pomp_incr_state_{tag}"
+    if os.path.isdir(state_dir):
+        _shutil.rmtree(state_dir)   # fresh demo run; resume is tested
+    os.makedirs(state_dir, exist_ok=True)
+
+    n_events = pq.ParquetFile(
+        os.path.join(sf_dir, "events.parquet")).metadata.num_rows
+    bounds = [n_events * i // n_ticks for i in range(n_ticks + 1)]
+
+    for tick in range(n_ticks):
+        run_incremental_tick(sf_dir, state_dir, tick,
+                             bounds[tick], bounds[tick + 1])
+    t = pq.read_table(os.path.join(state_dir, "state.parquet"))
+    return rd.from_arrow(t)
+
+
+def run_incremental_tick(sf_dir: str, state_dir: str, tick: int,
+                         lo: int, hi: int) -> None:
+    """One micro-batch trigger: aggregate events with lo <= event_id <
+    hi, merge into the state table, commit atomically (state + marker).
+    Idempotent per tick: an existing marker skips the work."""
+    import json as _json
+
+    marker = os.path.join(state_dir, f"tick-{tick:04d}.json")
+    if os.path.exists(marker):
+        return
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["event_id"], pa.int64()).to_numpy()
+        m = (ids >= lo) & (ids < hi)
+        t = t.filter(pa.array(m))
+        cents = np.rint(t["value"].to_numpy() * 100).astype(np.int64)
+        df = pd.DataFrame({"event_type": t["event_type"].to_pylist(),
+                           "cents": cents})
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("cents", "size"), cents=("cents", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum as _Sum
+    delta = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "value"]).map_batches(
+        partial, batch_format="pyarrow").groupby("event_type").aggregate(
+        _Sum("n", alias_name="n"), _Sum("cents", alias_name="cents"))
+    dt = pa.concat_tables(
+        b for b in delta.iter_batches(batch_format="pyarrow"))
+
+    state_path = os.path.join(state_dir, "state.parquet")
+    if os.path.exists(state_path):
+        st = pq.read_table(state_path).to_pandas().set_index("event_type")
+    else:
+        st = pd.DataFrame(columns=["n", "cents"]).rename_axis("event_type")
+    dd = dt.to_pandas().set_index("event_type")
+    merged = st.add(dd, fill_value=0).astype("int64").reset_index()
+    out = pa.table({
+        "event_type": pa.array(merged["event_type"], pa.string()),
+        "n": pa.array(merged["n"], pa.int64()),
+        "total_value": pa.array(merged["cents"] / 100.0, pa.float64()),
+        "cents": pa.array(merged["cents"], pa.int64()),
+    })
+    tmp = state_path + f".tmp{os.getpid()}"
+    pq.write_table(out.select(["event_type", "n", "cents"]), tmp)
+    os.replace(tmp, state_path)
+    with open(marker, "w") as f:
+        _json.dump({"tick": tick, "lo": lo, "hi": hi,
+                    "rows": int(dt.num_rows)}, f)
