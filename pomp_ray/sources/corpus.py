@@ -11,6 +11,8 @@ needed columns where the format supports it.
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 import ray.data as rd
 
@@ -132,3 +134,27 @@ def discover_sitemap_seeds(pages_path: str) -> rd.Dataset:
 
     return rd.read_parquet(pages_path, columns=["url", "text"]) \
         .map_batches(parse, batch_format="pyarrow")
+
+
+def compact_parquet_dir(in_dir: str, out_dir: str,
+                        target_rows_per_file: int = 100_000) -> dict:
+    """Small-file compaction -- the table-maintenance pass every
+    long-running crawl needs: checkpointed outputs accumulate thousands
+    of tiny parquet parts (one per round per block), and downstream
+    read parallelism degrades into per-file task overhead.  Reads the
+    fragmented directory as ONE Dataset, repartitions to
+    ceil(rows / target_rows_per_file) blocks, and streams them back out
+    (write is per-block; nothing driver-side but the row count from
+    parquet METADATA).  Returns {rows, files_in, files_out}."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    files_in = sorted(_glob.glob(os.path.join(in_dir, "*.parquet")))
+    rows = sum(_pq.ParquetFile(f).metadata.num_rows for f in files_in)
+    n_out = max(1, -(-rows // target_rows_per_file))
+    ds = rd.read_parquet(files_in)
+    ds.repartition(n_out).write_parquet(out_dir, mode="overwrite")
+    files_out = _glob.glob(os.path.join(out_dir, "*.parquet"))
+    return {"rows": rows, "files_in": len(files_in),
+            "files_out": len(files_out)}

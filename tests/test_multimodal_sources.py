@@ -178,3 +178,33 @@ def test_discover_sitemap_seeds_crawl_equivalence(ray_session, tmp_path):
         pq.read_table(fix.pages_path, columns=["url"])["url"].to_pylist())
     assert extras <= corpus_urls
     assert not {u for u in extras if "site0.test/p/7" in u}
+
+
+def test_compact_parquet_dir(ray_session, tmp_path):
+    """40 tiny fragments compact to the expected file count with no
+    row loss and identical content."""
+    import glob
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pomp_ray.sources.corpus import compact_parquet_dir
+
+    frag = tmp_path / "frag"
+    frag.mkdir()
+    rng = np.random.default_rng(3)
+    all_ids = []
+    for i in range(40):
+        ids = (np.arange(50) + i * 50).astype("int64")
+        all_ids.extend(ids.tolist())
+        pq.write_table(
+            pa.table({"id": ids, "v": rng.random(50)}),
+            str(frag / f"part-{i:03d}.parquet"))
+    out = compact_parquet_dir(str(frag), str(tmp_path / "compact"),
+                              target_rows_per_file=500)
+    assert out == {"rows": 2000, "files_in": 40, "files_out": 4}
+    got = pa.concat_tables(
+        pq.read_table(p)
+        for p in glob.glob(str(tmp_path / "compact" / "*.parquet")))
+    assert sorted(got["id"].to_pylist()) == sorted(all_ids)
