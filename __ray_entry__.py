@@ -240,6 +240,16 @@ def _corpus_hits():
     return corpus_hits(fix.pages_path)
 
 
+def _corpus_two_hop():
+    """2-hop host reach over the SMALL corpus graph (golden oracle:
+    serial set-of-sets walk in tools/gen_golden.py)."""
+    from pomp_ray.pipelines.graph import corpus_two_hop_reach
+    from pomp_ray.sources import gen_corpus
+
+    fix = gen_corpus.generate("/tmp/pomp_q_corpus_small", gen_corpus.SMALL)
+    return corpus_two_hop_reach(fix.pages_path)
+
+
 def _anchor_texts():
     """Anchor-text index over the SMALL corpus (golden oracle: the
     independent string-splitting serial impl in tools/gen_golden.py)."""
@@ -363,6 +373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_pagerank": lambda sf: _crawl_host_pagerank(),
         "anchor_texts": lambda sf: _anchor_texts(),
         "corpus_hits": lambda sf: _corpus_hits(),
+        "corpus_two_hop_reach": lambda sf: _corpus_two_hop(),
         # -- tokenizer training (BPE merge learning over word freqs) + apply
         "bpe_merges": tokenizer.bpe_merges,
         "bpe_token_counts": tokenizer.bpe_token_counts,
@@ -1511,6 +1522,8 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM read_parquet('{_GOLDEN}/anchor_texts_small.parquet')",
         "corpus_hits":
             f"SELECT * FROM read_parquet('{_GOLDEN}/hits_small.parquet')",
+        "corpus_two_hop_reach":
+            f"SELECT * FROM read_parquet('{_GOLDEN}/two_hop_small.parquet')",
         "compression_stats":
             f"SELECT * FROM read_parquet('{_GOLDEN}/compression_sf001.parquet')",
         "pack_sequences":

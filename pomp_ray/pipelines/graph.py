@@ -477,3 +477,40 @@ def hits(edges: rd.Dataset, n_iters: int = 6,
 def corpus_hits(pages_path: str, n_iters: int = 6) -> pa.Table:
     """corpus -> host link graph -> HITS, composed end to end."""
     return hits(corpus_host_edges(pages_path), n_iters=n_iters)
+
+
+def two_hop_reach(edges: rd.Dataset, num_partitions: int = 8) -> pa.Table:
+    """Per-node 2-hop reach over a directed (src, dst) edge Dataset:
+    |{w : v -> u -> w}| counting DISTINCT endpoints, self included if
+    reachable -- the neighborhood-size signal link-spam detection and
+    seed-set expansion read.  One edge⋈edge hash join on the middle
+    node, one distinct groupby, one count: every payload is a 2-column
+    id pair; no adjacency ever materializes on the driver."""
+    from ray.data.aggregate import Count as _Count
+
+    e1 = edges.map_batches(
+        lambda t: pa.table({"src": t["src"], "mid": t["dst"]}),
+        batch_format="pyarrow").materialize()
+    e2 = edges.map_batches(
+        lambda t: pa.table({"mid": t["src"], "dst2": t["dst"]}),
+        batch_format="pyarrow")
+    hops = e1.join(e2, join_type="inner", on=("mid",),
+                   num_partitions=num_partitions)
+    pairs = hops.map_batches(
+        lambda t: pa.table({"src": t["src"], "dst2": t["dst2"]})
+        .group_by(["src", "dst2"]).aggregate([]),   # per-batch distinct
+        batch_format="pyarrow")
+    distinct = pairs.groupby(["src", "dst2"]).aggregate(
+        _Count(alias_name="_")).repartition(4)
+    reach = distinct.map_batches(
+        lambda t: pa.table({"src": t["src"]}), batch_format="pyarrow") \
+        .groupby("src").aggregate(_Count(alias_name="reach2"))
+    out = sorted((r["src"], r["reach2"]) for r in reach.take_all())
+    return pa.table({
+        "host": pa.array([o[0] for o in out], pa.string()),
+        "reach2": pa.array([o[1] for o in out], pa.int64())})
+
+
+def corpus_two_hop_reach(pages_path: str) -> pa.Table:
+    """corpus -> host link graph -> 2-hop reach, composed."""
+    return two_hop_reach(corpus_host_edges(pages_path))

@@ -1149,6 +1149,38 @@ def gen_sq8_golden(sf_dir: str = SF001, query_vec_id: int = 0,
     print(f"sq8 golden: top-{k} ids {ids3[fin].tolist()}")
 
 
+
+def gen_two_hop_golden() -> None:
+    """Independent serial 2-hop reach over the SMALL corpus host graph
+    (set-of-sets walk, no Dataset code)."""
+    from pomp_ray.functions.textfns import (html_extract_links, url_host,
+                                            url_join)
+    from pomp_ray.sources import gen_corpus
+
+    fix = gen_corpus.generate("/tmp/pomp_golden_corpus_small",
+                              gen_corpus.SMALL)
+    t = pq.read_table(fix.pages_path, columns=["url", "html"])
+    adj: dict[str, set] = {}
+    for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+        h = url_host(url)
+        for href in html_extract_links(html.decode("utf-8")):
+            adj.setdefault(h, set()).add(url_host(url_join(url, href)))
+    reach = {}
+    for v, mids in adj.items():
+        out = set()
+        for u in mids:
+            out |= adj.get(u, set())
+        if out:
+            reach[v] = len(out)
+    hosts = sorted(reach)
+    pq.write_table(pa.table({
+        "host": pa.array(hosts, pa.string()),
+        "reach2": pa.array([reach[h] for h in hosts], pa.int64())}),
+        os.path.join(GOLDEN_DIR, "two_hop_small.parquet"))
+    print(f"two-hop golden: {len(hosts)} hosts, "
+          f"max reach {max(reach.values())}")
+
+
 if __name__ == "__main__":
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     gen_signature_goldens()
@@ -1165,6 +1197,7 @@ if __name__ == "__main__":
     gen_pca_golden()
     gen_anchor_golden()
     gen_hits_golden()
+    gen_two_hop_golden()
     gen_compression_golden()
     gen_quantized_golden()
     gen_sq8_golden()
