@@ -342,6 +342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality_flags": docs.gopher_quality_flags,
         "compression_stats": docs.compression_stats,
         "source_skew_report": docs.source_skew_report,
+        "corpus_checksums": docs.corpus_checksums,
         # -- documents: signatures / near-dup (deterministic, rows-only)
         "lang_predictions": docs.lang_predictions,
         "lang_confusion": docs.lang_confusion,
@@ -1197,6 +1198,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_ngrams,
                    CAST(SUM(c) AS BIGINT) AS total_count
             FROM cnt GROUP BY shard
+        """,
+        "corpus_checksums": """
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(CAST(('0x' || substr(
+                        md5(CAST(doc_id AS VARCHAR) || ':' || text),
+                        1, 12)) AS BIGINT) AS HUGEINT)) AS VARCHAR)
+                       AS checksum
+            FROM documents GROUP BY source
         """,
         "source_skew_report": """
             WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n

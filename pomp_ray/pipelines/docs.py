@@ -2242,3 +2242,48 @@ def dedup_method_agreement(sf_dir: str) -> pa.Table:
         "n_simhash": pa.array([len(sh)], pa.int64()),
         "n_both": pa.array([len(lsh & sh)], pa.int64()),
     })
+
+
+def corpus_checksums(sf_dir: str) -> rd.Dataset:
+    """Content-integrity manifest per source: row count plus an
+    ORDER-INDEPENDENT content checksum (sum of the 48-bit prefixes of
+    md5(doc_id ':' text), carried as arbitrary-precision Python ints in
+    the partials and emitted as a decimal string) -- what a dataset
+    publisher ships beside the shards so any consumer can verify a
+    transfer without re-sorting anything.  Addition is commutative, so
+    the checksum is identical across block structures / retries /
+    cluster sizes; the DuckDB oracle mirrors it with a HUGEINT sum."""
+    import hashlib
+
+    def partial(t: pa.Table) -> pa.Table:
+        srcs = t["source"].to_pylist()
+        sums: dict[str, int] = {}
+        ns: dict[str, int] = {}
+        for d, txt, s in zip(t["doc_id"].to_pylist(),
+                             t["text"].to_pylist(), srcs):
+            v = int(hashlib.md5(f"{d}:{txt}".encode("utf-8"))
+                    .hexdigest()[:12], 16)
+            sums[s] = sums.get(s, 0) + v
+            ns[s] = ns.get(s, 0) + 1
+        ks = sorted(sums)
+        return pa.table({
+            "source": pa.array(ks, pa.string()),
+            "n": pa.array([ns[k] for k in ks], pa.int64()),
+            # partial sums fit int64 comfortably (2^48 per row; blocks
+            # are bounded); the DRIVER reduce below uses Python ints
+            "csum": pa.array([sums[k] for k in ks], pa.int64()),
+        })
+
+    parts = _docs(sf_dir, ["doc_id", "text", "source"]).map_batches(
+        partial, batch_format="pyarrow").take_all()
+    agg: dict[str, list] = {}
+    for r in parts:
+        a = agg.setdefault(r["source"], [0, 0])
+        a[0] += r["n"]
+        a[1] += int(r["csum"])   # unbounded Python int: never overflows
+    ks = sorted(agg)
+    return rd.from_arrow(pa.table({
+        "source": pa.array(ks, pa.string()),
+        "n": pa.array([agg[k][0] for k in ks], pa.int64()),
+        "checksum": pa.array([str(agg[k][1]) for k in ks], pa.string()),
+    }))
