@@ -183,6 +183,34 @@ def _crawl_host_health():
     })
 
 
+def _crawl_depth_histogram():
+    """Pages per crawl depth (the frontier-growth curve ops watch) from
+    a fresh TINY bfs crawl; oracle = GROUP BY depth over the committed
+    visited golden."""
+    from pomp_ray import crawl as crawl_mod
+    from pomp_ray.crawl import CrawlConfig, CrawlEngine
+    from pomp_ray.sources import gen_corpus
+
+    fix = gen_corpus.generate("/tmp/pomp_q_corpus", gen_corpus.TINY)
+    ckpt = "/tmp/pomp_q_ckpt_depth"
+    cfg = CrawlConfig(corpus_path=fix.pages_path, ckpt_dir=ckpt,
+                      robots_path=fix.robots_path, mode="bfs",
+                      min_distributed_rows=16, n_seen_shards=4)
+    eng = CrawlEngine(cfg)
+    try:
+        eng.run(seeds=pq.read_table(fix.seeds_path).to_pylist())
+    finally:
+        eng.close()
+    vis = crawl_mod.read_visited(ckpt)
+    hist: dict[int, int] = {}
+    for d in vis["depth"].to_pylist():
+        hist[d] = hist.get(d, 0) + 1
+    ds = sorted(hist)
+    return pa.table({
+        "depth": pa.array(ds, pa.int64()),
+        "n_pages": pa.array([hist[d] for d in ds], pa.int64())})
+
+
 def _crawl_publish_stats():
     """Crawl -> WARC/CDX publish -> read the shards BACK -> per-shard
     page counts.  Oracle: md5-bucket SQL over the committed serial-
@@ -409,6 +437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_publish_stats": lambda sf: _crawl_publish_stats(),
         "crawl_round_metrics": lambda sf: _crawl_round_metrics(),
         "crawl_host_health": lambda sf: _crawl_host_health(),
+        "crawl_depth_histogram": lambda sf: _crawl_depth_histogram(),
     }
 
 
@@ -1581,6 +1610,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(v.n, 0) AS BIGINT) AS n_visited,
                    CAST(COALESCE(e.n, 0) AS BIGINT) AS n_errors
             FROM v FULL OUTER JOIN e ON v.round = e.round
+        """,
+        "crawl_depth_histogram": f"""
+            SELECT CAST(depth AS BIGINT) AS depth,
+                   CAST(COUNT(*) AS BIGINT) AS n_pages
+            FROM read_parquet('{_GOLDEN}/crawl_bfs_visited.parquet')
+            GROUP BY depth
         """,
         "crawl_host_health": f"""
             WITH v AS (
