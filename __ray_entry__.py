@@ -371,6 +371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_stats": docs.compression_stats,
         "source_skew_report": docs.source_skew_report,
         "corpus_checksums": docs.corpus_checksums,
+        "weighted_sample": docs.weighted_sample,
         # -- documents: signatures / near-dup (deterministic, rows-only)
         "lang_predictions": docs.lang_predictions,
         "lang_confusion": docs.lang_confusion,
@@ -1554,6 +1555,8 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM read_parquet('{_GOLDEN}/pca_sf001.parquet')",
         "quantized_embeddings":
             f"SELECT * FROM read_parquet('{_GOLDEN}/quantized_sf001.parquet')",
+        "weighted_sample":
+            f"SELECT * FROM read_parquet('{_GOLDEN}/weighted_sample_sf001.parquet')",
         "sq8_topk":
             f"SELECT * FROM read_parquet('{_GOLDEN}/sq8_topk_sf001.parquet')",
         "anchor_texts":

@@ -2287,3 +2287,47 @@ def corpus_checksums(sf_dir: str) -> rd.Dataset:
         "n": pa.array([agg[k][0] for k in ks], pa.int64()),
         "checksum": pa.array([str(agg[k][1]) for k in ks], pa.string()),
     }))
+
+
+def weighted_sample(sf_dir: str, k: int = 50) -> pa.Table:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    A-ES): each doc draws u = md5-uniform in (0,1) and is ranked by
+    log(u)/weight (equivalent to u^(1/w) -- longer docs proportionally
+    likelier), top-k win.  The production corpus-sampling shape when
+    quality/length should bias inclusion but determinism is required:
+    u comes from a 48-bit md5 prefix (exact double), the key is ONE
+    fixed float expression shared with the independent serial golden
+    (same libm on engine workers and golden generator -- the pinned-
+    primitive discipline), so the sample is identical across runs /
+    block structures.
+
+    Shape: per-batch key computation + partial top-k, driver merges
+    O(batches * k) rows -- the ann_topk merge pattern."""
+    import hashlib
+
+    def score(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy()
+        w = an.count_tokens_arr(t["text"]).to_numpy().astype(np.float64)
+        w = np.maximum(w, 1.0)
+        u = np.fromiter(
+            (int(hashlib.md5(f"ws:{d}".encode()).hexdigest()[:12], 16)
+             for d in ids), np.int64, len(ids)) / float(1 << 48)
+        u = np.maximum(u, 1e-15)
+        key = np.log(u) / w          # maximize: log(u)/w (both negative)
+        n = min(k, len(ids))
+        part = np.argpartition(-key, n - 1)[:n] if len(ids) > n \
+            else np.arange(len(ids))
+        return pa.table({
+            "doc_id": pa.array(ids[part], pa.int64()),
+            "weight": pa.array(w[part].astype(np.int64), pa.int64()),
+            "key": pa.array(key[part], pa.float64())})
+
+    parts = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow").take_all()
+    parts.sort(key=lambda r: (-r["key"], r["doc_id"]))
+    parts = parts[:k]
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in parts], pa.int64()),
+        "weight": pa.array([r["weight"] for r in parts], pa.int64()),
+        "key": pa.array([r["key"] for r in parts], pa.float64()),
+    })

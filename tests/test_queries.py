@@ -1034,3 +1034,35 @@ def test_pmi_top_pairs_scores_match_serial():
     want = [{"gram": g, "c": cxy, "pmi_score": -s}
             for s, g, cxy in scored[:10]]
     assert got == want
+
+
+def test_weighted_sample_bias_and_determinism():
+    """A-ES weighted sampling: two runs identical; keys negative and
+    descending; the distributed top-k equals a serial A-ES recompute
+    exactly."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from pomp_ray.pipelines import docs
+    a = docs.weighted_sample(SF, k=20)
+    b = docs.weighted_sample(SF, k=20)
+    assert a.equals(b)
+    keys = a["key"].to_pylist()
+    assert keys == sorted(keys, reverse=True) and all(x < 0 for x in keys)
+    # exactness: serial A-ES recompute picks the same top-k in order
+    # (the corpus lengths are near-uniform, so a statistical bias check
+    # would be noise at this scale -- exact agreement is the contract)
+    import hashlib
+
+    import numpy as np
+    t = pq.read_table(SF + "/documents.parquet",
+                      columns=["doc_id", "text"])
+    rows = []
+    for d, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        w = max(1.0, float(len(re.findall(r"\S+", s))))
+        u = max(int(hashlib.md5(f"ws:{d}".encode()).hexdigest()[:12], 16)
+                / float(1 << 48), 1e-15)
+        rows.append((np.log(u) / w, d))
+    rows.sort(key=lambda r: (-r[0], r[1]))
+    assert [r[1] for r in rows[:20]] == a["doc_id"].to_pylist()

@@ -1181,6 +1181,30 @@ def gen_two_hop_golden() -> None:
           f"max reach {max(reach.values())}")
 
 
+
+def gen_weighted_sample_golden(sf_dir: str = SF001, k: int = 50) -> None:
+    """Independent serial A-ES sample mirroring docs.weighted_sample's
+    pinned float expression."""
+    import re
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    rows = []
+    for d, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        w = max(1.0, float(len(re.findall(r"\S+", s))))
+        u = max(int(hashlib.md5(f"ws:{d}".encode()).hexdigest()[:12], 16)
+                / float(1 << 48), 1e-15)
+        rows.append((np.log(u) / w, d, int(w)))
+    rows.sort(key=lambda r: (-r[0], r[1]))
+    rows = rows[:k]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+        "weight": pa.array([r[2] for r in rows], pa.int64()),
+        "key": pa.array([r[0] for r in rows], pa.float64())}),
+        os.path.join(GOLDEN_DIR, "weighted_sample_sf001.parquet"))
+    print(f"weighted sample golden: top-{k}, first doc {rows[0][1]}")
+
+
 if __name__ == "__main__":
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     gen_signature_goldens()
@@ -1200,6 +1224,7 @@ if __name__ == "__main__":
     gen_two_hop_golden()
     gen_compression_golden()
     gen_quantized_golden()
+    gen_weighted_sample_golden()
     gen_sq8_golden()
     gen_crawl_pagerank_golden()
     gen_pack_golden()
