@@ -372,6 +372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_skew_report": docs.source_skew_report,
         "corpus_checksums": docs.corpus_checksums,
         "weighted_sample": docs.weighted_sample,
+        "corpus_report": docs.corpus_report,
         # -- documents: signatures / near-dup (deterministic, rows-only)
         "lang_predictions": docs.lang_predictions,
         "lang_confusion": docs.lang_confusion,
@@ -1228,6 +1229,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_ngrams,
                    CAST(SUM(c) AS BIGINT) AS total_count
             FROM cnt GROUP BY shard
+        """,
+        "corpus_report": """
+            SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT)
+                       AS n_docs,
+                   CAST((SELECT SUM(len(regexp_extract_all(text,
+                        '\\S+'))) FROM documents) AS BIGINT) AS n_tokens,
+                   CAST((SELECT COUNT(DISTINCT lang) FROM documents)
+                       AS BIGINT) AS n_langs,
+                   CAST((SELECT COUNT(*) FROM documents
+                        WHERE len(regexp_extract_all(text, '\\S+'))
+                              BETWEEN 5 AND 100000
+                          AND CAST(len(regexp_extract_all(text,
+                              '[.,;:!?]')) AS DOUBLE)
+                              / GREATEST(length(text), 1) <= 0.2)
+                       AS BIGINT) AS n_quality,
+                   CAST((SELECT COUNT(DISTINCT md5(text)) FROM documents)
+                       AS BIGINT) AS n_unique_texts
         """,
         "corpus_checksums": """
             SELECT source, CAST(COUNT(*) AS BIGINT) AS n,

@@ -2331,3 +2331,37 @@ def weighted_sample(sf_dir: str, k: int = 50) -> pa.Table:
         "weight": pa.array([r["weight"] for r in parts], pa.int64()),
         "key": pa.array([r["key"] for r in parts], pa.float64()),
     })
+
+
+def corpus_report(sf_dir: str) -> pa.Table:
+    """The one-row DATASET CARD a corpus release ships: doc/token
+    totals, language count, quality-gate pass count, distinct-content
+    count -- composed from the module's existing distributed passes
+    (scalar partials for the counters; ``dedup_exact``'s hash groupby
+    for distinct texts; nothing corpus-scale ever reaches the driver).
+    The fully-composed SQL oracle makes the whole card hash-checked."""
+    docs_ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ntok = an.count_tokens_arr(t["text"]).to_numpy().astype(np.int64)
+        mask = an.quality_filter_mask(t).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_docs": pa.array([t.num_rows], pa.int64()),
+            "n_tokens": pa.array([int(ntok.sum())], pa.int64()),
+            "n_quality": pa.array([int(mask.sum())], pa.int64()),
+        })
+
+    parts = docs_ds.map_batches(partial, batch_size=None,
+                                batch_format="pyarrow").take_all()
+    n_docs = sum(r["n_docs"] for r in parts)
+    n_tokens = sum(r["n_tokens"] for r in parts)
+    n_quality = sum(r["n_quality"] for r in parts)
+    n_langs = distinct_langs(sf_dir).num_rows          # tiny table
+    n_unique = dedup_exact(sf_dir).count()             # hash groupby
+    return pa.table({
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "n_tokens": pa.array([n_tokens], pa.int64()),
+        "n_langs": pa.array([n_langs], pa.int64()),
+        "n_quality": pa.array([n_quality], pa.int64()),
+        "n_unique_texts": pa.array([int(n_unique)], pa.int64()),
+    })
