@@ -336,6 +336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_by_source": docs.quality_by_source,
         "repetition_stats": docs.repetition_stats,
         "top_bigrams": docs.top_bigrams,
+        "vocab_growth": docs.vocab_growth,
         "length_quantiles": docs.length_quantiles,
         "span_dup_stats": docs.span_dup_stats,
         "span_dup_filter": docs.span_dup_filter,
@@ -419,6 +420,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q6_revenue": relational.q6_revenue,
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
+        "q4_order_priority": relational.q4_order_priority,
+        "q13_customer_distribution": relational.q13_customer_distribution,
         "rolling_user_spend": relational.rolling_user_spend,
         "record_events": relational.record_events,
         "late_events": relational.late_events,
@@ -1719,6 +1722,46 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate <  TIMESTAMP '1997-01-01'
             GROUP BY n_name
+        """,
+        # Q4: EXISTS semi-join; "late" = shipped > 60 days after the
+        # order date (slim testdata has no commit/receipt dates)
+        "q4_order_priority": """
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate
+                                + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        # Q13: left-outer count distribution incl. zero-order customers;
+        # the exclusion predicate stands in for stock Q13's comment LIKE
+        "q13_customer_distribution": """
+            SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+            FROM (SELECT c.c_custkey,
+                         CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+                  FROM customer c
+                  LEFT OUTER JOIN orders o
+                    ON c.c_custkey = o.o_custkey
+                   AND o.o_orderpriority <> '1-URGENT'
+                  GROUP BY c.c_custkey)
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "vocab_growth": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                           AS w
+                FROM documents),
+            f AS (SELECT w, MIN(doc_id) AS first_doc FROM toks GROUP BY w)
+            SELECT CAST(first_doc // 10 AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS new_words
+            FROM f GROUP BY bucket ORDER BY bucket
         """,
         "q6_revenue": """
             SELECT CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)

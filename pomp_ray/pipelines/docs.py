@@ -2365,3 +2365,41 @@ def corpus_report(sf_dir: str) -> pa.Table:
         "n_quality": pa.array([n_quality], pa.int64()),
         "n_unique_texts": pa.array([int(n_unique)], pa.int64()),
     })
+
+
+def vocab_growth(sf_dir: str, bucket: int = 10) -> rd.Dataset:
+    """Vocabulary growth curve (Heaps'-law accounting): how many NEW
+    distinct words first appear in each ``bucket``-sized doc_id range --
+    the saturation diagnostic a corpus-collection effort watches to
+    decide when more crawling stops adding vocabulary.
+
+    Scale shape: per-batch (word -> min doc_id) partials via the
+    all-Arrow tokenizer (one compact row per distinct word per batch,
+    never the exploded word stream) -> groupby(word).Min (the shuffle
+    is vocabulary-bounded, independent of corpus size) -> an integer
+    bucket histogram of the tiny first-occurrence table.  Pure integer
+    mins/counts: exact vs the DuckDB unnest oracle."""
+    def partial(t: pa.Table) -> pa.Table:
+        flat, parent = _tokenize_flat(t)
+        ids = pc.take(t["doc_id"], parent)
+        df = pd.DataFrame({"word": flat.to_pandas(),
+                           "first_doc": ids.to_numpy()})
+        g = df.groupby("word", as_index=False)["first_doc"].min()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    firsts = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        partial, batch_format="pyarrow") \
+        .groupby("word").aggregate(Min("first_doc", alias_name="first_doc"))
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        b = t["first_doc"].to_numpy().astype(np.int64) // bucket
+        vc = pd.Series(b).value_counts()
+        return pa.table({
+            "bucket": pa.array(vc.index.to_numpy(np.int64), pa.int64()),
+            "n": pa.array(vc.to_numpy(np.int64), pa.int64())})
+
+    out = firsts.map_batches(hist_partial, batch_format="pyarrow") \
+        .groupby("bucket").aggregate(Sum("n", alias_name="new_words"))
+    return out.map_batches(
+        lambda t: _i64(t, ["bucket", "new_words"]),
+        batch_format="pyarrow").sort("bucket")

@@ -658,3 +658,107 @@ def run_incremental_tick(sf_dir: str, state_dir: str, tick: int,
     with open(marker, "w") as f:
         _json.dump({"tick": tick, "lo": lo, "hi": hi,
                     "rows": int(dt.num_rows)}, f)
+
+
+def q4_order_priority(sf_dir: str, date_lo: str = "1996-01-01",
+                      date_hi: str = "1996-04-01",
+                      late_days: int = 60) -> rd.Dataset:
+    """TPC-H Q4 shape (order priority checking): count orders per
+    priority that had AT LEAST ONE late lineitem -- the EXISTS
+    semi-join, the one relational shape the suite was missing.  The
+    slim testdata lineitem has no commit/receipt dates, so "late" is
+    l_shipdate > o_orderdate + late_days (same per-order existential
+    semantics as stock Q4's l_commitdate < l_receiptdate).
+
+    Scale shape: both scans are column-pruned and the orders side is
+    date-filtered BEFORE the one hash join; EXISTS is computed as
+    per-batch DISTINCT (orderkey, priority) partials -> a
+    key-bounded groupby -- never a row-per-lineitem shuffle after the
+    filter.  All comparisons are integer microsecond timestamps; the
+    counts are exact, so engine == DuckDB bit-for-bit.
+
+    (pomp parity: the multi-way ordering/aggregation this exercises
+    corresponds to post-crawl metrics rollups, SURVEY §2.6 A2.)"""
+    lo, hi = pd.Timestamp(date_lo), pd.Timestamp(date_hi)
+
+    orders = _t(sf_dir, "orders",
+                ["o_orderkey", "o_orderdate", "o_orderpriority"]) \
+        .map_batches(lambda t: t.filter(pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+            pc.less(t["o_orderdate"], pa.scalar(hi)))),
+            batch_format="pyarrow")
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    j = li.join(orders, join_type="inner", num_partitions=8,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def late_distinct(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].to_numpy()
+        od = t["o_orderdate"].to_numpy()
+        m = ship > od + np.timedelta64(late_days, "D")
+        df = pd.DataFrame({
+            "l_orderkey": t["l_orderkey"].to_numpy()[m],
+            "o_orderpriority": t["o_orderpriority"].to_pandas()[m],
+        }).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    keys = j.map_batches(late_distinct, batch_format="pyarrow") \
+        .groupby(["l_orderkey", "o_orderpriority"]) \
+        .aggregate(Count(alias_name="_c"))
+    out = keys.groupby("o_orderpriority") \
+        .aggregate(Count(alias_name="order_count"))
+    return out.map_batches(
+        lambda t: pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "order_count": pc.cast(t["order_count"], pa.int64())}),
+        batch_format="pyarrow").sort("o_orderpriority")
+
+
+def q13_customer_distribution(sf_dir: str,
+                              excl_priority: str = "1-URGENT") -> rd.Dataset:
+    """TPC-H Q13 shape (customer distribution): histogram of
+    orders-per-customer INCLUDING zero-order customers -- the
+    left-outer-join + double-aggregation shape.  Stock Q13 excludes a
+    comment pattern; the slim testdata carries no comments, so the
+    stand-in exclusion is one order priority class (same
+    join-with-residual-predicate structure).
+
+    Scale shape: orders collapse to per-batch value_counts partials ->
+    groupby(custkey) sum (one row per customer ever shuffled), a
+    repartition guard before the join (the ray 2.49 empty-schema-block
+    trap, CLAUDE.md), customer LEFT joins the counts (null -> 0), and
+    the final histogram is again partial value_counts -> a tiny
+    groupby.  Pure integer counts: exact vs DuckDB."""
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_orderpriority"]) \
+        .map_batches(lambda t: t.filter(
+            pc.not_equal(t["o_orderpriority"], excl_priority))
+            .select(["o_custkey"]), batch_format="pyarrow")
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t["o_custkey"].combine_chunks())
+        return pa.table({"o_custkey": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    counts = orders.map_batches(count_partial, batch_format="pyarrow") \
+        .groupby("o_custkey").aggregate(Sum("n", alias_name="c_count")) \
+        .repartition(4)
+
+    cust = _t(sf_dir, "customer", ["c_custkey"])
+    j = cust.join(counts, join_type="left_outer", num_partitions=8,
+                  on=("c_custkey",), right_on=("o_custkey",))
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        cc = t["c_count"].to_pandas().fillna(0).astype(np.int64)
+        vc = cc.value_counts()
+        return pa.table({
+            "c_count": pa.array(vc.index.to_numpy(np.int64), pa.int64()),
+            "n": pa.array(vc.to_numpy(np.int64), pa.int64())})
+
+    out = j.map_batches(hist_partial, batch_format="pyarrow") \
+        .groupby("c_count").aggregate(Sum("n", alias_name="custdist"))
+    return out.map_batches(
+        lambda t: pa.table({
+            "c_count": pc.cast(t["c_count"], pa.int64()),
+            "custdist": pc.cast(t["custdist"], pa.int64())}),
+        batch_format="pyarrow").sort(
+        ["custdist", "c_count"], descending=[True, True])
