@@ -337,6 +337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": docs.repetition_stats,
         "top_bigrams": docs.top_bigrams,
         "vocab_growth": docs.vocab_growth,
+        "source_overlap_matrix": docs.source_overlap_matrix,
         "length_quantiles": docs.length_quantiles,
         "span_dup_stats": docs.span_dup_stats,
         "span_dup_filter": docs.span_dup_filter,
@@ -422,6 +423,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
         "q4_order_priority": relational.q4_order_priority,
         "q13_customer_distribution": relational.q13_customer_distribution,
+        "q18_large_volume": relational.q18_large_volume,
+        "q10_returned_revenue": relational.q10_returned_revenue,
         "rolling_user_spend": relational.rolling_user_spend,
         "record_events": relational.record_events,
         "late_events": relational.late_events,
@@ -1762,6 +1765,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(first_doc // 10 AS BIGINT) AS bucket,
                    CAST(COUNT(*) AS BIGINT) AS new_words
             FROM f GROUP BY bucket ORDER BY bucket
+        """,
+        "q18_large_volume": """
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                   o_totalprice,
+                   CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+            FROM customer c
+            JOIN orders o ON c_custkey = o_custkey
+            JOIN lineitem l ON o_orderkey = l_orderkey
+            WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                                 GROUP BY 1 HAVING SUM(l_quantity) > 300)
+            GROUP BY 1, 2, 3, 4, 5
+            ORDER BY o_totalprice DESC, o_orderdate
+        """,
+        # Q10: integer 10^-4-unit revenue (the q6 exactness trick);
+        # the final revenue is one int/1e4 IEEE division in both engines
+        "q10_returned_revenue": """
+            WITH rev AS (
+                SELECT l_orderkey,
+                       SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                           * (100 - CAST(ROUND(l_discount*100) AS BIGINT)))
+                           AS r
+                FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1)
+            SELECT c_custkey, c_name, n_name, c_acctbal,
+                   CAST(SUM(r) AS DOUBLE) / 10000 AS revenue
+            FROM rev
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-07-01'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY SUM(r) DESC, c_custkey
+            LIMIT 20
+        """,
+        # shared distinct 5-shingles per source pair (string self-join;
+        # the engine exchanges 64-bit span hashes instead)
+        "source_overlap_matrix": """
+            WITH toks AS (
+                SELECT source, regexp_extract_all(lower(text), '[a-z]+') ws
+                FROM documents),
+            spans AS (
+                SELECT source,
+                       array_to_string(ws[i.i:i.i+4], ' ') AS span
+                FROM toks,
+                     LATERAL (SELECT unnest(generate_series(
+                         1, len(ws)-4)) AS i) i
+                WHERE len(ws) >= 5),
+            d AS (SELECT DISTINCT span, source FROM spans)
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM d a JOIN d b ON a.span = b.span AND a.source < b.source
+            GROUP BY 1, 2
+            ORDER BY 1, 2
         """,
         "q6_revenue": """
             SELECT CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)

@@ -2403,3 +2403,83 @@ def vocab_growth(sf_dir: str, bucket: int = 10) -> rd.Dataset:
     return out.map_batches(
         lambda t: _i64(t, ["bucket", "new_words"]),
         batch_format="pyarrow").sort("bucket")
+
+
+def source_overlap_matrix(sf_dir: str) -> rd.Dataset:
+    """Cross-source contamination matrix: for every pair of sources, how
+    many distinct word-5-shingles they SHARE -- the report a corpus
+    curator reads to find mirrored / plagiarized feeds before mixing
+    sources into a training run.
+
+    Scale shape: per-batch distinct (span_hash, source_idx) partials (8
+    bytes + a small int per span, never strings), one groupby dedups
+    them globally, a second vocabulary-bounded groupby ORs sources into
+    a per-span int64 bitmask (Sum of distinct power-of-two bits), and
+    the pair expansion runs per batch over value_counts of the masks --
+    at most C(n_sources,2) rows per batch regardless of corpus size.
+    Only the sorted source list is broadcast.  64-bit span-hash
+    collisions may merge two spans at ~n^2/2^64 odds (the span_dup_stats
+    approximation; exact at test scale).  DuckDB oracle materializes the
+    shingle strings and self-joins."""
+    import ray
+    from ray.data.aggregate import Sum as _Sum
+
+    srcs = sorted(
+        _docs(sf_dir, ["source"]).groupby("source")
+        .aggregate(Count(alias_name="_n")).to_pandas()["source"])
+    if len(srcs) > 62:
+        raise ValueError("bitmask path supports <= 62 sources")
+    smap_ref = ray.put({s: i for i, s in enumerate(srcs)})
+
+    def span_src(t: pa.Table) -> pa.Table:
+        smap = ray.get(smap_ref)
+        hs, si = [], []
+        for s, x in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+            toks = an.TOKEN_RE.findall((x or "").lower())
+            if len(toks) < 5:
+                continue
+            uniq = np.unique(an.shingle_hashes(an._HASHER.hashes(toks), k=5))
+            hs.append(uniq.astype(np.int64))
+            si.append(np.full(len(uniq), smap[s], np.int64))
+        h = np.concatenate(hs) if hs else np.empty(0, np.int64)
+        s = np.concatenate(si) if si else np.empty(0, np.int64)
+        df = pd.DataFrame({"h": h, "si": s}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    distinct = (_docs(sf_dir, ["source", "text"])
+                .map_batches(span_src, batch_format="pyarrow")
+                .groupby(["h", "si"]).aggregate(Count(alias_name="_c")))
+    masks = distinct.map_batches(
+        lambda t: pa.table({
+            "h": t["h"],
+            "bit": pa.array(
+                np.left_shift(np.int64(1),
+                              t["si"].to_numpy().astype(np.int64)),
+                pa.int64())}),
+        batch_format="pyarrow") \
+        .groupby("h").aggregate(_Sum("bit", alias_name="mask"))
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        vc = pd.Series(t["mask"].to_numpy()).value_counts()
+        ia, ib, n = [], [], []
+        for m, c in vc.items():
+            bits = [i for i in range(62) if (int(m) >> i) & 1]
+            for x in range(len(bits)):
+                for y in range(x + 1, len(bits)):
+                    ia.append(bits[x]); ib.append(bits[y]); n.append(int(c))
+        return pa.table({"ia": pa.array(ia, pa.int64()),
+                         "ib": pa.array(ib, pa.int64()),
+                         "n": pa.array(n, pa.int64())})
+
+    agg = masks.map_batches(pair_partial, batch_format="pyarrow") \
+        .groupby(["ia", "ib"]).aggregate(_Sum("n", alias_name="n_shared"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "source_a": pa.array([srcs[int(i)] for i in
+                                  t["ia"].to_pylist()], pa.string()),
+            "source_b": pa.array([srcs[int(i)] for i in
+                                  t["ib"].to_pylist()], pa.string()),
+            "n_shared": pc.cast(t["n_shared"], pa.int64())})
+    return agg.map_batches(fin, batch_format="pyarrow") \
+        .sort(["source_a", "source_b"])

@@ -762,3 +762,140 @@ def q13_customer_distribution(sf_dir: str,
             "custdist": pc.cast(t["custdist"], pa.int64())}),
         batch_format="pyarrow").sort(
         ["custdist", "c_count"], descending=[True, True])
+
+
+def q18_large_volume(sf_dir: str, min_qty: int = 300) -> rd.Dataset:
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    lineitem quantity exceeds ``min_qty``, with the customer attached --
+    the groupby-HAVING semi-join shape.
+
+    Scale shape: lineitem collapses to per-batch (orderkey -> qty)
+    partials before the one orderkey-keyed shuffle; the HAVING filter
+    leaves an output-scale table that is materialized (two live hash
+    joins in one streaming DAG deadlock small sessions -- CLAUDE.md),
+    then orders semi-filter via a broadcast key set and ONE hash join
+    attaches the customer.  Quantities are integral doubles; summing
+    int64 casts == DuckDB's CAST(SUM(..) AS BIGINT), so the gate and
+    the output are exact."""
+    import ray
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "o_orderkey": t["l_orderkey"].to_numpy(),
+            "q": t["l_quantity"].to_numpy().astype(np.int64)})
+        g = df.groupby("o_orderkey", as_index=False)["q"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    qty = (li.map_batches(qty_partial, batch_format="pyarrow")
+           .groupby("o_orderkey").aggregate(Sum("q", alias_name="total_qty"))
+           .map_batches(lambda t: t.filter(
+               pc.greater(t["total_qty"], min_qty)), batch_format="pyarrow")
+           .repartition(2).materialize())
+
+    keys_ref = ray.put(set(
+        int(k) for b in qty.iter_batches(batch_format="pyarrow")
+        for k in b["o_orderkey"].to_pylist()))
+
+    def order_gate(t: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        m = pa.array([int(k) in keys for k in t["o_orderkey"].to_pylist()])
+        return t.filter(m)
+
+    orders = _t(sf_dir, "orders",
+                ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]) \
+        .map_batches(order_gate, batch_format="pyarrow")
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name"])
+    j = orders.join(cust, join_type="inner", num_partitions=4,
+                    on=("o_custkey",), right_on=("c_custkey",))
+    j2 = j.join(qty, join_type="inner", num_partitions=4,
+                on=("o_orderkey",))
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_name": t["c_name"],
+            "c_custkey": pc.cast(t["o_custkey"], pa.int64()),
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "o_orderdate": pc.cast(t["o_orderdate"],
+                                   pa.timestamp("us")),
+            "o_totalprice": t["o_totalprice"],
+            "total_qty": pc.cast(t["total_qty"], pa.int64())})
+    return j2.map_batches(fin, batch_format="pyarrow") \
+        .sort(["o_totalprice", "o_orderdate"], descending=[True, False])
+
+
+def q10_returned_revenue(sf_dir: str, date_lo: str = "1996-01-01",
+                         date_hi: str = "1996-07-01",
+                         k: int = 20) -> rd.Dataset:
+    """TPC-H Q10 shape (returned-item revenue report): top-k customers
+    by revenue lost to returned lineitems in a date window, with the
+    nation attached -- the multi-join + top-k-by-revenue shape.
+
+    Scale shape: the returned-lineitem scan collapses to integer
+    10^-4-unit revenue partials per orderkey (the q6_revenue exactness
+    trick: round(ep*100) * (100-round(disc*100)) in int64) before the
+    one orderkey shuffle; date-filtered orders hash-join the revenue,
+    the per-customer aggregate is materialized (two-live-join trap),
+    ONE hash join attaches the customer, and the nation is a broadcast
+    dict lookup.  Revenue ordering and the top-k cut are exact integer
+    comparisons; the emitted revenue is one int/1e4 IEEE division,
+    bit-identical in both engines."""
+    import ray
+
+    li = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"])
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        ep = np.rint(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc = np.rint(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        df = pd.DataFrame({"l_orderkey": t["l_orderkey"].to_numpy(),
+                           "r": ep * (100 - disc)})
+        g = df.groupby("l_orderkey", as_index=False)["r"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rev = li.map_batches(rev_partial, batch_format="pyarrow") \
+        .groupby("l_orderkey").aggregate(Sum("r", alias_name="r"))
+
+    lo, hi = pd.Timestamp(date_lo), pd.Timestamp(date_hi)
+    orders = _t(sf_dir, "orders",
+                ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(lambda t: t.filter(pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+            pc.less(t["o_orderdate"], pa.scalar(hi))))
+            .select(["o_orderkey", "o_custkey"]), batch_format="pyarrow")
+
+    per_cust = (orders.join(rev, join_type="inner", num_partitions=8,
+                            on=("o_orderkey",), right_on=("l_orderkey",))
+                .map_batches(lambda t: t.select(["o_custkey", "r"]),
+                             batch_format="pyarrow")
+                .groupby("o_custkey").aggregate(Sum("r", alias_name="r"))
+                .repartition(2).materialize())
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey",
+                                   "c_acctbal"])
+    j = cust.join(per_cust, join_type="inner", num_partitions=4,
+                  on=("c_custkey",), right_on=("o_custkey",))
+
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_name"])
+    nmap_ref = ray.put(dict(zip(nat["n_nationkey"].to_pylist(),
+                                nat["n_name"].to_pylist())))
+
+    def fin(t: pa.Table) -> pa.Table:
+        nmap = ray.get(nmap_ref)
+        names = [nmap[int(x)] for x in t["c_nationkey"].to_pylist()]
+        r = t["r"].to_numpy().astype(np.int64)
+        return pa.table({
+            "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+            "c_name": t["c_name"],
+            "n_name": pa.array(names, pa.string()),
+            "c_acctbal": t["c_acctbal"],
+            "revenue": pa.array(r.astype(np.float64) / 10000.0),
+            "_ri": pa.array(r, pa.int64())})
+
+    out = j.map_batches(fin, batch_format="pyarrow") \
+        .sort(["_ri", "c_custkey"], descending=[True, False]).limit(k)
+    return out.map_batches(lambda t: t.drop_columns(["_ri"]),
+                           batch_format="pyarrow")
