@@ -315,6 +315,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window": windows.hopping_window,
         "sessionize": windows.sessionize,
         "funnel_counts": windows.funnel_counts,
+        "event_type_transitions": windows.event_type_transitions,
+        "cohort_retention": windows.cohort_retention,
         # -- documents: text analysis (SQL-verified)
         "quality_stats": docs.quality_stats,
         "quality_filter": docs.quality_filter,
@@ -631,6 +633,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'click', CAST((SELECT COUNT(*) FROM c) AS BIGINT)
             UNION ALL
             SELECT 'purchase', CAST((SELECT COUNT(*) FROM p) AS BIGINT)
+        """,
+        # First-order Markov transitions: LEAD over (user, ts, event_id).
+        "event_type_transitions": """
+            WITH s AS (
+                SELECT user_id, event_type AS prev_type,
+                       LEAD(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id)
+                           AS next_type
+                FROM events
+            )
+            SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM s WHERE next_type IS NOT NULL
+            GROUP BY prev_type, next_type
+        """,
+        # Cohort retention: epoch-week of first activity vs active weeks
+        # (integer epoch-week floor mirrors the engine's datetime64[s]
+        # // 604800; epoch_ms//1000 floors the same way for positive ts).
+        "cohort_retention": """
+            WITH uw AS (
+                SELECT DISTINCT user_id,
+                       CAST((epoch_ms(ts) // 1000) // 604800 AS BIGINT)
+                           AS wk
+                FROM events
+            ), fc AS (
+                SELECT user_id, MIN(wk) AS cohort_week FROM uw
+                GROUP BY user_id
+            )
+            SELECT CAST(fc.cohort_week AS BIGINT) AS cohort_week,
+                   CAST(uw.wk - fc.cohort_week AS BIGINT) AS week_offset,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM uw JOIN fc ON uw.user_id = fc.user_id
+            GROUP BY 1, 2
         """,
         "sessionize": """
             WITH ordered AS (

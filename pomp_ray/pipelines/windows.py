@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -177,3 +178,93 @@ def funnel_counts(sf_dir: str,
     t = t.take(pa.array(order, pa.int64()))
     return pa.table({"stage": t["stage"],
                      "n_users": pc.cast(t["n_users"], pa.int64())})
+
+
+def event_type_transitions(sf_dir: str) -> rd.Dataset:
+    """First-order Markov transition counts over each user's event
+    stream: how often event type A is immediately followed by B (ordered
+    by ts, event_id within the user) -- the sequence statistic behind
+    next-action models and session-shape monitoring.
+
+    Shape: users hash into 64 buckets (all of a user's events co-locate;
+    the sessionize partitioning assumption), each bucket runs ONE
+    C-speed pandas sort + shift + value_counts, and the per-bucket
+    partial counts reduce through a tiny groupby(prev,next) sum.  Pure
+    integer counts, exact vs the DuckDB LEAD() oracle."""
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32())
+        return t.append_column("bucket", b)
+
+    def trans(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        same = g["user_id"].to_numpy()[1:] == g["user_id"].to_numpy()[:-1]
+        prev = g["event_type"].to_numpy()[:-1][same]
+        nxt = g["event_type"].to_numpy()[1:][same]
+        vc = pd.DataFrame({"prev_type": prev, "next_type": nxt}) \
+            .value_counts()
+        out = vc.rename("n").reset_index()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"]) \
+        .map_batches(add_bucket, batch_format="pyarrow")
+    out = ds.groupby("bucket").map_groups(trans, batch_format="pandas")
+    agg = out.groupby(["prev_type", "next_type"]).aggregate(
+        Sum("n", alias_name="n"))
+    return agg.map_batches(
+        lambda t: pa.table({"prev_type": t["prev_type"],
+                            "next_type": t["next_type"],
+                            "n": pc.cast(t["n"], pa.int64())}),
+        batch_format="pyarrow").sort(["prev_type", "next_type"])
+
+
+def cohort_retention(sf_dir: str) -> rd.Dataset:
+    """Cohort retention triangle: users grouped by the epoch-week of
+    their FIRST event (the cohort), counted as active in each later
+    week-offset -- the curve a data team watches to see whether a
+    pipeline's users (or a recrawl's hosts) keep coming back.
+
+    Shape: timestamps collapse to int64 epoch-weeks inside the batch;
+    per-batch distinct (user, week) partials feed one groupby that
+    dedups globally AND a user-keyed Min gives each cohort; one hash
+    join ships the cohort back to the (user, week) rows; per-batch
+    value_counts partials reduce to the tiny (cohort, offset) triangle.
+    All integers, exact vs the DuckDB oracle."""
+    WEEK = 604800
+
+    def wk_partial(t: pa.Table) -> pa.Table:
+        w = t["ts"].to_numpy().astype("datetime64[s]").astype(np.int64) \
+            // WEEK
+        df = pd.DataFrame({"user_id": t["user_id"].to_numpy(),
+                           "wk": w}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    uw = _events(sf_dir, ["user_id", "ts"]).map_batches(
+        wk_partial, batch_format="pyarrow") \
+        .groupby(["user_id", "wk"]).aggregate(Count(alias_name="_c")) \
+        .map_batches(lambda t: t.select(["user_id", "wk"]),
+                     batch_format="pyarrow").materialize()
+
+    first = uw.groupby("user_id").aggregate(
+        Min("wk", alias_name="cohort_week"))
+    j = uw.join(first, join_type="inner", on=("user_id",),
+                num_partitions=8)
+
+    def tri_partial(t: pa.Table) -> pa.Table:
+        c = t["cohort_week"].to_numpy().astype(np.int64)
+        off = t["wk"].to_numpy().astype(np.int64) - c
+        vc = pd.DataFrame({"cohort_week": c, "week_offset": off}) \
+            .value_counts()
+        out = vc.rename("n").reset_index()
+        out["n"] = out["n"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = j.map_batches(tri_partial, batch_format="pyarrow") \
+        .groupby(["cohort_week", "week_offset"]).aggregate(
+        Sum("n", alias_name="n_users"))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "cohort_week": pc.cast(t["cohort_week"], pa.int64()),
+            "week_offset": pc.cast(t["week_offset"], pa.int64()),
+            "n_users": pc.cast(t["n_users"], pa.int64())}),
+        batch_format="pyarrow").sort(["cohort_week", "week_offset"])

@@ -20,6 +20,8 @@ SPOT = [
     "lineitem_pricing_summary",
     "tumbling_window",
     "sessionize",
+    "event_type_transitions",
+    "cohort_retention",
     "asof_click_before_purchase",
     "errors_near_purchases",
     "customers_per_region",
