@@ -301,6 +301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         media,
         relational,
         tokenizer,
+        webtext,
         windows,
     )
 
@@ -317,6 +318,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_counts": windows.funnel_counts,
         "event_type_transitions": windows.event_type_transitions,
         "cohort_retention": windows.cohort_retention,
+        # -- web-text hygiene over the MIRROR corpus fixture (host pairs
+        #    3|2, 7|6, 11|10 serve byte-identical content)
+        "mirror_hosts":
+            lambda sf: webtext.mirror_hosts(_mirror_pages_path()),
+        "url_templates":
+            lambda sf: webtext.url_templates(_mirror_pages_path()),
+        "dup_line_counts":
+            lambda sf: webtext.dup_line_counts(_mirror_pages_path()),
+        "dedup_lines":
+            lambda sf: webtext.dedup_lines(_mirror_pages_path()),
         # -- documents: text analysis (SQL-verified)
         "quality_stats": docs.quality_stats,
         "quality_filter": docs.quality_filter,
@@ -539,7 +550,16 @@ def _sql_list(words) -> str:
     return "[" + ", ".join(f"'{w}'" for w in words) + "]"
 
 
+def _mirror_pages_path() -> str:
+    """Pages parquet of the MIRROR corpus fixture (idempotent via the
+    generator's manifest; no ray needed, safe from oracle_sql)."""
+    from pomp_ray.sources import gen_corpus
+    return gen_corpus.generate("/tmp/pomp_q_corpus_mirror",
+                               gen_corpus.MIRROR).pages_path
+
+
 def oracle_sql() -> dict[str, str]:
+    _MP = _mirror_pages_path()
     return {
         "asof_click_before_purchase": """
             SELECT p.event_id, CAST(p.user_id AS BIGINT) AS user_id, p.ts,
@@ -633,6 +653,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'click', CAST((SELECT COUNT(*) FROM c) AS BIGINT)
             UNION ALL
             SELECT 'purchase', CAST((SELECT COUNT(*) FROM p) AS BIGINT)
+        """,
+        # Web-text hygiene oracles run over the MIRROR corpus pages
+        # parquet directly (distinct host/digest self-join; template
+        # regexp_replace; line unnest + count gate -- "template" is a
+        # DuckDB keyword, hence the quoting).
+        "mirror_hosts": f"""
+            WITH ph AS (
+                SELECT DISTINCT
+                       regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host,
+                       md5(text) AS h
+                FROM read_parquet('{_MP}'))
+            SELECT a.host AS host_a, b.host AS host_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM ph a JOIN ph b ON a.h = b.h AND a.host < b.host
+            GROUP BY 1, 2 HAVING COUNT(*) >= 5
+        """,
+        "url_templates": f"""
+            WITH th AS (
+                SELECT regexp_replace(url, '[0-9]+', 'N', 'g')
+                           AS "template",
+                       regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host
+                FROM read_parquet('{_MP}'))
+            SELECT "template", CAST(COUNT(*) AS BIGINT) AS n_urls,
+                   CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
+            FROM th GROUP BY "template"
+        """,
+        "dup_line_counts": f"""
+            WITH l AS (
+                SELECT unnest(string_split(text, chr(10))) AS line
+                FROM read_parquet('{_MP}'))
+            SELECT line, CAST(COUNT(*) AS BIGINT) AS n
+            FROM l GROUP BY line HAVING COUNT(*) > 1
+        """,
+        "dedup_lines": f"""
+            WITH l AS (
+                SELECT url, unnest(string_split(text, chr(10))) AS line,
+                       unnest(range(1, len(string_split(text, chr(10)))
+                                       + 1)) AS ln
+                FROM read_parquet('{_MP}')),
+            c AS (SELECT line, COUNT(*) AS n FROM l GROUP BY line)
+            SELECT l.url, string_agg(l.line, chr(10) ORDER BY l.ln) AS text
+            FROM l JOIN c ON l.line = c.line
+            WHERE c.n <= 1 GROUP BY l.url
         """,
         # First-order Markov transitions: LEAD over (user, ts, event_id).
         "event_type_transitions": """

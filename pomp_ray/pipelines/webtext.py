@@ -1,0 +1,179 @@
+"""Web-text hygiene operators over the crawled ``pages`` table.
+
+Three corpus-cleaning operations every large crawl runs before its text
+feeds a training pipeline (none exist in pomp -- reference scope is the
+crawl loop itself, SURVEY.md §2; these are the 100-TB-pipeline surface
+built on top of its output):
+
+* ``mirror_hosts`` -- host pairs serving byte-identical content (web
+  mirrors).  Pages reduce to skinny (host, md5(text)) rows inside
+  map_batches -- TEXT NEVER SHUFFLES -- and a hash-partitioned self-join
+  on the digest yields shared-content counts per host pair.  Hot-key
+  note: a digest shared by k hosts emits k^2 join rows; mirrors are
+  small constellations in practice (k is bounded by how many hosts copy
+  one page), so the join stays output-scale.
+* ``url_templates`` -- URL template mining (digit runs collapse to
+  ``N``): the crawler-trap / site-structure report.  One vectorized
+  Arrow regex pass + per-batch value_counts partials; only the tiny
+  (template, host, n) table shuffles.
+* ``dup_line_counts`` / ``dedup_lines`` -- CCNet-style line-level dedup
+  (boilerplate lines repeat across pages; lines are the dedup unit).
+  Lines explode vectorized (split_pattern + list_flatten +
+  list_parent_indices), line hashes come from a per-batch factorize so
+  md5 runs once per DISTINCT line in the batch, counts reduce through
+  one groupby, and the survivor lines hash-join back and reassemble
+  per-url inside 64 url-hash buckets (one C-speed pandas pass per
+  bucket, never a per-doc map_groups call).
+
+All three have exact DuckDB oracles over the same pages parquet
+(see __ray_entry__.oracle_sql).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+_HOST_RE = r"^[a-z]+://(?P<host>[^/]+)/"
+
+
+def _pages(pages_path: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(pages_path, columns=columns)
+
+
+def _host_col(urls) -> pa.Array:
+    return pc.struct_field(pc.extract_regex(urls, pattern=_HOST_RE), "host")
+
+
+def mirror_hosts(pages_path: str, min_shared: int = 5) -> rd.Dataset:
+    """Host pairs (host_a < host_b) sharing >= ``min_shared`` distinct
+    byte-identical page texts, with the shared-content count."""
+    def digest(t: pa.Table) -> pa.Table:
+        hs = [hashlib.md5((s or "").encode()).hexdigest()
+              for s in t["text"].to_pylist()]
+        return pa.table({"host": _host_col(t["url"]),
+                         "h": pa.array(hs, pa.string())})
+
+    ph = _pages(pages_path, ["url", "text"]) \
+        .map_batches(digest, batch_format="pyarrow") \
+        .groupby(["host", "h"]).aggregate(Count(alias_name="_c")) \
+        .map_batches(lambda t: t.select(["host", "h"]),
+                     batch_format="pyarrow")
+    # materialize the skinny distinct table once: both self-join sides
+    # read it (lazy re-execution would hash the corpus twice), and the
+    # repartition clears ray 2.49's empty-schema zero-row groupby blocks
+    # before they can reach the join (CLAUDE.md trap)
+    ph = ph.repartition(4).materialize()
+    a = ph.map_batches(
+        lambda t: pa.table({"h": t["h"], "host_a": t["host"]}),
+        batch_format="pyarrow")
+    b = ph.map_batches(
+        lambda t: pa.table({"h": t["h"], "host_b": t["host"]}),
+        batch_format="pyarrow")
+    j = a.join(b, join_type="inner", on=("h",), num_partitions=8)
+    pairs = j.filter(expr="host_a < host_b") \
+        .groupby(["host_a", "host_b"]).aggregate(
+            Count(alias_name="n_shared")) \
+        .filter(expr=f"n_shared >= {int(min_shared)}")
+    return pairs.map_batches(
+        lambda t: pa.table({
+            "host_a": t["host_a"], "host_b": t["host_b"],
+            "n_shared": pc.cast(t["n_shared"], pa.int64())}),
+        batch_format="pyarrow").sort(["host_a", "host_b"])
+
+
+def url_templates(pages_path: str) -> rd.Dataset:
+    """URL templates (digit runs -> ``N``) with total url and distinct
+    host counts -- the site-structure / crawler-trap report."""
+    def partial(t: pa.Table) -> pa.Table:
+        tpl = pc.replace_substring_regex(t["url"], pattern=r"[0-9]+",
+                                         replacement="N")
+        df = pd.DataFrame({"template": tpl.to_pandas(),
+                           "host": _host_col(t["url"]).to_pandas()})
+        out = df.value_counts().rename("n").reset_index()
+        out["n"] = out["n"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    th = _pages(pages_path, ["url"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["template", "host"]).aggregate(Sum("n", alias_name="n"))
+    agg = th.groupby("template").aggregate(
+        Sum("n", alias_name="n_urls"), Count(alias_name="n_hosts"))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "template": t["template"],
+            "n_urls": pc.cast(t["n_urls"], pa.int64()),
+            "n_hosts": pc.cast(t["n_hosts"], pa.int64())}),
+        batch_format="pyarrow").sort("template")
+
+
+def _line_rows(t: pa.Table, with_hash: bool = True) -> pa.Table:
+    """Explode text into (url, ln, line[, lh]) rows, vectorized; md5
+    runs once per distinct line in the batch (factorize + take)."""
+    lines = pc.split_pattern(t["text"], pattern="\n")
+    flat = pc.list_flatten(lines)
+    idx = pc.list_parent_indices(lines)
+    urls = pc.take(t["url"], idx)
+    ll = pc.list_value_length(lines).to_numpy().astype(np.int64)
+    starts = np.repeat(np.cumsum(ll) - ll, ll)
+    ln = (np.arange(int(ll.sum()), dtype=np.int64) - starts + 1)
+    cols = {"url": urls, "ln": pa.array(ln, pa.int64()), "line": flat}
+    if with_hash:
+        codes, uniq = pd.factorize(flat.to_pandas())
+        uh = np.array([hashlib.md5(s.encode()).hexdigest() for s in uniq],
+                      dtype=object)
+        cols["lh"] = pa.array(uh[codes], pa.string())
+    return pa.table(cols)
+
+
+def dup_line_counts(pages_path: str) -> rd.Dataset:
+    """Corpus-wide counts of lines occurring more than once -- the
+    boilerplate report line-level dedup acts on."""
+    def partial(t: pa.Table) -> pa.Table:
+        r = _line_rows(t, with_hash=False)
+        vc = r["line"].to_pandas().value_counts()
+        return pa.table({"line": pa.array(vc.index, pa.string()),
+                         "n": pa.array(vc.to_numpy(), pa.int64())})
+
+    agg = _pages(pages_path, ["url", "text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("line").aggregate(Sum("n", alias_name="n")) \
+        .filter(expr="n > 1")
+    return agg.map_batches(
+        lambda t: pa.table({"line": t["line"],
+                            "n": pc.cast(t["n"], pa.int64())}),
+        batch_format="pyarrow").sort(["n", "line"], descending=[True, False])
+
+
+def dedup_lines(pages_path: str, max_occ: int = 1) -> rd.Dataset:
+    """CCNet-style line dedup: drop every line whose corpus-wide
+    occurrence count exceeds ``max_occ`` (ALL copies go -- boilerplate
+    carries no training signal), reassemble each page's surviving lines
+    in order.  Pages with no surviving line drop entirely."""
+    rows = _pages(pages_path, ["url", "text"]) \
+        .map_batches(_line_rows, batch_format="pyarrow").materialize()
+    counts = rows.groupby("lh").aggregate(Count(alias_name="n_occ"))
+    keep = rows.join(counts, join_type="inner", on=("lh",),
+                     num_partitions=16) \
+        .filter(expr=f"n_occ <= {int(max_occ)}")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = (pd.util.hash_array(t["url"].to_pandas().to_numpy(dtype=object))
+             & 63).astype(np.int32)
+        return t.append_column("bucket", pa.array(b, pa.int32()))
+
+    def reasm(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["url", "ln"])
+        out = g.groupby("url", sort=True)["line"] \
+            .agg("\n".join).rename("text").reset_index()
+        return out
+
+    bucketed = keep.map_batches(add_bucket, batch_format="pyarrow")
+    return bucketed.groupby("bucket").map_groups(
+        reasm, batch_format="pandas")

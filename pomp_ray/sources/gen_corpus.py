@@ -48,19 +48,29 @@ class CorpusProfile:
     zipf_skew: float = 0.0  # 0 = uniform; >0 = zipf(s) host sizes
     sentence_words: int = 8   # length of the seeded random sentence
     seed: int = 42
+    # every k-th host mirrors the previous host's page content (same
+    # title+para at the same page index; links/urls stay its own) --
+    # the cross-host duplication web mirrors produce.  0 = off.
+    mirror_every: int = 0
 
     def key(self) -> str:
         # -v2: page template gained per-link anchor words; -v3: per-host
         # plain-text sitemap pages.  The version suffix invalidates /tmp
-        # corpus caches built from older templates
+        # corpus caches built from older templates.  mirror_every only
+        # appears when enabled so existing profile caches stay valid
+        # (the post-pass is a no-op at 0: rng stream untouched).
+        m = f"-m{self.mirror_every}" if self.mirror_every else ""
         return (
             f"{self.name}-h{self.n_hosts}-p{self.n_pages}"
-            f"-z{self.zipf_skew}-w{self.sentence_words}-s{self.seed}-v3"
+            f"-z{self.zipf_skew}-w{self.sentence_words}-s{self.seed}{m}-v3"
         )
 
 
 TINY = CorpusProfile("tiny", n_hosts=2, n_pages=60)
 SMALL = CorpusProfile("small", n_hosts=20, n_pages=2000)
+# Mirror fixture: hosts 3,7,11 serve byte-identical content to hosts
+# 2,6,10 -- exercises mirror detection and cross-host line dedup.
+MIRROR = CorpusProfile("mirror", n_hosts=12, n_pages=1200, mirror_every=4)
 BENCH = CorpusProfile("bench", n_hosts=200, n_pages=200_000, zipf_skew=1.2,
                       sentence_words=60)
 # Flat throughput corpus: one production-shaped mega-round (each round at
@@ -129,7 +139,9 @@ def generate(out_dir: str, profile: CorpusProfile = TINY) -> GeneratedCorpus:
     epoch_us = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z in unix us
 
     lang_draw = rng.random(profile.n_pages)
+    host_start: list[int] = []
     for h, n_in_host in enumerate(counts):
+        host_start.append(len(urls))
         for i in range(n_in_host):
             url = _page_url(h, i)
             links: list[str] = []
@@ -154,6 +166,13 @@ def generate(out_dir: str, profile: CorpusProfile = TINY) -> GeneratedCorpus:
 
             title = f"site{h} page {i}"
             para = f"text {h}-{i} {_sentence(rng, profile.sentence_words)}"
+            # mirror hosts copy the previous host's content verbatim
+            # (AFTER the rng draws above, so profiles with mirroring off
+            # generate byte-identical corpora to before this feature)
+            if (profile.mirror_every
+                    and h % profile.mirror_every == profile.mirror_every - 1
+                    and h > 0 and i < counts[h - 1]):
+                title, para = texts[host_start[h - 1] + i].split("\n", 1)
             anchors = "".join(
                 f'<a href="{l}">{_WORDS[(h * 13 + i * 7 + j * 3) % len(_WORDS)]}</a>'
                 for j, l in enumerate(links))

@@ -22,6 +22,9 @@ SPOT = [
     "sessionize",
     "event_type_transitions",
     "cohort_retention",
+    "mirror_hosts",
+    "url_templates",
+    "dedup_lines",
     "asof_click_before_purchase",
     "errors_near_purchases",
     "customers_per_region",
