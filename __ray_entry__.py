@@ -438,6 +438,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q13_customer_distribution": relational.q13_customer_distribution,
         "q18_large_volume": relational.q18_large_volume,
         "q10_returned_revenue": relational.q10_returned_revenue,
+        "q14_promo_revenue": relational.q14_promo_revenue,
+        "q15_top_supplier": relational.q15_top_supplier,
+        "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
+        "q7_volume_shipping": relational.q7_volume_shipping,
         "rolling_user_spend": relational.rolling_user_spend,
         "record_events": relational.record_events,
         "late_events": relational.late_events,
@@ -1895,6 +1899,78 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3, 4
             ORDER BY SUM(r) DESC, c_custkey
             LIMIT 20
+        """,
+        # Q14: promo share of one month's revenue, integer 10^-4 units;
+        # the pct mirrors the engine's (100.0 * promo) / total op order
+        "q14_promo_revenue": """
+            WITH j AS (
+                SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount*100) AS BIGINT))
+                           AS rev,
+                       p_type = 'PROMO' AS is_promo
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+                  AND l_shipdate <  TIMESTAMP '1996-10-01')
+            SELECT CAST(SUM(CASE WHEN is_promo THEN rev ELSE 0 END)
+                        AS DOUBLE) / 10000.0 AS promo_revenue,
+                   CAST(SUM(rev) AS DOUBLE) / 10000.0 AS total_revenue,
+                   (100.0 * CAST(SUM(CASE WHEN is_promo THEN rev ELSE 0 END)
+                                 AS DOUBLE))
+                       / CAST(SUM(rev) AS DOUBLE) AS promo_pct
+            FROM j
+        """,
+        "q15_top_supplier": """
+            WITH r AS (
+                SELECT l_suppkey,
+                       SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                           * (100 - CAST(ROUND(l_discount*100) AS BIGINT)))
+                           AS rev
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate <  TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey)
+            SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+                   CAST(rev AS DOUBLE) / 10000.0 AS total_revenue
+            FROM r JOIN supplier ON s_suppkey = l_suppkey
+            WHERE rev = (SELECT MAX(rev) FROM r)
+            ORDER BY s_suppkey
+        """,
+        # Q17 adapted (no p_container column): brand-gated small-quantity
+        # revenue; quantities are integral doubles, so AVG is exact and
+        # the 0.2*avg threshold is the same two IEEE ops as the engine
+        "q17_small_quantity_revenue": """
+            WITH li AS (
+                SELECT l_partkey, l_quantity,
+                       CAST(ROUND(l_extendedprice*100) AS BIGINT) AS price_c
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                WHERE p_brand = 'Brand#1'),
+            a AS (
+                SELECT l_partkey,
+                       CAST(0.2 AS DOUBLE) * AVG(l_quantity) AS thr
+                FROM li GROUP BY l_partkey)
+            SELECT CAST(SUM(li.price_c) AS DOUBLE) / 100.0 / 7.0
+                       AS avg_yearly
+            FROM li JOIN a ON li.l_partkey = a.l_partkey
+            WHERE li.l_quantity < a.thr
+        """,
+        "q7_volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                            * (100 - CAST(ROUND(l_discount*100) AS BIGINT)))
+                        AS DOUBLE) / 10000.0 AS revenue
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3
         """,
         # shared distinct 5-shingles per source pair (string self-join;
         # the engine exchanges 64-bit span hashes instead)

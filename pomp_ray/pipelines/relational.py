@@ -899,3 +899,278 @@ def q10_returned_revenue(sf_dir: str, date_lo: str = "1996-01-01",
         .sort(["_ri", "c_custkey"], descending=[True, False]).limit(k)
     return out.map_batches(lambda t: t.drop_columns(["_ri"]),
                            batch_format="pyarrow")
+
+
+def q14_promo_revenue(sf_dir: str, date_lo: str = "1996-09-01",
+                      date_hi: str = "1996-10-01") -> pa.Table:
+    """TPC-H Q14 (promotion effect): one month of lineitem hash-joined
+    to part's promo flag, reduced to two integer revenue sums.  The part
+    side ships only (partkey, is_promo) through the join -- at scale
+    both sides shuffle once on partkey, nothing is broadcast.  Revenue
+    forms in integer 10^-4 units (the q6_revenue discipline); the final
+    percentage is two mirrored IEEE ops (mul then div), bit-identical to
+    the DuckDB oracle."""
+    lo, hi = np.datetime64(date_lo), np.datetime64(date_hi)
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        d = t["l_shipdate"].to_numpy()
+        t = t.filter(pa.array((d >= lo) & (d < hi)))
+        cents_p = np.rint(
+            t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        cents_d = np.rint(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        return pa.table({
+            "l_partkey": pc.cast(t["l_partkey"], pa.int64()),
+            "rev": pa.array(cents_p * (100 - cents_d), pa.int64())})
+
+    li = _t(sf_dir, "lineitem",
+            ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"]) \
+        .map_batches(li_prep, batch_format="pyarrow")
+    part = _t(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+        lambda t: pa.table({
+            "l_partkey": pc.cast(t["p_partkey"], pa.int64()),
+            "is_promo": pc.equal(t["p_type"], "PROMO")}),
+        batch_format="pyarrow")
+    j = li.join(part, join_type="inner", on=("l_partkey",),
+                num_partitions=8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = t["rev"].to_numpy(zero_copy_only=False)
+        pm = t["is_promo"].to_numpy(zero_copy_only=False)
+        return pa.table({"promo": pa.array([int(rev[pm].sum())], pa.int64()),
+                         "total": pa.array([int(rev.sum())], pa.int64())})
+
+    agg = j.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("promo", alias_name="promo"), Sum("total", alias_name="total"))
+    promo, total = int(agg["promo"]), int(agg["total"])
+    return pa.table({
+        "promo_revenue": pa.array([promo / 10000.0], pa.float64()),
+        "total_revenue": pa.array([total / 10000.0], pa.float64()),
+        "promo_pct": pa.array([(100.0 * float(promo)) / float(total)],
+                              pa.float64())})
+
+
+def q15_top_supplier(sf_dir: str, date_lo: str = "1996-01-01",
+                     date_hi: str = "1996-04-01") -> pa.Table:
+    """TPC-H Q15 (top supplier): one quarter's revenue per supplier
+    (filtered scan + partial-agg groupby on suppkey -- only (suppkey,
+    int-units rev) shuffles), then the max-revenue winners resolve
+    driver-side (the post-agg table is one row per supplier, and the
+    winner set is O(ties)); names come from a pruned supplier read
+    filtered to the winner keys."""
+    lo, hi = np.datetime64(date_lo), np.datetime64(date_hi)
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        d = t["l_shipdate"].to_numpy()
+        t = t.filter(pa.array((d >= lo) & (d < hi)))
+        cents_p = np.rint(
+            t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        cents_d = np.rint(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        return pa.table({
+            "s_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+            "rev": pa.array(cents_p * (100 - cents_d), pa.int64())})
+
+    rev = _t(sf_dir, "lineitem",
+             ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"]) \
+        .map_batches(li_prep, batch_format="pyarrow") \
+        .groupby("s_suppkey").aggregate(Sum("rev", alias_name="rev")) \
+        .materialize()
+    mx = rev.max("rev")
+    winners = {r["s_suppkey"]: r["rev"]
+               for r in rev.filter(expr=f"rev == {int(mx)}").take_all()}
+    names = _t(sf_dir, "supplier", ["s_suppkey", "s_name"]).map_batches(
+        lambda t: t.filter(pa.array(np.isin(
+            t["s_suppkey"].to_numpy(), list(winners)))),
+        batch_format="pyarrow").take_all()
+    rows = sorted(names, key=lambda r: r["s_suppkey"])
+    return pa.table({
+        "s_suppkey": pa.array([r["s_suppkey"] for r in rows], pa.int64()),
+        "s_name": pa.array([r["s_name"] for r in rows], pa.string()),
+        "total_revenue": pa.array(
+            [winners[r["s_suppkey"]] / 10000.0 for r in rows],
+            pa.float64())})
+
+
+def q17_small_quantity_revenue(sf_dir: str,
+                               brand: str = "Brand#1") -> pa.Table:
+    """TPC-H Q17 (small-quantity-order revenue), adapted to the testdata
+    schema (no p_container column -- the gate is brand-only): average
+    yearly revenue lost if small-quantity orders (below 20% of the
+    part's average quantity) moved to a larger program.
+
+    Shape: the brand's partkey set broadcasts (it is p_size-bounded, a
+    fraction of the part dim); the brand's lineitems reduce to per-part
+    (qty_sum, n) integer partials -> one tiny groupby; the threshold
+    joins back via ONE hash join; quantities are integral doubles so
+    every sum is exact and the 0.2*avg threshold is the same two IEEE
+    ops in both engines."""
+    import ray
+
+    pk = _t(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
+        lambda t: t.filter(pc.equal(t["p_brand"], brand))
+        .select(["p_partkey"]), batch_format="pyarrow").take_all()
+    keys_ref = ray.put(np.sort(np.array([r["p_partkey"] for r in pk],
+                                        np.int64)))
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        k = t["l_partkey"].to_numpy()
+        t = t.filter(pa.array(np.isin(k, keys)))
+        return pa.table({
+            "l_partkey": pc.cast(t["l_partkey"], pa.int64()),
+            "qty": pc.cast(t["l_quantity"], pa.float64()),
+            "price_c": pa.array(np.rint(
+                t["l_extendedprice"].to_numpy() * 100).astype(np.int64),
+                pa.int64())})
+
+    # repartition(2) clears ray 2.49's empty-schema zero-row blocks a
+    # filtered chain can emit before they reach the hash join (CLAUDE.md)
+    li = _t(sf_dir, "lineitem",
+            ["l_partkey", "l_quantity", "l_extendedprice"]) \
+        .map_batches(li_prep, batch_format="pyarrow") \
+        .repartition(2).materialize()
+
+    def qpartial(t: pa.Table) -> pa.Table:
+        k = t["l_partkey"].to_numpy()
+        q = t["qty"].to_numpy()
+        uniq, inv = np.unique(k, return_inverse=True)
+        qs = np.zeros(len(uniq), np.int64)
+        np.add.at(qs, inv, np.rint(q).astype(np.int64))
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({"l_partkey": pa.array(uniq, pa.int64()),
+                         "qs": pa.array(qs, pa.int64()),
+                         "n": pa.array(n, pa.int64())})
+
+    avg = li.map_batches(qpartial, batch_format="pyarrow") \
+        .groupby("l_partkey").aggregate(Sum("qs", alias_name="qs"),
+                                        Sum("n", alias_name="n")) \
+        .map_batches(
+        lambda t: pa.table({
+            "l_partkey": pc.cast(t["l_partkey"], pa.int64()),
+            "thr": pa.array(
+                0.2 * (t["qs"].to_numpy(zero_copy_only=False)
+                       / t["n"].to_numpy(zero_copy_only=False)),
+                pa.float64())}),
+        batch_format="pyarrow").repartition(2)
+    j = li.join(avg, join_type="inner", on=("l_partkey",),
+                num_partitions=8)
+
+    def spartial(t: pa.Table) -> pa.Table:
+        m = t["qty"].to_numpy() < t["thr"].to_numpy(zero_copy_only=False)
+        s = int(t["price_c"].to_numpy(zero_copy_only=False)[m].sum())
+        return pa.table({"s": pa.array([s], pa.int64())})
+
+    total = j.map_batches(spartial, batch_format="pyarrow") \
+        .aggregate(Sum("s", alias_name="s"))["s"]
+    return pa.table({"avg_yearly": pa.array(
+        [float(total) / 100.0 / 7.0], pa.float64())})
+
+
+def q7_volume_shipping(sf_dir: str, nation_a: str = "NATION_1",
+                       nation_b: str = "NATION_2",
+                       date_lo: str = "1996-01-01",
+                       date_hi: str = "1998-01-01") -> pa.Table:
+    """TPC-H Q7 (volume shipping): revenue between two nations by
+    (supplier nation, customer nation, ship year).  Supplier nations
+    ride a broadcast lookup (supplier is ~1/10000 of lineitem; the
+    filtered two-nation slice is tiny), the customer side rides HASH
+    joins through orders (both large at scale), and the two join stages
+    are separated by a materialize (the two-live-joins lesson).  Revenue
+    in integer 10^-4 units, bit-identical to the DuckDB oracle."""
+    import ray
+
+    nat = _t(sf_dir, "nation").take_all()
+    keys = {n["n_name"]: n["n_nationkey"] for n in nat}
+    names = {n["n_nationkey"]: n["n_name"] for n in nat}
+    ka, kb = keys[nation_a], keys[nation_b]
+    lo, hi = np.datetime64(date_lo), np.datetime64(date_hi)
+
+    supp = _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).take_all()
+    s_nat = {r["s_suppkey"]: r["s_nationkey"] for r in supp
+             if r["s_nationkey"] in (ka, kb)}
+    empty = pa.table({"supp_nation": pa.array([], pa.string()),
+                      "cust_nation": pa.array([], pa.string()),
+                      "l_year": pa.array([], pa.int64()),
+                      "revenue": pa.array([], pa.float64())})
+    if not s_nat:
+        # no supplier in either nation: the join's left side would be a
+        # schemaless empty dataset (ray 2.49 cannot key it) -- the result
+        # is exactly empty, so return it schema-stable without executing
+        return empty
+    s_ref = ray.put((np.sort(np.array(list(s_nat), np.int64)),
+                     np.array([s_nat[k] for k in sorted(s_nat)], np.int64)))
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(
+        lambda t: t.filter(pa.array(np.isin(
+            t["c_nationkey"].to_numpy(), [ka, kb]))),
+        batch_format="pyarrow").map_batches(
+        lambda t: pa.table({
+            "o_custkey": pc.cast(t["c_custkey"], pa.int64()),
+            "c_nat": pc.cast(t["c_nationkey"], pa.int64())}),
+        batch_format="pyarrow")
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        lambda t: pa.table({
+            "l_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "o_custkey": pc.cast(t["o_custkey"], pa.int64())}),
+        batch_format="pyarrow")
+    ord_cust = orders.join(cust, join_type="inner", on=("o_custkey",),
+                           num_partitions=8).map_batches(
+        lambda t: t.select(["l_orderkey", "c_nat"]),
+        batch_format="pyarrow").repartition(2).materialize()
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        skeys, snats = ray.get(s_ref)
+        d = t["l_shipdate"].to_numpy()
+        t = t.filter(pa.array((d >= lo) & (d < hi)))
+        sk = t["l_suppkey"].to_numpy()
+        if len(skeys):
+            pos = np.clip(np.searchsorted(skeys, sk), 0, len(skeys) - 1)
+            m = skeys[pos] == sk
+        else:
+            m = np.zeros(len(sk), bool)
+        t = t.filter(pa.array(m))
+        d = t["l_shipdate"].to_numpy()
+        cents_p = np.rint(
+            t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        cents_d = np.rint(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        yr = d.astype("datetime64[Y]").astype(np.int64) + 1970
+        return pa.table({
+            "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+            "s_nat": pa.array(snats[np.searchsorted(
+                skeys, t["l_suppkey"].to_numpy())], pa.int64()),
+            "l_year": pa.array(yr, pa.int64()),
+            "rev": pa.array(cents_p * (100 - cents_d), pa.int64())})
+
+    li = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_suppkey", "l_shipdate",
+             "l_extendedprice", "l_discount"]) \
+        .map_batches(li_prep, batch_format="pyarrow").repartition(2)
+    full = li.join(ord_cust, join_type="inner", on=("l_orderkey",),
+                   num_partitions=8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        sn = t["s_nat"].to_numpy(zero_copy_only=False)
+        cn = t["c_nat"].to_numpy(zero_copy_only=False)
+        m = sn != cn
+        df = pd.DataFrame({"s_nat": sn[m], "c_nat": cn[m],
+                           "l_year": t["l_year"]
+                           .to_numpy(zero_copy_only=False)[m],
+                           "rev": t["rev"].to_numpy(zero_copy_only=False)[m]})
+        g = df.groupby(["s_nat", "c_nat", "l_year"], as_index=False)["rev"] \
+            .sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = full.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["s_nat", "c_nat", "l_year"]) \
+        .aggregate(Sum("rev", alias_name="rev"))
+    rows = sorted(agg.take_all(),
+                  key=lambda r: (names[r["s_nat"]], names[r["c_nat"]],
+                                 r["l_year"]))
+    return pa.table({
+        "supp_nation": pa.array([names[r["s_nat"]] for r in rows],
+                                pa.string()),
+        "cust_nation": pa.array([names[r["c_nat"]] for r in rows],
+                                pa.string()),
+        "l_year": pa.array([r["l_year"] for r in rows], pa.int64()),
+        "revenue": pa.array([r["rev"] / 10000.0 for r in rows],
+                            pa.float64())})

@@ -36,6 +36,10 @@ SPOT = [
     "rolling_user_spend",
     "pretraining_shards",
     "q6_revenue",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q7_volume_shipping",
     "bm25_topk",
     "gopher_quality_flags",
     "neardup_dedup_docs",
