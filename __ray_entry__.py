@@ -328,6 +328,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: webtext.dup_line_counts(_mirror_pages_path()),
         "dedup_lines":
             lambda sf: webtext.dedup_lines(_mirror_pages_path()),
+        "host_template_stats":
+            lambda sf: webtext.host_template_stats(_mirror_pages_path()),
+        "chunk_docs": docs.chunk_docs,
+        "vocab_coverage": docs.vocab_coverage,
         # -- documents: text analysis (SQL-verified)
         "quality_stats": docs.quality_stats,
         "quality_filter": docs.quality_filter,
@@ -700,6 +704,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.url, string_agg(l.line, chr(10) ORDER BY l.ln) AS text
             FROM l JOIN c ON l.line = c.line
             WHERE c.n <= 1 GROUP BY l.url
+        """,
+        "host_template_stats": f"""
+            WITH th AS (
+                SELECT regexp_replace(url, '[0-9]+', 'N', 'g')
+                           AS "template",
+                       regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host
+                FROM read_parquet('{_MP}')),
+            g AS (SELECT host, "template", COUNT(*) AS n
+                  FROM th GROUP BY 1, 2)
+            SELECT host, CAST(SUM(n) AS BIGINT) AS n_urls,
+                   CAST(COUNT(*) AS BIGINT) AS n_templates,
+                   CAST(MAX(n) AS BIGINT) AS top_template_n
+            FROM g GROUP BY host
+        """,
+        # Token-window chunking: 1-based inclusive DuckDB list slicing
+        # mirrors tokens[start : start+32); chunk_id = start // stride
+        "chunk_docs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text),
+                                                      '[^a-z]+'),
+                                   w -> w != '') AS ws
+                FROM documents),
+            c AS (
+                SELECT doc_id, CAST((i.i - 1) // 24 AS BIGINT) AS chunk_id,
+                       ws[i.i : i.i + 31] AS cw
+                FROM toks,
+                     LATERAL (SELECT unnest(generate_series(
+                                  1, len(ws), 24)) AS i) i
+                WHERE len(ws) > 0)
+            SELECT doc_id, chunk_id, CAST(len(cw) AS BIGINT) AS n_tokens,
+                   array_to_string(cw, ' ') AS chunk_text
+            FROM c
+        """,
+        "vocab_coverage": """
+            WITH wc AS (
+                SELECT word, COUNT(*) AS n FROM (
+                    SELECT unnest(regexp_extract_all(lower(text),
+                                                     '[a-z]+')) AS word
+                    FROM documents) t
+                GROUP BY word),
+            r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, word ASC)
+                             AS rk
+                  FROM wc),
+            tot AS (SELECT SUM(n) AS total FROM wc)
+            SELECT CAST(v.v AS BIGINT) AS vocab_size,
+                   CAST((SELECT SUM(n) FROM r WHERE rk <= v.v) AS BIGINT)
+                       AS covered_tokens,
+                   CAST(total AS BIGINT) AS total_tokens,
+                   CAST((SELECT SUM(n) FROM r WHERE rk <= v.v) AS DOUBLE)
+                       / CAST(total AS DOUBLE) AS coverage
+            FROM (SELECT unnest([10, 100, 1000]) AS v) v, tot
         """,
         # First-order Markov transitions: LEAD over (user, ts, event_id).
         "event_type_transitions": """

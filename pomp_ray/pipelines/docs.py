@@ -2483,3 +2483,89 @@ def source_overlap_matrix(sf_dir: str) -> rd.Dataset:
             "n_shared": pc.cast(t["n_shared"], pa.int64())})
     return agg.map_batches(fin, batch_format="pyarrow") \
         .sort(["source_a", "source_b"])
+
+
+def chunk_docs(sf_dir: str, chunk_tokens: int = 32,
+               stride: int = 24) -> rd.Dataset:
+    """Fixed-size token-window chunking with stride (overlapping windows
+    -- the RAG / pretraining-context chunker): every token start in
+    range(0, n_tokens, stride) opens a chunk of up to ``chunk_tokens``
+    words.  Embarrassingly parallel: pure within-batch work, no shuffle.
+
+    Vectorized end to end: Arrow tokenize (_tokenize_flat), numpy
+    offsets math builds the per-chunk gather indices, and the chunk
+    texts come from ONE pc.binary_join over a ListArray view -- no
+    per-chunk Python string assembly.  Exact DuckDB oracle (list
+    slicing + generate_series)."""
+    C, S = int(chunk_tokens), int(stride)
+
+    def chunk(t: pa.Table) -> pa.Table:
+        flat, parent = _tokenize_flat(t)
+        par = parent.to_numpy()
+        n = np.bincount(par, minlength=t.num_rows).astype(np.int64)
+        n_chunks = -(-n // S)                      # ceil(n/S); 0 stays 0
+        total = int(n_chunks.sum())
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "chunk_id": pa.array([], pa.int64()),
+                          "n_tokens": pa.array([], pa.int64()),
+                          "chunk_text": pa.array([], pa.string())})
+        if total == 0:
+            return empty
+        doc_rep = np.repeat(np.arange(t.num_rows), n_chunks)
+        base = np.repeat(np.cumsum(n_chunks) - n_chunks, n_chunks)
+        cid = np.arange(total, dtype=np.int64) - base
+        doc_tok0 = np.cumsum(n) - n
+        tok_start = np.repeat(doc_tok0, n_chunks) + cid * S
+        lens = np.minimum(C, np.repeat(n, n_chunks) - cid * S)
+        cum = np.cumsum(lens)
+        pos = (np.arange(int(cum[-1]), dtype=np.int64)
+               - np.repeat(cum - lens, lens) + np.repeat(tok_start, lens))
+        gathered = flat.take(pa.array(pos, pa.int64()))
+        la = pa.ListArray.from_arrays(
+            pa.array(np.concatenate([[0], cum]), pa.int32()),
+            gathered.combine_chunks() if isinstance(gathered,
+                                                    pa.ChunkedArray)
+            else gathered)
+        text = pc.binary_join(la, " ")
+        doc_ids = t["doc_id"].to_numpy()[doc_rep]
+        return pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
+                         "chunk_id": pa.array(cid, pa.int64()),
+                         "n_tokens": pa.array(lens, pa.int64()),
+                         "chunk_text": text})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        chunk, batch_format="pyarrow")
+
+
+def vocab_coverage(sf_dir: str,
+                   tops: tuple = (10, 100, 1000)) -> pa.Table:
+    """Cumulative token coverage of the top-N vocabulary (the curve that
+    sizes a tokenizer's vocab): for each N, what fraction of all corpus
+    tokens the N most frequent words cover.  Reuses the heavy-hitter
+    partial-agg shape (per-batch value_counts -> tiny word groupby);
+    the final curve is O(vocab) driver work.  Integer token counts, one
+    mirrored IEEE division for the fraction."""
+    def partial(t: pa.Table) -> pa.Table:
+        flat, _ = _tokenize_flat(t)
+        vc = flat.value_counts()
+        return pa.table({"word": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    agg = _docs(sf_dir, ["text"]).map_batches(
+        partial, batch_format="pyarrow") \
+        .groupby("word").aggregate(Sum("n", alias_name="n"))
+    counts = agg.to_pandas()
+    counts = counts.sort_values(["n", "word"],
+                                ascending=[False, True]).reset_index(drop=True)
+    total = int(counts["n"].sum())
+    csum = counts["n"].cumsum()
+    rows = []
+    for N in tops:
+        covered = int(csum.iloc[min(N, len(csum)) - 1]) if len(csum) else 0
+        rows.append((N, covered))
+    return pa.table({
+        "vocab_size": pa.array([r[0] for r in rows], pa.int64()),
+        "covered_tokens": pa.array([r[1] for r in rows], pa.int64()),
+        "total_tokens": pa.array([total] * len(rows), pa.int64()),
+        "coverage": pa.array([float(r[1]) / float(total) for r in rows],
+                             pa.float64())})

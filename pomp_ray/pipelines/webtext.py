@@ -177,3 +177,34 @@ def dedup_lines(pages_path: str, max_occ: int = 1) -> rd.Dataset:
     bucketed = keep.map_batches(add_bucket, batch_format="pyarrow")
     return bucketed.groupby("bucket").map_groups(
         reasm, batch_format="pandas")
+
+
+def host_template_stats(pages_path: str) -> rd.Dataset:
+    """Per-host URL-template report (the crawler-trap signal: a host
+    whose url count explodes across few templates is template-generated
+    content; one whose template count explodes is a parameter trap).
+    Same partials as url_templates; the per-host rollup is a second tiny
+    groupby."""
+    def partial(t: pa.Table) -> pa.Table:
+        tpl = pc.replace_substring_regex(t["url"], pattern=r"[0-9]+",
+                                         replacement="N")
+        df = pd.DataFrame({"template": tpl.to_pandas(),
+                           "host": _host_col(t["url"]).to_pandas()})
+        out = df.value_counts().rename("n").reset_index()
+        out["n"] = out["n"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    from ray.data.aggregate import Max
+    th = _pages(pages_path, ["url"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["template", "host"]).aggregate(Sum("n", alias_name="n"))
+    agg = th.groupby("host").aggregate(
+        Sum("n", alias_name="n_urls"), Count(alias_name="n_templates"),
+        Max("n", alias_name="top_template_n"))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "host": t["host"],
+            "n_urls": pc.cast(t["n_urls"], pa.int64()),
+            "n_templates": pc.cast(t["n_templates"], pa.int64()),
+            "top_template_n": pc.cast(t["top_template_n"], pa.int64())}),
+        batch_format="pyarrow").sort("host")

@@ -25,6 +25,9 @@ SPOT = [
     "mirror_hosts",
     "url_templates",
     "dedup_lines",
+    "host_template_stats",
+    "chunk_docs",
+    "vocab_coverage",
     "asof_click_before_purchase",
     "errors_near_purchases",
     "customers_per_region",
