@@ -446,6 +446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q15_top_supplier": relational.q15_top_supplier,
         "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
         "q7_volume_shipping": relational.q7_volume_shipping,
+        "q8_market_share": relational.q8_market_share,
         "rolling_user_spend": relational.rolling_user_spend,
         "record_events": relational.record_events,
         "late_events": relational.late_events,
@@ -2027,6 +2028,30 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate <  TIMESTAMP '1998-01-01'
             GROUP BY 1, 2, 3
             ORDER BY 1, 2, 3
+        """,
+        "q8_market_share": """
+            WITH j AS (
+                SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                       CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount*100) AS BIGINT))
+                           AS rev,
+                       n1.n_name AS supp_nation
+                FROM lineitem
+                JOIN part ON p_partkey = l_partkey
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                JOIN orders ON o_orderkey = l_orderkey
+                JOIN customer ON c_custkey = o_custkey
+                JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                JOIN region ON n2.n_regionkey = r_regionkey
+                WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+                  AND o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate <  TIMESTAMP '1998-01-01')
+            SELECT o_year,
+                   CAST(SUM(CASE WHEN supp_nation = 'NATION_12'
+                                 THEN rev ELSE 0 END) AS DOUBLE)
+                       / CAST(SUM(rev) AS DOUBLE) AS mkt_share
+            FROM j GROUP BY o_year ORDER BY o_year
         """,
         # shared distinct 5-shingles per source pair (string self-join;
         # the engine exchanges 64-bit span hashes instead)

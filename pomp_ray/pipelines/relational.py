@@ -1174,3 +1174,108 @@ def q7_volume_shipping(sf_dir: str, nation_a: str = "NATION_1",
         "l_year": pa.array([r["l_year"] for r in rows], pa.int64()),
         "revenue": pa.array([r["rev"] / 10000.0 for r in rows],
                             pa.float64())})
+
+
+def q8_market_share(sf_dir: str, region: str = "ASIA",
+                    nation: str = "NATION_12", ptype: str = "STANDARD",
+                    date_lo: str = "1996-01-01",
+                    date_hi: str = "1998-01-01") -> pa.Table:
+    """TPC-H Q8 (national market share): the deepest join tree in the
+    suite -- lineitem x part x orders x customer x nation(2 roles) x
+    region x supplier.  One nation's share of the revenue that a
+    region's customers spent on one part type, by order year.
+
+    Plan: region/nation dims and the supplier->nation map broadcast
+    (dim-scale, the q7 discipline); part rides a HASH join on partkey
+    (large at scale) and customer/orders ride a HASH join on custkey;
+    the two live joins are separated by materialize.  Revenue in
+    integer 10^-4 units; the share is one mirrored IEEE division."""
+    import ray
+
+    nat = _t(sf_dir, "nation").take_all()
+    reg = _t(sf_dir, "region").take_all()
+    rkey = next(r["r_regionkey"] for r in reg if r["r_name"] == region)
+    region_nations = {n["n_nationkey"] for n in nat
+                      if n["n_regionkey"] == rkey}
+    share_key = next(n["n_nationkey"] for n in nat
+                     if n["n_name"] == nation)
+    lo, hi = np.datetime64(date_lo), np.datetime64(date_hi)
+
+    supp = _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).take_all()
+    s_map = {r["s_suppkey"]: r["s_nationkey"] for r in supp}
+    s_ref = ray.put((np.sort(np.array(list(s_map), np.int64)),
+                     np.array([s_map[k] for k in sorted(s_map)], np.int64)))
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(
+        lambda t: pa.table({"o_custkey": pc.cast(t.filter(pa.array(
+            np.isin(t["c_nationkey"].to_numpy(),
+                    list(region_nations))))["c_custkey"], pa.int64())}),
+        batch_format="pyarrow")
+
+    def ord_prep(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].to_numpy()
+        t = t.filter(pa.array((d >= lo) & (d < hi)))
+        yr = t["o_orderdate"].to_numpy().astype("datetime64[Y]") \
+            .astype(np.int64) + 1970
+        return pa.table({
+            "l_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+            "o_year": pa.array(yr, pa.int64())})
+
+    orders = _t(sf_dir, "orders",
+                ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(ord_prep, batch_format="pyarrow")
+    ord_cust = orders.join(cust, join_type="inner", on=("o_custkey",),
+                           num_partitions=8).map_batches(
+        lambda t: t.select(["l_orderkey", "o_year"]),
+        batch_format="pyarrow").repartition(2).materialize()
+
+    part = _t(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+        lambda t: pa.table({"l_partkey": pc.cast(t.filter(
+            pc.equal(t["p_type"], ptype))["p_partkey"], pa.int64())}),
+        batch_format="pyarrow").repartition(2)
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        skeys, snats = ray.get(s_ref)
+        cents_p = np.rint(
+            t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        cents_d = np.rint(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        sn = snats[np.searchsorted(skeys, t["l_suppkey"].to_numpy())]
+        return pa.table({
+            "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+            "l_partkey": pc.cast(t["l_partkey"], pa.int64()),
+            "s_nat": pa.array(sn, pa.int64()),
+            "rev": pa.array(cents_p * (100 - cents_d), pa.int64())})
+
+    li = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_partkey", "l_suppkey",
+             "l_extendedprice", "l_discount"]) \
+        .map_batches(li_prep, batch_format="pyarrow")
+    li_part = li.join(part, join_type="inner", on=("l_partkey",),
+                      num_partitions=8).map_batches(
+        lambda t: t.select(["l_orderkey", "s_nat", "rev"]),
+        batch_format="pyarrow").repartition(2).materialize()
+    full = li_part.join(ord_cust, join_type="inner", on=("l_orderkey",),
+                        num_partitions=8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        yr = t["o_year"].to_numpy(zero_copy_only=False)
+        sn = t["s_nat"].to_numpy(zero_copy_only=False)
+        rev = t["rev"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "o_year": yr,
+            "nat_rev": np.where(sn == share_key, rev, 0),
+            "tot_rev": rev})
+        g = df.groupby("o_year", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = full.map_batches(partial, batch_format="pyarrow") \
+        .groupby("o_year").aggregate(Sum("nat_rev", alias_name="nat_rev"),
+                                     Sum("tot_rev", alias_name="tot_rev"))
+    rows = sorted(agg.take_all(), key=lambda r: r["o_year"])
+    return pa.table({
+        "o_year": pa.array([r["o_year"] for r in rows], pa.int64()),
+        "mkt_share": pa.array(
+            [float(r["nat_rev"]) / float(r["tot_rev"]) for r in rows],
+            pa.float64())})

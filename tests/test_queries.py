@@ -43,6 +43,7 @@ SPOT = [
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q7_volume_shipping",
+    "q8_market_share",
     "bm25_topk",
     "gopher_quality_flags",
     "neardup_dedup_docs",
