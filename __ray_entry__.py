@@ -416,6 +416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantized_embeddings": embeddings.quantized_embeddings,
         "sq8_topk": embeddings.sq8_topk,
         "kmeans_clusters": embeddings.kmeans_clusters,
+        "kcenter_sample": embeddings.kcenter_sample,
         "semdedup": embeddings.semdedup,
         # -- graph: near-dup pairs -> dup groups (label propagation)
         "dup_components": graph.dup_components,
@@ -1836,6 +1837,11 @@ def oracle_sql() -> dict[str, str]:
             f"read_parquet('{_GOLDEN}/crawl_focused_visited.parquet')",
         "kmeans_clusters":
             f"SELECT * FROM read_parquet('{_GOLDEN}/kmeans_sf001.parquet')",
+        # greedy k-center: exact int64 distances -> the independent
+        # serial golden (tools/gen_golden.py gen_kcenter_golden) is a
+        # bit-exact oracle
+        "kcenter_sample":
+            f"SELECT * FROM read_parquet('{_GOLDEN}/kcenter_sf001.parquet')",
         # int64 fixed-point PageRank: bit-identical to the serial
         # dict-based golden by construction (order-independent integer
         # sums), so a straight golden read is an exact oracle

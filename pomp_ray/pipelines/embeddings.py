@@ -835,3 +835,60 @@ def sq8_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10,
     return pa.table({"vec_id": pa.array(ids[fin], pa.int64()),
                      "score": pa.array(np.round(exact[fin], 6),
                                        pa.float64())})
+
+
+def kcenter_sample(sf_dir: str, k: int = 8) -> pa.Table:
+    """Greedy k-center (farthest-point) coreset selection -- the
+    diverse-subset data-selection op (Gonzalez 1985): seed with the
+    smallest vec_id, then k-1 times pick the vector maximizing its
+    minimum squared distance to the chosen set (ties -> smaller vec_id).
+
+    Determinism: distances are EXACT int64 squared euclidean over the
+    2^20-quantized vectors (the k-means trick; dim 64 x (2*2^20)^2 stays
+    under 2^48), so the distributed argmax -- per-batch (d, vec_id)
+    winner partials, driver max-reduce on (d, -vec_id) -- is
+    bit-identical to the independent serial golden regardless of block
+    structure.  Each of the k-1 passes broadcasts only the chosen
+    centers (k x dim ints via closure); the quantized table is
+    materialized once (the iterative-loop lesson)."""
+    def quant_cols(t: pa.Table) -> pa.Table:
+        ids, q = _km_quant(t)
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "q": pa.array(list(q), pa.list_(pa.int64()))})
+
+    emb = _emb(sf_dir).map_batches(
+        quant_cols, batch_format="pyarrow").materialize()
+    seed_id = int(emb.min("vec_id"))
+    seed = emb.map_batches(
+        lambda t: t.filter(pc.equal(t["vec_id"], seed_id)),
+        batch_format="pyarrow").take_all()[0]
+    centers = [(seed_id, np.asarray(seed["q"], np.int64))]
+    out = [(0, seed_id, 0)]
+
+    for step in range(1, k):
+        cmat = np.stack([c for _, c in centers])
+        chosen = np.array([i for i, _ in centers], np.int64)
+
+        def partial(t: pa.Table, cmat=cmat, chosen=chosen) -> pa.Table:
+            ids = t["vec_id"].to_numpy()
+            q = np.array(t["q"].to_pylist(), np.int64)
+            d = np.full(len(ids), np.iinfo(np.int64).max, np.int64)
+            for c in cmat:
+                diff = q - c
+                d = np.minimum(d, np.einsum("ij,ij->i", diff, diff))
+            d[np.isin(ids, chosen)] = -1
+            j = int(np.lexsort((ids, -d))[0])   # max d, tie -> min id
+            return pa.table({"vec_id": pa.array([ids[j]], pa.int64()),
+                             "d": pa.array([d[j]], pa.int64()),
+                             "q": pa.array([q[j]], pa.list_(pa.int64()))})
+
+        parts = emb.map_batches(partial, batch_format="pyarrow").take_all()
+        best = max(parts, key=lambda r: (r["d"], -r["vec_id"]))
+        centers.append((int(best["vec_id"]),
+                        np.asarray(best["q"], np.int64)))
+        out.append((step, int(best["vec_id"]), int(best["d"])))
+
+    return pa.table({
+        "sel_order": pa.array([r[0] for r in out], pa.int64()),
+        "vec_id": pa.array([r[1] for r in out], pa.int64()),
+        "d2": pa.array([r[2] for r in out], pa.int64())})

@@ -1079,3 +1079,18 @@ def test_weighted_sample_bias_and_determinism():
         rows.append((np.log(u) / w, d))
     rows.sort(key=lambda r: (-r[0], r[1]))
     assert [r[1] for r in rows[:20]] == a["doc_id"].to_pylist()
+
+
+def test_kcenter_sample_invariants():
+    """Greedy k-center invariants at sf0.001: the max-min distance
+    sequence is non-increasing (each pick can only shrink the farthest
+    gap), picks are distinct, and the seed is the smallest vec_id at
+    distance 0."""
+    from pomp_ray.pipelines import embeddings
+    t = embeddings.kcenter_sample(SF, k=6)
+    ids = t["vec_id"].to_pylist()
+    d2 = t["d2"].to_pylist()
+    assert len(set(ids)) == len(ids)
+    assert t["sel_order"].to_pylist() == list(range(6))
+    assert ids[0] == 0 and d2[0] == 0
+    assert all(a >= b for a, b in zip(d2[1:], d2[2:]))

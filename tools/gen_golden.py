@@ -1205,6 +1205,46 @@ def gen_weighted_sample_golden(sf_dir: str = SF001, k: int = 50) -> None:
     print(f"weighted sample golden: top-{k}, first doc {rows[0][1]}")
 
 
+def gen_kcenter_golden(sf_dir: str = SF001, k: int = 8) -> None:
+    """Independent serial greedy k-center over the 2^20-quantized
+    embeddings: plain python loop + per-row integer dot (no einsum, no
+    lexsort -- a different argmax/tie implementation than the engine)."""
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = [int(x) for x in t["vec_id"].to_pylist()]
+    mat = [np.rint(np.asarray(v, np.float64) * float(1 << 20))
+           .astype(np.int64) for v in t["embedding"].to_pylist()]
+    order = sorted(range(len(ids)), key=lambda i: ids[i])
+    seed_pos = order[0]
+    chosen = [seed_pos]
+    rows = [(0, ids[seed_pos], 0)]
+    dmin = [None] * len(ids)
+    for i in range(len(ids)):
+        diff = mat[i] - mat[seed_pos]
+        dmin[i] = int((diff * diff).sum())
+    for step in range(1, k):
+        best_i, best_d = None, -1
+        for i in range(len(ids)):
+            if i in chosen:
+                continue
+            if dmin[i] > best_d or (dmin[i] == best_d
+                                    and ids[i] < ids[best_i]):
+                best_i, best_d = i, dmin[i]
+        chosen.append(best_i)
+        rows.append((step, ids[best_i], best_d))
+        for i in range(len(ids)):
+            diff = mat[i] - mat[best_i]
+            d = int((diff * diff).sum())
+            if d < dmin[i]:
+                dmin[i] = d
+    out = pa.table({
+        "sel_order": pa.array([r[0] for r in rows], pa.int64()),
+        "vec_id": pa.array([r[1] for r in rows], pa.int64()),
+        "d2": pa.array([r[2] for r in rows], pa.int64())})
+    pq.write_table(out, os.path.join(GOLDEN_DIR, "kcenter_sf001.parquet"))
+    print("kcenter golden:", rows)
+
+
+
 if __name__ == "__main__":
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     gen_signature_goldens()
@@ -1233,3 +1273,4 @@ if __name__ == "__main__":
     gen_semdedup_golden()
     gen_bpe_encode_golden()
     gen_lsq_classifier_golden()
+    gen_kcenter_golden()
