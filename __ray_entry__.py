@@ -363,6 +363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_report": docs.contamination_report,
         "tfidf_top_terms": docs.tfidf_top_terms,
         "mixture_sample": docs.mixture_sample,
+        "temperature_mixture": docs.temperature_mixture,
         "token_shard_stats": docs.token_shard_stats,
         "ngram_shard_stats": docs.ngram_shard_stats,
         "pmi_top_pairs": docs.pmi_top_pairs,
@@ -374,6 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdx_index": archive.cdx_index,
         "snapshot_delta": delta.snapshot_delta,
         "host_change_rates": delta.host_change_rates,
+        "recrawl_intervals": delta.recrawl_intervals,
         # -- model training: distributed least-squares classifier
         #    (integer sufficient statistics -> pinned solve)
         "lsq_classifier_weights": classify.lsq_classifier_weights,
@@ -448,6 +450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
         "q7_volume_shipping": relational.q7_volume_shipping,
         "q8_market_share": relational.q8_market_share,
+        "q22_inactive_customers": relational.q22_inactive_customers,
         "rolling_user_spend": relational.rolling_user_spend,
         "record_events": relational.record_events,
         "late_events": relational.late_events,
@@ -1566,6 +1569,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn <= CASE source WHEN 'src0' THEN 40
                                     WHEN 'src1' THEN 20 ELSE 10 END
         """,
+        # alpha=0.5 temperature mixing: the quota math (floor(sqrt) int
+        # weights, floor-div shares) mirrors the engine verbatim
+        "temperature_mixture": """
+            WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+                       FROM documents GROUP BY source),
+            w AS (SELECT source,
+                         CAST(FLOOR(SQRT(CAST(n AS DOUBLE) * 1000000.0))
+                              AS BIGINT) AS w
+                  FROM c),
+            t AS (SELECT SUM(w) AS wsum FROM w),
+            q AS (SELECT source, 200 * w // wsum AS quota FROM w, t),
+            r AS (SELECT source, doc_id,
+                         ROW_NUMBER() OVER (PARTITION BY source
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                             AS rk
+                  FROM documents)
+            SELECT r.source, CAST(doc_id AS BIGINT) AS doc_id
+            FROM r JOIN q ON r.source = q.source WHERE rk <= quota
+        """,
         "token_shard_stats": """
             SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
                                              1, 4))
@@ -1654,6 +1676,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN chg THEN 1 ELSE 0 END) * 1000000
                         // COUNT(*) AS BIGINT) AS change_ppm
             FROM both_s GROUP BY source
+        """,
+        # change rates + the verbatim policy CASE (ppm -> revisit hours)
+        "recrawl_intervals": """
+            WITH g AS (
+                SELECT doc_id, source,
+                       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                           1, 4) AS INTEGER) % 10 AS b
+                FROM documents),
+            both_s AS (SELECT doc_id, source, (b = 2) AS chg
+                       FROM g WHERE b <> 0 AND b <> 1),
+            r AS (
+                SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       CAST(SUM(CASE WHEN chg THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_changed,
+                       CAST(SUM(CASE WHEN chg THEN 1 ELSE 0 END) * 1000000
+                            // COUNT(*) AS BIGINT) AS change_ppm
+                FROM both_s GROUP BY source)
+            SELECT source, n_docs, n_changed, change_ppm,
+                   CAST(CASE WHEN change_ppm >= 500000 THEN 6
+                             WHEN change_ppm >= 200000 THEN 24
+                             WHEN change_ppm >= 50000 THEN 72
+                             ELSE 168 END AS BIGINT) AS revisit_hours
+            FROM r
         """,
         "pretraining_shards": """
             WITH quality AS (
@@ -2034,6 +2079,25 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate <  TIMESTAMP '1998-01-01'
             GROUP BY 1, 2, 3
             ORDER BY 1, 2, 3
+        """,
+        # anti-join (NOT EXISTS): wealthy customers with no orders
+        "q22_inactive_customers": """
+            WITH cc AS (
+                SELECT c_custkey, c_nationkey,
+                       CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_c
+                FROM customer),
+            thr AS (
+                SELECT CAST(SUM(bal_c) AS DOUBLE) / COUNT(*) AS t
+                FROM cc WHERE bal_c > 0),
+            w AS (
+                SELECT cc.* FROM cc, thr
+                WHERE bal_c > t AND NOT EXISTS (
+                    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '1999-01-01'))
+            SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_custs,
+                   CAST(SUM(bal_c) AS DOUBLE) / 100.0 AS total_acctbal
+            FROM w GROUP BY 1 ORDER BY 1
         """,
         "q8_market_share": """
             WITH j AS (

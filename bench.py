@@ -215,6 +215,12 @@ def bench_dedup_ops(n_urls: int = 2_000_000, n_tasks: int = 32,
     return {"sec": dt, "ops": n_urls, "new": new, "ops_per_s": n_urls / dt}
 
 
+def _bench_pages_path() -> str:
+    """Pages parquet of the 200k-page BENCH corpus (cached by manifest)."""
+    from pomp_ray.sources import gen_corpus
+    return gen_corpus.generate(BENCH_DIR, gen_corpus.BENCH).pages_path
+
+
 def bench_queries(sf_dir: str) -> dict:
     from pomp_ray.pipelines import (archive, docs, embeddings, graph,
                                     relational, tokenizer)
@@ -254,6 +260,16 @@ def bench_queries(sf_dir: str) -> dict:
          lambda: relational.record_events(sf_dir).count()),
         ("q5_join_tree",
          lambda: relational.q5_local_supplier_volume(sf_dir).num_rows),
+        # twelfth-block shapes: vectorized token-window chunking (pure
+        # map, no shuffle), CCNet line dedup over the 200k-page BENCH
+        # corpus (explode + count groupby + hash-join back + bucketed
+        # reassembly), deepest TPC-H join tree
+        ("chunk_docs", lambda: docs.chunk_docs(sf_dir).count()),
+        ("line_dedup", lambda: __import__(
+            "pomp_ray.pipelines.webtext", fromlist=["webtext"])
+         .dedup_lines(_bench_pages_path()).count()),
+        ("q8_join_tree",
+         lambda: relational.q8_market_share(sf_dir).num_rows),
     ):
         t0 = time.monotonic()
         fn()

@@ -160,3 +160,26 @@ def host_change_rates(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
         })
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def recrawl_intervals(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
+    """Adaptive recrawl schedule derived from the observed change rates:
+    sources that churn get short revisit intervals (the feedback loop a
+    production crawler closes between snapshot deltas and its frontier
+    priorities; ``enqueue.PageRankPriority`` is the consuming side).
+
+    Policy table (integer ppm thresholds -> hours, mirrored verbatim in
+    the CASE oracle): >=500000 ppm -> 6h, >=200000 -> 24h, >=50000 ->
+    72h, else 168h (weekly).  Pure derived-column work on the tiny
+    per-source change table."""
+    rates = host_change_rates(sf_dir, num_partitions)
+
+    def policy(t: pa.Table) -> pa.Table:
+        ppm = t["change_ppm"].to_numpy(zero_copy_only=False)
+        hours = np.select(
+            [ppm >= 500_000, ppm >= 200_000, ppm >= 50_000],
+            [6, 24, 72], default=168).astype(np.int64)
+        return t.append_column("revisit_hours",
+                               pa.array(hours, pa.int64()))
+
+    return rates.map_batches(policy, batch_format="pyarrow")

@@ -2569,3 +2569,38 @@ def vocab_coverage(sf_dir: str,
         "total_tokens": pa.array([total] * len(rows), pa.int64()),
         "coverage": pa.array([float(r[1]) / float(total) for r in rows],
                              pa.float64())})
+
+
+def temperature_mixture(sf_dir: str, budget: int = 200) -> rd.Dataset:
+    """Temperature-scaled source mixing (the multilingual-pretraining
+    upsampling rule, alpha = 0.5): quota_i = budget * w_i // sum(w),
+    w_i = floor(sqrt(n_i * 10^6)) -- smaller sources get a boost
+    relative to proportional sampling.  Integer weights via one mirrored
+    correctly-rounded sqrt (DuckDB CAST(FLOOR(SQRT(..)) AS BIGINT) ==
+    numpy floor(sqrt) for n_i * 10^6 < 2^52), so the quota table and
+    the md5-ordered per-source sample are exact cross-engine.
+
+    Two passes: a tiny count groupby fixes the quotas driver-side, then
+    the mixture_sample shape (per-group md5-order head) draws them."""
+    import hashlib
+
+    counts = {r["source"]: int(r["n"]) for r in
+              _docs(sf_dir, ["source"]).groupby("source")
+              .aggregate(Count(alias_name="n")).take_all()}
+    w = {s: int(np.floor(np.sqrt(np.float64(n) * 1e6)))
+         for s, n in counts.items()}
+    wsum = sum(w.values())
+    quotas = {s: budget * wi // wsum for s, wi in w.items()}
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        k = quotas.get(g["source"].iloc[0], 0)
+        g = g.assign(_h=[hashlib.md5(str(d).encode()).hexdigest()
+                         for d in g["doc_id"]])
+        g = g.sort_values(["_h", "doc_id"]).head(k)
+        return g.drop(columns=["_h"])
+
+    ds = _docs(sf_dir, ["doc_id", "source"])
+    out = ds.groupby("source").map_groups(pick, batch_format="pandas")
+    return out.map_batches(lambda t: _i64(t.select(["source", "doc_id"]),
+                                          ["doc_id"]),
+                           batch_format="pyarrow")

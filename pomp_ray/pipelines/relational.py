@@ -1279,3 +1279,74 @@ def q8_market_share(sf_dir: str, region: str = "ASIA",
         "mkt_share": pa.array(
             [float(r["nat_rev"]) / float(r["tot_rev"]) for r in rows],
             pa.float64())})
+
+
+def q22_inactive_customers(sf_dir: str,
+                           since: str = "1999-01-01") -> pa.Table:
+    """TPC-H Q22 shape adapted to the testdata schema (no c_phone
+    column -- the country gate becomes the nation key; "never ordered"
+    becomes DORMANT since ``since``, because this testdata's order keys
+    cover nearly every customer): per nation, the wealthy customers
+    (account balance above the positive-balance average) with no order
+    since the cutoff.  The ANTI-JOIN shape (SQL NOT EXISTS): wealthy
+    customers left_outer-join the recent order custkeys and keep the
+    null-marker rows.
+
+    Exactness: balances form integer cents; the average threshold is one
+    mirrored IEEE division; the final sums are integer cents / 100.0."""
+    cust = _t(sf_dir, "customer",
+              ["c_custkey", "c_nationkey", "c_acctbal"]).map_batches(
+        lambda t: pa.table({
+            "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+            "nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+            "bal_c": pa.array(np.rint(
+                t["c_acctbal"].to_numpy() * 100).astype(np.int64),
+                pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    def thr_partial(t: pa.Table) -> pa.Table:
+        b = t["bal_c"].to_numpy(zero_copy_only=False)
+        pos = b[b > 0]
+        return pa.table({"s": pa.array([int(pos.sum())], pa.int64()),
+                         "n": pa.array([len(pos)], pa.int64())})
+
+    agg = cust.map_batches(thr_partial, batch_format="pyarrow").aggregate(
+        Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    thr = float(agg["s"]) / float(agg["n"])
+
+    wealthy = cust.map_batches(
+        lambda t: t.filter(pa.array(
+            t["bal_c"].to_numpy(zero_copy_only=False) > thr)),
+        batch_format="pyarrow").repartition(2)
+    lo = np.datetime64(since)
+    okeys = _t(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        lambda t: pa.table({"c_custkey": pc.cast(t.filter(pa.array(
+            t["o_orderdate"].to_numpy() >= lo))["o_custkey"], pa.int64())}),
+        batch_format="pyarrow") \
+        .groupby("c_custkey").aggregate(Count(alias_name="_n")) \
+        .map_batches(lambda t: pa.table({
+            "c_custkey": t["c_custkey"],
+            "has_order": pa.array([True] * t.num_rows, pa.bool_())}),
+        batch_format="pyarrow").repartition(2)
+    j = wealthy.join(okeys, join_type="left_outer", on=("c_custkey",),
+                     num_partitions=8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        miss = pc.is_null(t["has_order"]).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "nationkey": t["nationkey"].to_numpy(zero_copy_only=False)[miss],
+            "bal_c": t["bal_c"].to_numpy(zero_copy_only=False)[miss]})
+        g = df.groupby("nationkey", as_index=False).agg(
+            n_custs=("bal_c", "size"), bal=("bal_c", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rows = j.map_batches(partial, batch_format="pyarrow") \
+        .groupby("nationkey").aggregate(
+        Sum("n_custs", alias_name="n_custs"),
+        Sum("bal", alias_name="bal")).take_all()
+    rows.sort(key=lambda r: r["nationkey"])
+    return pa.table({
+        "nationkey": pa.array([r["nationkey"] for r in rows], pa.int64()),
+        "n_custs": pa.array([int(r["n_custs"]) for r in rows], pa.int64()),
+        "total_acctbal": pa.array([r["bal"] / 100.0 for r in rows],
+                                  pa.float64())})

@@ -44,6 +44,9 @@ SPOT = [
     "q17_small_quantity_revenue",
     "q7_volume_shipping",
     "q8_market_share",
+    "q22_inactive_customers",
+    "recrawl_intervals",
+    "temperature_mixture",
     "bm25_topk",
     "gopher_quality_flags",
     "neardup_dedup_docs",
