@@ -53,10 +53,18 @@ def _crawl_outputs(kind: str, mode: str) -> pa.Table:
     from pomp_ray.crawl import CrawlConfig, CrawlEngine
     from pomp_ray.sources import gen_corpus
 
-    fix = gen_corpus.generate("/tmp/pomp_q_corpus", gen_corpus.TINY)
+    profile = gen_corpus.TINY
+    corpus_dir = "/tmp/pomp_q_corpus"
+    if mode == "redirect":
+        # redirect-chain corpus (REDIR): BFS through 1-/2-hop redirect
+        # pages + per-host loops; goldens from the serial oracle
+        profile, corpus_dir = gen_corpus.REDIR, "/tmp/pomp_q_corpus_redir_q"
+    fix = gen_corpus.generate(corpus_dir, profile)
     ckpt = f"/tmp/pomp_q_ckpt_{mode}"
     kw = {}
-    if mode == "best":
+    if mode == "redirect":
+        mode = "bfs"
+    elif mode == "best":
         # priority-queue mode: wide enough (32 >= dfs_distributed_min_width)
         # that rounds run the DISTRIBUTED exact best-first path
         from pomp_ray.stages.enqueue import HashPriority
@@ -468,6 +476,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_bfs_errors": lambda sf: _crawl_outputs("errors", "bfs"),
         "crawl_budget_visited": lambda sf: _crawl_outputs("visited", "budget"),
         "crawl_budget_errors": lambda sf: _crawl_outputs("errors", "budget"),
+        "crawl_redirect_visited":
+            lambda sf: _crawl_outputs("visited", "redirect"),
+        "crawl_redirect_errors":
+            lambda sf: _crawl_outputs("errors", "redirect"),
         "crawl_publish_stats": lambda sf: _crawl_publish_stats(),
         "crawl_round_metrics": lambda sf: _crawl_round_metrics(),
         "crawl_host_health": lambda sf: _crawl_host_health(),
@@ -1828,6 +1840,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "crawl_bfs_visited":
             f"SELECT * FROM read_parquet('{_GOLDEN}/crawl_bfs_visited.parquet')",
+        "crawl_redirect_visited":
+            f"SELECT * FROM "
+            f"read_parquet('{_GOLDEN}/crawl_redirect_visited.parquet')",
+        "crawl_redirect_errors":
+            f"SELECT * FROM "
+            f"read_parquet('{_GOLDEN}/crawl_redirect_errors.parquet')",
         "crawl_round_metrics": f"""
             WITH v AS (
                 SELECT round, COUNT(*) AS n

@@ -53,6 +53,20 @@ from pomp_ray.functions.textfns import (
 )
 
 
+# redirect stand-in pages (see stages/fetch.py REDIRECT semantics);
+# the oracle re-implements target parsing independently of fetch.py
+_REDIR_PREFIX = b'<html><head><meta http-equiv="refresh" content="0;url='
+_MAX_REDIRECTS = 3
+
+
+def _redir_target(html):
+    if html is None or not html.startswith(_REDIR_PREFIX):
+        return None
+    rest = html[len(_REDIR_PREFIX):]
+    j = rest.find(b'"')
+    return rest[:j].decode("utf-8", "replace") if j >= 0 else None
+
+
 @dataclass
 class OracleResult:
     visited: list[dict] = field(default_factory=list)   # url, round, depth, seq
@@ -160,6 +174,22 @@ def crawl_oracle(
 
         for e in selected:
             html = corpus.get(e["url"])
+            # follow redirect chains: final page's content/links, links
+            # resolve against the FINAL url; mid-chain miss or >3 hops
+            # (incl. loops) = fetch miss (spec shared with stages/fetch)
+            base = e["url"]
+            if html is not None:
+                for _ in range(_MAX_REDIRECTS):
+                    t = _redir_target(html)
+                    if t is None:
+                        break
+                    tgt = url_canonicalize(url_join(base, t))
+                    html = corpus.get(tgt)
+                    if html is None:
+                        break
+                    base = tgt
+                if _redir_target(html) is not None:
+                    html = None
             if html is None:
                 res.errors.append({"url": e["url"], "stage": "fetch", "round": rnd})
                 continue
@@ -173,7 +203,7 @@ def crawl_oracle(
                  "round": rnd, "seq": e["seq"]}
             )
             for href in links:
-                try_enqueue(href, e["url"], e["depth"] + 1, 0, rnd)
+                try_enqueue(href, base, e["depth"] + 1, 0, rnd)
         rnd += 1
 
     res.rounds = rnd

@@ -575,7 +575,16 @@ class CrawlEngine:
         rows = self.index.lookup_rows(canon_urls)
         htmls = [self.index.htmls[int(r)].as_py() if r >= 0 else None
                  for r in rows]
-        oks = [r >= 0 for r in rows]
+        # follow redirect chains (same spec as the distributed fetch
+        # stage: resolve_redirects_table / core.oracle)
+        from pomp_ray.stages.fetch import resolve_redirect_chain
+        bases = list(canon_urls)
+        for i in range(len(htmls)):
+            if htmls[i] is not None:
+                htmls[i], bases[i] = resolve_redirect_chain(
+                    htmls[i], bases[i], self.index.lookup_rows,
+                    self.index.htmls)
+        oks = [h is not None for h in htmls]
         if cfg.middlewares:
             fetched = sel_t.append_column(
                 "html", pa.array(htmls, pa.binary())).append_column(
@@ -606,8 +615,8 @@ class CrawlEngine:
                           "n_links": len(links), "round": rnd, "seq": seq,
                           "depth": depth})
             for href in links:
-                cands.append({"url": href, "base": canon, "depth": depth + 1,
-                              "priority": 0})
+                cands.append({"url": href, "base": bases[i],
+                              "depth": depth + 1, "priority": 0})
         accepted, enq_errors = self._enqueue_driver(cands, rnd)
         errors += enq_errors
 

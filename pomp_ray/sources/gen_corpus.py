@@ -52,6 +52,12 @@ class CorpusProfile:
     # title+para at the same page index; links/urls stay its own) --
     # the cross-host duplication web mirrors produce.  0 = off.
     mirror_every: int = 0
+    # redirect stand-ins: child links with child%3==2 point at /r/child
+    # (-> /p/child), child%7==3 at /r2/child (-> /r/child, a 2-hop
+    # chain); each host gains /r/i,/r2/i pages for every i plus a
+    # /loop/a<->/loop/b pair linked from page 0 (exceeds the hop cap ->
+    # fetch error).  False = off (default; existing corpora unchanged).
+    redirects: bool = False
 
     def key(self) -> str:
         # -v2: page template gained per-link anchor words; -v3: per-host
@@ -60,6 +66,7 @@ class CorpusProfile:
         # appears when enabled so existing profile caches stay valid
         # (the post-pass is a no-op at 0: rng stream untouched).
         m = f"-m{self.mirror_every}" if self.mirror_every else ""
+        m += "-r1" if self.redirects else ""
         return (
             f"{self.name}-h{self.n_hosts}-p{self.n_pages}"
             f"-z{self.zipf_skew}-w{self.sentence_words}-s{self.seed}{m}-v3"
@@ -71,6 +78,9 @@ SMALL = CorpusProfile("small", n_hosts=20, n_pages=2000)
 # Mirror fixture: hosts 3,7,11 serve byte-identical content to hosts
 # 2,6,10 -- exercises mirror detection and cross-host line dedup.
 MIRROR = CorpusProfile("mirror", n_hosts=12, n_pages=1200, mirror_every=4)
+# Redirect fixture: ~1/3 of tree links route through 1- or 2-hop
+# redirect pages; a per-host redirect loop exercises the hop cap.
+REDIR = CorpusProfile("redir", n_hosts=4, n_pages=240, redirects=True)
 BENCH = CorpusProfile("bench", n_hosts=200, n_pages=200_000, zipf_skew=1.2,
                       sentence_words=60)
 # Flat throughput corpus: one production-shaped mega-round (each round at
@@ -147,11 +157,19 @@ def generate(out_dir: str, profile: CorpusProfile = TINY) -> GeneratedCorpus:
             links: list[str] = []
             for child in (2 * i + 1, 2 * i + 2):
                 if child < n_in_host:
+                    # redirect profiles route some tree links through
+                    # redirect pages (AFTER the rng draw, so redirect-off
+                    # profiles generate byte-identical corpora)
+                    seg = "p"
+                    if profile.redirects and child % 3 == 2:
+                        seg = "r"
+                    elif profile.redirects and child % 7 == 3:
+                        seg = "r2"
                     # 20% of same-host links are relative hrefs
                     if rng.random() < 0.20:
-                        links.append(f"/p/{child}")
+                        links.append(f"/{seg}/{child}")
                     else:
-                        links.append(_page_url(h, child))
+                        links.append(f"http://site{h}.test/{seg}/{child}")
             if rng.random() < 0.05 and profile.n_hosts > 1:  # cross-host link
                 oh = int(rng.integers(0, profile.n_hosts))
                 if oh == h:
@@ -163,6 +181,8 @@ def generate(out_dir: str, profile: CorpusProfile = TINY) -> GeneratedCorpus:
                 links.append(links[0])
             if rng.random() < 0.01:  # link back to the root -> seen-set path
                 links.append(_page_url(h, 0))
+            if profile.redirects and i == 0:
+                links.append(f"http://site{h}.test/loop/a")
 
             title = f"site{h} page {i}"
             para = f"text {h}-{i} {_sentence(rng, profile.sentence_words)}"
@@ -203,6 +223,29 @@ def generate(out_dir: str, profile: CorpusProfile = TINY) -> GeneratedCorpus:
                       f"<body><p>{body}</p></body></html>").encode())
         texts.append(f"{title}\n{body}")
         langs.append("en")
+
+    if profile.redirects:
+        def _emit_redirect(url: str, target: str) -> None:
+            html = (f'<html><head><meta http-equiv="refresh" '
+                    f'content="0;url={target}"></head><body></body></html>')
+            urls.append(url)
+            warc_ts.append(epoch_us
+                           + (profile.n_hosts * 200_000 + len(urls))
+                           * 1_000_000)
+            htmls.append(html.encode("utf-8"))
+            texts.append("")    # no title/<p>: extractor yields ""
+            langs.append("en")
+
+        for h, n_in_host in enumerate(counts):
+            for i in range(n_in_host):
+                _emit_redirect(f"http://site{h}.test/r/{i}",
+                               _page_url(h, i))
+                _emit_redirect(f"http://site{h}.test/r2/{i}",
+                               f"http://site{h}.test/r/{i}")
+            _emit_redirect(f"http://site{h}.test/loop/a",
+                           f"http://site{h}.test/loop/b")
+            _emit_redirect(f"http://site{h}.test/loop/b",
+                           f"http://site{h}.test/loop/a")
 
     pages = pa.Table.from_arrays(
         [

@@ -38,7 +38,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
-from pomp_ray.functions.textfns import url_canonicalize
+from pomp_ray.functions.textfns import url_canonicalize, url_join
 
 
 def _url_hash2(urls: list[str]) -> tuple[np.ndarray, np.ndarray]:
@@ -90,8 +90,10 @@ class CorpusIndex:
                        canon_urls)
 
     def fetch_table(self, batch: pa.Table) -> pa.Table:
-        return _attach_html(batch, self.lookup_rows(
+        fetched = _attach_html(batch, self.lookup_rows(
             batch["canon_url"].to_pylist()), self.htmls)
+        return resolve_redirects_table(fetched, self.lookup_rows,
+                                       self.htmls)
 
 
 @dataclass
@@ -129,6 +131,81 @@ def _attach_html(batch: pa.Table, rows: np.ndarray,
     return batch.append_column("fetch_ok", pc.is_valid(html))
 
 
+# ------------------------------------------------------------- redirects
+# A corpus page whose html starts with this marker is an HTTP-redirect
+# stand-in (the meta-refresh form real crawls see); fetch follows the
+# chain up to MAX_REDIRECTS hops.  Semantics (mirrored in
+# core/oracle.py): visited/items record the ORIGINAL url; title/text/
+# links come from the FINAL page; links resolve against the FINAL url
+# (browser base semantics); a mid-chain miss or a chain longer than
+# MAX_REDIRECTS (incl. loops) is a fetch miss.  ``fetch_via_join`` does
+# NOT follow redirects (a hop is another join round); redirect corpora
+# use the broadcast/actor strategies.
+REDIRECT_PREFIX = b'<html><head><meta http-equiv="refresh" content="0;url='
+MAX_REDIRECTS = 3
+
+
+def redirect_target(html) -> str | None:
+    """Target url if ``html`` is a redirect stand-in page, else None."""
+    if html is None or not html.startswith(REDIRECT_PREFIX):
+        return None
+    rest = html[len(REDIRECT_PREFIX):]
+    end = rest.find(b'"')
+    if end < 0:
+        return None
+    return rest[:end].decode("utf-8", "replace")
+
+
+def resolve_redirect_chain(html, base: str, lookup_rows, htmls,
+                           max_redirects: int = MAX_REDIRECTS):
+    """Serial per-row resolution: (final_html | None, final_base)."""
+    for _ in range(max_redirects):
+        t = redirect_target(html)
+        if t is None:
+            return html, base
+        tgt = url_canonicalize(url_join(base, t))
+        r = int(lookup_rows([tgt])[0])
+        if r < 0:
+            return None, base
+        html, base = htmls[int(r)].as_py(), tgt
+    return (None, base) if redirect_target(html) is not None \
+        else (html, base)
+
+
+def resolve_redirects_table(batch: pa.Table, lookup_rows, htmls,
+                            max_redirects: int = MAX_REDIRECTS) -> pa.Table:
+    """Vectorized-path resolution over a fetched batch (html/fetch_ok
+    present): follows chains for the (rare) redirect subset only, then
+    rebuilds html/fetch_ok and appends ``base_url`` -- the final url the
+    parse stage resolves links against."""
+    html_list = batch["html"].to_pylist()
+    base = batch["canon_url"].to_pylist()
+    for _ in range(max_redirects):
+        pend = [i for i in range(len(html_list))
+                if redirect_target(html_list[i]) is not None]
+        if not pend:
+            break
+        targets = [url_canonicalize(url_join(
+            base[i], redirect_target(html_list[i]))) for i in pend]
+        rows = lookup_rows(targets)
+        for i, tgt, r in zip(pend, targets, rows):
+            if r >= 0:
+                html_list[i] = htmls[int(r)].as_py()
+                base[i] = tgt
+            else:
+                html_list[i] = None
+    for i in range(len(html_list)):
+        if redirect_target(html_list[i]) is not None:
+            html_list[i] = None
+    names = batch.column_names
+    out = batch.set_column(names.index("html"), "html",
+                           pa.array(html_list, pa.binary()))
+    out = out.set_column(names.index("fetch_ok"), "fetch_ok",
+                         pa.array([h is not None for h in html_list],
+                                  pa.bool_()))
+    return out.append_column("base_url", pa.array(base, pa.string()))
+
+
 def make_fetch_fn(refs: CorpusIndexRefs):
     """Stateless-task fetch: each task gets the broadcast index zero-copy."""
 
@@ -138,7 +215,9 @@ def make_fetch_fn(refs: CorpusIndexRefs):
         rows = ray.get(refs.row)
         htmls = ray.get(refs.htmls)
         found = _lookup(h1s, h2s, rows, batch["canon_url"].to_pylist())
-        return _attach_html(batch, found, htmls)
+        fetched = _attach_html(batch, found, htmls)
+        return resolve_redirects_table(
+            fetched, lambda urls: _lookup(h1s, h2s, rows, urls), htmls)
 
     return fetch
 

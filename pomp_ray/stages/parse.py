@@ -70,8 +70,13 @@ def explode_links(batch: pa.Table) -> pa.Table:
     p_prio: list[int] = []
     p_seq: list[int] = []
     l_idx: list[int] = []
+    # links resolve against the FINAL url after redirects (base_url,
+    # appended by the fetch stage) -- browser base semantics; batches
+    # from redirect-free paths fall back to canon_url
+    base_col = ("base_url" if "base_url" in batch.column_names
+                else "canon_url")
     for base, depth, prio, seq, links in zip(
-        batch["canon_url"].to_pylist(),
+        batch[base_col].to_pylist(),
         batch["depth"].to_pylist(),
         batch["priority"].to_pylist(),
         batch["seq"].to_pylist(),

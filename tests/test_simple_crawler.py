@@ -133,3 +133,26 @@ def test_metrics_and_lineage_written(tmp_path):
     assert os.path.exists(os.path.join(ckpt, "rounds", "init.json"))
     mfiles = os.listdir(os.path.join(ckpt, "metrics"))
     assert len(mfiles) >= 1
+
+
+def test_redirects_driver_path(tmp_path):
+    """REDIR corpus: 1-/2-hop redirect chains resolve to the target's
+    content, links join against the FINAL url, and the /loop pages
+    exceed the hop cap into fetch errors -- bit-exact vs the oracle's
+    independent redirect loop."""
+    fix = fixture_corpus(gen_corpus.REDIR)
+    ckpt = str(tmp_path / "ckpt")
+    s = _run_engine(fix, ckpt, mode="bfs")
+    _assert_conformance(fix, ckpt, s, "bfs")
+    errs = read_ckpt(ckpt, "errors")
+    assert any("/loop/" in u for u in errs["url"].to_pylist())
+
+
+def test_redirects_distributed_exact(tmp_path):
+    """Same REDIR crawl forced through the distributed path (vectorized
+    resolve_redirects_table instead of the driver's serial chain)."""
+    fix = fixture_corpus(gen_corpus.REDIR)
+    ckpt = str(tmp_path / "ckpt")
+    s = _run_engine(fix, ckpt, mode="bfs", min_distributed_rows=0,
+                    n_seen_shards=4)
+    _assert_conformance(fix, ckpt, s, "bfs")

@@ -1245,6 +1245,38 @@ def gen_kcenter_golden(sf_dir: str = SF001, k: int = 8) -> None:
 
 
 
+def gen_redirect_goldens() -> None:
+    """BFS crawl goldens over the REDIR corpus (redirect chains, loop
+    pages): serial oracle output, hash-compared against the engine by
+    the driver's gate."""
+    from pomp_ray import schemas
+    from pomp_ray.core.oracle import crawl_oracle
+    from pomp_ray.functions.textfns import url_path
+    from pomp_ray.sources import gen_corpus
+    from tests.helpers import oracle_inputs
+
+    fix = gen_corpus.generate("/tmp/pomp_golden_corpus_redir",
+                              gen_corpus.REDIR)
+    corpus, seeds, robots, _ = oracle_inputs(fix)
+    res = crawl_oracle(corpus, seeds, robots, mode="bfs")
+    visited = pa.Table.from_pylist(res.visited, schema=schemas.VISITED)
+    pq.write_table(visited, os.path.join(
+        GOLDEN_DIR, "crawl_redirect_visited.parquet"))
+    exc = {"fetch": ("FetchMiss", lambda u: "not in corpus"),
+           "robots": ("RobotsDisallowed", url_path)}
+    errors = pa.Table.from_pylist(
+        [{"url": e["url"], "stage": e["stage"],
+          "exc_type": exc[e["stage"]][0],
+          "message": exc[e["stage"]][1](e["url"]),
+          "retryable": False, "round": e["round"]}
+         for e in res.errors],
+        schema=schemas.ERRORS)
+    pq.write_table(errors, os.path.join(
+        GOLDEN_DIR, "crawl_redirect_errors.parquet"))
+    print(f"redirect goldens: visited={visited.num_rows} "
+          f"errors={errors.num_rows}")
+
+
 if __name__ == "__main__":
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     gen_signature_goldens()
@@ -1274,3 +1306,4 @@ if __name__ == "__main__":
     gen_bpe_encode_golden()
     gen_lsq_classifier_golden()
     gen_kcenter_golden()
+    gen_redirect_goldens()
