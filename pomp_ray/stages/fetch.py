@@ -92,8 +92,8 @@ class CorpusIndex:
     def fetch_table(self, batch: pa.Table) -> pa.Table:
         fetched = _attach_html(batch, self.lookup_rows(
             batch["canon_url"].to_pylist()), self.htmls)
-        return resolve_redirects_table(fetched, self.lookup_rows,
-                                       self.htmls)
+        return resolve_redirects_table(
+            fetched, index_lookup_html(self.lookup_rows, self.htmls))
 
 
 @dataclass
@@ -138,9 +138,9 @@ def _attach_html(batch: pa.Table, rows: np.ndarray,
 # core/oracle.py): visited/items record the ORIGINAL url; title/text/
 # links come from the FINAL page; links resolve against the FINAL url
 # (browser base semantics); a mid-chain miss or a chain longer than
-# MAX_REDIRECTS (incl. loops) is a fetch miss.  ``fetch_via_join`` does
-# NOT follow redirects (a hop is another join round); redirect corpora
-# use the broadcast/actor strategies.
+# MAX_REDIRECTS (incl. loops) is a fetch miss.  ``fetch_via_join``
+# resolves the (rare) redirect subset with filtered parquet point reads
+# per hop instead of extra join rounds (see make_parquet_lookup_html).
 REDIRECT_PREFIX = b'<html><head><meta http-equiv="refresh" content="0;url='
 MAX_REDIRECTS = 3
 
@@ -172,12 +172,47 @@ def resolve_redirect_chain(html, base: str, lookup_rows, htmls,
         else (html, base)
 
 
-def resolve_redirects_table(batch: pa.Table, lookup_rows, htmls,
+def index_lookup_html(lookup_rows, htmls):
+    """``lookup_html`` adapter over a broadcast/driver CorpusIndex:
+    canonical urls -> list[bytes | None]."""
+
+    def f(urls: list[str]) -> list:
+        rows = lookup_rows(urls)
+        return [htmls[int(r)].as_py() if r >= 0 else None for r in rows]
+
+    return f
+
+
+def make_parquet_lookup_html(pages_path: str):
+    """``lookup_html`` adapter for the join-fetch path: resolve the
+    (rare) redirect targets with ONE filtered parquet read per hop --
+    O(redirect-rows) point lookups instead of another corpus-wide join
+    round.  Scale assumption (documented in fetch_via_join): the corpus
+    stores urls in CANONICAL form (true for all generated corpora; the
+    natural layout at 100 TB, where url-sorted row groups make the
+    ``url IN (...)`` filter a row-group-pruned point read)."""
+
+    def f(urls: list[str]) -> list:
+        want = sorted(set(urls))
+        tbl = pq.read_table(pages_path, columns=["url", "html"],
+                            filters=[("url", "in", want)])
+        d = dict(zip(tbl["url"].to_pylist(), tbl["html"].to_pylist()))
+        return [d.get(u) for u in urls]
+
+    return f
+
+
+def resolve_redirects_table(batch: pa.Table, lookup_html,
                             max_redirects: int = MAX_REDIRECTS) -> pa.Table:
     """Vectorized-path resolution over a fetched batch (html/fetch_ok
     present): follows chains for the (rare) redirect subset only, then
     rebuilds html/fetch_ok and appends ``base_url`` -- the final url the
-    parse stage resolves links against."""
+    parse stage resolves links against.  Redirect-free batches are
+    zero-copy: one Arrow prefix scan gates the python path."""
+    any_redir = pc.sum(pc.fill_null(pc.starts_with(
+        batch["html"], pattern=REDIRECT_PREFIX.decode()), False))
+    if int(any_redir.as_py() or 0) == 0:
+        return batch.append_column("base_url", batch["canon_url"])
     html_list = batch["html"].to_pylist()
     base = batch["canon_url"].to_pylist()
     for _ in range(max_redirects):
@@ -187,10 +222,10 @@ def resolve_redirects_table(batch: pa.Table, lookup_rows, htmls,
             break
         targets = [url_canonicalize(url_join(
             base[i], redirect_target(html_list[i]))) for i in pend]
-        rows = lookup_rows(targets)
-        for i, tgt, r in zip(pend, targets, rows):
-            if r >= 0:
-                html_list[i] = htmls[int(r)].as_py()
+        found = lookup_html(targets)
+        for i, tgt, h in zip(pend, targets, found):
+            if h is not None:
+                html_list[i] = h
                 base[i] = tgt
             else:
                 html_list[i] = None
@@ -216,8 +251,8 @@ def make_fetch_fn(refs: CorpusIndexRefs):
         htmls = ray.get(refs.htmls)
         found = _lookup(h1s, h2s, rows, batch["canon_url"].to_pylist())
         fetched = _attach_html(batch, found, htmls)
-        return resolve_redirects_table(
-            fetched, lambda urls: _lookup(h1s, h2s, rows, urls), htmls)
+        return resolve_redirects_table(fetched, index_lookup_html(
+            lambda urls: _lookup(h1s, h2s, rows, urls), htmls))
 
     return fetch
 
@@ -490,7 +525,17 @@ def fetch_via_join(frontier: rd.Dataset, pages_path: str,
                    num_partitions: int = 64) -> rd.Dataset:
     """Scale path: hash-join the frontier against the pages corpus on the
     canonical url.  Left join keeps misses (null html -> fetch_ok False),
-    the same error semantics as the lookup paths."""
+    the same error semantics as the lookup paths.  Redirect chains are
+    followed per batch with filtered parquet point reads (at most
+    MAX_REDIRECTS reads per batch, each over the batch's redirect rows
+    only) -- a hop never re-shuffles the corpus, and redirect-free
+    batches pay one Arrow prefix scan."""
+
+    def finish(t: pa.Table) -> pa.Table:
+        fetched = t.append_column("fetch_ok", pc.is_valid(t["html"]))
+        return resolve_redirects_table(
+            fetched, make_parquet_lookup_html(pages_path))
+
     pages = rd.read_parquet(pages_path, columns=["url", "html"]).map_batches(
         canon_pages_batch, batch_format="pyarrow"
     )
@@ -500,7 +545,4 @@ def fetch_via_join(frontier: rd.Dataset, pages_path: str,
         num_partitions=num_partitions,
         on=("canon_url",),
     )
-    return joined.map_batches(
-        lambda t: t.append_column("fetch_ok", pc.is_valid(t["html"])),
-        batch_format="pyarrow",
-    )
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -156,3 +156,15 @@ def test_redirects_distributed_exact(tmp_path):
     s = _run_engine(fix, ckpt, mode="bfs", min_distributed_rows=0,
                     n_seen_shards=4)
     _assert_conformance(fix, ckpt, s, "bfs")
+
+
+def test_redirects_join_fetch(tmp_path):
+    """REDIR crawl through the all-large join-fetch path: redirect hops
+    resolve via filtered parquet point reads (no broadcast corpus index
+    ever built) and stay bit-exact vs the oracle."""
+    fix = fixture_corpus(gen_corpus.REDIR)
+    ckpt = str(tmp_path / "ckpt")
+    s = _run_engine(fix, ckpt, mode="bfs", fetch_strategy="join",
+                    min_distributed_rows=0, join_num_partitions=4,
+                    n_seen_shards=2)
+    _assert_conformance(fix, ckpt, s, "bfs")
