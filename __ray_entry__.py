@@ -266,6 +266,15 @@ def _crawl_publish_stats():
         batch_format="pyarrow")
 
 
+def _redirect_map() -> pa.Table:
+    from pomp_ray.pipelines.graph import redirect_map
+    from pomp_ray.sources import gen_corpus
+
+    fix = gen_corpus.generate("/tmp/pomp_q_corpus_redir_q",
+                              gen_corpus.REDIR)
+    return redirect_map(fix.pages_path)
+
+
 def _corpus_hits():
     """Host-level HITS over the SMALL corpus link graph (golden oracle:
     the independent serial dict impl in tools/gen_golden.py)."""
@@ -480,6 +489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: _crawl_outputs("visited", "redirect"),
         "crawl_redirect_errors":
             lambda sf: _crawl_outputs("errors", "redirect"),
+        "redirect_map": lambda sf: _redirect_map(),
         "crawl_publish_stats": lambda sf: _crawl_publish_stats(),
         "crawl_round_metrics": lambda sf: _crawl_round_metrics(),
         "crawl_host_health": lambda sf: _crawl_host_health(),
@@ -1846,6 +1856,8 @@ def oracle_sql() -> dict[str, str]:
         "crawl_redirect_errors":
             f"SELECT * FROM "
             f"read_parquet('{_GOLDEN}/crawl_redirect_errors.parquet')",
+        "redirect_map":
+            f"SELECT * FROM read_parquet('{_GOLDEN}/redirect_map.parquet')",
         "crawl_round_metrics": f"""
             WITH v AS (
                 SELECT round, COUNT(*) AS n

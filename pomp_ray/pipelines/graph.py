@@ -514,3 +514,107 @@ def two_hop_reach(edges: rd.Dataset, num_partitions: int = 8) -> pa.Table:
 def corpus_two_hop_reach(pages_path: str) -> pa.Table:
     """corpus -> host link graph -> 2-hop reach, composed."""
     return two_hop_reach(corpus_host_edges(pages_path))
+
+
+def redirect_edges(pages_path: str) -> rd.Dataset:
+    """(url, target) edge per redirect stand-in page in the corpus,
+    targets canonicalized against the redirect page's own url.  One
+    Arrow prefix scan gates each batch; html never leaves the batch."""
+    from pomp_ray.functions.textfns import url_canonicalize, url_join
+    from pomp_ray.stages.fetch import REDIRECT_PREFIX, redirect_target
+
+    def edges(t: pa.Table) -> pa.Table:
+        mask = pc.fill_null(pc.starts_with(
+            t["html"], pattern=REDIRECT_PREFIX.decode()), False)
+        src, tgt = [], []
+        if int(pc.sum(mask).as_py() or 0):
+            sub = t.filter(mask)
+            for url, html in zip(sub["url"].to_pylist(),
+                                 sub["html"].to_pylist()):
+                raw = redirect_target(html)
+                if raw is not None:
+                    src.append(url)
+                    tgt.append(url_canonicalize(url_join(url, raw)))
+        return pa.table({"url": pa.array(src, pa.string()),
+                         "target": pa.array(tgt, pa.string())})
+
+    return rd.read_parquet(pages_path, columns=["url", "html"]).map_batches(
+        edges, batch_format="pyarrow")
+
+
+def redirect_map(pages_path: str, num_partitions: int = 4) -> pa.Table:
+    """Redirect-resolution table: one row per redirect page with the url
+    the chain settles on -- the canonicalization map a crawl/recrawl
+    scheduler joins against so revisits hit final urls directly (and the
+    offline mirror of what the fetch stage does per hop online).
+
+    Columns: url, final_url (NULL when the chain is still a redirect
+    after MAX_REDIRECTS hops -- loops land here), n_hops (redirect hops
+    taken, int64), ok (final url exists in the corpus).
+
+    Scale shape: chains resolve as MAX_REDIRECTS-1 self-joins of the
+    edge table plus one membership join against the corpus's url column
+    (pruned read) -- the edge table is the only thing that re-shuffles,
+    never page bodies.  Each join is materialized before the next (two
+    live hash joins in one DAG starve each other's aggregator pools).
+    """
+    from pomp_ray.stages.fetch import MAX_REDIRECTS
+
+    edges = redirect_edges(pages_path).repartition(num_partitions) \
+        .materialize()
+    right = edges.map_batches(
+        lambda t: pa.table({"r_url": t["url"], "r_target": t["target"]}),
+        batch_format="pyarrow").materialize()
+
+    cur = edges.map_batches(
+        lambda t: t.append_column(
+            "n_hops", pa.array([1] * t.num_rows, pa.int64())),
+        batch_format="pyarrow").materialize()
+    # hops 2..MAX, then one extra probe that only FLAGS (a target still
+    # in the redirect set after the cap = unresolved, the loop case)
+    for hop in range(2, MAX_REDIRECTS + 2):
+        j = cur.join(right, join_type="left_outer", on=("target",),
+                     right_on=("r_url",), num_partitions=num_partitions)
+
+        def advance(t: pa.Table, _hop=hop) -> pa.Table:
+            hit = pc.is_valid(t["r_target"])
+            if _hop <= MAX_REDIRECTS:
+                target = pc.if_else(hit, t["r_target"], t["target"])
+                n = pc.if_else(hit, pa.scalar(_hop, pa.int64()),
+                               t["n_hops"])
+            else:       # over the cap: null out, keep hop count
+                target = pc.if_else(hit, pa.scalar(None, pa.string()),
+                                    t["target"])
+                n = t["n_hops"]
+            return pa.table({"url": t["url"], "target": target,
+                             "n_hops": n})
+
+        cur = j.map_batches(advance, batch_format="pyarrow") \
+            .repartition(num_partitions).materialize()
+
+    # membership of the settled target in the corpus; "" sentinel keeps
+    # the join key null-free (unresolved rows can't match any url)
+    probe = cur.map_batches(
+        lambda t: t.append_column(
+            "p_url", pc.fill_null(t["target"], "")),
+        batch_format="pyarrow").materialize()
+    urls = rd.read_parquet(pages_path, columns=["url"]).map_batches(
+        lambda t: pa.table({"p_url": t["url"],
+                            "p_ok": pa.array([True] * t.num_rows)}),
+        batch_format="pyarrow")
+    m = probe.join(urls, join_type="left_outer", on=("p_url",),
+                   num_partitions=num_partitions)
+    out = m.map_batches(
+        lambda t: pa.table({
+            "url": t["url"],
+            "final_url": t["target"],
+            "n_hops": t["n_hops"],
+            "ok": pc.fill_null(t["p_ok"], False)}),
+        batch_format="pyarrow")
+    tbl = pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")]
+        or [pa.table({"url": pa.array([], pa.string()),
+                      "final_url": pa.array([], pa.string()),
+                      "n_hops": pa.array([], pa.int64()),
+                      "ok": pa.array([], pa.bool_())})])
+    return tbl.sort_by("url")

@@ -1097,3 +1097,29 @@ def test_kcenter_sample_invariants():
     assert t["sel_order"].to_pylist() == list(range(6))
     assert ids[0] == 0 and d2[0] == 0
     assert all(a >= b for a, b in zip(d2[1:], d2[2:]))
+
+
+def test_redirect_map_matches_serial_resolution():
+    """redirect_map's join-chain resolution equals an in-test dict
+    resolver over the same REDIR corpus: every 1-hop /r/ page lands on
+    its /p/ target, /r2/ chains count 2 hops, and the /loop pair is
+    unresolved (NULL final, ok=False) at the hop cap."""
+    from pomp_ray.pipelines.graph import redirect_map
+    from pomp_ray.sources import gen_corpus
+
+    fix = gen_corpus.generate("/tmp/pomp_q_corpus_redir_q",
+                              gen_corpus.REDIR)
+    t = redirect_map(fix.pages_path)
+    rows = {r["url"]: r for r in t.to_pylist()}
+    assert len(rows) == t.num_rows          # one row per redirect page
+    r1 = rows["http://site0.test/r/5"]
+    assert (r1["final_url"], r1["n_hops"], r1["ok"]) == \
+        ("http://site0.test/p/5", 1, True)
+    r2 = rows["http://site1.test/r2/3"]
+    assert (r2["final_url"], r2["n_hops"], r2["ok"]) == \
+        ("http://site1.test/p/3", 2, True)
+    lp = rows["http://site2.test/loop/a"]
+    assert lp["final_url"] is None and not lp["ok"]
+    # resolved rows: ok iff the final target is a corpus page
+    assert all(r["ok"] == (r["final_url"] is not None)
+               for r in rows.values())

@@ -1277,6 +1277,49 @@ def gen_redirect_goldens() -> None:
           f"errors={errors.num_rows}")
 
 
+def gen_redirect_map_golden() -> None:
+    """redirect_map golden: an independent SERIAL resolver -- regex
+    target extraction over the raw corpus html (not fetch.py's prefix
+    parser), dict-chained hops, set membership -- over the REDIR
+    corpus."""
+    import re as _re
+
+    from pomp_ray.functions.textfns import url_canonicalize, url_join
+    from pomp_ray.sources import gen_corpus
+
+    fix = gen_corpus.generate("/tmp/pomp_golden_corpus_redir",
+                              gen_corpus.REDIR)
+    pages = pq.read_table(fix.pages_path, columns=["url", "html"])
+    pat = _re.compile(
+        rb'^<html><head><meta http-equiv="refresh" content="0;url=([^"]*)"')
+    edge: dict[str, str] = {}
+    all_urls: set[str] = set()
+    for url, html in zip(pages["url"].to_pylist(),
+                         pages["html"].to_pylist()):
+        all_urls.add(url)
+        m = pat.match(html or b"")
+        if m:
+            edge[url] = url_canonicalize(
+                url_join(url, m.group(1).decode("utf-8", "replace")))
+    rows = []
+    for url in sorted(edge):
+        tgt, hops = edge[url], 1
+        while hops < 3 and tgt in edge:
+            tgt = edge[tgt]
+            hops += 1
+        if tgt in edge:     # still a redirect after the cap: unresolved
+            rows.append({"url": url, "final_url": None, "n_hops": hops,
+                         "ok": False})
+        else:
+            rows.append({"url": url, "final_url": tgt, "n_hops": hops,
+                         "ok": tgt in all_urls})
+    tbl = pa.Table.from_pylist(rows, schema=pa.schema(
+        [("url", pa.string()), ("final_url", pa.string()),
+         ("n_hops", pa.int64()), ("ok", pa.bool_())]))
+    pq.write_table(tbl, os.path.join(GOLDEN_DIR, "redirect_map.parquet"))
+    print(f"redirect_map golden: {tbl.num_rows} rows")
+
+
 if __name__ == "__main__":
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     gen_signature_goldens()
@@ -1307,3 +1350,4 @@ if __name__ == "__main__":
     gen_lsq_classifier_golden()
     gen_kcenter_golden()
     gen_redirect_goldens()
+    gen_redirect_map_golden()
