@@ -393,6 +393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_delta": delta.snapshot_delta,
         "host_change_rates": delta.host_change_rates,
         "recrawl_intervals": delta.recrawl_intervals,
+        "moved_content": delta.moved_content,
         # -- model training: distributed least-squares classifier
         #    (integer sufficient statistics -> pinned solve)
         "lsq_classifier_weights": classify.lsq_classifier_weights,
@@ -1721,6 +1722,27 @@ def oracle_sql() -> dict[str, str]:
                              WHEN change_ppm >= 50000 THEN 72
                              ELSE 168 END AS BIGINT) AS revisit_hours
             FROM r
+        """,
+        "moved_content": """
+            WITH g AS (
+                SELECT doc_id, md5(text) AS d,
+                       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                           1, 4) AS INTEGER) % 10 AS b
+                FROM documents),
+            old_u AS (
+                SELECT d, MIN(doc_id) AS old_doc_id
+                FROM g GROUP BY d HAVING COUNT(*) = 1),
+            new_s AS (
+                SELECT CASE WHEN b = 3 THEN doc_id + 10000000
+                            ELSE doc_id END AS doc_id, d
+                FROM g WHERE b <> 1),
+            new_u AS (
+                SELECT d, MIN(doc_id) AS new_doc_id
+                FROM new_s GROUP BY d HAVING COUNT(*) = 1)
+            SELECT CAST(old_doc_id AS BIGINT) AS old_doc_id,
+                   CAST(new_doc_id AS BIGINT) AS new_doc_id
+            FROM old_u JOIN new_u USING (d)
+            WHERE old_doc_id <> new_doc_id
         """,
         "pretraining_shards": """
             WITH quality AS (

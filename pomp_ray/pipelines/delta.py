@@ -183,3 +183,69 @@ def recrawl_intervals(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
                                pa.array(hours, pa.int64()))
 
     return rates.map_batches(policy, batch_format="pyarrow")
+
+
+def moved_content(sf_dir: str, num_partitions: int = 16) -> pa.Table:
+    """Content MOVES between snapshots: pages whose text digest appears
+    at a different doc id in the new snapshot -- the url-migration signal
+    a recrawl scheduler uses to transfer history (change rates, PageRank)
+    to the new address instead of treating a move as remove+add (and the
+    digest-keyed sibling of the url-keyed ``snapshot_delta``).
+
+    Derivation (own buckets, mirrored in the DuckDB oracle): OLD = all
+    documents; NEW drops bucket 1 and relocates bucket 3 to
+    ``doc_id + 10_000_000``.  A move is reported only when the digest is
+    UNIQUE on both sides (ambiguous duplicate content never pairs --
+    the standard move-detection guard).
+
+    Scale shape: both sides reduce to (digest, doc_id) inside
+    map_batches (text never shuffles); per-side uniqueness is ONE
+    groupby(digest) with Count+Min (count==1 => the Min IS the row);
+    one inner hash join on digest pairs the sides.  Aggregates are
+    materialized before the join (live-join pool starvation) and
+    repartitioned (ray 2.49 empty-schema zero-row groupby blocks cannot
+    feed a join)."""
+    from ray.data.aggregate import Count, Min
+
+    def old_side(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "d": _digests(t, t["text"].to_pylist()),
+            "doc_id": pc.cast(t["doc_id"], pa.int64())})
+
+    def new_side(t: pa.Table) -> pa.Table:
+        b = _shard_ids(t["doc_id"].to_pylist(), 10)
+        keep = b != 1
+        t = t.filter(pa.array(keep))
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy().copy()
+        ids[b[keep] == 3] += 10_000_000
+        return pa.table({
+            "d": _digests(t, t["text"].to_pylist()),
+            "doc_id": pa.array(ids, pa.int64())})
+
+    def unique_only(side_fn, id_name: str) -> rd.Dataset:
+        agg = (_docs(sf_dir, ["doc_id", "text"])
+               .map_batches(side_fn, batch_format="pyarrow")
+               .groupby("d")
+               .aggregate(Count(alias_name="n"),
+                          Min("doc_id", alias_name=id_name)))
+        return agg.map_batches(
+            lambda t: pa.table({
+                "d": t["d"],
+                id_name: pc.cast(t[id_name], pa.int64())})
+            .filter(pc.equal(t["n"], 1)),
+            batch_format="pyarrow").repartition(2).materialize()
+
+    ou = unique_only(old_side, "old_doc_id")
+    nu = unique_only(new_side, "new_doc_id")
+    j = ou.join(nu, join_type="inner", on=("d",),
+                num_partitions=num_partitions)
+    out = j.map_batches(
+        lambda t: pa.table({"old_doc_id": t["old_doc_id"],
+                            "new_doc_id": t["new_doc_id"]})
+        .filter(pc.not_equal(t["old_doc_id"], t["new_doc_id"])),
+        batch_format="pyarrow")
+    tbl = pa.concat_tables(
+        list(out.iter_batches(batch_format="pyarrow"))
+        or [pa.table({"old_doc_id": pa.array([], pa.int64()),
+                      "new_doc_id": pa.array([], pa.int64())})])
+    return tbl.sort_by("old_doc_id")

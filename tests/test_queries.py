@@ -1123,3 +1123,17 @@ def test_redirect_map_matches_serial_resolution():
     # resolved rows: ok iff the final target is a corpus page
     assert all(r["ok"] == (r["final_url"] is not None)
                for r in rows.values())
+
+
+def test_moved_content_invariants():
+    """Every reported move is a bucket-3 relocation (+10M id shift), and
+    relocated docs with duplicate text digests never pair."""
+    from pomp_ray.pipelines.delta import moved_content
+    from pomp_ray.pipelines.docs import _shard_ids
+
+    t = moved_content(SF)
+    old = t["old_doc_id"].to_pylist()
+    new = t["new_doc_id"].to_pylist()
+    assert t.num_rows > 0
+    assert all(n == o + 10_000_000 for o, n in zip(old, new))
+    assert set(_shard_ids(old, 10)) == {3}
