@@ -275,6 +275,15 @@ def _redirect_map() -> pa.Table:
     return redirect_map(fix.pages_path)
 
 
+def _broken_links() -> pa.Table:
+    from pomp_ray.pipelines.graph import broken_links
+    from pomp_ray.sources import gen_corpus
+
+    fix = gen_corpus.generate("/tmp/pomp_q_corpus_small",
+                              gen_corpus.SMALL)
+    return broken_links(fix.pages_path)
+
+
 def _corpus_hits():
     """Host-level HITS over the SMALL corpus link graph (golden oracle:
     the independent serial dict impl in tools/gen_golden.py)."""
@@ -491,6 +500,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_redirect_errors":
             lambda sf: _crawl_outputs("errors", "redirect"),
         "redirect_map": lambda sf: _redirect_map(),
+        "broken_links": lambda sf: _broken_links(),
         "crawl_publish_stats": lambda sf: _crawl_publish_stats(),
         "crawl_round_metrics": lambda sf: _crawl_round_metrics(),
         "crawl_host_health": lambda sf: _crawl_host_health(),
@@ -1880,6 +1890,8 @@ def oracle_sql() -> dict[str, str]:
             f"read_parquet('{_GOLDEN}/crawl_redirect_errors.parquet')",
         "redirect_map":
             f"SELECT * FROM read_parquet('{_GOLDEN}/redirect_map.parquet')",
+        "broken_links":
+            f"SELECT * FROM read_parquet('{_GOLDEN}/broken_links.parquet')",
         "crawl_round_metrics": f"""
             WITH v AS (
                 SELECT round, COUNT(*) AS n

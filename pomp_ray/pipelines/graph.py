@@ -618,3 +618,68 @@ def redirect_map(pages_path: str, num_partitions: int = 4) -> pa.Table:
                       "n_hops": pa.array([], pa.int64()),
                       "ok": pa.array([], pa.bool_())})])
     return tbl.sort_by("url")
+
+
+def broken_links(pages_path: str, num_partitions: int = 8) -> pa.Table:
+    """Per-host broken-outlink report: for every source host, how many
+    DISTINCT canonical link targets its pages carry and how many of
+    those are absent from the corpus (the 404 candidates a crawl-QA
+    dashboard tracks; the corpus generator plants ~2% dead links).
+
+    Scale shape: links explode and canonicalize inside map_batches with
+    a per-batch (host, target) distinct, ONE global distinct groupby,
+    one left join against the corpus's pruned url column, and a final
+    per-host Count/Sum -- html never shuffles, and the shuffled payload
+    is 2-string rows."""
+    from ray.data.aggregate import Count, Sum
+
+    from pomp_ray.functions.textfns import (html_extract_links,
+                                            url_canonicalize, url_host,
+                                            url_join)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        hosts, tgts = [], []
+        for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            if html is None:
+                continue
+            h = url_host(url)
+            for href in html_extract_links(html):
+                hosts.append(h)
+                tgts.append(url_canonicalize(url_join(url, href)))
+        tbl = pa.table({"host": pa.array(hosts, pa.string()),
+                        "target": pa.array(tgts, pa.string())})
+        return tbl.group_by(["host", "target"]).aggregate([])
+
+    distinct = (rd.read_parquet(pages_path, columns=["url", "html"])
+                .map_batches(pairs, batch_format="pyarrow")
+                .groupby(["host", "target"])
+                .aggregate(Count(alias_name="_n")))
+    probe = distinct.map_batches(
+        lambda t: pa.table({"host": t["host"], "p_url": t["target"]}),
+        batch_format="pyarrow").repartition(2).materialize()
+    urls = rd.read_parquet(pages_path, columns=["url"]).map_batches(
+        lambda t: pa.table({"p_url": t["url"],
+                            "p_ok": pa.array([True] * t.num_rows)}),
+        batch_format="pyarrow")
+    j = probe.join(urls, join_type="left_outer", on=("p_url",),
+                   num_partitions=num_partitions)
+    per_host = j.map_batches(
+        lambda t: pa.table({
+            "host": t["host"],
+            "one": pa.array([1] * t.num_rows, pa.int64()),
+            "broken": pc.cast(pc.is_null(t["p_ok"]), pa.int64())}),
+        batch_format="pyarrow").groupby("host").aggregate(
+        Sum("one", alias_name="n_targets"),
+        Sum("broken", alias_name="n_broken"))
+    out = per_host.map_batches(
+        lambda t: pa.table({
+            "host": t["host"],
+            "n_targets": pc.cast(t["n_targets"], pa.int64()),
+            "n_broken": pc.cast(t["n_broken"], pa.int64())}),
+        batch_format="pyarrow")
+    tbl = pa.concat_tables(
+        list(out.iter_batches(batch_format="pyarrow"))
+        or [pa.table({"host": pa.array([], pa.string()),
+                      "n_targets": pa.array([], pa.int64()),
+                      "n_broken": pa.array([], pa.int64())})])
+    return tbl.sort_by("host")

@@ -1137,3 +1137,35 @@ def test_moved_content_invariants():
     assert t.num_rows > 0
     assert all(n == o + 10_000_000 for o, n in zip(old, new))
     assert set(_shard_ids(old, 10)) == {3}
+
+
+def test_broken_links_report_invariants():
+    """Every host's broken count is bounded by its distinct targets, the
+    planted ~2% dead links surface somewhere, and recounting one host's
+    rows serially (stdlib urljoin) matches the distributed report."""
+    import re
+    from urllib.parse import urljoin, urlparse
+
+    import pyarrow.parquet as pq
+
+    from pomp_ray.pipelines.graph import broken_links
+    from pomp_ray.sources import gen_corpus
+
+    fix = gen_corpus.generate("/tmp/pomp_q_corpus_small",
+                              gen_corpus.SMALL)
+    t = broken_links(fix.pages_path)
+    rows = {r["host"]: r for r in t.to_pylist()}
+    assert all(r["n_broken"] <= r["n_targets"] for r in rows.values())
+    assert sum(r["n_broken"] for r in rows.values()) > 0
+    pages = pq.read_table(fix.pages_path, columns=["url", "html"])
+    urls = set(pages["url"].to_pylist())
+    seen = set()
+    for url, html in zip(pages["url"].to_pylist(),
+                         pages["html"].to_pylist()):
+        if urlparse(url).netloc != "site0.test":
+            continue
+        for m in re.finditer(rb'<a href="([^"]*)"', html or b""):
+            seen.add(urljoin(url, m.group(1).decode()))
+    assert rows["site0.test"]["n_targets"] == len(seen)
+    assert rows["site0.test"]["n_broken"] == \
+        sum(u not in urls for u in seen)

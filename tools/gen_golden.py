@@ -1320,6 +1320,42 @@ def gen_redirect_map_golden() -> None:
     print(f"redirect_map golden: {tbl.num_rows} rows")
 
 
+def gen_broken_links_golden() -> None:
+    """broken_links golden over the SMALL corpus: independent serial
+    impl -- its own href regex + stdlib urljoin (not textfns) -- per-host
+    distinct targets and corpus-membership misses."""
+    import re as _re
+    from urllib.parse import urljoin, urlparse
+
+    from pomp_ray.sources import gen_corpus
+
+    fix = gen_corpus.generate("/tmp/pomp_golden_corpus_small",
+                              gen_corpus.SMALL)
+    pages = pq.read_table(fix.pages_path, columns=["url", "html"])
+    urls = set(pages["url"].to_pylist())
+    href = _re.compile(rb'<a href="([^"]*)"')
+    seen: set[tuple[str, str]] = set()
+    for url, html in zip(pages["url"].to_pylist(),
+                         pages["html"].to_pylist()):
+        host = urlparse(url).netloc
+        for m in href.finditer(html or b""):
+            tgt = urljoin(url, m.group(1).decode("utf-8", "replace"))
+            seen.add((host, tgt))
+    agg: dict[str, list[int]] = {}
+    for host, tgt in seen:
+        a = agg.setdefault(host, [0, 0])
+        a[0] += 1
+        a[1] += tgt not in urls
+    rows = sorted(agg.items())
+    tbl = pa.table({
+        "host": pa.array([r[0] for r in rows], pa.string()),
+        "n_targets": pa.array([r[1][0] for r in rows], pa.int64()),
+        "n_broken": pa.array([r[1][1] for r in rows], pa.int64())})
+    pq.write_table(tbl, os.path.join(GOLDEN_DIR, "broken_links.parquet"))
+    print(f"broken_links golden: {tbl.num_rows} hosts, "
+          f"{sum(r[1][1] for r in rows)} broken")
+
+
 if __name__ == "__main__":
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     gen_signature_goldens()
@@ -1351,3 +1387,4 @@ if __name__ == "__main__":
     gen_kcenter_golden()
     gen_redirect_goldens()
     gen_redirect_map_golden()
+    gen_broken_links_golden()
