@@ -356,6 +356,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: webtext.dedup_lines(_mirror_pages_path()),
         "host_template_stats":
             lambda sf: webtext.host_template_stats(_mirror_pages_path()),
+        "trap_report":
+            lambda sf: webtext.trap_report(_trap_pages_path()),
         "chunk_docs": docs.chunk_docs,
         "vocab_coverage": docs.vocab_coverage,
         # -- documents: text analysis (SQL-verified)
@@ -596,6 +598,14 @@ def _sql_list(words) -> str:
     return "[" + ", ".join(f"'{w}'" for w in words) + "]"
 
 
+def _trap_pages_path() -> str:
+    """Pages parquet of the TRAP corpus fixture (idempotent manifest;
+    no ray needed, safe from oracle_sql)."""
+    from pomp_ray.sources import gen_corpus
+    return gen_corpus.generate("/tmp/pomp_q_corpus_trap",
+                               gen_corpus.TRAP).pages_path
+
+
 def _mirror_pages_path() -> str:
     """Pages parquet of the MIRROR corpus fixture (idempotent via the
     generator's manifest; no ray needed, safe from oracle_sql)."""
@@ -606,6 +616,7 @@ def _mirror_pages_path() -> str:
 
 def oracle_sql() -> dict[str, str]:
     _MP = _mirror_pages_path()
+    _TP = _trap_pages_path()
     return {
         "asof_click_before_purchase": """
             SELECT p.event_id, CAST(p.user_id AS BIGINT) AS user_id, p.ts,
@@ -755,6 +766,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_templates,
                    CAST(MAX(n) AS BIGINT) AS top_template_n
             FROM g GROUP BY host
+        """,
+        "trap_report": f"""
+            WITH th AS (
+                SELECT regexp_replace(url, '[0-9]+', 'N', 'g')
+                           AS "template",
+                       regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host,
+                       md5(text) AS d
+                FROM read_parquet('{_TP}'))
+            SELECT host, "template",
+                   CAST(COUNT(*) AS BIGINT) AS n_urls,
+                   CAST(COUNT(DISTINCT d) AS BIGINT) AS n_distinct,
+                   CAST(COUNT(DISTINCT d) * 1000000 // COUNT(*)
+                        AS BIGINT) AS distinct_ppm,
+                   (COUNT(*) >= 20 AND
+                    COUNT(DISTINCT d) * 1000000 // COUNT(*) <= 100000)
+                       AS is_trap
+            FROM th GROUP BY host, "template"
         """,
         # Token-window chunking: 1-based inclusive DuckDB list slicing
         # mirrors tokens[start : start+32); chunk_id = start // stride

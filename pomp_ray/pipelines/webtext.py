@@ -208,3 +208,61 @@ def host_template_stats(pages_path: str) -> rd.Dataset:
             "n_templates": pc.cast(t["n_templates"], pa.int64()),
             "top_template_n": pc.cast(t["top_template_n"], pa.int64())}),
         batch_format="pyarrow").sort("host")
+
+
+def trap_report(pages_path: str, min_urls: int = 20,
+                max_distinct_ppm: int = 100_000) -> rd.Dataset:
+    """Crawler-trap detector: per (host, url template) the url count,
+    DISTINCT content-digest count, diversity ppm, and a trap flag --
+    templates whose url space grows without new content (calendars,
+    session ids, infinite pagination).  A crawl feeds flagged templates
+    back as disallow prefixes / per-host budgets (``max_pages_per_host``
+    is the runtime mitigation; this is the offline detector).
+
+    Flag rule (mirrored in the DuckDB oracle): n_urls >= ``min_urls``
+    and distinct_ppm <= ``max_distinct_ppm`` (default: >= 20 urls with
+    <= 10% distinct content).
+
+    Scale shape: pages reduce to (host, template, md5(text)) inside
+    map_batches with a per-batch distinct -- text never shuffles -- then
+    ONE groupby collapses duplicate digests globally and a second tiny
+    groupby rolls up per template.  Payloads are 3-string rows."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        tpl = pc.replace_substring_regex(t["url"], pattern=r"[0-9]+",
+                                         replacement="N")
+        hs = [hashlib.md5((s or "").encode()).hexdigest()
+              for s in t["text"].to_pylist()]
+        tbl = pa.table({"host": _host_col(t["url"]),
+                        "template": pc.cast(tpl, pa.string()),
+                        "d": pa.array(hs, pa.string())})
+        return tbl.group_by(["host", "template", "d"]).aggregate(
+            [([], "count_all")]).rename_columns(
+            ["host", "template", "d", "n"])
+
+    per_digest = (_pages(pages_path, ["url", "text"])
+                  .map_batches(partial, batch_format="pyarrow")
+                  .groupby(["host", "template", "d"])
+                  .aggregate(Sum("n", alias_name="n_urls")))
+    rollup = per_digest.map_batches(
+        lambda t: pa.table({
+            "host": t["host"], "template": t["template"],
+            "n_urls": pc.cast(t["n_urls"], pa.int64()),
+            "one": pa.array([1] * t.num_rows, pa.int64())}),
+        batch_format="pyarrow").groupby(["host", "template"]).aggregate(
+        Sum("n_urls", alias_name="n_urls"),
+        Sum("one", alias_name="n_distinct"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        nu = pc.cast(t["n_urls"], pa.int64()).to_numpy()
+        nd = pc.cast(t["n_distinct"], pa.int64()).to_numpy()
+        ppm = nd * 1_000_000 // nu
+        return pa.table({
+            "host": t["host"], "template": t["template"],
+            "n_urls": pa.array(nu, pa.int64()),
+            "n_distinct": pa.array(nd, pa.int64()),
+            "distinct_ppm": pa.array(ppm, pa.int64()),
+            "is_trap": pa.array((nu >= min_urls)
+                                & (ppm <= max_distinct_ppm))})
+
+    return rollup.map_batches(fin, batch_format="pyarrow")

@@ -58,6 +58,10 @@ class CorpusProfile:
     # /loop/a<->/loop/b pair linked from page 0 (exceeds the hop cap ->
     # fetch error).  False = off (default; existing corpora unchanged).
     redirects: bool = False
+    # crawler-trap pages: host 0 gains /cal/{i} pages (i < trap_pages)
+    # carrying IDENTICAL text, each linking to /cal/{i+1} -- the
+    # calendar-trap shape (infinite url space, no new content).  0 = off.
+    trap_pages: int = 0
 
     def key(self) -> str:
         # -v2: page template gained per-link anchor words; -v3: per-host
@@ -67,6 +71,7 @@ class CorpusProfile:
         # (the post-pass is a no-op at 0: rng stream untouched).
         m = f"-m{self.mirror_every}" if self.mirror_every else ""
         m += "-r1" if self.redirects else ""
+        m += f"-t{self.trap_pages}" if self.trap_pages else ""
         return (
             f"{self.name}-h{self.n_hosts}-p{self.n_pages}"
             f"-z{self.zipf_skew}-w{self.sentence_words}-s{self.seed}{m}-v3"
@@ -81,6 +86,9 @@ MIRROR = CorpusProfile("mirror", n_hosts=12, n_pages=1200, mirror_every=4)
 # Redirect fixture: ~1/3 of tree links route through 1- or 2-hop
 # redirect pages; a per-host redirect loop exercises the hop cap.
 REDIR = CorpusProfile("redir", n_hosts=4, n_pages=240, redirects=True)
+# Trap fixture: host 0 carries a 120-page calendar trap (one template,
+# identical content) beside the normal per-host page trees.
+TRAP = CorpusProfile("trap", n_hosts=6, n_pages=300, trap_pages=120)
 BENCH = CorpusProfile("bench", n_hosts=200, n_pages=200_000, zipf_skew=1.2,
                       sentence_words=60)
 # Flat throughput corpus: one production-shaped mega-round (each round at
@@ -223,6 +231,24 @@ def generate(out_dir: str, profile: CorpusProfile = TINY) -> GeneratedCorpus:
                       f"<body><p>{body}</p></body></html>").encode())
         texts.append(f"{title}\n{body}")
         langs.append("en")
+
+    if profile.trap_pages:
+        # calendar trap on host 0: every /cal/i serves the SAME text and
+        # links onward -- url space grows, content diversity doesn't
+        # (emitted after the rng stream, so trap-off profiles are
+        # byte-identical to before this feature)
+        trap_para = "calendar of upcoming events for site0"
+        for i in range(profile.trap_pages):
+            title = "site0 calendar"
+            html = (f"<html><head><title>{title}</title></head>"
+                    f"<body><p>{trap_para}</p>"
+                    f'<a href="/cal/{i + 1}">next</a></body></html>')
+            urls.append(f"http://site0.test/cal/{i}")
+            warc_ts.append(epoch_us + (profile.n_hosts * 300_000 + i)
+                           * 1_000_000)
+            htmls.append(html.encode("utf-8"))
+            texts.append(f"{title}\n{trap_para}")
+            langs.append("en")
 
     if profile.redirects:
         def _emit_redirect(url: str, target: str) -> None:

@@ -1169,3 +1169,20 @@ def test_broken_links_report_invariants():
     assert rows["site0.test"]["n_targets"] == len(seen)
     assert rows["site0.test"]["n_broken"] == \
         sum(u not in urls for u in seen)
+
+
+def test_trap_report_flags_calendar_trap_only():
+    """The TRAP corpus's /cal/N template (120 urls, one distinct text)
+    is the only flagged trap; the organic /p/N trees keep high content
+    diversity and never flag."""
+    from pomp_ray.pipelines.webtext import trap_report
+    from pomp_ray.sources import gen_corpus
+
+    fix = gen_corpus.generate("/tmp/pomp_q_corpus_trap", gen_corpus.TRAP)
+    rows = {(r["host"], r["template"]): r
+            for r in trap_report(fix.pages_path).iter_rows()}
+    cal = rows[("site0.test", "http://siteN.test/cal/N")]
+    assert (cal["n_urls"], cal["n_distinct"], cal["is_trap"]) == \
+        (120, 1, True)
+    assert all(not r["is_trap"] for k, r in rows.items()
+               if "/cal/" not in k[1])
