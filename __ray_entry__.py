@@ -358,6 +358,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: webtext.host_template_stats(_mirror_pages_path()),
         "trap_report":
             lambda sf: webtext.trap_report(_trap_pages_path()),
+        "trap_disallow_rules":
+            lambda sf: webtext.trap_disallow_rules(_trap_pages_path()),
         "chunk_docs": docs.chunk_docs,
         "vocab_coverage": docs.vocab_coverage,
         # -- documents: text analysis (SQL-verified)
@@ -783,6 +785,24 @@ def oracle_sql() -> dict[str, str]:
                     COUNT(DISTINCT d) * 1000000 // COUNT(*) <= 100000)
                        AS is_trap
             FROM th GROUP BY host, "template"
+        """,
+        "trap_disallow_rules": f"""
+            WITH th AS (
+                SELECT regexp_replace(url, '[0-9]+', 'N', 'g')
+                           AS "template",
+                       regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host,
+                       md5(text) AS d
+                FROM read_parquet('{_TP}')),
+            tr AS (
+                SELECT host, "template"
+                FROM th GROUP BY host, "template"
+                HAVING COUNT(*) >= 20
+                   AND COUNT(DISTINCT d) * 1000000 // COUNT(*) <= 100000)
+            SELECT host,
+                   regexp_extract("template",
+                                  '^[a-z]+://[^/]+(/[^N]*)', 1)
+                       AS disallow_prefix
+            FROM tr
         """,
         # Token-window chunking: 1-based inclusive DuckDB list slicing
         # mirrors tokens[start : start+32); chunk_id = start // stride

@@ -266,3 +266,27 @@ def trap_report(pages_path: str, min_urls: int = 20,
                                 & (ppm <= max_distinct_ppm))})
 
     return rollup.map_batches(fin, batch_format="pyarrow")
+
+
+def trap_disallow_rules(pages_path: str, min_urls: int = 20,
+                        max_distinct_ppm: int = 100_000) -> pa.Table:
+    """Trap feedback for the crawl: flagged templates from
+    ``trap_report`` converted to robots-style (host, disallow_prefix)
+    rows -- the path template truncated at its first ``N`` placeholder
+    (digit runs never survive templating, and corpus paths are
+    lowercase, so a literal ``N`` is unambiguous).  Merge these into the
+    crawl's robots table and the politeness gate skips the trap without
+    any engine change (test_queries drives that loop end to end)."""
+    rep = trap_report(pages_path, min_urls, max_distinct_ppm)
+    flagged = rep.map_batches(
+        lambda t: t.filter(t["is_trap"]), batch_format="pyarrow")
+    rows = sorted(
+        (r["host"],
+         pc.struct_field(
+             pc.extract_regex(pa.array([r["template"]]),
+                              pattern=r"^[a-z]+://[^/]+(?P<p>/[^N]*)"),
+             "p")[0].as_py())
+        for r in flagged.iter_rows())
+    return pa.table({
+        "host": pa.array([r[0] for r in rows], pa.string()),
+        "disallow_prefix": pa.array([r[1] for r in rows], pa.string())})

@@ -71,7 +71,9 @@ class CorpusProfile:
         # (the post-pass is a no-op at 0: rng stream untouched).
         m = f"-m{self.mirror_every}" if self.mirror_every else ""
         m += "-r1" if self.redirects else ""
-        m += f"-t{self.trap_pages}" if self.trap_pages else ""
+        # "l": trap chains are LINKED from host 0's root page (key bump
+        # invalidating pre-link trap corpora; no-op for trap_pages=0)
+        m += f"-t{self.trap_pages}l" if self.trap_pages else ""
         return (
             f"{self.name}-h{self.n_hosts}-p{self.n_pages}"
             f"-z{self.zipf_skew}-w{self.sentence_words}-s{self.seed}{m}-v3"
@@ -191,6 +193,11 @@ def generate(out_dir: str, profile: CorpusProfile = TINY) -> GeneratedCorpus:
                 links.append(_page_url(h, 0))
             if profile.redirects and i == 0:
                 links.append(f"http://site{h}.test/loop/a")
+            if profile.trap_pages and h == 0 and i == 0:
+                # the trap is REACHABLE: an unguarded crawl walks the
+                # whole /cal chain (after the rng draws -- trap-off
+                # profiles stay byte-identical)
+                links.append("/cal/0")
 
             title = f"site{h} page {i}"
             para = f"text {h}-{i} {_sentence(rng, profile.sentence_words)}"

@@ -1186,3 +1186,57 @@ def test_trap_report_flags_calendar_trap_only():
         (120, 1, True)
     assert all(not r["is_trap"] for k, r in rows.items()
                if "/cal/" not in k[1])
+
+
+def test_trap_rules_guard_the_crawl(tmp_path):
+    """The detector->crawl feedback loop: an unguarded crawl of the TRAP
+    corpus walks the whole 120-page /cal chain; merging
+    trap_disallow_rules into the robots table keeps every /cal url out
+    of visited (they surface as robots errors instead), bit-exact vs the
+    serial oracle under the same merged rules."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pomp_ray import schemas
+    from pomp_ray.core.oracle import crawl_oracle
+    from pomp_ray.crawl import CrawlConfig, CrawlEngine
+    from pomp_ray.pipelines.webtext import trap_disallow_rules
+    from pomp_ray.sources import gen_corpus
+    from tests.helpers import (oracle_inputs, oracle_visited_tuples,
+                               read_ckpt, visited_tuples)
+
+    fix = gen_corpus.generate("/tmp/pomp_q_corpus_trap", gen_corpus.TRAP)
+    corpus, seeds, robots, _ = oracle_inputs(fix)
+    unguarded = crawl_oracle(corpus, seeds, robots, mode="bfs")
+    n_cal_unguarded = sum("/cal/" in v["url"] for v in unguarded.visited)
+    assert n_cal_unguarded == 120
+
+    rules = trap_disallow_rules(fix.pages_path)
+    merged = []
+    for r in robots:
+        extra = [p for h, p in zip(rules["host"].to_pylist(),
+                                   rules["disallow_prefix"].to_pylist())
+                 if h == r["host"]]
+        merged.append({"host": r["host"],
+                       "disallow_prefixes":
+                           list(r["disallow_prefixes"] or []) + extra,
+                       "crawl_delay": r["crawl_delay"]})
+    robots_path = str(tmp_path / "robots.parquet")
+    pq.write_table(pa.Table.from_pylist(merged, schema=schemas.ROBOTS),
+                   robots_path)
+
+    ckpt = str(tmp_path / "ckpt")
+    cfg = CrawlConfig(corpus_path=fix.pages_path, ckpt_dir=ckpt,
+                      robots_path=robots_path, mode="bfs")
+    eng = CrawlEngine(cfg)
+    try:
+        eng.run(seeds=seeds)
+    finally:
+        eng.close()
+    vis = read_ckpt(ckpt, "visited")
+    assert not any("/cal/" in u for u in vis["url"].to_pylist())
+    guarded = crawl_oracle(corpus, seeds, merged, mode="bfs")
+    assert visited_tuples(vis) == oracle_visited_tuples(guarded)
+    errs = read_ckpt(ckpt, "errors")
+    cal_blocked = [r for r in errs.to_pylist() if "/cal/" in r["url"]]
+    assert cal_blocked and all(r["stage"] == "robots" for r in cal_blocked)
