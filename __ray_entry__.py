@@ -154,6 +154,28 @@ def _crawl_round_metrics():
     })
 
 
+def _robots_audit() -> pa.Table:
+    """Compliance audit of a finished TINY bfs crawl: per-host visit /
+    robots-block counts plus the zero-violation invariant.  Oracle:
+    host split + prefix join over the committed crawl goldens and the
+    fixture robots table."""
+    from pomp_ray.crawl import CrawlConfig, CrawlEngine
+    from pomp_ray.pipelines.audit import robots_audit
+    from pomp_ray.sources import gen_corpus
+
+    fix = gen_corpus.generate("/tmp/pomp_q_corpus", gen_corpus.TINY)
+    ckpt = "/tmp/pomp_q_ckpt_audit"
+    cfg = CrawlConfig(corpus_path=fix.pages_path, ckpt_dir=ckpt,
+                      robots_path=fix.robots_path, mode="bfs",
+                      min_distributed_rows=16, n_seen_shards=4)
+    eng = CrawlEngine(cfg)
+    try:
+        eng.run(seeds=pq.read_table(fix.seeds_path).to_pylist())
+    finally:
+        eng.close()
+    return robots_audit(ckpt, fix.robots_path)
+
+
 def _crawl_host_health():
     """Per-host fetch health of a finished TINY bfs crawl: successful
     visits vs errors (the ops dashboard a crawl scheduler watches).
@@ -396,6 +418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_mixture": docs.temperature_mixture,
         "token_shard_stats": docs.token_shard_stats,
         "ngram_shard_stats": docs.ngram_shard_stats,
+        "ngram_diversity": docs.ngram_diversity,
         "pmi_top_pairs": docs.pmi_top_pairs,
         "shuffle_positions": docs.shuffle_positions,
         "corpus_splits": docs.corpus_splits,
@@ -508,6 +531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_publish_stats": lambda sf: _crawl_publish_stats(),
         "crawl_round_metrics": lambda sf: _crawl_round_metrics(),
         "crawl_host_health": lambda sf: _crawl_host_health(),
+        "robots_audit": lambda sf: _robots_audit(),
         "crawl_depth_histogram": lambda sf: _crawl_depth_histogram(),
     }
 
@@ -600,6 +624,12 @@ def _sql_list(words) -> str:
     return "[" + ", ".join(f"'{w}'" for w in words) + "]"
 
 
+def _tiny_robots_path() -> str:
+    from pomp_ray.sources import gen_corpus
+    return gen_corpus.generate("/tmp/pomp_q_corpus",
+                               gen_corpus.TINY).robots_path
+
+
 def _trap_pages_path() -> str:
     """Pages parquet of the TRAP corpus fixture (idempotent manifest;
     no ray needed, safe from oracle_sql)."""
@@ -619,6 +649,7 @@ def _mirror_pages_path() -> str:
 def oracle_sql() -> dict[str, str]:
     _MP = _mirror_pages_path()
     _TP = _trap_pages_path()
+    _RB = _tiny_robots_path()
     return {
         "asof_click_before_purchase": """
             SELECT p.event_id, CAST(p.user_id AS BIGINT) AS user_id, p.ts,
@@ -1479,6 +1510,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(c) AS BIGINT) AS total_count
             FROM cnt GROUP BY shard
         """,
+        "ngram_diversity": """
+            WITH toks AS (
+                SELECT source,
+                       regexp_extract_all(lower(text), '[a-z]+') AS tk
+                FROM documents),
+            bg AS (
+                SELECT source,
+                       unnest(list_transform(range(1, len(tk)),
+                              i -> tk[i] || ' ' || tk[i+1])) AS g
+                FROM toks WHERE len(tk) >= 2)
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
+                   CAST(COUNT(DISTINCT g) * 1000000 // COUNT(*)
+                        AS BIGINT) AS diversity_ppm
+            FROM bg GROUP BY source
+        """,
         "corpus_report": """
             SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT)
                        AS n_docs,
@@ -1936,6 +1983,37 @@ def oracle_sql() -> dict[str, str]:
         "crawl_redirect_errors":
             f"SELECT * FROM "
             f"read_parquet('{_GOLDEN}/crawl_redirect_errors.parquet')",
+        "robots_audit": f"""
+            WITH v AS (
+                SELECT url,
+                       regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host,
+                       regexp_extract(url, '^[a-z]+://[^/]+(/.*)$', 1)
+                           AS path
+                FROM read_parquet('{_GOLDEN}/crawl_bfs_visited.parquet')),
+            vh AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n_visited
+                   FROM v GROUP BY host),
+            r AS (SELECT host, unnest(disallow_prefixes) AS pfx
+                  FROM read_parquet('{_RB}')),
+            vi AS (SELECT v.host,
+                          CAST(COUNT(DISTINCT v.url) AS BIGINT)
+                              AS n_violations
+                   FROM v JOIN r ON v.host = r.host
+                              AND starts_with(v.path, r.pfx)
+                   GROUP BY v.host),
+            e AS (SELECT regexp_extract(url, '^[a-z]+://([^/]+)/', 1)
+                             AS host
+                  FROM read_parquet('{_GOLDEN}/crawl_bfs_errors.parquet')
+                  WHERE stage = 'robots'),
+            eh AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n_blocked
+                   FROM e GROUP BY host)
+            SELECT COALESCE(vh.host, eh.host) AS host,
+                   COALESCE(n_visited, CAST(0 AS BIGINT)) AS n_visited,
+                   COALESCE(n_blocked, CAST(0 AS BIGINT)) AS n_blocked,
+                   COALESCE(n_violations, CAST(0 AS BIGINT))
+                       AS n_violations
+            FROM vh FULL OUTER JOIN eh ON vh.host = eh.host
+            LEFT JOIN vi ON COALESCE(vh.host, eh.host) = vi.host
+        """,
         "redirect_map":
             f"SELECT * FROM read_parquet('{_GOLDEN}/redirect_map.parquet')",
         "broken_links":

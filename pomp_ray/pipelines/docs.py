@@ -2604,3 +2604,53 @@ def temperature_mixture(sf_dir: str, budget: int = 200) -> rd.Dataset:
     return out.map_batches(lambda t: _i64(t.select(["source", "doc_id"]),
                                           ["doc_id"]),
                            batch_format="pyarrow")
+
+
+def ngram_diversity(sf_dir: str) -> rd.Dataset:
+    """Per-source bigram diversity: total bigram occurrences, DISTINCT
+    bigrams, and their ratio in ppm -- the repetitiveness signal data
+    curators threshold on (template-generated or boilerplate-heavy
+    sources score low; Self-BLEU's cheap n-gram cousin).
+
+    Scale shape: bigrams form vectorized inside map_batches with
+    per-batch (source, gram) value_counts partials, ONE vocabulary-scale
+    groupby collapses duplicates globally, and a per-source rollup
+    reduces to a source-count-sized table.  Text never shuffles."""
+    def partial(t: pa.Table) -> pa.Table:
+        flat, parent = _tokenize_flat(t)
+        f = flat.to_numpy(zero_copy_only=False)
+        p = parent.to_numpy(zero_copy_only=False)
+        if len(f) < 2:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "gram": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        src = t["source"].to_numpy(zero_copy_only=False)
+        m = p[:-1] == p[1:]
+        df = pd.DataFrame({
+            "source": src[p[:-1][m]],
+            "gram": pd.Series(f[:-1][m]) + " " + pd.Series(f[1:][m])})
+        g = df.value_counts().rename("c").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = _docs(sf_dir, ["text", "source"]).map_batches(
+        partial, batch_format="pyarrow").groupby(["source", "gram"]) \
+        .aggregate(Sum("c", alias_name="c"))
+    rollup = agg.map_batches(
+        lambda t: pa.table({
+            "source": t["source"],
+            "n_bigrams": pc.cast(t["c"], pa.int64()),
+            "one": pa.array([1] * t.num_rows, pa.int64())}),
+        batch_format="pyarrow").groupby("source").aggregate(
+        Sum("n_bigrams", alias_name="n_bigrams"),
+        Sum("one", alias_name="n_distinct"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        tot = pc.cast(t["n_bigrams"], pa.int64()).to_numpy()
+        nd = pc.cast(t["n_distinct"], pa.int64()).to_numpy()
+        return pa.table({
+            "source": t["source"],
+            "n_bigrams": pa.array(tot, pa.int64()),
+            "n_distinct": pa.array(nd, pa.int64()),
+            "diversity_ppm": pa.array(nd * 1_000_000 // tot, pa.int64())})
+
+    return rollup.map_batches(fin, batch_format="pyarrow")

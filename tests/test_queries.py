@@ -50,6 +50,7 @@ SPOT = [
     "bm25_topk",
     "gopher_quality_flags",
     "neardup_dedup_docs",
+    "ngram_diversity",
 ]
 
 
@@ -1240,3 +1241,40 @@ def test_trap_rules_guard_the_crawl(tmp_path):
     errs = read_ckpt(ckpt, "errors")
     cal_blocked = [r for r in errs.to_pylist() if "/cal/" in r["url"]]
     assert cal_blocked and all(r["stage"] == "robots" for r in cal_blocked)
+
+
+def test_robots_audit_zero_violations(tmp_path):
+    """The compliance audit over a finished TINY bfs crawl: per-host
+    visit totals match the checkpoint, the /p/7-subtree robots blocks
+    show up as n_blocked, and the leak-detector invariant holds --
+    zero visited urls match any disallow prefix."""
+    from urllib.parse import urlsplit
+
+    import pyarrow.parquet as pq
+
+    from pomp_ray import crawl as crawl_mod
+    from pomp_ray.crawl import CrawlConfig, CrawlEngine
+    from pomp_ray.pipelines.audit import robots_audit
+    from pomp_ray.sources import gen_corpus
+    from tests.helpers import fixture_corpus
+
+    fix = fixture_corpus(gen_corpus.TINY)
+    ckpt = str(tmp_path / "ckpt")
+    cfg = CrawlConfig(corpus_path=fix.pages_path, ckpt_dir=ckpt,
+                      robots_path=fix.robots_path, mode="bfs")
+    eng = CrawlEngine(cfg)
+    try:
+        eng.run(seeds=pq.read_table(fix.seeds_path).to_pylist())
+    finally:
+        eng.close()
+    t = robots_audit(ckpt, fix.robots_path)
+    rows = {r["host"]: r for r in t.to_pylist()}
+    assert sum(r["n_violations"] for r in rows.values()) == 0
+    assert sum(r["n_blocked"] for r in rows.values()) > 0
+    vis = crawl_mod.read_visited(ckpt)
+    per_host: dict[str, int] = {}
+    for u in vis["url"].to_pylist():
+        h = urlsplit(u).hostname or ""
+        per_host[h] = per_host.get(h, 0) + 1
+    assert {h: r["n_visited"] for h, r in rows.items()
+            if r["n_visited"]} == per_host
