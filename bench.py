@@ -270,6 +270,16 @@ def bench_queries(sf_dir: str) -> dict:
          .dedup_lines(_bench_pages_path()).count()),
         ("q8_join_tree",
          lambda: relational.q8_market_share(sf_dir).num_rows),
+        # thirteenth-block shapes: trap detection (corpus scan + digest
+        # dedup groupby + template rollup) and broken-outlink QA (link
+        # explode + global distinct + membership join) over the 200k
+        # BENCH corpus
+        ("trap_report", lambda: __import__(
+            "pomp_ray.pipelines.webtext", fromlist=["webtext"])
+         .trap_report(_bench_pages_path()).count()),
+        ("broken_links", lambda: __import__(
+            "pomp_ray.pipelines.graph", fromlist=["graph"])
+         .broken_links(_bench_pages_path()).num_rows),
     ):
         t0 = time.monotonic()
         fn()

@@ -65,6 +65,8 @@ class CorpusProfile:
 
     def key(self) -> str:
         # -v2: page template gained per-link anchor words; -v3: per-host
+        # -v4: pages.parquet written with 8k row groups (content
+        # identical; layout change invalidates cached corpora)
         # plain-text sitemap pages.  The version suffix invalidates /tmp
         # corpus caches built from older templates.  mirror_every only
         # appears when enabled so existing profile caches stay valid
@@ -76,7 +78,7 @@ class CorpusProfile:
         m += f"-t{self.trap_pages}l" if self.trap_pages else ""
         return (
             f"{self.name}-h{self.n_hosts}-p{self.n_pages}"
-            f"-z{self.zipf_skew}-w{self.sentence_words}-s{self.seed}{m}-v3"
+            f"-z{self.zipf_skew}-w{self.sentence_words}-s{self.seed}{m}-v4"
         )
 
 
@@ -290,7 +292,10 @@ def generate(out_dir: str, profile: CorpusProfile = TINY) -> GeneratedCorpus:
         ],
         schema=schemas.PAGES,
     )
-    pq.write_table(pages, paths.pages_path)
+    # 8k-row groups: a single giant row group caps every downstream
+    # corpus-scanning Dataset at ~1 read task (the frontier writers
+    # already do this; the corpus itself was the remaining offender)
+    pq.write_table(pages, paths.pages_path, row_group_size=8192)
 
     # seeds: each host's root, plus 3 duplicate seeds and 1 unknown url
     seed_urls = [_page_url(h, 0) for h in range(profile.n_hosts)]
