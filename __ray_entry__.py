@@ -59,10 +59,17 @@ def _crawl_outputs(kind: str, mode: str) -> pa.Table:
         # redirect-chain corpus (REDIR): BFS through 1-/2-hop redirect
         # pages + per-host loops; goldens from the serial oracle
         profile, corpus_dir = gen_corpus.REDIR, "/tmp/pomp_q_corpus_redir_q"
+    elif mode == "dedup":
+        # content-dedup crawl over the TRAP corpus: the digest gate must
+        # stop the 120-page calendar trap after /cal/0 + /cal/1
+        profile, corpus_dir = gen_corpus.TRAP, "/tmp/pomp_q_corpus_trap_q"
     fix = gen_corpus.generate(corpus_dir, profile)
     ckpt = f"/tmp/pomp_q_ckpt_{mode}"
     kw = {}
     if mode == "redirect":
+        mode = "bfs"
+    elif mode == "dedup":
+        kw = {"dedup_content": True}
         mode = "bfs"
     elif mode == "best":
         # priority-queue mode: wide enough (32 >= dfs_distributed_min_width)
@@ -526,6 +533,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: _crawl_outputs("visited", "redirect"),
         "crawl_redirect_errors":
             lambda sf: _crawl_outputs("errors", "redirect"),
+        "crawl_dedup_visited": lambda sf: _crawl_outputs("visited", "dedup"),
+        "crawl_dedup_errors": lambda sf: _crawl_outputs("errors", "dedup"),
         "redirect_map": lambda sf: _redirect_map(),
         "broken_links": lambda sf: _broken_links(),
         "crawl_publish_stats": lambda sf: _crawl_publish_stats(),
@@ -1983,6 +1992,12 @@ def oracle_sql() -> dict[str, str]:
         "crawl_redirect_errors":
             f"SELECT * FROM "
             f"read_parquet('{_GOLDEN}/crawl_redirect_errors.parquet')",
+        "crawl_dedup_visited":
+            f"SELECT * FROM "
+            f"read_parquet('{_GOLDEN}/crawl_dedup_visited.parquet')",
+        "crawl_dedup_errors":
+            f"SELECT * FROM "
+            f"read_parquet('{_GOLDEN}/crawl_dedup_errors.parquet')",
         "robots_audit": f"""
             WITH v AS (
                 SELECT url,

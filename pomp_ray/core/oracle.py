@@ -29,7 +29,15 @@ spec:
   exhausted at round start are DROPPED (recorded as stage="host_budget"
   errors, never deferred -- deferral would stall termination).  The
   quota counts selected rows (fetch attempts), not successful fetches,
-  and is spent only after the round's selection completes.
+  and is spent only after the round's selection completes;
+* content dedup (``dedup_content``, the calendar-trap / mirror
+  defense): a fetched page whose extracted-text md5 digest was already
+  seen in a PRIOR round is still visited and still emits its item, but
+  its links are NOT enqueued.  The digest set snapshots at round start
+  -- two duplicate pages fetched in the same wave both expand (the only
+  semantics a concurrent wave of fetches can honestly implement; their
+  links dedup at enqueue anyway) -- and this round's digests commit at
+  the round barrier.
 
 The Ray engine's conformance tests (tests/test_simple_crawler.py,
 tests/test_contrib_concurrent.py -- ports of pomp's e2e tests named by
@@ -94,6 +102,7 @@ def crawl_oracle(
     max_rounds: int | None = None,
     priority_fn=None,
     max_pages_per_host: int | None = None,
+    dedup_content: bool = False,
 ) -> OracleResult:
     """``corpus`` maps canonical url -> html bytes; ``seeds`` rows have
     url/priority/depth; ``robots_rows`` rows follow schemas.ROBOTS."""
@@ -134,6 +143,7 @@ def crawl_oracle(
 
     rnd = 0
     budget_left: dict[str, int] = {}
+    seen_digests: set[bytes] = set()
     while frontier and (max_rounds is None or rnd < max_rounds):
         if mode == "bfs":
             # FIFO: priority desc, then global enqueue order
@@ -172,6 +182,7 @@ def crawl_oracle(
             for h, n in per_host.items():
                 budget_left[h] = budget_left.get(h, budget) - n
 
+        round_digests: list[bytes] = []
         for e in selected:
             html = corpus.get(e["url"])
             # follow redirect chains: final page's content/links, links
@@ -197,13 +208,22 @@ def crawl_oracle(
                 {"url": e["url"], "round": rnd, "depth": e["depth"], "seq": e["seq"]}
             )
             links = html_extract_links(html)
+            text = html_extract_text(html)
             res.items.append(
                 {"url": e["url"], "title": html_extract_title(html),
-                 "text": html_extract_text(html), "n_links": len(links),
+                 "text": text, "n_links": len(links),
                  "round": rnd, "seq": e["seq"]}
             )
+            if dedup_content:
+                import hashlib
+                dig = hashlib.md5(
+                    text.encode("utf-8", "surrogateescape")).digest()
+                round_digests.append(dig)
+                if dig in seen_digests:
+                    continue   # duplicate content: visit, never expand
             for href in links:
                 try_enqueue(href, base, e["depth"] + 1, 0, rnd)
+        seen_digests.update(round_digests)
         rnd += 1
 
     res.rounds = rnd

@@ -76,6 +76,7 @@ from pomp_ray.functions.textfns import (
     url_path,
 )
 from pomp_ray.stages.enqueue import (
+    ContentDedupGate,
     SeenFilter,
     canonicalize_batch,
     dedup_first_in_order,
@@ -143,6 +144,14 @@ class CrawlConfig:
     # the driver (O(visited hosts), same posture as the robots maps) and
     # persist via each round's ``hosts_selected`` commit record.
     max_pages_per_host: int | None = None
+    # Content dedup (the calendar-trap / mirror defense): pages whose
+    # extracted-text md5 digest was seen in a PRIOR round are visited
+    # and emit items but are NOT link-expanded.  Round-snapshot
+    # semantics (digests commit at the round barrier; same-wave
+    # duplicates all expand) -- the serial spec is core/oracle.py's
+    # dedup_content branch; state lives in a second SeenSet shard pool
+    # checkpointed under ckpt_dir/digests.
+    dedup_content: bool = False
     n_seen_shards: int = 8
     # RAM prefilter per seen shard: "bloom" (default) or "cuckoo"
     # (deletion-capable; see state/approx.py + SeenSet.forget)
@@ -213,6 +222,11 @@ class CrawlEngine:
         self._index_refs = None
         self.seen = SeenSet(cfg.n_seen_shards,
                             filter_kind=cfg.seen_filter_kind)
+        # content-dedup digest set (same sharded-actor machinery keyed
+        # by text digest instead of canonical url)
+        self.digests = (SeenSet(cfg.n_seen_shards,
+                                filter_kind=cfg.seen_filter_kind)
+                        if cfg.dedup_content else None)
         self.seq_counter = 0
         # host -> fetch attempts so far (page-budget accounting)
         self.budget_spent: dict[str, int] = {}
@@ -594,7 +608,7 @@ class CrawlEngine:
             htmls = fetched["html"].to_pylist()
             oks = fetched["fetch_ok"].to_pylist()
             sel_t = fetched
-        items, errors, cands = [], [], []
+        items, errors, cands, expansions = [], [], [], []
         for u in drop_t["canon_url"].to_pylist():
             errors.append({"url": u, "stage": "host_budget",
                            "exc_type": "HostBudget",
@@ -614,8 +628,18 @@ class CrawlEngine:
             items.append({"url": canon, "title": title, "text": text,
                           "n_links": len(links), "round": rnd, "seq": seq,
                           "depth": depth})
+            expansions.append((text, bases[i], depth, links))
+        # content-dedup gate (round-snapshot): pages whose text digest
+        # was committed in a prior round contribute no candidates
+        if self.digests is not None and expansions:
+            dup = self.digests.contains_stage([e[0] for e in expansions])
+        else:
+            dup = [False] * len(expansions)
+        for (text, base, depth, links), d in zip(expansions, dup):
+            if d:
+                continue
             for href in links:
-                cands.append({"url": href, "base": bases[i],
+                cands.append({"url": href, "base": base,
                               "depth": depth + 1, "priority": 0})
         accepted, enq_errors = self._enqueue_driver(cands, rnd)
         errors += enq_errors
@@ -773,8 +797,15 @@ class CrawlEngine:
                 self._dir("errors", rnd))
 
         # --- links -> next frontier (enqueue pipeline) ---
+        expand_src = ok
+        if self.digests is not None:
+            # content-dedup gate: committed-digest membership check +
+            # staging; commit happens at the run-loop round barrier
+            expand_src = ok.map_batches(
+                ContentDedupGate(self.digests.shards),
+                batch_format="pyarrow")
         cands = (
-            ok.map_batches(explode_links, batch_format="pyarrow")
+            expand_src.map_batches(explode_links, batch_format="pyarrow")
             .map_batches(canonicalize_batch, batch_format="pyarrow")
         )
         if cfg.max_depth is not None:
@@ -1016,6 +1047,7 @@ class CrawlEngine:
             if hosts_sel is not None:
                 info["hosts_selected"] = hosts_sel
             return info
+        dedup_on = self.digests is not None
         if in_memory:
             src = parsed
         else:
@@ -1024,15 +1056,22 @@ class CrawlEngine:
             src = rd.read_parquet(
                 items_files, override_num_blocks=self._n_blocks(n_visited),
                 columns=["url", "depth", "priority", "seq", "links",
-                         "fetch_ok"])
-        cands = (
-            src.map_batches(
-                lambda t: schemas.rename(
-                    t.filter(t["fetch_ok"]).select(
-                        ["url", "depth", "priority", "seq", "links"]),
-                    {"url": "canon_url"}),
+                         "fetch_ok"] + (["text"] if dedup_on else []))
+        keep = (["url", "depth", "priority", "seq", "links"]
+                + (["text"] if dedup_on else []))
+        cands = src.map_batches(
+            lambda t: schemas.rename(
+                t.filter(t["fetch_ok"]).select(keep),
+                {"url": "canon_url"}),
+            batch_format="pyarrow")
+        if dedup_on:
+            # content-dedup gate (round-snapshot; text dropped after the
+            # digest check so the link explode stays compact)
+            cands = cands.map_batches(
+                ContentDedupGate(self.digests.shards, drop_text=True),
                 batch_format="pyarrow")
-            .map_batches(explode_links, batch_format="pyarrow")
+        cands = (
+            cands.map_batches(explode_links, batch_format="pyarrow")
             .map_batches(canonicalize_batch, batch_format="pyarrow")
         )
         if cfg.max_depth is not None:
@@ -1088,6 +1127,8 @@ class CrawlEngine:
             assert seeds is not None, "fresh crawl needs seeds"
             # fresh crawl on a reused engine: clear crawl state
             self.seen.reset()
+            if self.digests is not None:
+                self.digests.reset()
             self.seq_counter = 0
             self.budget_spent = {}
             self.seed(seeds)
@@ -1132,6 +1173,13 @@ class CrawlEngine:
                 info["wall_s"] = time.monotonic() - t_r
                 info["seq_counter"] = self.seq_counter
                 self.seen.snapshot(seen_dir, rnd + 1)
+                if self.digests is not None:
+                    # round barrier of the content-dedup protocol:
+                    # staged digests become visible to the next round,
+                    # then join the checkpoint delta
+                    self.digests.commit_staged()
+                    self.digests.snapshot(
+                        os.path.join(cfg.ckpt_dir, "digests"), rnd + 1)
                 self._write_metrics(info)
                 self._commit_round(rnd, info)
             summary.per_round.append(info)
@@ -1179,10 +1227,15 @@ class CrawlEngine:
                 self.budget_spent[h] = self.budget_spent.get(h, 0) + int(n)
             last = r
         self.seen.restore(os.path.join(self.cfg.ckpt_dir, "seen"), last + 1)
+        if self.digests is not None:
+            self.digests.restore(
+                os.path.join(self.cfg.ckpt_dir, "digests"), last + 1)
         return last + 1
 
     def close(self) -> None:
         self.seen.kill()
+        if self.digests is not None:
+            self.digests.kill()
 
 
 def requeue_retryable(ckpt_dir: str) -> int:

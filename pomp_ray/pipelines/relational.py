@@ -1350,3 +1350,164 @@ def q22_inactive_customers(sf_dir: str,
         "n_custs": pa.array([int(r["n_custs"]) for r in rows], pa.int64()),
         "total_acctbal": pa.array([r["bal"] / 100.0 for r in rows],
                                   pa.float64())})
+
+
+def q9_product_profit(sf_dir: str, name_token: str = "red") -> pa.Table:
+    """TPC-H Q9 (product-type profit), ADAPTED to the testdata schema:
+    there is no partsupp table, so supply cost stands in as
+    ``p_retailprice * l_quantity`` (ref TPC-H Q9's
+    ps_supplycost*l_quantity).  The deepest fact-side chain in the
+    suite: lineitem ⋈ part(name filter) ⋈ orders ⋈ supplier, nation
+    names broadcast, profit rolled up by (nation, order year).
+
+    Plan: the name filter prunes part BEFORE its hash join (and the
+    filtered chain is repartitioned -- the ray 2.49 empty-schema-block
+    trap); each live join materializes before the next (the
+    two-live-joins deadlock lesson); profit forms in integer 10^-4
+    currency units (rev = cents*(100-d_cents); cost =
+    retail_cents*100*qty), so distributed sums are order-independent
+    and the final doubles are bit-identical to the DuckDB oracle."""
+    nat = _t(sf_dir, "nation").take_all()
+    names = {int(n["n_nationkey"]): n["n_name"] for n in nat}
+
+    def part_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.match_substring(t["p_name"], name_token))
+        rc = np.rint(t["p_retailprice"].to_numpy(zero_copy_only=False)
+                     * 100).astype(np.int64)
+        return pa.table({
+            "l_partkey": pc.cast(t["p_partkey"], pa.int64()),
+            "retail_cents": pa.array(rc, pa.int64())})
+
+    part = _t(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"]) \
+        .map_batches(part_prep, batch_format="pyarrow").repartition(2)
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        cents_p = np.rint(
+            t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        cents_d = np.rint(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        qty = np.rint(t["l_quantity"].to_numpy()).astype(np.int64)
+        return pa.table({
+            "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+            "l_partkey": pc.cast(t["l_partkey"], pa.int64()),
+            "s_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+            "rev": pa.array(cents_p * (100 - cents_d), pa.int64()),
+            "qty": pa.array(qty, pa.int64())})
+
+    li = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+             "l_discount", "l_quantity"]) \
+        .map_batches(li_prep, batch_format="pyarrow")
+    li_part = li.join(part, join_type="inner", on=("l_partkey",),
+                      num_partitions=8).map_batches(
+        lambda t: pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "s_suppkey": t["s_suppkey"],
+            "profit": pc.subtract(
+                t["rev"],
+                pc.multiply(
+                    pc.multiply(t["retail_cents"],
+                                pa.scalar(100, pa.int64())),
+                    t["qty"]))}),
+        batch_format="pyarrow").materialize()
+
+    def ord_prep(t: pa.Table) -> pa.Table:
+        years = (t["o_orderdate"].to_numpy().astype("datetime64[Y]")
+                 .astype(np.int64) + 1970)
+        return pa.table({
+            "l_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "o_year": pa.array(years, pa.int64())})
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderdate"]) \
+        .map_batches(ord_prep, batch_format="pyarrow")
+    li_ord = li_part.join(orders, join_type="inner", on=("l_orderkey",),
+                          num_partitions=8).materialize()
+
+    supp = _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]) \
+        .map_batches(lambda t: pa.table({
+            "s_suppkey": pc.cast(t["s_suppkey"], pa.int64()),
+            "s_nation": pc.cast(t["s_nationkey"], pa.int64())}),
+        batch_format="pyarrow")
+    full = li_ord.join(supp, join_type="inner", on=("s_suppkey",),
+                       num_partitions=8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        key = (t["s_nation"].to_numpy(zero_copy_only=False) * 10_000
+               + t["o_year"].to_numpy(zero_copy_only=False))
+        uniq, inv = np.unique(key, return_inverse=True)
+        sums = np.zeros(len(uniq), np.int64)
+        np.add.at(sums, inv, t["profit"].to_numpy(zero_copy_only=False))
+        return pa.table({"k": pa.array(uniq, pa.int64()),
+                         "profit": pa.array(sums, pa.int64())})
+
+    agg = full.map_batches(partial, batch_format="pyarrow") \
+        .groupby("k").aggregate(Sum("profit", alias_name="profit"))
+    rows = sorted(agg.take_all(),
+                  key=lambda r: (names[r["k"] // 10_000],
+                                 -(r["k"] % 10_000)))
+    return pa.table({
+        "nation": pa.array([names[r["k"] // 10_000] for r in rows],
+                           pa.string()),
+        "o_year": pa.array([r["k"] % 10_000 for r in rows], pa.int64()),
+        "profit": pa.array([r["profit"] / 10_000.0 for r in rows],
+                           pa.float64())})
+
+
+def q16_supplier_part_counts(
+        sf_dir: str, exclude_brand: str = "Brand#7",
+        exclude_type_prefix: str = "LARGE",
+        sizes: tuple = (1, 3, 9, 14, 19, 23, 36, 45)) -> pa.Table:
+    """TPC-H Q16 (parts/supplier relationship), ADAPTED: the supplier
+    relation comes from lineitem (who actually shipped the part) since
+    the testdata has no partsupp table.  COUNT(DISTINCT supplier) per
+    (brand, type, size) -- the canonical distributed count-distinct
+    shape: local distinct partials, one groupby on the full distinct
+    key, then tiny per-batch count partials into a second groupby."""
+    def part_prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.invert(pc.equal(t["p_brand"], exclude_brand)),
+            pc.invert(pc.starts_with(t["p_type"], exclude_type_prefix)))
+        m = pc.and_(m, pc.is_in(t["p_size"],
+                                value_set=pa.array(sizes, pa.int32())))
+        t = t.filter(m)
+        return pa.table({
+            "l_partkey": pc.cast(t["p_partkey"], pa.int64()),
+            "p_brand": t["p_brand"], "p_type": t["p_type"],
+            "p_size": pc.cast(t["p_size"], pa.int64())})
+
+    part = _t(sf_dir, "part",
+              ["p_partkey", "p_brand", "p_type", "p_size"]) \
+        .map_batches(part_prep, batch_format="pyarrow").repartition(2)
+    li = _t(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]) \
+        .map_batches(lambda t: pa.table({
+            "l_partkey": pc.cast(t["l_partkey"], pa.int64()),
+            "l_suppkey": pc.cast(t["l_suppkey"], pa.int64())}),
+        batch_format="pyarrow")
+    joined = li.join(part, join_type="inner", on=("l_partkey",),
+                     num_partitions=8)
+
+    def local_distinct(t: pa.Table) -> pa.Table:
+        return t.select(["p_brand", "p_type", "p_size", "l_suppkey"]) \
+            .group_by(["p_brand", "p_type", "p_size", "l_suppkey"]) \
+            .aggregate([])
+
+    distinct = joined.map_batches(local_distinct, batch_format="pyarrow") \
+        .groupby(["p_brand", "p_type", "p_size", "l_suppkey"]) \
+        .aggregate(Count(alias_name="_n"))
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        return t.select(["p_brand", "p_type", "p_size"]) \
+            .group_by(["p_brand", "p_type", "p_size"]) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["p_brand", "p_type", "p_size", "n"])
+
+    rows = distinct.map_batches(count_partial, batch_format="pyarrow") \
+        .groupby(["p_brand", "p_type", "p_size"]) \
+        .aggregate(Sum("n", alias_name="supplier_cnt")).take_all()
+    rows.sort(key=lambda r: (-r["supplier_cnt"], r["p_brand"],
+                             r["p_type"], r["p_size"]))
+    return pa.table({
+        "p_brand": pa.array([r["p_brand"] for r in rows], pa.string()),
+        "p_type": pa.array([r["p_type"] for r in rows], pa.string()),
+        "p_size": pa.array([r["p_size"] for r in rows], pa.int64()),
+        "supplier_cnt": pa.array([int(r["supplier_cnt"]) for r in rows],
+                                 pa.int64())})

@@ -234,6 +234,35 @@ class SeenFilter:
         return batch.filter(pa.array(mask, pa.bool_()))
 
 
+class ContentDedupGate:
+    """map_batches gate for content-dedup crawls (CrawlConfig
+    ``dedup_content``): drop rows whose extracted-text digest was
+    committed in a PRIOR round, and stage this round's digests on the
+    digest shards for the round-end commit (round-snapshot semantics --
+    pages fetched in the same wave never see each other's digest; the
+    serial spec lives in core/oracle.py).  This is the classic
+    calendar-trap / mirror defense: a page whose content was already
+    crawled still emits its item but contributes NO new frontier."""
+
+    def __init__(self, shards: list, text_col: str = "text",
+                 drop_text: bool = False):
+        self.shards = shards
+        self.text_col = text_col
+        self.drop_text = drop_text
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = batch
+        if batch.num_rows:
+            from pomp_ray.state.seen import contains_stage_via
+            texts = batch[self.text_col].to_pylist()
+            dup = contains_stage_via(self.shards, texts)
+            out = batch.filter(
+                pa.array([not d for d in dup], pa.bool_()))
+        if self.drop_text and self.text_col in out.column_names:
+            out = out.drop_columns([self.text_col])
+        return out
+
+
 def split_blocked(frontier_cands: pa.Table) -> tuple[pa.Table, pa.Table]:
     """(accepted, blocked) split after the seen filter."""
     blocked_mask = frontier_cands["blocked"]

@@ -71,6 +71,10 @@ class SeenShard:
                        if filter_kind == "bloom"
                        else make_filter(filter_kind))
         self.pending_snapshot: list[bytes] = []
+        # round-snapshot staging (content-dedup): digests checked via
+        # contains_stage are buffered here and only become visible to
+        # later contains_stage calls after commit_staged()
+        self.staged: list[bytes] = []
         self.n_checks = 0
 
     def check_and_add(self, digests: list[bytes]) -> list[bool]:
@@ -100,6 +104,38 @@ class SeenShard:
         exact = self.exact
         return [bool(m) and d in exact for m, d in zip(maybe, digests)]
 
+    def contains_stage(self, digests: list[bytes]) -> list[bool]:
+        """Round-snapshot membership (content-dedup protocol): answer
+        against the COMMITTED set only, and stage the digests for the
+        round-end commit.  Two pages fetched in the same round thus
+        never see each other's digest -- the only semantics a
+        concurrent wave of fetches can honestly implement, and the one
+        core.oracle mirrors."""
+        self.n_checks += len(digests)
+        out = self.contains(digests)
+        self.staged.extend(digests)
+        return out
+
+    def commit_staged(self) -> int:
+        """Merge the staged digests into the committed set (round
+        barrier of the content-dedup protocol); returns how many were
+        new.  New digests join the next snapshot delta."""
+        new = [d for d in self.staged if d not in self.exact]
+        # de-dup within the staged buffer itself (first occurrence wins)
+        if new:
+            fresh: list[bytes] = []
+            seen_local: set[bytes] = set()
+            for d in new:
+                if d not in seen_local:
+                    seen_local.add(d)
+                    fresh.append(d)
+            self.exact.update(fresh)
+            self.approx.add_bulk(fresh)
+            self.pending_snapshot.extend(fresh)
+            new = fresh
+        self.staged = []
+        return len(new)
+
     def forget(self, digests: list[bytes]) -> int:
         """Remove digests from the shard (recrawl admission: an expired
         URL may be fetched again).  The approx filter drops them too when
@@ -121,6 +157,7 @@ class SeenShard:
         self.exact.clear()
         self.approx.reset()
         self.pending_snapshot = []
+        self.staged = []
         self.n_checks = 0
 
     def stats(self) -> dict:
@@ -144,6 +181,7 @@ class SeenShard:
         self.exact.clear()
         self.approx.reset()
         self.pending_snapshot = []
+        self.staged = []
         if os.path.isdir(ckpt_dir):
             for name in sorted(os.listdir(ckpt_dir)):
                 if not name.startswith(f"seen-shard{self.shard_id:04d}-"):
@@ -172,6 +210,15 @@ class SeenSet:
     def check_and_add(self, urls: list[str]) -> list[bool]:
         """Batch check-and-add from the driver (stages use SeenFilter)."""
         return check_and_add_via(self.shards, urls)
+
+    def contains_stage(self, keys: list[str]) -> list[bool]:
+        """Round-snapshot membership + staging from the driver (see
+        SeenShard.contains_stage); keys are md5-digested like urls."""
+        return contains_stage_via(self.shards, keys)
+
+    def commit_staged(self) -> int:
+        """Round-end commit of every shard's staged digests."""
+        return sum(ray.get([s.commit_staged.remote() for s in self.shards]))
 
     def forget(self, urls: list[str]) -> int:
         """Remove canonical urls from the seen set (recrawl admission);
@@ -234,4 +281,29 @@ def check_and_add_via(shards: list, urls: list[str]) -> list[bool]:
     for (s, idxs), res in zip(by_shard.items(), results):
         for i, is_new in zip(idxs, res):
             mask[i] = is_new
+    return mask
+
+
+def contains_stage_via(shards: list, keys: list[str]) -> list[bool]:
+    """Route a batch of keys (any strings -- content-dedup uses extracted
+    text) to their shards, run the round-snapshot contains_stage on each,
+    reassemble the per-key was-already-committed mask in input order.
+    Same vectorized routing as check_and_add_via."""
+    n = len(shards)
+    if not keys:
+        return []
+    digests = url_digests(keys)
+    raw = np.frombuffer(b"".join(digests), dtype=np.uint64).reshape(-1, 2)
+    shard_ids = (raw[:, 0] % n).astype(np.int64)
+    by_shard: dict[int, np.ndarray] = {
+        int(s): np.nonzero(shard_ids == s)[0] for s in np.unique(shard_ids)
+    }
+    results = ray.get(
+        [shards[s].contains_stage.remote([digests[i] for i in idxs])
+         for s, idxs in by_shard.items()]
+    )
+    mask = [False] * len(keys)
+    for (s, idxs), res in zip(by_shard.items(), results):
+        for i, dup in zip(idxs, res):
+            mask[i] = dup
     return mask

@@ -1277,6 +1277,41 @@ def gen_redirect_goldens() -> None:
           f"errors={errors.num_rows}")
 
 
+def gen_dedup_crawl_goldens() -> None:
+    """BFS content-dedup crawl goldens over the TRAP corpus (the
+    calendar trap: 120 urls, one text): serial oracle with
+    dedup_content=True -- the dedup gate must stop the trap after
+    /cal/0 + /cal/1 without any robots rule."""
+    from pomp_ray import schemas
+    from pomp_ray.core.oracle import crawl_oracle
+    from pomp_ray.functions.textfns import url_path
+    from pomp_ray.sources import gen_corpus
+    from tests.helpers import oracle_inputs
+
+    fix = gen_corpus.generate("/tmp/pomp_golden_corpus_trap",
+                              gen_corpus.TRAP)
+    corpus, seeds, robots, _ = oracle_inputs(fix)
+    res = crawl_oracle(corpus, seeds, robots, mode="bfs",
+                       dedup_content=True)
+    visited = pa.Table.from_pylist(res.visited, schema=schemas.VISITED)
+    pq.write_table(visited, os.path.join(
+        GOLDEN_DIR, "crawl_dedup_visited.parquet"))
+    exc = {"fetch": ("FetchMiss", lambda u: "not in corpus"),
+           "robots": ("RobotsDisallowed", url_path)}
+    errors = pa.Table.from_pylist(
+        [{"url": e["url"], "stage": e["stage"],
+          "exc_type": exc[e["stage"]][0],
+          "message": exc[e["stage"]][1](e["url"]),
+          "retryable": False, "round": e["round"]}
+         for e in res.errors],
+        schema=schemas.ERRORS)
+    pq.write_table(errors, os.path.join(
+        GOLDEN_DIR, "crawl_dedup_errors.parquet"))
+    n_cal = sum("/cal/" in v["url"] for v in res.visited)
+    print(f"dedup crawl goldens: visited={visited.num_rows} "
+          f"errors={errors.num_rows} cal_pages={n_cal}")
+
+
 def gen_redirect_map_golden() -> None:
     """redirect_map golden: an independent SERIAL resolver -- regex
     target extraction over the raw corpus html (not fetch.py's prefix
@@ -1388,3 +1423,4 @@ if __name__ == "__main__":
     gen_redirect_goldens()
     gen_redirect_map_golden()
     gen_broken_links_golden()
+    gen_dedup_crawl_goldens()
