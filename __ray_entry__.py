@@ -385,6 +385,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: webtext.dedup_lines(_mirror_pages_path()),
         "host_template_stats":
             lambda sf: webtext.host_template_stats(_mirror_pages_path()),
+        "link_farm_report":
+            lambda sf: webtext.link_farm_report(_mirror_pages_path()),
         "trap_report":
             lambda sf: webtext.trap_report(_trap_pages_path()),
         "trap_disallow_rules":
@@ -512,6 +514,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q7_volume_shipping": relational.q7_volume_shipping,
         "q8_market_share": relational.q8_market_share,
         "q22_inactive_customers": relational.q22_inactive_customers,
+        "q9_product_profit": relational.q9_product_profit,
+        "q16_supplier_part_counts": relational.q16_supplier_part_counts,
         "rolling_user_spend": relational.rolling_user_spend,
         "record_events": relational.record_events,
         "late_events": relational.late_events,
@@ -767,6 +771,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_shared
             FROM ph a JOIN ph b ON a.h = b.h AND a.host < b.host
             GROUP BY 1, 2 HAVING COUNT(*) >= 5
+        """,
+        # foreign-outlink concentration per host; href extraction and
+        # relative-link resolution mirror textfns (_HREF_RE / url_join:
+        # generated-corpus hrefs are absolute http or root-relative)
+        "link_farm_report": f"""
+            WITH links AS (
+                SELECT lower(regexp_extract(url, '^[a-z]+://([^/]+)', 1))
+                           AS src,
+                       unnest(regexp_extract_all(
+                           decode(html), 'href="([^"]+)"', 1)) AS href
+                FROM read_parquet('{_MP}')),
+            edges AS (
+                SELECT src,
+                       CASE WHEN href LIKE 'http://%'
+                            THEN lower(regexp_extract(
+                                href, '^http://([^/]+)', 1))
+                            ELSE src END AS dst
+                FROM links),
+            pairs AS (
+                SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+                FROM edges WHERE src <> dst GROUP BY 1, 2)
+            SELECT src AS host, CAST(SUM(n) AS BIGINT) AS out_links,
+                   CAST(COUNT(*) AS BIGINT) AS n_targets,
+                   CAST(1000000 * MAX(n) AS BIGINT)
+                       // CAST(SUM(n) AS BIGINT) AS top_share_ppm
+            FROM pairs GROUP BY 1
         """,
         "url_templates": f"""
             WITH th AS (
@@ -2327,6 +2357,37 @@ def oracle_sql() -> dict[str, str]:
                                  THEN rev ELSE 0 END) AS DOUBLE)
                        / CAST(SUM(rev) AS DOUBLE) AS mkt_share
             FROM j GROUP BY o_year ORDER BY o_year
+        """,
+        # Q9 adapted: no partsupp table, so supply cost stands in as
+        # p_retailprice * l_quantity; integer 10^-4-unit profit
+        "q9_product_profit": """
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(SUM(
+                       CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount*100) AS BIGINT))
+                       - CAST(ROUND(p_retailprice*100) AS BIGINT) * 100
+                         * CAST(ROUND(l_quantity) AS BIGINT)
+                   ) AS DOUBLE) / 10000.0 AS profit
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON o_orderkey = l_orderkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY 1, 2 ORDER BY 1, 2 DESC
+        """,
+        # Q16 adapted: the part-supplier relation comes from lineitem
+        # (who actually shipped the part); count-distinct per attrs
+        "q16_supplier_part_counts": """
+            SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)
+                       AS supplier_cnt
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand <> 'Brand#7' AND p_type NOT LIKE 'LARGE%'
+              AND p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
         """,
         # shared distinct 5-shingles per source pair (string self-join;
         # the engine exchanges 64-bit span hashes instead)

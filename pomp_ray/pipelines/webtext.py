@@ -290,3 +290,63 @@ def trap_disallow_rules(pages_path: str, min_urls: int = 20,
     return pa.table({
         "host": pa.array([r[0] for r in rows], pa.string()),
         "disallow_prefix": pa.array([r[1] for r in rows], pa.string())})
+
+
+def link_farm_report(pages_path: str) -> pa.Table:
+    """Outlink-concentration report per host -- the link-farm / spam-hub
+    heuristic (a host whose cross-host links overwhelmingly point at ONE
+    other host is a farm candidate; a healthy hub spreads).  Per host
+    over FOREIGN (cross-host) hyperlinks only: total outlinks, distinct
+    target hosts, and the top target's share in ppm (integer floor --
+    exact cross-engine).
+
+    Shape: html never shuffles (graph.corpus_host_edges reduces pages to
+    (src, dst) host rows in-batch); per-batch pandas partials count
+    (src, dst) pairs, one groupby reduces them, and the per-host rollup
+    is distributive aggregates (Sum/Count/Max) over the now-unique pair
+    rows.  Output is host-cardinality -- tiny at any corpus scale."""
+    from ray.data.aggregate import Max
+
+    from pomp_ray.pipelines.graph import corpus_host_edges
+
+    edges = corpus_host_edges(pages_path)
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(pc.equal(t["src"], t["dst"])))
+        if t.num_rows == 0:
+            return pa.table({"src": pa.array([], pa.string()),
+                             "dst": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        df = pd.DataFrame({"src": t["src"].to_pylist(),
+                           "dst": t["dst"].to_pylist()})
+        g = df.groupby(["src", "dst"], as_index=False).size()
+        return pa.table({"src": pa.array(g["src"], pa.string()),
+                         "dst": pa.array(g["dst"], pa.string()),
+                         "n": pa.array(g["size"], pa.int64())})
+
+    pairs = edges.map_batches(pair_partial, batch_format="pyarrow") \
+        .groupby(["src", "dst"]).aggregate(Sum("n", alias_name="n"))
+
+    def host_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"src": t["src"].to_pylist(),
+                           "n": t["n"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("src", as_index=False).agg(
+            out=("n", "sum"), tgts=("n", "size"), top=("n", "max"))
+        return pa.table({"src": pa.array(g["src"], pa.string()),
+                         "out": pa.array(g["out"], pa.int64()),
+                         "tgts": pa.array(g["tgts"], pa.int64()),
+                         "top": pa.array(g["top"], pa.int64())})
+
+    rows = pairs.map_batches(host_partial, batch_format="pyarrow") \
+        .groupby("src").aggregate(
+            Sum("out", alias_name="out"), Sum("tgts", alias_name="tgts"),
+            Max("top", alias_name="top")).take_all()
+    rows.sort(key=lambda r: (-(1_000_000 * int(r["top"]) // int(r["out"])),
+                             r["src"]))
+    return pa.table({
+        "host": pa.array([r["src"] for r in rows], pa.string()),
+        "out_links": pa.array([int(r["out"]) for r in rows], pa.int64()),
+        "n_targets": pa.array([int(r["tgts"]) for r in rows], pa.int64()),
+        "top_share_ppm": pa.array(
+            [1_000_000 * int(r["top"]) // int(r["out"]) for r in rows],
+            pa.int64())})
