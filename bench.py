@@ -94,10 +94,13 @@ def _flat_fixture():
     return gen_corpus.generate(f"{FLAT_DIR}_{n}", prof)
 
 
-def bench_crawl_flat(warmup_frac: float = 0.02) -> dict:
+def bench_crawl_flat(warmup_frac: float = 0.02, **cfg_kw) -> dict:
     """One mega-round: every corpus url seeded at depth 0.  An untimed
     warmup round (a small url subset) warms worker processes, imports and
-    the broadcast corpus index first."""
+    the broadcast corpus index first.  Extra cfg_kw flow into the crawl
+    config (crawl_flat_dedup passes dedup_content=True: round 0 has zero
+    committed digests, so the run measures the digest gate's pure
+    overhead -- per-row md5 + shard-actor RPCs -- on the mega-round)."""
     import pyarrow.parquet as pq
 
     from pomp_ray.crawl import CrawlEngine
@@ -110,7 +113,7 @@ def bench_crawl_flat(warmup_frac: float = 0.02) -> dict:
     # the seen shards, so warmup urls are re-crawlable in the timed run
     n_warm = max(1, int(len(seeds) * warmup_frac))
     eng = CrawlEngine(_crawl_cfg(fix, "/tmp/pomp_bench_warm_ckpt",
-                                 max_rounds=1))
+                                 max_rounds=1, **cfg_kw))
     try:
         eng.run(seeds=seeds[:n_warm])
         eng.cfg.ckpt_dir = "/tmp/pomp_bench_flat_ckpt"
@@ -323,6 +326,10 @@ def run_once(num_cpus: int, sf_dir: str, flat_only: bool = False) -> dict:
     result["crawl_pages_per_s"] = round(flat["pages_per_s"], 1)
     result["crawl_pages"] = flat["pages"]
     if not flat_only:
+        fresh_session()
+        flatd = bench_crawl_flat(dedup_content=True)
+        queries["crawl_flat_dedup"] = round(flatd["sec"], 3)
+        result["crawl_dedup_pages_per_s"] = round(flatd["pages_per_s"], 1)
         fresh_session()
         bfs = bench_crawl_bfs()
         queries["crawl_bfs"] = round(bfs["sec"], 3)

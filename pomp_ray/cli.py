@@ -50,6 +50,7 @@ def cmd_crawl(args: argparse.Namespace) -> int:
         round_budget_s=args.round_budget,
         fetch_strategy=args.fetch_strategy,
         min_distributed_rows=args.min_distributed_rows,
+        dedup_content=args.dedup_content,
     )
     seeds = None
     if not args.resume:
@@ -130,6 +131,9 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--min-distributed-rows", type=int, default=256)
     c.add_argument("--fetch-strategy", default="broadcast",
                    choices=("broadcast", "actor", "join"))
+    c.add_argument("--dedup-content", action="store_true",
+                   help="skip link expansion of pages whose extracted "
+                        "text was already seen (trap/mirror defense)")
     c.set_defaults(fn=cmd_crawl)
 
     d = sub.add_parser("dedup-corpus",
