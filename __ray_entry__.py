@@ -387,6 +387,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: webtext.host_template_stats(_mirror_pages_path()),
         "link_farm_report":
             lambda sf: webtext.link_farm_report(_mirror_pages_path()),
+        "host_degree_stats":
+            lambda sf: webtext.host_degree_stats(_mirror_pages_path()),
         "trap_report":
             lambda sf: webtext.trap_report(_trap_pages_path()),
         "trap_disallow_rules":
@@ -797,6 +799,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1000000 * MAX(n) AS BIGINT)
                        // CAST(SUM(n) AS BIGINT) AS top_share_ppm
             FROM pairs GROUP BY 1
+        """,
+        "host_degree_stats": f"""
+            WITH links AS (
+                SELECT lower(regexp_extract(url, '^[a-z]+://([^/]+)', 1))
+                           AS src,
+                       unnest(regexp_extract_all(
+                           decode(html), 'href="([^"]+)"', 1)) AS href
+                FROM read_parquet('{_MP}')),
+            edges AS (
+                SELECT src,
+                       CASE WHEN href LIKE 'http://%'
+                            THEN lower(regexp_extract(
+                                href, '^http://([^/]+)', 1))
+                            ELSE src END AS dst
+                FROM links WHERE CASE WHEN href LIKE 'http://%'
+                            THEN lower(regexp_extract(
+                                href, '^http://([^/]+)', 1))
+                            ELSE src END <> src),
+            outs AS (
+                SELECT src AS host,
+                       CAST(COUNT(DISTINCT dst) AS BIGINT) AS out_degree,
+                       CAST(COUNT(*) AS BIGINT) AS out_links
+                FROM edges GROUP BY 1),
+            ins AS (
+                SELECT dst AS host,
+                       CAST(COUNT(DISTINCT src) AS BIGINT) AS in_degree,
+                       CAST(COUNT(*) AS BIGINT) AS in_links
+                FROM edges GROUP BY 1)
+            SELECT COALESCE(o.host, i.host) AS host,
+                   COALESCE(out_degree, 0) AS out_degree,
+                   COALESCE(out_links, 0) AS out_links,
+                   COALESCE(in_degree, 0) AS in_degree,
+                   COALESCE(in_links, 0) AS in_links
+            FROM outs o FULL JOIN ins i ON o.host = i.host
+            ORDER BY 1
         """,
         "url_templates": f"""
             WITH th AS (

@@ -292,21 +292,12 @@ def trap_disallow_rules(pages_path: str, min_urls: int = 20,
         "disallow_prefix": pa.array([r[1] for r in rows], pa.string())})
 
 
-def link_farm_report(pages_path: str) -> pa.Table:
-    """Outlink-concentration report per host -- the link-farm / spam-hub
-    heuristic (a host whose cross-host links overwhelmingly point at ONE
-    other host is a farm candidate; a healthy hub spreads).  Per host
-    over FOREIGN (cross-host) hyperlinks only: total outlinks, distinct
-    target hosts, and the top target's share in ppm (integer floor --
-    exact cross-engine).
-
-    Shape: html never shuffles (graph.corpus_host_edges reduces pages to
-    (src, dst) host rows in-batch); per-batch pandas partials count
-    (src, dst) pairs, one groupby reduces them, and the per-host rollup
-    is distributive aggregates (Sum/Count/Max) over the now-unique pair
-    rows.  Output is host-cardinality -- tiny at any corpus scale."""
-    from ray.data.aggregate import Max
-
+def foreign_pair_counts(pages_path: str) -> rd.Dataset:
+    """(src, dst, n) counts over FOREIGN (cross-host) hyperlinks: html
+    never shuffles (graph.corpus_host_edges reduces pages to (src, dst)
+    host rows in-batch), per-batch pandas partials pre-count pairs, one
+    groupby reduces them.  Shared base of link_farm_report /
+    host_degree_stats; rows are unique per (src, dst) downstream."""
     from pomp_ray.pipelines.graph import corpus_host_edges
 
     edges = corpus_host_edges(pages_path)
@@ -324,8 +315,22 @@ def link_farm_report(pages_path: str) -> pa.Table:
                          "dst": pa.array(g["dst"], pa.string()),
                          "n": pa.array(g["size"], pa.int64())})
 
-    pairs = edges.map_batches(pair_partial, batch_format="pyarrow") \
+    return edges.map_batches(pair_partial, batch_format="pyarrow") \
         .groupby(["src", "dst"]).aggregate(Sum("n", alias_name="n"))
+
+
+def link_farm_report(pages_path: str) -> pa.Table:
+    """Outlink-concentration report per host -- the link-farm / spam-hub
+    heuristic (a host whose cross-host links overwhelmingly point at ONE
+    other host is a farm candidate; a healthy hub spreads).  Per host
+    over FOREIGN (cross-host) hyperlinks only: total outlinks, distinct
+    target hosts, and the top target's share in ppm (integer floor --
+    exact cross-engine).  Per-host rollup is distributive aggregates
+    (Sum/Count/Max) over the unique (src, dst, n) pair rows; output is
+    host-cardinality -- tiny at any corpus scale."""
+    from ray.data.aggregate import Max
+
+    pairs = foreign_pair_counts(pages_path)
 
     def host_partial(t: pa.Table) -> pa.Table:
         df = pd.DataFrame({"src": t["src"].to_pylist(),
@@ -350,3 +355,56 @@ def link_farm_report(pages_path: str) -> pa.Table:
         "top_share_ppm": pa.array(
             [1_000_000 * int(r["top"]) // int(r["out"]) for r in rows],
             pa.int64())})
+
+
+def host_degree_stats(pages_path: str) -> pa.Table:
+    """Host-graph degree report: per host, distinct FOREIGN out-targets /
+    in-sources and total foreign out-/in-link counts -- the first chart
+    of any web-graph health check (hubs vs sinks vs isolates).
+
+    Shape: the shared (src, dst, n) pair table aggregates twice (once
+    keyed by src, once by dst -- per-batch partials + groupby, both
+    distributive over unique pair rows), and the two host-cardinality
+    sides combine through one full_outer hash join with COALESCEd
+    key/zero-filled counts (the snapshot_delta discipline)."""
+    pairs = foreign_pair_counts(pages_path)
+
+    def out_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"host": t["src"].to_pylist(),
+                           "n": t["n"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("host", as_index=False).agg(
+            out_links=("n", "sum"), out_degree=("n", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def in_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"host": t["dst"].to_pylist(),
+                           "n": t["n"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("host", as_index=False).agg(
+            in_links=("n", "sum"), in_degree=("n", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    outs = pairs.map_batches(out_partial, batch_format="pyarrow") \
+        .groupby("host").aggregate(
+            Sum("out_links", alias_name="out_links"),
+            Sum("out_degree", alias_name="out_degree")) \
+        .repartition(2).materialize()
+    ins = pairs.map_batches(in_partial, batch_format="pyarrow") \
+        .groupby("host").aggregate(
+            Sum("in_links", alias_name="in_links"),
+            Sum("in_degree", alias_name="in_degree")) \
+        .repartition(2).materialize()
+    j = outs.join(ins, join_type="full_outer", on=("host",),
+                  num_partitions=4)
+    rows = j.take_all()
+    rows.sort(key=lambda r: r["host"])
+    z = lambda v: int(v) if v is not None else 0
+    return pa.table({
+        "host": pa.array([r["host"] for r in rows], pa.string()),
+        "out_degree": pa.array([z(r["out_degree"]) for r in rows],
+                               pa.int64()),
+        "out_links": pa.array([z(r["out_links"]) for r in rows],
+                              pa.int64()),
+        "in_degree": pa.array([z(r["in_degree"]) for r in rows],
+                              pa.int64()),
+        "in_links": pa.array([z(r["in_links"]) for r in rows],
+                             pa.int64())})
