@@ -76,6 +76,12 @@ def _crawl_outputs(kind: str, mode: str) -> pa.Table:
         # that rounds run the DISTRIBUTED exact best-first path
         from pomp_ray.stages.enqueue import HashPriority
         kw = {"best_width": 32, "priority_fn": HashPriority(7)}
+    elif mode == "aged":
+        # best-first + priority aging: deferred rows outrank fresh links
+        from pomp_ray.stages.enqueue import HashPriority
+        kw = {"best_width": 32, "priority_fn": HashPriority(7),
+              "priority_aging": 1}
+        mode = "best"
     elif mode == "focused":
         # focused crawl = best-first with a domain-whitelist scorer
         from pomp_ray.stages.enqueue import HostPriority
@@ -541,6 +547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: _crawl_outputs("errors", "redirect"),
         "crawl_dedup_visited": lambda sf: _crawl_outputs("visited", "dedup"),
         "crawl_dedup_errors": lambda sf: _crawl_outputs("errors", "dedup"),
+        "crawl_aged_visited": lambda sf: _crawl_outputs("visited", "aged"),
         "redirect_map": lambda sf: _redirect_map(),
         "broken_links": lambda sf: _broken_links(),
         "crawl_publish_stats": lambda sf: _crawl_publish_stats(),
@@ -2065,6 +2072,9 @@ def oracle_sql() -> dict[str, str]:
         "crawl_dedup_errors":
             f"SELECT * FROM "
             f"read_parquet('{_GOLDEN}/crawl_dedup_errors.parquet')",
+        "crawl_aged_visited":
+            f"SELECT * FROM "
+            f"read_parquet('{_GOLDEN}/crawl_aged_visited.parquet')",
         "robots_audit": f"""
             WITH v AS (
                 SELECT url,

@@ -51,6 +51,7 @@ def cmd_crawl(args: argparse.Namespace) -> int:
         fetch_strategy=args.fetch_strategy,
         min_distributed_rows=args.min_distributed_rows,
         dedup_content=args.dedup_content,
+        priority_aging=args.priority_aging,
     )
     seeds = None
     if not args.resume:
@@ -134,6 +135,9 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--dedup-content", action="store_true",
                    help="skip link expansion of pages whose extracted "
                         "text was already seen (trap/mirror defense)")
+    c.add_argument("--priority-aging", type=int, default=0,
+                   help="priority gained per round a frontier row is "
+                        "deferred (starvation fix; 0 = off)")
     c.set_defaults(fn=cmd_crawl)
 
     d = sub.add_parser("dedup-corpus",

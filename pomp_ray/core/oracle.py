@@ -103,6 +103,7 @@ def crawl_oracle(
     priority_fn=None,
     max_pages_per_host: int | None = None,
     dedup_content: bool = False,
+    priority_aging: int = 0,
 ) -> OracleResult:
     """``corpus`` maps canonical url -> html bytes; ``seeds`` rows have
     url/priority/depth; ``robots_rows`` rows follow schemas.ROBOTS."""
@@ -178,6 +179,11 @@ def crawl_oracle(
             else:
                 deferred.append(e)
         frontier = deferred
+        if priority_aging:
+            # aging (starvation fix): every deferred entry gains priority
+            # each round it waits, eventually outranking fresh links
+            for e in frontier:
+                e["priority"] += priority_aging
         if budget is not None:
             for h, n in per_host.items():
                 budget_left[h] = budget_left.get(h, budget) - n

@@ -152,6 +152,13 @@ class CrawlConfig:
     # dedup_content branch; state lives in a second SeenSet shard pool
     # checkpointed under ckpt_dir/digests.
     dedup_content: bool = False
+    # Priority aging (classic starvation fix for the priority-queue
+    # discipline): every row a round DEFERS -- politeness overflow or
+    # best/dfs width-cut tail -- gains this much priority before it
+    # re-enters the frontier, so low-priority rows eventually outrank
+    # fresh high-priority links instead of starving behind them.  0 =
+    # off (pomp parity).  Serial spec: core/oracle.py priority_aging.
+    priority_aging: int = 0
     n_seen_shards: int = 8
     # RAM prefilter per seen shard: "bloom" (default) or "cuckoo"
     # (deletion-capable; see state/approx.py + SeenSet.forget)
@@ -657,7 +664,8 @@ class CrawlEngine:
                                   "process_exception_batch")(errs_t)
             self._write_table(errs_t, "errors", rnd)
         next_frontier = pa.concat_tables(
-            [self._frontier_table(accepted), _cast_frontier(def_t)]
+            [self._frontier_table(accepted),
+             _age_frontier(_cast_frontier(def_t), cfg.priority_aging)]
         )
         self._write_table(next_frontier, "frontier", rnd + 1)
         info = {"round": rnd, "path": "driver", "n_selected": sel_t.num_rows,
@@ -848,13 +856,14 @@ class CrawlEngine:
         next_dir = self._dir("frontier", rnd + 1)
         writer = _make_frontier_writer(next_dir)
         accepted.map_batches(writer, batch_format="pyarrow").take_all()
+        aging = cfg.priority_aging
         if deferred is not None and n_deferred:
             deferred.map_batches(
-                lambda t: writer(_cast_frontier(t)),
+                lambda t: writer(_age_frontier(_cast_frontier(t), aging)),
                 batch_format="pyarrow").take_all()
         if width_deferred is not None:
             width_deferred.map_batches(
-                lambda t: writer(_cast_frontier(t)),
+                lambda t: writer(_age_frontier(_cast_frontier(t), aging)),
                 batch_format="pyarrow").take_all()
         n_errors = n_miss + n_blocked + n_budget
         info = {"round": rnd, "path": "exact", "n_selected": n_selected,
@@ -889,6 +898,7 @@ class CrawlEngine:
         scale path."""
         width = self._round_width()
         deferred_dir = self._dir("deferred", rnd)
+        aging = self.cfg.priority_aging
         if self.cfg.mode == "dfs":
             keys, orders = ["priority", "depth", "seq"], ["descending"] * 3
         else:   # best: highest priority first, FIFO-ish within priority
@@ -901,8 +911,9 @@ class CrawlEngine:
                 t, sort_keys=list(zip(keys, orders)))
             t = t.take(idx)
             if t.num_rows > width:
-                _write_frontier_part(deferred_dir,
-                                     _cast_frontier(t.slice(width)))
+                _write_frontier_part(
+                    deferred_dir,
+                    _age_frontier(_cast_frontier(t.slice(width)), aging))
                 t = t.slice(0, width)
             return t
 
@@ -917,7 +928,8 @@ class CrawlEngine:
             tail.map_batches(
                 lambda t: pa.table(
                     {"n": pa.array([(_write_frontier_part(
-                        deferred_dir, _cast_frontier(t))["n"]
+                        deferred_dir,
+                        _age_frontier(_cast_frontier(t), aging))["n"]
                         if t.num_rows else 0)], pa.int64())}),
                 batch_format="pyarrow").take_all()
             cands = head
@@ -945,7 +957,8 @@ class CrawlEngine:
             deferred_dir = self._dir("deferred", rnd)
             selected = _politeness_inline(
                 fds, caps, salt_counts, deferred_dir, rnd=rnd,
-                errors_dir=self._dir("errors", rnd))
+                errors_dir=self._dir("errors", rnd),
+                aging=cfg.priority_aging)
         else:
             selected = fds
         if cfg.middlewares:
@@ -1545,6 +1558,17 @@ def _make_frontier_writer(next_dir: str):
     return write
 
 
+def _age_frontier(t: pa.Table, aging: int) -> pa.Table:
+    """Bump deferred rows' priority by the aging increment (applied once
+    per round deferred, at write-back time on every path)."""
+    if not aging or t.num_rows == 0:
+        return t
+    i = t.schema.get_field_index("priority")
+    p = pc.add(pc.cast(t["priority"], pa.int32()),
+               pa.scalar(aging, pa.int32()))
+    return t.set_column(i, "priority", pc.cast(p, pa.int32()))
+
+
 def _hash_seq(t: pa.Table) -> pa.Table:
     """Scale-mode seq: deterministic per-url hash (63-bit).  Vectorized
     via pandas' keyed siphash (stable across processes/sessions -- unlike
@@ -1561,7 +1585,8 @@ def _hash_seq(t: pa.Table) -> pa.Table:
 def _politeness_inline(fds: rd.Dataset, caps: dict[str, int],
                        salt_counts: dict[str, int],
                        deferred_dir: str, rnd: int = 0,
-                       errors_dir: str | None = None) -> rd.Dataset:
+                       errors_dir: str | None = None,
+                       aging: int = 0) -> rd.Dataset:
     """Scale-mode politeness as a mid-pipeline groupby: capped hosts keep
     their first ``cap`` rows; overflow rows are written to a DETERMINISTIC
     per-(host,salt) side file under ``deferred_dir`` (idempotent under task
@@ -1627,7 +1652,10 @@ def _politeness_inline(fds: rd.Dataset, caps: dict[str, int],
         sel, overflow = g.iloc[:cap], g.iloc[cap:]
         os.makedirs(deferred_dir, exist_ok=True)
         hh = _hl.md5(host.encode()).hexdigest()[:12]
-        t = _cast_frontier(pa.Table.from_pandas(overflow, preserve_index=False))
+        t = _age_frontier(
+            _cast_frontier(pa.Table.from_pandas(overflow,
+                                                preserve_index=False)),
+            aging)
         path = os.path.join(deferred_dir, f"h{hh}-s{salt}.parquet")
         pq.write_table(t, path)
         # one-host stats sidecar so the next round's _frontier_count

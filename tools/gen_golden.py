@@ -173,12 +173,17 @@ def gen_crawl_goldens() -> None:
 
     # "focused" = best-first with a domain-whitelist scorer (HostPriority);
     # "budget" = BFS under a per-host page quota (max_pages_per_host)
-    for mode in ("bfs", "dfs", "best", "focused", "budget"):
+    for mode in ("bfs", "dfs", "best", "focused", "budget", "aged"):
         kw = {}
         oracle_mode = mode
         if mode == "best":
             # mirrors _crawl_outputs' config: width 32, md5-bucket scorer
             kw = {"best_width": 32, "priority_fn": HashPriority(7)}
+        elif mode == "aged":
+            # best-first + deferred-row priority aging (starvation fix)
+            kw = {"best_width": 32, "priority_fn": HashPriority(7),
+                  "priority_aging": 1}
+            oracle_mode = "best"
         elif mode == "focused":
             kw = {"best_width": 32,
                   "priority_fn": HostPriority({"site1.test"})}
