@@ -82,6 +82,14 @@ def _crawl_outputs(kind: str, mode: str) -> pa.Table:
         kw = {"best_width": 32, "priority_fn": HashPriority(7),
               "priority_aging": 1}
         mode = "best"
+    elif mode == "filtered":
+        # link-scope deny regex (Scrapy LinkExtractor shape)
+        kw = {"url_deny": r"/p/1[0-9]$"}
+        mode = "bfs"
+    elif mode == "capped":
+        # global visited budget (round-granular)
+        kw = {"max_visited": 25}
+        mode = "bfs"
     elif mode == "focused":
         # focused crawl = best-first with a domain-whitelist scorer
         from pomp_ray.stages.enqueue import HostPriority
@@ -548,6 +556,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_dedup_visited": lambda sf: _crawl_outputs("visited", "dedup"),
         "crawl_dedup_errors": lambda sf: _crawl_outputs("errors", "dedup"),
         "crawl_aged_visited": lambda sf: _crawl_outputs("visited", "aged"),
+        "crawl_filtered_visited":
+            lambda sf: _crawl_outputs("visited", "filtered"),
+        "crawl_capped_visited":
+            lambda sf: _crawl_outputs("visited", "capped"),
         "redirect_map": lambda sf: _redirect_map(),
         "broken_links": lambda sf: _broken_links(),
         "crawl_publish_stats": lambda sf: _crawl_publish_stats(),
@@ -2075,6 +2087,12 @@ def oracle_sql() -> dict[str, str]:
         "crawl_aged_visited":
             f"SELECT * FROM "
             f"read_parquet('{_GOLDEN}/crawl_aged_visited.parquet')",
+        "crawl_filtered_visited":
+            f"SELECT * FROM "
+            f"read_parquet('{_GOLDEN}/crawl_filtered_visited.parquet')",
+        "crawl_capped_visited":
+            f"SELECT * FROM "
+            f"read_parquet('{_GOLDEN}/crawl_capped_visited.parquet')",
         "robots_audit": f"""
             WITH v AS (
                 SELECT url,

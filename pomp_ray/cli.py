@@ -52,6 +52,8 @@ def cmd_crawl(args: argparse.Namespace) -> int:
         min_distributed_rows=args.min_distributed_rows,
         dedup_content=args.dedup_content,
         priority_aging=args.priority_aging,
+        url_allow=args.url_allow, url_deny=args.url_deny,
+        max_visited=args.max_visited,
     )
     seeds = None
     if not args.resume:
@@ -138,6 +140,15 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--priority-aging", type=int, default=0,
                    help="priority gained per round a frontier row is "
                         "deferred (starvation fix; 0 = off)")
+    c.add_argument("--url-allow", default=None,
+                   help="only enqueue links whose canonical url matches "
+                        "this regex (seeds exempt)")
+    c.add_argument("--url-deny", default=None,
+                   help="never enqueue links whose canonical url matches "
+                        "this regex (seeds exempt)")
+    c.add_argument("--max-visited", type=int, default=None,
+                   help="stop after this many visited pages "
+                        "(round-granular)")
     c.set_defaults(fn=cmd_crawl)
 
     d = sub.add_parser("dedup-corpus",

@@ -104,10 +104,16 @@ def crawl_oracle(
     max_pages_per_host: int | None = None,
     dedup_content: bool = False,
     priority_aging: int = 0,
+    url_allow: str | None = None,
+    url_deny: str | None = None,
+    max_visited: int | None = None,
 ) -> OracleResult:
     """``corpus`` maps canonical url -> html bytes; ``seeds`` rows have
     url/priority/depth; ``robots_rows`` rows follow schemas.ROBOTS."""
+    import re
     disallow, delay = _robots_maps(robots_rows or [])
+    allow_re = re.compile(url_allow) if url_allow else None
+    deny_re = re.compile(url_deny) if url_deny else None
     res = OracleResult()
     frontier: list[dict] = []
     seq_counter = 0
@@ -119,6 +125,13 @@ def crawl_oracle(
         canon = url_canonicalize(full)
         if not canon or canon in res.seen:
             return
+        if base is not None:
+            # link-scope allow/deny filters (seeds exempt): rejected
+            # links vanish silently -- never seen, never errored
+            if allow_re is not None and not allow_re.search(canon):
+                return
+            if deny_re is not None and deny_re.search(canon):
+                return
         if max_depth is not None and depth > max_depth:
             return
         host = url_host(canon)
@@ -145,7 +158,8 @@ def crawl_oracle(
     rnd = 0
     budget_left: dict[str, int] = {}
     seen_digests: set[bytes] = set()
-    while frontier and (max_rounds is None or rnd < max_rounds):
+    while frontier and (max_rounds is None or rnd < max_rounds) \
+            and (max_visited is None or len(res.visited) < max_visited):
         if mode == "bfs":
             # FIFO: priority desc, then global enqueue order
             frontier.sort(key=lambda e: (-e["priority"], e["seq"]))

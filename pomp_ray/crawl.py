@@ -82,6 +82,7 @@ from pomp_ray.stages.enqueue import (
     dedup_first_in_order,
     dedup_local,
     make_robots_flag,
+    make_url_filter,
 )
 from pomp_ray.stages.fetch import CorpusIndex, make_fetch_fn
 from pomp_ray.stages.order import zip_with_index_sorted
@@ -159,6 +160,17 @@ class CrawlConfig:
     # fresh high-priority links instead of starving behind them.  0 =
     # off (pomp parity).  Serial spec: core/oracle.py priority_aging.
     priority_aging: int = 0
+    # Link-scope regex filters (the Scrapy LinkExtractor allow/deny
+    # shape): extracted LINKS whose canonical url fails the filter are
+    # silently dropped at enqueue time, before dedup and the seen set
+    # (never marked seen, never errored); seeds are exempt.  Search
+    # semantics (re.search / pc.match_substring_regex).
+    url_allow: str | None = None
+    url_deny: str | None = None
+    # Global visited budget: stop scheduling NEW rounds once cumulative
+    # visited >= this (round-granular -- the crossing round completes;
+    # the only budget a wave-synchronous distributed crawl can honor).
+    max_visited: int | None = None
     n_seen_shards: int = 8
     # RAM prefilter per seen shard: "bloom" (default) or "cuckoo"
     # (deletion-capable; see state/approx.py + SeenSet.forget)
@@ -237,6 +249,20 @@ class CrawlEngine:
         self.seq_counter = 0
         # host -> fetch attempts so far (page-budget accounting)
         self.budget_spent: dict[str, int] = {}
+        # link-scope regex filters (driver path uses compiled re; the
+        # distributed chains use the equivalent Arrow kernel stage)
+        import re as _re
+        self._allow_re = _re.compile(cfg.url_allow) if cfg.url_allow else None
+        self._deny_re = _re.compile(cfg.url_deny) if cfg.url_deny else None
+        # cumulative visited across resumes (global max_visited budget)
+        self.visited_total = 0
+
+    def _link_ok(self, canon: str) -> bool:
+        if self._allow_re is not None and not self._allow_re.search(canon):
+            return False
+        if self._deny_re is not None and self._deny_re.search(canon):
+            return False
+        return True
 
     @property
     def index(self) -> CorpusIndex:
@@ -361,6 +387,8 @@ class CrawlEngine:
             canon = url_canonicalize(full)
             if not canon or canon in local:
                 continue
+            if not self._link_ok(canon):
+                continue   # url_allow/url_deny: silent drop, never seen
             if check_depth and cfg.max_depth is not None and c["depth"] > cfg.max_depth:
                 continue
             local.add(canon)
@@ -816,6 +844,9 @@ class CrawlEngine:
             expand_src.map_batches(explode_links, batch_format="pyarrow")
             .map_batches(canonicalize_batch, batch_format="pyarrow")
         )
+        url_flt = make_url_filter(cfg.url_allow, cfg.url_deny)
+        if url_flt is not None:
+            cands = cands.map_batches(url_flt, batch_format="pyarrow")
         if cfg.max_depth is not None:
             md = cfg.max_depth
             cands = cands.map_batches(
@@ -1087,6 +1118,9 @@ class CrawlEngine:
             cands.map_batches(explode_links, batch_format="pyarrow")
             .map_batches(canonicalize_batch, batch_format="pyarrow")
         )
+        url_flt = make_url_filter(cfg.url_allow, cfg.url_deny)
+        if url_flt is not None:
+            cands = cands.map_batches(url_flt, batch_format="pyarrow")
         if cfg.max_depth is not None:
             md = cfg.max_depth
             cands = cands.map_batches(
@@ -1142,6 +1176,7 @@ class CrawlEngine:
             self.seen.reset()
             if self.digests is not None:
                 self.digests.reset()
+            self.visited_total = 0
             self.seq_counter = 0
             self.budget_spent = {}
             self.seed(seeds)
@@ -1150,6 +1185,9 @@ class CrawlEngine:
         rnd = start_round
         seen_dir = os.path.join(cfg.ckpt_dir, "seen")
         while cfg.max_rounds is None or rnd < cfg.max_rounds:
+            if (cfg.max_visited is not None
+                    and self.visited_total >= cfg.max_visited):
+                break   # global visited budget spent (round-granular)
             info_path = self._round_json(rnd)
             if os.path.exists(info_path):   # already complete (resume)
                 with open(info_path) as f:
@@ -1196,6 +1234,7 @@ class CrawlEngine:
                 self._write_metrics(info)
                 self._commit_round(rnd, info)
             summary.per_round.append(info)
+            self.visited_total += info["n_visited"]
             summary.n_visited += info["n_visited"]
             summary.n_items += info["n_items"]
             summary.n_errors += info["n_errors"]
@@ -1231,11 +1270,13 @@ class CrawlEngine:
             self.seq_counter = json.load(f)["seq_counter"]
         last = -1
         self.budget_spent = {}
+        self.visited_total = 0
         for p in sorted(glob.glob(os.path.join(rounds_dir, "round-*.json"))):
             r = int(os.path.basename(p)[len("round-"):].split(".")[0])
             with open(p) as f:
                 data = json.load(f)
             self.seq_counter = data["seq_counter"]
+            self.visited_total += int(data.get("n_visited", 0))
             for h, n in data.get("hosts_selected", {}).items():
                 self.budget_spent[h] = self.budget_spent.get(h, 0) + int(n)
             last = r

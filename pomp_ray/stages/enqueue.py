@@ -270,3 +270,25 @@ def split_blocked(frontier_cands: pa.Table) -> tuple[pa.Table, pa.Table]:
         frontier_cands.filter(pc.invert(blocked_mask)),
         frontier_cands.filter(blocked_mask),
     )
+
+
+def make_url_filter(allow: str | None, deny: str | None):
+    """Batch filter over canonical LINK urls (CrawlConfig url_allow /
+    url_deny; the Scrapy LinkExtractor allow/deny shape).  Search
+    semantics; rejected rows vanish before dedup/seen -- never marked
+    seen, never errored.  Returns None when no filter is configured."""
+    if allow is None and deny is None:
+        return None
+
+    def flt(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        m = None
+        if allow is not None:
+            m = pc.match_substring_regex(t["canon_url"], allow)
+        if deny is not None:
+            d = pc.invert(pc.match_substring_regex(t["canon_url"], deny))
+            m = d if m is None else pc.and_(m, d)
+        return t.filter(m)
+
+    return flt

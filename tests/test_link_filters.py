@@ -1,0 +1,83 @@
+"""Link-scope allow/deny regex filters (CrawlConfig url_allow/url_deny,
+the Scrapy LinkExtractor shape) and the global visited budget
+(max_visited).  Filters drop rejected links silently at enqueue time --
+never marked seen, never errored; seeds are exempt.  The budget is
+round-granular: the crossing round completes (the only budget a
+wave-synchronous crawl can honor).  Serial spec: core/oracle.py."""
+
+import pyarrow.parquet as pq
+
+from pomp_ray.crawl import CrawlConfig, CrawlEngine
+from pomp_ray.sources import gen_corpus
+from tests.helpers import (
+    fixture_corpus,
+    oracle_visited_tuples,
+    read_ckpt,
+    run_oracle,
+    visited_tuples,
+)
+
+
+def _run(fix, ckpt, **cfg_kw):
+    cfg = CrawlConfig(corpus_path=fix.pages_path, ckpt_dir=ckpt,
+                      robots_path=fix.robots_path, mode="bfs",
+                      n_seen_shards=4, **cfg_kw)
+    eng = CrawlEngine(cfg)
+    try:
+        return eng.run(seeds=pq.read_table(fix.seeds_path).to_pylist())
+    finally:
+        eng.close()
+
+
+def test_url_deny_both_paths(tmp_path):
+    fix = fixture_corpus(gen_corpus.TINY)
+    for sub, mdr in (("driver", 256), ("dist", 0)):
+        ckpt = str(tmp_path / sub)
+        _run(fix, ckpt, url_deny=r"/p/1[0-9]$", min_distributed_rows=mdr)
+        res = run_oracle(fix, mode="bfs", url_deny=r"/p/1[0-9]$")
+        vis = read_ckpt(ckpt, "visited")
+        assert visited_tuples(vis) == oracle_visited_tuples(res)
+        assert not any(u.rstrip("0123456789").endswith("/p/1") or
+                       ("/p/1" in u and u.split("/p/")[1].startswith("1")
+                        and len(u.split("/p/")[1]) == 2)
+                       for u in vis["url"].to_pylist())
+
+
+def test_url_allow_scale_set(tmp_path):
+    """Allow filter under scale mode: visited set == oracle's (the
+    filter is a pure per-url predicate, wave-order independent)."""
+    fix = fixture_corpus(gen_corpus.TINY)
+    ckpt = str(tmp_path / "ckpt")
+    _run(fix, ckpt, url_allow=r"site0\.test", exact_order=False,
+         min_distributed_rows=0)
+    res = run_oracle(fix, mode="bfs", url_allow=r"site0\.test")
+    vis = read_ckpt(ckpt, "visited")
+    assert set(vis["url"].to_pylist()) == {v["url"] for v in res.visited}
+    # the seed of site1 is exempt; its links are not
+    assert sum("site1.test" in u for u in vis["url"].to_pylist()) == 1
+
+
+def test_max_visited_budget(tmp_path):
+    """Round-granular visited cap, exact vs oracle; a resumed crawl must
+    honor the budget spent before the cut."""
+    fix = fixture_corpus(gen_corpus.TINY)
+    ckpt = str(tmp_path / "ckpt")
+    s = _run(fix, ckpt, max_visited=25, min_distributed_rows=0)
+    res = run_oracle(fix, mode="bfs", max_visited=25)
+    assert visited_tuples(read_ckpt(ckpt, "visited")) == \
+        oracle_visited_tuples(res)
+    assert s.n_visited >= 25
+
+    # resume on the finished budgeted crawl: nothing more runs
+    cfg = CrawlConfig(corpus_path=fix.pages_path, ckpt_dir=ckpt,
+                      robots_path=fix.robots_path, mode="bfs",
+                      n_seen_shards=4, max_visited=25,
+                      min_distributed_rows=0)
+    eng = CrawlEngine(cfg)
+    try:
+        s2 = eng.run(resume=True)
+    finally:
+        eng.close()
+    assert s2.n_visited == 0
+    assert visited_tuples(read_ckpt(ckpt, "visited")) == \
+        oracle_visited_tuples(res)

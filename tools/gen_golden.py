@@ -173,9 +173,18 @@ def gen_crawl_goldens() -> None:
 
     # "focused" = best-first with a domain-whitelist scorer (HostPriority);
     # "budget" = BFS under a per-host page quota (max_pages_per_host)
-    for mode in ("bfs", "dfs", "best", "focused", "budget", "aged"):
+    for mode in ("bfs", "dfs", "best", "focused", "budget", "aged",
+                 "filtered", "capped"):
         kw = {}
         oracle_mode = mode
+        if mode == "filtered":
+            # link-scope deny regex (the Scrapy LinkExtractor shape)
+            kw = {"url_deny": r"/p/1[0-9]$"}
+            oracle_mode = "bfs"
+        elif mode == "capped":
+            # global visited budget, round-granular
+            kw = {"max_visited": 25}
+            oracle_mode = "bfs"
         if mode == "best":
             # mirrors _crawl_outputs' config: width 32, md5-bucket scorer
             kw = {"best_width": 32, "priority_fn": HashPriority(7)}
