@@ -532,6 +532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q22_inactive_customers": relational.q22_inactive_customers,
         "q9_product_profit": relational.q9_product_profit,
         "q16_supplier_part_counts": relational.q16_supplier_part_counts,
+        "revenue_rollup": relational.revenue_rollup,
         "rolling_user_spend": relational.rolling_user_spend,
         "record_events": relational.record_events,
         "late_events": relational.late_events,
@@ -2441,6 +2442,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders ON o_orderkey = l_orderkey
             WHERE p_name LIKE '%red%'
             GROUP BY 1, 2 ORDER BY 1, 2 DESC
+        """,
+        # multi-level subtotals: nullable group keys come back from
+        # DuckDB's .df() as float64, so both sides use DOUBLE keys
+        "revenue_rollup": """
+            SELECT CAST(year(o_orderdate) AS DOUBLE) AS o_year,
+                   CAST(quarter(o_orderdate) AS DOUBLE) AS o_quarter,
+                   CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+                        AS DOUBLE) / 100.0 AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders
+            GROUP BY ROLLUP(o_year, o_quarter)
+            ORDER BY 1, 2
         """,
         # Q16 adapted: the part-supplier relation comes from lineitem
         # (who actually shipped the part); count-distinct per attrs

@@ -1511,3 +1511,60 @@ def q16_supplier_part_counts(
         "p_size": pa.array([r["p_size"] for r in rows], pa.int64()),
         "supplier_cnt": pa.array([int(r["supplier_cnt"]) for r in rows],
                                  pa.int64())})
+
+
+def revenue_rollup(sf_dir: str) -> pa.Table:
+    """GROUP BY ROLLUP(year, quarter) over order revenue -- the
+    multi-level subtotal shape (detail rows + per-year subtotals + one
+    grand total, NULL marking each aggregated-out level, exactly
+    DuckDB's ROLLUP output).
+
+    Plan: one pass of per-batch integer-cent partials into a tiny
+    (year, quarter) groupby; the three rollup levels then derive on the
+    driver from that O(years x 4) table -- re-aggregating upward from
+    exact integer sums, so every level is bit-identical to the oracle.
+    Nullable group keys surface as float64 (NaN = rolled up): DuckDB's
+    nullable BIGINT comes back as float64 through .df(), so matching
+    dtypes on the engine side is what makes the compare exact."""
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].to_numpy()
+        years = d.astype("datetime64[Y]").astype(np.int64) + 1970
+        months = d.astype("datetime64[M]").astype(np.int64) % 12
+        quarters = months // 3 + 1
+        cents = np.rint(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        key = years * 10 + quarters
+        uniq, inv = np.unique(key, return_inverse=True)
+        sums = np.zeros(len(uniq), np.int64)
+        cnts = np.zeros(len(uniq), np.int64)
+        np.add.at(sums, inv, cents)
+        np.add.at(cnts, inv, 1)
+        return pa.table({"k": pa.array(uniq, pa.int64()),
+                         "cents": pa.array(sums, pa.int64()),
+                         "n": pa.array(cnts, pa.int64())})
+
+    rows = _t(sf_dir, "orders", ["o_orderdate", "o_totalprice"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("k").aggregate(Sum("cents", alias_name="cents"),
+                                Sum("n", alias_name="n")).take_all()
+    detail = sorted((r["k"] // 10, r["k"] % 10, int(r["cents"]), int(r["n"]))
+                    for r in rows)
+    years: dict[int, list[int]] = {}
+    for y, q, c, n in detail:
+        acc = years.setdefault(y, [0, 0])
+        acc[0] += c
+        acc[1] += n
+    out_y, out_q, out_c, out_n = [], [], [], []
+    for y, q, c, n in detail:
+        out_y.append(float(y)); out_q.append(float(q))
+        out_c.append(c); out_n.append(n)
+    for y in sorted(years):
+        out_y.append(float(y)); out_q.append(None)
+        out_c.append(years[y][0]); out_n.append(years[y][1])
+    out_y.append(None); out_q.append(None)
+    out_c.append(sum(v[0] for v in years.values()))
+    out_n.append(sum(v[1] for v in years.values()))
+    return pa.table({
+        "o_year": pa.array(out_y, pa.float64()),
+        "o_quarter": pa.array(out_q, pa.float64()),
+        "revenue": pa.array([c / 100.0 for c in out_c], pa.float64()),
+        "n_orders": pa.array(out_n, pa.int64())})
