@@ -403,6 +403,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: webtext.link_farm_report(_mirror_pages_path()),
         "host_degree_stats":
             lambda sf: webtext.host_degree_stats(_mirror_pages_path()),
+        "host_triangles": lambda sf: __import__(
+            "pomp_ray.pipelines.graph", fromlist=["graph"]
+        ).host_triangles(_mirror_pages_path()),
         "trap_report":
             lambda sf: webtext.trap_report(_trap_pages_path()),
         "trap_disallow_rules":
@@ -468,6 +471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_bloom": docs.decontaminate_bloom,
         "bm25_topk": docs.bm25_topk,
         "gopher_quality_flags": docs.gopher_quality_flags,
+        "length_outlier_docs": docs.length_outlier_docs,
         "compression_stats": docs.compression_stats,
         "source_skew_report": docs.source_skew_report,
         "corpus_checksums": docs.corpus_checksums,
@@ -854,6 +858,37 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(in_links, 0) AS in_links
             FROM outs o FULL JOIN ins i ON o.host = i.host
             ORDER BY 1
+        """,
+        # triangle participation per host over the undirected foreign
+        # host graph (each triangle credits its three corners)
+        "host_triangles": f"""
+            WITH links AS (
+                SELECT lower(regexp_extract(url, '^[a-z]+://([^/]+)', 1))
+                           AS src,
+                       unnest(regexp_extract_all(
+                           decode(html), 'href="([^"]+)"', 1)) AS href
+                FROM read_parquet('{_MP}')),
+            edges0 AS (
+                SELECT src,
+                       CASE WHEN href LIKE 'http://%'
+                            THEN lower(regexp_extract(
+                                href, '^http://([^/]+)', 1))
+                            ELSE src END AS dst
+                FROM links),
+            e AS (
+                SELECT DISTINCT least(src, dst) AS a,
+                                greatest(src, dst) AS b
+                FROM edges0 WHERE src <> dst),
+            tri AS (
+                SELECT e1.a AS a, e1.b AS b, e2.b AS c
+                FROM e e1
+                JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+                JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+            SELECT host, CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM (SELECT a AS host FROM tri
+                  UNION ALL SELECT b FROM tri
+                  UNION ALL SELECT c FROM tri)
+            GROUP BY 1 ORDER BY 1
         """,
         "url_templates": f"""
             WITH th AS (
@@ -2504,6 +2539,20 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _BM25_ORACLE,
         # Gopher rules: pure integer arithmetic in both engines
         "gopher_quality_flags": _gopher_oracle(),
+        # integer ratio tests vs the source mean: 2*len*n vs 3*S / S
+        "length_outlier_docs": """
+            WITH st AS (
+                SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(length(text)) AS BIGINT) AS s
+                FROM documents GROUP BY source)
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source,
+                   CAST(length(d.text) AS BIGINT) AS length,
+                   CASE WHEN 2*length(d.text)*st.n > 3*st.s
+                        THEN 'long' ELSE 'short' END AS kind
+            FROM documents d JOIN st ON d.source = st.source
+            WHERE 2*length(d.text)*st.n > 3*st.s
+               OR 2*length(d.text)*st.n < st.s
+        """,
         "hll_users_by_type":
             f"SELECT * FROM read_parquet('{_GOLDEN}/hll_users_sf001.parquet')",
         "crawl_bfs_errors":

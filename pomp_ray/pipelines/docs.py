@@ -2654,3 +2654,53 @@ def ngram_diversity(sf_dir: str) -> rd.Dataset:
             "diversity_ppm": pa.array(nd * 1_000_000 // tot, pa.int64())})
 
     return rollup.map_batches(fin, batch_format="pyarrow")
+
+
+def length_outlier_docs(sf_dir: str) -> rd.Dataset:
+    """Docs whose char length strays from their SOURCE's mean -- the
+    per-domain length-anomaly gate (truncated fetches, concatenation
+    bugs, boilerplate walls).  Flags are exact INTEGER ratio tests
+    against the source mean (long: 2*len*n > 3*S i.e. len > 1.5x mean;
+    short: 2*len*n < S i.e. len < 0.5x mean), so no float division ever
+    crosses engines.
+
+    Shape: pass 1 reduces documents to 20 (source, n, sum_len) rows
+    (per-batch partials + tiny groupby) broadcast as a plain dict; pass
+    2 is one vectorized gate per batch -- the broadcast-dimension-join
+    discipline, nothing but flagged rows leave."""
+    path = os.path.join(sf_dir, "documents.parquet")
+
+    def moments(t: pa.Table) -> pa.Table:
+        ln = pc.utf8_length(t["text"]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        df = pd.DataFrame({"source": t["source"].to_pylist(), "ln": ln})
+        g = df.groupby("source", as_index=False).agg(
+            n=("ln", "size"), s=("ln", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    stats = rd.read_parquet(path, columns=["source", "text"]) \
+        .map_batches(moments, batch_format="pyarrow") \
+        .groupby("source").aggregate(Sum("n", alias_name="n"),
+                                     Sum("s", alias_name="s")).take_all()
+    n_by = {r["source"]: int(r["n"]) for r in stats}
+    s_by = {r["source"]: int(r["s"]) for r in stats}
+
+    def gate(t: pa.Table) -> pa.Table:
+        src = t["source"].to_pylist()
+        ln = pc.utf8_length(t["text"]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = np.array([n_by[s] for s in src], np.int64)
+        s = np.array([s_by[s] for s in src], np.int64)
+        long_m = 2 * ln * n > 3 * s
+        short_m = 2 * ln * n < s
+        keep = long_m | short_m
+        kind = np.where(long_m, "long", "short")
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()).filter(
+                pa.array(keep)),
+            "source": pa.array(np.asarray(src, object)[keep], pa.string()),
+            "length": pa.array(ln[keep], pa.int64()),
+            "kind": pa.array(kind[keep], pa.string())})
+
+    return rd.read_parquet(path, columns=["doc_id", "source", "text"]) \
+        .map_batches(gate, batch_format="pyarrow")

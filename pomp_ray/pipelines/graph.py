@@ -683,3 +683,70 @@ def broken_links(pages_path: str, num_partitions: int = 8) -> pa.Table:
                       "n_targets": pa.array([], pa.int64()),
                       "n_broken": pa.array([], pa.int64())})])
     return tbl.sort_by("host")
+
+
+def host_triangles(pages_path: str, num_partitions: int = 4) -> pa.Table:
+    """Triangle participation per host over the UNDIRECTED foreign host
+    graph -- the classic clustering-structure probe (link rings / spam
+    constellations close many triangles; organic link graphs are
+    sparse).  Shape: distinct undirected edges (a < b, one groupby over
+    skinny host pairs), a hash self-join on the shared endpoint builds
+    2-paths (a-b-c with a < b < c after orientation -- each triangle
+    enumerated exactly once), and one membership join against the edge
+    table closes them.  Per-host counts then roll up from the closed
+    (a, b, c) rows: each triangle credits all three corners."""
+    from ray.data.aggregate import Count
+
+    def und(t: pa.Table) -> pa.Table:
+        m = pc.invert(pc.equal(t["src"], t["dst"]))
+        t = t.filter(m)
+        lo = pc.min_element_wise(t["src"], t["dst"])
+        hi = pc.max_element_wise(t["src"], t["dst"])
+        return pa.table({"a": lo, "b": hi})
+
+    edges = corpus_host_edges(pages_path) \
+        .map_batches(und, batch_format="pyarrow") \
+        .groupby(["a", "b"]).aggregate(Count(alias_name="_n")) \
+        .map_batches(lambda t: t.select(["a", "b"]),
+                     batch_format="pyarrow") \
+        .repartition(2).materialize()
+
+    # 2-paths pivoting on the LOWEST corner: (a,b) ⋈ (a,c) with b < c
+    left = edges.map_batches(
+        lambda t: pa.table({"a": t["a"], "b": t["b"]}),
+        batch_format="pyarrow")
+    right = edges.map_batches(
+        lambda t: pa.table({"a": t["a"], "c": t["b"]}),
+        batch_format="pyarrow")
+    wedges = left.join(right, join_type="inner", on=("a",),
+                       num_partitions=num_partitions) \
+        .map_batches(lambda t: t.filter(pc.less(t["b"], t["c"])),
+                     batch_format="pyarrow").repartition(2).materialize()
+    # close the wedge: (b, c) must be an edge
+    closer = edges.map_batches(
+        lambda t: pa.table({"b": t["a"], "c": t["b"],
+                            "closed": pa.array([True] * t.num_rows,
+                                               pa.bool_())}),
+        batch_format="pyarrow")
+    tri = wedges.join(closer, join_type="inner", on=("b", "c"),
+                      num_partitions=num_partitions)
+
+    def corner_partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+        hosts, cnts = np.unique(
+            np.concatenate([t["a"].to_numpy(zero_copy_only=False),
+                            t["b"].to_numpy(zero_copy_only=False),
+                            t["c"].to_numpy(zero_copy_only=False)]),
+            return_counts=True)
+        return pa.table({"host": pa.array(hosts, pa.string()),
+                         "n_triangles": pa.array(cnts, pa.int64())})
+
+    from ray.data.aggregate import Sum as _Sum
+    rows = tri.map_batches(corner_partial, batch_format="pyarrow") \
+        .groupby("host").aggregate(
+            _Sum("n_triangles", alias_name="n_triangles")).take_all()
+    rows.sort(key=lambda r: r["host"])
+    return pa.table({
+        "host": pa.array([r["host"] for r in rows], pa.string()),
+        "n_triangles": pa.array([int(r["n_triangles"]) for r in rows],
+                                pa.int64())})
