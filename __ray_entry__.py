@@ -197,6 +197,29 @@ def _robots_audit() -> pa.Table:
     return robots_audit(ckpt, fix.robots_path)
 
 
+def _crawl_coverage() -> pa.Table:
+    """Per-host coverage (corpus pages vs visited, ppm) of a finished
+    TINY bfs crawl.  Oracle: host-count SQL over the committed visited
+    golden FULL JOINed with the corpus parquet's per-host url counts
+    (sitemap pages are unreachable from the link graph, so coverage is
+    structurally < 1.0)."""
+    from pomp_ray.crawl import CrawlConfig, CrawlEngine
+    from pomp_ray.pipelines.audit import crawl_coverage
+    from pomp_ray.sources import gen_corpus
+
+    fix = gen_corpus.generate("/tmp/pomp_q_corpus", gen_corpus.TINY)
+    ckpt = "/tmp/pomp_q_ckpt_coverage"
+    cfg = CrawlConfig(corpus_path=fix.pages_path, ckpt_dir=ckpt,
+                      robots_path=fix.robots_path, mode="bfs",
+                      min_distributed_rows=16, n_seen_shards=4)
+    eng = CrawlEngine(cfg)
+    try:
+        eng.run(seeds=pq.read_table(fix.seeds_path).to_pylist())
+    finally:
+        eng.close()
+    return crawl_coverage(ckpt, fix.pages_path)
+
+
 def _crawl_host_health():
     """Per-host fetch health of a finished TINY bfs crawl: successful
     visits vs errors (the ops dashboard a crawl scheduler watches).
@@ -571,6 +594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_round_metrics": lambda sf: _crawl_round_metrics(),
         "crawl_host_health": lambda sf: _crawl_host_health(),
         "robots_audit": lambda sf: _robots_audit(),
+        "crawl_coverage": lambda sf: _crawl_coverage(),
         "crawl_depth_histogram": lambda sf: _crawl_depth_histogram(),
     }
 
@@ -667,6 +691,12 @@ def _tiny_robots_path() -> str:
     from pomp_ray.sources import gen_corpus
     return gen_corpus.generate("/tmp/pomp_q_corpus",
                                gen_corpus.TINY).robots_path
+
+
+def _tiny_pages_path() -> str:
+    from pomp_ray.sources import gen_corpus
+    return gen_corpus.generate("/tmp/pomp_q_corpus",
+                               gen_corpus.TINY).pages_path
 
 
 def _trap_pages_path() -> str:
@@ -2129,6 +2159,28 @@ def oracle_sql() -> dict[str, str]:
         "crawl_capped_visited":
             f"SELECT * FROM "
             f"read_parquet('{_GOLDEN}/crawl_capped_visited.parquet')",
+        "crawl_coverage": f"""
+            WITH cp AS (
+                SELECT regexp_extract(url, '^[a-z]+://([^/]+)/', 1)
+                           AS host,
+                       CAST(COUNT(*) AS BIGINT) AS n_pages
+                FROM read_parquet('{_tiny_pages_path()}') GROUP BY 1),
+            vz AS (
+                SELECT regexp_extract(url, '^[a-z]+://([^/]+)/', 1)
+                           AS host,
+                       CAST(COUNT(*) AS BIGINT) AS n_visited
+                FROM read_parquet('{_GOLDEN}/crawl_bfs_visited.parquet')
+                GROUP BY 1)
+            SELECT COALESCE(cp.host, vz.host) AS host,
+                   COALESCE(n_pages, 0) AS n_pages,
+                   COALESCE(n_visited, 0) AS n_visited,
+                   CASE WHEN COALESCE(n_pages, 0) > 0
+                        THEN CAST(1000000 * COALESCE(n_visited, 0)
+                                  AS BIGINT) // n_pages
+                        ELSE 0 END AS coverage_ppm
+            FROM cp FULL JOIN vz ON cp.host = vz.host
+            ORDER BY 1
+        """,
         "robots_audit": f"""
             WITH v AS (
                 SELECT url,

@@ -114,3 +114,49 @@ def robots_audit(ckpt_dir: str, robots_path: str,
                       "n_blocked": pa.array([], pa.int64()),
                       "n_violations": pa.array([], pa.int64())})])
     return tbl.sort_by("host")
+
+
+def crawl_coverage(ckpt_dir: str, pages_path: str,
+                   num_partitions: int = 4) -> pa.Table:
+    """Per-host crawl coverage: corpus pages vs pages actually visited,
+    with the ratio in ppm (integer floor) -- the completeness report a
+    recrawl planner reads first (hosts far below 1.0 hide robots walls,
+    traps, budget cuts or disconnected subgraphs).
+
+    Shape: both sides reduce to (host, count) partials in map_batches
+    (visited via the layout-agnostic logical reader, corpus straight off
+    the pages parquet url column -- html never read), one groupby each,
+    one full_outer join; unvisited hosts surface with coverage 0."""
+    from pomp_ray.crawl import read_visited
+
+    def count_partial(col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            host, _ = _split_urls(t["url"])
+            tbl = pa.table({"host": host,
+                            col: pa.array([1] * t.num_rows, pa.int64())})
+            return tbl.group_by("host").aggregate(
+                [(col, "sum")]).rename_columns(["host", col])
+        return fn
+
+    vis = rd.from_arrow(read_visited(ckpt_dir).select(["url"])) \
+        .map_batches(count_partial("n_visited"), batch_format="pyarrow") \
+        .groupby("host").aggregate(Sum("n_visited", alias_name="n_visited")) \
+        .repartition(2).materialize()
+    corpus = rd.read_parquet(pages_path, columns=["url"]) \
+        .map_batches(count_partial("n_pages"), batch_format="pyarrow") \
+        .groupby("host").aggregate(Sum("n_pages", alias_name="n_pages")) \
+        .repartition(2).materialize()
+    rows = corpus.join(vis, join_type="full_outer", on=("host",),
+                       num_partitions=num_partitions).take_all()
+    rows.sort(key=lambda r: r["host"])
+    out_h, out_p, out_v, out_ppm = [], [], [], []
+    for r in rows:
+        p = int(r["n_pages"] or 0)
+        v = int(r["n_visited"] or 0)
+        out_h.append(r["host"]); out_p.append(p); out_v.append(v)
+        out_ppm.append(1_000_000 * v // p if p else 0)
+    return pa.table({
+        "host": pa.array(out_h, pa.string()),
+        "n_pages": pa.array(out_p, pa.int64()),
+        "n_visited": pa.array(out_v, pa.int64()),
+        "coverage_ppm": pa.array(out_ppm, pa.int64())})
