@@ -103,6 +103,14 @@ def cmd_tick(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_fsck(args: argparse.Namespace) -> int:
+    from pomp_ray.fsck import verify_checkpoint
+
+    rep = verify_checkpoint(args.ckpt, deep=args.deep)
+    print(json.dumps(rep))
+    return 0 if rep["ok"] else 1
+
+
 def cmd_export_seeds(args: argparse.Namespace) -> int:
     from pomp_ray.crawl import export_frontier_seeds
     n = export_frontier_seeds(args.ckpt, args.out)
@@ -180,6 +188,15 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--archive", default=None,
                    help="also publish WARC+CDX here after the tick")
     t.set_defaults(fn=cmd_tick)
+
+    k = sub.add_parser("fsck", help="verify checkpoint integrity "
+                                    "(counters vs parquet metadata, "
+                                    "sidecars, seen snapshots)")
+    k.add_argument("--ckpt", required=True)
+    k.add_argument("--deep", action="store_true",
+                   help="also reconcile the logical errors table "
+                        "(column reads)")
+    k.set_defaults(fn=cmd_fsck)
 
     e = sub.add_parser("export-seeds",
                        help="pending frontier -> seeds parquet dir")
