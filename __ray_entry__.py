@@ -63,6 +63,10 @@ def _crawl_outputs(kind: str, mode: str) -> pa.Table:
         # content-dedup crawl over the TRAP corpus: the digest gate must
         # stop the 120-page calendar trap after /cal/0 + /cal/1
         profile, corpus_dir = gen_corpus.TRAP, "/tmp/pomp_q_corpus_trap_q"
+    elif mode == "samehost":
+        # SMALL corpus: dropping cross-host links actually changes the
+        # visited table there (TINY's cross-host links all hit seeds)
+        profile, corpus_dir = gen_corpus.SMALL, "/tmp/pomp_q_corpus_small"
     fix = gen_corpus.generate(corpus_dir, profile)
     ckpt = f"/tmp/pomp_q_ckpt_{mode}"
     kw = {}
@@ -89,6 +93,10 @@ def _crawl_outputs(kind: str, mode: str) -> pa.Table:
     elif mode == "capped":
         # global visited budget (round-granular)
         kw = {"max_visited": 25}
+        mode = "bfs"
+    elif mode == "samehost":
+        # stay-on-site scope (cross-host links drop at enqueue)
+        kw = {"same_host_only": True}
         mode = "bfs"
     elif mode == "focused":
         # focused crawl = best-first with a domain-whitelist scorer
@@ -588,6 +596,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: _crawl_outputs("visited", "filtered"),
         "crawl_capped_visited":
             lambda sf: _crawl_outputs("visited", "capped"),
+        "crawl_samehost_visited":
+            lambda sf: _crawl_outputs("visited", "samehost"),
         "redirect_map": lambda sf: _redirect_map(),
         "broken_links": lambda sf: _broken_links(),
         "crawl_publish_stats": lambda sf: _crawl_publish_stats(),
@@ -2159,6 +2169,9 @@ def oracle_sql() -> dict[str, str]:
         "crawl_capped_visited":
             f"SELECT * FROM "
             f"read_parquet('{_GOLDEN}/crawl_capped_visited.parquet')",
+        "crawl_samehost_visited":
+            f"SELECT * FROM "
+            f"read_parquet('{_GOLDEN}/crawl_samehost_visited.parquet')",
         "crawl_coverage": f"""
             WITH cp AS (
                 SELECT regexp_extract(url, '^[a-z]+://([^/]+)/', 1)

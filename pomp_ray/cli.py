@@ -54,6 +54,7 @@ def cmd_crawl(args: argparse.Namespace) -> int:
         priority_aging=args.priority_aging,
         url_allow=args.url_allow, url_deny=args.url_deny,
         max_visited=args.max_visited,
+        same_host_only=args.same_host_only,
     )
     seeds = None
     if not args.resume:
@@ -157,6 +158,9 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--max-visited", type=int, default=None,
                    help="stop after this many visited pages "
                         "(round-granular)")
+    c.add_argument("--same-host-only", action="store_true",
+                   help="drop links leaving their parent page's host "
+                        "(stay-on-site crawl)")
     c.set_defaults(fn=cmd_crawl)
 
     d = sub.add_parser("dedup-corpus",

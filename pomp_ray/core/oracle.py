@@ -107,6 +107,7 @@ def crawl_oracle(
     url_allow: str | None = None,
     url_deny: str | None = None,
     max_visited: int | None = None,
+    same_host_only: bool = False,
 ) -> OracleResult:
     """``corpus`` maps canonical url -> html bytes; ``seeds`` rows have
     url/priority/depth; ``robots_rows`` rows follow schemas.ROBOTS."""
@@ -132,6 +133,8 @@ def crawl_oracle(
                 return
             if deny_re is not None and deny_re.search(canon):
                 return
+            if same_host_only and url_host(canon) != url_host(base):
+                return   # stay-on-site scope
         if max_depth is not None and depth > max_depth:
             return
         host = url_host(canon)

@@ -83,6 +83,7 @@ from pomp_ray.stages.enqueue import (
     dedup_local,
     make_robots_flag,
     make_url_filter,
+    same_host_filter,
 )
 from pomp_ray.stages.fetch import CorpusIndex, make_fetch_fn
 from pomp_ray.stages.order import zip_with_index_sorted
@@ -167,6 +168,10 @@ class CrawlConfig:
     # semantics (re.search / pc.match_substring_regex).
     url_allow: str | None = None
     url_deny: str | None = None
+    # Stay-on-site scope: links leaving their parent page's host are
+    # silently dropped at enqueue (seeds still plant any host) -- the
+    # site-mirroring crawl.  Composes with the regex filters.
+    same_host_only: bool = False
     # Global visited budget: stop scheduling NEW rounds once cumulative
     # visited >= this (round-granular -- the crossing round completes;
     # the only budget a wave-synchronous distributed crawl can honor).
@@ -389,6 +394,9 @@ class CrawlEngine:
                 continue
             if not self._link_ok(canon):
                 continue   # url_allow/url_deny: silent drop, never seen
+            if cfg.same_host_only and c.get("base") \
+                    and url_host(canon) != url_host(c["base"]):
+                continue   # stay-on-site scope: cross-host links drop
             if check_depth and cfg.max_depth is not None and c["depth"] > cfg.max_depth:
                 continue
             local.add(canon)
@@ -844,6 +852,9 @@ class CrawlEngine:
             expand_src.map_batches(explode_links, batch_format="pyarrow")
             .map_batches(canonicalize_batch, batch_format="pyarrow")
         )
+        if cfg.same_host_only:
+            cands = cands.map_batches(same_host_filter,
+                                      batch_format="pyarrow")
         url_flt = make_url_filter(cfg.url_allow, cfg.url_deny)
         if url_flt is not None:
             cands = cands.map_batches(url_flt, batch_format="pyarrow")
@@ -1118,6 +1129,9 @@ class CrawlEngine:
             cands.map_batches(explode_links, batch_format="pyarrow")
             .map_batches(canonicalize_batch, batch_format="pyarrow")
         )
+        if cfg.same_host_only:
+            cands = cands.map_batches(same_host_filter,
+                                      batch_format="pyarrow")
         url_flt = make_url_filter(cfg.url_allow, cfg.url_deny)
         if url_flt is not None:
             cands = cands.map_batches(url_flt, batch_format="pyarrow")

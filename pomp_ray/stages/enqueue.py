@@ -292,3 +292,21 @@ def make_url_filter(allow: str | None, deny: str | None):
         return t.filter(m)
 
     return flt
+
+
+def same_host_filter(t: pa.Table) -> pa.Table:
+    """Stay-on-site gate (CrawlConfig same_host_only): keep only link
+    candidates whose canonical host equals their parent page's host --
+    the site-mirroring crawl scope.  Vectorized via the fast-path host
+    regex over the (canonical) base urls; per-row fallback for any
+    residue.  Runs after canonicalize_batch, before dedup/seen, so
+    rejected links are never marked seen (same contract as the
+    allow/deny filters)."""
+    if t.num_rows == 0:
+        return t
+    ex = pc.extract_regex(t["base"], pattern=_FAST_EXTRACT)
+    bh = pc.struct_field(ex, "host")
+    if int(pc.sum(pc.is_null(bh)).as_py() or 0):
+        bh = pa.array([url_host(b) if b else "" for b in
+                       t["base"].to_pylist()], pa.string())
+    return t.filter(pc.fill_null(pc.equal(t["host"], bh), False))

@@ -81,3 +81,17 @@ def test_max_visited_budget(tmp_path):
     assert s2.n_visited == 0
     assert visited_tuples(read_ckpt(ckpt, "visited")) == \
         oracle_visited_tuples(res)
+
+
+def test_same_host_only(tmp_path):
+    """Stay-on-site crawl: cross-host links drop at enqueue (seeds
+    still plant both hosts); exact conformance on both round paths."""
+    fix = fixture_corpus(gen_corpus.TINY)
+    for sub, mdr in (("driver", 256), ("dist", 0)):
+        ckpt = str(tmp_path / sub)
+        _run(fix, ckpt, same_host_only=True, min_distributed_rows=mdr)
+        res = run_oracle(fix, mode="bfs", same_host_only=True)
+        vis = read_ckpt(ckpt, "visited")
+        assert visited_tuples(vis) == oracle_visited_tuples(res)
+    plain = run_oracle(fix, mode="bfs")
+    assert len(res.visited) <= len(plain.visited)

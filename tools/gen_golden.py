@@ -1291,6 +1291,28 @@ def gen_redirect_goldens() -> None:
           f"errors={errors.num_rows}")
 
 
+def gen_samehost_golden() -> None:
+    """Stay-on-site BFS over the SMALL corpus (20 hosts, 5% cross-host
+    links): on TINY the visited table is identical to plain BFS (every
+    cross-host link hits an already-seen root), so the distinguishing
+    golden uses SMALL, where dropping cross-host candidates changes both
+    the set (1904 vs 1907) and seq assignment."""
+    from pomp_ray import schemas
+    from pomp_ray.core.oracle import crawl_oracle
+    from pomp_ray.sources import gen_corpus
+    from tests.helpers import oracle_inputs
+
+    fix = gen_corpus.generate("/tmp/pomp_golden_corpus_small",
+                              gen_corpus.SMALL)
+    corpus, seeds, robots, _ = oracle_inputs(fix)
+    res = crawl_oracle(corpus, seeds, robots, mode="bfs",
+                       same_host_only=True)
+    visited = pa.Table.from_pylist(res.visited, schema=schemas.VISITED)
+    pq.write_table(visited, os.path.join(
+        GOLDEN_DIR, "crawl_samehost_visited.parquet"))
+    print(f"samehost golden: visited={visited.num_rows}")
+
+
 def gen_dedup_crawl_goldens() -> None:
     """BFS content-dedup crawl goldens over the TRAP corpus (the
     calendar trap: 120 urls, one text): serial oracle with
@@ -1438,3 +1460,4 @@ if __name__ == "__main__":
     gen_redirect_map_golden()
     gen_broken_links_golden()
     gen_dedup_crawl_goldens()
+    gen_samehost_golden()
