@@ -437,6 +437,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_triangles": lambda sf: __import__(
             "pomp_ray.pipelines.graph", fromlist=["graph"]
         ).host_triangles(_mirror_pages_path()),
+        "reciprocal_links_report":
+            lambda sf: webtext.reciprocal_links_report(_mirror_pages_path()),
         "trap_report":
             lambda sf: webtext.trap_report(_trap_pages_path()),
         "trap_disallow_rules":
@@ -898,6 +900,34 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(in_links, 0) AS in_links
             FROM outs o FULL JOIN ins i ON o.host = i.host
             ORDER BY 1
+        """,
+        "reciprocal_links_report": f"""
+            WITH links AS (
+                SELECT lower(regexp_extract(url, '^[a-z]+://([^/]+)', 1))
+                           AS src,
+                       unnest(regexp_extract_all(
+                           decode(html), 'href="([^"]+)"', 1)) AS href
+                FROM read_parquet('{_MP}')),
+            edges AS (
+                SELECT src,
+                       CASE WHEN href LIKE 'http://%'
+                            THEN lower(regexp_extract(
+                                href, '^http://([^/]+)', 1))
+                            ELSE src END AS dst
+                FROM links),
+            pairs AS (
+                SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+                FROM edges WHERE src <> dst GROUP BY 1, 2),
+            r AS (
+                SELECT p.src, p.n,
+                       CASE WHEN q.n IS NULL THEN 0 ELSE p.n END AS recip
+                FROM pairs p
+                LEFT JOIN pairs q ON q.src = p.dst AND q.dst = p.src)
+            SELECT src AS host, CAST(SUM(n) AS BIGINT) AS out_links,
+                   CAST(SUM(recip) AS BIGINT) AS reciprocal_links,
+                   CAST(1000000 * SUM(recip) AS BIGINT)
+                       // CAST(SUM(n) AS BIGINT) AS reciprocal_ppm
+            FROM r GROUP BY 1 ORDER BY 1
         """,
         # triangle participation per host over the undirected foreign
         # host graph (each triangle credits its three corners)

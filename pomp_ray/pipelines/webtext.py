@@ -408,3 +408,43 @@ def host_degree_stats(pages_path: str) -> pa.Table:
                               pa.int64()),
         "in_links": pa.array([z(r["in_links"]) for r in rows],
                              pa.int64())})
+
+
+def reciprocal_links_report(pages_path: str) -> pa.Table:
+    """Per-host reciprocity: how much of a host's foreign outlink volume
+    points at hosts that link BACK (link-exchange rings score near 1.0;
+    organic authority graphs are asymmetric).  One self-join of the
+    unique (src, dst, n) pair table against its own reversal, then a
+    distributive per-host rollup; ppm is integer floor."""
+    pairs = foreign_pair_counts(pages_path).repartition(2).materialize()
+    rev = pairs.map_batches(
+        lambda t: pa.table({"src": t["dst"], "dst": t["src"],
+                            "back": pa.array([True] * t.num_rows,
+                                             pa.bool_())}),
+        batch_format="pyarrow")
+    j = pairs.join(rev, join_type="left_outer", on=("src", "dst"),
+                   num_partitions=4)
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False)
+        back = pc.fill_null(t["back"], False).to_numpy(
+            zero_copy_only=False)
+        df = pd.DataFrame({"host": t["src"].to_pylist(), "out": n,
+                           "recip": np.where(back, n, 0)})
+        g = df.groupby("host", as_index=False).agg(
+            out=("out", "sum"), recip=("recip", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rows = j.map_batches(partial, batch_format="pyarrow") \
+        .groupby("host").aggregate(Sum("out", alias_name="out"),
+                                   Sum("recip", alias_name="recip")) \
+        .take_all()
+    rows.sort(key=lambda r: r["host"])
+    return pa.table({
+        "host": pa.array([r["host"] for r in rows], pa.string()),
+        "out_links": pa.array([int(r["out"]) for r in rows], pa.int64()),
+        "reciprocal_links": pa.array([int(r["recip"]) for r in rows],
+                                     pa.int64()),
+        "reciprocal_ppm": pa.array(
+            [1_000_000 * int(r["recip"]) // int(r["out"]) for r in rows],
+            pa.int64())})
