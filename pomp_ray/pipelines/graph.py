@@ -19,7 +19,8 @@ import ray.data as rd
 from ray.data.aggregate import Min
 
 
-def connected_components(pairs: pa.Table, max_iters: int = 50) -> pa.Table:
+def connected_components(pairs: pa.Table, max_iters: int = 50,
+                         pointer_jump: bool = True) -> pa.Table:
     """(doc_id, component) for every node appearing in ``pairs``
     (columns doc_a, doc_b); component = the minimum doc_id reachable
     from the node (the group representative a dedup pass keeps).
@@ -27,8 +28,19 @@ def connected_components(pairs: pa.Table, max_iters: int = 50) -> pa.Table:
     Shape: labels start as (node, label=node); each iteration sends
     every node's label across every edge (join on src), then each node
     takes the min of incoming + own labels (groupby(node) min).  The
-    convergence check is a tiny count of changed labels -- Datasets all
-    the way down."""
+    convergence check is a tiny sum aggregate -- Datasets all the way
+    down.
+
+    ``pointer_jump`` (default on) adds the doubling step: each node also
+    considers its LABEL's label (labels ⋈ labels on label=node), so the
+    distance to the component minimum roughly squares per round --
+    O(log n) rounds on a path graph instead of O(diameter), the
+    distributed-CC acceleration every MapReduce-CC paper builds on
+    (candidates stay within the component: label(x) names a node of x's
+    component, so label(label(x)) does too; min-monotonicity is
+    unchanged, only the convergence RATE improves).  The jump join
+    materializes before the message join executes -- two LIVE hash
+    joins in one streaming DAG deadlock small sessions (CLAUDE.md)."""
     a = pairs["doc_a"].combine_chunks()
     b = pairs["doc_b"].combine_chunks()
     if len(a) == 0:
@@ -44,6 +56,21 @@ def connected_components(pairs: pa.Table, max_iters: int = 50) -> pa.Table:
     prev_sum = int(pc.sum(nodes).as_py())
     converged = False
     for _ in range(max_iters):
+        parts = []
+        if pointer_jump:
+            # pointer jump: (node, label) ⋈ (node'=label, label') ->
+            # candidate label(label(node)); materialized FIRST so only
+            # one hash join is ever live
+            jump = labels.join(
+                labels.map_batches(
+                    lambda t: t.rename_columns(["label", "ll"]),
+                    batch_format="pyarrow"),
+                join_type="inner", on=("label",), num_partitions=8) \
+                .map_batches(
+                    lambda t: pa.table({"node": t["node"],
+                                        "cand": t["ll"]}),
+                    batch_format="pyarrow").materialize()
+            parts.append(jump)
         # messages: each edge ships its src's current label to dst
         msgs = edges.join(
             labels.map_batches(
@@ -56,13 +83,16 @@ def connected_components(pairs: pa.Table, max_iters: int = 50) -> pa.Table:
         own = labels.map_batches(
             lambda t: pa.table({"node": t["node"], "cand": t["label"]}),
             batch_format="pyarrow")
+        u = msgs.union(own)
+        for p in parts:
+            u = u.union(p)
         # repartition: the hash aggregate can emit a zero-row block with
         # an EMPTY schema (ray 2.49 quirk) which the next iteration's
         # Acero join cannot resolve key fields against; repartition
         # merges/drops such blocks (map_batches won't -- empty blocks
         # bypass the UDF)
         new_labels = (
-            msgs.union(own).groupby("node")
+            u.groupby("node")
             .aggregate(Min("cand", alias_name="label"))
             .repartition(8).materialize())
         # convergence without a join: labels only ever DECREASE, so the
@@ -77,12 +107,11 @@ def connected_components(pairs: pa.Table, max_iters: int = 50) -> pa.Table:
     if not converged:
         # a silent partial result would merge only nodes within
         # max_iters hops of their component minimum -- wrong groups, no
-        # signal.  Long-diameter graphs (chains) need a bigger budget or
-        # a pointer-doubling variant; fail loudly instead of guessing.
+        # signal; fail loudly instead of guessing (with pointer_jump the
+        # budget is O(log n), so hitting this means something is wrong)
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} "
-            f"iterations (graph diameter exceeds the budget); raise "
-            f"max_iters")
+            f"iterations; raise max_iters")
 
     out = sorted((r["node"], r["label"]) for r in labels.take_all())
     return pa.table({

@@ -1,0 +1,36 @@
+"""Connected components: pointer-jumping (label doubling) must converge
+in O(log n) rounds on a path graph where plain min-label propagation
+needs O(diameter) rounds and fails the same budget loudly."""
+
+import pyarrow as pa
+import pytest
+
+from pomp_ray.pipelines.graph import connected_components
+
+
+def _chain(n: int) -> pa.Table:
+    return pa.table({
+        "doc_a": pa.array(list(range(n - 1)), pa.int64()),
+        "doc_b": pa.array(list(range(1, n)), pa.int64())})
+
+
+def test_pointer_jump_converges_on_chain():
+    n = 64
+    out = connected_components(_chain(n), max_iters=12)
+    assert out.num_rows == n
+    assert set(out["component"].to_pylist()) == {0}
+
+
+def test_plain_propagation_exceeds_budget_loudly():
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(_chain(64), max_iters=12, pointer_jump=False)
+
+
+def test_two_components_and_isolates_pairless():
+    pairs = pa.table({
+        "doc_a": pa.array([5, 6, 20, 30], pa.int64()),
+        "doc_b": pa.array([6, 7, 21, 20], pa.int64())})
+    out = connected_components(pairs, max_iters=10)
+    comp = dict(zip(out["doc_id"].to_pylist(),
+                    out["component"].to_pylist()))
+    assert comp == {5: 5, 6: 5, 7: 5, 20: 20, 21: 20, 30: 20}
