@@ -95,3 +95,22 @@ def test_same_host_only(tmp_path):
         assert visited_tuples(vis) == oracle_visited_tuples(res)
     plain = run_oracle(fix, mode="bfs")
     assert len(res.visited) <= len(plain.visited)
+
+
+def test_all_policies_combined_conformance(tmp_path):
+    """Everything on at once -- content dedup, priority aging, deny
+    filter, same-host scope, global cap, per-host quota, politeness --
+    against the oracle with the same knobs: policy INTERACTIONS (gate
+    ordering, budget accounting under filtered enqueues, aging of
+    quota-deferred rows) must stay bit-exact, not just each policy
+    alone."""
+    fix = fixture_corpus(gen_corpus.MIRROR)
+    ckpt = str(tmp_path / "ckpt")
+    kw = dict(dedup_content=True, priority_aging=1,
+              url_deny=r"/p/9[0-9]$", same_host_only=True,
+              max_visited=400, max_pages_per_host=80,
+              round_budget_s=5.0)
+    _run(fix, ckpt, min_distributed_rows=16, **kw)
+    res = run_oracle(fix, mode="bfs", **kw)
+    assert visited_tuples(read_ckpt(ckpt, "visited")) == \
+        oracle_visited_tuples(res)
