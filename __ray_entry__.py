@@ -228,6 +228,26 @@ def _crawl_coverage() -> pa.Table:
     return crawl_coverage(ckpt, fix.pages_path)
 
 
+def _crawl_ckpt_for(name: str) -> str:
+    """Run (idempotently per process: fresh every call, ~5 s) a TINY bfs
+    crawl into a query-private ckpt dir and return the dir -- shared
+    harness for the crawl-output report queries."""
+    from pomp_ray.crawl import CrawlConfig, CrawlEngine
+    from pomp_ray.sources import gen_corpus
+
+    fix = gen_corpus.generate("/tmp/pomp_q_corpus", gen_corpus.TINY)
+    ckpt = f"/tmp/pomp_q_ckpt_{name}"
+    cfg = CrawlConfig(corpus_path=fix.pages_path, ckpt_dir=ckpt,
+                      robots_path=fix.robots_path, mode="bfs",
+                      min_distributed_rows=16, n_seen_shards=4)
+    eng = CrawlEngine(cfg)
+    try:
+        eng.run(seeds=pq.read_table(fix.seeds_path).to_pylist())
+    finally:
+        eng.close()
+    return ckpt
+
+
 def _crawl_host_health():
     """Per-host fetch health of a finished TINY bfs crawl: successful
     visits vs errors (the ops dashboard a crawl scheduler watches).
@@ -439,6 +459,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).host_triangles(_mirror_pages_path()),
         "reciprocal_links_report":
             lambda sf: webtext.reciprocal_links_report(_mirror_pages_path()),
+        "host_lang_profile":
+            lambda sf: webtext.host_lang_profile(_mirror_pages_path()),
+        "url_depth_stats":
+            lambda sf: webtext.url_depth_stats(_mirror_pages_path()),
         "trap_report":
             lambda sf: webtext.trap_report(_trap_pages_path()),
         "trap_disallow_rules":
@@ -463,6 +487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": docs.stratified_sample,
         "clean_corpus": docs.clean_corpus,
         "inverted_index": docs.inverted_index,
+        "df_histogram": docs.df_histogram,
         "quality_by_source": docs.quality_by_source,
         "repetition_stats": docs.repetition_stats,
         "top_bigrams": docs.top_bigrams,
@@ -607,6 +632,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_health": lambda sf: _crawl_host_health(),
         "robots_audit": lambda sf: _robots_audit(),
         "crawl_coverage": lambda sf: _crawl_coverage(),
+        "length_by_depth": lambda sf: __import__(
+            "pomp_ray.pipelines.audit", fromlist=["audit"]
+        ).length_by_depth(_crawl_ckpt_for("lbd")),
+        "host_discovery_curve": lambda sf: __import__(
+            "pomp_ray.pipelines.audit", fromlist=["audit"]
+        ).host_discovery_curve(_crawl_ckpt_for("hdc")),
         "crawl_depth_histogram": lambda sf: _crawl_depth_histogram(),
     }
 
@@ -900,6 +931,35 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(in_links, 0) AS in_links
             FROM outs o FULL JOIN ins i ON o.host = i.host
             ORDER BY 1
+        """,
+        "host_lang_profile": f"""
+            WITH hl AS (
+                SELECT regexp_extract(url, '^[a-z]+://([^/]+)/', 1)
+                           AS host, lang, CAST(COUNT(*) AS BIGINT) AS n
+                FROM read_parquet('{_MP}') GROUP BY 1, 2),
+            tot AS (
+                SELECT host, CAST(SUM(n) AS BIGINT) AS n_pages
+                FROM hl GROUP BY 1),
+            top AS (
+                SELECT host, lang AS main_lang, n,
+                       ROW_NUMBER() OVER (PARTITION BY host
+                                          ORDER BY n DESC, lang) AS rk
+                FROM hl)
+            SELECT t.host, t.n_pages, p.main_lang,
+                   CAST(1000000 * p.n AS BIGINT) // t.n_pages
+                       AS main_lang_ppm
+            FROM tot t JOIN top p ON p.host = t.host AND p.rk = 1
+            ORDER BY 1
+        """,
+        "url_depth_stats": f"""
+            SELECT regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host,
+                   CAST(length(regexp_replace(url, '^[a-z]+://[^/]+', ''))
+                        - length(replace(regexp_replace(
+                              url, '^[a-z]+://[^/]+', ''), '/', ''))
+                        AS BIGINT) AS depth,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM read_parquet('{_MP}')
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "reciprocal_links_report": f"""
             WITH links AS (
@@ -1226,6 +1286,18 @@ def oracle_sql() -> dict[str, str]:
                              AS word
                   FROM documents) t
             GROUP BY word HAVING COUNT(DISTINCT doc_id) >= 2
+        """,
+        "df_histogram": """
+            WITH dfs AS (
+                SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+                FROM (SELECT doc_id,
+                             unnest(list_distinct(
+                                 regexp_extract_all(lower(text), '[a-z]+')))
+                                 AS word
+                      FROM documents) t
+                GROUP BY word)
+            SELECT df, CAST(COUNT(*) AS BIGINT) AS n_words
+            FROM dfs GROUP BY df ORDER BY df
         """,
         "quality_by_source": """
             SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -2202,6 +2274,20 @@ def oracle_sql() -> dict[str, str]:
         "crawl_samehost_visited":
             f"SELECT * FROM "
             f"read_parquet('{_GOLDEN}/crawl_samehost_visited.parquet')",
+        "length_by_depth": f"""
+            SELECT CAST(depth AS BIGINT) AS depth,
+                   CAST(COUNT(*) AS BIGINT) AS n_pages,
+                   CAST(SUM(length(text)) AS BIGINT) AS total_chars
+            FROM read_parquet('{_GOLDEN}/crawl_bfs_items.parquet')
+            GROUP BY 1 ORDER BY 1
+        """,
+        "host_discovery_curve": f"""
+            SELECT regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host,
+                   CAST(MIN(round) AS BIGINT) AS first_round,
+                   CAST(COUNT(*) AS BIGINT) AS n_visited
+            FROM read_parquet('{_GOLDEN}/crawl_bfs_visited.parquet')
+            GROUP BY 1 ORDER BY 1
+        """,
         "crawl_coverage": f"""
             WITH cp AS (
                 SELECT regexp_extract(url, '^[a-z]+://([^/]+)/', 1)

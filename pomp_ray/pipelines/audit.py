@@ -160,3 +160,68 @@ def crawl_coverage(ckpt_dir: str, pages_path: str,
         "n_pages": pa.array(out_p, pa.int64()),
         "n_visited": pa.array(out_v, pa.int64()),
         "coverage_ppm": pa.array(out_ppm, pa.int64())})
+
+
+def length_by_depth(ckpt_dir: str) -> pa.Table:
+    """Extracted-text volume per crawl depth (page count + total chars,
+    exact integer sums) -- does content thin out as the crawl goes
+    deeper?  The depth-budget tuning chart.  Per-batch partials over the
+    streaming items reader, one tiny groupby."""
+    from pomp_ray.crawl import items_dataset
+
+    def partial(t: pa.Table) -> pa.Table:
+        ln = pc.utf8_length(t["text"])
+        df = pa.table({
+            "depth": pc.cast(t["depth"], pa.int64()),
+            "n_pages": pa.array([1] * t.num_rows, pa.int64()),
+            "total_chars": pc.cast(ln, pa.int64())})
+        return df.group_by("depth").aggregate(
+            [("n_pages", "sum"), ("total_chars", "sum")]).rename_columns(
+            ["depth", "n_pages", "total_chars"])
+
+    ds = items_dataset(ckpt_dir)
+    rows = ds.map_batches(
+        lambda t: partial(t.filter(t["fetch_ok"])
+                          if "fetch_ok" in t.column_names else t),
+        batch_format="pyarrow") \
+        .groupby("depth").aggregate(
+            Sum("n_pages", alias_name="n_pages"),
+            Sum("total_chars", alias_name="total_chars")).take_all()
+    rows.sort(key=lambda r: r["depth"])
+    return pa.table({
+        "depth": pa.array([int(r["depth"]) for r in rows], pa.int64()),
+        "n_pages": pa.array([int(r["n_pages"]) for r in rows], pa.int64()),
+        "total_chars": pa.array([int(r["total_chars"]) for r in rows],
+                                pa.int64())})
+
+
+def host_discovery_curve(ckpt_dir: str) -> pa.Table:
+    """First round each host was VISITED plus its total visit count --
+    the frontier-expansion curve (how fast does the crawl break out of
+    its seed hosts?).  Min/Sum partials over the visited reader."""
+    from ray.data.aggregate import Min as _Min
+
+    from pomp_ray.crawl import read_visited
+
+    def partial(t: pa.Table) -> pa.Table:
+        host, _ = _split_urls(t["url"])
+        df = pa.table({
+            "host": host,
+            "first_round": pc.cast(t["round"], pa.int64()),
+            "n_visited": pa.array([1] * t.num_rows, pa.int64())})
+        return df.group_by("host").aggregate(
+            [("first_round", "min"), ("n_visited", "sum")]) \
+            .rename_columns(["host", "first_round", "n_visited"])
+
+    rows = rd.from_arrow(read_visited(ckpt_dir).select(["url", "round"])) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("host").aggregate(
+            _Min("first_round", alias_name="first_round"),
+            Sum("n_visited", alias_name="n_visited")).take_all()
+    rows.sort(key=lambda r: r["host"])
+    return pa.table({
+        "host": pa.array([r["host"] for r in rows], pa.string()),
+        "first_round": pa.array([int(r["first_round"]) for r in rows],
+                                pa.int64()),
+        "n_visited": pa.array([int(r["n_visited"]) for r in rows],
+                              pa.int64())})

@@ -2704,3 +2704,42 @@ def length_outlier_docs(sf_dir: str) -> rd.Dataset:
 
     return rd.read_parquet(path, columns=["doc_id", "source", "text"]) \
         .map_batches(gate, batch_format="pyarrow")
+
+
+def df_histogram(sf_dir: str) -> pa.Table:
+    """Document-frequency curve of the corpus vocabulary: how many
+    distinct words appear in exactly ``df`` documents -- the Zipf-tail
+    chart behind every min_df / vocabulary-size decision.  Per-batch
+    DISTINCT (word, doc) postings (docs live in one batch each, so the
+    rows are globally distinct -- the inverted_index argument), one
+    groupby(word) count, then tiny histogram partials into a second
+    groupby."""
+    def postings(t: pa.Table) -> pa.Table:
+        flat, parent = _tokenize_flat(t)
+        doc_ids = pc.take(t["doc_id"], parent)
+        return pa.table({"word": flat, "doc_id": doc_ids}) \
+            .group_by(["word", "doc_id"]).aggregate([])
+
+    dfc = _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(postings, batch_format="pyarrow") \
+        .map_batches(lambda t: pa.table({
+            "word": t["word"],
+            "n": pa.array([1] * t.num_rows, pa.int64())}),
+        batch_format="pyarrow") \
+        .groupby("word").aggregate(Sum("n", alias_name="df"))
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "df": pc.cast(t["df"], pa.int64()),
+            "n_words": pa.array([1] * t.num_rows, pa.int64())}) \
+            .group_by("df").aggregate([("n_words", "sum")]) \
+            .rename_columns(["df", "n_words"])
+
+    rows = dfc.map_batches(hist_partial, batch_format="pyarrow") \
+        .groupby("df").aggregate(Sum("n_words", alias_name="n_words")) \
+        .take_all()
+    rows.sort(key=lambda r: r["df"])
+    return pa.table({
+        "df": pa.array([int(r["df"]) for r in rows], pa.int64()),
+        "n_words": pa.array([int(r["n_words"]) for r in rows],
+                            pa.int64())})

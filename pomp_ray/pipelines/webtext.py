@@ -448,3 +448,63 @@ def reciprocal_links_report(pages_path: str) -> pa.Table:
         "reciprocal_ppm": pa.array(
             [1_000_000 * int(r["recip"]) // int(r["out"]) for r in rows],
             pa.int64())})
+
+
+def host_lang_profile(pages_path: str) -> pa.Table:
+    """Language mix per host: total pages, per-host majority language
+    and its ppm share -- the first split any multilingual crawl makes.
+    Per-batch (host, lang) value_counts partials, one tiny groupby, and
+    a driver-side majority pick (hosts x langs is small at any scale);
+    ties break lexicographically smaller lang (deterministic both
+    engines)."""
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"host": _host_col(t["url"]).to_pylist(),
+                           "lang": t["lang"].to_pylist()})
+        g = df.value_counts().rename("n").reset_index()
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rows = _pages(pages_path, ["url", "lang"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["host", "lang"]).aggregate(Sum("n", alias_name="n")) \
+        .take_all()
+    by_host: dict[str, list] = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append((r["lang"], int(r["n"])))
+    out_h, out_n, out_l, out_ppm = [], [], [], []
+    for h in sorted(by_host):
+        pairs = by_host[h]
+        total = sum(n for _, n in pairs)
+        lang, top = min(pairs, key=lambda p: (-p[1], p[0]))
+        out_h.append(h); out_n.append(total); out_l.append(lang)
+        out_ppm.append(1_000_000 * top // total)
+    return pa.table({
+        "host": pa.array(out_h, pa.string()),
+        "n_pages": pa.array(out_n, pa.int64()),
+        "main_lang": pa.array(out_l, pa.string()),
+        "main_lang_ppm": pa.array(out_ppm, pa.int64())})
+
+
+def url_depth_stats(pages_path: str) -> pa.Table:
+    """URL path-depth histogram per host (segments = '/' count of the
+    path) -- flat sites vs deep hierarchies vs trap-shaped url spaces at
+    a glance.  One vectorized count_substring pass per batch; only the
+    tiny (host, depth, n) table shuffles."""
+    def partial(t: pa.Table) -> pa.Table:
+        path = pc.replace_substring_regex(
+            t["url"], pattern=r"^[a-z]+://[^/]+", replacement="")
+        depth = pc.count_substring(path, pattern="/")
+        df = pd.DataFrame({"host": _host_col(t["url"]).to_pylist(),
+                           "depth": depth.to_pandas().astype("int64")})
+        g = df.value_counts().rename("n").reset_index()
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = _pages(pages_path, ["url"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["host", "depth"]).aggregate(Sum("n", alias_name="n"))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "host": t["host"], "depth": pc.cast(t["depth"], pa.int64()),
+            "n": pc.cast(t["n"], pa.int64())}),
+        batch_format="pyarrow").sort(["host", "depth"])
