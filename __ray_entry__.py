@@ -488,6 +488,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus": docs.clean_corpus,
         "inverted_index": docs.inverted_index,
         "df_histogram": docs.df_histogram,
+        "lang_source_pivot": docs.lang_source_pivot,
+        "length_mad_by_lang": docs.length_mad_by_lang,
         "quality_by_source": docs.quality_by_source,
         "repetition_stats": docs.repetition_stats,
         "top_bigrams": docs.top_bigrams,
@@ -1286,6 +1288,28 @@ def oracle_sql() -> dict[str, str]:
                              AS word
                   FROM documents) t
             GROUP BY word HAVING COUNT(DISTINCT doc_id) >= 2
+        """,
+        # robust grouped stats: both medians use the quantile_disc index
+        # rule the engine's histogram walk mirrors
+        "length_mad_by_lang": """
+            WITH l AS (
+                SELECT lang, len(regexp_extract_all(text, '\\S+')) AS n
+                FROM documents),
+            med AS (
+                SELECT lang, CAST(quantile_disc(n, 0.5) AS BIGINT) AS m
+                FROM l GROUP BY lang)
+            SELECT l.lang, ANY_VALUE(med.m) AS median,
+                   CAST(quantile_disc(abs(l.n - med.m), 0.5) AS BIGINT)
+                       AS mad
+            FROM l JOIN med ON l.lang = med.lang
+            GROUP BY l.lang ORDER BY l.lang
+        """,
+        "lang_source_pivot": """
+            SELECT source,
+                   CAST(COUNT(*) FILTER (lang = 'de') AS BIGINT) AS n_de,
+                   CAST(COUNT(*) FILTER (lang = 'en') AS BIGINT) AS n_en,
+                   CAST(COUNT(*) FILTER (lang = 'fr') AS BIGINT) AS n_fr
+            FROM documents GROUP BY source ORDER BY source
         """,
         "df_histogram": """
             WITH dfs AS (

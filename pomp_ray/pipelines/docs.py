@@ -2743,3 +2743,97 @@ def df_histogram(sf_dir: str) -> pa.Table:
         "df": pa.array([int(r["df"]) for r in rows], pa.int64()),
         "n_words": pa.array([int(r["n_words"]) for r in rows],
                             pa.int64())})
+
+
+def lang_source_pivot(sf_dir: str) -> pa.Table:
+    """Doc counts pivoted to one column per language (rows = source) --
+    the wide-format corpus-composition table reports want.  One skinny
+    (source, lang, n) groupby; the pivot itself happens on the driver
+    over the sources x langs result (tiny by construction).  Lang
+    columns are the fixed testdata alphabet, zero-filled."""
+    langs = ("de", "en", "fr")
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"source": t["source"].to_pylist(),
+                           "lang": t["lang"].to_pylist()})
+        g = df.value_counts().rename("n").reset_index()
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rows = _docs(sf_dir, ["source", "lang"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["source", "lang"]).aggregate(Sum("n", alias_name="n")) \
+        .take_all()
+    by_src: dict[str, dict[str, int]] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], {})[r["lang"]] = int(r["n"])
+    srcs = sorted(by_src)
+    cols = {"source": pa.array(srcs, pa.string())}
+    for lg in langs:
+        cols[f"n_{lg}"] = pa.array(
+            [by_src[s].get(lg, 0) for s in srcs], pa.int64())
+    return pa.table(cols)
+
+
+def length_mad_by_lang(sf_dir: str) -> pa.Table:
+    """Median and median-absolute-deviation of the per-doc word count,
+    per lang -- the robust-stats sibling of length_quantiles (outlier
+    docs cannot move either number).  Two exact histogram passes: the
+    first yields per-lang medians via the quantile_disc index rule; the
+    second histograms |n - median| against the BROADCAST medians and
+    walks it the same way.  All integers end to end."""
+    import collections
+    import math
+
+    def hist(col_fn):
+        def partial(t: pa.Table) -> pa.Table:
+            n = col_fn(t)
+            tmp = pa.table({"lang": t["lang"], "v": n})
+            df = tmp.to_pandas().groupby(["lang", "v"],
+                                         as_index=False).size()
+            df = df.rename(columns={"size": "c"})
+            return pa.Table.from_pandas(df, preserve_index=False)
+        return partial
+
+    def walk_median(rows) -> dict:
+        by_lang = collections.defaultdict(list)
+        for r in rows:
+            by_lang[r["lang"]].append((int(r["v"]), int(r["c"])))
+        med = {}
+        for lang, vals in by_lang.items():
+            vals.sort()
+            total = sum(c for _, c in vals)
+            idx = max(0, math.ceil(total * 0.5) - 1)
+            cum = 0
+            for v, c in vals:
+                cum += c
+                if cum > idx:
+                    med[lang] = v
+                    break
+        return med
+
+    def wc(t: pa.Table) -> pa.Array:
+        return pc.cast(an.count_tokens_arr(t["text"]), pa.int64())
+
+    src = _docs(sf_dir, ["lang", "text"])
+    med = walk_median(
+        src.map_batches(hist(wc), batch_format="pyarrow")
+        .groupby(["lang", "v"]).aggregate(Sum("c", alias_name="c"))
+        .take_all())
+
+    def dev(t: pa.Table) -> pa.Array:
+        import numpy as _np
+        n = wc(t).to_numpy(zero_copy_only=False)
+        m = _np.array([med[lg] for lg in t["lang"].to_pylist()],
+                      _np.int64)
+        return pa.array(_np.abs(n - m), pa.int64())
+
+    mad = walk_median(
+        src.map_batches(hist(dev), batch_format="pyarrow")
+        .groupby(["lang", "v"]).aggregate(Sum("c", alias_name="c"))
+        .take_all())
+    langs = sorted(med)
+    return pa.table({
+        "lang": pa.array(langs, pa.string()),
+        "median": pa.array([med[lg] for lg in langs], pa.int64()),
+        "mad": pa.array([mad[lg] for lg in langs], pa.int64())})
