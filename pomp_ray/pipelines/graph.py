@@ -392,28 +392,39 @@ HITS_SCALE = 10**7   # hub/authority fixed-point unit (small enough that
                      # in-edges <= SCALE * indeg <= 1e16)
 
 
+def _host_edge_rows(t: pa.Table) -> pa.Table:
+    """Vectorized (src, dst) host pairs for every hyperlink in a pages
+    batch: one split_pattern pass extracts hrefs
+    (textfns.extract_hrefs_batch), canonicalize_batch resolves + splits
+    hosts on its Arrow fast path, and the parent host comes from the
+    same fast-path regex -- no per-link Python in the common case
+    (equivalence with the per-row scalars is pytest-pinned)."""
+    from pomp_ray.functions.textfns import extract_hrefs_batch, url_host
+    from pomp_ray.stages.enqueue import _FAST_EXTRACT, canonicalize_batch
+
+    hrefs, parent = extract_hrefs_batch(t["html"])
+    if len(hrefs) == 0:
+        return pa.table({"src": pa.array([], pa.string()),
+                         "dst": pa.array([], pa.string())})
+    bases = pc.take(t["url"], pa.array(parent))
+    cb = canonicalize_batch(pa.table({"url": hrefs, "base": bases}))
+    src = pc.struct_field(
+        pc.extract_regex(bases, pattern=_FAST_EXTRACT), "host")
+    if int(pc.sum(pc.is_null(src)).as_py() or 0):
+        src = pa.array([url_host(b) for b in bases.to_pylist()],
+                       pa.string())
+    return pa.table({"src": src, "dst": cb["host"],
+                     "target": cb["canon_url"]})
+
+
 def corpus_host_edges(pages_path: str) -> rd.Dataset:
     """(src, dst) host-level link edges straight off a pages corpus --
     the crawl-free sibling of ``crawl_link_edges`` (same extraction and
-    resolution scalars); html never shuffles, one (host, host) row per
-    hyperlink leaves each batch."""
-    from pomp_ray.functions.textfns import (html_extract_links, url_host,
-                                            url_join)
-
-    def edges(t: pa.Table) -> pa.Table:
-        src, dst = [], []
-        for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
-            if html is None:
-                continue
-            h = url_host(url)
-            for href in html_extract_links(html):
-                src.append(h)
-                dst.append(url_host(url_join(url, href)))
-        return pa.table({"src": pa.array(src, pa.string()),
-                         "dst": pa.array(dst, pa.string())})
-
+    resolution semantics, vectorized); html never shuffles, one
+    (host, host) row per hyperlink leaves each batch."""
     return rd.read_parquet(pages_path, columns=["url", "html"]) \
-        .map_batches(edges, batch_format="pyarrow")
+        .map_batches(lambda t: _host_edge_rows(t).select(["src", "dst"]),
+                     batch_format="pyarrow")
 
 
 def hits(edges: rd.Dataset, n_iters: int = 6,
@@ -662,21 +673,9 @@ def broken_links(pages_path: str, num_partitions: int = 8) -> pa.Table:
     is 2-string rows."""
     from ray.data.aggregate import Count, Sum
 
-    from pomp_ray.functions.textfns import (html_extract_links,
-                                            url_canonicalize, url_host,
-                                            url_join)
-
     def pairs(t: pa.Table) -> pa.Table:
-        hosts, tgts = [], []
-        for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
-            if html is None:
-                continue
-            h = url_host(url)
-            for href in html_extract_links(html):
-                hosts.append(h)
-                tgts.append(url_canonicalize(url_join(url, href)))
-        tbl = pa.table({"host": pa.array(hosts, pa.string()),
-                        "target": pa.array(tgts, pa.string())})
+        rows = _host_edge_rows(t)
+        tbl = pa.table({"host": rows["src"], "target": rows["target"]})
         return tbl.group_by(["host", "target"]).aggregate([])
 
     distinct = (rd.read_parquet(pages_path, columns=["url", "html"])

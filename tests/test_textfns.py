@@ -141,3 +141,67 @@ def test_html_extract_anchors_pairs():
                                           ("http://h.test/p/2", "beta")]
     assert html_extract_anchors(html.encode()) == html_extract_anchors(html)
     assert html_extract_anchors("<p>no links</p>") == []
+
+
+def test_extract_hrefs_batch_matches_scalar():
+    """Vectorized href extraction must equal _HREF_RE.findall per row,
+    including the nasty shapes: no closing quote, empty href, href in
+    text, newlines inside values, null/empty html, non-anchor hrefs."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pomp_ray.functions.textfns import (extract_hrefs_batch,
+                                            html_extract_links)
+
+    docs = [
+        b'<a href="http://a/x">1</a><link href="/css"><a href="/y">2</a>',
+        b'no links at all',
+        b'<a href="">empty</a><a href="/ok">fine</a>',
+        b'broken <a href="http://tail-without-quote',
+        b'text mentioning href=" quote then more "later"',
+        b'multi\nline <a href="/a\nb">x</a>',
+        None,
+        b'',
+        b'<a href="x"><a href="x">dup</a>',
+    ]
+    arr = pa.array(docs, pa.binary())
+    hrefs, parent = extract_hrefs_batch(arr)
+    got = {}
+    for h, p in zip(hrefs.to_pylist(), parent.tolist()):
+        got.setdefault(p, []).append(h)
+    for i, d in enumerate(docs):
+        want = html_extract_links(d or b"")
+        assert got.get(i, []) == want, (i, d)
+
+
+def test_host_edge_rows_matches_scalar():
+    """_host_edge_rows (vectorized corpus link scanner) must equal the
+    per-row url_join/url_canonicalize/url_host pipeline on a corpus
+    batch."""
+    import pyarrow as pa
+
+    from pomp_ray.functions.textfns import (html_extract_links,
+                                            url_canonicalize, url_host,
+                                            url_join)
+    from pomp_ray.pipelines.graph import _host_edge_rows
+
+    urls = ["http://site0.test/p/0", "http://site1.test/a/b",
+            "http://odd.test/x"]
+    htmls = [
+        b'<a href="/p/1">a</a><a href="http://site9.test/p/2">b</a>',
+        b'<a href="../up">rel</a><a href="HTTP://UPPER.test/Q">u</a>',
+        None,
+    ]
+    t = pa.table({"url": pa.array(urls), "html": pa.array(htmls,
+                                                          pa.binary())})
+    rows = _host_edge_rows(t)
+    got = list(zip(rows["src"].to_pylist(), rows["dst"].to_pylist(),
+                   rows["target"].to_pylist()))
+    want = []
+    for u, h in zip(urls, htmls):
+        if h is None:
+            continue
+        for href in html_extract_links(h):
+            canon = url_canonicalize(url_join(u, href))
+            want.append((url_host(u), url_host(canon), canon))
+    assert got == want
