@@ -597,6 +597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q9_product_profit": relational.q9_product_profit,
         "q16_supplier_part_counts": relational.q16_supplier_part_counts,
         "revenue_rollup": relational.revenue_rollup,
+        "spend_magnitude_histogram": relational.spend_magnitude_histogram,
         "rolling_user_spend": relational.rolling_user_spend,
         "record_events": relational.record_events,
         "late_events": relational.late_events,
@@ -2682,6 +2683,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders ON o_orderkey = l_orderkey
             WHERE p_name LIKE '%red%'
             GROUP BY 1, 2 ORDER BY 1, 2 DESC
+        """,
+        # integer-exact log2 bucket: bit length via binary-string length
+        "spend_magnitude_histogram": """
+            SELECT CAST(CASE WHEN c <= 0 THEN 0
+                        ELSE length(printf('%b', c)) END AS BIGINT)
+                       AS magnitude,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT GREATEST(CAST(FLOOR(value * 100) AS BIGINT), 0)
+                             AS c
+                  FROM events) t
+            GROUP BY 1 ORDER BY 1
         """,
         # multi-level subtotals: nullable group keys come back from
         # DuckDB's .df() as float64, so both sides use DOUBLE keys

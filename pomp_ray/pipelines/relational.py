@@ -1568,3 +1568,29 @@ def revenue_rollup(sf_dir: str) -> pa.Table:
         "o_quarter": pa.array(out_q, pa.float64()),
         "revenue": pa.array([c / 100.0 for c in out_c], pa.float64()),
         "n_orders": pa.array(out_n, pa.int64())})
+
+
+def spend_magnitude_histogram(sf_dir: str) -> pa.Table:
+    """Order-of-magnitude histogram of event spend: events bucketed by
+    the BIT LENGTH of their floor-cents value (the integer-exact log2
+    bucket -- float log2 wobbles at power-of-two boundaries, frexp's
+    exponent does not: cents < 2^53 make the float64 representation
+    exact).  One partial pass, one tiny groupby."""
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.floor(t["value"].to_numpy() * 100).astype(np.int64)
+        cents = np.maximum(cents, 0)
+        _, exp = np.frexp(cents.astype(np.float64))
+        bl = exp.astype(np.int64)   # bit_length; 0 stays 0
+        uniq, cnt = np.unique(bl, return_counts=True)
+        return pa.table({"magnitude": pa.array(uniq, pa.int64()),
+                         "n": pa.array(cnt, pa.int64())})
+
+    rows = _t(sf_dir, "events", ["value"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("magnitude").aggregate(Sum("n", alias_name="n")) \
+        .take_all()
+    rows.sort(key=lambda r: r["magnitude"])
+    return pa.table({
+        "magnitude": pa.array([int(r["magnitude"]) for r in rows],
+                              pa.int64()),
+        "n": pa.array([int(r["n"]) for r in rows], pa.int64())})
