@@ -435,6 +435,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window": windows.tumbling_window,
         "hopping_window": windows.hopping_window,
         "sessionize": windows.sessionize,
+        "session_duration_stats": windows.session_duration_stats,
         "funnel_counts": windows.funnel_counts,
         "event_type_transitions": windows.event_type_transitions,
         "cohort_retention": windows.cohort_retention,
@@ -1169,6 +1170,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_users
             FROM uw JOIN fc ON uw.user_id = fc.user_id
             GROUP BY 1, 2
+        """,
+        # gaps-and-islands in SQL: break flags -> running session id ->
+        # per-session rollup -> size-binned stats (exact integer µs)
+        "session_duration_stats": """
+            WITH o AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR ts - lag(ts) OVER w
+                                 > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts, event_id)),
+            s AS (
+                SELECT user_id, ts,
+                       SUM(brk) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+                FROM o),
+            sess AS (
+                SELECT user_id, sid,
+                       CAST(COUNT(*) AS BIGINT) AS n_events,
+                       CAST(date_diff('microsecond', MIN(ts), MAX(ts))
+                            AS BIGINT) AS dur_us
+                FROM s GROUP BY 1, 2)
+            SELECT n_events, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                   CAST(SUM(dur_us) AS BIGINT) AS total_dur_us
+            FROM sess GROUP BY 1 ORDER BY 1
         """,
         "sessionize": """
             WITH ordered AS (

@@ -268,3 +268,59 @@ def cohort_retention(sf_dir: str) -> rd.Dataset:
             "week_offset": pc.cast(t["week_offset"], pa.int64()),
             "n_users": pc.cast(t["n_users"], pa.int64())}),
         batch_format="pyarrow").sort(["cohort_week", "week_offset"])
+
+
+def session_duration_stats(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
+    """Session-level rollup: per events-per-session size, how many
+    sessions and their total duration in exact integer microseconds -- the shape a
+    product dashboard bins engagement by.  Extends sessionize's bucketed
+    gaps-and-islands pass with last-event timestamps; everything after
+    the per-bucket pandas groupby is exact integer sums (the DuckDB
+    oracle mirrors the island construction with window functions)."""
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32())
+        return t.append_column("bucket", b)
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        new = (g["user_id"] != g["user_id"].shift()) | (g["ts"].diff() > gap)
+        sid = new.cumsum()
+        out = g.groupby(sid).agg(
+            n_events=("ts", "size"),
+            start=("ts", "first"),
+            end=("ts", "last"),
+        )
+        dur = ((out["end"] - out["start"])
+               // pd.Timedelta(microseconds=1)).astype("int64")
+        return pd.DataFrame({
+            "n_events": out["n_events"].astype("int64"),
+            "dur_us": dur}).reset_index(drop=True)
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id"]).map_batches(
+        add_bucket, batch_format="pyarrow")
+    per = ds.groupby("bucket").map_groups(sessions, batch_format="pandas")
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "n_events": t["n_events"].to_numpy(zero_copy_only=False),
+            "dur_us": t["dur_us"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("n_events", as_index=False).agg(
+            n_sessions=("dur_us", "size"),
+            total_dur_us=("dur_us", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum as _Sum
+    rows = per.map_batches(partial, batch_format="pyarrow") \
+        .groupby("n_events").aggregate(
+            _Sum("n_sessions", alias_name="n_sessions"),
+            _Sum("total_dur_us", alias_name="total_dur_us")).take_all()
+    rows.sort(key=lambda r: r["n_events"])
+    return pa.table({
+        "n_events": pa.array([int(r["n_events"]) for r in rows],
+                             pa.int64()),
+        "n_sessions": pa.array([int(r["n_sessions"]) for r in rows],
+                               pa.int64()),
+        "total_dur_us": pa.array([int(r["total_dur_us"]) for r in rows],
+                                 pa.int64())})
