@@ -458,6 +458,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_triangles": lambda sf: __import__(
             "pomp_ray.pipelines.graph", fromlist=["graph"]
         ).host_triangles(_mirror_pages_path()),
+        "host_core_numbers": lambda sf: __import__(
+            "pomp_ray.pipelines.graph", fromlist=["graph"]
+        ).host_core_numbers(_mirror_pages_path()),
         "reciprocal_links_report":
             lambda sf: webtext.reciprocal_links_report(_mirror_pages_path()),
         "host_lang_profile":
@@ -2265,6 +2268,8 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM read_parquet('{_GOLDEN}/sq8_topk_sf001.parquet')",
         "anchor_texts":
             f"SELECT * FROM read_parquet('{_GOLDEN}/anchor_texts_small.parquet')",
+        "host_core_numbers":
+            f"SELECT * FROM read_parquet('{_GOLDEN}/kcore_mirror.parquet')",
         "corpus_hits":
             f"SELECT * FROM read_parquet('{_GOLDEN}/hits_small.parquet')",
         "corpus_two_hop_reach":

@@ -778,3 +778,76 @@ def host_triangles(pages_path: str, num_partitions: int = 4) -> pa.Table:
         "host": pa.array([r["host"] for r in rows], pa.string()),
         "n_triangles": pa.array([int(r["n_triangles"]) for r in rows],
                                 pa.int64())})
+
+
+def host_core_numbers(pages_path: str) -> pa.Table:
+    """Core number per host over the undirected foreign host graph --
+    the standard graph-density decomposition (a node's core number is
+    the largest k such that it survives in the k-core).  Link farms and
+    mirror rings sit in high cores; peripheral hosts peel off at k=1.
+
+    Shape: the distinct undirected edge table stays a Dataset; each peel
+    step is ONE distributed degree groupby, and the set of hosts peeled
+    this step broadcasts into the next filter (host-cardinality state,
+    the robots-map posture -- O(hosts), never O(edges), on the driver).
+    Oracle: an independent serial dict peeler in tools/gen_golden.py."""
+    from ray.data.aggregate import Count
+
+    def und(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(pc.equal(t["src"], t["dst"])))
+        lo = pc.min_element_wise(t["src"], t["dst"])
+        hi = pc.max_element_wise(t["src"], t["dst"])
+        return pa.table({"a": lo, "b": hi})
+
+    pairs = corpus_host_edges(pages_path) \
+        .map_batches(und, batch_format="pyarrow") \
+        .groupby(["a", "b"]).aggregate(Count(alias_name="_n")) \
+        .map_batches(lambda t: t.select(["a", "b"]),
+                     batch_format="pyarrow").repartition(2).materialize()
+    # both directions so one groupby yields full degrees
+    edges = pairs.map_batches(
+        lambda t: pa.table({
+            "src": pa.concat_arrays([t["a"].combine_chunks(),
+                                     t["b"].combine_chunks()]),
+            "dst": pa.concat_arrays([t["b"].combine_chunks(),
+                                     t["a"].combine_chunks()])}),
+        batch_format="pyarrow").repartition(2).materialize()
+
+    core: dict[str, int] = {}
+    k = 1
+    while True:
+        n_alive = edges.count()
+        if n_alive == 0:
+            break
+        peeled_any = True
+        while peeled_any:
+            deg = edges.groupby("src").aggregate(
+                Count(alias_name="deg")).take_all()
+            low = {r["src"] for r in deg if int(r["deg"]) < k}
+            if not low:
+                peeled_any = False
+                break
+            for h in low:
+                core[h] = k - 1
+            lowset = low
+            edges = edges.map_batches(
+                lambda t, ls=lowset: t.filter(pa.array(
+                    [s not in ls and d not in ls
+                     for s, d in zip(t["src"].to_pylist(),
+                                     t["dst"].to_pylist())],
+                    pa.bool_())),
+                batch_format="pyarrow").repartition(2).materialize()
+            if edges.count() == 0:
+                break
+        if edges.count() == 0:
+            break
+        # survivors of the k-peel have core >= k
+        for r in edges.groupby("src").aggregate(
+                Count(alias_name="deg")).take_all():
+            core[r["src"]] = k
+        k += 1
+
+    hosts = sorted(core)
+    return pa.table({
+        "host": pa.array(hosts, pa.string()),
+        "core": pa.array([core[h] for h in hosts], pa.int64())})

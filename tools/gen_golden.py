@@ -1427,6 +1427,55 @@ def gen_broken_links_golden() -> None:
           f"{sum(r[1][1] for r in rows)} broken")
 
 
+def gen_kcore_golden() -> None:
+    """host_core_numbers golden over the MIRROR corpus: independent
+    serial peeler -- its own href regex + urlparse host extraction and a
+    plain dict/set k-core algorithm (Batagelj-Zaversnik-style repeated
+    peeling), none of the engine's code paths."""
+    import re as _re
+    from urllib.parse import urljoin, urlparse
+
+    from pomp_ray.sources import gen_corpus
+
+    fix = gen_corpus.generate("/tmp/pomp_golden_corpus_mirror",
+                              gen_corpus.MIRROR)
+    pages = pq.read_table(fix.pages_path, columns=["url", "html"])
+    href = _re.compile(rb'<a href="([^"]*)"')
+    adj: dict[str, set[str]] = {}
+    for url, html in zip(pages["url"].to_pylist(),
+                         pages["html"].to_pylist()):
+        host = urlparse(url).netloc.lower()
+        for m in href.finditer(html or b""):
+            tgt = urljoin(url, m.group(1).decode("utf-8", "replace"))
+            th = urlparse(tgt).netloc.lower()
+            if th and th != host:
+                adj.setdefault(host, set()).add(th)
+                adj.setdefault(th, set()).add(host)
+    core: dict[str, int] = {}
+    k = 1
+    alive = {h: set(n) for h, n in adj.items()}
+    while alive:
+        changed = True
+        while changed:
+            low = [h for h, n in alive.items() if len(n) < k]
+            changed = bool(low)
+            for h in low:
+                core[h] = k - 1
+                for n in alive[h]:
+                    alive[n].discard(h)
+                del alive[h]
+        for h in alive:
+            core[h] = k
+        k += 1
+    hosts = sorted(core)
+    tbl = pa.table({
+        "host": pa.array(hosts, pa.string()),
+        "core": pa.array([core[h] for h in hosts], pa.int64())})
+    pq.write_table(tbl, os.path.join(GOLDEN_DIR, "kcore_mirror.parquet"))
+    print(f"kcore golden: {tbl.num_rows} hosts, max core "
+          f"{max(core.values()) if core else 0}")
+
+
 if __name__ == "__main__":
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     gen_signature_goldens()
