@@ -600,6 +600,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q22_inactive_customers": relational.q22_inactive_customers,
         "q9_product_profit": relational.q9_product_profit,
         "q16_supplier_part_counts": relational.q16_supplier_part_counts,
+        "q2_min_cost_supplier": relational.q2_min_cost_supplier,
+        "q11_important_stock": relational.q11_important_stock,
+        "q20_promotion_parts": relational.q20_promotion_parts,
+        "q12_ship_lag_priority": relational.q12_ship_lag_priority,
+        "q19_discounted_revenue": relational.q19_discounted_revenue,
+        "q21_waiting_suppliers": relational.q21_waiting_suppliers,
         "revenue_rollup": relational.revenue_rollup,
         "spend_magnitude_histogram": relational.spend_magnitude_histogram,
         "rolling_user_spend": relational.rolling_user_spend,
@@ -766,6 +772,7 @@ def _mirror_pages_path() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from pomp_ray.pipelines.relational import PARTSUPP_SQL as _PS
     _MP = _mirror_pages_path()
     _TP = _trap_pages_path()
     _RB = _tiny_robots_path()
@@ -2782,6 +2789,113 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate <  TIMESTAMP '1997-01-01'
               AND l_discount BETWEEN 0.05 AND 0.07
               AND l_quantity < 24
+        """,
+        # Q2/Q11/Q20 run over the SYNTHESIZED partsupp (PARTSUPP_SQL
+        # mirrors relational._partsupp_batch's integer formulas exactly;
+        # 0-based keys, non-negative arithmetic, so numpy % == SQL %)
+        "q2_min_cost_supplier": f"""
+            WITH {_PS},
+            eligible AS (
+                SELECT ps_partkey, ps_suppkey, ps_cost_c,
+                       s_name, s_acctbal, n_name
+                FROM ps
+                JOIN supplier ON s_suppkey = ps_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'ASIA' AND p_size <= 15
+                  AND p_type = 'STANDARD'),
+            mn AS (SELECT ps_partkey, MIN(ps_cost_c) AS mc
+                   FROM eligible GROUP BY 1)
+            SELECT s_acctbal, s_name, n_name,
+                   CAST(e.ps_partkey AS BIGINT) AS p_partkey,
+                   CAST(e.ps_cost_c AS DOUBLE) / 100.0 AS supply_cost
+            FROM eligible e
+            JOIN mn ON e.ps_partkey = mn.ps_partkey AND e.ps_cost_c = mn.mc
+            ORDER BY CAST(ROUND(s_acctbal*100) AS BIGINT) DESC,
+                     n_name, s_name, p_partkey
+            LIMIT 100
+        """,
+        "q11_important_stock": f"""
+            WITH {_PS},
+            g AS (SELECT ps_partkey, SUM(ps_cost_c * ps_availqty) AS v
+                  FROM ps JOIN supplier ON s_suppkey = ps_suppkey
+                  JOIN nation ON s_nationkey = n_nationkey
+                  WHERE n_name = 'NATION_12' GROUP BY 1),
+            tot AS (SELECT SUM(v) AS t, COUNT(*) AS n FROM g)
+            SELECT CAST(ps_partkey AS BIGINT) AS p_partkey,
+                   CAST(v AS DOUBLE) / 100.0 AS stock_value
+            FROM g, tot WHERE v > t // n
+            ORDER BY v DESC, p_partkey
+        """,
+        "q20_promotion_parts": f"""
+            WITH {_PS},
+            shipped AS (
+                SELECT l_partkey, l_suppkey,
+                       SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS q
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate <  TIMESTAMP '1997-01-01'
+                GROUP BY 1, 2),
+            cand AS (
+                SELECT DISTINCT ps_suppkey FROM ps
+                JOIN shipped ON l_partkey = ps_partkey
+                            AND l_suppkey = ps_suppkey
+                WHERE p_type = 'SMALL' AND ps_availqty * 2 > q)
+            SELECT n_name, s_name, CAST(s_suppkey AS BIGINT) AS s_suppkey
+            FROM supplier JOIN cand ON s_suppkey = ps_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            ORDER BY n_name, s_name, s_suppkey
+        """,
+        "q12_ship_lag_priority": """
+            SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) >= 60
+                        THEN 'slow' ELSE 'fast' END AS ship_bucket,
+                   CAST(SUM(CASE WHEN o_orderpriority IN
+                                      ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN
+                                      ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT)
+                       AS low_line_count
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q19_discounted_revenue": """
+            WITH j AS (
+                SELECT p_brand, p_size,
+                       CAST(ROUND(l_quantity) AS BIGINT) AS qty,
+                       CAST(ROUND(l_discount*100) AS BIGINT) AS dc,
+                       CAST(ROUND(l_extendedprice*100) AS BIGINT) AS pcents
+                FROM lineitem JOIN part ON p_partkey = l_partkey)
+            SELECT CAST(COALESCE(SUM(pcents * (100 - dc)), 0) AS DOUBLE)
+                       / 10000.0 AS revenue
+            FROM j
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND qty BETWEEN 1 AND 11 AND dc BETWEEN 2 AND 4)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND qty BETWEEN 10 AND 20 AND dc BETWEEN 4 AND 6)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                   AND qty BETWEEN 20 AND 30 AND dc BETWEEN 6 AND 8)
+        """,
+        "q21_waiting_suppliers": """
+            WITH f AS (
+                SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS sd
+                FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+                WHERE o_orderstatus = 'F' GROUP BY 1, 2),
+            o AS (SELECT l_orderkey, MAX(sd) AS mx, COUNT(*) AS n_supp
+                  FROM f GROUP BY 1),
+            w AS (SELECT f.l_orderkey, f.l_suppkey
+                  FROM f JOIN o ON f.l_orderkey = o.l_orderkey
+                  WHERE f.sd = o.mx AND o.n_supp > 1),
+            u AS (SELECT l_orderkey FROM w GROUP BY 1
+                  HAVING COUNT(*) = 1),
+            c AS (SELECT l_suppkey, COUNT(*) AS numwait
+                  FROM w JOIN u USING (l_orderkey) GROUP BY 1)
+            SELECT s_name, CAST(numwait AS BIGINT) AS numwait
+            FROM c JOIN supplier ON s_suppkey = l_suppkey
+            ORDER BY numwait DESC, s_name LIMIT 25
         """,
         # BM25: the scoring expression mirrors the engine's numpy
         # arithmetic tree exactly (CAST(1.2 AS DOUBLE) because a bare 1.2

@@ -1594,3 +1594,424 @@ def spend_magnitude_histogram(sf_dir: str) -> pa.Table:
         "magnitude": pa.array([int(r["magnitude"]) for r in rows],
                               pa.int64()),
         "n": pa.array([int(r["n"]) for r in rows], pa.int64())})
+
+
+# ---------------------------------------------------- synthesized partsupp
+# The slim testdata has no partsupp table; the classic TPC-H generation
+# rule (4 suppliers per part at fixed offsets, dbgen's layout) is
+# re-derived as a pure integer formula over (p_partkey, supplier count),
+# so the engine AND the DuckDB oracle can each synthesize the identical
+# table without materializing it anywhere:
+#   ps_suppkey  = (p_partkey + i*((S+3)//4)) % S        for i in 0..3
+#   ps_availqty = (p_partkey*7  + ps_suppkey*11) % 5000 + 1
+#   ps_cost_c   = (p_partkey*31 + ps_suppkey*17) % 99901 + 100   (cents)
+# All keys in the testdata are 0-based; every op is non-negative integer
+# arithmetic, so numpy % == DuckDB % and the tables match bit for bit.
+# This unlocks the partsupp third of TPC-H (Q2 / Q11 / Q20) as real
+# distributed pipelines: partsupp is generated INSIDE map_batches over
+# the part scan (4x row expansion, never shipped from the driver).
+
+def _supplier_count(sf_dir: str) -> int:
+    return pq.ParquetFile(
+        os.path.join(sf_dir, "supplier.parquet")).metadata.num_rows
+
+
+def _partsupp_batch(t: pa.Table, S: int, carry: list[str] = ()) -> pa.Table:
+    """Expand a part batch to its 4 synthesized partsupp rows each
+    (vectorized np.repeat/tile -- no Python per row)."""
+    pk = t["p_partkey"].to_numpy().astype(np.int64)
+    n = len(pk)
+    pk4 = np.repeat(pk, 4)
+    i4 = np.tile(np.arange(4, dtype=np.int64), n)
+    sk = (pk4 + i4 * ((S + 3) // 4)) % S
+    cols = {
+        "ps_partkey": pa.array(pk4, pa.int64()),
+        "ps_suppkey": pa.array(sk, pa.int64()),
+        "ps_availqty": pa.array((pk4 * 7 + sk * 11) % 5000 + 1, pa.int64()),
+        "ps_cost_c": pa.array((pk4 * 31 + sk * 17) % 99901 + 100,
+                              pa.int64()),
+    }
+    for c in carry:
+        cols[c] = t[c].take(pa.array(np.repeat(np.arange(n), 4)))
+    return pa.table(cols)
+
+
+# shared SQL prefix mirroring the same synthesis (oracle side)
+PARTSUPP_SQL = """
+    sc AS (SELECT COUNT(*) AS s FROM supplier),
+    ps0 AS (
+        SELECT p_partkey, p_size, p_type,
+               (p_partkey + t.i * ((sc.s + 3) // 4)) % sc.s AS ps_suppkey
+        FROM part CROSS JOIN sc
+             CROSS JOIN (SELECT UNNEST(range(0, 4)) AS i) t),
+    ps AS (
+        SELECT p_partkey AS ps_partkey, ps_suppkey, p_size, p_type,
+               (p_partkey * 7  + ps_suppkey * 11) % 5000 + 1 AS ps_availqty,
+               (p_partkey * 31 + ps_suppkey * 17) % 99901 + 100 AS ps_cost_c
+        FROM ps0)
+"""
+
+
+_Q2_SCHEMA = pa.schema([("s_acctbal", pa.float64()),
+                        ("s_name", pa.string()),
+                        ("n_name", pa.string()),
+                        ("p_partkey", pa.int64()),
+                        ("supply_cost", pa.float64())])
+
+
+def q2_min_cost_supplier(sf_dir: str, size: int = 15,
+                         ptype: str = "STANDARD", region: str = "ASIA",
+                         k: int = 100) -> pa.Table:
+    """TPC-H Q2 (minimum-cost supplier) over the synthesized partsupp:
+    for every part of one size+type, the cheapest supplier(s) inside a
+    region, ranked by account balance.
+
+    Scale shape: the part scan filters FIRST (size+type prune), then
+    expands 4x to partsupp inside map_batches; the supplier side is
+    region-gated via the broadcast nation set before its ONE hash join;
+    the per-part minimum is a groupby on the already-joined (bounded)
+    eligible table joined back by (partkey, cost) equality -- integer
+    cents, so the tie semantics are exact.  Each live hash join
+    materializes before the next (two-live-joins deadlock lesson).
+    Final ordering uses integer balance cents; ties break through
+    (n_name, s_name, partkey), a total order."""
+    import ray
+
+    S = _supplier_count(sf_dir)
+
+    reg = _t(sf_dir, "region").take_all()
+    rkey = next(r["r_regionkey"] for r in reg if r["r_name"] == region)
+    nat = _t(sf_dir, "nation").take_all()
+    nkeys = {n["n_nationkey"] for n in nat if n["n_regionkey"] == rkey}
+    names = {n["n_nationkey"]: n["n_name"] for n in nat}
+    names_ref = ray.put(names)
+
+    # p_size <= size (a range gate keeps the slice non-trivial at every
+    # sf; an equality gate selects ~n_parts/300 rows and can go EMPTY at
+    # tiny scales -- an all-empty join side cannot be keyed at all, the
+    # q7/q17 lesson) -- mirrored in the oracle
+    pt = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                       columns=["p_partkey", "p_size", "p_type"])
+    pt = pt.filter(pc.and_(pc.less_equal(pt["p_size"], size),
+                           pc.equal(pt["p_type"], ptype)))
+    if pt.num_rows == 0:
+        return _Q2_SCHEMA.empty_table()
+    ps = rd.from_arrow(pt).map_batches(
+        lambda t: _partsupp_batch(t, S), batch_format="pyarrow") \
+        .repartition(2)
+
+    def supp_prep(t: pa.Table) -> pa.Table:
+        nm = ray.get(names_ref)
+        t = t.filter(pa.array(np.isin(
+            t["s_nationkey"].to_numpy(zero_copy_only=False), list(nkeys))))
+        nk = t["s_nationkey"].to_pylist()
+        return pa.table({
+            "ps_suppkey": pc.cast(t["s_suppkey"], pa.int64()),
+            "s_name": t["s_name"],
+            "s_acctbal": pc.cast(t["s_acctbal"], pa.float64()),
+            "bal_c": pa.array(np.rint(
+                t["s_acctbal"].to_numpy() * 100).astype(np.int64)),
+            "n_name": pa.array([nm[int(x)] for x in nk], pa.string())})
+
+    supp = _t(sf_dir, "supplier", ["s_suppkey", "s_name", "s_acctbal",
+                                   "s_nationkey"]) \
+        .map_batches(supp_prep, batch_format="pyarrow").repartition(2)
+
+    eligible = ps.join(supp, join_type="inner", on=("ps_suppkey",),
+                       num_partitions=4).materialize()
+    mn = eligible.groupby("ps_partkey") \
+        .aggregate(Min("ps_cost_c", alias_name="mc")).repartition(2) \
+        .materialize()
+    win = eligible.join(mn, join_type="inner", on=("ps_partkey",),
+                        num_partitions=4).map_batches(
+        lambda t: t.filter(pc.equal(t["ps_cost_c"], t["mc"])),
+        batch_format="pyarrow")
+
+    rows = win.take_all()
+    rows.sort(key=lambda r: (-r["bal_c"], r["n_name"], r["s_name"],
+                             r["ps_partkey"]))
+    rows = rows[:k]
+    return pa.table({
+        "s_acctbal": pa.array([r["s_acctbal"] for r in rows], pa.float64()),
+        "s_name": pa.array([r["s_name"] for r in rows], pa.string()),
+        "n_name": pa.array([r["n_name"] for r in rows], pa.string()),
+        "p_partkey": pa.array([r["ps_partkey"] for r in rows], pa.int64()),
+        "supply_cost": pa.array([r["ps_cost_c"] / 100.0 for r in rows],
+                                pa.float64())})
+
+
+def q11_important_stock(sf_dir: str, nation: str = "NATION_12") -> pa.Table:
+    """TPC-H Q11 (important stock identification): per-part stock value
+    (cost x availqty, integer cents) held by one nation's suppliers,
+    keeping parts whose value exceeds the MEAN part value -- the
+    global-threshold-then-filter shape (stock Q11's fraction threshold,
+    made scale-free).  The nation's supplier keys broadcast (one
+    nation's suppliers = a dim slice); partsupp generates inside
+    map_batches; the per-part aggregate is integer-exact, and the
+    threshold (total // n_parts, integer floor division) is computed
+    once from the tiny aggregate and applied driver-side."""
+    S = _supplier_count(sf_dir)
+    nat = _t(sf_dir, "nation").take_all()
+    nkey = next(n["n_nationkey"] for n in nat if n["n_name"] == nation)
+    sk = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                       columns=["s_suppkey", "s_nationkey"])
+    skeys = np.sort(sk.filter(pc.equal(sk["s_nationkey"], nkey))
+                    ["s_suppkey"].to_numpy().astype(np.int64))
+
+    def partial(t: pa.Table) -> pa.Table:
+        e = _partsupp_batch(t, S)
+        m = np.isin(e["ps_suppkey"].to_numpy(), skeys)
+        e = e.filter(pa.array(m))
+        pk = e["ps_partkey"].to_numpy()
+        v = e["ps_cost_c"].to_numpy() * e["ps_availqty"].to_numpy()
+        uniq, inv = np.unique(pk, return_inverse=True)
+        sums = np.zeros(len(uniq), np.int64)
+        np.add.at(sums, inv, v)
+        return pa.table({"p_partkey": pa.array(uniq, pa.int64()),
+                         "v": pa.array(sums, pa.int64())})
+
+    g = _t(sf_dir, "part", ["p_partkey"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("p_partkey").aggregate(Sum("v", alias_name="v")) \
+        .materialize()
+    tot = g.aggregate(Sum("v", alias_name="t"), Count(alias_name="n"))
+    thr = int(tot["t"]) // int(tot["n"])
+    rows = g.filter(expr=f"v > {thr}").take_all()
+    rows.sort(key=lambda r: (-r["v"], r["p_partkey"]))
+    return pa.table({
+        "p_partkey": pa.array([r["p_partkey"] for r in rows], pa.int64()),
+        "stock_value": pa.array([r["v"] / 100.0 for r in rows],
+                                pa.float64())})
+
+
+def q20_promotion_parts(sf_dir: str, ptype: str = "SMALL",
+                        date_lo: str = "1996-01-01",
+                        date_hi: str = "1997-01-01") -> pa.Table:
+    """TPC-H Q20 (potential part promotion): suppliers holding excess
+    stock (availqty > half the year's shipped quantity) of a part type,
+    reported with their nation -- the semi-join-of-semi-join shape.
+    (Stock Q20 gates one nation; a single nation holds ~S/25 suppliers
+    and goes empty at tiny scales, so the nation is an output column
+    instead -- same join structure.)
+
+    Scale shape: the year's lineitem scan collapses to per-batch
+    (partkey, suppkey) integer quantity partials before its ONE
+    composite-key shuffle; partsupp generates from the type-filtered
+    part scan; the availqty gate is a composite-key hash join
+    (2*availqty > qty, integer-exact); candidate suppliers collapse by
+    groupby and the nation gate + name attach happen on the tiny
+    winner set driver-side."""
+    S = _supplier_count(sf_dir)
+    lo, hi = np.datetime64(date_lo), np.datetime64(date_hi)
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        d = t["l_shipdate"].to_numpy()
+        t = t.filter(pa.array((d >= lo) & (d < hi)))
+        df = pd.DataFrame({
+            "ps_partkey": t["l_partkey"].to_numpy().astype(np.int64),
+            "ps_suppkey": t["l_suppkey"].to_numpy().astype(np.int64),
+            "q": np.rint(t["l_quantity"].to_numpy()).astype(np.int64)})
+        g = df.groupby(["ps_partkey", "ps_suppkey"], as_index=False)["q"] \
+            .sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    shipped = _t(sf_dir, "lineitem",
+                 ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"]) \
+        .map_batches(li_partial, batch_format="pyarrow") \
+        .groupby(["ps_partkey", "ps_suppkey"]) \
+        .aggregate(Sum("q", alias_name="q")).repartition(2)
+
+    ps = _t(sf_dir, "part", ["p_partkey", "p_type"]) \
+        .map_batches(lambda t: _partsupp_batch(
+            t.filter(pc.equal(t["p_type"], ptype)), S),
+            batch_format="pyarrow").repartition(2)
+
+    j = ps.join(shipped, join_type="inner",
+                on=("ps_partkey", "ps_suppkey"), num_partitions=4)
+    cand = j.map_batches(
+        lambda t: t.filter(pc.greater(
+            pc.multiply(t["ps_availqty"], pa.scalar(2)), t["q"]))
+        .select(["ps_suppkey"]), batch_format="pyarrow") \
+        .groupby("ps_suppkey").aggregate(Count(alias_name="_c"))
+    ckeys = {int(r["ps_suppkey"]) for r in cand.take_all()}
+
+    nat = _t(sf_dir, "nation").take_all()
+    names = {n["n_nationkey"]: n["n_name"] for n in nat}
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                        columns=["s_suppkey", "s_name", "s_nationkey"])
+    rows = [(names[int(nk)], n, int(k))
+            for k, n, nk in zip(sup["s_suppkey"].to_pylist(),
+                                sup["s_name"].to_pylist(),
+                                sup["s_nationkey"].to_pylist())
+            if int(k) in ckeys]
+    rows.sort()
+    return pa.table({
+        "n_name": pa.array([r[0] for r in rows], pa.string()),
+        "s_name": pa.array([r[1] for r in rows], pa.string()),
+        "s_suppkey": pa.array([r[2] for r in rows], pa.int64())})
+
+
+def q12_ship_lag_priority(sf_dir: str, late_days: int = 60,
+                          date_lo: str = "1996-01-01",
+                          date_hi: str = "1997-01-01") -> rd.Dataset:
+    """TPC-H Q12 shape (shipping-mode priority), adapted to the slim
+    schema (no l_shipmode / receiptdate): lineitems bucket by ship LAG
+    (days between order date and ship date, fast < late_days <= slow)
+    and each bucket counts high-priority vs low-priority orders -- the
+    join + CASE-sum rollup.  One hash join (both sides column-pruned,
+    lineitem date-filtered first), per-batch integer CASE partials, a
+    two-row groupby.  Pure counts: exact vs DuckDB."""
+    lo, hi = np.datetime64(date_lo), np.datetime64(date_hi)
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]) \
+        .map_batches(lambda t: t.filter(pa.array(
+            (t["l_shipdate"].to_numpy() >= lo)
+            & (t["l_shipdate"].to_numpy() < hi))),
+            batch_format="pyarrow").repartition(2)
+    orders = _t(sf_dir, "orders",
+                ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    j = li.join(orders, join_type="inner", num_partitions=8,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        lag = (t["l_shipdate"].to_numpy() - t["o_orderdate"].to_numpy()) \
+            / np.timedelta64(1, "D")
+        slow = lag >= late_days
+        pr = t["o_orderpriority"].to_numpy(zero_copy_only=False)
+        high = (pr == "1-URGENT") | (pr == "2-HIGH")
+        return pa.table({
+            "ship_bucket": pa.array(["fast", "slow"], pa.string()),
+            "high_line_count": pa.array(
+                [int((~slow & high).sum()), int((slow & high).sum())],
+                pa.int64()),
+            "low_line_count": pa.array(
+                [int((~slow & ~high).sum()), int((slow & ~high).sum())],
+                pa.int64())})
+
+    out = j.map_batches(partial, batch_format="pyarrow") \
+        .groupby("ship_bucket").aggregate(
+            Sum("high_line_count", alias_name="high_line_count"),
+            Sum("low_line_count", alias_name="low_line_count"))
+    return out.map_batches(
+        lambda t: pa.table({
+            "ship_bucket": t["ship_bucket"],
+            "high_line_count": pc.cast(t["high_line_count"], pa.int64()),
+            "low_line_count": pc.cast(t["low_line_count"], pa.int64())}),
+        batch_format="pyarrow").sort("ship_bucket")
+
+
+_Q19_BRACKETS = (  # (brand, size_lo, size_hi, qty_lo, qty_hi, dc_lo, dc_hi)
+    ("Brand#12", 1, 5, 1, 11, 2, 4),
+    ("Brand#23", 1, 10, 10, 20, 4, 6),
+    ("Brand#34", 1, 15, 20, 30, 6, 8),
+)
+
+
+def q19_discounted_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q19 (discounted revenue): revenue from lineitems matching
+    any of three (brand, size-range, quantity-range, discount-range)
+    brackets -- the join-then-multi-predicate shape.  ONE hash join on
+    partkey ships only (brand, size); every bracket test is a
+    vectorized mask over integer discount cents / integral quantities;
+    revenue accumulates in integer 10^-4 units (q6_revenue discipline)
+    so the scalar is bit-identical to the oracle."""
+    part = _t(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]) \
+        .map_batches(lambda t: pa.table({
+            "l_partkey": pc.cast(t["p_partkey"], pa.int64()),
+            "p_brand": t["p_brand"],
+            "p_size": pc.cast(t["p_size"], pa.int64())}),
+            batch_format="pyarrow")
+    li = _t(sf_dir, "lineitem",
+            ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]) \
+        .map_batches(lambda t: t.set_column(
+            t.column_names.index("l_partkey"), "l_partkey",
+            pc.cast(t["l_partkey"], pa.int64())), batch_format="pyarrow")
+    j = li.join(part, join_type="inner", on=("l_partkey",),
+                num_partitions=8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        brand = t["p_brand"].to_numpy(zero_copy_only=False)
+        size = t["p_size"].to_numpy(zero_copy_only=False)
+        qty = np.rint(t["l_quantity"].to_numpy()).astype(np.int64)
+        dc = np.rint(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        m = np.zeros(len(brand), bool)
+        for b, s0, s1, q0, q1, d0, d1 in _Q19_BRACKETS:
+            m |= ((brand == b) & (size >= s0) & (size <= s1)
+                  & (qty >= q0) & (qty <= q1) & (dc >= d0) & (dc <= d1))
+        cents_p = np.rint(
+            t["l_extendedprice"].to_numpy()[m] * 100).astype(np.int64)
+        s = int((cents_p * (100 - dc[m])).sum())
+        return pa.table({"s": pa.array([s], pa.int64())})
+
+    total = j.map_batches(partial, batch_format="pyarrow") \
+        .aggregate(Sum("s", alias_name="s"))["s"]
+    return pa.table({"revenue": pa.array([float(total) / 10000.0],
+                                         pa.float64())})
+
+
+def q21_waiting_suppliers(sf_dir: str, k: int = 25) -> pa.Table:
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+    the slim schema (no commit/receipt dates): in finished multi-supplier
+    orders, the supplier whose lineitems shipped LAST (unique latest max
+    shipdate) "kept the order waiting" -- the double-existential
+    (EXISTS other supplier / NOT EXISTS other equally-late supplier)
+    re-expressed as exact aggregates.
+
+    Scale shape: lineitem hash-joins the F-status order keys once;
+    (orderkey, suppkey, max shipdate) collapses via per-batch pandas
+    partials -> composite groupby; the per-order rollup is an
+    aggregate + join back (the span_dup_stats lesson: never map_groups
+    over millions of tiny groups), filtered to unique-latest winners;
+    the per-supplier count is a tiny final groupby with names attached
+    from the pruned supplier read.  Timestamps compare as int64
+    microseconds; counts are exact."""
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderstatus"]) \
+        .map_batches(lambda t: t.filter(
+            pc.equal(t["o_orderstatus"], "F")).select(["o_orderkey"]),
+            batch_format="pyarrow").repartition(2)
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
+    j = li.join(orders, join_type="inner", num_partitions=8,
+                on=("l_orderkey",), right_on=("o_orderkey",)).materialize()
+
+    def a_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "l_orderkey": t["l_orderkey"].to_numpy().astype(np.int64),
+            "l_suppkey": t["l_suppkey"].to_numpy().astype(np.int64),
+            "sd": pc.cast(t["l_shipdate"], pa.int64()).to_numpy()})
+        g = df.groupby(["l_orderkey", "l_suppkey"], as_index=False)["sd"] \
+            .max()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    a = j.map_batches(a_partial, batch_format="pyarrow") \
+        .groupby(["l_orderkey", "l_suppkey"]) \
+        .aggregate(Max("sd", alias_name="sd")).repartition(4).materialize()
+
+    o = a.groupby("l_orderkey").aggregate(
+        Max("sd", alias_name="mx"), Count(alias_name="n_supp")) \
+        .repartition(4).materialize()
+    w = a.join(o, join_type="inner", on=("l_orderkey",),
+               num_partitions=4).map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.equal(t["sd"], t["mx"]),
+            pc.greater(t["n_supp"], 1))).select(
+            ["l_orderkey", "l_suppkey"]),
+        batch_format="pyarrow").repartition(2).materialize()
+    u = w.groupby("l_orderkey").aggregate(Count(alias_name="n_at_max")) \
+        .map_batches(lambda t: t.filter(pc.equal(t["n_at_max"], 1)),
+                     batch_format="pyarrow").repartition(2).materialize()
+    wins = w.join(u, join_type="inner", on=("l_orderkey",),
+                  num_partitions=4)
+    per_supp = wins.groupby("l_suppkey").aggregate(
+        Count(alias_name="numwait")).take_all()
+
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                        columns=["s_suppkey", "s_name"])
+    names = dict(zip(sup["s_suppkey"].to_pylist(),
+                     sup["s_name"].to_pylist()))
+    rows = [(names[int(r["l_suppkey"])], int(r["numwait"]))
+            for r in per_supp]
+    rows.sort(key=lambda x: (-x[1], x[0]))
+    rows = rows[:k]
+    return pa.table({
+        "s_name": pa.array([r[0] for r in rows], pa.string()),
+        "numwait": pa.array([r[1] for r in rows], pa.int64())})

@@ -45,6 +45,12 @@ SPOT = [
     "q7_volume_shipping",
     "q8_market_share",
     "q22_inactive_customers",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q20_promotion_parts",
+    "q12_ship_lag_priority",
+    "q19_discounted_revenue",
+    "q21_waiting_suppliers",
     "recrawl_intervals",
     "temperature_mixture",
     "bm25_topk",
