@@ -547,6 +547,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_rank": docs.lang_rank,
         "sample_docs": docs.sample_docs,
         "fingerprints": docs.fingerprints,
+        "winnow_fingerprints": docs.winnow_fingerprints,
+        "winnow_dup_pairs": docs.winnow_dup_pairs,
         "media_features": media.media_features,
         "media_frame_stats": media.media_frame_stats,
         "minhash_lsh_pairs": docs.minhash_lsh_pairs,
@@ -2251,6 +2253,12 @@ def oracle_sql() -> dict[str, str]:
         # for the crawl outputs (TINY corpus; sf-independent).
         "fingerprints":
             f"SELECT * FROM read_parquet('{_GOLDEN}/fingerprints_sf001.parquet')",
+        # winnowing (MOSS robust winnowing): goldens from the independent
+        # char-at-a-time Horner reimplementation (gen_winnow_goldens)
+        "winnow_fingerprints":
+            f"SELECT * FROM read_parquet('{_GOLDEN}/winnow_fps_sf001.parquet')",
+        "winnow_dup_pairs":
+            f"SELECT * FROM read_parquet('{_GOLDEN}/winnow_pairs_sf001.parquet')",
         "simhash_dup_groups":
             f"SELECT * FROM read_parquet('{_GOLDEN}/simhash_dup_groups_sf001.parquet')",
         # IVF family: approximate BY DESIGN (pair found iff a probed cell

@@ -363,3 +363,46 @@ def trigram_code_arrays(texts: list[str]) -> tuple[np.ndarray, np.ndarray,
     big = arr[j] * 256 + arr[j + 1]
     tri = big * 256 + arr[j + 2]
     return tri, big, n_tri
+
+
+# ------------------------------------------------------- winnowing (MOSS)
+_WINNOW_K, _WINNOW_W = 8, 4
+_WINNOW_B = 1099511628211          # FNV prime as the polynomial base
+
+
+def _winnow_powers(k: int) -> "np.ndarray":
+    """B^(k-1) .. B^0 mod 2^64 (built in Python ints, then viewed as
+    uint64 -- explicit wraparound, no scalar-overflow warnings)."""
+    m = (1 << 64) - 1
+    acc, out = 1, []
+    for _ in range(k):
+        out.append(acc)
+        acc = (acc * _WINNOW_B) & m
+    return np.array(out[::-1], np.uint64)
+
+
+_WINNOW_PW = _winnow_powers(_WINNOW_K)
+
+
+def winnow_doc_fps(buf: bytes, k: int = _WINNOW_K,
+                   w: int = _WINNOW_W) -> "np.ndarray":
+    """Distinct winnowed fingerprints of one document (Schleimer/
+    Wilkerson/Aiken 2003 robust winnowing, reference: the public MOSS
+    paper): uint64 polynomial hashes of the byte k-grams (mod 2^64 --
+    numpy uint64 arithmetic wraps, matching Python-int & mask in the
+    independent golden), then the MINIMUM of every w-window.  The
+    fingerprint SET only contains window-minimum VALUES, so the
+    rightmost-vs-leftmost tie rule cannot change it.  Docs shorter
+    than k bytes have no fingerprints; k <= len < k+w-1 keeps the
+    global minimum (the single partial window)."""
+    codes = np.frombuffer(buf, np.uint8).astype(np.uint64)
+    n = len(codes) - k + 1
+    if n <= 0:
+        return np.empty(0, np.uint64)
+    pw = _WINNOW_PW if k == _WINNOW_K else _winnow_powers(k)
+    win = np.lib.stride_tricks.sliding_window_view(codes, k)
+    h = (win * pw).sum(axis=1, dtype=np.uint64)
+    if n - w + 1 < 1:
+        return np.unique(h.min(keepdims=True))
+    mins = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
+    return np.unique(mins)

@@ -2837,3 +2837,86 @@ def length_mad_by_lang(sf_dir: str) -> pa.Table:
         "lang": pa.array(langs, pa.string()),
         "median": pa.array([med[lg] for lg in langs], pa.int64()),
         "mad": pa.array([mad[lg] for lg in langs], pa.int64())})
+
+
+# -------------------------------------------------- winnowing fingerprints
+def winnow_fingerprints(sf_dir: str) -> rd.Dataset:
+    """Per-document winnowed fingerprint summary (robust winnowing over
+    byte 8-grams, window 4 -- the MOSS local fingerprinting scheme,
+    completing the dedup-method family next to minhash/simhash/FNV):
+    count of distinct fingerprints plus their XOR combined into one
+    order-independent hex code.  Golden-pinned (tools/gen_golden.py
+    gen_winnow_goldens reimplements the rolling hash char-at-a-time).
+    One streamed pass; per-doc numpy sliding-window kernels."""
+    from pomp_ray.functions import analysis as an
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        n_fp, codes = [], []
+        for s in t["text"].to_pylist():
+            fps = an.winnow_doc_fps((s or "").encode())
+            n_fp.append(len(fps))
+            x = int(np.bitwise_xor.reduce(fps)) if len(fps) else 0
+            codes.append(format(x, "016x"))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_fp": pa.array(n_fp, pa.int64()),
+                         "fp_xor": pa.array(codes, pa.string())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
+
+
+def winnow_dup_pairs(sf_dir: str, max_df: int = 10,
+                     min_shared: int = 2) -> pa.Table:
+    """Near-dup pairs by SHARED winnowed fingerprints: explode distinct
+    (fingerprint, doc_id) rows, drop stop-fingerprints (document
+    frequency > max_df -- the tiny shared-vocabulary corpus would
+    otherwise pair everything through one common 8-gram, and a hot
+    fingerprint's bucket self-join fans out df^2), then the LSH-lesson
+    bucket SELF-JOIN on the fingerprint key counts shared fingerprints
+    per pair.  Exact given the df cut (the cut itself is part of the
+    operator contract and the golden mirrors it)."""
+    from pomp_ray.functions import analysis as an
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        fp_list, id_list = [], []
+        for i, s in zip(ids, t["text"].to_pylist()):
+            fps = an.winnow_doc_fps((s or "").encode())
+            fp_list.append(fps.view(np.int64))
+            id_list.append(np.full(len(fps), i, np.int64))
+        fp = np.concatenate(fp_list) if fp_list else np.empty(0, np.int64)
+        di = np.concatenate(id_list) if id_list else np.empty(0, np.int64)
+        return pa.table({"fp": pa.array(fp, pa.int64()),
+                         "doc_id": pa.array(di, pa.int64())})
+
+    e = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow").materialize()
+
+    eligible = e.groupby("fp").aggregate(Count(alias_name="df")) \
+        .map_batches(lambda t: t.filter(pc.and_(
+            pc.greater_equal(t["df"], 2),
+            pc.less_equal(t["df"], max_df))).select(["fp"]),
+            batch_format="pyarrow").repartition(2)
+    ee = e.join(eligible, join_type="inner", on=("fp",),
+                num_partitions=8).materialize()
+
+    right = ee.map_batches(
+        lambda t: pa.table({"fp": t["fp"], "doc_b": t["doc_id"]}),
+        batch_format="pyarrow")
+    pairs = ee.join(right, join_type="inner", on=("fp",),
+                    num_partitions=8).map_batches(
+        lambda t: pa.table({"doc_a": t["doc_id"], "doc_b": t["doc_b"]})
+        .filter(pc.less(t["doc_id"], t["doc_b"])),
+        batch_format="pyarrow")
+    agg = pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Count(alias_name="n_shared")).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_shared"], min_shared)),
+        batch_format="pyarrow")
+    rows = agg.take_all()
+    rows.sort(key=lambda r: (r["doc_a"], r["doc_b"]))
+    return pa.table({
+        "doc_a": pa.array([r["doc_a"] for r in rows], pa.int64()),
+        "doc_b": pa.array([r["doc_b"] for r in rows], pa.int64()),
+        "n_shared": pa.array([int(r["n_shared"]) for r in rows],
+                             pa.int64())})

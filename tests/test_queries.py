@@ -1284,3 +1284,48 @@ def test_robots_audit_zero_violations(tmp_path):
         per_host[h] = per_host.get(h, 0) + 1
     assert {h: r["n_visited"] for h, r in rows.items()
             if r["n_visited"]} == per_host
+
+
+def test_winnow_kernel_matches_serial():
+    """Vectorized winnowing kernel == char-at-a-time Horner reference
+    (same polynomial mod 2^64, window-min set), incl. the short-doc
+    edge cases (len < k -> empty; k <= len < k+w-1 -> global min)."""
+    from pomp_ray.functions.analysis import winnow_doc_fps
+
+    def serial(bs, k=8, w=4):
+        m = (1 << 64) - 1
+        hs = []
+        for i in range(len(bs) - k + 1):
+            h = 0
+            for j in range(k):
+                h = (h * 1099511628211 + bs[i + j]) & m
+            hs.append(h)
+        if not hs:
+            return set()
+        if len(hs) < w:
+            return {min(hs)}
+        return {min(hs[i:i + w]) for i in range(len(hs) - w + 1)}
+
+    for s in [b"", b"short", b"exactly8", b"nine bytes", b"x" * 11,
+              b"the quick brown fox jumps over the lazy dog",
+              b"aaaaaaaaaaaaaaaaaaaaaa"]:
+        assert set(int(x) for x in winnow_doc_fps(s)) == serial(s), s
+
+
+def test_winnow_fingerprints_engine_matches_serial():
+    from pomp_ray.pipelines import docs
+    import pyarrow.parquet as pq
+    from pomp_ray.functions.analysis import winnow_doc_fps
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    want = {}
+    for i, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        fps = winnow_doc_fps((s or "").encode())
+        x = 0
+        for f in fps:
+            x ^= int(f)
+        want[i] = (len(fps), format(x, "016x"))
+    df = _to_pandas(docs.winnow_fingerprints(SF))
+    assert len(df) == len(want)
+    for r in df.itertuples():
+        assert (r.n_fp, r.fp_xor) == want[r.doc_id]

@@ -1476,6 +1476,69 @@ def gen_kcore_golden() -> None:
           f"{max(core.values()) if core else 0}")
 
 
+
+
+def indep_winnow_fps(bs: bytes, k: int = 8, w: int = 4) -> set:
+    """Char-at-a-time Horner rolling hash + per-window min -- the
+    independent mirror of analysis.winnow_doc_fps (which uses a
+    vectorized power-vector dot; both are the same polynomial mod
+    2^64)."""
+    m = (1 << 64) - 1
+    hs = []
+    for i in range(len(bs) - k + 1):
+        h = 0
+        for j in range(k):
+            h = (h * 1099511628211 + bs[i + j]) & m
+        hs.append(h)
+    if not hs:
+        return set()
+    if len(hs) < w:
+        return {min(hs)}
+    return {min(hs[i:i + w]) for i in range(len(hs) - w + 1)}
+
+
+def gen_winnow_goldens(sf_dir: str = SF001, max_df: int = 10,
+                       min_shared: int = 2) -> None:
+    """winnow_fingerprints + winnow_dup_pairs goldens at sf0.01."""
+    import itertools
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    fps = {i: indep_winnow_fps((s or "").encode())
+           for i, s in zip(ids, texts)}
+
+    n_fp, xors = [], []
+    for i in ids:
+        x = 0
+        for f in fps[i]:
+            x ^= f
+        n_fp.append(len(fps[i]))
+        xors.append(format(x, "016x"))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_fp": pa.array(n_fp, pa.int64()),
+        "fp_xor": pa.array(xors, pa.string())}),
+        os.path.join(GOLDEN_DIR, "winnow_fps_sf001.parquet"))
+
+    df: dict = {}
+    for i in ids:
+        for f in fps[i]:
+            df.setdefault(f, []).append(i)
+    shared: dict = {}
+    for f, docs in df.items():
+        if 2 <= len(docs) <= max_df:
+            for a, b in itertools.combinations(sorted(docs), 2):
+                shared[(a, b)] = shared.get((a, b), 0) + 1
+    pairs = sorted(p for p, n in shared.items() if n >= min_shared)
+    pq.write_table(pa.table({
+        "doc_a": pa.array([p[0] for p in pairs], pa.int64()),
+        "doc_b": pa.array([p[1] for p in pairs], pa.int64()),
+        "n_shared": pa.array([shared[p] for p in pairs], pa.int64())}),
+        os.path.join(GOLDEN_DIR, "winnow_pairs_sf001.parquet"))
+
+
 if __name__ == "__main__":
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     gen_signature_goldens()
@@ -1510,3 +1573,4 @@ if __name__ == "__main__":
     gen_broken_links_golden()
     gen_dedup_crawl_goldens()
     gen_samehost_golden()
+    gen_winnow_goldens()
