@@ -433,6 +433,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_per_region": joins.customers_per_region,
         # -- stream-shaped windowed operators (events log)
         "tumbling_window": windows.tumbling_window,
+        "window_unique_users": windows.window_unique_users,
+        "table_profile": relational.table_profile,
         "hopping_window": windows.hopping_window,
         "sessionize": windows.sessionize,
         "session_duration_stats": windows.session_duration_stats,
@@ -812,6 +814,35 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "window_unique_users": """
+            SELECT epoch_us(ts) // 86400000000 AS window_day,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "table_profile": """
+            SELECT 'event_id' AS col_name, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(*) - COUNT(event_id) AS BIGINT) AS n_null,
+                   CAST(MIN(event_id) AS DOUBLE) AS vmin,
+                   CAST(MAX(event_id) AS DOUBLE) AS vmax FROM events
+            UNION ALL
+            SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM events
+            UNION ALL
+            SELECT 'props', COUNT(*), COUNT(*) - COUNT(props),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM events
+            UNION ALL
+            SELECT 'ts', COUNT(*), COUNT(*) - COUNT(ts),
+                   CAST(epoch_us(MIN(ts)) AS DOUBLE),
+                   CAST(epoch_us(MAX(ts)) AS DOUBLE) FROM events
+            UNION ALL
+            SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
+                   CAST(MIN(user_id) AS DOUBLE),
+                   CAST(MAX(user_id) AS DOUBLE) FROM events
+            UNION ALL
+            SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
+                   MIN(value), MAX(value) FROM events
+            ORDER BY col_name
         """,
         "tumbling_window": """
             SELECT event_type, date_trunc('hour', ts) AS window_start,

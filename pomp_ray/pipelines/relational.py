@@ -2015,3 +2015,58 @@ def q21_waiting_suppliers(sf_dir: str, k: int = 25) -> pa.Table:
     return pa.table({
         "s_name": pa.array([r[0] for r in rows], pa.string()),
         "numwait": pa.array([r[1] for r in rows], pa.int64())})
+
+
+_PROFILE_COLS = ("event_id", "ts", "user_id", "event_type", "value",
+                 "props")
+
+
+def table_profile(sf_dir: str) -> pa.Table:
+    """Column-statistics profiler over the events table (the generic
+    data-quality pass every ingestion pipeline runs first): per column
+    row count, null count, and min/max (numerics as DOUBLE, timestamps
+    as epoch microseconds, strings profile NULL min/max -- the typed
+    matrix stays rectangular).  One streamed pass: each batch emits ONE
+    partial row per column (never values), the groupby is
+    column-bounded.  min/max involve no summation, so doubles match
+    DuckDB bit for bit."""
+    def partial(t: pa.Table) -> pa.Table:
+        names, ns, nulls, vmins, vmaxs = [], [], [], [], []
+        for c in _PROFILE_COLS:
+            a = t[c]
+            names.append(c)
+            ns.append(len(a))
+            nulls.append(a.null_count)
+            if pa.types.is_timestamp(a.type):
+                a = pc.cast(a, pa.int64())
+            if (pa.types.is_integer(a.type)
+                    or pa.types.is_floating(a.type)):
+                mm = pc.min_max(a)
+                mn, mx = mm["min"].as_py(), mm["max"].as_py()
+                vmins.append(None if mn is None else float(mn))
+                vmaxs.append(None if mx is None else float(mx))
+            else:
+                vmins.append(None)
+                vmaxs.append(None)
+        return pa.table({
+            "col_name": pa.array(names, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+            "n_null": pa.array(nulls, pa.int64()),
+            "vmin": pa.array(vmins, pa.float64()),
+            "vmax": pa.array(vmaxs, pa.float64())})
+
+    agg = _t(sf_dir, "events", list(_PROFILE_COLS)) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("col_name").aggregate(
+            Sum("n", alias_name="n"),
+            Sum("n_null", alias_name="n_null"),
+            Min("vmin", alias_name="vmin"),
+            Max("vmax", alias_name="vmax"))
+    rows = agg.take_all()
+    rows.sort(key=lambda r: r["col_name"])
+    return pa.table({
+        "col_name": pa.array([r["col_name"] for r in rows], pa.string()),
+        "n": pa.array([int(r["n"]) for r in rows], pa.int64()),
+        "n_null": pa.array([int(r["n_null"]) for r in rows], pa.int64()),
+        "vmin": pa.array([r["vmin"] for r in rows], pa.float64()),
+        "vmax": pa.array([r["vmax"] for r in rows], pa.float64())})

@@ -324,3 +324,33 @@ def session_duration_stats(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
                                pa.int64()),
         "total_dur_us": pa.array([int(r["total_dur_us"]) for r in rows],
                                  pa.int64())})
+
+
+def window_unique_users(sf_dir: str) -> rd.Dataset:
+    """Exact COUNT(DISTINCT user_id) per daily tumbling window -- the
+    dedup-then-count two-stage shuffle shape (distinct from the plain
+    count rollup: an exact distinct must shuffle (window, user) keys,
+    so the per-batch DISTINCT partial is what bounds the exchange to
+    one row per (window, user) per batch).  Window key is integer
+    days-since-epoch (epoch_us // 86_400_000_000), mirrored exactly in
+    the DuckDB oracle."""
+    US_DAY = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        w = pc.cast(t["ts"], pa.int64()).to_numpy() // US_DAY
+        df = pd.DataFrame({"window_day": w,
+                           "user_id": t["user_id"].to_numpy()})
+        return pa.Table.from_pandas(df.drop_duplicates(),
+                                    preserve_index=False)
+
+    keys = _events(sf_dir, ["ts", "user_id"]).map_batches(
+        partial, batch_format="pyarrow") \
+        .groupby(["window_day", "user_id"]).aggregate(
+            Count(alias_name="_c"))
+    out = keys.groupby("window_day").aggregate(
+        Count(alias_name="n_users"))
+    return out.map_batches(
+        lambda t: pa.table({
+            "window_day": pc.cast(t["window_day"], pa.int64()),
+            "n_users": pc.cast(t["n_users"], pa.int64())}),
+        batch_format="pyarrow").sort("window_day")

@@ -19,6 +19,8 @@ SPOT = [
     "orders_by_mktsegment",
     "lineitem_pricing_summary",
     "tumbling_window",
+    "window_unique_users",
+    "table_profile",
     "sessionize",
     "event_type_transitions",
     "cohort_retention",
