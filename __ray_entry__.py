@@ -463,6 +463,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_core_numbers": lambda sf: __import__(
             "pomp_ray.pipelines.graph", fromlist=["graph"]
         ).host_core_numbers(_mirror_pages_path()),
+        "host_scc": lambda sf: __import__(
+            "pomp_ray.pipelines.graph", fromlist=["graph"]
+        ).host_scc(_mirror_pages_path()),
         "reciprocal_links_report":
             lambda sf: webtext.reciprocal_links_report(_mirror_pages_path()),
         "host_lang_profile":
@@ -2316,6 +2319,9 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM read_parquet('{_GOLDEN}/anchor_texts_small.parquet')",
         "host_core_numbers":
             f"SELECT * FROM read_parquet('{_GOLDEN}/kcore_mirror.parquet')",
+        # SCC labels vs the independent serial Tarjan (gen_scc_golden)
+        "host_scc":
+            f"SELECT * FROM read_parquet('{_GOLDEN}/scc_mirror.parquet')",
         "corpus_hits":
             f"SELECT * FROM read_parquet('{_GOLDEN}/hits_small.parquet')",
         "corpus_two_hop_reach":

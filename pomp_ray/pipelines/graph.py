@@ -851,3 +851,159 @@ def host_core_numbers(pages_path: str) -> pa.Table:
     return pa.table({
         "host": pa.array(hosts, pa.string()),
         "core": pa.array([core[h] for h in hosts], pa.int64())})
+
+
+def strongly_connected_components(edges: rd.Dataset, max_rounds: int = 30,
+                                  max_prop_iters: int = 60,
+                                  num_partitions: int = 4) -> pa.Table:
+    """Distributed strongly-connected components over a DIRECTED
+    (src, dst) edge Dataset -- the forward-backward coloring algorithm
+    (FW-BW / coloring of Orzan's SCC family; the standard
+    Pregel-style SCC): per round, (1) propagate color(v) = MIN node id
+    that forward-reaches v to fixpoint (iterated join + Min-groupby --
+    every color class provably contains its pivot, the node equal to
+    its color), (2) mark backward reachability from each pivot along
+    INTRA-COLOR edges only, (3) the marked nodes of color c are exactly
+    SCC(c): assigned and removed; repeat on the remainder.  Rounds are
+    bounded by the condensation-DAG depth.
+
+    Scale shape: edges stay a Dataset end to end (each step is a hash
+    join + groupby, materialized per the two-live-joins rule); only the
+    per-round REMOVED node set (output scale) and final assignments
+    (node cardinality -- the robots-map posture) touch the driver.
+    Raises on non-convergence rather than returning partial labels
+    (the connected_components contract)."""
+    from ray.data.aggregate import Count as _Count
+    from ray.data.aggregate import Min as _Min
+
+    E = edges.map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(t["src"], t["dst"]))),
+        batch_format="pyarrow") \
+        .groupby(["src", "dst"]).aggregate(_Count(alias_name="_n")) \
+        .map_batches(lambda t: t.select(["src", "dst"]),
+                     batch_format="pyarrow").repartition(2).materialize()
+
+    nodes = E.map_batches(
+        lambda t: pa.table({"node": pa.concat_arrays(
+            [t["src"].combine_chunks(), t["dst"].combine_chunks()])}),
+        batch_format="pyarrow").groupby("node") \
+        .aggregate(_Count(alias_name="_n")) \
+        .map_batches(lambda t: t.select(["node"]),
+                     batch_format="pyarrow").repartition(2).materialize()
+
+    assigned: dict = {}
+    for _round in range(max_rounds):
+        if nodes.count() == 0:
+            break
+        if E.count() == 0:
+            # remaining nodes lost every edge to removed SCCs: all
+            # singletons (and an empty E would feed the joins an
+            # unkeyable empty-schema block -- the ray 2.49 trap)
+            for r in nodes.take_all():
+                assigned[r["node"]] = r["node"]
+            break
+        # ---- forward min-color propagation to fixpoint
+        V = nodes.map_batches(
+            lambda t: pa.table({"node": t["node"], "color": t["node"]}),
+            batch_format="pyarrow").repartition(2).materialize()
+        for _ in range(max_prop_iters):
+            left = E.join(
+                V.map_batches(lambda t: pa.table(
+                    {"src": t["node"], "c_src": t["color"]}),
+                    batch_format="pyarrow").repartition(2),
+                join_type="inner", on=("src",),
+                num_partitions=num_partitions).materialize()
+            newc = left.groupby("dst").aggregate(
+                _Min("c_src", alias_name="c_new")).repartition(2) \
+                .materialize()
+            V2 = V.join(newc, join_type="left_outer", on=("node",),
+                        right_on=("dst",),
+                        num_partitions=num_partitions).map_batches(
+                lambda t: pa.table({
+                    "node": t["node"],
+                    "color": pc.min_element_wise(
+                        t["color"], pc.fill_null(t["c_new"], "￿")),
+                    "_old": t["color"]}),
+                batch_format="pyarrow").repartition(2).materialize()
+            n_changed = V2.map_batches(
+                lambda t: pa.table({"c": pa.array(
+                    [int(pc.sum(pc.cast(pc.invert(pc.equal(
+                        t["color"], t["_old"])), pa.int64())).as_py()
+                     or 0)], pa.int64())}),
+                batch_format="pyarrow").sum("c")
+            V = V2.map_batches(lambda t: t.select(["node", "color"]),
+                               batch_format="pyarrow").repartition(2) \
+                .materialize()
+            if not n_changed:
+                break
+        else:
+            raise RuntimeError("SCC color propagation did not converge")
+
+        # ---- intra-color edge table with both endpoint colors
+        Ec = E.join(
+            V.map_batches(lambda t: pa.table(
+                {"src": t["node"], "c_src": t["color"]}),
+                batch_format="pyarrow").repartition(2),
+            join_type="inner", on=("src",),
+            num_partitions=num_partitions).repartition(2).materialize()
+        Ec = Ec.join(
+            V.map_batches(lambda t: pa.table(
+                {"dst": t["node"], "c_dst": t["color"]}),
+                batch_format="pyarrow").repartition(2),
+            join_type="inner", on=("dst",),
+            num_partitions=num_partitions).map_batches(
+            lambda t: t.filter(pc.equal(t["c_src"], t["c_dst"]))
+            .select(["src", "dst"]), batch_format="pyarrow") \
+            .repartition(2).materialize()
+
+        # ---- backward marking from pivots (node == color) along
+        # intra-color edges; marked set is per-color SCC-bounded, and
+        # each wave broadcasts only the NEWLY marked frontier
+        marked = {r["node"] for r in V.map_batches(
+            lambda t: t.filter(pc.equal(t["node"], t["color"]))
+            .select(["node"]), batch_format="pyarrow").take_all()}
+        frontier = set(marked)
+        for _ in range(max_prop_iters):
+            if not frontier:
+                break
+            fr = frontier
+            new_rows = Ec.map_batches(
+                lambda t, fr=fr: t.filter(pa.array(
+                    [d in fr for d in t["dst"].to_pylist()], pa.bool_()))
+                .select(["src"]), batch_format="pyarrow").take_all()
+            frontier = {r["src"] for r in new_rows} - marked
+            marked |= frontier
+        else:
+            raise RuntimeError("SCC backward marking did not converge")
+
+        colors = {r["node"]: r["color"] for r in V.take_all()}
+        for n in marked:
+            assigned[n] = colors[n]
+        ms = marked
+        nodes = nodes.map_batches(
+            lambda t, ms=ms: t.filter(pa.array(
+                [x not in ms for x in t["node"].to_pylist()], pa.bool_())),
+            batch_format="pyarrow").repartition(2).materialize()
+        E = E.map_batches(
+            lambda t, ms=ms: t.filter(pa.array(
+                [s not in ms and d not in ms
+                 for s, d in zip(t["src"].to_pylist(),
+                                 t["dst"].to_pylist())], pa.bool_())),
+            batch_format="pyarrow").repartition(2).materialize()
+    else:
+        raise RuntimeError("SCC did not converge within max_rounds")
+
+    ks = sorted(assigned)
+    return pa.table({"node": pa.array(ks, pa.string()),
+                     "scc": pa.array([assigned[k] for k in ks],
+                                     pa.string())})
+
+
+def host_scc(pages_path: str) -> pa.Table:
+    """SCC labels of the directed foreign-host link graph (which host
+    clusters are mutually reachable -- mirror rings and link exchanges
+    form non-trivial SCCs; one-way feeder hosts stay singletons).
+    Golden: an independent serial iterative Tarjan in
+    tools/gen_golden.py (gen_scc_golden), own href/host extraction."""
+    edges = corpus_host_edges(pages_path)
+    return strongly_connected_components(edges)

@@ -34,3 +34,41 @@ def test_two_components_and_isolates_pairless():
     comp = dict(zip(out["doc_id"].to_pylist(),
                     out["component"].to_pylist()))
     assert comp == {5: 5, 6: 5, 7: 5, 20: 20, 21: 20, 30: 20}
+
+
+def test_scc_unit_digraph():
+    """FW-BW coloring SCC on a hand-built digraph: 3-cycle, 2-cycle,
+    one-way bridges, a feeder chain -- labels must equal each SCC's
+    minimum member."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pomp_ray.pipelines.graph import strongly_connected_components
+
+    edges = pa.table({
+        "src": pa.array(["a", "b", "c", "d", "e", "f", "d", "g"],
+                        pa.string()),
+        "dst": pa.array(["b", "c", "a", "e", "d", "a", "c", "f"],
+                        pa.string()),
+    })
+    out = strongly_connected_components(rd.from_arrow(edges))
+    got = dict(zip(out["node"].to_pylist(), out["scc"].to_pylist()))
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d",
+                   "f": "f", "g": "g"}
+
+
+def test_scc_all_singletons_dag():
+    """A pure DAG has only singleton SCCs (and exercises the
+    empty-edge-table early-exit path on the later rounds)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pomp_ray.pipelines.graph import strongly_connected_components
+
+    edges = pa.table({
+        "src": pa.array(["a", "a", "b"], pa.string()),
+        "dst": pa.array(["b", "c", "c"], pa.string()),
+    })
+    out = strongly_connected_components(rd.from_arrow(edges))
+    got = dict(zip(out["node"].to_pylist(), out["scc"].to_pylist()))
+    assert got == {"a": "a", "b": "b", "c": "c"}

@@ -1539,6 +1539,94 @@ def gen_winnow_goldens(sf_dir: str = SF001, max_df: int = 10,
         os.path.join(GOLDEN_DIR, "winnow_pairs_sf001.parquet"))
 
 
+
+
+def gen_scc_golden() -> None:
+    """host_scc golden over the MIRROR corpus: independent serial
+    ITERATIVE Tarjan over the directed foreign-host graph -- own href
+    regex + urlparse extraction (the kcore golden's), none of the
+    engine's coloring machinery.  SCC id = min member (matches the
+    engine's min-color pivot labels)."""
+    import re as _re
+    from urllib.parse import urljoin, urlparse
+
+    from pomp_ray.sources import gen_corpus
+
+    fix = gen_corpus.generate("/tmp/pomp_golden_corpus_mirror",
+                              gen_corpus.MIRROR)
+    pages = pq.read_table(fix.pages_path, columns=["url", "html"])
+    href = _re.compile(rb'<a href="([^"]*)"')
+    adj: dict[str, set] = {}
+    for url, html in zip(pages["url"].to_pylist(),
+                         pages["html"].to_pylist()):
+        host = urlparse(url).netloc.lower()
+        for m in href.finditer(html or b""):
+            tgt = urljoin(url, m.group(1).decode("utf-8", "replace"))
+            th = urlparse(tgt).netloc.lower()
+            if th and th != host:
+                adj.setdefault(host, set()).add(th)
+                adj.setdefault(th, set())
+    # iterative Tarjan
+    index: dict = {}
+    low: dict = {}
+    on_stack: set = set()
+    stack: list = []
+    sccs: list = []
+    counter = [0]
+
+    def strongconnect(v0):
+        work = [(v0, iter(sorted(adj.get(v0, ()))))]
+        index[v0] = low[v0] = counter[0]
+        counter[0] += 1
+        stack.append(v0)
+        on_stack.add(v0)
+        while work:
+            v, it = work[-1]
+            advanced = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = counter[0]
+                    counter[0] += 1
+                    stack.append(w)
+                    on_stack.add(w)
+                    work.append((w, iter(sorted(adj.get(w, ())))))
+                    advanced = True
+                    break
+                elif w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if not advanced:
+                work.pop()
+                if work:
+                    pv = work[-1][0]
+                    low[pv] = min(low[pv], low[v])
+                if low[v] == index[v]:
+                    comp = []
+                    while True:
+                        w = stack.pop()
+                        on_stack.discard(w)
+                        comp.append(w)
+                        if w == v:
+                            break
+                    sccs.append(comp)
+
+    for v in sorted(adj):
+        if v not in index:
+            strongconnect(v)
+    out = {}
+    for comp in sccs:
+        root = min(comp)
+        for v in comp:
+            out[v] = root
+    hosts = sorted(out)
+    tbl = pa.table({
+        "node": pa.array(hosts, pa.string()),
+        "scc": pa.array([out[h] for h in hosts], pa.string())})
+    pq.write_table(tbl, os.path.join(GOLDEN_DIR, "scc_mirror.parquet"))
+    n_nontrivial = sum(1 for c in sccs if len(c) > 1)
+    print(f"scc golden: {tbl.num_rows} hosts, {len(sccs)} sccs, "
+          f"{n_nontrivial} non-trivial")
+
+
 if __name__ == "__main__":
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     gen_signature_goldens()
@@ -1574,3 +1662,4 @@ if __name__ == "__main__":
     gen_dedup_crawl_goldens()
     gen_samehost_golden()
     gen_winnow_goldens()
+    gen_scc_golden()
