@@ -313,6 +313,28 @@ def _crawl_depth_histogram():
         "n_pages": pa.array([hist[d] for d in ds], pa.int64())})
 
 
+def _error_taxonomy():
+    """Error-budget rollup over a crawl's error table: counts per
+    (stage, exc_type, retryable) -- the triage view an operator reads
+    before tuning retries/robots.  Runs the distributed groupby over
+    the same TINY bfs crawl the errors golden pins; oracle = the same
+    GROUP BY over the committed golden."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count as _CountAgg
+
+    errs = _crawl_outputs("errors", "bfs")
+    agg = rd.from_arrow(errs).groupby(
+        ["stage", "exc_type", "retryable"]).aggregate(
+        _CountAgg(alias_name="n"))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "stage": t["stage"], "exc_type": t["exc_type"],
+            "retryable": t["retryable"],
+            "n": pc.cast(t["n"], pa.int64())}),
+        batch_format="pyarrow").sort(["stage", "exc_type", "retryable"])
+
+
 def _crawl_publish_stats():
     """Crawl -> WARC/CDX publish -> read the shards BACK -> per-shard
     page counts.  Oracle: md5-bucket SQL over the committed serial-
@@ -659,6 +681,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "pomp_ray.pipelines.audit", fromlist=["audit"]
         ).host_discovery_curve(_crawl_ckpt_for("hdc")),
         "crawl_depth_histogram": lambda sf: _crawl_depth_histogram(),
+        "error_taxonomy": lambda sf: _error_taxonomy(),
+        "user_activity_span": windows.user_activity_span,
     }
 
 
@@ -817,6 +841,14 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "user_activity_span": """
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+                   CAST(COUNT(DISTINCT epoch_us(ts) // 86400000000)
+                        AS BIGINT) AS active_days
+            FROM events GROUP BY 1 ORDER BY 1
         """,
         "window_unique_users": """
             SELECT epoch_us(ts) // 86400000000 AS window_day,
@@ -2967,6 +2999,13 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM read_parquet('{_GOLDEN}/hll_users_sf001.parquet')",
         "crawl_bfs_errors":
             f"SELECT * FROM read_parquet('{_GOLDEN}/crawl_bfs_errors.parquet')",
+        # error triage rollup: REAL aggregation relation over the golden
+        "error_taxonomy": f"""
+            SELECT stage, exc_type, retryable,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM read_parquet('{_GOLDEN}/crawl_bfs_errors.parquet')
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
         "crawl_budget_visited":
             "SELECT * FROM "
             f"read_parquet('{_GOLDEN}/crawl_budget_visited.parquet')",

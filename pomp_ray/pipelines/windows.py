@@ -354,3 +354,48 @@ def window_unique_users(sf_dir: str) -> rd.Dataset:
             "window_day": pc.cast(t["window_day"], pa.int64()),
             "n_users": pc.cast(t["n_users"], pa.int64())}),
         batch_format="pyarrow").sort("window_day")
+
+
+def user_activity_span(sf_dir: str) -> rd.Dataset:
+    """Per-user lifetime rollup: event count, first/last event time and
+    the count of DISTINCT active days -- the per-entity lifespan table a
+    retention pipeline derives first.  Two distributed phases sharing
+    one read: (1) plain per-user Count/Min/Max, (2) distinct
+    (user, day) partials -> per-user day count; a single hash join
+    stitches the two per-user aggregates (both one-row-per-user).
+    Day key = epoch_us // 86.4e9, timestamps exact min/max."""
+    US_DAY = 86_400_000_000
+
+    base = _events(sf_dir, ["user_id", "ts"]).map_batches(
+        lambda t: pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "ts": t["ts"],
+            "day": pa.array(pc.cast(t["ts"], pa.int64()).to_numpy()
+                            // US_DAY, pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    spans = base.groupby("user_id").aggregate(
+        Count(alias_name="n_events"),
+        Min("ts", alias_name="first_ts"),
+        Max("ts", alias_name="last_ts")).repartition(2).materialize()
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"user_id": t["user_id"].to_numpy(),
+                           "day": t["day"].to_numpy()}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    days = base.map_batches(day_partial, batch_format="pyarrow") \
+        .groupby(["user_id", "day"]).aggregate(Count(alias_name="_c")) \
+        .groupby("user_id").aggregate(Count(alias_name="active_days")) \
+        .repartition(2)
+
+    out = spans.join(days, join_type="inner", on=("user_id",),
+                     num_partitions=4)
+    return out.map_batches(
+        lambda t: pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "n_events": pc.cast(t["n_events"], pa.int64()),
+            "first_ts": pc.cast(t["first_ts"], pa.timestamp("us")),
+            "last_ts": pc.cast(t["last_ts"], pa.timestamp("us")),
+            "active_days": pc.cast(t["active_days"], pa.int64())}),
+        batch_format="pyarrow").sort("user_id")

@@ -20,6 +20,7 @@ SPOT = [
     "lineitem_pricing_summary",
     "tumbling_window",
     "window_unique_users",
+    "user_activity_span",
     "table_profile",
     "sessionize",
     "event_type_transitions",
