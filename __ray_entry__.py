@@ -578,6 +578,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_dup_pairs": docs.winnow_dup_pairs,
         "media_features": media.media_features,
         "media_frame_stats": media.media_frame_stats,
+        "media_dedup_stats": media.media_dedup_stats,
+        "key_skew_report": relational.key_skew_report,
         "minhash_lsh_pairs": docs.minhash_lsh_pairs,
         "jaccard_pairs_sample": docs.jaccard_pairs_sample,
         "simhash_dup_groups": docs.simhash_dup_groups,
@@ -2082,6 +2084,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Multimodal plumbing (payloads = utf-8 text bytes, kind routed by
         # doc_id%3, FEATURE_DIM=64); feature values are pytest-verified.
+        "media_dedup_stats": """
+            WITH m AS (
+                SELECT CASE doc_id % 3 WHEN 0 THEN 'image'
+                            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                       md5(text) AS d
+                FROM documents)
+            SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_media,
+                   CAST(COUNT(DISTINCT d) AS BIGINT) AS n_unique
+            FROM m GROUP BY 1 ORDER BY 1
+        """,
+        "key_skew_report": """
+            WITH c AS (SELECT l_partkey, COUNT(*) AS n
+                       FROM lineitem GROUP BY 1),
+            t AS (SELECT SUM(n) AS total, COUNT(*) AS n_keys FROM c),
+            tk AS (SELECT n FROM c ORDER BY n DESC, l_partkey LIMIT 10)
+            SELECT CAST(t.total AS BIGINT) AS n_rows,
+                   CAST(t.n_keys AS BIGINT) AS n_keys,
+                   CAST((SELECT MAX(n) FROM c) * 1000000 // t.total
+                        AS BIGINT) AS top1_ppm,
+                   CAST((SELECT SUM(n) FROM tk) * 1000000 // t.total
+                        AS BIGINT) AS topk_ppm
+            FROM t
+        """,
         "media_features": """
             SELECT doc_id,
                    CASE CAST(doc_id % 3 AS INTEGER)

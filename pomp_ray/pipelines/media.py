@@ -127,3 +127,40 @@ def media_frame_stats(sf_dir: str, batch_size: int = 128,
             "n_frames": pc.cast(t["n_frames"], pa.int64()),
             "frame_bytes": pc.cast(t["frame_bytes"], pa.int64())}),
         batch_format="pyarrow")
+
+
+def media_dedup_stats(sf_dir: str) -> rd.Dataset:
+    """Exact media dedup by payload digest, per kind: the binary column
+    never shuffles -- each worker digests its payloads to 16-byte md5
+    keys inside map_batches (the ContentDedupGate discipline), and only
+    (kind, digest) rows reach the two-stage distinct count.  Per kind:
+    total payload count vs distinct payloads (the dedup opportunity a
+    media ingest pipeline measures first)."""
+    import hashlib
+
+    import numpy as np
+    from ray.data.aggregate import Count, Sum
+
+    def digest(t: pa.Table) -> pa.Table:
+        digs = [hashlib.md5(p).hexdigest()
+                for p in t["payload"].to_pylist()]
+        return pa.table({"kind": t["kind"],
+                         "digest": pa.array(digs, pa.string())})
+
+    keys = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        to_media_batch, batch_format="pyarrow").map_batches(
+        digest, batch_format="pyarrow") \
+        .groupby(["kind", "digest"]).aggregate(Count(alias_name="n"))
+    out = keys.map_batches(
+        lambda t: pa.table({"kind": t["kind"],
+                            "n": pc.cast(t["n"], pa.int64()),
+                            "u": pa.array(
+                                np.ones(t.num_rows, np.int64))}),
+        batch_format="pyarrow").groupby("kind").aggregate(
+        Sum("n", alias_name="n_media"), Sum("u", alias_name="n_unique"))
+    return out.map_batches(
+        lambda t: pa.table({
+            "kind": t["kind"],
+            "n_media": pc.cast(t["n_media"], pa.int64()),
+            "n_unique": pc.cast(t["n_unique"], pa.int64())}),
+        batch_format="pyarrow").sort("kind")

@@ -2070,3 +2070,34 @@ def table_profile(sf_dir: str) -> pa.Table:
         "n_null": pa.array([int(r["n_null"]) for r in rows], pa.int64()),
         "vmin": pa.array([r["vmin"] for r in rows], pa.float64()),
         "vmax": pa.array([r["vmax"] for r in rows], pa.float64())})
+
+
+def key_skew_report(sf_dir: str, topk: int = 10) -> pa.Table:
+    """Join-key skew detector over lineitem's partkey -- the pre-flight
+    check a 100-TB shuffle plan runs before picking salting factors
+    (the politeness derive_salt_counts discipline, applied to a
+    relational key): total rows, distinct keys, and the ppm share of
+    the hottest 1 / hottest ``topk`` keys.  Per-batch partial counts ->
+    one key-bounded groupby; the top-share scan sorts only the tiny
+    aggregate.  Integer ppm (x * 1e6 // total), exact vs DuckDB."""
+    def partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t["l_partkey"].combine_chunks())
+        return pa.table({"k": pc.cast(vc.field("values"), pa.int64()),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    counts = _t(sf_dir, "lineitem", ["l_partkey"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("k").aggregate(Sum("n", alias_name="n")).materialize()
+    tot = counts.aggregate(Sum("n", alias_name="t"),
+                           Count(alias_name="n_keys"))
+    total, n_keys = int(tot["t"]), int(tot["n_keys"])
+    top = counts.sort(["n", "k"], descending=[True, False]).limit(topk) \
+        .take_all()
+    top1 = int(top[0]["n"]) if top else 0
+    topk_sum = sum(int(r["n"]) for r in top)
+    return pa.table({
+        "n_rows": pa.array([total], pa.int64()),
+        "n_keys": pa.array([n_keys], pa.int64()),
+        "top1_ppm": pa.array([top1 * 1_000_000 // total], pa.int64()),
+        "topk_ppm": pa.array([topk_sum * 1_000_000 // total], pa.int64()),
+    })

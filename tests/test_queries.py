@@ -21,6 +21,8 @@ SPOT = [
     "tumbling_window",
     "window_unique_users",
     "user_activity_span",
+    "media_dedup_stats",
+    "key_skew_report",
     "table_profile",
     "sessionize",
     "event_type_transitions",
