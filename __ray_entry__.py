@@ -450,6 +450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- custom join operators (as-of / range / broadcast-dim)
         "asof_click_before_purchase": joins.asof_click_before_purchase,
+        "asof_click_after_purchase": joins.asof_click_after_purchase,
         "errors_near_purchases": joins.errors_near_purchases,
         "errors_near_purchases_bucketed": joins.errors_near_purchases_bucketed,
         "customers_per_region": joins.customers_per_region,
@@ -589,6 +590,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_pairs": embeddings.neardup_pairs,
         "neardup_pairs_ivf": embeddings.neardup_pairs_ivf,
         "srp_neardup_pairs": embeddings.srp_neardup_pairs,
+        "dim_truncation_recall": embeddings.dim_truncation_recall,
         "ivf_topk": embeddings.ivf_topk,
         "pq_topk": embeddings.pq_topk,
         "label_centroids": embeddings.label_centroids,
@@ -817,6 +819,15 @@ def oracle_sql() -> dict[str, str]:
                       AND c.ts <= p.ts
                     ORDER BY c.ts DESC, c.event_id DESC LIMIT 1)
                        AS click_event_id
+            FROM events p WHERE p.event_type = 'purchase'
+        """,
+        "asof_click_after_purchase": """
+            SELECT p.event_id, CAST(p.user_id AS BIGINT) AS user_id, p.ts,
+                   (SELECT c.event_id FROM events c
+                    WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                      AND c.ts >= p.ts
+                    ORDER BY c.ts ASC, c.event_id ASC LIMIT 1)
+                       AS next_click_event_id
             FROM events p WHERE p.event_type = 'purchase'
         """,
         "errors_near_purchases_bucketed": """
@@ -1988,6 +1999,47 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) > 0.35
+        """,
+        # truncated-dim recall: subspace cosine = list-slice cosine
+        "dim_truncation_recall": """
+            WITH fulltk AS (
+                SELECT vec_id FROM embeddings WHERE vec_id <> 0
+                ORDER BY list_cosine_similarity(
+                    CAST(embedding AS DOUBLE[]),
+                    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                     WHERE vec_id = 0)) DESC, vec_id LIMIT 10),
+            t8 AS (
+                SELECT vec_id FROM embeddings WHERE vec_id <> 0
+                ORDER BY list_cosine_similarity(
+                    CAST(embedding[1:8] AS DOUBLE[]),
+                    (SELECT CAST(embedding[1:8] AS DOUBLE[])
+                     FROM embeddings WHERE vec_id = 0)) DESC,
+                    vec_id LIMIT 10),
+            t16 AS (
+                SELECT vec_id FROM embeddings WHERE vec_id <> 0
+                ORDER BY list_cosine_similarity(
+                    CAST(embedding[1:16] AS DOUBLE[]),
+                    (SELECT CAST(embedding[1:16] AS DOUBLE[])
+                     FROM embeddings WHERE vec_id = 0)) DESC,
+                    vec_id LIMIT 10),
+            t32 AS (
+                SELECT vec_id FROM embeddings WHERE vec_id <> 0
+                ORDER BY list_cosine_similarity(
+                    CAST(embedding[1:32] AS DOUBLE[]),
+                    (SELECT CAST(embedding[1:32] AS DOUBLE[])
+                     FROM embeddings WHERE vec_id = 0)) DESC,
+                    vec_id LIMIT 10)
+            SELECT CAST(8 AS BIGINT) AS dim,
+                   CAST((SELECT COUNT(*) FROM t8 WHERE vec_id IN
+                         (SELECT vec_id FROM fulltk)) AS BIGINT)
+                       AS n_overlap
+            UNION ALL
+            SELECT 16, (SELECT COUNT(*) FROM t16 WHERE vec_id IN
+                        (SELECT vec_id FROM fulltk))
+            UNION ALL
+            SELECT 32, (SELECT COUNT(*) FROM t32 WHERE vec_id IN
+                        (SELECT vec_id FROM fulltk))
+            ORDER BY dim
         """,
         # Stopword-occurrence vote with the engine's fixed en>de>fr tie
         # order, via list_filter lambdas (verified exact vs lang_id).

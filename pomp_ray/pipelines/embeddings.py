@@ -892,3 +892,55 @@ def kcenter_sample(sf_dir: str, k: int = 8) -> pa.Table:
         "sel_order": pa.array([r[0] for r in out], pa.int64()),
         "vec_id": pa.array([r[1] for r in out], pa.int64()),
         "d2": pa.array([r[2] for r in out], pa.int64())})
+
+
+def dim_truncation_recall(sf_dir: str, dims: tuple = (8, 16, 32),
+                          query_vec_id: int = 0, k: int = 10) -> pa.Table:
+    """ANN EVALUATION operator: recall of truncated-dimension cosine
+    top-k against the full-dimension exact top-k (the
+    Matryoshka-truncation question every embedding-storage budget asks:
+    how many neighbours survive keeping only the first d dims).  One
+    distributed scoring pass PER budget over the same scan shape as
+    ``ann_topk`` (broadcast query slice, per-batch matmul + partial
+    top-k, tiny driver merge); overlap counts are integers, so rows are
+    exact vs the DuckDB list-slice oracle."""
+    q_tbl = _emb(sf_dir).map_batches(
+        lambda t: t.filter(pc.equal(t["vec_id"], query_vec_id)),
+        batch_format="pyarrow").take_all()
+    q_full = np.asarray(q_tbl[0]["embedding"], np.float64)
+
+    def topk_at(d: int | None) -> list[int]:
+        q = q_full[:d] if d else q_full
+        q = q / (np.linalg.norm(q) or 1.0)
+        q_ref = ray.put(q)
+        dd = d
+
+        def score(t: pa.Table) -> pa.Table:
+            qv = ray.get(q_ref)
+            ids, mat = _to_matrix(t)
+            if dd:
+                mat = mat[:, :dd]
+            sims = _normalize(mat) @ qv
+            keep = ids != query_vec_id
+            ids, sims = ids[keep], sims[keep]
+            if len(ids) > k:
+                part = np.argpartition(-sims, k)[:k]
+                ids, sims = ids[part], sims[part]
+            return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                             "score": pa.array(sims, pa.float64())})
+
+        parts = _emb(sf_dir).map_batches(
+            score, batch_format="pyarrow").take_all()
+        ids = np.array([r["vec_id"] for r in parts], np.int64)
+        sims = np.array([r["score"] for r in parts], np.float64)
+        order = np.lexsort((ids, -sims))[:k]
+        return [int(x) for x in ids[order]]
+
+    full = set(topk_at(None))
+    out_d, out_n = [], []
+    for d in dims:
+        got = topk_at(int(d))
+        out_d.append(int(d))
+        out_n.append(len(full & set(got)))
+    return pa.table({"dim": pa.array(out_d, pa.int64()),
+                     "n_overlap": pa.array(out_n, pa.int64())})

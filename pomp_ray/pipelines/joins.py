@@ -183,3 +183,41 @@ def customers_per_region(sf_dir: str) -> rd.Dataset:
                                "n_customers",
                                pc.cast(t["n_customers"], pa.int64())),
         batch_format="pyarrow")
+
+
+def asof_click_after_purchase(sf_dir: str) -> rd.Dataset:
+    """FORWARD as-of join (the recovery-action lookup: for every
+    purchase, the EARLIEST click at-or-after it, per user) -- the
+    direction="forward" sibling of asof_click_before_purchase, same
+    64-bucket per-user shape.  Ties on ts resolve to the LOWEST
+    event_id (the sorted order's first row), mirrored by the oracle's
+    ORDER BY ts ASC, event_id ASC LIMIT 1."""
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32())
+        return t.append_column("bucket", b)
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        p = g[g["event_type"] == "purchase"][["event_id", "user_id", "ts"]]
+        if p.empty:
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "ts": pd.Series([], dtype="datetime64[us]"),
+                "next_click_event_id": pd.Series([], dtype="float64")})
+        c = g[g["event_type"] == "click"][["event_id", "user_id", "ts"]] \
+            .rename(columns={"event_id": "next_click_event_id",
+                             "ts": "click_ts"})
+        m = pd.merge_asof(p, c, left_on="ts", right_on="click_ts",
+                          by="user_id", direction="forward")
+        m["next_click_event_id"] = m["next_click_event_id"] \
+            .astype("float64")
+        return m[["event_id", "user_id", "ts", "next_click_event_id"]]
+
+    ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]) \
+        .map_batches(add_bucket, batch_format="pyarrow")
+    out = ds.groupby("bucket").map_groups(asof, batch_format="pandas")
+    return out.map_batches(
+        lambda t: t.set_column(t.column_names.index("user_id"), "user_id",
+                               pc.cast(t["user_id"], pa.int64())),
+        batch_format="pyarrow")

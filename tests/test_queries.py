@@ -34,6 +34,8 @@ SPOT = [
     "chunk_docs",
     "vocab_coverage",
     "asof_click_before_purchase",
+    "asof_click_after_purchase",
+    "dim_truncation_recall",
     "errors_near_purchases",
     "customers_per_region",
     "sample_docs",
