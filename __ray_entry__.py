@@ -335,6 +335,58 @@ def _error_taxonomy():
         batch_format="pyarrow").sort(["stage", "exc_type", "retryable"])
 
 
+def _crawl_bytes_by_round():
+    """Per-round extracted-text byte volume (the bandwidth curve an
+    operator watches): distributed octet-length rollup over the bfs
+    crawl's items; oracle = the same GROUP BY over the items golden."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum as _Sum
+
+    items = _crawl_outputs("items", "bfs")
+    ds = rd.from_arrow(items).map_batches(
+        lambda t: pa.table({
+            "round": pc.cast(t["round"], pa.int64()),
+            "b": pc.cast(pc.binary_length(
+                pc.cast(t["text"], pa.binary())), pa.int64())}),
+        batch_format="pyarrow")
+    agg = ds.groupby("round").aggregate(_Sum("b", alias_name="n_bytes"))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "round": pc.cast(t["round"], pa.int64()),
+            "n_bytes": pc.cast(t["n_bytes"], pa.int64())}),
+        batch_format="pyarrow").sort("round")
+
+
+def _host_round_fetches():
+    """Per-(round, host) fetch counts -- the politeness compliance
+    matrix (how many pages each host served per wave).  Host extraction
+    is the vectorized url_host; oracle mirrors with a regexp over the
+    visited golden."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count as _CountAgg
+
+    from pomp_ray.functions.textfns import url_host
+
+    vis = _crawl_outputs("visited", "bfs")
+    ds = rd.from_arrow(vis).map_batches(
+        lambda t: pa.table({
+            "round": pc.cast(t["round"], pa.int64()),
+            "host": pa.array([url_host(u)
+                              for u in t["url"].to_pylist()],
+                             pa.string())}),
+        batch_format="pyarrow")
+    agg = ds.groupby(["round", "host"]).aggregate(
+        _CountAgg(alias_name="n"))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "round": pc.cast(t["round"], pa.int64()),
+            "host": t["host"],
+            "n": pc.cast(t["n"], pa.int64())}),
+        batch_format="pyarrow").sort(["round", "host"])
+
+
 def _crawl_publish_stats():
     """Crawl -> WARC/CDX publish -> read the shards BACK -> per-shard
     page counts.  Oracle: md5-bucket SQL over the committed serial-
@@ -686,6 +738,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).host_discovery_curve(_crawl_ckpt_for("hdc")),
         "crawl_depth_histogram": lambda sf: _crawl_depth_histogram(),
         "error_taxonomy": lambda sf: _error_taxonomy(),
+        "crawl_bytes_by_round": lambda sf: _crawl_bytes_by_round(),
+        "host_round_fetches": lambda sf: _host_round_fetches(),
         "user_activity_span": windows.user_activity_span,
     }
 
@@ -3082,6 +3136,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM read_parquet('{_GOLDEN}/crawl_bfs_errors.parquet')
             GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "crawl_bytes_by_round": f"""
+            SELECT CAST(round AS BIGINT) AS round,
+                   CAST(SUM(octet_length(encode(text))) AS BIGINT)
+                       AS n_bytes
+            FROM read_parquet('{_GOLDEN}/crawl_bfs_items.parquet')
+            GROUP BY 1 ORDER BY 1
+        """,
+        "host_round_fetches": f"""
+            SELECT CAST(round AS BIGINT) AS round,
+                   lower(regexp_extract(url, '^[a-z]+://([^/]+)', 1))
+                       AS host,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM read_parquet('{_GOLDEN}/crawl_bfs_visited.parquet')
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "crawl_budget_visited":
             "SELECT * FROM "
