@@ -598,6 +598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget_cut": docs.token_budget_cut,
         "warc_shard_stats": archive.warc_shard_stats,
         "cdx_index": archive.cdx_index,
+        "cdx_partition_manifest": archive.cdx_partition_manifest,
         "snapshot_delta": delta.snapshot_delta,
         "host_change_rates": delta.host_change_rates,
         "recrawl_intervals": delta.recrawl_intervals,
@@ -858,6 +859,29 @@ def _mirror_pages_path() -> str:
     from pomp_ray.sources import gen_corpus
     return gen_corpus.generate("/tmp/pomp_q_corpus_mirror",
                                gen_corpus.MIRROR).pages_path
+
+
+_CDX_SQL = """
+    WITH p AS (
+        SELECT doc_id, text,
+               source || '.example.com' AS host,
+               '/' || lang || '/doc-' || CAST(doc_id AS VARCHAR)
+                   || '.html' AS path
+        FROM documents),
+    s AS (
+        SELECT array_to_string(list_reverse(string_split(host, '.')),
+                               ',') || ')' || path AS surt_key,
+               'http://' || host || path AS url,
+               strftime(epoch_ms(doc_id * 1000),
+                        '%Y%m%d%H%M%S') AS warc_ts,
+               md5(text) AS digest,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM p)
+    SELECT surt_key, url, warc_ts, digest, n_bytes,
+           CAST(ROW_NUMBER() OVER (ORDER BY surt_key) - 1
+                AS BIGINT) AS idx
+    FROM s
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2284,26 +2308,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         # CDX capture index: the oracle rebuilds url/surt/ts/digest with
         # DuckDB string+time functions and numbers rows in SURT order
-        "cdx_index": """
-            WITH p AS (
-                SELECT doc_id, text,
-                       source || '.example.com' AS host,
-                       '/' || lang || '/doc-' || CAST(doc_id AS VARCHAR)
-                           || '.html' AS path
-                FROM documents),
-            s AS (
-                SELECT array_to_string(list_reverse(string_split(host, '.')),
-                                       ',') || ')' || path AS surt_key,
-                       'http://' || host || path AS url,
-                       strftime(epoch_ms(doc_id * 1000),
-                                '%Y%m%d%H%M%S') AS warc_ts,
-                       md5(text) AS digest,
-                       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-                FROM p)
-            SELECT surt_key, url, warc_ts, digest, n_bytes,
-                   CAST(ROW_NUMBER() OVER (ORDER BY surt_key) - 1
-                        AS BIGINT) AS idx
-            FROM s
+        "cdx_index": _CDX_SQL,
+        # range-partitioned CDX sink manifest: part = idx // 100 over
+        # the same CDX relation (the engine reads its summary back off
+        # the written parquet parts)
+        "cdx_partition_manifest": f"""
+            WITH cdx AS ({_CDX_SQL})
+            SELECT CAST(idx // 100 AS BIGINT) AS part,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   MIN(surt_key) AS min_surt, MAX(surt_key) AS max_surt
+            FROM cdx GROUP BY 1 ORDER BY 1
         """,
         # snapshot delta: full-outer digest join between the two derived
         # snapshots (md5 bucket b: 0 missing from OLD, 1 missing from NEW,

@@ -22,6 +22,7 @@ SPOT = [
     "window_unique_users",
     "user_activity_span",
     "media_dedup_stats",
+    "cdx_partition_manifest",
     "key_skew_report",
     "table_profile",
     "sessionize",
