@@ -599,6 +599,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_shard_stats": archive.warc_shard_stats,
         "cdx_index": archive.cdx_index,
         "cdx_partition_manifest": archive.cdx_partition_manifest,
+        "cdx_domain_lookup": archive.cdx_domain_lookup,
+        "host_condensation_report": lambda sf: __import__(
+            "pomp_ray.pipelines.graph", fromlist=["graph"]
+        ).host_condensation_report(_mirror_pages_path()),
         "snapshot_delta": delta.snapshot_delta,
         "host_change_rates": delta.host_change_rates,
         "recrawl_intervals": delta.recrawl_intervals,
@@ -2319,6 +2323,12 @@ def oracle_sql() -> dict[str, str]:
                    MIN(surt_key) AS min_surt, MAX(surt_key) AS max_surt
             FROM cdx GROUP BY 1 ORDER BY 1
         """,
+        # manifest-pruned point lookup == plain filter over the relation
+        "cdx_domain_lookup": f"""
+            WITH cdx AS ({_CDX_SQL})
+            SELECT * FROM cdx
+            WHERE url LIKE 'http://src7.example.com/%' ORDER BY idx
+        """,
         # snapshot delta: full-outer digest join between the two derived
         # snapshots (md5 bucket b: 0 missing from OLD, 1 missing from NEW,
         # 2 revised in NEW) -- mirrors pipelines/delta.py literally
@@ -2499,6 +2509,9 @@ def oracle_sql() -> dict[str, str]:
         # SCC labels vs the independent serial Tarjan (gen_scc_golden)
         "host_scc":
             f"SELECT * FROM read_parquet('{_GOLDEN}/scc_mirror.parquet')",
+        "host_condensation_report":
+            "SELECT * FROM read_parquet("
+            f"'{_GOLDEN}/scc_condensation_mirror.parquet')",
         "corpus_hits":
             f"SELECT * FROM read_parquet('{_GOLDEN}/hits_small.parquet')",
         "corpus_two_hop_reach":

@@ -351,3 +351,46 @@ def cdx_partition_manifest(sf_dir: str,
     return rd.from_arrow(pa.table({"path": pa.array(files, pa.string())})) \
         .map_batches(summarize, batch_size=4, batch_format="pyarrow") \
         .sort("part")
+
+
+def cdx_domain_lookup(sf_dir: str, host: str = "src7.example.com",
+                      rows_per_part: int = 100) -> pa.Table:
+    """Point lookup against the range-partitioned CDX: binary-search
+    the MANIFEST for parts whose [min_surt, max_surt] range can contain
+    the domain's SURT prefix and read ONLY those files -- the
+    one-manifest-probe + one-part-scan access path the range layout
+    exists for (a flat index would scan every file).  Returns the
+    domain's captures in SURT order; the prune is provably correct
+    because parts tile the global SURT order."""
+    import bisect
+    import json
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out_dir = f"/tmp/pomp_cdx_parts_{tag}"
+    mpath = os.path.join(out_dir, "MANIFEST.json")
+    if not os.path.exists(mpath):
+        write_cdx_partitioned(sf_dir, out_dir, rows_per_part)
+    manifest = json.load(open(mpath))
+
+    prefix = surt_key(host, "")
+    lo, hi = prefix, prefix + "￿"
+    mins = [m["min_surt"] for m in manifest]
+    first = max(0, bisect.bisect_right(mins, lo) - 1)
+    rows = []
+    for m in manifest[first:]:
+        if m["min_surt"] > hi:
+            break
+        if m["max_surt"] < lo:
+            continue
+        t = pq.read_table(os.path.join(
+            out_dir, f"cdx-{int(m['part']):05d}.parquet"))
+        sk = t["surt_key"]
+        mask = pc.and_(pc.greater_equal(sk, lo), pc.less_equal(sk, hi))
+        rows.append(t.filter(mask))
+    if not rows:
+        return pa.schema([
+            ("surt_key", pa.string()), ("url", pa.string()),
+            ("warc_ts", pa.string()), ("digest", pa.string()),
+            ("n_bytes", pa.int64()), ("idx", pa.int64())]).empty_table()
+    out = pa.concat_tables(rows)
+    return out.sort_by([("idx", "ascending")])

@@ -1007,3 +1007,48 @@ def host_scc(pages_path: str) -> pa.Table:
     tools/gen_golden.py (gen_scc_golden), own href/host extraction."""
     edges = corpus_host_edges(pages_path)
     return strongly_connected_components(edges)
+
+
+def host_condensation_report(pages_path: str) -> pa.Table:
+    """Condensation-DAG summary of the host link graph: SCC count,
+    non-trivial SCC count, largest SCC size, and the number of DISTINCT
+    condensation edges (inter-SCC links) -- the collapsed topology a
+    crawl scheduler reasons about (an SCC is one politeness/recrawl
+    unit; condensation edges are the discovery order constraints).
+    Composes ``host_scc`` with one relabeling join pass over the edge
+    table; all counts exact, oracle recomputed from the Tarjan golden
+    by the same SQL-free rule in tools/gen_golden.py."""
+    from ray.data.aggregate import Count as _Count
+
+    scc = host_scc(pages_path)
+    labels = {n: s for n, s in zip(scc["node"].to_pylist(),
+                                   scc["scc"].to_pylist())}
+    sizes: dict = {}
+    for s in labels.values():
+        sizes[s] = sizes.get(s, 0) + 1
+    n_sccs = len(sizes)
+    n_nontrivial = sum(1 for v in sizes.values() if v > 1)
+    largest = max(sizes.values()) if sizes else 0
+
+    import ray as _ray
+    lab_ref = _ray.put(labels)
+
+    def relabel(t: pa.Table) -> pa.Table:
+        lab = _ray.get(lab_ref)
+        src = [lab.get(x) for x in t["src"].to_pylist()]
+        dst = [lab.get(x) for x in t["dst"].to_pylist()]
+        out = pa.table({"a": pa.array(src, pa.string()),
+                        "b": pa.array(dst, pa.string())})
+        return out.filter(pc.and_(
+            pc.and_(pc.is_valid(out["a"]), pc.is_valid(out["b"])),
+            pc.invert(pc.equal(out["a"], out["b"]))))
+
+    dag = corpus_host_edges(pages_path).map_batches(
+        relabel, batch_format="pyarrow") \
+        .groupby(["a", "b"]).aggregate(_Count(alias_name="_n"))
+    n_dag_edges = dag.count()
+    return pa.table({
+        "n_sccs": pa.array([n_sccs], pa.int64()),
+        "n_nontrivial": pa.array([n_nontrivial], pa.int64()),
+        "largest_scc": pa.array([largest], pa.int64()),
+        "n_dag_edges": pa.array([n_dag_edges], pa.int64())})

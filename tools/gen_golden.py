@@ -1626,6 +1626,21 @@ def gen_scc_golden() -> None:
     print(f"scc golden: {tbl.num_rows} hosts, {len(sccs)} sccs, "
           f"{n_nontrivial} non-trivial")
 
+    # condensation report golden (same pass: labels + directed adj)
+    dag_edges = set()
+    for u, nbrs in adj.items():
+        for v in nbrs:
+            if out[u] != out[v]:
+                dag_edges.add((out[u], out[v]))
+    rep = pa.table({
+        "n_sccs": pa.array([len(sccs)], pa.int64()),
+        "n_nontrivial": pa.array([n_nontrivial], pa.int64()),
+        "largest_scc": pa.array([max(len(c) for c in sccs)], pa.int64()),
+        "n_dag_edges": pa.array([len(dag_edges)], pa.int64())})
+    pq.write_table(rep, os.path.join(GOLDEN_DIR,
+                                     "scc_condensation_mirror.parquet"))
+    print(f"condensation golden: {len(dag_edges)} dag edges")
+
 
 if __name__ == "__main__":
     os.makedirs(GOLDEN_DIR, exist_ok=True)
