@@ -283,6 +283,16 @@ def bench_queries(sf_dir: str) -> dict:
         ("broken_links", lambda: __import__(
             "pomp_ray.pipelines.graph", fromlist=["graph"])
          .broken_links(_bench_pages_path()).num_rows),
+        # fifteenth-block shapes: winnowed-fingerprint near-dup (explode
+        # + df-cut + bucket self-join), FW-BW coloring SCC over the
+        # BENCH corpus host graph (iterated join/groupby rounds), the
+        # double-existential Q21 aggregate chain
+        ("winnow_pairs", lambda: docs.winnow_dup_pairs(sf_dir).num_rows),
+        ("host_scc", lambda: __import__(
+            "pomp_ray.pipelines.graph", fromlist=["graph"])
+         .host_scc(_bench_pages_path()).num_rows),
+        ("q21_waiting", lambda:
+         relational.q21_waiting_suppliers(sf_dir).num_rows),
     ):
         t0 = time.monotonic()
         fn()
