@@ -633,6 +633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs": docs.sample_docs,
         "fingerprints": docs.fingerprints,
         "winnow_fingerprints": docs.winnow_fingerprints,
+        "langs_in_every_source": docs.langs_in_every_source,
         "winnow_dup_pairs": docs.winnow_dup_pairs,
         "media_features": media.media_features,
         "media_frame_stats": media.media_frame_stats,
@@ -944,6 +945,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT epoch_us(ts) // 86400000000)
                         AS BIGINT) AS active_days
             FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "langs_in_every_source": """
+            WITH d AS (SELECT DISTINCT lang, source FROM documents)
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sources
+            FROM d GROUP BY lang
+            HAVING COUNT(*) = (SELECT COUNT(DISTINCT source)
+                               FROM documents)
+            ORDER BY lang
         """,
         "window_unique_users": """
             SELECT epoch_us(ts) // 86400000000 AS window_day,

@@ -2920,3 +2920,34 @@ def winnow_dup_pairs(sf_dir: str, max_df: int = 10,
         "doc_b": pa.array([r["doc_b"] for r in rows], pa.int64()),
         "n_shared": pa.array([int(r["n_shared"]) for r in rows],
                              pa.int64())})
+
+
+def langs_in_every_source(sf_dir: str) -> pa.Table:
+    """RELATIONAL DIVISION (the for-all join shape the suite was
+    missing): languages that appear in EVERY source -- "suppliers who
+    stock all parts" reduced to the corpus.  Distinct (lang, source)
+    partials bound the shuffle to the tiny cross-table; the divisor
+    cardinality (distinct sources) is one scalar aggregate; the
+    HAVING-count filter runs on the lang-bounded rollup.  Pure counts:
+    exact vs DuckDB."""
+    def pairs(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"lang": t["lang"].to_pylist(),
+                           "source": t["source"].to_pylist()}) \
+            .drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    distinct = _docs(sf_dir, ["lang", "source"]).map_batches(
+        pairs, batch_format="pyarrow") \
+        .groupby(["lang", "source"]).aggregate(Count(alias_name="_c")) \
+        .materialize()
+    n_sources = distinct.groupby("source") \
+        .aggregate(Count(alias_name="_c")).count()
+    per_lang = distinct.groupby("lang").aggregate(
+        Count(alias_name="n_sources"))
+    rows = [r for r in per_lang.take_all()
+            if int(r["n_sources"]) == n_sources]
+    rows.sort(key=lambda r: r["lang"])
+    return pa.table({
+        "lang": pa.array([r["lang"] for r in rows], pa.string()),
+        "n_sources": pa.array([int(r["n_sources"]) for r in rows],
+                              pa.int64())})

@@ -23,6 +23,7 @@ SPOT = [
     "user_activity_span",
     "media_dedup_stats",
     "cdx_partition_manifest",
+    "langs_in_every_source",
     "key_skew_report",
     "table_profile",
     "sessionize",
