@@ -698,6 +698,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q19_discounted_revenue": relational.q19_discounted_revenue,
         "q21_waiting_suppliers": relational.q21_waiting_suppliers,
         "revenue_rollup": relational.revenue_rollup,
+        "revenue_cube": relational.revenue_cube,
         "spend_magnitude_histogram": relational.spend_magnitude_histogram,
         "rolling_user_spend": relational.rolling_user_spend,
         "record_events": relational.record_events,
@@ -945,6 +946,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT epoch_us(ts) // 86400000000)
                         AS BIGINT) AS active_days
             FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "revenue_cube": """
+            SELECT CAST(year(o_orderdate) AS DOUBLE) AS o_year,
+                   o_orderstatus,
+                   CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+                        AS DOUBLE) / 100.0 AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders
+            GROUP BY CUBE (1, 2)
         """,
         "langs_in_every_source": """
             WITH d AS (SELECT DISTINCT lang, source FROM documents)

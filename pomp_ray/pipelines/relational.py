@@ -2101,3 +2101,51 @@ def key_skew_report(sf_dir: str, topk: int = 10) -> pa.Table:
         "top1_ppm": pa.array([top1 * 1_000_000 // total], pa.int64()),
         "topk_ppm": pa.array([topk_sum * 1_000_000 // total], pa.int64()),
     })
+
+
+def revenue_cube(sf_dir: str) -> pa.Table:
+    """GROUP BY CUBE(year, status) over order revenue -- all four
+    grouping sets (detail, per-year, per-status, grand total) from ONE
+    pass of integer-cent partials (exact sums re-aggregate upward, the
+    revenue_rollup discipline).  Year is float64-nullable (NaN = rolled
+    up, matching DuckDB's .df()); status NULL marks its margin."""
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].to_numpy()
+        years = d.astype("datetime64[Y]").astype(np.int64) + 1970
+        cents = np.rint(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        df = pd.DataFrame({
+            "y": years, "s": t["o_orderstatus"].to_pylist(),
+            "cents": cents})
+        g = df.groupby(["y", "s"], as_index=False).agg(
+            cents=("cents", "sum"), n=("cents", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rows = _t(sf_dir, "orders",
+              ["o_orderdate", "o_orderstatus", "o_totalprice"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["y", "s"]).aggregate(Sum("cents", alias_name="cents"),
+                                       Sum("n", alias_name="n")).take_all()
+    detail = sorted((int(r["y"]), r["s"], int(r["cents"]), int(r["n"]))
+                    for r in rows)
+    by_year: dict = {}
+    by_status: dict = {}
+    tot_c = tot_n = 0
+    for y, s, c, n in detail:
+        ya = by_year.setdefault(y, [0, 0])
+        sa = by_status.setdefault(s, [0, 0])
+        ya[0] += c; ya[1] += n
+        sa[0] += c; sa[1] += n
+        tot_c += c; tot_n += n
+    out = []
+    for y, s, c, n in detail:
+        out.append((float(y), s, c, n))
+    for y in sorted(by_year):
+        out.append((float(y), None, *by_year[y]))
+    for s in sorted(by_status):
+        out.append((None, s, *by_status[s]))
+    out.append((None, None, tot_c, tot_n))
+    return pa.table({
+        "o_year": pa.array([o[0] for o in out], pa.float64()),
+        "o_orderstatus": pa.array([o[1] for o in out], pa.string()),
+        "revenue": pa.array([o[2] / 100.0 for o in out], pa.float64()),
+        "n_orders": pa.array([o[3] for o in out], pa.int64())})

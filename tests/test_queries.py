@@ -24,6 +24,7 @@ SPOT = [
     "media_dedup_stats",
     "cdx_partition_manifest",
     "langs_in_every_source",
+    "revenue_cube",
     "key_skew_report",
     "table_profile",
     "sessionize",
