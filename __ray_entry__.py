@@ -699,6 +699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q21_waiting_suppliers": relational.q21_waiting_suppliers,
         "revenue_rollup": relational.revenue_rollup,
         "revenue_cube": relational.revenue_cube,
+        "customer_balance_deciles": relational.customer_balance_deciles,
         "spend_magnitude_histogram": relational.spend_magnitude_histogram,
         "rolling_user_spend": relational.rolling_user_spend,
         "record_events": relational.record_events,
@@ -955,6 +956,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_orders
             FROM orders
             GROUP BY CUBE (1, 2)
+        """,
+        "customer_balance_deciles": """
+            WITH t AS (
+                SELECT c_acctbal,
+                       NTILE(10) OVER (
+                           ORDER BY CAST(ROUND(c_acctbal*100) AS BIGINT),
+                                    c_custkey) AS tile
+                FROM customer)
+            SELECT CAST(tile AS BIGINT) AS tile,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
+            FROM t GROUP BY 1 ORDER BY 1
         """,
         "langs_in_every_source": """
             WITH d AS (SELECT DISTINCT lang, source FROM documents)

@@ -2149,3 +2149,55 @@ def revenue_cube(sf_dir: str) -> pa.Table:
         "o_orderstatus": pa.array([o[1] for o in out], pa.string()),
         "revenue": pa.array([o[2] / 100.0 for o in out], pa.float64()),
         "n_orders": pa.array([o[3] for o in out], pa.int64())})
+
+
+def customer_balance_deciles(sf_dir: str, n_tiles: int = 10) -> pa.Table:
+    """NTILE(10) decile rollup over customer balances -- the
+    equal-height binning window shape, distributed as one global
+    zip_with_index over a composite sortable key (shifted balance
+    cents, zero-padded, then custkey -- the lang_rank discipline: never
+    co-locate a partition) followed by the EXACT NTILE rule computed
+    from the global position (first n%t tiles get one extra row,
+    DuckDB's semantics).  Per-decile count + min/max balance; min/max
+    involve no summation, so doubles match bit for bit."""
+    from pomp_ray.stages.index import zip_with_index
+
+    n_cust = pq.ParquetFile(
+        os.path.join(sf_dir, "customer.parquet")).metadata.num_rows
+    size, rem = divmod(n_cust, n_tiles)
+
+    def keyed(t: pa.Table) -> pa.Table:
+        bal_c = np.rint(t["c_acctbal"].to_numpy() * 100).astype(np.int64)
+        shifted = bal_c + 1_000_000_000           # lexicographic-safe
+        keys = [f"{s:013d}:{k:012d}" for s, k in
+                zip(shifted, t["c_custkey"].to_numpy())]
+        return pa.table({"k": pa.array(keys, pa.string()),
+                         "c_acctbal": t["c_acctbal"]})
+
+    ds = _t(sf_dir, "customer", ["c_custkey", "c_acctbal"]) \
+        .map_batches(keyed, batch_format="pyarrow")
+    pos = zip_with_index(ds, "k", out_col="pos")
+
+    def tile_partial(t: pa.Table) -> pa.Table:
+        p = t["pos"].to_numpy()
+        cut = rem * (size + 1)
+        tile = np.where(p < cut, p // (size + 1) + 1,
+                        rem + (p - cut) // max(size, 1) + 1)
+        bal = t["c_acctbal"].to_numpy()
+        df = pd.DataFrame({"tile": tile, "bal": bal})
+        g = df.groupby("tile", as_index=False).agg(
+            n=("bal", "size"), vmin=("bal", "min"), vmax=("bal", "max"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = pos.map_batches(tile_partial, batch_format="pyarrow") \
+        .groupby("tile").aggregate(
+            Sum("n", alias_name="n"),
+            Min("vmin", alias_name="min_bal"),
+            Max("vmax", alias_name="max_bal"))
+    rows = out.take_all()
+    rows.sort(key=lambda r: r["tile"])
+    return pa.table({
+        "tile": pa.array([int(r["tile"]) for r in rows], pa.int64()),
+        "n": pa.array([int(r["n"]) for r in rows], pa.int64()),
+        "min_bal": pa.array([r["min_bal"] for r in rows], pa.float64()),
+        "max_bal": pa.array([r["max_bal"] for r in rows], pa.float64())})

@@ -25,6 +25,7 @@ SPOT = [
     "cdx_partition_manifest",
     "langs_in_every_source",
     "revenue_cube",
+    "customer_balance_deciles",
     "key_skew_report",
     "table_profile",
     "sessionize",
