@@ -111,3 +111,65 @@ def test_cuckoo_overflow_rollback():
     assert f.overflow, "expected overflow at 8x capacity"
     assert f.delete_bulk(d).all()
     assert f.n_items == 0 and not f.overflow
+
+
+@given(st.binary(min_size=0, max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_winnow_kernel_matches_horner(buf):
+    """Vectorized winnowing == char-at-a-time Horner reference on
+    arbitrary byte strings (hash formula, window minima, short-doc
+    edges)."""
+    from pomp_ray.functions.analysis import winnow_doc_fps
+
+    k, w, m = 8, 4, (1 << 64) - 1
+    hs = []
+    for i in range(len(buf) - k + 1):
+        h = 0
+        for j in range(k):
+            h = (h * 1099511628211 + buf[i + j]) & m
+        hs.append(h)
+    if not hs:
+        want = set()
+    elif len(hs) < w:
+        want = {min(hs)}
+    else:
+        want = {min(hs[i:i + w]) for i in range(len(hs) - w + 1)}
+    assert set(int(x) for x in winnow_doc_fps(buf)) == want
+
+
+@given(st.integers(min_value=4, max_value=10_000),
+       st.integers(min_value=0, max_value=1 << 20))
+@settings(max_examples=200, deadline=None)
+def test_partsupp_formula_bounds(S, pk):
+    """Synthesized partsupp invariants: 4 DISTINCT suppliers per part,
+    all in [0, S); availqty/cost in their documented ranges."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pomp_ray.pipelines.relational import _partsupp_batch
+
+    t = pa.table({"p_partkey": pa.array([pk], pa.int64())})
+    e = _partsupp_batch(t, S)
+    sk = e["ps_suppkey"].to_pylist()
+    assert len(sk) == 4 and len(set(sk)) == 4
+    assert all(0 <= s < S for s in sk)
+    assert all(1 <= q <= 5000 for q in e["ps_availqty"].to_pylist())
+    assert all(100 <= c <= 100000 for c in e["ps_cost_c"].to_pylist())
+
+
+def test_ntile_rule_matches_duckdb():
+    """The engine's NTILE position rule == DuckDB NTILE for ragged
+    sizes (first n%t tiles get the extra row)."""
+    import duckdb
+    import numpy as np
+
+    for n, t in [(10, 10), (13, 4), (7, 10), (100, 7), (1, 3)]:
+        size, rem = divmod(n, t)
+        cut = rem * (size + 1)
+        p = np.arange(n)
+        mine = np.where(p < cut, p // (size + 1) + 1,
+                        rem + (p - cut) // max(size, 1) + 1)
+        ref = duckdb.sql(
+            f"SELECT NTILE({t}) OVER (ORDER BY i) AS x "
+            f"FROM range({n}) r(i) ORDER BY i").df()["x"].to_numpy()
+        assert (mine == ref).all(), (n, t)
