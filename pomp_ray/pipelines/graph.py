@@ -913,7 +913,23 @@ def strongly_connected_components(edges: rd.Dataset, max_rounds: int = 30,
                     batch_format="pyarrow").repartition(2),
                 join_type="inner", on=("src",),
                 num_partitions=num_partitions).materialize()
-            newc = left.groupby("dst").aggregate(
+            # pointer jump (the connected_components doubling step,
+            # valid here because min-REACHING labels compose: if c
+            # reaches v and c' reaches c then c' reaches v, so
+            # color(color(v)) is always a sound candidate) -- distance
+            # to the color root roughly squares per iteration
+            jump = V.join(
+                V.map_batches(lambda t: pa.table(
+                    {"color": t["node"], "cc": t["color"]}),
+                    batch_format="pyarrow").repartition(2),
+                join_type="inner", on=("color",),
+                num_partitions=num_partitions).map_batches(
+                lambda t: pa.table({"dst": t["node"], "c_src": t["cc"]}),
+                batch_format="pyarrow").repartition(2).materialize()
+            msgs = left.map_batches(
+                lambda t: t.select(["dst", "c_src"]),
+                batch_format="pyarrow").union(jump)
+            newc = msgs.groupby("dst").aggregate(
                 _Min("c_src", alias_name="c_new")).repartition(2) \
                 .materialize()
             V2 = V.join(newc, join_type="left_outer", on=("node",),
