@@ -59,3 +59,28 @@ def test_domain_lookup_reads_only_intersecting_parts(monkeypatch):
     idx = out["idx"].to_pylist()
     assert idx == sorted(idx)
     assert out.num_rows > 0
+
+
+def test_rewrite_is_byte_identical():
+    """Two independent writes of the same input produce bit-identical
+    part files and MANIFEST — the property that makes a resumed or
+    retried run safe to overwrite in place."""
+    import hashlib
+    import shutil
+
+    from pomp_ray.pipelines.archive import write_cdx_partitioned
+
+    dirs = ["/tmp/pomp_cdx_det_a", "/tmp/pomp_cdx_det_b"]
+    for d in dirs:
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+        write_cdx_partitioned(SF, d, rows_per_part=100)
+
+    names = [sorted(os.listdir(d)) for d in dirs]
+    assert names[0] == names[1]
+    for name in names[0]:
+        digests = [hashlib.md5(open(os.path.join(d, name), "rb").read())
+                   .hexdigest() for d in dirs]
+        assert digests[0] == digests[1], name
+    for d in dirs:
+        shutil.rmtree(d)
