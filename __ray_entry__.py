@@ -513,6 +513,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window": windows.hopping_window,
         "sessionize": windows.sessionize,
         "session_duration_stats": windows.session_duration_stats,
+        "peak_concurrency": windows.peak_concurrency,
+        "part_attrs_long": relational.part_attrs_long,
         "funnel_counts": windows.funnel_counts,
         "event_type_transitions": windows.event_type_transitions,
         "cohort_retention": windows.cohort_retention,
@@ -981,6 +983,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT epoch_us(ts) // 86400000000 AS window_day,
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "peak_concurrency": """
+            WITH spans AS (
+                SELECT user_id, MIN(ts) AS a, MAX(ts) AS b
+                FROM events GROUP BY user_id
+            ), deltas AS (
+                SELECT a AS ts, 1 AS d, user_id FROM spans
+                UNION ALL
+                SELECT b AS ts, -1 AS d, user_id FROM spans
+            ), run AS (
+                SELECT ts, SUM(d) OVER (
+                    ORDER BY ts, d DESC, user_id
+                    ROWS UNBOUNDED PRECEDING) AS c
+                FROM deltas
+            )
+            SELECT CAST((SELECT MAX(c) FROM run) AS BIGINT)
+                       AS peak_concurrency,
+                   (SELECT MIN(ts) FROM run
+                    WHERE c = (SELECT MAX(c) FROM run)) AS peak_ts,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM spans) AS n_users
+        """,
+        "part_attrs_long": """
+            SELECT p_partkey, 'p_size' AS attr,
+                   CAST(p_size AS DOUBLE) AS val FROM part
+            UNION ALL
+            SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
         """,
         "table_profile": """
             SELECT 'event_id' AS col_name, CAST(COUNT(*) AS BIGINT) AS n,

@@ -2201,3 +2201,33 @@ def customer_balance_deciles(sf_dir: str, n_tiles: int = 10) -> pa.Table:
         "n": pa.array([int(r["n"]) for r in rows], pa.int64()),
         "min_bal": pa.array([r["min_bal"] for r in rows], pa.float64()),
         "max_bal": pa.array([r["max_bal"] for r in rows], pa.float64())})
+
+
+def melt(ds: rd.Dataset, id_cols: list[str], value_cols: list[str],
+         var_name: str = "attr", val_name: str = "val") -> rd.Dataset:
+    """Wide->long reshape (the inverse of the pivot at
+    docs.lang_source_pivot): every input row emits one output row per
+    value column, keyed by the column NAME.  A pure per-batch map --
+    k stacked zero-copy column selections per batch, no shuffle, no
+    driver residency -- so it streams at any scale.  Value columns are
+    cast to a common float64 (the usual long-format contract)."""
+
+    def unpivot(t: pa.Table) -> pa.Table:
+        outs = []
+        for c in value_cols:
+            cols = {k: t[k] for k in id_cols}
+            cols[var_name] = pa.array([c] * t.num_rows, pa.string())
+            cols[val_name] = pc.cast(t[c], pa.float64())
+            outs.append(pa.table(cols))
+        if not outs:
+            return pa.table({k: t[k] for k in id_cols})
+        return pa.concat_tables(outs)
+
+    return ds.map_batches(unpivot, batch_format="pyarrow")
+
+
+def part_attrs_long(sf_dir: str) -> rd.Dataset:
+    """The part table's numeric attributes in long format -- the melt
+    demo query (id = p_partkey, attrs = p_size / p_retailprice)."""
+    ds = _t(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
+    return melt(ds, ["p_partkey"], ["p_size", "p_retailprice"])

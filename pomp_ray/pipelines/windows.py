@@ -399,3 +399,67 @@ def user_activity_span(sf_dir: str) -> rd.Dataset:
             "last_ts": pc.cast(t["last_ts"], pa.timestamp("us")),
             "active_days": pc.cast(t["active_days"], pa.int64())}),
         batch_format="pyarrow").sort("user_id")
+
+
+def peak_concurrency(sf_dir: str) -> pa.Table:
+    """Peak simultaneous active users -- each user is active over the
+    CLOSED interval [first event, last event]; the answer is the classic
+    boundary sweep: a +1 delta at every span start, a -1 at every end,
+    a global running sum in endpoint order, and the max of the running
+    count.  The sweep order is pinned by a composite string key
+    zfill(epoch_us) + flag + zfill(user_id) with starts (flag 0) before
+    ends (flag 1) at equal timestamps (closed intervals: a span ending
+    at t still overlaps one starting at t); the running sum is the
+    two-pass distributed prefix_sum (stages/scan.py) -- only O(blocks)
+    partials ever reach the driver.  Output: one row with the peak, the
+    earliest endpoint time the peak is reached, and the span count."""
+    from pomp_ray.stages.scan import prefix_sum
+
+    spans = _events(sf_dir, ["user_id", "ts"]).groupby("user_id") \
+        .aggregate(Min("ts", alias_name="a"), Max("ts", alias_name="b")) \
+        .repartition(2).materialize()
+
+    def deltas(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"key": pa.array([], pa.string()),
+                             "ts": pa.array([], pa.timestamp("us")),
+                             "delta": pa.array([], pa.int64())})
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = []
+        for col, flag, d in (("a", "0", 1), ("b", "1", -1)):
+            us = pc.cast(t[col], pa.int64()).to_numpy(zero_copy_only=False)
+            key = np.char.add(np.char.add(
+                np.char.zfill(us.astype("U20"), 20), flag),
+                np.char.zfill(uid.astype("U12"), 12))
+            out.append(pa.table({
+                "key": pa.array(key, pa.string()),
+                "ts": pc.cast(t[col], pa.timestamp("us")),
+                "delta": pa.array(np.full(len(us), d), pa.int64())}))
+        return pa.concat_tables(out)
+
+    run = prefix_sum(spans.map_batches(deltas, batch_format="pyarrow"),
+                     "key", "delta", out_col="prev")
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"peak": pa.array([], pa.int64()),
+                             "ts": pa.array([], pa.timestamp("us")),
+                             "n_start": pa.array([], pa.int64())})
+        conc = (t["prev"].to_numpy(zero_copy_only=False)
+                + t["delta"].to_numpy(zero_copy_only=False))
+        pk = int(conc.max())
+        at = pc.min(t["ts"].filter(pa.array(conc == pk, pa.bool_())))
+        return pa.table({
+            "peak": pa.array([pk], pa.int64()),
+            "ts": pa.array([at.as_py()], pa.timestamp("us")),
+            "n_start": pa.array([int((t["delta"].to_numpy(
+                zero_copy_only=False) == 1).sum())], pa.int64())})
+
+    parts = run.map_batches(partial, batch_size=None,
+                            batch_format="pyarrow").take_all()
+    peak = max(r["peak"] for r in parts)
+    at = min(r["ts"] for r in parts if r["peak"] == peak)
+    n_users = sum(r["n_start"] for r in parts)
+    return pa.table({"peak_concurrency": pa.array([peak], pa.int64()),
+                     "peak_ts": pa.array([at], pa.timestamp("us")),
+                     "n_users": pa.array([n_users], pa.int64())})

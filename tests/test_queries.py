@@ -1340,3 +1340,44 @@ def test_winnow_fingerprints_engine_matches_serial():
     assert len(df) == len(want)
     for r in df.itertuples():
         assert (r.n_fp, r.fp_xor) == want[r.doc_id]
+
+
+def test_peak_concurrency_matches_serial_sweep(ray_session):
+    import pyarrow.parquet as pq
+
+    from pomp_ray.pipelines.windows import peak_concurrency
+
+    t = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "ts"])
+    spans = {}
+    for u, ts in zip(t["user_id"].to_pylist(), t["ts"].to_pylist()):
+        a, b = spans.get(u, (ts, ts))
+        spans[u] = (min(a, ts), max(b, ts))
+    deltas = []
+    for u, (a, b) in spans.items():
+        deltas.append((a, 0, u, 1))
+        deltas.append((b, 1, u, -1))
+    deltas.sort()
+    c = peak = 0
+    at = None
+    for ts, _, _, d in deltas:
+        c += d
+        if c > peak:
+            peak, at = c, ts
+    out = peak_concurrency(SF)
+    assert out["peak_concurrency"][0].as_py() == peak
+    assert out["peak_ts"][0].as_py() == at
+    assert out["n_users"][0].as_py() == len(spans)
+
+
+def test_melt_roundtrips_columns(ray_session):
+    import ray.data as rd
+
+    from pomp_ray.pipelines.relational import melt
+
+    ds = rd.from_items([{"k": i, "x": i * 2, "y": i * 3.0}
+                        for i in range(10)])
+    df = melt(ds, ["k"], ["x", "y"]).to_pandas()
+    assert len(df) == 20
+    wide = df.pivot(index="k", columns="attr", values="val")
+    assert (wide["x"] == [i * 2 for i in range(10)]).all()
+    assert (wide["y"] == [i * 3.0 for i in range(10)]).all()
