@@ -522,6 +522,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #    3|2, 7|6, 11|10 serve byte-identical content)
         "mirror_hosts":
             lambda sf: webtext.mirror_hosts(_mirror_pages_path()),
+        "url_edit_pairs_by_host":
+            lambda sf: webtext.url_edit_pairs_by_host(_small_pages_path()),
         "url_templates":
             lambda sf: webtext.url_templates(_mirror_pages_path()),
         "dup_line_counts":
@@ -637,6 +639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": docs.winnow_fingerprints,
         "langs_in_every_source": docs.langs_in_every_source,
         "winnow_dup_pairs": docs.winnow_dup_pairs,
+        "containment_pairs": docs.containment_pairs,
         "media_features": media.media_features,
         "media_frame_stats": media.media_frame_stats,
         "media_dedup_stats": media.media_dedup_stats,
@@ -862,6 +865,14 @@ def _trap_pages_path() -> str:
                                gen_corpus.TRAP).pages_path
 
 
+def _small_pages_path() -> str:
+    """Pages parquet of the SMALL corpus fixture (idempotent via the
+    generator's manifest; no ray needed, safe from oracle_sql)."""
+    from pomp_ray.sources import gen_corpus
+    return gen_corpus.generate("/tmp/pomp_q_corpus_small",
+                               gen_corpus.SMALL).pages_path
+
+
 def _mirror_pages_path() -> str:
     """Pages parquet of the MIRROR corpus fixture (idempotent via the
     generator's manifest; no ray needed, safe from oracle_sql)."""
@@ -895,6 +906,7 @@ _CDX_SQL = """
 
 def oracle_sql() -> dict[str, str]:
     from pomp_ray.pipelines.relational import PARTSUPP_SQL as _PS
+    _SP = _small_pages_path()
     _MP = _mirror_pages_path()
     _TP = _trap_pages_path()
     _RB = _tiny_robots_path()
@@ -2275,6 +2287,62 @@ def oracle_sql() -> dict[str, str]:
                 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
                 WHERE len(a.s) + len(b.s) > 0) t
             WHERE jaccard >= 0.5
+        """,
+        # Directed set-containment join over word-5-shingles restricted
+        # to the df window [2, 10] (the engine's stop-shingle cut,
+        # mirrored here); int/int -> DOUBLE division is bit-identical.
+        "containment_pairs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '\\S+') AS tk
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(tk) = 0 THEN []
+                            WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
+                            ELSE list_distinct(list_transform(
+                                range(1, len(tk) - 3),
+                                i -> array_to_string(tk[i:i+4], ' ')))
+                       END AS s
+                FROM toks
+            ), e AS (
+                SELECT doc_id, UNNEST(s) AS g FROM sh
+            ), dfc AS (
+                SELECT g, COUNT(*) AS df FROM e GROUP BY g
+            ), keep AS (
+                SELECT e.doc_id, e.g FROM e JOIN dfc USING (g)
+                WHERE df BETWEEN 2 AND 10
+            ), sz AS (
+                SELECT doc_id, COUNT(*) AS n FROM keep GROUP BY doc_id
+            ), shared AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       CAST(COUNT(*) AS BIGINT) AS n_shared
+                FROM keep a JOIN keep b
+                  ON a.g = b.g AND a.doc_id <> b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, n_shared,
+                   CAST(n_shared AS DOUBLE) / sz.n AS containment
+            FROM shared JOIN sz ON sz.doc_id = shared.doc_a
+            WHERE CAST(n_shared AS DOUBLE) / sz.n >= 0.5
+        """,
+        # Fuzzy URL self-join (levenshtein == 1) over the SMALL corpus's
+        # distinct urls; the engine's deletion-neighborhood blocking is
+        # lossless for distance 1, so counts equal this all-pairs scan.
+        "url_edit_pairs_by_host": f"""
+            WITH u AS (
+                SELECT DISTINCT url FROM read_parquet('{_SP}')
+            ), prs AS (
+                SELECT a.url AS ua, b.url AS ub
+                FROM u a JOIN u b
+                  ON a.url < b.url
+                 AND abs(length(a.url) - length(b.url)) <= 1
+                 AND levenshtein(a.url, b.url) = 1
+            )
+            SELECT regexp_extract(ua, '^[a-z]+://([^/]+)/', 1) AS host_a,
+                   regexp_extract(ub, '^[a-z]+://([^/]+)/', 1) AS host_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM prs GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # Multimodal plumbing (payloads = utf-8 text bytes, kind routed by
         # doc_id%3, FEATURE_DIM=64); feature values are pytest-verified.

@@ -2922,6 +2922,86 @@ def winnow_dup_pairs(sf_dir: str, max_df: int = 10,
                              pa.int64())})
 
 
+def containment_pairs(sf_dir: str, max_df: int = 10,
+                      threshold: float = 0.5) -> pa.Table:
+    """DIRECTED set-containment join: pairs (doc_a, doc_b) where
+    containment(A -> B) = |A' ∩ B'| / |A'| >= threshold over word
+    5-shingle sets -- the asymmetric near-dup shape Jaccard misses (a
+    short doc quoted inside a long one scores high containment, low
+    Jaccard).  A' is the doc's shingle set restricted to the df window
+    [2, max_df]: df=1 shingles cannot create pairs, df > max_df
+    stop-shingles are cut (PPJoin-style prefix/stop filtering; the cut
+    is part of the operator contract and the oracle mirrors it), which
+    is also what bounds the bucket self-join fan-out at scale.
+    Pipeline: explode distinct (shingle, doc) rows -> df groupby ->
+    eligibility join -> self-join on shingle -> per-pair shared counts
+    -> join back per-doc filtered sizes -> int/int division in float64
+    (bit-identical to DuckDB CAST(.. AS DOUBLE)/n).  Both directions
+    of an overlapping pair are emitted; only the >= threshold side
+    survives.  At 100 TB the string shingle key would be hashed to 8
+    bytes before the shuffle (md5 trunc, the token_shard pattern)."""
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        gl: list[str] = []
+        il: list[np.ndarray] = []
+        for i, s in zip(ids, t["text"].to_pylist()):
+            gs = an.shingles(s or "")
+            gl.extend(gs)
+            il.append(np.full(len(gs), i, np.int64))
+        di = np.concatenate(il) if il else np.empty(0, np.int64)
+        return pa.table({"g": pa.array(gl, pa.string()),
+                         "doc_id": pa.array(di, pa.int64())})
+
+    e = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow").materialize()
+
+    eligible = e.groupby("g").aggregate(Count(alias_name="df")) \
+        .map_batches(lambda t: t.filter(pc.and_(
+            pc.greater_equal(t["df"], 2),
+            pc.less_equal(t["df"], max_df))).select(["g"]),
+            batch_format="pyarrow").repartition(2)
+    keep = e.join(eligible, join_type="inner", on=("g",),
+                  num_partitions=8).materialize()
+
+    sz = keep.groupby("doc_id").aggregate(Count(alias_name="n_a")) \
+        .map_batches(lambda t: pa.table(
+            {"doc_a": t["doc_id"], "n_a": pc.cast(t["n_a"], pa.int64())}),
+            batch_format="pyarrow").repartition(2).materialize()
+
+    right = keep.map_batches(
+        lambda t: pa.table({"g": t["g"], "doc_b": t["doc_id"]}),
+        batch_format="pyarrow")
+    pairs = keep.join(right, join_type="inner", on=("g",),
+                      num_partitions=8).map_batches(
+        lambda t: pa.table({"doc_a": t["doc_id"], "doc_b": t["doc_b"]})
+        .filter(pc.not_equal(t["doc_id"], t["doc_b"])),
+        batch_format="pyarrow")
+    agg = pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Count(alias_name="n_shared")).repartition(2).materialize()
+
+    out = agg.join(sz, join_type="inner", on=("doc_a",),
+                   num_partitions=4)
+
+    def fin(t: pa.Table) -> pa.Table:
+        ns = pc.cast(t["n_shared"], pa.int64()).to_numpy()
+        na = t["n_a"].to_numpy()
+        c = ns.astype(np.float64) / na.astype(np.float64)
+        res = pa.table({"doc_a": t["doc_a"], "doc_b": t["doc_b"],
+                        "n_shared": pa.array(ns, pa.int64()),
+                        "containment": pa.array(c, pa.float64())})
+        return res.filter(pc.greater_equal(res["containment"], threshold))
+
+    rows = out.map_batches(fin, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: (r["doc_a"], r["doc_b"]))
+    return pa.table({
+        "doc_a": pa.array([r["doc_a"] for r in rows], pa.int64()),
+        "doc_b": pa.array([r["doc_b"] for r in rows], pa.int64()),
+        "n_shared": pa.array([int(r["n_shared"]) for r in rows],
+                             pa.int64()),
+        "containment": pa.array([r["containment"] for r in rows],
+                                pa.float64())})
+
+
 def langs_in_every_source(sf_dir: str) -> pa.Table:
     """RELATIONAL DIVISION (the for-all join shape the suite was
     missing): languages that appear in EVERY source -- "suppliers who

@@ -508,3 +508,88 @@ def url_depth_stats(pages_path: str) -> pa.Table:
             "host": t["host"], "depth": pc.cast(t["depth"], pa.int64()),
             "n": pc.cast(t["n"], pa.int64())}),
         batch_format="pyarrow").sort(["host", "depth"])
+
+
+def _edit1(a: str, b: str) -> bool:
+    """Exact levenshtein(a, b) == 1 check (the verify step after
+    deletion-neighborhood blocking; bounded scans, no DP table)."""
+    la, lb = len(a), len(b)
+    if la == lb:
+        diff = 0
+        for x, y in zip(a, b):
+            if x != y:
+                diff += 1
+                if diff > 1:
+                    return False
+        return diff == 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    if lb - la != 1:
+        return False
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def url_edit_pairs_by_host(pages_path: str) -> pa.Table:
+    """Fuzzy string self-join (edit distance exactly 1) over the crawl's
+    distinct URLs via SymSpell DELETION-NEIGHBORHOOD blocking -- the
+    typo/alias-URL detector: each URL emits itself plus every
+    single-char deletion as a block key; any levenshtein==1 pair is
+    guaranteed to share a key (substitution -> delete the differing
+    position from both; insertion -> the shorter string IS a deletion
+    of the longer), so blocking loses nothing, and the exact _edit1
+    verify rejects the distance-2 collisions (transpositions share
+    keys too).  Fan-out is sum(block^2) with blocks bounded by alias
+    constellations, never O(n^2); only skinny URL strings shuffle.
+    Output: per (host_a, host_b) pair counts (url_a < url_b side),
+    exact vs the DuckDB all-pairs levenshtein oracle."""
+    urls = _pages(pages_path, ["url"]) \
+        .groupby("url").aggregate(Count(alias_name="_c")) \
+        .map_batches(lambda t: t.select(["url"]),
+                     batch_format="pyarrow").repartition(4).materialize()
+
+    def variants(t: pa.Table) -> pa.Table:
+        vs: list[str] = []
+        us: list[str] = []
+        for u in t["url"].to_pylist():
+            vs.append(u)
+            us.append(u)
+            for i in range(len(u)):
+                vs.append(u[:i] + u[i + 1:])
+                us.append(u)
+        return pa.table({"v": pa.array(vs, pa.string()),
+                         "url": pa.array(us, pa.string())})
+
+    ev = urls.map_batches(variants, batch_format="pyarrow").materialize()
+    right = ev.map_batches(
+        lambda t: pa.table({"v": t["v"], "url_b": t["url"]}),
+        batch_format="pyarrow")
+    cand = ev.join(right, join_type="inner", on=("v",),
+                   num_partitions=8).map_batches(
+        lambda t: pa.table({"url_a": t["url"], "url_b": t["url_b"]})
+        .filter(pc.less(t["url"], t["url_b"])),
+        batch_format="pyarrow")
+    distinct = cand.groupby(["url_a", "url_b"]).aggregate(
+        Count(alias_name="_c")).repartition(4)
+
+    def verify(t: pa.Table) -> pa.Table:
+        ua = t["url_a"].to_pylist()
+        ub = t["url_b"].to_pylist()
+        keep = [i for i, (a, b) in enumerate(zip(ua, ub))
+                if _edit1(a, b)]
+        ka = pa.array([ua[i] for i in keep], pa.string())
+        kb = pa.array([ub[i] for i in keep], pa.string())
+        return pa.table({"host_a": _host_col(ka), "host_b": _host_col(kb)})
+
+    agg = distinct.map_batches(verify, batch_format="pyarrow") \
+        .groupby(["host_a", "host_b"]).aggregate(
+            Count(alias_name="n_pairs"))
+    rows = agg.take_all()
+    rows.sort(key=lambda r: (r["host_a"], r["host_b"]))
+    return pa.table({
+        "host_a": pa.array([r["host_a"] for r in rows], pa.string()),
+        "host_b": pa.array([r["host_b"] for r in rows], pa.string()),
+        "n_pairs": pa.array([int(r["n_pairs"]) for r in rows],
+                            pa.int64())})
