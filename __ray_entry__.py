@@ -640,6 +640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langs_in_every_source": docs.langs_in_every_source,
         "winnow_dup_pairs": docs.winnow_dup_pairs,
         "containment_pairs": docs.containment_pairs,
+        "sparse_cosine_pairs": docs.sparse_cosine_pairs,
         "media_features": media.media_features,
         "media_frame_stats": media.media_frame_stats,
         "media_dedup_stats": media.media_dedup_stats,
@@ -2325,6 +2326,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_shared AS DOUBLE) / sz.n AS containment
             FROM shared JOIN sz ON sz.doc_id = shared.doc_a
             WHERE CAST(n_shared AS DOUBLE) / sz.n >= 0.5
+        """,
+        # Inverted-index sparse cosine: integer weights tf*(1e6//df) over
+        # the df window [2, 200]; all sums are int64 (order-independent),
+        # the one float expression d/sqrt(n2a*n2b) is identically ordered.
+        "sparse_cosine_pairs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       UNNEST(regexp_extract_all(lower(text), '[a-z]+'))
+                           AS w
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM toks GROUP BY 1, 2
+            ), dfc AS (
+                SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w
+            ), wt AS (
+                SELECT tf.doc_id, tf.w, tf.tf * (1000000 // dfc.df) AS wt
+                FROM tf JOIN dfc USING (w) WHERE dfc.df BETWEEN 2 AND 200
+            ), nrm AS (
+                SELECT doc_id, SUM(wt * wt) AS n2 FROM wt GROUP BY doc_id
+            ), dot AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       SUM(a.wt * b.wt) AS d
+                FROM wt a JOIN wt b
+                  ON a.w = b.w AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   CAST(d AS DOUBLE) /
+                   sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+                       AS cosine
+            FROM dot JOIN nrm na ON na.doc_id = dot.doc_a
+                     JOIN nrm nb ON nb.doc_id = dot.doc_b
+            WHERE CAST(d AS DOUBLE) /
+                  sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+                  >= 0.9
         """,
         # Fuzzy URL self-join (levenshtein == 1) over the SMALL corpus's
         # distinct urls; the engine's deletion-neighborhood blocking is

@@ -3002,6 +3002,104 @@ def containment_pairs(sf_dir: str, max_df: int = 10,
                                 pa.float64())})
 
 
+def sparse_cosine_pairs(sf_dir: str, max_df: int = 200,
+                        threshold: float = 0.9,
+                        idf_scale: int = 1_000_000) -> pa.Table:
+    """Document-document cosine similarity via the INVERTED-INDEX
+    (document-at-a-time) sparse join -- the text-side sibling of the
+    embedding near-dup family: tf vectors over the df window [2,
+    max_df] (df=1 terms cannot pair; ubiquitous stop terms are cut,
+    which is also what bounds the term self-join fan-out), INTEGER
+    weights wt = tf * (idf_scale // df) so every sum in the pipeline is
+    an order-independent int64 reduction (distributed == serial ==
+    DuckDB bit-for-bit; float tf-idf sums would be shuffle-order
+    dependent), cosine computed once per pair as
+    d / sqrt(n2_a * n2_b) in identically-ordered float64 ops.
+    Per-doc tf is exact per batch (a doc never spans batches); only
+    skinny (w, doc_id, wt) rows shuffle, never text."""
+    def tf_partial(t: pa.Table) -> pa.Table:
+        flat, parent = _tokenize_flat(t)
+        ids = t["doc_id"].to_numpy()
+        df = pd.DataFrame({
+            "doc_id": ids[parent.to_numpy(zero_copy_only=False)],
+            "w": flat.to_pandas()})
+        g = df.value_counts().rename("tf").reset_index()
+        g["tf"] = g["tf"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    # .repartition before the joins: map_batches output can carry
+    # zero-row EMPTY-SCHEMA blocks that break a downstream hash join
+    # (ray 2.49 trap, see graph.py label-propagation note)
+    tf = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        tf_partial, batch_format="pyarrow").repartition(8).materialize()
+
+    def df_to_idf(t: pa.Table) -> pa.Table:
+        d = pc.cast(t["df"], pa.int64())
+        t2 = pa.table({"w": t["w"], "df": d}).filter(pc.and_(
+            pc.greater_equal(d, 2), pc.less_equal(d, max_df)))
+        idf = idf_scale // t2["df"].to_numpy()
+        return pa.table({"w": t2["w"], "idf": pa.array(idf, pa.int64())})
+
+    dfc = tf.groupby("w").aggregate(Count(alias_name="df")).map_batches(
+        df_to_idf, batch_format="pyarrow").repartition(2)
+    wt = tf.join(dfc, join_type="inner", on=("w",),
+                 num_partitions=8).map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"], "w": t["w"],
+            "wt": pa.array(pc.cast(t["tf"], pa.int64()).to_numpy()
+                           * t["idf"].to_numpy(), pa.int64())}),
+        batch_format="pyarrow").repartition(8).materialize()
+
+    nrm = wt.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"],
+                            "w2": pa.array(t["wt"].to_numpy() ** 2,
+                                           pa.int64())}),
+        batch_format="pyarrow").groupby("doc_id").aggregate(
+            Sum("w2", alias_name="n2")).repartition(2).materialize()
+
+    right = wt.map_batches(
+        lambda t: pa.table({"w": t["w"], "doc_b": t["doc_id"],
+                            "wt_b": t["wt"]}),
+        batch_format="pyarrow")
+    dot = wt.join(right, join_type="inner", on=("w",),
+                  num_partitions=8).map_batches(
+        lambda t: pa.table({
+            "doc_a": t["doc_id"], "doc_b": t["doc_b"],
+            "p": pa.array(t["wt"].to_numpy() * t["wt_b"].to_numpy(),
+                          pa.int64())}).filter(
+            pc.less(t["doc_id"], t["doc_b"])),
+        batch_format="pyarrow").groupby(["doc_a", "doc_b"]).aggregate(
+        Sum("p", alias_name="d")).repartition(2).materialize()
+
+    na = nrm.map_batches(
+        lambda t: pa.table({"doc_a": t["doc_id"],
+                            "n2a": pc.cast(t["n2"], pa.int64())}),
+        batch_format="pyarrow")
+    nb = nrm.map_batches(
+        lambda t: pa.table({"doc_b": t["doc_id"],
+                            "n2b": pc.cast(t["n2"], pa.int64())}),
+        batch_format="pyarrow")
+    j1 = dot.join(na, join_type="inner", on=("doc_a",),
+                  num_partitions=4).materialize()
+    j2 = j1.join(nb, join_type="inner", on=("doc_b",), num_partitions=4)
+
+    def fin(t: pa.Table) -> pa.Table:
+        d = pc.cast(t["d"], pa.int64()).to_numpy().astype(np.float64)
+        prod = t["n2a"].to_numpy().astype(np.float64) \
+            * t["n2b"].to_numpy().astype(np.float64)
+        cos = d / np.sqrt(prod)
+        res = pa.table({"doc_a": t["doc_a"], "doc_b": t["doc_b"],
+                        "cosine": pa.array(cos, pa.float64())})
+        return res.filter(pc.greater_equal(res["cosine"], threshold))
+
+    rows = j2.map_batches(fin, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: (r["doc_a"], r["doc_b"]))
+    return pa.table({
+        "doc_a": pa.array([r["doc_a"] for r in rows], pa.int64()),
+        "doc_b": pa.array([r["doc_b"] for r in rows], pa.int64()),
+        "cosine": pa.array([r["cosine"] for r in rows], pa.float64())})
+
+
 def langs_in_every_source(sf_dir: str) -> pa.Table:
     """RELATIONAL DIVISION (the for-all join shape the suite was
     missing): languages that appear in EVERY source -- "suppliers who
