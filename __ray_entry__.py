@@ -94,6 +94,10 @@ def _crawl_outputs(kind: str, mode: str) -> pa.Table:
         # global visited budget (round-granular)
         kw = {"max_visited": 25}
         mode = "bfs"
+    elif mode == "linkcap":
+        # per-page outlink cap: first link only (binds hard on TINY)
+        kw = {"max_links_per_page": 1}
+        mode = "bfs"
     elif mode == "samehost":
         # stay-on-site scope (cross-host links drop at enqueue)
         kw = {"same_host_only": True}
@@ -735,6 +739,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: _crawl_outputs("visited", "filtered"),
         "crawl_capped_visited":
             lambda sf: _crawl_outputs("visited", "capped"),
+        "crawl_linkcap_visited":
+            lambda sf: _crawl_outputs("visited", "linkcap"),
         "crawl_samehost_visited":
             lambda sf: _crawl_outputs("visited", "samehost"),
         "redirect_map": lambda sf: _redirect_map(),
@@ -2737,6 +2743,9 @@ def oracle_sql() -> dict[str, str]:
         "crawl_capped_visited":
             f"SELECT * FROM "
             f"read_parquet('{_GOLDEN}/crawl_capped_visited.parquet')",
+        "crawl_linkcap_visited":
+            f"SELECT * FROM "
+            f"read_parquet('{_GOLDEN}/crawl_linkcap_visited.parquet')",
         "crawl_samehost_visited":
             f"SELECT * FROM "
             f"read_parquet('{_GOLDEN}/crawl_samehost_visited.parquet')",

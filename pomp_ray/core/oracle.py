@@ -108,6 +108,7 @@ def crawl_oracle(
     url_deny: str | None = None,
     max_visited: int | None = None,
     same_host_only: bool = False,
+    max_links_per_page: int | None = None,
 ) -> OracleResult:
     """``corpus`` maps canonical url -> html bytes; ``seeds`` rows have
     url/priority/depth; ``robots_rows`` rows follow schemas.ROBOTS."""
@@ -244,7 +245,11 @@ def crawl_oracle(
                 round_digests.append(dig)
                 if dig in seen_digests:
                     continue   # duplicate content: visit, never expand
-            for href in links:
+            # per-page outlink cap: only the first N links in document
+            # order expand (items keep the full n_links count)
+            expand = (links if max_links_per_page is None
+                      else links[:max_links_per_page])
+            for href in expand:
                 try_enqueue(href, base, e["depth"] + 1, 0, rnd)
         seen_digests.update(round_digests)
         rnd += 1

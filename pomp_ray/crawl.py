@@ -168,6 +168,13 @@ class CrawlConfig:
     # semantics (re.search / pc.match_substring_regex).
     url_allow: str | None = None
     url_deny: str | None = None
+    # Per-page outlink cap: only the FIRST N links in document order
+    # expand (the classic frontier-growth / link-farm damper; items
+    # still report the page's full n_links).  Applies before
+    # canonicalization/dedup on every path -- driver loop slices the
+    # link list, distributed chains filter link_idx < N.  None = off
+    # (pomp parity).  Serial spec: core/oracle.py max_links_per_page.
+    max_links_per_page: int | None = None
     # Stay-on-site scope: links leaving their parent page's host are
     # silently dropped at enqueue (seeds still plant any host) -- the
     # site-mirroring crawl.  Composes with the regex filters.
@@ -681,6 +688,8 @@ class CrawlEngine:
         for (text, base, depth, links), d in zip(expansions, dup):
             if d:
                 continue
+            if cfg.max_links_per_page is not None:
+                links = links[:cfg.max_links_per_page]
             for href in links:
                 cands.append({"url": href, "base": base,
                               "depth": depth + 1, "priority": 0})
@@ -848,10 +857,15 @@ class CrawlEngine:
             expand_src = ok.map_batches(
                 ContentDedupGate(self.digests.shards),
                 batch_format="pyarrow")
-        cands = (
-            expand_src.map_batches(explode_links, batch_format="pyarrow")
-            .map_batches(canonicalize_batch, batch_format="pyarrow")
-        )
+        cands = expand_src.map_batches(explode_links,
+                                       batch_format="pyarrow")
+        if cfg.max_links_per_page is not None:
+            mlp = cfg.max_links_per_page
+            cands = cands.map_batches(
+                lambda t: t.filter(pc.less(t["link_idx"], mlp)),
+                batch_format="pyarrow")
+        cands = cands.map_batches(canonicalize_batch,
+                                  batch_format="pyarrow")
         if cfg.same_host_only:
             cands = cands.map_batches(same_host_filter,
                                       batch_format="pyarrow")
@@ -1125,10 +1139,14 @@ class CrawlEngine:
             cands = cands.map_batches(
                 ContentDedupGate(self.digests.shards, drop_text=True),
                 batch_format="pyarrow")
-        cands = (
-            cands.map_batches(explode_links, batch_format="pyarrow")
-            .map_batches(canonicalize_batch, batch_format="pyarrow")
-        )
+        cands = cands.map_batches(explode_links, batch_format="pyarrow")
+        if cfg.max_links_per_page is not None:
+            mlp = cfg.max_links_per_page
+            cands = cands.map_batches(
+                lambda t: t.filter(pc.less(t["link_idx"], mlp)),
+                batch_format="pyarrow")
+        cands = cands.map_batches(canonicalize_batch,
+                                  batch_format="pyarrow")
         if cfg.same_host_only:
             cands = cands.map_batches(same_host_filter,
                                       batch_format="pyarrow")

@@ -114,3 +114,37 @@ def test_all_policies_combined_conformance(tmp_path):
     res = run_oracle(fix, mode="bfs", **kw)
     assert visited_tuples(read_ckpt(ckpt, "visited")) == \
         oracle_visited_tuples(res)
+
+
+def test_max_links_per_page(tmp_path):
+    """Per-page outlink cap: only the first N links in document order
+    expand; items keep the page's FULL n_links.  Exact conformance on
+    both round paths, and the cap composes into the all-policies suite
+    via the combined test's spirit (cap + deny here)."""
+    fix = fixture_corpus(gen_corpus.TINY)
+    for sub, mdr in (("driver", 256), ("dist", 0)):
+        ckpt = str(tmp_path / sub)
+        _run(fix, ckpt, max_links_per_page=1, min_distributed_rows=mdr)
+        res = run_oracle(fix, mode="bfs", max_links_per_page=1)
+        vis = read_ckpt(ckpt, "visited")
+        assert visited_tuples(vis) == oracle_visited_tuples(res)
+        # cap=1 binds hard on TINY (8 of 57 pages reachable through
+        # first-link-only chains)
+        plain = run_oracle(fix, mode="bfs")
+        assert len(res.visited) < len(plain.visited)
+        # items report the uncapped link count
+        items = read_ckpt(ckpt, "items")
+        by_url = {r["url"]: r["n_links"]
+                  for r in res.items}
+        for u, n in zip(items["url"].to_pylist(),
+                        items["n_links"].to_pylist()):
+            assert n == by_url[u]
+
+    # cap + deny filter together, exact
+    ckpt = str(tmp_path / "combo")
+    _run(ckpt=ckpt, fix=fix, max_links_per_page=1,
+         url_deny=r"/p/1[0-9]$", min_distributed_rows=0)
+    res = run_oracle(fix, mode="bfs", max_links_per_page=1,
+                     url_deny=r"/p/1[0-9]$")
+    assert visited_tuples(read_ckpt(ckpt, "visited")) == \
+        oracle_visited_tuples(res)
