@@ -549,6 +549,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_scc": lambda sf: __import__(
             "pomp_ray.pipelines.graph", fromlist=["graph"]
         ).host_scc(_mirror_pages_path()),
+        "host_distances": lambda sf: __import__(
+            "pomp_ray.pipelines.graph", fromlist=["graph"]
+        ).host_distances(_mirror_pages_path()),
+        "orphan_pages": lambda sf: __import__(
+            "pomp_ray.pipelines.graph", fromlist=["graph"]
+        ).orphan_pages(_mirror_pages_path()),
         "reciprocal_links_report":
             lambda sf: webtext.reciprocal_links_report(_mirror_pages_path()),
         "host_lang_profile":
@@ -1187,6 +1193,66 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(in_links, 0) AS in_links
             FROM outs o FULL JOIN ins i ON o.host = i.host
             ORDER BY 1
+        """,
+        # multi-source BFS over the same host-edge construction as
+        # host_degree_stats: seeds = 2 lexicographically smallest hosts,
+        # DuckDB recursive CTE mirrors the engine's per-round frontier
+        # expansion exactly (integer hop counts)
+        "host_distances": f"""
+            WITH RECURSIVE links AS (
+                SELECT lower(regexp_extract(url, '^[a-z]+://([^/]+)', 1))
+                           AS src,
+                       unnest(regexp_extract_all(
+                           decode(html), 'href="([^"]+)"', 1)) AS href
+                FROM read_parquet('{_MP}')),
+            edges AS (
+                SELECT DISTINCT src,
+                       CASE WHEN href LIKE 'http://%'
+                            THEN lower(regexp_extract(
+                                href, '^http://([^/]+)', 1))
+                            ELSE src END AS dst
+                FROM links WHERE CASE WHEN href LIKE 'http://%'
+                            THEN lower(regexp_extract(
+                                href, '^http://([^/]+)', 1))
+                            ELSE src END <> src),
+            seeds AS (
+                SELECT DISTINCT lower(regexp_extract(
+                           url, '^[a-z]+://([^/]+)', 1)) AS host
+                FROM read_parquet('{_MP}') ORDER BY 1 LIMIT 2),
+            bfs AS (
+                SELECT host, 0 AS dist FROM seeds
+                UNION
+                SELECT e.dst, b.dist + 1
+                FROM bfs b JOIN edges e ON e.src = b.host
+                WHERE b.dist < 10)
+            SELECT host, CAST(MIN(dist) AS BIGINT) AS dist
+            FROM bfs GROUP BY 1 ORDER BY 1
+        """,
+        # orphan = page url never constructed as a link target (absolute
+        # http hrefs verbatim; relative hrefs resolve against the source
+        # host -- the generated-corpus href shapes, same convention as
+        # link_farm_report)
+        "orphan_pages": f"""
+            WITH links AS (
+                SELECT lower(regexp_extract(url, '^[a-z]+://([^/]+)', 1))
+                           AS src,
+                       unnest(regexp_extract_all(
+                           decode(html), 'href="([^"]+)"', 1)) AS href
+                FROM read_parquet('{_MP}')),
+            tgts AS (
+                SELECT DISTINCT CASE WHEN href LIKE 'http://%' THEN href
+                            ELSE 'http://' || src || href END AS target
+                FROM links),
+            p AS (
+                SELECT url,
+                       lower(regexp_extract(url, '^[a-z]+://([^/]+)', 1))
+                           AS host
+                FROM read_parquet('{_MP}'))
+            SELECT p.host, CAST(COUNT(*) AS BIGINT) AS n_pages,
+                   CAST(SUM(CASE WHEN t.target IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_orphans
+            FROM p LEFT JOIN tgts t ON p.url = t.target
+            GROUP BY 1 ORDER BY 1
         """,
         "host_lang_profile": f"""
             WITH hl AS (

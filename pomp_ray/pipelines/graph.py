@@ -1068,3 +1068,128 @@ def host_condensation_report(pages_path: str) -> pa.Table:
         "n_nontrivial": pa.array([n_nontrivial], pa.int64()),
         "largest_scc": pa.array([largest], pa.int64()),
         "n_dag_edges": pa.array([n_dag_edges], pa.int64())})
+
+
+def host_distances(pages_path: str, n_seeds: int = 2, max_depth: int = 10,
+                   num_partitions: int = 4) -> pa.Table:
+    """Multi-source BFS over the directed host link graph: shortest
+    hop distance from the ``n_seeds`` lexicographically smallest hosts
+    to every reachable host -- the seed-coverage question a crawl
+    planner asks before committing a seed list (which hosts are within
+    k hops of the seeds, which are unreachable).
+
+    Scale shape: the distinct host-edge table is materialized ONCE
+    (skinny 2-string rows; html never shuffles) and re-joined per BFS
+    round against the CURRENT FRONTIER only -- each round is one hash
+    join (frontier x edges) plus one Min-groupby merging newly reached
+    hosts into the known-distance table, so a round's shuffle volume is
+    O(frontier out-edges), not O(graph).  Rounds = graph eccentricity,
+    bounded by ``max_depth``.  Mirrors DuckDB's recursive-CTE BFS
+    bit-for-bit (integer hop counts).  Ref: pomp has no graph ops; this
+    extends the crawl-analysis suite (SURVEY.md section 8)."""
+    from ray.data.aggregate import Count
+
+    edges = corpus_host_edges(pages_path) \
+        .map_batches(lambda t: t.filter(
+            pc.invert(pc.equal(t["src"], t["dst"]))),
+            batch_format="pyarrow") \
+        .groupby(["src", "dst"]).aggregate(Count(alias_name="_n")) \
+        .map_batches(lambda t: t.select(["src", "dst"]),
+                     batch_format="pyarrow") \
+        .repartition(2).materialize()
+
+    # seed pick: distinct page hosts, smallest n_seeds (host table is
+    # the small side by construction -- one row per host)
+    from pomp_ray.stages.enqueue import _FAST_EXTRACT
+    hosts = rd.read_parquet(pages_path, columns=["url"]).map_batches(
+        lambda t: pa.table({"host": pc.struct_field(
+            pc.extract_regex(t["url"], pattern=_FAST_EXTRACT), "host")}),
+        batch_format="pyarrow").groupby("host").aggregate(
+            Count(alias_name="_n")).take_all()
+    seeds = sorted(r["host"] for r in hosts)[:n_seeds]
+
+    known = rd.from_arrow(pa.table({
+        "host": pa.array(seeds, pa.string()),
+        "dist": pa.array([0] * len(seeds), pa.int64())})).materialize()
+    frontier = known
+    for r in range(1, max_depth + 1):
+        probe = frontier.map_batches(
+            lambda t: pa.table({"src": t["host"]}),
+            batch_format="pyarrow").repartition(2).materialize()
+        reached = probe.join(edges, join_type="inner", on=("src",),
+                             num_partitions=num_partitions) \
+            .map_batches(lambda t, rr=r: pa.table({
+                "host": t["dst"],
+                "dist": pa.array([rr] * t.num_rows, pa.int64())}),
+                batch_format="pyarrow")
+        merged = known.union(reached).groupby("host").aggregate(
+            Min("dist", alias_name="dist"))
+        known = merged.map_batches(
+            lambda t: pa.table({"host": t["host"],
+                                "dist": pc.cast(t["dist"], pa.int64())}),
+            batch_format="pyarrow").repartition(2).materialize()
+        frontier = known.map_batches(
+            lambda t, rr=r: t.filter(pc.equal(t["dist"], rr)),
+            batch_format="pyarrow").repartition(2).materialize()
+        if frontier.count() == 0:
+            break
+
+    tbl = pa.concat_tables(
+        list(known.iter_batches(batch_format="pyarrow"))
+        or [pa.table({"host": pa.array([], pa.string()),
+                      "dist": pa.array([], pa.int64())})])
+    return tbl.sort_by("host")
+
+
+def orphan_pages(pages_path: str, num_partitions: int = 8) -> pa.Table:
+    """Pages never referenced by any hyperlink in the corpus (per host):
+    the complement of ``broken_links`` -- orphans are fetchable only
+    via seeds/sitemaps, so a link-following recrawl silently drops
+    them.  Scale shape: distinct canonical link targets (per-batch
+    distinct, one global groupby over skinny strings), one left join
+    pages-vs-targets, per-host count rollup; html never shuffles."""
+    from ray.data.aggregate import Count, Sum
+
+    def targets(t: pa.Table) -> pa.Table:
+        rows = _host_edge_rows(t)
+        return pa.table({"target": rows["target"]}) \
+            .group_by(["target"]).aggregate([])
+
+    tgt = (rd.read_parquet(pages_path, columns=["url", "html"])
+           .map_batches(targets, batch_format="pyarrow")
+           .groupby("target").aggregate(Count(alias_name="_n")))
+    probe = tgt.map_batches(
+        lambda t: pa.table({"p_url": t["target"],
+                            "linked": pa.array([True] * t.num_rows)}),
+        batch_format="pyarrow").repartition(2).materialize()
+
+    from pomp_ray.stages.enqueue import _FAST_EXTRACT
+    pages = rd.read_parquet(pages_path, columns=["url"]).map_batches(
+        lambda t: pa.table({
+            "p_url": t["url"],
+            "host": pc.struct_field(
+                pc.extract_regex(t["url"], pattern=_FAST_EXTRACT),
+                "host")}),
+        batch_format="pyarrow")
+    j = pages.join(probe, join_type="left_outer", on=("p_url",),
+                   num_partitions=num_partitions)
+    per_host = j.map_batches(
+        lambda t: pa.table({
+            "host": t["host"],
+            "one": pa.array([1] * t.num_rows, pa.int64()),
+            "orphan": pc.cast(pc.is_null(t["linked"]), pa.int64())}),
+        batch_format="pyarrow").groupby("host").aggregate(
+        Sum("one", alias_name="n_pages"),
+        Sum("orphan", alias_name="n_orphans"))
+    out = per_host.map_batches(
+        lambda t: pa.table({
+            "host": t["host"],
+            "n_pages": pc.cast(t["n_pages"], pa.int64()),
+            "n_orphans": pc.cast(t["n_orphans"], pa.int64())}),
+        batch_format="pyarrow")
+    tbl = pa.concat_tables(
+        list(out.iter_batches(batch_format="pyarrow"))
+        or [pa.table({"host": pa.array([], pa.string()),
+                      "n_pages": pa.array([], pa.int64()),
+                      "n_orphans": pa.array([], pa.int64())})])
+    return tbl.sort_by("host")
