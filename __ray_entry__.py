@@ -522,6 +522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_counts": windows.funnel_counts,
         "event_type_transitions": windows.event_type_transitions,
         "cohort_retention": windows.cohort_retention,
+        "user_state_history": windows.user_state_history,
         # -- web-text hygiene over the MIRROR corpus fixture (host pairs
         #    3|2, 7|6, 11|10 serve byte-identical content)
         "mirror_hosts":
@@ -1488,6 +1489,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_users
             FROM uw JOIN fc ON uw.user_id = fc.user_id
             GROUP BY 1, 2
+        """,
+        # SCD2 runs: LAG change flag -> running run id -> per-run rollup
+        # -> LEAD(valid_from) as valid_to (sentinel-closed tail; runs
+        # sharing a valid_from order by first event_id, mirroring the
+        # engine's event-order shift)
+        "user_state_history": """
+            WITH s AS (
+                SELECT user_id, event_type, ts, event_id,
+                       CASE WHEN lag(event_type) OVER w
+                                 IS DISTINCT FROM event_type
+                            THEN 1 ELSE 0 END AS chg
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), r AS (
+                SELECT user_id, event_type, ts, event_id,
+                       SUM(chg) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS run
+                FROM s
+            ), runs AS (
+                SELECT user_id, event_type AS state,
+                       MIN(ts) AS valid_from,
+                       MIN(event_id) AS first_eid,
+                       COUNT(*) AS n_events
+                FROM r GROUP BY user_id, run, event_type
+            )
+            SELECT CAST(user_id AS BIGINT) AS user_id, state, valid_from,
+                   COALESCE(LEAD(valid_from) OVER (
+                                PARTITION BY user_id
+                                ORDER BY valid_from, first_eid),
+                            TIMESTAMP '2100-01-01') AS valid_to,
+                   CAST(n_events AS BIGINT) AS n_events
+            FROM runs
         """,
         # gaps-and-islands in SQL: break flags -> running session id ->
         # per-session rollup -> size-binned stats (exact integer µs)

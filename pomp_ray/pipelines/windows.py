@@ -463,3 +463,55 @@ def peak_concurrency(sf_dir: str) -> pa.Table:
     return pa.table({"peak_concurrency": pa.array([peak], pa.int64()),
                      "peak_ts": pa.array([at], pa.timestamp("us")),
                      "n_users": pa.array([n_users], pa.int64())})
+
+
+def user_state_history(sf_dir: str) -> rd.Dataset:
+    """SCD2-style state history per user: collapse each user's event
+    stream (ordered by ts, event_id) into runs of consecutive identical
+    event types, emitting one validity interval per run -- (user_id,
+    state, valid_from, valid_to, n_events), where valid_to is the next
+    run's start and the open tail interval closes at a fixed sentinel
+    (2100-01-01, so the output carries no NULL timestamps).  This is
+    the change-data-capture shape a dimension-table build runs over an
+    append-only event log.
+
+    Shape: users hash into 64 buckets (all of a user's events co-locate
+    -- the sessionize partitioning assumption); each bucket runs ONE
+    C-speed pandas sort + shift-compare + cumsum-groupby pass; run
+    boundaries and interval ends are computed inside the bucket, so
+    nothing user-level ever reaches the driver.  Exact vs the DuckDB
+    LAG/LEAD window oracle (integer counts, microsecond timestamps)."""
+    SENTINEL = pd.Timestamp("2100-01-01")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32())
+        return t.append_column("bucket", b)
+
+    def history(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        change = ((g["user_id"] != g["user_id"].shift())
+                  | (g["event_type"] != g["event_type"].shift()))
+        run = change.cumsum()
+        out = g.groupby(run).agg(
+            user_id=("user_id", "first"),
+            state=("event_type", "first"),
+            valid_from=("ts", "first"),
+            n_events=("ts", "size"),
+        ).reset_index(drop=True)
+        nxt = out["valid_from"].shift(-1)
+        same = out["user_id"] == out["user_id"].shift(-1)
+        out["valid_to"] = nxt.where(same, SENTINEL)
+        return out[["user_id", "state", "valid_from", "valid_to",
+                    "n_events"]]
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"]) \
+        .map_batches(add_bucket, batch_format="pyarrow")
+    out = ds.groupby("bucket").map_groups(history, batch_format="pandas")
+    return out.map_batches(
+        lambda t: pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "state": t["state"],
+            "valid_from": pc.cast(t["valid_from"], pa.timestamp("us")),
+            "valid_to": pc.cast(t["valid_to"], pa.timestamp("us")),
+            "n_events": pc.cast(t["n_events"], pa.int64())}),
+        batch_format="pyarrow")

@@ -68,6 +68,9 @@ SPOT = [
     "gopher_quality_flags",
     "neardup_dedup_docs",
     "ngram_diversity",
+    "user_state_history",
+    "host_distances",
+    "orphan_pages",
 ]
 
 
