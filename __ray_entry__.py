@@ -666,6 +666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_pairs_ivf": embeddings.neardup_pairs_ivf,
         "srp_neardup_pairs": embeddings.srp_neardup_pairs,
         "dim_truncation_recall": embeddings.dim_truncation_recall,
+        "knn_graph_edges": embeddings.knn_graph_edges,
         "ivf_topk": embeddings.ivf_topk,
         "pq_topk": embeddings.pq_topk,
         "label_centroids": embeddings.label_centroids,
@@ -2262,6 +2263,19 @@ def oracle_sql() -> dict[str, str]:
                                          CAST(b.embedding AS DOUBLE[])) > 0.35
         """,
         # truncated-dim recall: subspace cosine = list-slice cosine
+        # k-NN graph: 5 cosine neighbours per vector, ties by neighbour
+        # id (engine mirrors DuckDB's dot/(|a||b|) formula in float64)
+        "knn_graph_edges": """
+            SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id
+            FROM embeddings a JOIN embeddings b
+              ON a.vec_id <> b.vec_id
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY a.vec_id
+                ORDER BY list_cosine_similarity(
+                    CAST(a.embedding AS DOUBLE[]),
+                    CAST(b.embedding AS DOUBLE[])) DESC,
+                b.vec_id) <= 5
+        """,
         "dim_truncation_recall": """
             WITH fulltk AS (
                 SELECT vec_id FROM embeddings WHERE vec_id <> 0

@@ -944,3 +944,53 @@ def dim_truncation_recall(sf_dir: str, dims: tuple = (8, 16, 32),
         out_n.append(len(full & set(got)))
     return pa.table({"dim": pa.array(out_d, pa.int64()),
                      "n_overlap": pa.array(out_n, pa.int64())})
+
+
+def knn_graph_edges(sf_dir: str, k: int = 5) -> pa.Table:
+    """k-nearest-neighbour graph over the embedding table (cosine, one
+    directed edge per (vector, neighbour) pair): the backbone structure
+    under graph-based dedup, label propagation, and diversity sampling.
+
+    BASELINE brute shape (the exact small-side reference): the corpus
+    matrix ships ONCE via ray.put and every batch scores its rows
+    against it with one float64 matmul -- per-batch cost O(rows x n),
+    nothing driver-side but the final edge table (n x k rows).  At
+    corpus scale the same per-batch top-k runs against IVF cells
+    instead (``ivf_topk`` / ``neardup_pairs_ivf`` are the scale
+    siblings).  Cosine follows DuckDB's formula (dot / (|a||b|), not a
+    pre-normalized matmul) so scores mirror list_cosine_similarity;
+    ranking ties break by neighbour id.  Same accepted last-ulp
+    convention as dim_truncation_recall."""
+    tbl = _emb(sf_dir).take_all()
+    ids_all = np.asarray([r["vec_id"] for r in tbl], np.int64)
+    mat_all = np.asarray([r["embedding"] for r in tbl], np.float64)
+    norms_all = np.linalg.norm(mat_all, axis=1)
+    norms_all[norms_all == 0] = 1.0
+    ref = ray.put((ids_all, mat_all, norms_all))
+
+    def score(t: pa.Table) -> pa.Table:
+        bids, bmat = _to_matrix(t)
+        aids, amat, anorms = ray.get(ref)
+        bn = np.linalg.norm(bmat, axis=1)
+        bn[bn == 0] = 1.0
+        sims = (bmat @ amat.T) / (bn[:, None] * anorms[None, :])
+        sims[bids[:, None] == aids[None, :]] = -np.inf  # self
+        kk = min(k, sims.shape[1] - 1)
+        cand = np.argpartition(-sims, kk, axis=1)[:, :kk + 1]
+        src, dst = [], []
+        for i in range(len(bids)):
+            c = cand[i]
+            order = np.lexsort((aids[c], -sims[i, c]))[:kk]
+            src.extend([bids[i]] * kk)
+            dst.extend(aids[c[order]])
+        return pa.table({"vec_id": pa.array(src, pa.int64()),
+                         "neighbor_id": pa.array(dst, pa.int64())})
+
+    parts = _emb(sf_dir).map_batches(score, batch_format="pyarrow") \
+        .take_all()
+    t = pa.table({
+        "vec_id": pa.array([r["vec_id"] for r in parts], pa.int64()),
+        "neighbor_id": pa.array([r["neighbor_id"] for r in parts],
+                                pa.int64())})
+    return t.sort_by([("vec_id", "ascending"),
+                      ("neighbor_id", "ascending")])

@@ -71,6 +71,7 @@ SPOT = [
     "user_state_history",
     "host_distances",
     "orphan_pages",
+    "knn_graph_edges",
 ]
 
 
