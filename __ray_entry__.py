@@ -523,6 +523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_transitions": windows.event_type_transitions,
         "cohort_retention": windows.cohort_retention,
         "user_state_history": windows.user_state_history,
+        "zorder_layout_stats": relational.zorder_layout_stats,
         # -- web-text hygiene over the MIRROR corpus fixture (host pairs
         #    3|2, 7|6, 11|10 serve byte-identical content)
         "mirror_hosts":
@@ -895,6 +896,12 @@ def _mirror_pages_path() -> str:
     return gen_corpus.generate("/tmp/pomp_q_corpus_mirror",
                                gen_corpus.MIRROR).pages_path
 
+
+# Morton (z-order) interleave of u/t low 16 bits, unrolled for DuckDB
+# (mirrors relational.zorder_layout_stats's vectorized shift loop)
+_ZORDER_EXPR = " | ".join(
+    f"(((u >> {i}) & 1) << {2 * i}) | (((t >> {i}) & 1) << {2 * i + 1})"
+    for i in range(8))
 
 _CDX_SQL = """
     WITH p AS (
@@ -1490,6 +1497,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_users
             FROM uw JOIN fc ON uw.user_id = fc.user_id
             GROUP BY 1, 2
+        """,
+        # z-order layout audit: unrolled Morton interleave, global
+        # ROW_NUMBER over (z, event_id) = the engine's fixed-width digit
+        # key order, per-part min/max prune stats
+        "zorder_layout_stats": f"""
+            WITH z AS (
+                SELECT event_id, user_id,
+                       (epoch_us(ts) // 60000000) & 65535 AS minute,
+                       user_id & 255 AS u,
+                       ((epoch_us(ts) // 60000000) >> 8) & 255 AS t
+                FROM events),
+            zc AS (
+                SELECT event_id, user_id, minute,
+                       {_ZORDER_EXPR} AS zval
+                FROM z),
+            pos AS (
+                SELECT user_id, minute,
+                       (ROW_NUMBER() OVER (ORDER BY zval, event_id) - 1)
+                           // 1024 AS part
+                FROM zc)
+            SELECT CAST(part AS BIGINT) AS part,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(MIN(user_id) AS BIGINT) AS user_min,
+                   CAST(MAX(user_id) AS BIGINT) AS user_max,
+                   CAST(MIN(minute) AS BIGINT) AS minute_min,
+                   CAST(MAX(minute) AS BIGINT) AS minute_max
+            FROM pos GROUP BY 1 ORDER BY 1
         """,
         # SCD2 runs: LAG change flag -> running run id -> per-run rollup
         # -> LEAD(valid_from) as valid_to (sentinel-closed tail; runs

@@ -2231,3 +2231,70 @@ def part_attrs_long(sf_dir: str) -> rd.Dataset:
     demo query (id = p_partkey, attrs = p_size / p_retailprice)."""
     ds = _t(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
     return melt(ds, ["p_partkey"], ["p_size", "p_retailprice"])
+
+
+def zorder_layout_stats(sf_dir: str,
+                        rows_per_part: int = 1024) -> pa.Table:
+    """Z-order (Morton) clustering audit for the events table: interleave
+    the low 16 bits of user_id with the low 16 bits of the epoch-minute,
+    sort globally by the resulting Morton code, cut into
+    ``rows_per_part`` partitions, and report each partition's min/max
+    user and minute.  The point of the layout: a single sort gives
+    BOTH columns tight per-part min/max ranges, so parquet row-group /
+    partition pruning works for user-range AND time-range scans at once
+    (the multi-dimensional clustering trick behind Delta/Iceberg
+    OPTIMIZE ZORDER).  The stats table below IS the prune index a
+    reader would consult.
+
+    Shape: the Morton code is 16 vectorized shift/or passes per batch;
+    global order comes from one sort + zip_with_index over a
+    fixed-width digit key (z then event_id -- unique, and lexicographic
+    equals numeric); per-part min/max is one small groupby.  All
+    integers, exact vs the DuckDB unrolled-bit-interleave oracle."""
+    from pomp_ray.stages.index import zip_with_index
+
+    def add_z(t: pa.Table) -> pa.Table:
+        # interleave user's LOW 8 bits with the minute's TOP 8 bits --
+        # matching each dimension's actual span (users are dense small
+        # ints; minutes span ~16 bits), so parts tile BOXES in
+        # (user, time) space instead of degenerating to a time sort
+        u = t["user_id"].to_numpy().astype(np.int64) & 0xFF
+        minute = (pc.cast(t["ts"], pa.int64()).to_numpy()
+                  // 60_000_000) & 0xFFFF
+        mhi = (minute >> 8) & 0xFF
+        z = np.zeros(len(u), np.int64)
+        for i in range(8):
+            z |= ((u >> i) & 1) << (2 * i)
+            z |= ((mhi >> i) & 1) << (2 * i + 1)
+        eid = t["event_id"].to_numpy()
+        key = pc.binary_join_element_wise(
+            pa.array(np.char.zfill(z.astype("U12"), 12)),
+            pa.array(np.char.zfill(eid.astype("U12"), 12)), "")
+        return pa.table({"zkey": key,
+                         "user_id": t["user_id"],
+                         "minute": pa.array(minute, pa.int64())})
+
+    ds = _t(sf_dir, "events", ["event_id", "ts", "user_id"]) \
+        .map_batches(add_z, batch_format="pyarrow")
+    idx = zip_with_index(ds, "zkey", out_col="pos")
+    per_part = idx.map_batches(
+        lambda t, rpp=rows_per_part: pa.table({
+            "part": pc.cast(pc.divide(t["pos"], rpp), pa.int64()),
+            "user_id": t["user_id"], "minute": t["minute"]}),
+        batch_format="pyarrow").groupby("part").aggregate(
+        Count(alias_name="n_rows"),
+        Min("user_id", alias_name="user_min"),
+        Max("user_id", alias_name="user_max"),
+        Min("minute", alias_name="minute_min"),
+        Max("minute", alias_name="minute_max"))
+    out = per_part.map_batches(
+        lambda t: pa.table({
+            "part": t["part"],
+            "n_rows": pc.cast(t["n_rows"], pa.int64()),
+            "user_min": pc.cast(t["user_min"], pa.int64()),
+            "user_max": pc.cast(t["user_max"], pa.int64()),
+            "minute_min": pc.cast(t["minute_min"], pa.int64()),
+            "minute_max": pc.cast(t["minute_max"], pa.int64())}),
+        batch_format="pyarrow")
+    tbl = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    return tbl.sort_by("part")

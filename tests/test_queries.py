@@ -72,6 +72,7 @@ SPOT = [
     "host_distances",
     "orphan_pages",
     "knn_graph_edges",
+    "zorder_layout_stats",
 ]
 
 
