@@ -524,6 +524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": windows.cohort_retention,
         "user_state_history": windows.user_state_history,
         "zorder_layout_stats": relational.zorder_layout_stats,
+        "event_gap_quantiles": windows.event_gap_quantiles,
         # -- web-text hygiene over the MIRROR corpus fixture (host pairs
         #    3|2, 7|6, 11|10 serve byte-identical content)
         "mirror_hosts":
@@ -668,6 +669,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "srp_neardup_pairs": embeddings.srp_neardup_pairs,
         "dim_truncation_recall": embeddings.dim_truncation_recall,
         "knn_graph_edges": embeddings.knn_graph_edges,
+        "hard_negatives": embeddings.hard_negatives,
         "ivf_topk": embeddings.ivf_topk,
         "pq_topk": embeddings.pq_topk,
         "label_centroids": embeddings.label_centroids,
@@ -1498,6 +1500,25 @@ def oracle_sql() -> dict[str, str]:
             FROM uw JOIN fc ON uw.user_id = fc.user_id
             GROUP BY 1, 2
         """,
+        # inter-event gap quantiles keyed by the PRECEDING event type
+        # (date_diff 'second' = truncate-then-subtract, quantile_disc =
+        # the probed sorted[ceil(n*q)-1] rule)
+        "event_gap_quantiles": """
+            WITH g AS (
+                SELECT event_type,
+                       date_diff('second', ts,
+                                 LEAD(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id))
+                           AS gap_s
+                FROM events)
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                   CAST(quantile_disc(gap_s, 0.5) AS BIGINT) AS p50,
+                   CAST(quantile_disc(gap_s, 0.9) AS BIGINT) AS p90,
+                   CAST(quantile_disc(gap_s, 0.99) AS BIGINT) AS p99
+            FROM g WHERE gap_s IS NOT NULL
+            GROUP BY 1 ORDER BY 1
+        """,
         # z-order layout audit: unrolled Morton interleave, global
         # ROW_NUMBER over (z, event_id) = the engine's fixed-width digit
         # key order, per-part min/max prune stats
@@ -2297,6 +2318,22 @@ def oracle_sql() -> dict[str, str]:
                                          CAST(b.embedding AS DOUBLE[])) > 0.35
         """,
         # truncated-dim recall: subspace cosine = list-slice cosine
+        # hardest different-label neighbour per vector (rn=1 after the
+        # label-mismatch gate; ties by candidate id)
+        "hard_negatives": """
+            SELECT a.vec_id AS vec_id,
+                   CAST(a.label AS BIGINT) AS label,
+                   b.vec_id AS negative_id,
+                   CAST(b.label AS BIGINT) AS negative_label
+            FROM embeddings a JOIN embeddings b
+              ON a.label <> b.label
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY a.vec_id
+                ORDER BY list_cosine_similarity(
+                    CAST(a.embedding AS DOUBLE[]),
+                    CAST(b.embedding AS DOUBLE[])) DESC,
+                b.vec_id) = 1
+        """,
         # k-NN graph: 5 cosine neighbours per vector, ties by neighbour
         # id (engine mirrors DuckDB's dot/(|a||b|) formula in float64)
         "knn_graph_edges": """

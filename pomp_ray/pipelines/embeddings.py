@@ -994,3 +994,55 @@ def knn_graph_edges(sf_dir: str, k: int = 5) -> pa.Table:
                                 pa.int64())})
     return t.sort_by([("vec_id", "ascending"),
                       ("neighbor_id", "ascending")])
+
+
+def hard_negatives(sf_dir: str) -> pa.Table:
+    """Contrastive hard-negative mining: for every vector, the single
+    most-similar vector carrying a DIFFERENT label -- the pair a
+    contrastive/metric-learning data pipeline feeds as its hardest
+    negative.  Same broadcast brute-scan shape as ``knn_graph_edges``
+    (DuckDB cosine formula, float64, ties by candidate id); the label
+    mask is applied to the similarity matrix before the argmax, so the
+    per-batch cost is identical to the unmasked scan.  IVF cells are
+    the documented scale sibling."""
+    tbl = _emb(sf_dir).take_all()
+    ids_all = np.asarray([r["vec_id"] for r in tbl], np.int64)
+    mat_all = np.asarray([r["embedding"] for r in tbl], np.float64)
+    lab_all = np.asarray([r["label"] for r in tbl], np.int64)
+    norms_all = np.linalg.norm(mat_all, axis=1)
+    norms_all[norms_all == 0] = 1.0
+    ref = ray.put((ids_all, mat_all, lab_all, norms_all))
+
+    def score(t: pa.Table) -> pa.Table:
+        bids, bmat = _to_matrix(t)
+        blab = np.asarray(t["label"].to_pylist(), np.int64)
+        aids, amat, alab, anorms = ray.get(ref)
+        bn = np.linalg.norm(bmat, axis=1)
+        bn[bn == 0] = 1.0
+        sims = (bmat @ amat.T) / (bn[:, None] * anorms[None, :])
+        sims[blab[:, None] == alab[None, :]] = -np.inf  # same label/self
+        # argmax with id tie-break: candidates tie only on exact float
+        # equality, so take the top-2 and lexsort (same convention as
+        # knn_graph_edges)
+        cand = np.argpartition(-sims, 1, axis=1)[:, :2]
+        neg, negl = [], []
+        for i in range(len(bids)):
+            c = cand[i]
+            j = c[np.lexsort((aids[c], -sims[i, c]))[0]]
+            neg.append(aids[j])
+            negl.append(alab[j])
+        return pa.table({"vec_id": pa.array(bids, pa.int64()),
+                         "label": pa.array(blab, pa.int64()),
+                         "negative_id": pa.array(neg, pa.int64()),
+                         "negative_label": pa.array(negl, pa.int64())})
+
+    parts = _emb(sf_dir).map_batches(score, batch_format="pyarrow") \
+        .take_all()
+    t = pa.table({
+        "vec_id": pa.array([r["vec_id"] for r in parts], pa.int64()),
+        "label": pa.array([r["label"] for r in parts], pa.int64()),
+        "negative_id": pa.array([r["negative_id"] for r in parts],
+                                pa.int64()),
+        "negative_label": pa.array([r["negative_label"] for r in parts],
+                                   pa.int64())})
+    return t.sort_by("vec_id")

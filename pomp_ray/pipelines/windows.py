@@ -515,3 +515,73 @@ def user_state_history(sf_dir: str) -> rd.Dataset:
             "valid_to": pc.cast(t["valid_to"], pa.timestamp("us")),
             "n_events": pc.cast(t["n_events"], pa.int64())}),
         batch_format="pyarrow")
+
+
+def event_gap_quantiles(sf_dir: str) -> pa.Table:
+    """EXACT distributed quantiles (p50/p90/p99) of the inter-event gap
+    per PRECEDING event type: after a 'view', how long until the user's
+    next event -- the dwell-time statistic behind session-timeout and
+    recrawl-interval tuning.
+
+    Shape: users hash into 64 buckets (sessionize partitioning
+    assumption); each bucket computes same-user consecutive gaps with
+    one numpy sorted-diff pass at SECOND granularity (truncate-then-
+    subtract = DuckDB date_diff 'second'), emitting a partial
+    (event_type, gap_s, count) HISTOGRAM -- seconds granularity bounds
+    the histogram by the corpus time span, so the shuffle payload stays
+    compact no matter how many events flow in (the length_quantiles
+    trick).  The driver walks the tiny cumulative histogram with the
+    probed quantile_disc index rule sorted[ceil(n*q)-1]."""
+    import collections
+    import math
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32())
+        return t.append_column("bucket", b)
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        uid = g["user_id"].to_numpy()
+        same = uid[1:] == uid[:-1]
+        sec = g["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
+        gap = sec[1:][same] - sec[:-1][same]
+        prev = g["event_type"].to_numpy()[:-1][same]
+        vc = pd.DataFrame({"event_type": prev, "gap_s": gap}) \
+            .value_counts()
+        out = vc.rename("c").reset_index()
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    hist = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"]) \
+        .map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(gaps, batch_format="pandas") \
+        .groupby(["event_type", "gap_s"]) \
+        .aggregate(Sum("c", alias_name="c")).take_all()
+
+    by_type: dict = collections.defaultdict(list)
+    for r in hist:
+        by_type[r["event_type"]].append((int(r["gap_s"]), int(r["c"])))
+    types, ns, p50s, p90s, p99s = [], [], [], [], []
+    for et in sorted(by_type):
+        vals = sorted(by_type[et])
+        total = sum(c for _, c in vals)
+        qs = {}
+        for q in (0.5, 0.9, 0.99):
+            idx = max(0, math.ceil(total * q) - 1)
+            cum = 0
+            for v, c in vals:
+                cum += c
+                if cum > idx:
+                    qs[q] = v
+                    break
+        types.append(et)
+        ns.append(total)
+        p50s.append(qs[0.5])
+        p90s.append(qs[0.9])
+        p99s.append(qs[0.99])
+    return pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "n_gaps": pa.array(ns, pa.int64()),
+        "p50": pa.array(p50s, pa.int64()),
+        "p90": pa.array(p90s, pa.int64()),
+        "p99": pa.array(p99s, pa.int64())})

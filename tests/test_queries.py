@@ -73,6 +73,8 @@ SPOT = [
     "orphan_pages",
     "knn_graph_edges",
     "zorder_layout_stats",
+    "hard_negatives",
+    "event_gap_quantiles",
 ]
 
 
