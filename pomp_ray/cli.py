@@ -112,6 +112,14 @@ def cmd_fsck(args: argparse.Namespace) -> int:
     return 0 if rep["ok"] else 1
 
 
+def cmd_gc(args: argparse.Namespace) -> int:
+    from pomp_ray.fsck import gc_checkpoint
+
+    rep = gc_checkpoint(args.ckpt)
+    print(json.dumps(rep))
+    return 0
+
+
 def cmd_export_seeds(args: argparse.Namespace) -> int:
     from pomp_ray.crawl import export_frontier_seeds
     n = export_frontier_seeds(args.ckpt, args.out)
@@ -201,6 +209,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also reconcile the logical errors table "
                         "(column reads)")
     k.set_defaults(fn=cmd_fsck)
+
+    g = sub.add_parser("gc", help="collect consumed frontier/deferred "
+                                  "inputs and compact seen/digest deltas")
+    g.add_argument("--ckpt", required=True)
+    g.set_defaults(fn=cmd_gc)
 
     e = sub.add_parser("export-seeds",
                        help="pending frontier -> seeds parquet dir")

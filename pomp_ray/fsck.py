@@ -55,6 +55,15 @@ def verify_checkpoint(ckpt_dir: str, deep: bool = False) -> dict:
         problems.append(
             f"round gap: committed rounds {sorted(infos)} not contiguous")
 
+    # gc horizon: consumed frontier/deferred inputs below it were
+    # legitimately collected by gc_checkpoint -- skip their
+    # next-frontier reconciliation (the files are gone by design)
+    gc_upto = -1
+    gc_marker = os.path.join(rounds_dir, "gc.json")
+    if os.path.exists(gc_marker):
+        with open(gc_marker) as f:
+            gc_upto = json.load(f).get("collected_upto", -1)
+
     # --- per-round counter reconciliation (metadata only) ---
     for r, info in sorted(infos.items()):
         items_dir = os.path.join(ckpt_dir, "items", f"round-{r:06d}")
@@ -68,6 +77,8 @@ def verify_checkpoint(ckpt_dir: str, deep: bool = False) -> dict:
                 f"round {r}: items rows {n_items_files} != committed "
                 f"{want} ({info.get('path', '?')} layout)")
         # next frontier: new + deferred rows, minus in-band blocked rows
+        if r + 1 <= gc_upto:
+            continue
         nf_dir = os.path.join(ckpt_dir, "frontier", f"round-{r + 1:06d}")
         df_dir = os.path.join(ckpt_dir, "deferred", f"round-{r:06d}")
         n_next = 0
@@ -133,3 +144,86 @@ def verify_checkpoint(ckpt_dir: str, deep: bool = False) -> dict:
 
     return {"ok": not problems, "rounds": last + 1,
             "n_problems": len(problems), "problems": problems}
+
+
+def gc_checkpoint(ckpt_dir: str) -> dict:
+    """Garbage-collect a crawl checkpoint without touching anything a
+    ``run(resume=True)`` (or publish/analytics read) still needs.  At
+    100-TB scale the frontier history and per-round seen-set deltas
+    dominate checkpoint size long after they stop being useful:
+
+    * ``frontier/round-r`` for r <= last and ``deferred/round-r`` for
+      r <= last-1 are CONSUMED inputs (round r reads frontier/round-r
+      plus deferred/round-(r-1)); resume starts at last+1 and only
+      reads frontier/round-(last+1) + deferred/round-last.  Deleted.
+    * seen/digests shard deltas are replayed in full on restore
+      (``restore(upto=last+1)`` -- round r's snapshot is written under
+      r+1); they compact to ONE file per shard (union of digests,
+      atomically renamed into the round-``last+1`` slot) -- restore
+      replays the compacted file and is set-identical.
+    * items / errors / metrics / rounds JSONs are outputs or lineage:
+      untouched.
+
+    Leaves ``rounds/gc.json`` recording the collection horizon so
+    ``verify_checkpoint`` skips next-frontier reconciliation for rounds
+    whose consumed inputs are gone.  Returns
+    {last, n_dirs_removed, n_files_compacted, n_bytes_freed}."""
+    import pyarrow as pa
+
+    rounds = sorted(glob.glob(os.path.join(ckpt_dir, "rounds",
+                                           "round-*.json")))
+    if not rounds:
+        raise FileNotFoundError("no committed rounds to gc")
+    last = _round_of(rounds[-1])
+
+    import shutil
+
+    def _tree_bytes(d: str) -> int:
+        return sum(os.path.getsize(os.path.join(dp, f))
+                   for dp, _, fs in os.walk(d) for f in fs)
+
+    n_dirs = 0
+    n_bytes = 0
+    for kind, upto in (("frontier", last), ("deferred", last - 1)):
+        for d in sorted(glob.glob(os.path.join(ckpt_dir, kind,
+                                               "round-*"))):
+            if _round_of(d) <= upto:
+                n_bytes += _tree_bytes(d)
+                shutil.rmtree(d)
+                n_dirs += 1
+
+    n_compacted = 0
+    for state in ("seen", "digests"):
+        sdir = os.path.join(ckpt_dir, state)
+        if not os.path.isdir(sdir):
+            continue
+        by_shard: dict[int, list[str]] = {}
+        for p in glob.glob(os.path.join(sdir, "seen-shard*.parquet")):
+            name = os.path.basename(p)
+            shard = int(name.split("shard")[1].split("-")[0])
+            rnd = int(name.split("round")[1].split(".")[0])
+            if rnd <= last + 1:
+                by_shard.setdefault(shard, []).append(p)
+        for shard, files in sorted(by_shard.items()):
+            target = os.path.join(
+                sdir,
+                f"seen-shard{shard:04d}-round{last + 1:06d}.parquet")
+            if files == [target]:
+                continue
+            digs = pa.concat_tables(
+                [pq.read_table(p, columns=["digest"]) for p in files])
+            uniq = digs.group_by(["digest"]).aggregate([]).sort_by("digest")
+            before = sum(os.path.getsize(p) for p in files)
+            tmp = target + ".tmp"
+            pq.write_table(uniq, tmp)
+            os.replace(tmp, target)
+            for p in files:
+                if p != target:
+                    os.remove(p)
+            n_bytes += before - os.path.getsize(target)
+            n_compacted += len(files)
+
+    with open(os.path.join(ckpt_dir, "rounds", "gc.json"), "w") as f:
+        json.dump({"collected_upto": last}, f)
+    return {"last": last, "n_dirs_removed": n_dirs,
+            "n_files_compacted": n_compacted, "n_bytes_freed": n_bytes}
