@@ -552,6 +552,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_scc": lambda sf: __import__(
             "pomp_ray.pipelines.graph", fromlist=["graph"]
         ).host_scc(_mirror_pages_path()),
+        "host_shingle_overlap":
+            lambda sf: webtext.host_shingle_overlap(_mirror_pages_path()),
         "host_distances": lambda sf: __import__(
             "pomp_ray.pipelines.graph", fromlist=["graph"]
         ).host_distances(_mirror_pages_path()),
@@ -575,6 +577,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": docs.quality_filter,
         "token_count_by_lang": docs.token_count_by_lang,
         "token_count_bpe": docs.token_count_bpe,
+        "fertility_by_lang":
+            lambda sf: docs.fertility_by_lang(_mirror_pages_path()),
         "top_words": docs.top_words,
         "lang_counts": docs.lang_counts,
         "distinct_langs": docs.distinct_langs,
@@ -1205,6 +1209,30 @@ def oracle_sql() -> dict[str, str]:
             FROM outs o FULL JOIN ins i ON o.host = i.host
             ORDER BY 1
         """,
+        # host-pair overlap by distinct 8-char shingles, df-gated to
+        # 2..6 hosts (boilerplate shingles on every host pair
+        # everything -- the winnowing stop-fingerprint lesson); ASCII
+        # corpus text makes substr(text, i, 8) equal the engine's numpy
+        # byte windows
+        "host_shingle_overlap": f"""
+            WITH hs AS (
+                SELECT DISTINCT host, shingle FROM (
+                    SELECT lower(regexp_extract(
+                               url, '^[a-z]+://([^/]+)', 1)) AS host,
+                           substr(text, CAST(i AS INTEGER), 8) AS shingle
+                    FROM read_parquet('{_MP}'),
+                         UNNEST(range(1, length(text) - 6)) AS t(i))),
+            df AS (
+                SELECT shingle FROM hs GROUP BY shingle
+                HAVING COUNT(*) BETWEEN 2 AND 6),
+            g AS (SELECT hs.host, hs.shingle
+                  FROM hs JOIN df USING (shingle))
+            SELECT a.host AS host_a, b.host AS host_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
+            FROM g a JOIN g b ON a.shingle = b.shingle
+                              AND a.host < b.host
+            GROUP BY 1, 2 HAVING COUNT(*) >= 5 ORDER BY 1, 2
+        """,
         # multi-source BFS over the same host-edge construction as
         # host_degree_stats: seeds = 2 lexicographically smallest hosts,
         # DuckDB recursive CTE mirrors the engine's per-round frontier
@@ -1646,6 +1674,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
                        AS total_tokens
             FROM documents GROUP BY lang
+        """,
+        "fertility_by_lang": f"""
+            SELECT lang,
+                   CAST(SUM(len(regexp_extract_all(
+                       text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')))
+                       AS BIGINT) AS n_bpe,
+                   CAST(SUM(len(regexp_extract_all(text, '\\S+')))
+                       AS BIGINT) AS n_words,
+                   CAST(SUM(len(regexp_extract_all(
+                           text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')))
+                        * 1000000
+                        // SUM(len(regexp_extract_all(text, '\\S+')))
+                       AS BIGINT) AS fertility_ppm
+            FROM read_parquet('{_MP}') GROUP BY lang ORDER BY lang
         """,
         "lang_counts": """
             SELECT lang, CAST(COUNT(*) AS BIGINT) AS n

@@ -3129,3 +3129,41 @@ def langs_in_every_source(sf_dir: str) -> pa.Table:
         "lang": pa.array([r["lang"] for r in rows], pa.string()),
         "n_sources": pa.array([int(r["n_sources"]) for r in rows],
                               pa.int64())})
+
+
+def fertility_by_lang(pages_path: str) -> pa.Table:
+    """Tokenizer fertility per language: BPE-ish tokens emitted per
+    whitespace word (in ppm, integer floor division) -- the statistic a
+    tokenizer-selection study reports per language, and the one that
+    decides token budgets for multilingual mixtures.  Runs over the
+    crawled pages corpus (its text carries the digits/punctuation the
+    pre-tokenizer splits on; the documents table is letters-only and
+    would read exactly 1.0).  One vectorized partial per batch (two
+    count_substring_regex passes), a tiny per-lang Sum groupby, and an
+    exact integer ratio -- bit-equal to the DuckDB oracle."""
+    pat = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": t["lang"],
+            "n_bpe": pc.cast(
+                pc.count_substring_regex(t["text"], pattern=pat),
+                pa.int64()),
+            "n_words": pc.cast(an.count_tokens_arr(t["text"]), pa.int64())})
+
+    agg = rd.read_parquet(pages_path, columns=["lang", "text"]).map_batches(
+        partial, batch_format="pyarrow").groupby("lang").aggregate(
+        Sum("n_bpe", alias_name="n_bpe"),
+        Sum("n_words", alias_name="n_words"))
+    out = agg.map_batches(
+        lambda t: pa.table({
+            "lang": t["lang"],
+            "n_bpe": pc.cast(t["n_bpe"], pa.int64()),
+            "n_words": pc.cast(t["n_words"], pa.int64()),
+            "fertility_ppm": pc.cast(pc.divide(
+                pc.multiply(pc.cast(t["n_bpe"], pa.int64()),
+                            pa.scalar(1_000_000, pa.int64())),
+                pc.cast(t["n_words"], pa.int64())), pa.int64())}),
+        batch_format="pyarrow")
+    tbl = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    return tbl.sort_by("lang")

@@ -593,3 +593,97 @@ def url_edit_pairs_by_host(pages_path: str) -> pa.Table:
         "host_b": pa.array([r["host_b"] for r in rows], pa.string()),
         "n_pairs": pa.array([int(r["n_pairs"]) for r in rows],
                             pa.int64())})
+
+
+def host_shingle_overlap(pages_path: str, k: int = 8, min_df: int = 2,
+                         max_df: int = 6, min_shared: int = 5,
+                         num_partitions: int = 4) -> pa.Table:
+    """Host-pair content overlap by DISTINCT k-character shingles: the
+    lexical mirror-detection signal that survives paraphrase-level
+    noise where ``mirror_hosts`` (exact digests) does not.  A shingle
+    appearing on 2..``max_df`` hosts is evidence of copied content; a
+    shingle on every host is template boilerplate and pairs everything
+    (the winnowing stop-fingerprint lesson), so it is df-gated out
+    before the pair join.
+
+    Scale shape: shingle extraction is one numpy sliding-window pass
+    over the batch's concatenated bytes (no per-row Python; windows
+    crossing doc boundaries masked out), per-batch DISTINCT
+    (host, shingle) partials shrink the shuffle, ONE global distinct
+    groupby, the df gate bounds the word-keyed self-join fan-out at
+    max_df**2, and only (host, 8-byte shingle) rows ever shuffle.  At
+    corpus scale the shingle column would carry a uint64 polynomial
+    hash instead of raw bytes (the winnowing kernel); raw bytes keep
+    the DuckDB substr oracle exact here."""
+    from ray.data.aggregate import Count
+
+    from pomp_ray.stages.enqueue import _FAST_EXTRACT
+
+    def hs_partial(t: pa.Table) -> pa.Table:
+        host = pc.struct_field(
+            pc.extract_regex(t["url"], pattern=_FAST_EXTRACT), "host")
+        texts = t["text"].to_pylist()
+        lens = np.array([len(x) for x in texts], np.int64)
+        if int(lens.sum()) < k:
+            return pa.table({"host": pa.array([], pa.string()),
+                             "shingle": pa.array([], pa.binary(k))})
+        buf = np.frombuffer("".join(texts).encode("utf-8"), np.uint8)
+        # generated-corpus text is ASCII, so bytes == characters and the
+        # numpy windows equal DuckDB's substr(text, i, k)
+        parent = np.repeat(np.arange(len(lens)), lens)
+        win = np.lib.stride_tricks.sliding_window_view(buf, k)
+        valid = parent[:len(win)] == parent[k - 1:]
+        wins = np.ascontiguousarray(win[valid])
+        sh = pa.Array.from_buffers(pa.binary(k), len(wins),
+                                   [None, pa.py_buffer(wins.tobytes())])
+        tbl = pa.table({
+            "host": pc.take(host, pa.array(
+                parent[:len(win)][valid], pa.int64())),
+            "shingle": sh})
+        return tbl.group_by(["host", "shingle"]).aggregate([])
+
+    hs = rd.read_parquet(pages_path, columns=["url", "text"]) \
+        .map_batches(hs_partial, batch_format="pyarrow") \
+        .groupby(["host", "shingle"]).aggregate(Count(alias_name="_n")) \
+        .map_batches(lambda t: t.select(["host", "shingle"]),
+                     batch_format="pyarrow") \
+        .repartition(2).materialize()
+
+    df = hs.groupby("shingle").aggregate(Count(alias_name="df"))
+    keep = df.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.greater_equal(t["df"], min_df),
+                    pc.less_equal(t["df"], max_df))).select(["shingle"]),
+        batch_format="pyarrow").repartition(2).materialize()
+
+    gated = hs.join(keep, join_type="inner", on=("shingle",),
+                    num_partitions=num_partitions) \
+        .repartition(2).materialize()
+    left = gated.map_batches(
+        lambda t: pa.table({"shingle": t["shingle"],
+                            "host_a": t["host"]}),
+        batch_format="pyarrow")
+    right = gated.map_batches(
+        lambda t: pa.table({"shingle": t["shingle"],
+                            "host_b": t["host"]}),
+        batch_format="pyarrow").repartition(2).materialize()
+    pairs = left.join(right, join_type="inner", on=("shingle",),
+                      num_partitions=num_partitions) \
+        .map_batches(lambda t: t.filter(
+            pc.less(t["host_a"], t["host_b"])), batch_format="pyarrow") \
+        .groupby(["host_a", "host_b"]) \
+        .aggregate(Count(alias_name="n_shared_shingles"))
+    out = pairs.map_batches(
+        lambda t: pa.table({
+            "host_a": t["host_a"], "host_b": t["host_b"],
+            "n_shared_shingles": pc.cast(t["n_shared_shingles"],
+                                         pa.int64())}).filter(
+            pc.greater_equal(
+                pc.cast(t["n_shared_shingles"], pa.int64()), min_shared)),
+        batch_format="pyarrow")
+    tbl = pa.concat_tables(
+        list(out.iter_batches(batch_format="pyarrow"))
+        or [pa.table({"host_a": pa.array([], pa.string()),
+                      "host_b": pa.array([], pa.string()),
+                      "n_shared_shingles": pa.array([], pa.int64())})])
+    return tbl.sort_by([("host_a", "ascending"), ("host_b", "ascending")])

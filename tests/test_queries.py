@@ -75,6 +75,8 @@ SPOT = [
     "zorder_layout_stats",
     "hard_negatives",
     "event_gap_quantiles",
+    "fertility_by_lang",
+    "host_shingle_overlap",
 ]
 
 
