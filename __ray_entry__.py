@@ -579,6 +579,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_bpe": docs.token_count_bpe,
         "fertility_by_lang":
             lambda sf: docs.fertility_by_lang(_mirror_pages_path()),
+        "phrase_search": docs.phrase_search,
         "top_words": docs.top_words,
         "lang_counts": docs.lang_counts,
         "distinct_langs": docs.distinct_langs,
@@ -1688,6 +1689,19 @@ def oracle_sql() -> dict[str, str]:
                         // SUM(len(regexp_extract_all(text, '\\S+')))
                        AS BIGINT) AS fertility_ppm
             FROM read_parquet('{_MP}') GROUP BY lang ORDER BY lang
+        """,
+        # positional phrase query: token-array adjacency (ts is 1-based;
+        # range end-exclusive gives pairs (i, i+1))
+        "phrase_search": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z]+') AS ts
+                FROM documents)
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+            FROM toks, UNNEST(range(1, len(ts))) AS t(i)
+            WHERE ts[CAST(i AS INTEGER)] = 'table'
+              AND ts[CAST(i AS INTEGER) + 1] = 'hash'
+            GROUP BY 1 ORDER BY 1
         """,
         "lang_counts": """
             SELECT lang, CAST(COUNT(*) AS BIGINT) AS n

@@ -3167,3 +3167,61 @@ def fertility_by_lang(pages_path: str) -> pa.Table:
         batch_format="pyarrow")
     tbl = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
     return tbl.sort_by("lang")
+
+
+def phrase_search(sf_dir: str, w1: str = "table",
+                  w2: str = "hash", num_partitions: int = 4) -> pa.Table:
+    """Phrase query over POSITIONAL postings -- the IR operation an
+    inverted index alone cannot answer: per-doc counts of the exact
+    token sequence "w1 w2" (adjacent in token space).  The classic
+    distributed shape: tokenize emits (doc_id, pos) postings for the
+    two query words only (everything else is dropped batch-side, so
+    the shuffle carries query-term postings, not the corpus), and the
+    adjacency test is one equi-join on (doc_id, p) with w2's positions
+    shifted down by one -- at corpus scale this is the same join a
+    positional index sharded by term would run.  Exact integer DuckDB
+    oracle (token-array adjacency)."""
+    from ray.data.aggregate import Count
+
+    def postings(t: pa.Table) -> pa.Table:
+        flat, parent = _tokenize_flat(t)
+        par = parent.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.bincount(par, minlength=t.num_rows)
+        starts = np.repeat(np.cumsum(counts) - counts, counts)
+        pos = np.arange(len(par), dtype=np.int64) - starts
+        words = flat.to_numpy(zero_copy_only=False)
+        doc = pc.take(t["doc_id"], parent)
+        m1 = words == w1
+        m2 = words == w2
+        a = pa.table({"doc_id": pc.take(doc, pa.array(
+                          np.flatnonzero(m1), pa.int64())),
+                      "p": pa.array(pos[m1], pa.int64()),
+                      "is_w1": pa.array(
+                          np.ones(int(m1.sum()), np.bool_))})
+        b = pa.table({"doc_id": pc.take(doc, pa.array(
+                          np.flatnonzero(m2), pa.int64())),
+                      "p": pa.array(pos[m2] - 1, pa.int64()),
+                      "is_w1": pa.array(
+                          np.zeros(int(m2.sum()), np.bool_))})
+        return pa.concat_tables([a, b])
+
+    posts = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        postings, batch_format="pyarrow").repartition(2).materialize()
+    a = posts.map_batches(
+        lambda t: t.filter(t["is_w1"]).select(["doc_id", "p"]),
+        batch_format="pyarrow").repartition(2).materialize()
+    b = posts.map_batches(
+        lambda t: t.filter(pc.invert(t["is_w1"])).select(["doc_id", "p"]),
+        batch_format="pyarrow").repartition(2).materialize()
+    hits = a.join(b, join_type="inner", on=("doc_id", "p"),
+                  num_partitions=num_partitions) \
+        .groupby("doc_id").aggregate(Count(alias_name="n_hits"))
+    out = hits.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"],
+                            "n_hits": pc.cast(t["n_hits"], pa.int64())}),
+        batch_format="pyarrow")
+    tbl = pa.concat_tables(
+        list(out.iter_batches(batch_format="pyarrow"))
+        or [pa.table({"doc_id": pa.array([], pa.int64()),
+                      "n_hits": pa.array([], pa.int64())})])
+    return tbl.sort_by("doc_id")

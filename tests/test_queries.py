@@ -77,6 +77,7 @@ SPOT = [
     "event_gap_quantiles",
     "fertility_by_lang",
     "host_shingle_overlap",
+    "phrase_search",
 ]
 
 
