@@ -98,6 +98,10 @@ def _crawl_outputs(kind: str, mode: str) -> pa.Table:
         # per-page outlink cap: first link only (binds hard on TINY)
         kw = {"max_links_per_page": 1}
         mode = "bfs"
+    elif mode == "bytecap":
+        # extracted-text byte budget (round-granular)
+        kw = {"max_text_bytes": 800}
+        mode = "bfs"
     elif mode == "samehost":
         # stay-on-site scope (cross-host links drop at enqueue)
         kw = {"same_host_only": True}
@@ -755,6 +759,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: _crawl_outputs("visited", "filtered"),
         "crawl_capped_visited":
             lambda sf: _crawl_outputs("visited", "capped"),
+        "crawl_bytecap_visited":
+            lambda sf: _crawl_outputs("visited", "bytecap"),
         "crawl_linkcap_visited":
             lambda sf: _crawl_outputs("visited", "linkcap"),
         "crawl_samehost_visited":
@@ -2984,6 +2990,9 @@ def oracle_sql() -> dict[str, str]:
         "crawl_capped_visited":
             f"SELECT * FROM "
             f"read_parquet('{_GOLDEN}/crawl_capped_visited.parquet')",
+        "crawl_bytecap_visited":
+            f"SELECT * FROM "
+            f"read_parquet('{_GOLDEN}/crawl_bytecap_visited.parquet')",
         "crawl_linkcap_visited":
             f"SELECT * FROM "
             f"read_parquet('{_GOLDEN}/crawl_linkcap_visited.parquet')",

@@ -107,6 +107,7 @@ def crawl_oracle(
     url_allow: str | None = None,
     url_deny: str | None = None,
     max_visited: int | None = None,
+    max_text_bytes: int | None = None,
     same_host_only: bool = False,
     max_links_per_page: int | None = None,
 ) -> OracleResult:
@@ -162,8 +163,11 @@ def crawl_oracle(
     rnd = 0
     budget_left: dict[str, int] = {}
     seen_digests: set[bytes] = set()
+    text_bytes_total = 0
     while frontier and (max_rounds is None or rnd < max_rounds) \
-            and (max_visited is None or len(res.visited) < max_visited):
+            and (max_visited is None or len(res.visited) < max_visited) \
+            and (max_text_bytes is None
+                 or text_bytes_total < max_text_bytes):
         if mode == "bfs":
             # FIFO: priority desc, then global enqueue order
             frontier.sort(key=lambda e: (-e["priority"], e["seq"]))
@@ -233,6 +237,7 @@ def crawl_oracle(
             )
             links = html_extract_links(html)
             text = html_extract_text(html)
+            text_bytes_total += len(text.encode("utf-8", "surrogateescape"))
             res.items.append(
                 {"url": e["url"], "title": html_extract_title(html),
                  "text": text, "n_links": len(links),

@@ -183,6 +183,13 @@ class CrawlConfig:
     # visited >= this (round-granular -- the crossing round completes;
     # the only budget a wave-synchronous distributed crawl can honor).
     max_visited: int | None = None
+    # Global extracted-text byte budget: stop scheduling NEW rounds once
+    # cumulative utf-8 bytes of visited pages' text >= this -- the
+    # "collect until N bytes of corpus" target a training-data crawl
+    # budgets (round-granular, like max_visited; resume-aware via the
+    # n_text_bytes counter in committed round JSONs).  Serial spec:
+    # core/oracle.py max_text_bytes.
+    max_text_bytes: int | None = None
     n_seen_shards: int = 8
     # RAM prefilter per seen shard: "bloom" (default) or "cuckoo"
     # (deletion-capable; see state/approx.py + SeenSet.forget)
@@ -268,6 +275,7 @@ class CrawlEngine:
         self._deny_re = _re.compile(cfg.url_deny) if cfg.url_deny else None
         # cumulative visited across resumes (global max_visited budget)
         self.visited_total = 0
+        self.text_bytes_total = 0
 
     def _link_ok(self, canon: str) -> bool:
         if self._allow_re is not None and not self._allow_re.search(canon):
@@ -717,7 +725,10 @@ class CrawlEngine:
                 "n_deferred": def_t.num_rows, "n_visited": len(items),
                 "n_items": len(items), "n_errors": len(errors),
                 "n_new": len(accepted),
-                "n_frontier_next": next_frontier.num_rows}
+                "n_frontier_next": next_frontier.num_rows,
+                "n_text_bytes": sum(
+                    len((it.get("text") or "").encode(
+                        "utf-8", "surrogateescape")) for it in items)}
         if hosts_sel is not None:
             info["hosts_selected"] = hosts_sel
         return info
@@ -843,6 +854,11 @@ class CrawlEngine:
         exc_hook = (_mw_hook(cfg.middlewares, "process_exception_batch")
                     if cfg.middlewares else (lambda t: t))
         n_visited = ok.count()
+        n_text_bytes = int(ok.map_batches(
+            lambda t: pa.table({"b": pa.array(
+                [int(pc.sum(pc.binary_length(t["text"])).as_py() or 0)],
+                pa.int64())}),
+            batch_format="pyarrow").sum("b") or 0)
         n_miss = n_selected - n_visited
         if n_miss:
             parsed.map_batches(lambda t: exc_hook(_miss_errors(t, rnd)),
@@ -925,7 +941,8 @@ class CrawlEngine:
         info = {"round": rnd, "path": "exact", "n_selected": n_selected,
                 "n_deferred": n_deferred, "n_visited": n_visited,
                 "n_items": n_visited, "n_errors": n_errors, "n_new": n_new,
-                "n_frontier_next": n_new + n_deferred}
+                "n_frontier_next": n_new + n_deferred,
+                "n_text_bytes": n_text_bytes}
         if hosts_sel is not None:
             info["hosts_selected"] = hosts_sel
         return info
@@ -1056,17 +1073,27 @@ class CrawlEngine:
                 lambda t: pa.table(
                     {"n": pa.array([t.num_rows], pa.int64()),
                      "ok": pa.array([int(pc.sum(t["fetch_ok"]).as_py() or 0)],
-                                    pa.int64())}),
+                                    pa.int64()),
+                     "b": pa.array([int(pc.sum(pc.binary_length(
+                         t.filter(t["fetch_ok"])["text"])).as_py() or 0)],
+                         pa.int64())}),
                 batch_format="pyarrow").take_all()
             n_selected = sum(r["n"] for r in counts)
             n_visited = sum(r["ok"] for r in counts)
+            n_text_bytes = sum(r["b"] for r in counts)
         else:
-            # counts from the written files (metadata + one bool column)
-            n_selected = n_visited = 0
+            # counts from the written files (metadata + one bool column;
+            # the text column is only paid for when a byte budget needs it)
+            n_selected = n_visited = n_text_bytes = 0
+            want_bytes = cfg.max_text_bytes is not None
             for p in glob.glob(os.path.join(items_dir, "*.parquet")):
-                t = pq.read_table(p, columns=["fetch_ok"])
+                cols = ["fetch_ok"] + (["text"] if want_bytes else [])
+                t = pq.read_table(p, columns=cols)
                 n_selected += t.num_rows
                 n_visited += int(pc.sum(t["fetch_ok"]).as_py() or 0)
+                if want_bytes:
+                    n_text_bytes += int(pc.sum(pc.binary_length(
+                        t.filter(t["fetch_ok"])["text"])).as_py() or 0)
         n_deferred = sum(
             pq.ParquetFile(p).metadata.num_rows
             for p in glob.glob(os.path.join(self._dir("deferred", rnd),
@@ -1109,7 +1136,7 @@ class CrawlEngine:
             info = {"round": rnd, "path": "scale", "n_selected": 0,
                     "n_deferred": n_deferred, "n_visited": 0, "n_items": 0,
                     "n_errors": n_budget, "n_new": 0,
-                    "n_frontier_next": n_deferred,
+                    "n_frontier_next": n_deferred, "n_text_bytes": 0,
                     "t_exec_a": round(t_exec_a, 3),
                     "t_counts_a": round(t_counts_a, 3),
                     "t_exec_b": 0.0, "t_counts_b": 0.0}
@@ -1183,6 +1210,7 @@ class CrawlEngine:
                 "n_items": n_visited, "n_errors": n_errors,
                 "n_new": n_next,
                 "n_frontier_next": n_next + n_deferred,
+                "n_text_bytes": n_text_bytes,
                 "t_exec_a": round(t_exec_a, 3),
                 "t_counts_a": round(t_counts_a, 3),
                 "t_exec_b": round(t_exec_b, 3),
@@ -1209,6 +1237,7 @@ class CrawlEngine:
             if self.digests is not None:
                 self.digests.reset()
             self.visited_total = 0
+            self.text_bytes_total = 0
             self.seq_counter = 0
             self.budget_spent = {}
             self.seed(seeds)
@@ -1220,6 +1249,9 @@ class CrawlEngine:
             if (cfg.max_visited is not None
                     and self.visited_total >= cfg.max_visited):
                 break   # global visited budget spent (round-granular)
+            if (cfg.max_text_bytes is not None
+                    and self.text_bytes_total >= cfg.max_text_bytes):
+                break   # text-byte budget spent (round-granular)
             info_path = self._round_json(rnd)
             if os.path.exists(info_path):   # already complete (resume)
                 with open(info_path) as f:
@@ -1267,6 +1299,7 @@ class CrawlEngine:
                 self._commit_round(rnd, info)
             summary.per_round.append(info)
             self.visited_total += info["n_visited"]
+            self.text_bytes_total += int(info.get("n_text_bytes", 0))
             summary.n_visited += info["n_visited"]
             summary.n_items += info["n_items"]
             summary.n_errors += info["n_errors"]
@@ -1303,12 +1336,14 @@ class CrawlEngine:
         last = -1
         self.budget_spent = {}
         self.visited_total = 0
+        self.text_bytes_total = 0
         for p in sorted(glob.glob(os.path.join(rounds_dir, "round-*.json"))):
             r = int(os.path.basename(p)[len("round-"):].split(".")[0])
             with open(p) as f:
                 data = json.load(f)
             self.seq_counter = data["seq_counter"]
             self.visited_total += int(data.get("n_visited", 0))
+            self.text_bytes_total += int(data.get("n_text_bytes", 0))
             for h, n in data.get("hosts_selected", {}).items():
                 self.budget_spent[h] = self.budget_spent.get(h, 0) + int(n)
             last = r

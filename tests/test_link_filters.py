@@ -148,3 +148,42 @@ def test_max_links_per_page(tmp_path):
                      url_deny=r"/p/1[0-9]$")
     assert visited_tuples(read_ckpt(ckpt, "visited")) == \
         oracle_visited_tuples(res)
+
+
+def test_max_text_bytes_budget(tmp_path):
+    """Round-granular extracted-text byte budget (the "collect N bytes
+    of corpus" target), bit-exact vs oracle on both round paths, plus a
+    resume no-op once the budget is spent."""
+    fix = fixture_corpus(gen_corpus.TINY)
+    res = run_oracle(fix, mode="bfs", max_text_bytes=1500)
+    full = run_oracle(fix, mode="bfs")
+    assert len(res.visited) < len(full.visited)  # budget actually cuts
+
+    for sub, mdr in (("driver", 256), ("dist", 0)):
+        ckpt = str(tmp_path / sub)
+        s = _run(fix, ckpt, max_text_bytes=1500, min_distributed_rows=mdr)
+        assert visited_tuples(read_ckpt(ckpt, "visited")) == \
+            oracle_visited_tuples(res)
+        # the crossing round completes: budget is met or first exceeded
+        total = sum(int(i.get("n_text_bytes", 0)) for i in s.per_round)
+        assert total >= 1500
+
+    # resume on the spent budget: nothing more runs
+    ckpt = str(tmp_path / "dist")
+    cfg = CrawlConfig(corpus_path=fix.pages_path, ckpt_dir=ckpt,
+                      robots_path=fix.robots_path, mode="bfs",
+                      n_seen_shards=4, max_text_bytes=1500,
+                      min_distributed_rows=0)
+    eng = CrawlEngine(cfg)
+    try:
+        s2 = eng.run(resume=True)
+    finally:
+        eng.close()
+    assert s2.n_visited == 0
+
+    # scale mode (deferral-free BFS): same visited set, same cut
+    ckpt = str(tmp_path / "scale")
+    _run(fix, ckpt, max_text_bytes=1500, exact_order=False,
+         min_distributed_rows=0)
+    assert set(read_ckpt(ckpt, "visited")["url"].to_pylist()) == \
+        {v["url"] for v in res.visited}

@@ -174,7 +174,7 @@ def gen_crawl_goldens() -> None:
     # "focused" = best-first with a domain-whitelist scorer (HostPriority);
     # "budget" = BFS under a per-host page quota (max_pages_per_host)
     for mode in ("bfs", "dfs", "best", "focused", "budget", "aged",
-                 "filtered", "capped", "linkcap"):
+                 "filtered", "capped", "linkcap", "bytecap"):
         kw = {}
         oracle_mode = mode
         if mode == "filtered":
@@ -188,6 +188,10 @@ def gen_crawl_goldens() -> None:
         elif mode == "linkcap":
             # per-page outlink cap: first link only (binds hard on TINY)
             kw = {"max_links_per_page": 1}
+            oracle_mode = "bfs"
+        elif mode == "bytecap":
+            # extracted-text byte budget, round-granular
+            kw = {"max_text_bytes": 800}
             oracle_mode = "bfs"
         if mode == "best":
             # mirrors _crawl_outputs' config: width 32, md5-bucket scorer
