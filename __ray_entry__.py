@@ -67,6 +67,9 @@ def _crawl_outputs(kind: str, mode: str) -> pa.Table:
         # SMALL corpus: dropping cross-host links actually changes the
         # visited table there (TINY's cross-host links all hit seeds)
         profile, corpus_dir = gen_corpus.SMALL, "/tmp/pomp_q_corpus_small"
+    elif mode == "breaker":
+        # SMALL corpus: its ~2% dead links trip the 2-error breaker
+        profile, corpus_dir = gen_corpus.SMALL, "/tmp/pomp_q_corpus_small"
     fix = gen_corpus.generate(corpus_dir, profile)
     ckpt = f"/tmp/pomp_q_ckpt_{mode}"
     kw = {}
@@ -105,6 +108,10 @@ def _crawl_outputs(kind: str, mode: str) -> pa.Table:
     elif mode == "samehost":
         # stay-on-site scope (cross-host links drop at enqueue)
         kw = {"same_host_only": True}
+        mode = "bfs"
+    elif mode == "breaker":
+        # per-host fetch-error circuit breaker
+        kw = {"max_errors_per_host": 2}
         mode = "bfs"
     elif mode == "focused":
         # focused crawl = best-first with a domain-whitelist scorer
@@ -765,6 +772,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: _crawl_outputs("visited", "linkcap"),
         "crawl_samehost_visited":
             lambda sf: _crawl_outputs("visited", "samehost"),
+        "crawl_breaker_visited":
+            lambda sf: _crawl_outputs("visited", "breaker"),
+        "crawl_breaker_errors":
+            lambda sf: _crawl_outputs("errors", "breaker"),
         "redirect_map": lambda sf: _redirect_map(),
         "broken_links": lambda sf: _broken_links(),
         "crawl_publish_stats": lambda sf: _crawl_publish_stats(),
@@ -2999,6 +3010,12 @@ def oracle_sql() -> dict[str, str]:
         "crawl_samehost_visited":
             f"SELECT * FROM "
             f"read_parquet('{_GOLDEN}/crawl_samehost_visited.parquet')",
+        "crawl_breaker_visited":
+            f"SELECT * FROM "
+            f"read_parquet('{_GOLDEN}/crawl_breaker_visited.parquet')",
+        "crawl_breaker_errors":
+            f"SELECT * FROM "
+            f"read_parquet('{_GOLDEN}/crawl_breaker_errors.parquet')",
         "length_by_depth": f"""
             SELECT CAST(depth AS BIGINT) AS depth,
                    CAST(COUNT(*) AS BIGINT) AS n_pages,

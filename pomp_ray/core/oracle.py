@@ -102,6 +102,7 @@ def crawl_oracle(
     max_rounds: int | None = None,
     priority_fn=None,
     max_pages_per_host: int | None = None,
+    max_errors_per_host: int | None = None,
     dedup_content: bool = False,
     priority_aging: int = 0,
     url_allow: str | None = None,
@@ -162,6 +163,7 @@ def crawl_oracle(
 
     rnd = 0
     budget_left: dict[str, int] = {}
+    errors_by_host: dict[str, int] = {}
     seen_digests: set[bytes] = set()
     text_bytes_total = 0
     while frontier and (max_rounds is None or rnd < max_rounds) \
@@ -185,6 +187,14 @@ def crawl_oracle(
         per_host: dict[str, int] = {}
         budget = max_pages_per_host
         for e in frontier:
+            if max_errors_per_host is not None and \
+                    errors_by_host.get(e["host"], 0) >= max_errors_per_host:
+                # fetch-error circuit breaker tripped (round-start
+                # snapshot): drop through the host-cap channel, same
+                # stage as an exhausted page budget
+                res.errors.append({"url": e["url"], "stage": "host_budget",
+                                   "round": rnd})
+                continue
             if budget is not None and \
                     budget_left.get(e["host"], budget) <= 0:
                 # host quota exhausted at round start: drop, never defer
@@ -231,6 +241,8 @@ def crawl_oracle(
                     html = None
             if html is None:
                 res.errors.append({"url": e["url"], "stage": "fetch", "round": rnd})
+                errors_by_host[e["host"]] = \
+                    errors_by_host.get(e["host"], 0) + 1
                 continue
             res.visited.append(
                 {"url": e["url"], "round": rnd, "depth": e["depth"], "seq": e["seq"]}

@@ -183,6 +183,16 @@ class CrawlConfig:
     # visited >= this (round-granular -- the crossing round completes;
     # the only budget a wave-synchronous distributed crawl can honor).
     max_visited: int | None = None
+    # Per-host fetch-error circuit breaker: once a host accumulates this
+    # many FETCH errors across committed rounds (dead links, down
+    # server, redirect loops -- robots blocks and budget drops never
+    # count), its remaining frontier rows DROP through the host-cap
+    # channel (cap forced to 0 -> stage="host_budget" errors, never
+    # deferred), exactly like an exhausted page budget.  Trip state is
+    # a round-start snapshot (wave-synchronous semantics), persists via
+    # hosts_errored in round JSONs, and is resume-aware.  Serial spec:
+    # core/oracle.py max_errors_per_host.
+    max_errors_per_host: int | None = None
     # Global extracted-text byte budget: stop scheduling NEW rounds once
     # cumulative utf-8 bytes of visited pages' text >= this -- the
     # "collect until N bytes of corpus" target a training-data crawl
@@ -268,6 +278,7 @@ class CrawlEngine:
         self.seq_counter = 0
         # host -> fetch attempts so far (page-budget accounting)
         self.budget_spent: dict[str, int] = {}
+        self.errors_by_host: dict[str, int] = {}
         # link-scope regex filters (driver path uses compiled re; the
         # distributed chains use the equivalent Arrow kernel stage)
         import re as _re
@@ -607,14 +618,27 @@ class CrawlEngine:
         (min(politeness cap, remaining); <= 0 marks the host exhausted)
         with the full budget as the default for untouched hosts."""
         budget = self.cfg.max_pages_per_host
+        breaker = self.cfg.max_errors_per_host
+        tripped = (set() if breaker is None else
+                   {h for h, n in self.errors_by_host.items()
+                    if n >= breaker})
         if budget is None:
-            return self.caps
+            if not tripped:
+                return self.caps
+            # breaker only: tripped hosts get cap 0 (the budget drop
+            # channel); everything else keeps its politeness cap
+            eff0 = dict(self.caps)
+            for h in tripped:
+                eff0[h] = 0
+            return eff0
         from pomp_ray.stages.politeness import BudgetCaps
         eff: dict[str, int] = {}
         for h in set(self.caps) | set(self.budget_spent):
             rem = budget - self.budget_spent.get(h, 0)
             cap = self.caps.get(h)
             eff[h] = rem if cap is None else min(cap, rem)
+        for h in tripped:
+            eff[h] = 0
         return BudgetCaps(eff, budget)
 
     def _spend_budget(self, hosts_selected: dict[str, int]) -> None:
@@ -731,6 +755,13 @@ class CrawlEngine:
                         "utf-8", "surrogateescape")) for it in items)}
         if hosts_sel is not None:
             info["hosts_selected"] = hosts_sel
+        if cfg.max_errors_per_host is not None:
+            he: dict[str, int] = {}
+            for e in errors:
+                if e["stage"] == "fetch":
+                    h = url_host(e["url"])
+                    he[h] = he.get(h, 0) + 1
+            info["hosts_errored"] = he
         return info
 
     # -------------------------------------------------------------- readers
@@ -780,16 +811,17 @@ class CrawlEngine:
                 lambda t: pa.table(
                     {"n": [t.filter(_deferred_mask(t)).num_rows]}),
                 batch_format="pyarrow").sum("n") or 0)
-            if cfg.max_pages_per_host is not None:
-                n_budget = int(marked.map_batches(
-                    lambda t: pa.table(
-                        {"n": [int(pc.sum(t["dropped"]).as_py() or 0)]}),
-                    batch_format="pyarrow").sum("n") or 0)
-                if n_budget:
-                    marked.map_batches(
-                        lambda t: _budget_errors(t.filter(t["dropped"]), rnd),
-                        batch_format="pyarrow").write_parquet(
-                        self._dir("errors", rnd))
+            # cap-0 drops exist under a page budget OR a tripped error
+            # breaker -- account them whenever any selection ran
+            n_budget = int(marked.map_batches(
+                lambda t: pa.table(
+                    {"n": [int(pc.sum(t["dropped"]).as_py() or 0)]}),
+                batch_format="pyarrow").sum("n") or 0)
+            if n_budget:
+                marked.map_batches(
+                    lambda t: _budget_errors(t.filter(t["dropped"]), rnd),
+                    batch_format="pyarrow").write_parquet(
+                    self._dir("errors", rnd))
         else:
             selected, deferred = fds, None
 
@@ -860,6 +892,16 @@ class CrawlEngine:
                 pa.int64())}),
             batch_format="pyarrow").sum("b") or 0)
         n_miss = n_selected - n_visited
+        hosts_err: dict[str, int] | None = None
+        if cfg.max_errors_per_host is not None:
+            parts = parsed.map_batches(
+                lambda t: _host_count_partial(
+                    t.filter(pc.invert(t["fetch_ok"]))),
+                batch_format="pyarrow").take_all()
+            hosts_err = {}
+            for r in parts:
+                hosts_err[r["host"]] = hosts_err.get(r["host"], 0) \
+                    + int(r["n"])
         if n_miss:
             parsed.map_batches(lambda t: exc_hook(_miss_errors(t, rnd)),
                                batch_format="pyarrow").write_parquet(
@@ -945,6 +987,8 @@ class CrawlEngine:
                 "n_text_bytes": n_text_bytes}
         if hosts_sel is not None:
             info["hosts_selected"] = hosts_sel
+        if hosts_err is not None:
+            info["hosts_errored"] = hosts_err
         return info
 
     # ------------------------------------------------- scale DFS width cut
@@ -1081,19 +1125,38 @@ class CrawlEngine:
             n_selected = sum(r["n"] for r in counts)
             n_visited = sum(r["ok"] for r in counts)
             n_text_bytes = sum(r["b"] for r in counts)
+            if cfg.max_errors_per_host is not None:
+                hosts_err = {}
+                for r in parsed.map_batches(
+                        lambda t: _host_count_partial(
+                            t.filter(pc.invert(t["fetch_ok"]))),
+                        batch_format="pyarrow").take_all():
+                    hosts_err[r["host"]] = hosts_err.get(r["host"], 0) \
+                        + int(r["n"])
+            else:
+                hosts_err = None
         else:
             # counts from the written files (metadata + one bool column;
             # the text column is only paid for when a byte budget needs it)
             n_selected = n_visited = n_text_bytes = 0
             want_bytes = cfg.max_text_bytes is not None
+            want_err = cfg.max_errors_per_host is not None
+            hosts_err = {} if want_err else None
             for p in glob.glob(os.path.join(items_dir, "*.parquet")):
-                cols = ["fetch_ok"] + (["text"] if want_bytes else [])
+                cols = (["fetch_ok"] + (["text"] if want_bytes else [])
+                        + (["host"] if want_err else []))
                 t = pq.read_table(p, columns=cols)
                 n_selected += t.num_rows
                 n_visited += int(pc.sum(t["fetch_ok"]).as_py() or 0)
                 if want_bytes:
                     n_text_bytes += int(pc.sum(pc.binary_length(
                         t.filter(t["fetch_ok"])["text"])).as_py() or 0)
+                if want_err:
+                    miss = _host_count_partial(
+                        t.filter(pc.invert(t["fetch_ok"])))
+                    for h, n in zip(miss["host"].to_pylist(),
+                                    miss["n"].to_pylist()):
+                        hosts_err[h] = hosts_err.get(h, 0) + int(n)
         n_deferred = sum(
             pq.ParquetFile(p).metadata.num_rows
             for p in glob.glob(os.path.join(self._dir("deferred", rnd),
@@ -1104,11 +1167,15 @@ class CrawlEngine:
         # (in-memory barrier) or the items files' host column (mega-round)
         hosts_sel: dict[str, int] | None = None
         n_budget = 0
-        if cfg.max_pages_per_host is not None:
+        if (cfg.max_pages_per_host is not None
+                or cfg.max_errors_per_host is not None):
+            # cap-0 drop parts exist under a page budget OR a tripped
+            # error breaker
             n_budget = sum(
                 pq.ParquetFile(p).metadata.num_rows
                 for p in glob.glob(os.path.join(self._dir("errors", rnd),
                                                 "*-budget.parquet")))
+        if cfg.max_pages_per_host is not None:
             hosts_sel = {}
             if in_memory:
                 rows = parsed.map_batches(
@@ -1142,6 +1209,8 @@ class CrawlEngine:
                     "t_exec_b": 0.0, "t_counts_b": 0.0}
             if hosts_sel is not None:
                 info["hosts_selected"] = hosts_sel
+            if hosts_err is not None:
+                info["hosts_errored"] = hosts_err
             return info
         dedup_on = self.digests is not None
         if in_memory:
@@ -1217,6 +1286,8 @@ class CrawlEngine:
                 "t_counts_b": round(_t() - t0, 3)}
         if hosts_sel is not None:
             info["hosts_selected"] = hosts_sel
+        if hosts_err is not None:
+            info["hosts_errored"] = hosts_err
         return info
 
     # ------------------------------------------------------------------- run
@@ -1240,6 +1311,7 @@ class CrawlEngine:
             self.text_bytes_total = 0
             self.seq_counter = 0
             self.budget_spent = {}
+            self.errors_by_host = {}
             self.seed(seeds)
 
         summary = CrawlSummary()
@@ -1300,6 +1372,9 @@ class CrawlEngine:
             summary.per_round.append(info)
             self.visited_total += info["n_visited"]
             self.text_bytes_total += int(info.get("n_text_bytes", 0))
+            for h, n in info.get("hosts_errored", {}).items():
+                self.errors_by_host[h] = self.errors_by_host.get(h, 0) \
+                    + int(n)
             summary.n_visited += info["n_visited"]
             summary.n_items += info["n_items"]
             summary.n_errors += info["n_errors"]
@@ -1335,6 +1410,7 @@ class CrawlEngine:
             self.seq_counter = json.load(f)["seq_counter"]
         last = -1
         self.budget_spent = {}
+        self.errors_by_host = {}
         self.visited_total = 0
         self.text_bytes_total = 0
         for p in sorted(glob.glob(os.path.join(rounds_dir, "round-*.json"))):
@@ -1346,6 +1422,9 @@ class CrawlEngine:
             self.text_bytes_total += int(data.get("n_text_bytes", 0))
             for h, n in data.get("hosts_selected", {}).items():
                 self.budget_spent[h] = self.budget_spent.get(h, 0) + int(n)
+            for h, n in data.get("hosts_errored", {}).items():
+                self.errors_by_host[h] = self.errors_by_host.get(h, 0) \
+                    + int(n)
             last = r
         self.seen.restore(os.path.join(self.cfg.ckpt_dir, "seen"), last + 1)
         if self.digests is not None:

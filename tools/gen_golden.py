@@ -1321,6 +1321,41 @@ def gen_samehost_golden() -> None:
     print(f"samehost golden: visited={visited.num_rows}")
 
 
+def gen_breaker_golden() -> None:
+    """Fetch-error circuit-breaker BFS over the SMALL corpus (its ~2%
+    dead links trip hosts at 2 errors; TINY has too few misses to
+    distinguish the golden from plain BFS)."""
+    from pomp_ray import schemas
+    from pomp_ray.core.oracle import crawl_oracle
+    from pomp_ray.sources import gen_corpus
+    from tests.helpers import oracle_inputs
+
+    fix = gen_corpus.generate("/tmp/pomp_golden_corpus_small",
+                              gen_corpus.SMALL)
+    corpus, seeds, robots, _ = oracle_inputs(fix)
+    res = crawl_oracle(corpus, seeds, robots, mode="bfs",
+                       max_errors_per_host=2)
+    visited = pa.Table.from_pylist(res.visited, schema=schemas.VISITED)
+    pq.write_table(visited, os.path.join(
+        GOLDEN_DIR, "crawl_breaker_visited.parquet"))
+    from pomp_ray.functions.textfns import url_path
+    exc = {"fetch": ("FetchMiss", lambda u: "not in corpus"),
+           "robots": ("RobotsDisallowed", url_path),
+           "host_budget": ("HostBudget",
+                           lambda u: "host page budget exhausted")}
+    errors = pa.Table.from_pylist(
+        [{"url": e["url"], "stage": e["stage"],
+          "exc_type": exc[e["stage"]][0],
+          "message": exc[e["stage"]][1](e["url"]),
+          "retryable": False, "round": e["round"]}
+         for e in res.errors],
+        schema=schemas.ERRORS)
+    pq.write_table(errors, os.path.join(
+        GOLDEN_DIR, "crawl_breaker_errors.parquet"))
+    print(f"breaker golden: visited={visited.num_rows} "
+          f"errors={errors.num_rows}")
+
+
 def gen_dedup_crawl_goldens() -> None:
     """BFS content-dedup crawl goldens over the TRAP corpus (the
     calendar trap: 120 urls, one text): serial oracle with
@@ -1684,5 +1719,6 @@ if __name__ == "__main__":
     gen_broken_links_golden()
     gen_dedup_crawl_goldens()
     gen_samehost_golden()
+    gen_breaker_golden()
     gen_winnow_goldens()
     gen_scc_golden()
