@@ -536,6 +536,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_state_history": windows.user_state_history,
         "zorder_layout_stats": relational.zorder_layout_stats,
         "event_gap_quantiles": windows.event_gap_quantiles,
+        "rolling_window_1h": windows.rolling_window_1h,
+        "pareto_docs": docs.pareto_docs,
         # -- web-text hygiene over the MIRROR corpus fixture (host pairs
         #    3|2, 7|6, 11|10 serve byte-identical content)
         "mirror_hosts":
@@ -1545,6 +1547,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_users
             FROM uw JOIN fc ON uw.user_id = fc.user_id
             GROUP BY 1, 2
+        """,
+        # trailing 1h RANGE window per event (ties share frames);
+        # floor-cents keeps the sums integer-exact
+        "rolling_window_1h": """
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   CAST(user_id AS BIGINT) AS user_id,
+                   CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER w
+                        AS BIGINT) AS spend_cents_1h,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS n_events_1h
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                               AND CURRENT ROW)
+        """,
+        # maximizing Pareto front on (tokens, distinct tokens): classic
+        # NOT EXISTS dominance
+        "pareto_docs": """
+            WITH m AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(
+                           lower(text), '[a-z]+')) AS BIGINT) AS n_words,
+                       CAST(len(list_distinct(regexp_extract_all(
+                           lower(text), '[a-z]+'))) AS BIGINT)
+                           AS n_distinct
+                FROM documents)
+            SELECT doc_id, n_words, n_distinct FROM m a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM m b
+                WHERE b.n_words >= a.n_words
+                  AND b.n_distinct >= a.n_distinct
+                  AND (b.n_words > a.n_words
+                       OR b.n_distinct > a.n_distinct))
+            ORDER BY doc_id
         """,
         # inter-event gap quantiles keyed by the PRECEDING event type
         # (date_diff 'second' = truncate-then-subtract, quantile_disc =

@@ -3225,3 +3225,71 @@ def phrase_search(sf_dir: str, w1: str = "table",
         or [pa.table({"doc_id": pa.array([], pa.int64()),
                       "n_hits": pa.array([], pa.int64())})])
     return tbl.sort_by("doc_id")
+
+
+def _skyline(doc_id: np.ndarray, x: np.ndarray,
+             y: np.ndarray) -> np.ndarray:
+    """Boolean keep-mask of the maximizing Pareto front over (x, y):
+    a row is dominated iff some row is >= in both dims and > in one.
+    Walks the UNIQUE value pairs (sorted x desc, y desc -- a strict-y
+    test suffices there), then maps membership back, so duplicate
+    points all survive together."""
+    pairs = np.unique(np.stack([x, y], axis=1), axis=0)
+    order = np.lexsort((-pairs[:, 1], -pairs[:, 0]))
+    pairs = pairs[order]
+    best = np.int64(np.iinfo(np.int64).min)
+    front = []
+    for px, py in pairs:
+        if py > best:
+            front.append((px, py))
+            best = py
+    fx = np.array([p[0] for p in front], np.int64)
+    fy = np.array([p[1] for p in front], np.int64)
+    # membership: x must be on the front with matching y
+    idx = np.searchsorted(-fx, -x)          # fx is x-desc -> negate
+    idx = np.clip(idx, 0, len(fx) - 1)
+    return (fx[idx] == x) & (fy[idx] == y)
+
+
+def pareto_docs(sf_dir: str) -> pa.Table:
+    """Pareto-front (skyline) document selection: the docs not dominated
+    on (token count, distinct-token count) -- the multi-criteria "best
+    of both" cut a data-selection pass uses where a single score would
+    force an arbitrary trade-off.
+
+    Distributed skyline shape: each batch computes its LOCAL front (a
+    superset member test -- any globally non-dominated doc is locally
+    non-dominated), only front rows ship (the front is tiny relative to
+    the corpus), and the driver runs the same kernel once over the
+    union.  Integer dims, exact vs the DuckDB NOT EXISTS dominance
+    oracle."""
+    def partial(t: pa.Table) -> pa.Table:
+        flat, parent = _tokenize_flat(t)
+        par = parent.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_words = np.bincount(par, minlength=t.num_rows).astype(np.int64)
+        dd = pd.DataFrame({
+            "p": par,
+            "w": flat.to_numpy(zero_copy_only=False)}).drop_duplicates()
+        n_distinct = np.bincount(dd["p"].to_numpy(),
+                                 minlength=t.num_rows).astype(np.int64)
+        doc = t["doc_id"].to_numpy().astype(np.int64)
+        keep = _skyline(doc, n_words, n_distinct)
+        return pa.table({"doc_id": pa.array(doc[keep], pa.int64()),
+                         "n_words": pa.array(n_words[keep], pa.int64()),
+                         "n_distinct": pa.array(n_distinct[keep],
+                                                pa.int64())})
+
+    rows = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        partial, batch_format="pyarrow").take_all()
+    doc = np.array([r["doc_id"] for r in rows], np.int64)
+    x = np.array([r["n_words"] for r in rows], np.int64)
+    y = np.array([r["n_distinct"] for r in rows], np.int64)
+    if len(doc) == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_words": pa.array([], pa.int64()),
+                         "n_distinct": pa.array([], pa.int64())})
+    keep = _skyline(doc, x, y)
+    t = pa.table({"doc_id": pa.array(doc[keep], pa.int64()),
+                  "n_words": pa.array(x[keep], pa.int64()),
+                  "n_distinct": pa.array(y[keep], pa.int64())})
+    return t.sort_by("doc_id")

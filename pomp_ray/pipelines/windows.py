@@ -585,3 +585,57 @@ def event_gap_quantiles(sf_dir: str) -> pa.Table:
         "p50": pa.array(p50s, pa.int64()),
         "p90": pa.array(p90s, pa.int64()),
         "p99": pa.array(p99s, pa.int64())})
+
+
+def rolling_window_1h(sf_dir: str) -> rd.Dataset:
+    """Trailing time-RANGE window: per event, the user's spend total and
+    event count over [ts - 1h, ts] -- the RANGE BETWEEN INTERVAL frame
+    (tie timestamps share a frame, unlike a ROWS window).  The rate /
+    burst signal an abuse monitor computes per action.
+
+    Shape: users hash into 64 buckets; inside a bucket one numpy pass
+    per user-run -- prefix sums over integer cents + two searchsorted
+    calls give every row's frame in O(n log n), no per-row Python.
+    Cents are exact integers, so the sums are bit-equal to the DuckDB
+    RANGE-window oracle."""
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32())
+        return t.append_column("bucket", b)
+
+    HOUR = 3_600_000_000  # us
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized pass for the WHOLE bucket: user segments embed
+        # into a composite axis (dense user code * stride + relative
+        # ts, stride > span + 1h) so a single pair of searchsorted
+        # calls finds every row's frame without crossing users -- no
+        # per-user Python loop
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        # floor-cents, the rolling_user_spend exactness discipline
+        # (DuckDB floor mirrors exactly; round() differs half-to-even)
+        cents = np.floor(g["value"].to_numpy() * 100).astype(np.int64)
+        rel = ts - ts.min()
+        stride = np.int64(int(rel.max()) + HOUR + 1)
+        codes = np.unique(uid, return_inverse=True)[1].astype(np.int64)
+        comb = codes * stride + rel
+        pref = np.r_[0, np.cumsum(cents)]
+        lo = np.searchsorted(comb, comb - HOUR, side="left")
+        hi = np.searchsorted(comb, comb, side="right")
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": uid,
+            "spend_cents_1h": pref[hi] - pref[lo],
+            "n_events_1h": hi - lo})
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"]) \
+        .map_batches(add_bucket, batch_format="pyarrow")
+    out = ds.groupby("bucket").map_groups(roll, batch_format="pandas")
+    return out.map_batches(
+        lambda t: pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "spend_cents_1h": pc.cast(t["spend_cents_1h"], pa.int64()),
+            "n_events_1h": pc.cast(t["n_events_1h"], pa.int64())}),
+        batch_format="pyarrow")

@@ -78,6 +78,8 @@ SPOT = [
     "fertility_by_lang",
     "host_shingle_overlap",
     "phrase_search",
+    "rolling_window_1h",
+    "pareto_docs",
 ]
 
 
