@@ -538,6 +538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gap_quantiles": windows.event_gap_quantiles,
         "rolling_window_1h": windows.rolling_window_1h,
         "pareto_docs": docs.pareto_docs,
+        "leakage_safe_splits": docs.leakage_safe_splits,
         # -- web-text hygiene over the MIRROR corpus fixture (host pairs
         #    3|2, 7|6, 11|10 serve byte-identical content)
         "mirror_hosts":
@@ -2136,6 +2137,41 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a AS doc_id, CAST(LEAST(a, MIN(b)) AS BIGINT) AS component
             FROM reach GROUP BY a
+        """,
+        # leakage-safe splits: docs inherit their near-dup component
+        # representative's md5 bucket (same reachability CTE as
+        # dup_components; singletons represent themselves)
+        "leakage_safe_splits": f"""
+            WITH RECURSIVE und AS (
+                SELECT doc_a a, doc_b b
+                FROM read_parquet('{_GOLDEN}/simhash_dup_groups_sf001.parquet')
+                UNION
+                SELECT doc_b, doc_a
+                FROM read_parquet('{_GOLDEN}/simhash_dup_groups_sf001.parquet')
+            ), reach(a, b) AS (
+                SELECT a, b FROM und
+                UNION
+                SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+            ), comp AS (
+                SELECT a AS doc_id,
+                       CAST(LEAST(a, MIN(b)) AS BIGINT) AS component
+                FROM reach GROUP BY a
+            ), d AS (
+                SELECT dd.doc_id,
+                       COALESCE(c.component, dd.doc_id) AS rep
+                FROM documents dd LEFT JOIN comp c ON dd.doc_id = c.doc_id
+            ), p AS (
+                SELECT doc_id, rep,
+                       CAST(('0x' || substr(md5(CAST(rep AS VARCHAR)),
+                                            1, 8)) AS BIGINT)
+                           % 1000000 AS ppm
+                FROM d)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(rep AS BIGINT) AS rep,
+                   CASE WHEN ppm < 100000 THEN 'test'
+                        WHEN ppm < 200000 THEN 'val'
+                        ELSE 'train' END AS split
+            FROM p ORDER BY doc_id
         """,
         # canonical selection: same reachability CTE as dup_components,
         # winner per component = max n_words (ties -> lowest doc_id) via

@@ -22,6 +22,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
+import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
@@ -3293,3 +3294,48 @@ def pareto_docs(sf_dir: str) -> pa.Table:
                   "n_words": pa.array(x[keep], pa.int64()),
                   "n_distinct": pa.array(y[keep], pa.int64())})
     return t.sort_by("doc_id")
+
+
+def leakage_safe_splits(sf_dir: str, test_ppm: int = 100_000,
+                        val_ppm: int = 100_000) -> rd.Dataset:
+    """Leakage-safe train/val/test assignment: split by NEAR-DUP
+    COMPONENT, not by document -- hashing docs independently puts two
+    near-identical pages on opposite sides of the train/test fence,
+    the classic contamination a dedup-aware split exists to prevent.
+    Every doc of a component inherits the component representative's
+    md5 bucket, so groups move atomically.
+
+    Shape: the component table (graph.dup_components -- output-scale:
+    only duplicated docs appear) broadcasts via ray.put; assignment is
+    a per-batch factorize+md5-per-unique-rep pass (the dedup_lines
+    hashing trick); nothing else shuffles.  Oracle: the dup_components
+    recursive-CTE reachability plus the same hex-prefix bucket rule."""
+    import hashlib
+
+    from pomp_ray.pipelines.graph import dup_components
+
+    comp = dup_components(sf_dir)
+    comp_map = dict(zip(comp["doc_id"].to_pylist(),
+                        comp["component"].to_pylist()))
+    ref = ray.put(comp_map)
+    lo_test, lo_val = test_ppm, test_ppm + val_ppm
+
+    def assign(t: pa.Table) -> pa.Table:
+        cm = ray.get(ref)
+        doc = t["doc_id"].to_numpy()
+        rep = pd.Series(doc).map(cm).fillna(pd.Series(doc)).astype(
+            np.int64).to_numpy()
+        codes, uniq = pd.factorize(rep)
+        ppm_u = np.array([
+            int(hashlib.md5(str(int(r)).encode()).hexdigest()[:8], 16)
+            % 1_000_000 for r in uniq], np.int64)
+        ppm = ppm_u[codes]
+        split = np.where(ppm < lo_test, "test",
+                         np.where(ppm < lo_val, "val", "train"))
+        return pa.table({"doc_id": pa.array(doc, pa.int64()),
+                         "rep": pa.array(rep, pa.int64()),
+                         "split": pa.array(split.astype(object),
+                                           pa.string())})
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(
+        assign, batch_format="pyarrow")
