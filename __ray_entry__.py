@@ -537,6 +537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_layout_stats": relational.zorder_layout_stats,
         "event_gap_quantiles": windows.event_gap_quantiles,
         "rolling_window_1h": windows.rolling_window_1h,
+        "event_user_set_ops": windows.event_user_set_ops,
         "pareto_docs": docs.pareto_docs,
         "leakage_safe_splits": docs.leakage_safe_splits,
         # -- web-text hygiene over the MIRROR corpus fixture (host pairs
@@ -1548,6 +1549,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_users
             FROM uw JOIN fc ON uw.user_id = fc.user_id
             GROUP BY 1, 2
+        """,
+        # audience set algebra: EXCEPT / INTERSECT / UNION cardinalities
+        "event_user_set_ops": """
+            WITH a AS (SELECT DISTINCT user_id FROM events
+                       WHERE event_type = 'click'),
+            b AS (SELECT DISTINCT user_id FROM events
+                  WHERE event_type = 'purchase')
+            SELECT 'click_only' AS set_op, CAST((
+                SELECT COUNT(*) FROM (SELECT * FROM a EXCEPT
+                                      SELECT * FROM b)) AS BIGINT)
+                AS n_users
+            UNION ALL
+            SELECT 'purchase_only', (
+                SELECT COUNT(*) FROM (SELECT * FROM b EXCEPT
+                                      SELECT * FROM a))
+            UNION ALL
+            SELECT 'both', (
+                SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT
+                                      SELECT * FROM b))
+            UNION ALL
+            SELECT 'either', (
+                SELECT COUNT(*) FROM (SELECT * FROM a UNION
+                                      SELECT * FROM b))
         """,
         # trailing 1h RANGE window per event (ties share frames);
         # floor-cents keeps the sums integer-exact

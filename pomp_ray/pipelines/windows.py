@@ -639,3 +639,49 @@ def rolling_window_1h(sf_dir: str) -> rd.Dataset:
             "spend_cents_1h": pc.cast(t["spend_cents_1h"], pa.int64()),
             "n_events_1h": pc.cast(t["n_events_1h"], pa.int64())}),
         batch_format="pyarrow")
+
+
+def event_user_set_ops(sf_dir: str, type_a: str = "click",
+                       type_b: str = "purchase") -> pa.Table:
+    """Set algebra over user populations (the INTERSECT / EXCEPT /
+    UNION class): how many users did A only, B only, both, either --
+    the audience-overlap question behind funnel and retention cuts.
+
+    Shape: per-batch distinct (user, flag) partials, one Max-groupby
+    folding both flags per user (a user's rows co-locate on the hash
+    key), and a four-counter rollup -- user lists never reach the
+    driver.  Exact integer DuckDB oracle (INTERSECT/EXCEPT mirrors)."""
+    from ray.data.aggregate import Max, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        mask = pc.or_(pc.equal(et, type_a), pc.equal(et, type_b))
+        t = t.filter(mask)
+        a = pc.cast(pc.equal(t["event_type"], type_a), pa.int64())
+        b = pc.cast(pc.equal(t["event_type"], type_b), pa.int64())
+        tmp = pa.table({"user_id": t["user_id"], "a": a, "b": b})
+        agg = tmp.group_by(["user_id"]).aggregate(
+            [("a", "max"), ("b", "max")])
+        return pa.table({"user_id": agg["user_id"],
+                         "a": agg["a_max"], "b": agg["b_max"]})
+
+    flags = _events(sf_dir, ["user_id", "event_type"]).map_batches(
+        partial, batch_format="pyarrow").groupby("user_id").aggregate(
+        Max("a", alias_name="a"), Max("b", alias_name="b"))
+    counts = flags.map_batches(
+        lambda t: pa.table({
+            "a_only": [int(pc.sum(pc.and_(
+                pc.equal(t["a"], 1), pc.equal(t["b"], 0))).as_py() or 0)],
+            "b_only": [int(pc.sum(pc.and_(
+                pc.equal(t["a"], 0), pc.equal(t["b"], 1))).as_py() or 0)],
+            "both": [int(pc.sum(pc.and_(
+                pc.equal(t["a"], 1), pc.equal(t["b"], 1))).as_py() or 0)]}),
+        batch_format="pyarrow").take_all()
+    a_only = sum(r["a_only"] for r in counts)
+    b_only = sum(r["b_only"] for r in counts)
+    both = sum(r["both"] for r in counts)
+    return pa.table({
+        "set_op": pa.array([f"{type_a}_only", f"{type_b}_only",
+                            "both", "either"], pa.string()),
+        "n_users": pa.array([a_only, b_only, both,
+                             a_only + b_only + both], pa.int64())})

@@ -80,6 +80,7 @@ SPOT = [
     "phrase_search",
     "rolling_window_1h",
     "pareto_docs",
+    "event_user_set_ops",
 ]
 
 
