@@ -173,3 +173,71 @@ def test_ntile_rule_matches_duckdb():
             f"SELECT NTILE({t}) OVER (ORDER BY i) AS x "
             f"FROM range({n}) r(i) ORDER BY i").df()["x"].to_numpy()
         assert (mine == ref).all(), (n, t)
+
+
+def test_skyline_kernel_matches_brute_dominance():
+    """_skyline == the O(n^2) dominance definition on random integer
+    point sets (duplicates and ties included)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pomp_ray.pipelines.docs import _skyline
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 8), st.integers(0, 8)),
+                    min_size=1, max_size=40))
+    def run(pts):
+        x = np.array([p[0] for p in pts], np.int64)
+        y = np.array([p[1] for p in pts], np.int64)
+        doc = np.arange(len(pts), dtype=np.int64)
+        keep = _skyline(doc, x, y)
+        for i in range(len(pts)):
+            dominated = any(
+                x[j] >= x[i] and y[j] >= y[i]
+                and (x[j] > x[i] or y[j] > y[i])
+                for j in range(len(pts)))
+            assert keep[i] == (not dominated), (pts, i)
+
+    run()
+
+
+def test_rolling_range_window_matches_brute():
+    """The composite-axis searchsorted 1h-frame kernel == the O(n^2)
+    RANGE-frame definition (tie timestamps share frames; users never
+    bleed into each other)."""
+    import numpy as np
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HOUR = 3_600_000_000
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 2),          # user
+                              st.integers(0, 4 * 3600),   # ts seconds
+                              st.integers(0, 500)),       # cents
+                    min_size=1, max_size=30))
+    def run(rows):
+        df = pd.DataFrame(rows, columns=["user_id", "sec", "cents"])
+        df["event_id"] = np.arange(len(df))
+        df["ts_us"] = df["sec"].astype(np.int64) * 1_000_000
+        g = df.sort_values(["user_id", "ts_us", "event_id"])
+        uid = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        cents = g["cents"].to_numpy(np.int64)
+        rel = ts - ts.min()
+        stride = np.int64(int(rel.max()) + HOUR + 1)
+        codes = np.unique(uid, return_inverse=True)[1].astype(np.int64)
+        comb = codes * stride + rel
+        pref = np.r_[0, np.cumsum(cents)]
+        lo = np.searchsorted(comb, comb - HOUR, side="left")
+        hi = np.searchsorted(comb, comb, side="right")
+        got_sum = pref[hi] - pref[lo]
+        got_n = hi - lo
+        for i in range(len(g)):
+            m = (uid == uid[i]) & (ts >= ts[i] - HOUR) & (ts <= ts[i])
+            assert got_sum[i] == cents[m].sum(), rows
+            assert got_n[i] == int(m.sum()), rows
+
+    run()
