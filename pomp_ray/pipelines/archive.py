@@ -394,3 +394,33 @@ def cdx_domain_lookup(sf_dir: str, host: str = "src7.example.com",
             ("n_bytes", pa.int64()), ("idx", pa.int64())]).empty_table()
     out = pa.concat_tables(rows)
     return out.sort_by([("idx", "ascending")])
+
+
+def archive_to_seeds(archive_dir: str, out_path: str) -> int:
+    """Bootstrap adapter closing the publish loop: turn a published
+    archive's CDX index back into a SEEDS parquet directory, so a FRESH
+    engine (new cluster, empty state) re-crawls everything a previous
+    crawl captured -- the "continue from a Common-Crawl dump" path.
+    ``run(seeds=<path>)`` re-canonicalizes, re-gates robots and
+    re-dedups through the distributed seed chain, so the adapter only
+    carries urls (depth 0 -- archives don't record crawl depth; pair
+    with ``max_depth`` relative to the new crawl if needed).
+
+    Scale shape: one pruned-column Dataset pass over the cdx parquet
+    (already latest-capture-per-url by the publish contract), streamed
+    straight to partitioned SEEDS parquet.  Returns the seed count."""
+    cdx = rd.read_parquet(os.path.join(archive_dir, "cdx"),
+                          columns=["url"])
+    out = cdx.map_batches(
+        lambda t: pa.table({
+            "url": t["url"],
+            "priority": pa.array([0] * t.num_rows, pa.int32()),
+            "depth": pa.array([0] * t.num_rows, pa.int32())}),
+        batch_format="pyarrow")
+    os.makedirs(out_path, exist_ok=True)
+    out.write_parquet(out_path)
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+    return sum(_pq.ParquetFile(p).metadata.num_rows
+               for p in _glob.glob(os.path.join(out_path, "*.parquet")))

@@ -84,3 +84,37 @@ def test_incremental_rollup_resumes_mid_stream(ray_session, tmp_path):
     full = incremental_rollup(sf, n_ticks=5).to_pandas() \
         .sort_values("event_type").reset_index(drop=True)
     pd.testing.assert_frame_equal(full, want, check_dtype=False)
+
+
+def test_archive_bootstrap_roundtrip(ray_session, tmp_path):
+    """publish -> archive_to_seeds -> fresh crawl from the seeds: the
+    new engine's visited set equals the original crawl's (every
+    captured page is a seed; expansion rediscovers only in-set links)."""
+    import pyarrow.parquet as pq
+
+    from pomp_ray import crawl as crawl_mod
+    from pomp_ray.crawl import CrawlConfig, CrawlEngine
+    from pomp_ray.pipelines.archive import (archive_to_seeds,
+                                            publish_crawl_archive)
+    from pomp_ray.sources import gen_corpus
+
+    fix = gen_corpus.generate("/tmp/pomp_boot_corpus", gen_corpus.TINY)
+
+    def crawl(ckpt, seed_arg):
+        cfg = CrawlConfig(corpus_path=fix.pages_path, ckpt_dir=ckpt,
+                          robots_path=fix.robots_path, mode="bfs",
+                          min_distributed_rows=16, n_seen_shards=2)
+        eng = CrawlEngine(cfg)
+        try:
+            eng.run(seeds=seed_arg)
+        finally:
+            eng.close()
+        return set(crawl_mod.read_visited(ckpt)["url"].to_pylist())
+
+    orig = crawl(str(tmp_path / "a"),
+                 pq.read_table(fix.seeds_path).to_pylist())
+    publish_crawl_archive(str(tmp_path / "a"), str(tmp_path / "pub"))
+    n = archive_to_seeds(str(tmp_path / "pub"), str(tmp_path / "seeds"))
+    assert n == len(orig)
+    boot = crawl(str(tmp_path / "b"), str(tmp_path / "seeds"))
+    assert boot == orig
