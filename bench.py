@@ -293,6 +293,22 @@ def bench_queries(sf_dir: str) -> dict:
          .host_scc(_bench_pages_path()).num_rows),
         ("q21_waiting", lambda:
          relational.q21_waiting_suppliers(sf_dir).num_rows),
+        # sixteenth-block shapes: time-RANGE rolling frames (bucketed
+        # composite-axis searchsorted), brute k-NN graph (broadcast
+        # matmul, the ANN baseline), host shingle overlap (sliding-
+        # window bytes + df-gated self-join over the BENCH corpus),
+        # dup-component-keyed splits (components + broadcast assign)
+        ("rolling_1h", lambda: __import__(
+            "pomp_ray.pipelines.windows", fromlist=["windows"])
+         .rolling_window_1h(sf_dir).count()),
+        ("knn_graph", lambda: __import__(
+            "pomp_ray.pipelines.embeddings", fromlist=["embeddings"])
+         .knn_graph_edges(sf_dir).num_rows),
+        ("shingle_overlap", lambda: __import__(
+            "pomp_ray.pipelines.webtext", fromlist=["webtext"])
+         .host_shingle_overlap(_bench_pages_path()).num_rows),
+        ("leakage_splits", lambda: docs.leakage_safe_splits(
+            sf_dir).count()),
     ):
         t0 = time.monotonic()
         fn()
