@@ -538,6 +538,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gap_quantiles": windows.event_gap_quantiles,
         "rolling_window_1h": windows.rolling_window_1h,
         "event_user_set_ops": windows.event_user_set_ops,
+        "daily_top_actions": windows.daily_top_actions,
+        "char_collision_stats": docs.char_collision_stats,
         "pareto_docs": docs.pareto_docs,
         "leakage_safe_splits": docs.leakage_safe_splits,
         # -- web-text hygiene over the MIRROR corpus fixture (host pairs
@@ -1549,6 +1551,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_users
             FROM uw JOIN fc ON uw.user_id = fc.user_id
             GROUP BY 1, 2
+        """,
+        # windowed heavy hitters: top-3 action codes per day, ties by
+        # lower code
+        "daily_top_actions": """
+            WITH e AS (
+                SELECT date_trunc('day', ts) AS day,
+                       CAST(regexp_extract(props, '"k": (\\d+)', 1)
+                            AS BIGINT) AS code
+                FROM events),
+            c AS (SELECT day, code, COUNT(*) AS n FROM e GROUP BY 1, 2)
+            SELECT day,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY day
+                        ORDER BY n DESC, code) AS BIGINT) AS rank,
+                   code, CAST(n AS BIGINT) AS n
+            FROM c
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY day
+                    ORDER BY n DESC, code) <= 3
+            ORDER BY day, rank
+        """,
+        # char-level Simpson collision index (integer entropy cousin);
+        # ASCII corpus text makes byte and character counts equal
+        "char_collision_stats": """
+            WITH ch AS (
+                SELECT doc_id, unnest(string_split(text, '')) AS c
+                FROM documents),
+            cc AS (SELECT doc_id, c, COUNT(*) AS n
+                   FROM ch GROUP BY 1, 2),
+            agg AS (SELECT doc_id, SUM(n * n) AS ss, SUM(n) AS len
+                    FROM cc GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(COALESCE(a.len, 0) AS BIGINT) AS n_chars,
+                   CAST(COALESCE(a.ss * 1000000
+                        // GREATEST(a.len * a.len, 1), 0) AS BIGINT)
+                       AS collision_ppm
+            FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+            ORDER BY d.doc_id
         """,
         # audience set algebra: EXCEPT / INTERSECT / UNION cardinalities
         "event_user_set_ops": """

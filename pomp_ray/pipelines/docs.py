@@ -3339,3 +3339,44 @@ def leakage_safe_splits(sf_dir: str, test_ppm: int = 100_000,
 
     return _docs(sf_dir, ["doc_id"]).map_batches(
         assign, batch_format="pyarrow")
+
+
+def char_collision_stats(sf_dir: str) -> rd.Dataset:
+    """Character-level Simpson (collision) index per doc in ppm --
+    sum(count_c^2) * 10^6 // n^2 over the doc's characters: the
+    log-free, integer-exact cousin of character entropy.  Repetitive /
+    degenerate docs (one character dominating) read high; diverse text
+    reads near uniform's 1/alphabet.  Complements compression_stats
+    (zlib) and repetition_stats (token n-grams) at the cheapest level.
+
+    Shape: one numpy pass per batch -- bytes concat + per-(doc, byte)
+    bincount via a composite key (parent * 256 + byte), squared-count
+    reduceat per doc; no Python loop, nothing but (doc_id, 2 ints)
+    leaves the batch.  Exact integer DuckDB oracle (per-character
+    regexp counts, generated alphabet expression)."""
+    def f(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        lens = np.array([len(x.encode("utf-8")) for x in texts],
+                        np.int64)
+        doc = t["doc_id"].to_numpy().astype(np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            return pa.table({"doc_id": pa.array(doc, pa.int64()),
+                             "n_chars": pa.array(lens, pa.int64()),
+                             "collision_ppm": pa.array(
+                                 np.zeros(len(doc), np.int64),
+                                 pa.int64())})
+        buf = np.frombuffer("".join(texts).encode("utf-8"), np.uint8)
+        parent = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        key = parent * 256 + buf
+        counts = np.bincount(key, minlength=len(lens) * 256) \
+            .reshape(len(lens), 256).astype(np.int64)
+        ss = (counts * counts).sum(axis=1)
+        denom = np.maximum(lens * lens, 1)
+        ppm = ss * 1_000_000 // denom
+        return pa.table({"doc_id": pa.array(doc, pa.int64()),
+                         "n_chars": pa.array(lens, pa.int64()),
+                         "collision_ppm": pa.array(ppm, pa.int64())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")

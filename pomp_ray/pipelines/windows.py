@@ -685,3 +685,44 @@ def event_user_set_ops(sf_dir: str, type_a: str = "click",
                             "both", "either"], pa.string()),
         "n_users": pa.array([a_only, b_only, both,
                              a_only + b_only + both], pa.int64())})
+
+
+def daily_top_actions(sf_dir: str, k: int = 3) -> pa.Table:
+    """Trending-items query: the top-``k`` `props.k` action codes per
+    DAY by event count (ties -> lower code), the windowed heavy-hitter
+    report a feed/monitoring pipeline refreshes per window.
+
+    Shape: day + code derive vectorized per batch (extract_regex +
+    floor to days), per-batch (day, code) partial counts shrink the
+    shuffle, one groupby sums, and the per-day rank cut runs on the
+    aggregate (windows x codes -- tiny by construction, the top_words
+    discipline).  Exact integer DuckDB QUALIFY oracle."""
+    def partial(t: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(t["props"], pattern=r'"k": (?P<k>\d+)')
+        code = pc.cast(pc.struct_field(ext, "k"), pa.int64())
+        day = pc.cast(pc.floor_temporal(t["ts"], unit="day"),
+                      pa.timestamp("us"))
+        tmp = pa.table({"day": day, "code": code})
+        agg = tmp.group_by(["day", "code"]).aggregate([([], "count_all")])
+        return pa.table({"day": agg["day"], "code": agg["code"],
+                         "n": pc.cast(agg["count_all"], pa.int64())})
+
+    agg = _events(sf_dir, ["ts", "props"]).map_batches(
+        partial, batch_format="pyarrow").groupby(["day", "code"]) \
+        .aggregate(Sum("n", alias_name="n")).take_all()
+    import collections
+    by_day: dict = collections.defaultdict(list)
+    for r in agg:
+        by_day[r["day"]].append((-int(r["n"]), int(r["code"])))
+    days, codes, ns, ranks = [], [], [], []
+    for d in sorted(by_day):
+        for rank, (negn, code) in enumerate(sorted(by_day[d])[:k], 1):
+            days.append(d)
+            codes.append(code)
+            ns.append(-negn)
+            ranks.append(rank)
+    return pa.table({
+        "day": pc.cast(pa.array(days), pa.timestamp("us")),
+        "rank": pa.array(ranks, pa.int64()),
+        "code": pa.array(codes, pa.int64()),
+        "n": pa.array(ns, pa.int64())})

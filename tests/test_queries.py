@@ -81,6 +81,8 @@ SPOT = [
     "rolling_window_1h",
     "pareto_docs",
     "event_user_set_ops",
+    "daily_top_actions",
+    "char_collision_stats",
 ]
 
 
