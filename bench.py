@@ -304,9 +304,6 @@ def bench_queries(sf_dir: str) -> dict:
         ("knn_graph", lambda: __import__(
             "pomp_ray.pipelines.embeddings", fromlist=["embeddings"])
          .knn_graph_edges(sf_dir).num_rows),
-        ("shingle_overlap", lambda: __import__(
-            "pomp_ray.pipelines.webtext", fromlist=["webtext"])
-         .host_shingle_overlap(_bench_pages_path()).num_rows),
         ("leakage_splits", lambda: docs.leakage_safe_splits(
             sf_dir).count()),
     ):

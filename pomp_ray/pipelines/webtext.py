@@ -611,10 +611,16 @@ def host_shingle_overlap(pages_path: str, k: int = 8, min_df: int = 2,
     crossing doc boundaries masked out), per-batch DISTINCT
     (host, shingle) partials shrink the shuffle, ONE global distinct
     groupby, the df gate bounds the word-keyed self-join fan-out at
-    max_df**2, and only (host, 8-byte shingle) rows ever shuffle.  At
-    corpus scale the shingle column would carry a uint64 polynomial
-    hash instead of raw bytes (the winnowing kernel); raw bytes keep
-    the DuckDB substr oracle exact here."""
+    max_df**2, and only (host, 8-byte shingle) rows ever shuffle.
+
+    SCALE POSTURE: this exhaustive variant shuffles EVERY distinct
+    (host, shingle) -- O(total corpus chars) rows -- measured 134 s on
+    the 200k-page bench corpus; it is the exact small-corpus
+    REFERENCE.  The production sibling is ``docs.winnow_dup_pairs``:
+    winnowing samples ~1/window of the shingles (window-min
+    fingerprints) with the same df-gated self-join downstream, cutting
+    the shuffle an order of magnitude.  Raw shingle bytes (not hashes)
+    keep the DuckDB substr oracle exact here."""
     from ray.data.aggregate import Count
 
     from pomp_ray.stages.enqueue import _FAST_EXTRACT
