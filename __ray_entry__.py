@@ -540,6 +540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_user_set_ops": windows.event_user_set_ops,
         "daily_top_actions": windows.daily_top_actions,
         "char_collision_stats": docs.char_collision_stats,
+        "source_length_drift": docs.source_length_drift,
         "pareto_docs": docs.pareto_docs,
         "leakage_safe_splits": docs.leakage_safe_splits,
         # -- web-text hygiene over the MIRROR corpus fixture (host pairs
@@ -1551,6 +1552,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_users
             FROM uw JOIN fc ON uw.user_id = fc.user_id
             GROUP BY 1, 2
+        """,
+        # per-source KS drift vs the pooled length distribution: the max
+        # commutes with the constant-denominator floor, so the integer
+        # form is exact
+        "source_length_drift": """
+            WITH l AS (
+                SELECT source,
+                       len(regexp_extract_all(text, '\\S+')) AS n
+                FROM documents),
+            xs AS (SELECT DISTINCT n FROM l),
+            tot AS (SELECT source, COUNT(*) AS ns FROM l GROUP BY 1),
+            na AS (SELECT COUNT(*) AS nall FROM l),
+            cdf AS (
+                SELECT t.source, t.ns, x.n,
+                       (SELECT COUNT(*) FROM l
+                        WHERE l.source = t.source AND l.n <= x.n) AS cs,
+                       (SELECT COUNT(*) FROM l WHERE l.n <= x.n) AS ca
+                FROM tot t CROSS JOIN xs x)
+            SELECT source, CAST(ns AS BIGINT) AS n_docs,
+                   CAST(MAX(ABS(cs * (SELECT nall FROM na)
+                                - ca * ns)) * 1000000
+                        // (ns * (SELECT nall FROM na)) AS BIGINT)
+                       AS ks_ppm
+            FROM cdf GROUP BY source, ns ORDER BY source
         """,
         # windowed heavy hitters: top-3 action codes per day, ties by
         # lower code

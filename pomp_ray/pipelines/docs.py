@@ -3380,3 +3380,49 @@ def char_collision_stats(sf_dir: str) -> rd.Dataset:
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         f, batch_format="pyarrow")
+
+
+def source_length_drift(sf_dir: str) -> pa.Table:
+    """Distribution-drift monitor: the two-sample Kolmogorov-Smirnov
+    distance (in ppm, exact integers) between each source's doc-length
+    distribution and the POOLED corpus -- the data-quality alarm that
+    catches a source whose scrape silently changed shape.
+
+    Exactness: D = max_x |cdf_s(x) - cdf_all(x)| evaluates as
+    MAX(|cs*N_all - ca*N_s|) * 1e6 // (N_s*N_all) -- the max commutes
+    with the constant-denominator floor, so engine and SQL agree
+    bit-for-bit with no float CDFs.  Shape: the full corpus reduces to
+    a per-(source, length) HISTOGRAM via partial counts (the
+    length_quantiles trick -- value cardinality << rows); the driver
+    walks the tiny cumulative grid vectorized."""
+    def partial(t: pa.Table) -> pa.Table:
+        n = pc.cast(an.count_tokens_arr(t["text"]), pa.int64())
+        tmp = pa.table({"source": t["source"], "n": n})
+        df = tmp.to_pandas().groupby(["source", "n"],
+                                     as_index=False).size()
+        df = df.rename(columns={"size": "c"})
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    hist = _docs(sf_dir, ["source", "text"]).map_batches(
+        partial, batch_format="pyarrow") \
+        .groupby(["source", "n"]).aggregate(Sum("c", alias_name="c")) \
+        .take_all()
+    src = np.array([r["source"] for r in hist], object)
+    ns = np.array([r["n"] for r in hist], np.int64)
+    cs = np.array([r["c"] for r in hist], np.int64)
+    xs = np.unique(ns)
+    n_all = int(cs.sum())
+    # pooled cumulative counts at each grid point
+    ca = np.array([cs[ns <= x].sum() for x in xs], np.int64)
+    sources, n_docs, ks = [], [], []
+    for s in sorted(set(src)):
+        m = src == s
+        n_s = int(cs[m].sum())
+        csum = np.array([cs[m & (ns <= x)].sum() for x in xs], np.int64)
+        diff = np.abs(csum * n_all - ca * n_s)
+        sources.append(s)
+        n_docs.append(n_s)
+        ks.append(int(diff.max()) * 1_000_000 // (n_s * n_all))
+    return pa.table({"source": pa.array(sources, pa.string()),
+                     "n_docs": pa.array(n_docs, pa.int64()),
+                     "ks_ppm": pa.array(ks, pa.int64())})

@@ -83,6 +83,7 @@ SPOT = [
     "event_user_set_ops",
     "daily_top_actions",
     "char_collision_stats",
+    "source_length_drift",
 ]
 
 
