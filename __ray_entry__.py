@@ -789,6 +789,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_round_metrics": lambda sf: _crawl_round_metrics(),
         "crawl_host_health": lambda sf: _crawl_host_health(),
         "robots_audit": lambda sf: _robots_audit(),
+        "politeness_cap_audit": lambda sf: __import__(
+            "pomp_ray.pipelines.audit", fromlist=["audit"]
+        ).politeness_cap_audit(
+            _crawl_ckpt_for("polcap"),
+            __import__("pomp_ray.sources.gen_corpus",
+                       fromlist=["gen_corpus"]).generate(
+                "/tmp/pomp_q_corpus",
+                __import__("pomp_ray.sources.gen_corpus",
+                           fromlist=["gen_corpus"]).TINY).robots_path),
         "crawl_coverage": lambda sf: _crawl_coverage(),
         "length_by_depth": lambda sf: __import__(
             "pomp_ray.pipelines.audit", fromlist=["audit"]
@@ -3209,6 +3218,32 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0 END AS coverage_ppm
             FROM cp FULL JOIN vz ON cp.host = vz.host
             ORDER BY 1
+        """,
+        # crawl-delay rate compliance: per-round fetch counts of every
+        # delay-capped host vs the derived cap (engine caps_from_delay:
+        # max(1, floor(budget/delay)))
+        "politeness_cap_audit": f"""
+            WITH v AS (
+                SELECT split_part(replace(url, 'http://', ''),
+                                  '/', 1) AS host,
+                       round, COUNT(*) AS n
+                FROM read_parquet('{_GOLDEN}/crawl_bfs_visited.parquet')
+                GROUP BY 1, 2),
+            caps AS (
+                SELECT host,
+                       GREATEST(1, CAST(FLOOR(10.0 / crawl_delay)
+                                        AS BIGINT)) AS cap
+                FROM read_parquet('{_RB}') WHERE crawl_delay > 0)
+            SELECT c.host,
+                   CAST(COUNT(v.round) AS BIGINT) AS n_rounds,
+                   CAST(COALESCE(MAX(v.n), 0) AS BIGINT)
+                       AS max_per_round,
+                   c.cap,
+                   CAST(COALESCE(SUM(CASE WHEN v.n > c.cap
+                                     THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS n_violations
+            FROM caps c LEFT JOIN v ON v.host = c.host
+            GROUP BY c.host, c.cap ORDER BY c.host
         """,
         "robots_audit": f"""
             WITH v AS (

@@ -225,3 +225,52 @@ def host_discovery_curve(ckpt_dir: str) -> pa.Table:
                                 pa.int64()),
         "n_visited": pa.array([int(r["n_visited"]) for r in rows],
                               pa.int64())})
+
+
+def politeness_cap_audit(ckpt_dir: str, robots_path: str,
+                         round_budget_s: float = 10.0) -> pa.Table:
+    """Politeness-rate compliance audit: for every crawl-delay host,
+    its per-round fetch counts must never exceed the derived cap
+    ``max(1, floor(round_budget_s / delay))`` -- the crawl-delay leak
+    detector beside ``robots_audit``'s disallow leak detector.  One row
+    per capped host: rounds active, max per-round fetches, the cap,
+    and the violation count (zero on any conformant crawl).
+
+    Shape: the visited table reduces to per-(host, round) counts in one
+    distributed groupby (the logical reader streams row groups); the
+    tiny delay table stays a broadcast dict; the per-host rollup is
+    O(capped hosts)."""
+    import math
+
+    from ray.data.aggregate import Count
+
+    from pomp_ray.crawl import read_visited
+
+    caps: dict[str, int] = {}
+    if robots_path and os.path.exists(robots_path):
+        for r in pq.read_table(robots_path).to_pylist():
+            d = float(r.get("crawl_delay") or 0.0)
+            if d > 0:
+                caps[r["host"]] = max(1, math.floor(round_budget_s / d))
+    vis = read_visited(ckpt_dir)
+    host, _ = _split_urls(vis["url"])
+    t = pa.table({"host": host, "round": vis["round"]})
+    counts = rd.from_arrow(t).groupby(["host", "round"]).aggregate(
+        Count(alias_name="n")).take_all()
+    import collections
+    per_host: dict = collections.defaultdict(list)
+    for r in counts:
+        if r["host"] in caps:
+            per_host[r["host"]].append(int(r["n"]))
+    hosts = sorted(caps)
+    return pa.table({
+        "host": pa.array(hosts, pa.string()),
+        "n_rounds": pa.array([len(per_host[h]) for h in hosts],
+                             pa.int64()),
+        "max_per_round": pa.array(
+            [max(per_host[h]) if per_host[h] else 0 for h in hosts],
+            pa.int64()),
+        "cap": pa.array([caps[h] for h in hosts], pa.int64()),
+        "n_violations": pa.array(
+            [sum(1 for n in per_host[h] if n > caps[h]) for h in hosts],
+            pa.int64())})

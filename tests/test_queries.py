@@ -84,6 +84,7 @@ SPOT = [
     "daily_top_actions",
     "char_collision_stats",
     "source_length_drift",
+    "politeness_cap_audit",
 ]
 
 
