@@ -539,6 +539,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_window_1h": windows.rolling_window_1h,
         "event_user_set_ops": windows.event_user_set_ops,
         "daily_top_actions": windows.daily_top_actions,
+        "weekly_active_users": windows.weekly_active_users,
+        "session_paths": windows.session_paths,
+        "referential_integrity_report":
+            relational.referential_integrity_report,
         "char_collision_stats": docs.char_collision_stats,
         "source_length_drift": docs.source_length_drift,
         "pareto_docs": docs.pareto_docs,
@@ -1603,6 +1607,83 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY ROW_NUMBER() OVER (PARTITION BY day
                     ORDER BY n DESC, code) <= 3
             ORDER BY day, rank
+        """,
+        # sliding 7-day distinct: exact WAU needs a range self-join in
+        # SQL (no window fn computes distinct-over-range); the engine
+        # explodes each user-day to its 7 window days instead
+        "weekly_active_users": """
+            WITH ud AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 86400000000 AS day
+                FROM events),
+            ex AS (
+                SELECT user_id, day + o AS window_day
+                FROM ud CROSS JOIN (SELECT UNNEST(range(0, 7)) AS o)),
+            du AS (SELECT DISTINCT user_id, window_day FROM ex)
+            SELECT window_day, CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM du GROUP BY 1 ORDER BY 1
+        """,
+        # event-type trigrams within 30-min-gap sessions; LEAD within
+        # (user, session) stays in-session by partition construction
+        "session_paths": """
+            WITH g AS (
+                SELECT user_id, ts, event_id, event_type,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                                 OR date_diff('microsecond',
+                                    LAG(ts) OVER w, ts) > 1800000000
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts, event_id)),
+            s AS (
+                SELECT *, SUM(brk) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS sid
+                FROM g),
+            tri AS (
+                SELECT event_type AS t1,
+                       LEAD(event_type, 1) OVER w2 AS t2,
+                       LEAD(event_type, 2) OVER w2 AS t3
+                FROM s
+                WINDOW w2 AS (PARTITION BY user_id, sid
+                              ORDER BY ts, event_id))
+            SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+            FROM tri WHERE t3 IS NOT NULL
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "referential_integrity_report": """
+            SELECT 'customers_without_orders' AS check,
+                   CAST((SELECT COUNT(*) FROM customer
+                         WHERE c_custkey NOT IN
+                               (SELECT o_custkey FROM orders))
+                        AS BIGINT) AS n
+            UNION ALL
+            SELECT 'duplicate_customer_keys', (
+                SELECT COUNT(*) FROM (
+                    SELECT c_custkey FROM customer
+                    GROUP BY 1 HAVING COUNT(*) > 1))
+            UNION ALL
+            SELECT 'duplicate_order_keys', (
+                SELECT COUNT(*) FROM (
+                    SELECT o_orderkey FROM orders
+                    GROUP BY 1 HAVING COUNT(*) > 1))
+            UNION ALL
+            SELECT 'lineitem_orphan_rows', (
+                SELECT COUNT(*) FROM lineitem
+                WHERE l_orderkey NOT IN
+                      (SELECT o_orderkey FROM orders))
+            UNION ALL
+            SELECT 'order_keys_without_lineitems', (
+                SELECT COUNT(*) FROM (
+                    SELECT DISTINCT o_orderkey FROM orders
+                    WHERE o_orderkey NOT IN
+                          (SELECT l_orderkey FROM lineitem)))
+            UNION ALL
+            SELECT 'order_rows_no_customer', (
+                SELECT COUNT(*) FROM orders
+                WHERE o_custkey NOT IN
+                      (SELECT c_custkey FROM customer))
+            ORDER BY 1
         """,
         # char-level Simpson collision index (integer entropy cousin);
         # ASCII corpus text makes byte and character counts equal

@@ -2298,3 +2298,75 @@ def zorder_layout_stats(sf_dir: str,
         batch_format="pyarrow")
     tbl = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
     return tbl.sort_by("part")
+
+
+def referential_integrity_report(sf_dir: str) -> pa.Table:
+    """Data-quality audit of the star-schema key constraints: orphan
+    lineitem rows (l_orderkey missing from orders), order rows whose
+    o_custkey is missing from customer, order keys with no lineitems,
+    customers with no orders, and duplicate-primary-key counts -- the
+    ingest fsck an ETL pipeline runs before publishing a snapshot.
+
+    Shape: every check reduces to per-key Count aggregates (one row per
+    key crosses the shuffle, never the raw rows) stitched by ONE
+    full-outer hash join per key family; null-side partial counts
+    reduce per batch, so the driver only sees one row per block.
+    Exact integer DuckDB anti-join oracle."""
+    def keyed_counts(ds, key, alias):
+        out = ds.groupby(key).aggregate(Count(alias_name=alias))
+        # ray 2.49: hash groupby can emit zero-row empty-schema blocks
+        # that break a downstream join; repartition rebuilds the schema
+        return out.map_batches(
+            lambda t, k=key, a=alias: pa.table({
+                "k": pc.cast(t[k], pa.int64()),
+                a: pc.cast(t[a], pa.int64())}),
+            batch_format="pyarrow").repartition(2).materialize()
+
+    def null_side_counts(joined, left_n, right_n):
+        """(sum of left_n where right missing, n keys right-only,
+        n dup left keys, n dup right keys) partials per batch."""
+        def partial(t: pa.Table) -> pa.Table:
+            ln = t[left_n].to_pandas()
+            rn = t[right_n].to_pandas()
+            return pa.table({
+                "orphan_rows": pa.array(
+                    [int(ln[rn.isna()].sum())], pa.int64()),
+                "right_only_keys": pa.array(
+                    [int((ln.isna()).sum())], pa.int64()),
+                "dup_left_keys": pa.array([int((ln > 1).sum())],
+                                          pa.int64()),
+                "dup_right_keys": pa.array([int((rn > 1).sum())],
+                                           pa.int64())})
+        rows = joined.map_batches(partial,
+                                  batch_format="pyarrow").take_all()
+        return (sum(r["orphan_rows"] for r in rows),
+                sum(r["right_only_keys"] for r in rows),
+                sum(r["dup_left_keys"] for r in rows),
+                sum(r["dup_right_keys"] for r in rows))
+
+    li = keyed_counts(_t(sf_dir, "lineitem", ["l_orderkey"]),
+                      "l_orderkey", "n_li")
+    orders_by_key = keyed_counts(_t(sf_dir, "orders", ["o_orderkey"]),
+                                 "o_orderkey", "n_ord")
+    j1 = li.join(orders_by_key, join_type="full_outer", on=("k",),
+                 num_partitions=4)
+    (li_orphans, orders_no_li, _, dup_ord) = null_side_counts(
+        j1, "n_li", "n_ord")
+
+    ord_cust = keyed_counts(_t(sf_dir, "orders", ["o_custkey"]),
+                            "o_custkey", "n_ordc")
+    cust = keyed_counts(_t(sf_dir, "customer", ["c_custkey"]),
+                        "c_custkey", "n_cust")
+    j2 = ord_cust.join(cust, join_type="full_outer", on=("k",),
+                       num_partitions=4)
+    (ord_no_cust, cust_no_orders, _, dup_cust) = null_side_counts(
+        j2, "n_ordc", "n_cust")
+
+    return pa.table({
+        "check": pa.array([
+            "customers_without_orders", "duplicate_customer_keys",
+            "duplicate_order_keys", "lineitem_orphan_rows",
+            "order_keys_without_lineitems", "order_rows_no_customer",
+        ], pa.string()),
+        "n": pa.array([cust_no_orders, dup_cust, dup_ord, li_orphans,
+                       orders_no_li, ord_no_cust], pa.int64())})

@@ -726,3 +726,97 @@ def daily_top_actions(sf_dir: str, k: int = 3) -> pa.Table:
         "rank": pa.array(ranks, pa.int64()),
         "code": pa.array(codes, pa.int64()),
         "n": pa.array(ns, pa.int64())})
+
+
+def weekly_active_users(sf_dir: str) -> rd.Dataset:
+    """Trailing 7-day active-user counts: for every day in the extended
+    range, COUNT(DISTINCT user) over the window [day-6, day] -- the WAU
+    metric, and the canonical "distinct over a sliding window" problem
+    (no window function computes it; SQL needs a range self-join).
+
+    Shape: per-batch DISTINCT (user, day) partials bound the first
+    shuffle to one row per user-day, a groupby dedups globally, then
+    each user-day EXPLODES to the 7 window days it contributes to
+    (day..day+6) and a second distinct-then-count groupby finishes.
+    Shuffle volume is 7x the user-day count by construction -- the
+    documented price of an exact sliding distinct (an approximate HLL
+    sibling would cut it; this is the exact baseline).  Integer day
+    keys = epoch_us // 86.4e9, mirrored in the DuckDB range-join
+    oracle."""
+    US_DAY = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.cast(t["ts"], pa.int64()).to_numpy() // US_DAY
+        df = pd.DataFrame({"user_id": t["user_id"].to_numpy(),
+                           "day": day}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    user_days = _events(sf_dir, ["ts", "user_id"]).map_batches(
+        partial, batch_format="pyarrow") \
+        .groupby(["user_id", "day"]).aggregate(Count(alias_name="_c"))
+
+    def explode(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        d = t["day"].to_numpy()
+        off = np.tile(np.arange(7, dtype=np.int64), len(u))
+        return pa.table({
+            "user_id": pa.array(np.repeat(u, 7), pa.int64()),
+            "window_day": pa.array(np.repeat(d, 7) + off, pa.int64())})
+
+    out = user_days.map_batches(explode, batch_format="pyarrow") \
+        .groupby(["window_day", "user_id"]).aggregate(
+            Count(alias_name="_c")) \
+        .groupby("window_day").aggregate(Count(alias_name="n_users"))
+    return out.map_batches(
+        lambda t: pa.table({
+            "window_day": pc.cast(t["window_day"], pa.int64()),
+            "n_users": pc.cast(t["n_users"], pa.int64())}),
+        batch_format="pyarrow").sort("window_day")
+
+
+def session_paths(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
+    """Session path motifs: counts of consecutive event-type TRIGRAMS
+    inside a session (same gap rule as ``sessionize``: a break when the
+    gap to the previous event exceeds ``gap_minutes``) -- the sequence
+    pattern behind "what do users do next" product analytics, one order
+    up from ``event_type_transitions``' bigrams.
+
+    Shape: users hash into 64 buckets (the sessionize co-location
+    assumption), each bucket runs ONE C-speed pandas pass (sort, gap
+    cumsum for session ids, two shifts for the lookahead types, a
+    same-session mask, value_counts), and the per-bucket partials
+    reduce through a tiny groupby(t1,t2,t3) sum.  Exact vs the DuckDB
+    LEAD()-within-(user, session) oracle."""
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32())
+        return t.append_column("bucket", b)
+
+    def tri(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        brk = (g["user_id"] != g["user_id"].shift()) | (g["ts"].diff() > gap)
+        sid = brk.cumsum().to_numpy()
+        et = g["event_type"].to_numpy()
+        n = len(et)
+        if n < 3:
+            return pd.DataFrame({"t1": pd.Series([], dtype="object"),
+                                 "t2": pd.Series([], dtype="object"),
+                                 "t3": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        same = sid[:-2] == sid[2:]   # all 3 rows in one session
+        vc = pd.DataFrame({"t1": et[:-2][same], "t2": et[1:-1][same],
+                           "t3": et[2:][same]}).value_counts()
+        out = vc.rename("n").reset_index()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"]) \
+        .map_batches(add_bucket, batch_format="pyarrow")
+    out = ds.groupby("bucket").map_groups(tri, batch_format="pandas")
+    agg = out.groupby(["t1", "t2", "t3"]).aggregate(
+        Sum("n", alias_name="n"))
+    return agg.map_batches(
+        lambda t: pa.table({"t1": t["t1"], "t2": t["t2"], "t3": t["t3"],
+                            "n": pc.cast(t["n"], pa.int64())}),
+        batch_format="pyarrow").sort(["t1", "t2", "t3"])

@@ -85,6 +85,9 @@ SPOT = [
     "char_collision_stats",
     "source_length_drift",
     "politeness_cap_audit",
+    "weekly_active_users",
+    "session_paths",
+    "referential_integrity_report",
 ]
 
 
