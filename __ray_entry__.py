@@ -543,6 +543,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_paths": windows.session_paths,
         "referential_integrity_report":
             relational.referential_integrity_report,
+        "salted_join_rollup": joins.salted_join_rollup,
+        "ewma_daily_events": windows.ewma_daily_events,
+        "activity_streaks": windows.activity_streaks,
+        "kwic_snippets": lambda sf: docs.kwic_snippets(sf, term="dup"),
+        "lineitem_corr_stats": relational.lineitem_corr_stats,
         "char_collision_stats": docs.char_collision_stats,
         "source_length_drift": docs.source_length_drift,
         "pareto_docs": docs.pareto_docs,
@@ -1684,6 +1689,101 @@ def oracle_sql() -> dict[str, str]:
                 WHERE o_custkey NOT IN
                       (SELECT c_custkey FROM customer))
             ORDER BY 1
+        """,
+        # salted join is provably identical to the plain join it salts
+        "salted_join_rollup": """
+            WITH f AS (
+                SELECT user_id,
+                       MIN(epoch_us(ts) // 86400000000) AS first_day
+                FROM events GROUP BY 1)
+            SELECT CAST(first_day AS BIGINT) AS first_day,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events e JOIN f USING (user_id)
+            GROUP BY 1 ORDER BY 1
+        """,
+        # integer floor EWMA: the recurrence is order-exact, so a
+        # recursive CTE over row_number-chained observed days mirrors
+        # the engine's fold bit for bit
+        "ewma_daily_events": """
+            WITH RECURSIVE c AS (
+                SELECT event_type,
+                       epoch_us(ts) // 86400000000 AS day,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2),
+            r AS (
+                SELECT event_type, day, n,
+                       ROW_NUMBER() OVER (PARTITION BY event_type
+                                          ORDER BY day) AS rn
+                FROM c),
+            e AS (
+                SELECT event_type, day, n, rn, n AS ewma
+                FROM r WHERE rn = 1
+                UNION ALL
+                SELECT r.event_type, r.day, r.n, r.rn,
+                       (e.ewma + r.n) // 2
+                FROM e JOIN r ON r.event_type = e.event_type
+                             AND r.rn = e.rn + 1)
+            SELECT event_type, CAST(day AS BIGINT) AS day, n,
+                   CAST(ewma AS BIGINT) AS ewma
+            FROM e ORDER BY event_type, day
+        """,
+        # gaps-and-islands: engine uses day - cumcount (0-based), SQL
+        # day - row_number (1-based) -- island ids shift by a constant
+        # per user, the grouping is identical
+        "activity_streaks": """
+            WITH ud AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 86400000000 AS day
+                FROM events),
+            i AS (
+                SELECT user_id, day,
+                       day - ROW_NUMBER() OVER (PARTITION BY user_id
+                                                ORDER BY day) AS island
+                FROM ud),
+            l AS (SELECT user_id, island, COUNT(*) AS len
+                  FROM i GROUP BY 1, 2),
+            b AS (SELECT user_id, MAX(len) AS streak_len FROM l
+                  GROUP BY 1)
+            SELECT CAST(streak_len AS BIGINT) AS streak_len,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM b GROUP BY 1 ORDER BY 1
+        """,
+        # 1-based position()/substr() mirror the engine's 0-based
+        # find_substring + python slice exactly on the ASCII corpus
+        "kwic_snippets": """
+            WITH p AS (
+                SELECT doc_id, position('dup' IN text) AS pos1, text
+                FROM documents WHERE text LIKE '%dup%')
+            SELECT doc_id,
+                   CAST(pos1 - 1 AS BIGINT) AS pos,
+                   substr(text, greatest(1, pos1 - 20),
+                          least(length(text), pos1 + 2 + 20)
+                          - greatest(1, pos1 - 20) + 1) AS snippet
+            FROM p ORDER BY doc_id
+        """,
+        # exact integer sufficient statistics; SUM(BIGINT) is HUGEINT in
+        # DuckDB so the moment products never overflow, and the final
+        # float ops (cast, sqrt, multiply, divide) are IEEE-identical to
+        # the engine's python floats
+        "lineitem_corr_stats": """
+            WITH s AS (
+                SELECT l_returnflag AS f,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       SUM(CAST(l_quantity AS BIGINT)) AS sx,
+                       SUM(CAST(round(l_discount * 100) AS BIGINT)) AS sy,
+                       SUM(CAST(l_quantity AS BIGINT)
+                           * CAST(l_quantity AS BIGINT)) AS sxx,
+                       SUM(CAST(round(l_discount * 100) AS BIGINT)
+                           * CAST(round(l_discount * 100) AS BIGINT)) AS syy,
+                       SUM(CAST(l_quantity AS BIGINT)
+                           * CAST(round(l_discount * 100) AS BIGINT)) AS sxy
+                FROM lineitem GROUP BY 1)
+            SELECT f AS l_returnflag, n,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                   / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                          * CAST(n * syy - sy * sy AS DOUBLE))
+                       AS corr_qty_disc
+            FROM s ORDER BY 1
         """,
         # char-level Simpson collision index (integer entropy cousin);
         # ASCII corpus text makes byte and character counts equal

@@ -3426,3 +3426,40 @@ def source_length_drift(sf_dir: str) -> pa.Table:
     return pa.table({"source": pa.array(sources, pa.string()),
                      "n_docs": pa.array(n_docs, pa.int64()),
                      "ks_ppm": pa.array(ks, pa.int64())})
+
+
+def kwic_snippets(sf_dir: str, term: str = "quality",
+                  ctx: int = 20) -> rd.Dataset:
+    """Keyword-in-context: for every document containing ``term``, the
+    0-based offset of its FIRST occurrence plus a snippet of +-ctx chars
+    around it -- the search-result-preview primitive.
+
+    Fully vectorized: one pc.find_substring pass locates the term, Arrow
+    boolean mask filters the misses, utf8_slice_codeunits cuts the
+    snippet (the corpus is ASCII, so codeunits == chars == DuckDB
+    position()/substr() semantics)."""
+
+    def snip(t: pa.Table) -> pa.Table:
+        pos = pc.find_substring(t["text"], term)
+        hit = pc.not_equal(pos, -1)
+        t2 = t.filter(hit)
+        if t2.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64()),
+                             "snippet": pa.array([], pa.string())})
+        p = pc.find_substring(t2["text"], term)
+        start = pc.max_element_wise(pc.subtract(p, ctx), 0)
+        stop = pc.add(pc.add(p, len(term)), ctx)
+        # variable per-row slice bounds: Arrow's slice kernel only takes
+        # scalar offsets, so the cut is a per-HIT loop -- cost is
+        # output-proportional (misses were filtered vectorized above)
+        texts = t2["text"].to_numpy(zero_copy_only=False)
+        s = start.to_numpy()
+        e = stop.to_numpy()
+        snips = [txt[a:b] for txt, a, b in zip(texts, s, e)]
+        return pa.table({"doc_id": pc.cast(t2["doc_id"], pa.int64()),
+                         "pos": pc.cast(p, pa.int64()),
+                         "snippet": pa.array(snips, pa.string())})
+
+    return _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(snip, batch_format="pyarrow").sort("doc_id")

@@ -31,7 +31,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data as rd
-from ray.data.aggregate import Sum
+from ray.data.aggregate import Count, Min, Sum
 
 
 def _t(sf_dir: str, name: str, columns=None) -> rd.Dataset:
@@ -221,3 +221,59 @@ def asof_click_after_purchase(sf_dir: str) -> rd.Dataset:
         lambda t: t.set_column(t.column_names.index("user_id"), "user_id",
                                pc.cast(t["user_id"], pa.int64())),
         batch_format="pyarrow")
+
+
+def salted_join_rollup(sf_dir: str, n_salts: int = 8) -> rd.Dataset:
+    """SKEW-MITIGATED (salted) hash join, the 100-TB shape for a fact
+    table whose join key is hot: per-user first-active-day dim joined
+    back to the events fact, rolled up to (first_day, n_events).
+
+    Technique under test (guide: "salt hot keys"): the dim side is
+    REPLICATED n_salts times (dim x salt), the fact side gets a salt
+    column derived from a NON-KEY attribute (event_id) so one hot
+    user's rows spread across n_salts shuffle partitions, and the join
+    key becomes (user_id, salt).  The result is provably identical to
+    the unsalted join -- which is exactly what the DuckDB oracle runs.
+    Both join inputs here stay Datasets (nothing broadcast / collected);
+    the dim is small only AFTER its own aggregation, as at scale."""
+    US_DAY = 86_400_000_000
+    ev = _t(sf_dir, "events", ["event_id", "ts", "user_id"])
+    # join partitions sized to the fact volume (metadata-only count):
+    # near-empty shuffle partitions cost ~1 s of actor-pool spinup each
+    n_parts = max(2, min(64, ev.count() // 500_000))
+
+    def to_day(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()), US_DAY)
+        return pa.table({"user_id": t["user_id"],
+                         "day": pc.cast(day, pa.int64())})
+
+    dim = ev.map_batches(to_day, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Min("day", alias_name="first_day"))
+
+    def replicate(t: pa.Table) -> pa.Table:
+        import numpy as np
+        u = t["user_id"].to_numpy()
+        fd = t["first_day"].to_numpy()
+        rep = np.repeat(np.arange(n_salts, dtype=np.int64), len(u))
+        return pa.table({
+            "user_id": pa.array(np.tile(u, n_salts), pa.int64()),
+            "salt": pa.array(rep, pa.int64()),
+            "first_day": pa.array(np.tile(fd, n_salts), pa.int64())})
+
+    dim_salted = dim.map_batches(replicate, batch_format="pyarrow") \
+        .materialize()  # ends-in-join rule: never feed a live join a live join side
+
+    def salt_fact(t: pa.Table) -> pa.Table:
+        s = pc.bit_wise_and(t["event_id"], n_salts - 1)
+        return pa.table({"user_id": t["user_id"],
+                         "salt": pc.cast(s, pa.int64())})
+
+    fact = ev.map_batches(salt_fact, batch_format="pyarrow")
+    joined = fact.join(dim_salted, join_type="inner",
+                       num_partitions=n_parts, on=("user_id", "salt"))
+    out = joined.repartition(2).groupby("first_day").aggregate(
+        Count(alias_name="n_events"))
+    return out.map_batches(
+        lambda t: pa.table({"first_day": pc.cast(t["first_day"], pa.int64()),
+                            "n_events": pc.cast(t["n_events"], pa.int64())}),
+        batch_format="pyarrow").sort("first_day")

@@ -2370,3 +2370,49 @@ def referential_integrity_report(sf_dir: str) -> pa.Table:
         ], pa.string()),
         "n": pa.array([cust_no_orders, dup_cust, dup_ord, li_orphans,
                        orders_no_li, ord_no_cust], pa.int64())})
+
+
+def lineitem_corr_stats(sf_dir: str) -> rd.Dataset:
+    """Exact Pearson correlation of (l_quantity, l_discount) per
+    l_returnflag via INTEGER sufficient statistics -- the distributed
+    two-pass-free correlation shape: one map_batches pass emits per-batch
+    int64 partials (n, Sx, Sy, Sxx, Syy, Sxy) over integer-scaled units
+    (quantity is integral; discount x100 = cents-of-percent), one tiny
+    groupby sums them, and the final ratio is computed from EXACT
+    integers on the bounded per-flag table.  Integer moments make the
+    result bit-identical to the DuckDB oracle computing the same formula
+    (float corr() would differ in the last ulp; the length_outlier_docs
+    convention).  Products stay in Python ints (arbitrary precision) on
+    the driver so no 100-TB row count can overflow the numerator."""
+    import math
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"].to_numpy().astype(np.int64)
+        d = np.rint(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        df = pd.DataFrame({"f": t["l_returnflag"].to_numpy(zero_copy_only=False),
+                           "n": 1, "sx": q, "sy": d, "sxx": q * q,
+                           "syy": d * d, "sxy": q * d})
+        g = df.groupby("f", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    sums = _t(sf_dir, "lineitem",
+              ["l_returnflag", "l_quantity", "l_discount"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("f").aggregate(
+            Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"), Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"), Sum("sxy", alias_name="sxy"))
+
+    df = sums.to_pandas()  # bounded: one row per returnflag
+    rows = []
+    for r in df.itertuples(index=False):
+        n, sx, sy = int(r.n), int(r.sx), int(r.sy)
+        num = n * int(r.sxy) - sx * sy
+        dx = n * int(r.sxx) - sx * sx
+        dy = n * int(r.syy) - sy * sy
+        corr = float(num) / math.sqrt(float(dx) * float(dy))
+        rows.append((r.f, n, corr))
+    out = pd.DataFrame(rows, columns=["l_returnflag", "n", "corr_qty_disc"])
+    out = out.sort_values("l_returnflag").reset_index(drop=True)
+    out["n"] = out["n"].astype("int64")
+    return rd.from_pandas(out)

@@ -820,3 +820,85 @@ def session_paths(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
         lambda t: pa.table({"t1": t["t1"], "t2": t["t2"], "t3": t["t3"],
                             "n": pc.cast(t["n"], pa.int64())}),
         batch_format="pyarrow").sort(["t1", "t2", "t3"])
+
+
+def ewma_daily_events(sf_dir: str) -> rd.Dataset:
+    """Integer EWMA (alpha = 1/2 in floor arithmetic) over each event
+    type's daily count series: ewma_0 = c_0, ewma_i =
+    (ewma_{i-1} + c_i) // 2 over the type's OBSERVED days in order.
+
+    Shape: the distributed part is the (event_type, day) count groupby
+    -- the only pass that touches event volume; the sequential fold runs
+    over the resulting bounded series (types x days, independent of
+    event count), the bpe_merges / driver-reduce lesson.  Integer floor
+    arithmetic makes the recurrence order-exact vs the DuckDB recursive
+    CTE oracle (float EWMA would differ in the last ulp)."""
+    US_DAY = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.cast(t["ts"], pa.int64()).to_numpy() // US_DAY
+        df = pd.DataFrame({"event_type": t["event_type"].to_numpy(zero_copy_only=False),
+                           "day": day})
+        g = df.groupby(["event_type", "day"], sort=False).size()
+        g = g.reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    daily = _events(sf_dir, ["ts", "event_type"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "day"]).aggregate(Sum("n", alias_name="n"))
+
+    # bounded series: fold on the driver (types x days rows, not events)
+    df = daily.to_pandas().sort_values(["event_type", "day"])
+    out_rows = []
+    for et, g in df.groupby("event_type", sort=True):
+        ewma = None
+        for day, n in zip(g["day"], g["n"]):
+            n = int(n)
+            ewma = n if ewma is None else (ewma + n) // 2
+            out_rows.append((et, int(day), n, ewma))
+    out = pd.DataFrame(out_rows,
+                       columns=["event_type", "day", "n", "ewma"])
+    return rd.from_pandas(out)
+
+
+def activity_streaks(sf_dir: str) -> rd.Dataset:
+    """Longest consecutive-day activity streak per user, rolled up to a
+    histogram (streak_len, n_users) -- the gaps-and-islands pattern.
+
+    Shape: distinct (user, day) partials bound the shuffle, a 64-bucket
+    user hash gives C-speed vectorized island detection per bucket
+    (day - cumcount within user = island id; the sessionize lesson:
+    never one pandas group per user), then a tiny histogram groupby."""
+    US_DAY = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.cast(t["ts"], pa.int64()).to_numpy() // US_DAY
+        df = pd.DataFrame({"user_id": t["user_id"].to_numpy(),
+                           "day": day}).drop_duplicates()
+        df["bucket"] = (df["user_id"] & 63).astype("int32")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    user_days = _events(sf_dir, ["ts", "user_id"]).map_batches(
+        partial, batch_format="pyarrow") \
+        .groupby(["user_id", "day"]).aggregate(
+            Min("bucket", alias_name="bucket"))
+
+    def max_streak(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "day"])
+        rn = g.groupby("user_id", sort=False).cumcount()
+        island = g["day"].to_numpy() - rn.to_numpy()
+        lens = g.groupby([g["user_id"].to_numpy(), island],
+                         sort=False).size()
+        best = lens.groupby(level=0).max()
+        return pd.DataFrame({"user_id": best.index.to_numpy(),
+                             "streak_len": best.to_numpy()})
+
+    per_user = user_days.groupby("bucket").map_groups(
+        max_streak, batch_format="pandas")
+    out = per_user.groupby("streak_len").aggregate(
+        Count(alias_name="n_users"))
+    return out.map_batches(
+        lambda t: pa.table({
+            "streak_len": pc.cast(t["streak_len"], pa.int64()),
+            "n_users": pc.cast(t["n_users"], pa.int64())}),
+        batch_format="pyarrow").sort("streak_len")
