@@ -544,6 +544,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "referential_integrity_report":
             relational.referential_integrity_report,
         "salted_join_rollup": joins.salted_join_rollup,
+        "ncd_pairs_sample": docs.ncd_pairs_sample,
+        "k_anonymity_report": docs.k_anonymity_report,
+        "host_cocitation": lambda sf: __import__(
+            "pomp_ray.pipelines.graph", fromlist=["graph"]
+        ).host_cocitation(_mirror_pages_path()),
+        "degree_assortativity": lambda sf: __import__(
+            "pomp_ray.pipelines.graph", fromlist=["graph"]
+        ).degree_assortativity(_mirror_pages_path()),
+        "host_load_gini":
+            lambda sf: webtext.host_load_gini(_mirror_pages_path()),
         "ewma_daily_events": windows.ewma_daily_events,
         "activity_streaks": windows.activity_streaks,
         "kwic_snippets": lambda sf: docs.kwic_snippets(sf, term="dup"),
@@ -1689,6 +1699,101 @@ def oracle_sql() -> dict[str, str]:
                 WHERE o_custkey NOT IN
                       (SELECT c_custkey FROM customer))
             ORDER BY 1
+        """,
+        "ncd_pairs_sample":
+            f"SELECT * FROM read_parquet('{_GOLDEN}/ncd_pairs_sf001.parquet')",
+        "k_anonymity_report": """
+            WITH g AS (
+                SELECT lang, source, n_chars // 100 AS len_bucket,
+                       CAST(COUNT(*) AS BIGINT) AS g
+                FROM documents GROUP BY 1, 2, 3),
+            k AS (SELECT UNNEST([2, 5, 10]) AS k)
+            SELECT CAST(k AS BIGINT) AS k,
+                   CAST(COUNT(*) FILTER (g.g < k) AS BIGINT)
+                       AS n_groups_violating,
+                   CAST(COALESCE(SUM(g.g) FILTER (g.g < k), 0) AS BIGINT)
+                       AS n_docs_at_risk
+            FROM k CROSS JOIN g GROUP BY 1 ORDER BY 1
+        """,
+        # co-citation: host pairs sharing outlink destinations over the
+        # same foreign-edge extraction as host_triangles
+        "host_cocitation": f"""
+            WITH links AS (
+                SELECT lower(regexp_extract(url, '^[a-z]+://([^/]+)', 1))
+                           AS src,
+                       unnest(regexp_extract_all(
+                           decode(html), 'href="([^"]+)"', 1)) AS href
+                FROM read_parquet('{_MP}')),
+            edges0 AS (
+                SELECT src,
+                       CASE WHEN href LIKE 'http://%'
+                            THEN lower(regexp_extract(
+                                href, '^http://([^/]+)', 1))
+                            ELSE src END AS dst
+                FROM links),
+            e AS (SELECT DISTINCT src, dst FROM edges0 WHERE src <> dst)
+            SELECT e1.src AS a, e2.src AS b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared_dsts
+            FROM e e1 JOIN e e2 ON e1.dst = e2.dst AND e1.src < e2.src
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # Newman degree assortativity from exact integer moments; by
+        # symmetry Sx = Sy and the denominators coincide, so the result
+        # is ONE float division over exact ints (engine-identical)
+        "degree_assortativity": f"""
+            WITH links AS (
+                SELECT lower(regexp_extract(url, '^[a-z]+://([^/]+)', 1))
+                           AS src,
+                       unnest(regexp_extract_all(
+                           decode(html), 'href="([^"]+)"', 1)) AS href
+                FROM read_parquet('{_MP}')),
+            edges0 AS (
+                SELECT src,
+                       CASE WHEN href LIKE 'http://%'
+                            THEN lower(regexp_extract(
+                                href, '^http://([^/]+)', 1))
+                            ELSE src END AS dst
+                FROM links),
+            e AS (
+                SELECT DISTINCT least(src, dst) AS a,
+                                greatest(src, dst) AS b
+                FROM edges0 WHERE src <> dst),
+            d AS (
+                SELECT host, CAST(COUNT(*) AS BIGINT) AS deg
+                FROM (SELECT a AS host FROM e
+                      UNION ALL SELECT b FROM e)
+                GROUP BY 1),
+            j AS (
+                SELECT da.deg AS x, db.deg AS y
+                FROM e JOIN d da ON e.a = da.host
+                       JOIN d db ON e.b = db.host),
+            s AS (
+                SELECT 2 * CAST(COUNT(*) AS BIGINT) AS n,
+                       SUM(x + y) AS sx,
+                       SUM(x * x + y * y) AS sxx,
+                       SUM(2 * x * y) AS sxy
+                FROM j)
+            SELECT CAST(n AS BIGINT) AS n_endpoints,
+                   CAST(n * sxy - sx * sx AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE) AS assortativity
+            FROM s
+        """,
+        "host_load_gini": f"""
+            WITH h AS (
+                SELECT lower(regexp_extract(url, '^[a-z]+://([^/]+)', 1))
+                           AS host,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM read_parquet('{_MP}') GROUP BY 1),
+            r AS (
+                SELECT n, CAST(ROW_NUMBER() OVER (ORDER BY n, host)
+                               AS BIGINT) AS i
+                FROM h)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_hosts,
+                   CAST(SUM(n) AS BIGINT) AS total_pages,
+                   CAST((2 * SUM(i * n) - (COUNT(*) + 1) * SUM(n))
+                        * 1000000 // (COUNT(*) * SUM(n)) AS BIGINT)
+                       AS gini_ppm
+            FROM r
         """,
         # salted join is provably identical to the plain join it salts
         "salted_join_rollup": """

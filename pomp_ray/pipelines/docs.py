@@ -3463,3 +3463,117 @@ def kwic_snippets(sf_dir: str, term: str = "quality",
 
     return _docs(sf_dir, ["doc_id", "text"]) \
         .map_batches(snip, batch_format="pyarrow").sort("doc_id")
+
+
+def ncd_pairs_sample(sf_dir: str, threshold: float = 0.6) -> pa.Table:
+    """Normalized Compression Distance (Cilibrasi-Vitanyi) near-dup on
+    the deterministic 1/16 doc hash-sample: NCD(x, y) =
+    (C(xy) - min(C(x), C(y))) / max(C(x), C(y)) with C = len(zlib
+    level-6 compress) -- the parameter-free similarity metric, kept
+    below ``threshold``.
+
+    Shape mirrors jaccard_pairs_sample (the documented sampled
+    VERIFIER): the hash gate runs in map_batches, the per-doc C(x)
+    pass is distributed, pair rows fan out as a Dataset and each worker
+    compresses only its pairs' concatenations against the broadcast
+    sample texts.  zlib level 6 is the pinned primitive (the
+    compression_stats convention); the float division is a single IEEE
+    op, so the committed serial golden is bit-identical."""
+    import hashlib
+    import zlib
+
+    import ray as _ray
+
+    def gate(t: pa.Table) -> pa.Table:
+        keep = [hashlib.md5(str(d).encode()).hexdigest()[0] == "0"
+                for d in t["doc_id"].to_pylist()]
+        t = t.filter(pa.array(keep, pa.bool_()))
+        c = [len(zlib.compress((x or "").encode(), 6))
+             for x in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "text": t["text"],
+                         "c": pa.array(c, pa.int64())})
+
+    rows = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        gate, batch_format="pyarrow").take_all()
+    texts = {r["doc_id"]: (r["text"] or "") for r in rows}
+    c_solo = {r["doc_id"]: r["c"] for r in rows}
+    ids = np.asarray(sorted(texts), np.int64)
+    if len(ids) < 2:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "ncd": pa.array([], pa.float64())})
+    ai, bj = np.triu_indices(len(ids), 1)
+    pairs_tbl = pa.table({"doc_a": pa.array(ids[ai], pa.int64()),
+                          "doc_b": pa.array(ids[bj], pa.int64())})
+    blk = 4096
+    blocks = [pairs_tbl.slice(lo, blk)
+              for lo in range(0, pairs_tbl.num_rows, blk)]
+    ref = _ray.put((texts, c_solo))
+
+    def verify(t: pa.Table) -> pa.Table:
+        import zlib as _z
+        txt, cs = _ray.get(ref)
+        out_a, out_b, out_n = [], [], []
+        for a, b in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()):
+            cxy = len(_z.compress((txt[a] + txt[b]).encode(), 6))
+            ncd = (cxy - min(cs[a], cs[b])) / max(cs[a], cs[b])
+            if ncd < threshold:
+                out_a.append(int(a)); out_b.append(int(b))
+                out_n.append(ncd)
+        return pa.table({"doc_a": pa.array(out_a, pa.int64()),
+                         "doc_b": pa.array(out_b, pa.int64()),
+                         "ncd": pa.array(out_n, pa.float64())})
+
+    verified = rd.from_arrow(blocks).map_batches(
+        verify, batch_format="pyarrow").take_all()
+    verified.sort(key=lambda r: (r["doc_a"], r["doc_b"]))
+    return pa.table({
+        "doc_a": pa.array([r["doc_a"] for r in verified], pa.int64()),
+        "doc_b": pa.array([r["doc_b"] for r in verified], pa.int64()),
+        "ncd": pa.array([r["ncd"] for r in verified], pa.float64())})
+
+
+def k_anonymity_report(sf_dir: str) -> rd.Dataset:
+    """Privacy-audit sibling of pii_scrub: treating (lang, source,
+    n_chars // 100) as a quasi-identifier tuple, count -- for k in
+    {2, 5, 10} -- the groups smaller than k and the documents at
+    re-identification risk inside them (the k-anonymity violation
+    report a release pipeline runs before publishing).
+
+    One groupby over the derived quasi-identifier bounds the shuffle to
+    group cardinality; the k-sweep happens on the bounded group-size
+    table."""
+    def qi(t: pa.Table) -> pa.Table:
+        b = pc.divide(t["n_chars"], 100)
+        return pa.table({"lang": t["lang"], "source": t["source"],
+                         "len_bucket": pc.cast(b, pa.int64())})
+
+    sizes = _docs(sf_dir, ["lang", "source", "n_chars"]) \
+        .map_batches(qi, batch_format="pyarrow") \
+        .groupby(["lang", "source", "len_bucket"]) \
+        .aggregate(Count(alias_name="g"))
+
+    def sweep(t: pa.Table) -> pa.Table:
+        g = t["g"].to_numpy()
+        ks, ng, nd = [], [], []
+        for k in (2, 5, 10):
+            m = g < k
+            ks.append(k)
+            ng.append(int(m.sum()))
+            nd.append(int(g[m].sum()))
+        return pa.table({"k": pa.array(ks, pa.int64()),
+                         "n_groups_violating": pa.array(ng, pa.int64()),
+                         "n_docs_at_risk": pa.array(nd, pa.int64())})
+
+    # partial sweep per block, then one tiny groupby sums the partials
+    out = sizes.map_batches(sweep, batch_format="pyarrow") \
+        .groupby("k").aggregate(
+            Sum("n_groups_violating", alias_name="n_groups_violating"),
+            Sum("n_docs_at_risk", alias_name="n_docs_at_risk"))
+    return out.map_batches(
+        lambda t: pa.table({
+            "k": pc.cast(t["k"], pa.int64()),
+            "n_groups_violating": pc.cast(t["n_groups_violating"],
+                                          pa.int64()),
+            "n_docs_at_risk": pc.cast(t["n_docs_at_risk"], pa.int64())}),
+        batch_format="pyarrow").sort("k")

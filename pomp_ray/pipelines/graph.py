@@ -1193,3 +1193,124 @@ def orphan_pages(pages_path: str, num_partitions: int = 8) -> pa.Table:
                       "n_pages": pa.array([], pa.int64()),
                       "n_orphans": pa.array([], pa.int64())})])
     return tbl.sort_by("host")
+
+
+def host_cocitation(pages_path: str, num_partitions: int = 4) -> pa.Table:
+    """Co-citation coupling over the foreign host graph: host pairs
+    (a < b) ranked by how many DISTINCT destination hosts both link to
+    -- the classic bibliographic-coupling signal for discovering hosts
+    with the same outlink profile (mirror farms, template networks).
+
+    Shape: distinct (src, dst) foreign edges (one skinny groupby), a
+    hash self-join pivoting on dst builds the co-citing pairs, one
+    count groupby finishes.  Same join discipline as host_triangles:
+    .repartition(2) + materialize between chained joins (the ray 2.49
+    empty-schema-block family)."""
+    from ray.data.aggregate import Count as _Count
+
+    def foreign(t: pa.Table) -> pa.Table:
+        m = pc.invert(pc.equal(t["src"], t["dst"]))
+        return t.filter(m)
+
+    edges = corpus_host_edges(pages_path) \
+        .map_batches(foreign, batch_format="pyarrow") \
+        .groupby(["src", "dst"]).aggregate(_Count(alias_name="_n")) \
+        .map_batches(lambda t: t.select(["src", "dst"]),
+                     batch_format="pyarrow") \
+        .repartition(2).materialize()
+
+    left = edges.map_batches(
+        lambda t: pa.table({"a": t["src"], "dst": t["dst"]}),
+        batch_format="pyarrow")
+    right = edges.map_batches(
+        lambda t: pa.table({"b": t["src"], "dst": t["dst"]}),
+        batch_format="pyarrow")
+    pairs = left.join(right, join_type="inner", on=("dst",),
+                      num_partitions=num_partitions) \
+        .map_batches(lambda t: t.filter(pc.less(t["a"], t["b"])),
+                     batch_format="pyarrow").repartition(2)
+    rows = pairs.groupby(["a", "b"]).aggregate(
+        _Count(alias_name="n_shared_dsts")).take_all()
+    rows.sort(key=lambda r: (r["a"], r["b"]))
+    return pa.table({
+        "a": pa.array([r["a"] for r in rows], pa.string()),
+        "b": pa.array([r["b"] for r in rows], pa.string()),
+        "n_shared_dsts": pa.array([int(r["n_shared_dsts"])
+                                   for r in rows], pa.int64())})
+
+
+def degree_assortativity(pages_path: str,
+                         num_partitions: int = 4) -> pa.Table:
+    """Degree assortativity of the undirected foreign host graph: the
+    Pearson correlation of endpoint degrees over all edges (Newman
+    2002) -- negative means hubs link to leaves (organic webs),
+    positive means hubs link to hubs (link farms).
+
+    Exact integer sufficient statistics, the lineitem_corr_stats
+    convention: each undirected edge contributes BOTH (deg_a, deg_b)
+    and (deg_b, deg_a), the per-batch partials are int64 sums, and the
+    single-row result is computed from exact Python ints so the float
+    ops (cast, sqrt, multiply, divide) mirror the DuckDB oracle
+    bit for bit.  Degrees reach the edge table via two hash joins with
+    a materialize between them (the two-live-joins rule)."""
+    import math
+
+    from ray.data.aggregate import Count as _Count, Sum as _Sum
+
+    def und(t: pa.Table) -> pa.Table:
+        m = pc.invert(pc.equal(t["src"], t["dst"]))
+        t = t.filter(m)
+        lo = pc.min_element_wise(t["src"], t["dst"])
+        hi = pc.max_element_wise(t["src"], t["dst"])
+        return pa.table({"a": lo, "b": hi})
+
+    edges = corpus_host_edges(pages_path) \
+        .map_batches(und, batch_format="pyarrow") \
+        .groupby(["a", "b"]).aggregate(_Count(alias_name="_n")) \
+        .map_batches(lambda t: t.select(["a", "b"]),
+                     batch_format="pyarrow") \
+        .repartition(2).materialize()
+
+    def halves(t: pa.Table) -> pa.Table:
+        return pa.table({"host": pa.concat_arrays(
+            [t["a"].combine_chunks(), t["b"].combine_chunks()])})
+
+    deg = edges.map_batches(halves, batch_format="pyarrow") \
+        .groupby("host").aggregate(_Count(alias_name="deg")) \
+        .repartition(2).materialize()
+
+    da = deg.map_batches(
+        lambda t: pa.table({"a": t["host"], "deg_a": t["deg"]}),
+        batch_format="pyarrow")
+    db = deg.map_batches(
+        lambda t: pa.table({"b": t["host"], "deg_b": t["deg"]}),
+        batch_format="pyarrow")
+    j1 = edges.join(da, join_type="inner", on=("a",),
+                    num_partitions=num_partitions) \
+        .repartition(2).materialize()
+    j2 = j1.join(db, join_type="inner", on=("b",),
+                 num_partitions=num_partitions).repartition(2)
+
+    def partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+        x = t["deg_a"].to_numpy().astype(np.int64)
+        y = t["deg_b"].to_numpy().astype(np.int64)
+        # both orientations of every undirected edge
+        sx = int(x.sum() + y.sum())
+        sxx = int((x * x).sum() + (y * y).sum())
+        sxy = int(2 * (x * y).sum())
+        return pa.table({"n": pa.array([2 * t.num_rows], pa.int64()),
+                         "sx": pa.array([sx], pa.int64()),
+                         "sxx": pa.array([sxx], pa.int64()),
+                         "sxy": pa.array([sxy], pa.int64())})
+
+    r = j2.map_batches(partial, batch_format="pyarrow").aggregate(
+        _Sum("n", alias_name="n"), _Sum("sx", alias_name="sx"),
+        _Sum("sxx", alias_name="sxx"), _Sum("sxy", alias_name="sxy"))
+    n, sx, sxx, sxy = (int(r["n"]), int(r["sx"]), int(r["sxx"]),
+                       int(r["sxy"]))
+    num = n * sxy - sx * sx
+    den = n * sxx - sx * sx
+    assort = float(num) / float(den)
+    return pa.table({"n_endpoints": pa.array([n], pa.int64()),
+                     "assortativity": pa.array([assort], pa.float64())})

@@ -693,3 +693,61 @@ def host_shingle_overlap(pages_path: str, k: int = 8, min_df: int = 2,
                       "host_b": pa.array([], pa.string()),
                       "n_shared_shingles": pa.array([], pa.int64())})])
     return tbl.sort_by([("host_a", "ascending"), ("host_b", "ascending")])
+
+
+def host_load_gini(pages_path: str) -> pa.Table:
+    """Gini coefficient of the per-host page-count distribution -- the
+    one-number skew gauge for crawl load balancing (0 = perfectly even,
+    -> 1 = one host dominates; the salt-count derivation in politeness
+    reacts to exactly this skew).
+
+    Exact integer arithmetic in ppm: after the per-host count groupby,
+    a distributed sort by (n, host) + per-block (local rank x count)
+    partials give the global SUM(i * x_i) with only per-block offsets
+    combined on the driver (the prefix_sum/zip_with_index block-offset
+    pattern; no full table ever leaves the cluster), and the closed
+    form G = (2*SUM(i*x_i) - (n+1)*SUM(x)) / (n*SUM(x)) floors to ppm
+    exactly as the DuckDB ROW_NUMBER oracle does."""
+    from ray.data.aggregate import Count
+
+    def hostify(t: pa.Table) -> pa.Table:
+        return pa.table({"host": _host_col(t["url"])})
+
+    counts = rd.read_parquet(pages_path, columns=["url"]) \
+        .map_batches(hostify, batch_format="pyarrow") \
+        .groupby("host").aggregate(Count(alias_name="n")) \
+        .sort(["n", "host"]).materialize()
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"first_n": pa.array([], pa.int64()),
+                             "first_host": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64()),
+                             "sx": pa.array([], pa.int64()),
+                             "s_ix": pa.array([], pa.int64())})
+        x = t["n"].to_numpy().astype(np.int64)
+        i = np.arange(len(x), dtype=np.int64)   # local 0-based rank
+        return pa.table({
+            "first_n": pa.array([int(x[0])], pa.int64()),
+            "first_host": pa.array([t["host"][0].as_py()], pa.string()),
+            "cnt": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "s_ix": pa.array([int((i * x).sum())], pa.int64())})
+
+    parts = sorted(
+        counts.map_batches(partial, batch_size=None,
+                           batch_format="pyarrow").take_all(),
+        key=lambda r: (r["first_n"], r["first_host"]))
+    n_hosts = sum(r["cnt"] for r in parts)
+    total = sum(r["sx"] for r in parts)
+    s_ix0 = 0   # global sum of 0-based rank * count
+    off = 0
+    for r in parts:
+        s_ix0 += r["s_ix"] + off * r["sx"]
+        off += r["cnt"]
+    s_ix1 = s_ix0 + total   # 1-based ranks
+    gini_ppm = ((2 * s_ix1 - (n_hosts + 1) * total) * 1_000_000
+                // (n_hosts * total))
+    return pa.table({"n_hosts": pa.array([n_hosts], pa.int64()),
+                     "total_pages": pa.array([total], pa.int64()),
+                     "gini_ppm": pa.array([gini_ppm], pa.int64())})

@@ -1685,6 +1685,40 @@ def gen_scc_golden() -> None:
     print(f"condensation golden: {len(dag_edges)} dag edges")
 
 
+def gen_ncd_golden(sf_dir: str = SF001, threshold: float = 0.6) -> None:
+    """Independent serial NCD pairs for docs.ncd_pairs_sample: plain
+    nested loop, same md5 1/16 gate, same pinned zlib level 6, same
+    single-IEEE-division -- no engine code shared."""
+    import hashlib
+    import zlib
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    sample = []
+    for d, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        if hashlib.md5(str(d).encode()).hexdigest()[0] == "0":
+            sample.append((d, s or ""))
+    sample.sort()
+    out_a, out_b, out_n = [], [], []
+    for i in range(len(sample)):
+        a, ta = sample[i]
+        ca = len(zlib.compress(ta.encode(), 6))
+        for j in range(i + 1, len(sample)):
+            b, tb = sample[j]
+            cb = len(zlib.compress(tb.encode(), 6))
+            cab = len(zlib.compress((ta + tb).encode(), 6))
+            ncd = (cab - min(ca, cb)) / max(ca, cb)
+            if ncd < threshold:
+                out_a.append(a)
+                out_b.append(b)
+                out_n.append(ncd)
+    out = pa.table({"doc_a": pa.array(out_a, pa.int64()),
+                    "doc_b": pa.array(out_b, pa.int64()),
+                    "ncd": pa.array(out_n, pa.float64())})
+    pq.write_table(out, os.path.join(GOLDEN_DIR, "ncd_pairs_sf001.parquet"))
+    print(f"ncd golden: {len(sample)} sampled docs, {len(out_a)} pairs")
+
+
 if __name__ == "__main__":
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     gen_signature_goldens()
@@ -1722,3 +1756,4 @@ if __name__ == "__main__":
     gen_breaker_golden()
     gen_winnow_goldens()
     gen_scc_golden()
+    gen_ncd_golden()
