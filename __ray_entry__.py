@@ -545,6 +545,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             relational.referential_integrity_report,
         "salted_join_rollup": joins.salted_join_rollup,
         "ncd_pairs_sample": docs.ncd_pairs_sample,
+        "props_k_stats": windows.props_k_stats,
+        "event_count_anomalies": windows.event_count_anomalies,
+        "grouping_sets_revenue": relational.grouping_sets_revenue,
         "k_anonymity_report": docs.k_anonymity_report,
         "host_cocitation": lambda sf: __import__(
             "pomp_ray.pipelines.graph", fromlist=["graph"]
@@ -1702,6 +1705,48 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ncd_pairs_sample":
             f"SELECT * FROM read_parquet('{_GOLDEN}/ncd_pairs_sf001.parquet')",
+        # the engine's regex fast path is checked against DuckDB's real
+        # JSON parser, not against another regex
+        "props_k_stats": """
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
+                   CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS min_k,
+                   CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS max_k
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        # pure-integer 2-sigma gate: (n*x - S)^2 > 4*(n*Sxx - S^2); the
+        # squares stay exact in HUGEINT
+        "event_count_anomalies": """
+            WITH c AS (
+                SELECT event_type,
+                       epoch_us(ts) // 86400000000 AS day,
+                       CAST(COUNT(*) AS BIGINT) AS x
+                FROM events GROUP BY 1, 2),
+            m AS (
+                SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                       SUM(x) AS s, SUM(x * x) AS sxx
+                FROM c GROUP BY 1)
+            SELECT c.event_type, CAST(day AS BIGINT) AS day, x,
+                   CAST(m.n * c.x - m.s AS BIGINT) AS n_dev
+            FROM c JOIN m USING (event_type)
+            WHERE (m.n * c.x - m.s) * (m.n * c.x - m.s)
+                  > 4 * (m.n * m.sxx - m.s * m.s)
+            ORDER BY 1, 2
+        """,
+        "grouping_sets_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100)
+                                          AS BIGINT))) AS BIGINT)
+                       AS revenue_units,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+            ORDER BY 1, 2
+        """,
         "k_anonymity_report": """
             WITH g AS (
                 SELECT lang, source, n_chars // 100 AS len_bucket,

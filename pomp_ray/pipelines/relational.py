@@ -2416,3 +2416,53 @@ def lineitem_corr_stats(sf_dir: str) -> rd.Dataset:
     out = out.sort_values("l_returnflag").reset_index(drop=True)
     out["n"] = out["n"].astype("int64")
     return rd.from_pandas(out)
+
+
+def grouping_sets_revenue(sf_dir: str) -> pa.Table:
+    """GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus)) over
+    discounted revenue -- the non-hierarchical cousin of
+    revenue_rollup/revenue_cube: two independent single-key summaries
+    in one result, each with the other key NULLed out.
+
+    Plan mirrors revenue_rollup: ONE pass of per-batch integer
+    10^-4-unit partials into a tiny (flag, status) groupby, then both
+    grouping sets re-aggregate upward on the driver from exact integer
+    sums (bit-identical to the oracle; the base grid is bounded at
+    flags x statuses regardless of fact volume)."""
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.rint(t["l_extendedprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        disc = np.rint(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        units = cents * (100 - disc)
+        df = pd.DataFrame({
+            "f": t["l_returnflag"].to_numpy(zero_copy_only=False),
+            "s": t["l_linestatus"].to_numpy(zero_copy_only=False),
+            "u": units, "n": 1})
+        g = df.groupby(["f", "s"], sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rows = _t(sf_dir, "lineitem",
+              ["l_returnflag", "l_linestatus", "l_extendedprice",
+               "l_discount"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["f", "s"]).aggregate(Sum("u", alias_name="u"),
+                                       Sum("n", alias_name="n")).take_all()
+    by_f: dict[str, list[int]] = {}
+    by_s: dict[str, list[int]] = {}
+    for r in rows:
+        for d, k in ((by_f, r["f"]), (by_s, r["s"])):
+            acc = d.setdefault(k, [0, 0])
+            acc[0] += int(r["u"])
+            acc[1] += int(r["n"])
+    out_f, out_s, out_u, out_n = [], [], [], []
+    for f in sorted(by_f):
+        out_f.append(f); out_s.append(None)
+        out_u.append(by_f[f][0]); out_n.append(by_f[f][1])
+    for s in sorted(by_s):
+        out_f.append(None); out_s.append(s)
+        out_u.append(by_s[s][0]); out_n.append(by_s[s][1])
+    return pa.table({
+        "l_returnflag": pa.array(out_f, pa.string()),
+        "l_linestatus": pa.array(out_s, pa.string()),
+        "revenue_units": pa.array(out_u, pa.int64()),
+        "n": pa.array(out_n, pa.int64())})

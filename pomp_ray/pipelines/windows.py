@@ -902,3 +902,106 @@ def activity_streaks(sf_dir: str) -> rd.Dataset:
             "streak_len": pc.cast(t["streak_len"], pa.int64()),
             "n_users": pc.cast(t["n_users"], pa.int64())}),
         batch_format="pyarrow").sort("streak_len")
+
+
+def props_k_stats(sf_dir: str) -> rd.Dataset:
+    """Semi-structured extraction: parse the integer ``k`` field out of
+    the JSON ``props`` column and aggregate it per event_type (n, sum,
+    min, max -- all integer-exact).
+
+    The observed props shape is flat single-key JSON, so extraction is
+    ONE vectorized pc.extract_regex pass per batch (the Arrow fast
+    path); a general engine would fall back to a per-batch JSON parser
+    for nested shapes.  The DuckDB oracle goes through its real JSON
+    reader (json_extract), so the regex fast path is cross-checked
+    against a proper parser, not against itself."""
+    PAT = r'"k":\s*(?P<k>-?\d+)'
+
+    def extract(t: pa.Table) -> pa.Table:
+        k = pc.struct_field(
+            pc.extract_regex(t["props"], pattern=PAT), "k")
+        return pa.table({"event_type": t["event_type"],
+                         "k": pc.cast(k, pa.int64())})
+
+    out = _events(sf_dir, ["event_type", "props"]) \
+        .map_batches(extract, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(
+            Count(alias_name="n"), Sum("k", alias_name="sum_k"),
+            Min("k", alias_name="min_k"), Max("k", alias_name="max_k"))
+    return out.map_batches(
+        lambda t: pa.table({
+            "event_type": t["event_type"],
+            "n": pc.cast(t["n"], pa.int64()),
+            "sum_k": pc.cast(t["sum_k"], pa.int64()),
+            "min_k": pc.cast(t["min_k"], pa.int64()),
+            "max_k": pc.cast(t["max_k"], pa.int64())}),
+        batch_format="pyarrow").sort("event_type")
+
+
+def event_count_anomalies(sf_dir: str) -> pa.Table:
+    """Days whose event count sits more than 2 population-sigmas from
+    the event type's own daily mean -- anomaly detection squared into
+    pure integers (the length_outlier_docs convention): x is anomalous
+    iff (n*x - S)^2 > 4 * n_sq_dev where n_sq_dev = n*Sxx - S^2, so no
+    float mean/stddev ever enters the comparison and the DuckDB HUGEINT
+    oracle is exact.  (2 sigmas: the synthetic daily counts are uniform
+    enough that 3 sigmas never fires even on the partial boundary
+    days -- probed.)"""
+    US_DAY = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.cast(t["ts"], pa.int64()).to_numpy() // US_DAY
+        df = pd.DataFrame({"event_type":
+                           t["event_type"].to_numpy(zero_copy_only=False),
+                           "day": day})
+        g = df.groupby(["event_type", "day"], sort=False).size() \
+            .reset_index(name="x")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    daily = _events(sf_dir, ["ts", "event_type"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "day"]).aggregate(Sum("x", alias_name="x")) \
+        .materialize()
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy().astype(np.int64)
+        df = pd.DataFrame({"event_type":
+                           t["event_type"].to_numpy(zero_copy_only=False),
+                           "n": 1, "s": x, "sxx": x * x})
+        g = df.groupby("event_type", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    mom = daily.map_batches(moments, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(
+            Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+            Sum("sxx", alias_name="sxx")).take_all()
+    # bounded: one row per event type; broadcast exact python ints
+    import ray as _ray
+    stats = {r["event_type"]: (int(r["n"]), int(r["s"]), int(r["sxx"]))
+             for r in mom}
+    ref = _ray.put(stats)
+
+    def flag(t: pa.Table) -> pa.Table:
+        st = _ray.get(ref)
+        keep, devs = [], []
+        for et, x in zip(t["event_type"].to_pylist(),
+                         t["x"].to_pylist()):
+            n, s, sxx = st[et]
+            lhs = (n * x - s) ** 2          # exact python ints
+            rhs = 4 * (n * sxx - s * s)
+            keep.append(lhs > rhs)
+            devs.append(n * x - s)
+        t = t.append_column("n_dev", pa.array(devs, pa.int64()))
+        return t.filter(pa.array(keep, pa.bool_()))
+
+    # anomaly rows are output-scale tiny; assemble an explicitly-typed
+    # table so an all-filtered result keeps its schema (empty blocks
+    # bypass map_batches -- the ray 2.49 empty-schema family)
+    hits = daily.map_batches(flag, batch_format="pyarrow").take_all()
+    hits.sort(key=lambda r: (r["event_type"], r["day"]))
+    return pa.table({
+        "event_type": pa.array([r["event_type"] for r in hits],
+                               pa.string()),
+        "day": pa.array([int(r["day"]) for r in hits], pa.int64()),
+        "x": pa.array([int(r["x"]) for r in hits], pa.int64()),
+        "n_dev": pa.array([int(r["n_dev"]) for r in hits], pa.int64())})

@@ -55,6 +55,21 @@ def read_pages(path: str, fmt: str = "parquet") -> rd.Dataset:
     elif fmt == "warc":
         from pomp_ray.sources.warc import read_warc
         ds = read_warc(path)
+    elif fmt == "ipc":
+        # Arrow IPC shards: file = parallelism unit (read_binary_files
+        # distributes whole files; decode is zero-copy from the buffer)
+        import glob
+
+        files = sorted(glob.glob(os.path.join(path, "*.arrow")))
+        ds = rd.read_binary_files(files)
+
+        def dec(t: pa.Table) -> pa.Table:
+            tables = [pa.ipc.open_file(pa.BufferReader(b)).read_all()
+                      for b in t["bytes"].to_pylist()]
+            return pa.concat_tables(tables) if tables \
+                else pa.table({}, schema=schemas.PAGES)
+
+        ds = ds.map_batches(dec, batch_format="pyarrow")
     else:
         raise ValueError(f"unsupported corpus format: {fmt}")
     return ds.map_batches(_normalize, batch_format="pyarrow")
@@ -70,6 +85,31 @@ def write_pages(ds: rd.Dataset, out_dir: str, fmt: str = "parquet") -> None:
     driver-side collection."""
     if fmt == "parquet":
         ds.write_parquet(out_dir, mode="overwrite")
+        return
+    if fmt == "ipc":
+        # Arrow IPC shards, one per block, content-hash file names
+        # (idempotent under task retry -- the _write_frontier_part
+        # convention); binary/timestamp columns are native in IPC so
+        # the round-trip is bit-lossless with no encoding step
+        os.makedirs(out_dir, exist_ok=True)
+
+        def write_block(t: pa.Table) -> pa.Table:
+            import hashlib
+
+            sink = pa.BufferOutputStream()
+            with pa.ipc.new_file(sink, t.schema) as w:
+                w.write_table(t)
+            buf = sink.getvalue()
+            name = hashlib.md5(buf).hexdigest()[:16]
+            path = os.path.join(out_dir, f"part-{name}.arrow")
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(buf)
+            os.replace(tmp, path)
+            return pa.table({"path": pa.array([path], pa.string()),
+                             "n_rows": pa.array([t.num_rows], pa.int64())})
+
+        ds.map_batches(write_block, batch_format="pyarrow").take_all()
         return
     if fmt not in ("json", "csv"):
         raise ValueError(f"unsupported corpus format: {fmt}")

@@ -77,7 +77,7 @@ def test_read_pages_formats(tmp_path):
 def test_write_pages_roundtrip_json_csv(ray_session, tmp_path):
     """write_pages -> read_pages must round-trip the canonical PAGES
     schema losslessly through JSONL and CSV (html via base64,
-    timestamps via ISO strings)."""
+    timestamps via ISO strings) and Arrow IPC shards (native types)."""
     import pyarrow as pa
     import ray.data as rd
 
@@ -90,7 +90,7 @@ def test_write_pages_roundtrip_json_csv(ray_session, tmp_path):
     want = pa.concat_tables(
         b for b in src.iter_batches(batch_format="pyarrow"))
     want = want.sort_by("url")
-    for fmt in ("json", "csv"):
+    for fmt in ("json", "csv", "ipc"):
         out = str(tmp_path / fmt)
         write_pages(read_pages(fix.pages_path), out, fmt=fmt)
         got = pa.concat_tables(
