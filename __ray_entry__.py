@@ -546,6 +546,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salted_join_rollup": joins.salted_join_rollup,
         "ncd_pairs_sample": docs.ncd_pairs_sample,
         "props_k_stats": windows.props_k_stats,
+        "constrained_funnel": windows.constrained_funnel,
+        "banned_word_report": docs.banned_word_report,
         "event_count_anomalies": windows.event_count_anomalies,
         "grouping_sets_revenue": relational.grouping_sets_revenue,
         "k_anonymity_report": docs.k_anonymity_report,
@@ -1705,6 +1707,47 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ncd_pairs_sample":
             f"SELECT * FROM read_parquet('{_GOLDEN}/ncd_pairs_sf001.parquet')",
+        # windowed funnel: purchase at-or-after the click and within the
+        # 60-min tolerance (merge_asof tolerance is inclusive)
+        "constrained_funnel": """
+            WITH c AS (SELECT user_id, ts FROM events
+                       WHERE event_type = 'click'),
+            p AS (SELECT user_id, ts FROM events
+                  WHERE event_type = 'purchase'),
+            conv AS (
+                SELECT DISTINCT c.user_id
+                FROM c JOIN p ON p.user_id = c.user_id
+                    AND p.ts >= c.ts
+                    AND date_diff('microsecond', c.ts, p.ts)
+                        <= 3600000000)
+            SELECT CAST((SELECT COUNT(DISTINCT user_id) FROM c)
+                        AS BIGINT) AS n_users_click,
+                   CAST((SELECT COUNT(*) FROM conv) AS BIGINT)
+                       AS n_users_converted
+        """,
+        "banned_word_report": r"""
+            SELECT 'dup' AS word,
+                   CAST(SUM(CASE WHEN regexp_matches(text, '\bdup\b')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(regexp_extract_all(text, '\bdup\b')))
+                        AS BIGINT) AS n_occurrences
+            FROM documents
+            UNION ALL
+            SELECT 'slow',
+                   CAST(SUM(CASE WHEN regexp_matches(text, '\bslow\b')
+                            THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(SUM(len(regexp_extract_all(text, '\bslow\b')))
+                        AS BIGINT)
+            FROM documents
+            UNION ALL
+            SELECT 'spark',
+                   CAST(SUM(CASE WHEN regexp_matches(text, '\bspark\b')
+                            THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(SUM(len(regexp_extract_all(text, '\bspark\b')))
+                        AS BIGINT)
+            FROM documents
+            ORDER BY 1
+        """,
         # the engine's regex fast path is checked against DuckDB's real
         # JSON parser, not against another regex
         "props_k_stats": """

@@ -3577,3 +3577,44 @@ def k_anonymity_report(sf_dir: str) -> rd.Dataset:
                                           pa.int64()),
             "n_docs_at_risk": pc.cast(t["n_docs_at_risk"], pa.int64())}),
         batch_format="pyarrow").sort("k")
+
+
+def banned_word_report(sf_dir: str, banned=("spark", "slow", "dup")) \
+        -> rd.Dataset:
+    """Blocklist scan: per banned TOKEN, how many documents contain it
+    and how many total occurrences -- the safety/compliance filter's
+    audit view (the gate itself is one boolean mask over the same
+    kernels).
+
+    Vectorized multi-pattern matching: ONE count_substring_regex pass
+    per pattern with word boundaries (patterns are compiled once per
+    task by Arrow; K patterns x N rows, no per-row Python).  At
+    blocklist scale (thousands of terms) the same partials run against
+    an alternation regex or a per-actor Aho-Corasick automaton --
+    documented seam, same output contract."""
+    pats = {w: rf"\b{w}\b" for w in banned}
+
+    def partial(t: pa.Table) -> pa.Table:
+        words, docs_n, occ_n = [], [], []
+        for w, pat in pats.items():
+            c = pc.count_substring_regex(t["text"], pattern=pat)
+            c64 = pc.cast(c, pa.int64())
+            words.append(w)
+            docs_n.append(int(pc.sum(pc.cast(pc.greater(c64, 0),
+                                             pa.int64())).as_py() or 0))
+            occ_n.append(int(pc.sum(c64).as_py() or 0))
+        return pa.table({"word": pa.array(words, pa.string()),
+                         "n_docs": pa.array(docs_n, pa.int64()),
+                         "n_occurrences": pa.array(occ_n, pa.int64())})
+
+    out = _docs(sf_dir, ["text"]).map_batches(
+        partial, batch_format="pyarrow") \
+        .groupby("word").aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_occurrences", alias_name="n_occurrences"))
+    return out.map_batches(
+        lambda t: pa.table({
+            "word": t["word"],
+            "n_docs": pc.cast(t["n_docs"], pa.int64()),
+            "n_occurrences": pc.cast(t["n_occurrences"], pa.int64())}),
+        batch_format="pyarrow").sort("word")

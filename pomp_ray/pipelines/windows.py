@@ -1005,3 +1005,56 @@ def event_count_anomalies(sf_dir: str) -> pa.Table:
         "day": pa.array([int(r["day"]) for r in hits], pa.int64()),
         "x": pa.array([int(r["x"]) for r in hits], pa.int64()),
         "n_dev": pa.array([int(r["n_dev"]) for r in hits], pa.int64())})
+
+
+def constrained_funnel(sf_dir: str,
+                       window_minutes: int = 60) -> rd.Dataset:
+    """Time-constrained funnel: users who completed click -> purchase
+    with the purchase at most ``window_minutes`` after the click -- the
+    windowed sibling of funnel_counts (an unbounded funnel overcounts
+    users whose steps are days apart).
+
+    Shape: the 64-bucket user hash (sessionize lesson) gives one
+    C-speed pd.merge_asof(by=user, direction=forward, tolerance=w) per
+    bucket -- the as-of join WITH tolerance is exactly the windowed
+    funnel primitive; per-bucket partials then sum in a tiny groupby.
+    Output: one row (n_users_click, n_users_converted)."""
+    tol_us = window_minutes * 60 * 1_000_000
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32())
+        return t.append_column("bucket", b)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        c = g[g["event_type"] == "click"][["user_id", "ts"]]
+        p = g[g["event_type"] == "purchase"][["user_id", "ts"]] \
+            .rename(columns={"ts": "p_ts"})
+        n_click = c["user_id"].nunique()
+        if c.empty or p.empty:
+            return pd.DataFrame({"n_users_click": [int(n_click)],
+                                 "n_users_converted": [0]})
+        m = pd.merge_asof(c, p, left_on="ts", right_on="p_ts",
+                          by="user_id", direction="forward",
+                          tolerance=pd.Timedelta(microseconds=tol_us))
+        conv = m.loc[m["p_ts"].notna(), "user_id"].nunique()
+        return pd.DataFrame({"n_users_click": [int(n_click)],
+                             "n_users_converted": [int(conv)]})
+
+    parts = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"]) \
+        .map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+    out = parts.map_batches(
+        lambda t: pa.table({
+            "n_users_click": pa.array(
+                [int(pc.sum(t["n_users_click"]).as_py() or 0)], pa.int64()),
+            "n_users_converted": pa.array(
+                [int(pc.sum(t["n_users_converted"]).as_py() or 0)],
+                pa.int64())}),
+        batch_format="pyarrow")
+    rows = out.take_all()
+    return rd.from_arrow(pa.table({
+        "n_users_click": pa.array(
+            [sum(r["n_users_click"] for r in rows)], pa.int64()),
+        "n_users_converted": pa.array(
+            [sum(r["n_users_converted"] for r in rows)], pa.int64())}))

@@ -55,6 +55,11 @@ def read_pages(path: str, fmt: str = "parquet") -> rd.Dataset:
     elif fmt == "warc":
         from pomp_ray.sources.warc import read_warc
         ds = read_warc(path)
+    elif fmt == "json_gz":
+        # gzipped JSONL shards (the interchange shape crawl dumps ship
+        # in): file = parallelism unit; arrow's json reader handles the
+        # gzip via read_json's auto-decompression by extension
+        ds = rd.read_json(path, file_extensions=["gz"])
     elif fmt == "ipc":
         # Arrow IPC shards: file = parallelism unit (read_binary_files
         # distributes whole files; decode is zero-copy from the buffer)
@@ -111,7 +116,7 @@ def write_pages(ds: rd.Dataset, out_dir: str, fmt: str = "parquet") -> None:
 
         ds.map_batches(write_block, batch_format="pyarrow").take_all()
         return
-    if fmt not in ("json", "csv"):
+    if fmt not in ("json", "csv", "json_gz"):
         raise ValueError(f"unsupported corpus format: {fmt}")
 
     def enc(t: pa.Table) -> pa.Table:
@@ -133,6 +138,33 @@ def write_pages(ds: rd.Dataset, out_dir: str, fmt: str = "parquet") -> None:
     out = ds.map_batches(enc, batch_format="pyarrow")
     if fmt == "json":
         out.write_json(out_dir)
+    elif fmt == "json_gz":
+        # per-block gzipped JSONL, content-hash names (idempotent under
+        # retry); mtime=0 so shard bytes are deterministic (the WARC
+        # sink convention)
+        os.makedirs(out_dir, exist_ok=True)
+
+        def write_gz(t: pa.Table) -> pa.Table:
+            import gzip
+            import hashlib
+            import io
+            import json as _json
+
+            buf = io.BytesIO()
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+                for row in t.to_pylist():
+                    g.write(_json.dumps(row).encode() + b"\n")
+            raw = buf.getvalue()
+            name = hashlib.md5(raw).hexdigest()[:16]
+            path = os.path.join(out_dir, f"part-{name}.jsonl.gz")
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(raw)
+            os.replace(tmp, path)
+            return pa.table({"path": pa.array([path], pa.string()),
+                             "n_rows": pa.array([t.num_rows], pa.int64())})
+
+        out.map_batches(write_gz, batch_format="pyarrow").take_all()
     else:
         out.write_csv(out_dir)
 
