@@ -120,6 +120,14 @@ def cmd_gc(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_reshard(args: argparse.Namespace) -> int:
+    from pomp_ray.fsck import reshard_checkpoint
+
+    rep = reshard_checkpoint(args.ckpt, args.n_shards)
+    print(json.dumps(rep))
+    return 0
+
+
 def cmd_export_seeds(args: argparse.Namespace) -> int:
     from pomp_ray.crawl import export_frontier_seeds
     n = export_frontier_seeds(args.ckpt, args.out)
@@ -214,6 +222,12 @@ def build_parser() -> argparse.ArgumentParser:
                                   "inputs and compact seen/digest deltas")
     g.add_argument("--ckpt", required=True)
     g.set_defaults(fn=cmd_gc)
+
+    rs = sub.add_parser("reshard", help="rewrite seen/digest snapshots "
+                                        "for a new n_seen_shards")
+    rs.add_argument("--ckpt", required=True)
+    rs.add_argument("--n-shards", dest="n_shards", type=int, required=True)
+    rs.set_defaults(fn=cmd_reshard)
 
     e = sub.add_parser("export-seeds",
                        help="pending frontier -> seeds parquet dir")

@@ -227,3 +227,75 @@ def gc_checkpoint(ckpt_dir: str) -> dict:
         json.dump({"collected_upto": last}, f)
     return {"last": last, "n_dirs_removed": n_dirs,
             "n_files_compacted": n_compacted, "n_bytes_freed": n_bytes}
+
+
+def reshard_checkpoint(ckpt_dir: str, new_n_shards: int) -> dict:
+    """Re-shard the seen/digest state of a checkpoint so a crawl can
+    RESUME on a different ``n_seen_shards`` -- the operational move when
+    the cluster grows (more shards = more check-and-add throughput) or
+    shrinks.  Digests route to shards by ``shard_of(digest, n)``, so
+    snapshot files written under one shard count are unreadable under
+    another; this tool rewrites them.
+
+    For each state dir (seen/, digests/): union every shard delta up to
+    the committed horizon (round last+1 -- round r's snapshot lives
+    under r+1, the gc_checkpoint convention), reassign each digest with
+    the NEW shard function, and write one compacted file per new shard
+    atomically into the round-(last+1) slot before deleting the old
+    layout.  Restore replays only files matching the shard's own id, so
+    stale old-count files MUST be removed (a shrink would otherwise
+    silently drop the high shards' digests).  Leaves
+    ``rounds/reshard.json`` recording the new count.  Returns
+    {last, n_files_in, n_shards_out, n_digests}."""
+    import pyarrow as pa
+
+    from pomp_ray.state.seen import shard_of
+
+    rounds = sorted(glob.glob(os.path.join(ckpt_dir, "rounds",
+                                           "round-*.json")))
+    if not rounds:
+        raise FileNotFoundError("no committed rounds to reshard")
+    last = _round_of(rounds[-1])
+
+    n_in = 0
+    n_digests = 0
+    for state in ("seen", "digests"):
+        sdir = os.path.join(ckpt_dir, state)
+        if not os.path.isdir(sdir):
+            continue
+        files = [p for p in glob.glob(os.path.join(
+                     sdir, "seen-shard*.parquet"))
+                 if int(os.path.basename(p)
+                        .split("round")[1].split(".")[0]) <= last + 1]
+        if not files:
+            continue
+        n_in += len(files)
+        digs = pa.concat_tables(
+            [pq.read_table(p, columns=["digest"]) for p in files])
+        uniq = digs.group_by(["digest"]).aggregate([]).sort_by("digest")
+        col = uniq["digest"].to_pylist()
+        n_digests += len(col)
+        by_new: dict[int, list[bytes]] = {}
+        for d in col:
+            by_new.setdefault(shard_of(d, new_n_shards), []).append(d)
+        tmps: list[tuple[str, str]] = []
+        for shard, ds in sorted(by_new.items()):
+            target = os.path.join(
+                sdir,
+                f"seen-shard{shard:04d}-round{last + 1:06d}.parquet")
+            tmp = target + ".reshard.tmp"
+            pq.write_table(
+                pa.table({"digest": pa.array(ds, pa.binary())}), tmp)
+            tmps.append((tmp, target))
+        # all new files staged; now swap the layout atomically-enough:
+        # remove old files first (so a same-named slot file is not both
+        # input and output), then rename the staged ones in
+        for p in files:
+            os.remove(p)
+        for tmp, target in tmps:
+            os.replace(tmp, target)
+
+    with open(os.path.join(ckpt_dir, "rounds", "reshard.json"), "w") as f:
+        json.dump({"n_shards": new_n_shards, "at_round": last}, f)
+    return {"last": last, "n_files_in": n_in,
+            "n_shards_out": new_n_shards, "n_digests": n_digests}
