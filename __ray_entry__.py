@@ -725,6 +725,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sq8_topk": embeddings.sq8_topk,
         "kmeans_clusters": embeddings.kmeans_clusters,
         "kcenter_sample": embeddings.kcenter_sample,
+        "mmr_topk": embeddings.mmr_topk,
+        "merge_upsert_docs": delta.merge_upsert_docs,
         "semdedup": embeddings.semdedup,
         # -- graph: near-dup pairs -> dup groups (label propagation)
         "dup_components": graph.dup_components,
@@ -3711,6 +3713,31 @@ def oracle_sql() -> dict[str, str]:
         # greedy k-center: exact int64 distances -> the independent
         # serial golden (tools/gen_golden.py gen_kcenter_golden) is a
         # bit-exact oracle
+        "mmr_topk":
+            f"SELECT * FROM read_parquet('{_GOLDEN}/mmr_topk_sf001.parquet')",
+        # MERGE rules re-derived in SQL: U = doc_id%7=0 (text doubles,
+        # version 2), D = doc_id%11=3 and not U, I = one new row per U
+        "merge_upsert_docs": """
+            WITH u AS (SELECT doc_id, text FROM documents
+                       WHERE doc_id % 7 = 0),
+            d AS (SELECT doc_id FROM documents
+                  WHERE doc_id % 11 = 3 AND doc_id % 7 <> 0),
+            merged AS (
+                SELECT b.doc_id,
+                       CASE WHEN u.doc_id IS NOT NULL
+                            THEN length(u.text || ' ' || u.text)
+                            ELSE length(b.text) END AS n_chars,
+                       CASE WHEN u.doc_id IS NOT NULL THEN 2 ELSE 1 END
+                           AS version
+                FROM documents b LEFT JOIN u ON b.doc_id = u.doc_id
+                WHERE b.doc_id NOT IN (SELECT doc_id FROM d)
+                UNION ALL
+                SELECT doc_id + 1000000000, length(text), 1 FROM u)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(version AS BIGINT) AS version
+            FROM merged ORDER BY doc_id
+        """,
         "kcenter_sample":
             f"SELECT * FROM read_parquet('{_GOLDEN}/kcenter_sf001.parquet')",
         # int64 fixed-point PageRank: bit-identical to the serial

@@ -249,3 +249,69 @@ def moved_content(sf_dir: str, num_partitions: int = 16) -> pa.Table:
         or [pa.table({"old_doc_id": pa.array([], pa.int64()),
                       "new_doc_id": pa.array([], pa.int64())})])
     return tbl.sort_by("old_doc_id")
+
+
+def merge_upsert_docs(sf_dir: str, num_partitions: int = 8) -> rd.Dataset:
+    """CDC MERGE (lakehouse upsert): apply a change-set of
+    inserts/updates/deletes to the documents snapshot in one pass --
+    rows matched by an UPDATE take the new payload, DELETE rows drop,
+    INSERT rows append, everything else carries over.
+
+    The change-set is derived deterministically from the snapshot
+    itself (so the DuckDB oracle can re-derive it): doc_id % 7 == 0 ->
+    UPDATE (text doubles, version 2), doc_id % 11 == 3 -> DELETE, and
+    one INSERT per update with doc_id + 10^9.  Engine shape: the
+    change-set is its own Dataset, one full_outer hash join on doc_id
+    merges it with the base (both sides shuffle once; nothing
+    broadcast), and the row-level MERGE rules are a vectorized case
+    select per batch.  Output: (doc_id, n_chars, version) --
+    payload-derived columns so the compare covers the merged TEXT, not
+    just membership."""
+    base = _docs(sf_dir, ["doc_id", "text"])
+
+    def changes(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy()
+        upd = pa.array(did % 7 == 0, pa.bool_())
+        dele = pa.array((did % 11 == 3) & (did % 7 != 0), pa.bool_())
+        u = t.filter(upd)
+        d = t.filter(dele)
+        doubled = pc.binary_join_element_wise(u["text"], u["text"], " ")
+        parts = [
+            pa.table({"doc_id": u["doc_id"], "new_text": doubled,
+                      "op": pa.array(["U"] * u.num_rows, pa.string())}),
+            pa.table({"doc_id": pc.add(u["doc_id"], 1_000_000_000),
+                      "new_text": u["text"],
+                      "op": pa.array(["I"] * u.num_rows, pa.string())}),
+            pa.table({"doc_id": d["doc_id"],
+                      "new_text": pa.nulls(d.num_rows, pa.string()),
+                      "op": pa.array(["D"] * d.num_rows, pa.string())}),
+        ]
+        return pa.concat_tables(parts)
+
+    chg = base.map_batches(changes, batch_format="pyarrow") \
+        .repartition(2).materialize()
+
+    def base_cols(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "text": t["text"]})
+
+    merged = base.map_batches(base_cols, batch_format="pyarrow") \
+        .join(chg, join_type="full_outer", on=("doc_id",),
+              num_partitions=num_partitions).repartition(2)
+
+    def apply_merge(t: pa.Table) -> pa.Table:
+        # vectorized MERGE rules: drop D rows, changed rows take the
+        # new payload, carried rows keep the old one
+        t = t.filter(pc.invert(pc.equal(
+            pc.fill_null(t["op"], ""), "D")))
+        op = pc.fill_null(t["op"], "")
+        changed = pc.is_in(op, value_set=pa.array(["U", "I"]))
+        text = pc.if_else(changed, t["new_text"], t["text"])
+        n = pc.cast(pc.utf8_length(pc.fill_null(text, "")), pa.int64())
+        version = pc.if_else(pc.equal(op, "U"),
+                             pa.scalar(2, pa.int64()),
+                             pa.scalar(1, pa.int64()))
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "n_chars": n, "version": version})
+
+    return merged.map_batches(apply_merge, batch_format="pyarrow") \
+        .sort("doc_id")

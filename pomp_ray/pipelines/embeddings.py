@@ -1046,3 +1046,72 @@ def hard_negatives(sf_dir: str) -> pa.Table:
         "negative_label": pa.array([r["negative_label"] for r in parts],
                                    pa.int64())})
     return t.sort_by("vec_id")
+
+
+def mmr_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> pa.Table:
+    """Maximal Marginal Relevance selection (Carbonell-Goldstein 1998)
+    with lambda = 1/2: greedily pick k vectors maximizing
+    relevance-to-query MINUS max-similarity-to-already-selected -- the
+    diversity-aware retrieval/data-curation sibling of kcenter_sample
+    (that one is pure diversity; MMR trades it against relevance).
+
+    Determinism: relevance and similarity are EXACT int64 dot products
+    over the 2^20-quantized vectors (dim 64 x (2^20)^2 magnitudes stay
+    under 2^53 per term, summed in int64), with lambda = 1/2 folded out
+    of the argmax (score = rel - max_sim, same maximizer) -- so the
+    distributed per-batch winner partials reduce to the SAME pick as
+    the independent serial golden on any block structure.  Ties break
+    to the smaller vec_id.  Each greedy step broadcasts only the
+    selected (<= k x dim) ints via closure; the quantized table is
+    materialized once (the iterative-loop lesson)."""
+    def quant_cols(t: pa.Table) -> pa.Table:
+        ids, q = _km_quant(t)
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "q": pa.array(list(q), pa.list_(pa.int64()))})
+
+    emb = _emb(sf_dir).map_batches(
+        quant_cols, batch_format="pyarrow").materialize()
+    qrow = emb.map_batches(
+        lambda t: t.filter(pc.equal(t["vec_id"], query_vec_id)),
+        batch_format="pyarrow").take_all()[0]
+    qvec = np.asarray(qrow["q"], np.int64)
+
+    selected: list[tuple[int, np.ndarray, int]] = []  # (id, vec, score)
+    for _ in range(k):
+        smat = (np.stack([v for _, v, _ in selected])
+                if selected else None)
+        chosen = np.array([i for i, _, _ in selected], np.int64)
+
+        def winner(t: pa.Table, _smat=smat, _chosen=chosen) -> pa.Table:
+            ids = t["vec_id"].to_numpy()
+            mat = np.stack(t["q"].to_numpy(zero_copy_only=False))
+            keep = (ids != query_vec_id) & ~np.isin(ids, _chosen)
+            if not keep.any():
+                return pa.table({"vec_id": pa.array([], pa.int64()),
+                                 "score": pa.array([], pa.int64()),
+                                 "vec": pa.array([],
+                                                 pa.list_(pa.int64()))})
+            ids, mat = ids[keep], mat[keep]
+            rel = mat @ qvec
+            if _smat is None:
+                score = rel
+            else:
+                score = rel - (mat @ _smat.T).max(axis=1)
+            # per-batch winner: max score, ties to smaller vec_id
+            order = np.lexsort((ids, -score))
+            b = order[0]
+            return pa.table({
+                "vec_id": pa.array([int(ids[b])], pa.int64()),
+                "score": pa.array([int(score[b])], pa.int64()),
+                "vec": pa.array([list(mat[b])], pa.list_(pa.int64()))})
+
+        cands = emb.map_batches(winner, batch_format="pyarrow").take_all()
+        best = max(cands, key=lambda r: (r["score"], -r["vec_id"]))
+        selected.append((int(best["vec_id"]),
+                         np.asarray(best["vec"], np.int64),
+                         int(best["score"])))
+
+    return pa.table({
+        "rank": pa.array(range(len(selected)), pa.int64()),
+        "vec_id": pa.array([i for i, _, _ in selected], pa.int64()),
+        "score": pa.array([s for _, _, s in selected], pa.int64())})

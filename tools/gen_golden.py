@@ -1719,6 +1719,42 @@ def gen_ncd_golden(sf_dir: str = SF001, threshold: float = 0.6) -> None:
     print(f"ncd golden: {len(sample)} sampled docs, {len(out_a)} pairs")
 
 
+def gen_mmr_golden(sf_dir: str = SF001, k: int = 10,
+                   query_vec_id: int = 0) -> None:
+    """Independent serial MMR (lambda=1/2 folded out: score =
+    rel - max_sim over exact int64 dots of 2^20-quantized vectors);
+    plain loops, no engine code shared."""
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = [int(x) for x in t["vec_id"].to_pylist()]
+    mat = [np.rint(np.asarray(v, np.float64) * (1 << 20)).astype(np.int64)
+           for v in t["embedding"].to_pylist()]
+    by_id = dict(zip(ids, mat))
+    q = by_id[query_vec_id]
+    selected = []
+    for _ in range(k):
+        best = None
+        for i in sorted(by_id):
+            if i == query_vec_id or any(i == s for s, _, _ in selected):
+                continue
+            v = by_id[i]
+            rel = int(np.dot(v, q))
+            if selected:
+                ms = max(int(np.dot(v, sv)) for _, sv, _ in selected)
+                score = rel - ms
+            else:
+                score = rel
+            if best is None or score > best[2] or \
+                    (score == best[2] and i < best[0]):
+                best = (i, v, score)
+        selected.append(best)
+    out = pa.table({
+        "rank": pa.array(range(len(selected)), pa.int64()),
+        "vec_id": pa.array([s[0] for s in selected], pa.int64()),
+        "score": pa.array([s[2] for s in selected], pa.int64())})
+    pq.write_table(out, os.path.join(GOLDEN_DIR, "mmr_topk_sf001.parquet"))
+    print(f"mmr golden: picked {[s[0] for s in selected]}")
+
+
 if __name__ == "__main__":
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     gen_signature_goldens()
@@ -1757,3 +1793,4 @@ if __name__ == "__main__":
     gen_winnow_goldens()
     gen_scc_golden()
     gen_ncd_golden()
+    gen_mmr_golden()
