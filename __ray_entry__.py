@@ -726,6 +726,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": embeddings.kmeans_clusters,
         "kcenter_sample": embeddings.kcenter_sample,
         "mmr_topk": embeddings.mmr_topk,
+        "pava_calibration": lambda sf: __import__(
+            "pomp_ray.pipelines.classify", fromlist=["classify"]
+        ).pava_calibration(sf),
         "merge_upsert_docs": delta.merge_upsert_docs,
         "semdedup": embeddings.semdedup,
         # -- graph: near-dup pairs -> dup groups (label propagation)
@@ -3715,6 +3718,8 @@ def oracle_sql() -> dict[str, str]:
         # bit-exact oracle
         "mmr_topk":
             f"SELECT * FROM read_parquet('{_GOLDEN}/mmr_topk_sf001.parquet')",
+        "pava_calibration":
+            f"SELECT * FROM read_parquet('{_GOLDEN}/pava_sf001.parquet')",
         # MERGE rules re-derived in SQL: U = doc_id%7=0 (text doubles,
         # version 2), D = doc_id%11=3 and not U, I = one new row per U
         "merge_upsert_docs": """

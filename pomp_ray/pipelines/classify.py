@@ -147,3 +147,71 @@ def lsq_classifier_scores(sf_dir: str) -> rd.Dataset:
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         score, batch_format="pyarrow")
+
+
+def pava_calibration(sf_dir: str) -> pa.Table:
+    """Isotonic calibration (pool-adjacent-violators, Ayer 1955) of the
+    props ``k`` score against the purchase label: the monotone step
+    function a production classifier's raw scores go through before
+    thresholds mean anything.
+
+    Shape: the only corpus-scale pass is the per-bucket (n, n_pos)
+    groupby; PAVA itself runs on the bounded bucket table (<= 100 rows
+    regardless of event volume).  Determinism: violator comparisons use
+    CROSS-MULTIPLIED integer fractions (pos_a * n_b vs pos_b * n_a), so
+    pooling decisions never touch floats; only the final reported rate
+    is one IEEE division -- bit-identical to the independent serial
+    golden."""
+    import os as _os
+
+    import pandas as _pd
+    import pyarrow.compute as _pc
+    import ray.data as _rd
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = _pc.struct_field(
+            _pc.extract_regex(t["props"], pattern=r'"k":\s*(?P<k>-?\d+)'),
+            "k")
+        k = _pc.cast(k, pa.int64()).to_numpy()
+        pos = _pc.equal(t["event_type"], "purchase").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        df = _pd.DataFrame({"k": k, "n": 1, "n_pos": pos})
+        g = df.groupby("k", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    buckets = _rd.read_parquet(
+        _os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "props"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("k").aggregate(_Sum("n", alias_name="n"),
+                                _Sum("n_pos", alias_name="n_pos")) \
+        .take_all()
+    rows = sorted((int(r["k"]), int(r["n"]), int(r["n_pos"]))
+                  for r in buckets)
+
+    # PAVA over the bounded bucket table: pool while the previous
+    # pool's rate exceeds the next one's (exact fraction compare)
+    pools: list[list[int]] = []   # [k_lo, k_hi, n, n_pos]
+    for k, n, p in rows:
+        pools.append([k, k, n, p])
+        while len(pools) > 1 and \
+                pools[-2][3] * pools[-1][2] > pools[-1][3] * pools[-2][2]:
+            b = pools.pop()
+            a = pools[-1]
+            a[1] = b[1]
+            a[2] += b[2]
+            a[3] += b[3]
+    out_k, out_n, out_p, out_r = [], [], [], []
+    for k_lo, k_hi, n, p in pools:
+        for k, bn, bp in rows:
+            if k_lo <= k <= k_hi:
+                out_k.append(k)
+                out_n.append(bn)
+                out_p.append(bp)
+                out_r.append(p / n)
+    return pa.table({
+        "k": pa.array(out_k, pa.int64()),
+        "n": pa.array(out_n, pa.int64()),
+        "n_pos": pa.array(out_p, pa.int64()),
+        "calibrated_rate": pa.array(out_r, pa.float64())})

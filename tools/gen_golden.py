@@ -1755,6 +1755,53 @@ def gen_mmr_golden(sf_dir: str = SF001, k: int = 10,
     print(f"mmr golden: picked {[s[0] for s in selected]}")
 
 
+def gen_pava_golden(sf_dir: str = SF001) -> None:
+    """Independent serial PAVA calibration of props k vs the purchase
+    label: plain dict counting + textbook pool-adjacent-violators with
+    exact fraction compares; one float division at report time."""
+    import json as _json
+
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                      columns=["event_type", "props"])
+    agg: dict[int, list[int]] = {}
+    for et, pr in zip(t["event_type"].to_pylist(), t["props"].to_pylist()):
+        k = int(_json.loads(pr)["k"])
+        a = agg.setdefault(k, [0, 0])
+        a[0] += 1
+        a[1] += 1 if et == "purchase" else 0
+    rows = sorted((k, v[0], v[1]) for k, v in agg.items())
+    # O(n^2) repeated-full-scan PAVA (different formulation from the
+    # engine's violator stack; same fixpoint by PAVA uniqueness)
+    pools = [[k, k, n, p] for k, n, p in rows]
+    changed = True
+    while changed:
+        changed = False
+        i = 0
+        while i + 1 < len(pools):
+            a, b = pools[i], pools[i + 1]
+            if a[3] * b[2] > b[3] * a[2]:
+                pools[i] = [a[0], b[1], a[2] + b[2], a[3] + b[3]]
+                del pools[i + 1]
+                changed = True
+            else:
+                i += 1
+    out_k, out_n, out_p, out_r = [], [], [], []
+    for k_lo, k_hi, n, p in pools:
+        for k, bn, bp in rows:
+            if k_lo <= k <= k_hi:
+                out_k.append(k)
+                out_n.append(bn)
+                out_p.append(bp)
+                out_r.append(p / n)
+    out = pa.table({
+        "k": pa.array(out_k, pa.int64()),
+        "n": pa.array(out_n, pa.int64()),
+        "n_pos": pa.array(out_p, pa.int64()),
+        "calibrated_rate": pa.array(out_r, pa.float64())})
+    pq.write_table(out, os.path.join(GOLDEN_DIR, "pava_sf001.parquet"))
+    print(f"pava golden: {len(rows)} buckets -> {len(pools)} pools")
+
+
 if __name__ == "__main__":
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     gen_signature_goldens()
@@ -1794,3 +1841,4 @@ if __name__ == "__main__":
     gen_scc_golden()
     gen_ncd_golden()
     gen_mmr_golden()
+    gen_pava_golden()
