@@ -740,6 +740,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_two_hop_reach": lambda sf: _corpus_two_hop(),
         # -- tokenizer training (BPE merge learning over word freqs) + apply
         "bpe_merges": tokenizer.bpe_merges,
+        "unigram_lm_vocab": tokenizer.unigram_lm_vocab,
         "bpe_token_counts": tokenizer.bpe_token_counts,
         "tokenized_shard_stats": tokenizer.tokenized_shard_stats,
         # -- relational building blocks (join/rollup/sort/filter)
@@ -3755,6 +3756,8 @@ def oracle_sql() -> dict[str, str]:
         # BPE merge table: integer pair counts + lexicographic tie-break
         # make the learned merges independent of block layout; golden is
         # the serial Counter-based learner in tools/gen_golden.py
+        "unigram_lm_vocab":
+            f"SELECT * FROM read_parquet('{_GOLDEN}/unigram_lm_sf001.parquet')",
         "bpe_merges":
             f"SELECT * FROM read_parquet('{_GOLDEN}/bpe_merges_sf001.parquet')",
         "bpe_token_counts":

@@ -362,3 +362,126 @@ def write_tokenized_shards(sf_dir: str, out_dir: str, n_merges: int = 24,
                                    return_counts=True)):
             counts[int(s)] += int(n)
     return dict(counts)
+
+
+def _unigram_candidates(wf: rd.Dataset, max_len: int = 4,
+                        top_m: int = 48) -> list[tuple[str, int]]:
+    """Candidate piece table: every substring of length <= max_len,
+    weighted by word frequency, counted DISTRIBUTED over the word-freq
+    Dataset (the per-batch loop is vocab-bounded, never corpus-bounded;
+    the combined table is bounded by |alphabet|^max_len regardless of
+    corpus size).  Returns single chars (always kept -- they guarantee
+    segmentability) plus the top_m multi-char substrings by
+    (count desc, piece asc)."""
+    def partial(t: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for w, n in zip(t["word"].to_pylist(), t["n"].to_pylist()):
+            for L in range(1, max_len + 1):
+                for i in range(len(w) - L + 1):
+                    s = w[i:i + L]
+                    counts[s] = counts.get(s, 0) + int(n)
+        return pa.table({"piece": pa.array(list(counts), pa.string()),
+                         "n": pa.array(list(counts.values()), pa.int64())})
+
+    rows = wf.map_batches(partial, batch_format="pyarrow") \
+        .groupby("piece").aggregate(Sum("n", alias_name="n")).take_all()
+    chars = [(r["piece"], int(r["n"])) for r in rows
+             if len(r["piece"]) == 1]
+    multi = sorted(((r["piece"], int(r["n"])) for r in rows
+                    if len(r["piece"]) > 1),
+                   key=lambda x: (-x[1], x[0]))[:top_m]
+    return sorted(chars) + sorted(multi)
+
+
+def unigram_viterbi(word: str, logp: dict, max_len: int = 4) -> list[str]:
+    """Deterministic Viterbi segmentation: maximize the sum of piece
+    log-probs; dp runs left to right, candidates scan j from i-max_len
+    upward, STRICT improvement required (ties keep the earliest j =
+    longest last piece).  The golden reimplements this contract
+    independently (tools/gen_golden.py) -- the pinned arithmetic is the
+    single float addition dp[j] + logp per candidate, identical on both
+    sides, so the argmax is bit-identical."""
+    NEG = float("-inf")
+    n = len(word)
+    dp = [NEG] * (n + 1)
+    back = [0] * (n + 1)
+    dp[0] = 0.0
+    for i in range(1, n + 1):
+        for j in range(max(0, i - max_len), i):
+            piece = word[j:i]
+            lp = logp.get(piece)
+            if lp is None or dp[j] == NEG:
+                continue
+            cand = dp[j] + lp
+            if cand > dp[i]:
+                dp[i] = cand
+                back[i] = j
+    pieces = []
+    i = n
+    while i > 0:
+        j = back[i]
+        pieces.append(word[j:i])
+        i = j
+    return pieces[::-1]
+
+
+def unigram_lm_vocab(sf_dir: str, n_iters: int = 3, max_len: int = 4,
+                     top_m: int = 48) -> pa.Table:
+    """SentencePiece-style unigram LM tokenizer training (Kudo 2018,
+    hard-EM/Viterbi variant) -- the second real-world tokenizer trainer
+    beside BPE.  Returns the final piece table (piece, n, prob_ppb).
+
+    Scale shape mirrors bpe_merges: ONE distributed corpus pass builds
+    the word-frequency table; candidate counting is a second distributed
+    pass over that (bounded) table; each EM iteration is a distributed
+    Viterbi-count pass over the word table with the model BROADCAST
+    (ray.put) and per-piece count partials reduced by a tiny groupby.
+    Determinism: the model is integer ppb probabilities (count * 1e9 //
+    total), Viterbi scores are log(ppb_int) floats computed identically
+    on every worker, and count sums are integers -- so the trained
+    vocab is bit-identical to tools/gen_golden.py::gen_unigram_golden
+    regardless of block structure.  Single-char pieces keep a count
+    floor of 1 so every word stays segmentable."""
+    import math
+
+    import ray as _ray
+
+    wf = _word_freqs(sf_dir).materialize()
+    cands = _unigram_candidates(wf, max_len=max_len, top_m=top_m)
+    counts = {p: n for p, n in cands}
+
+    for _ in range(n_iters):
+        total = sum(counts.values())
+        ppb = {p: n * 1_000_000_000 // total for p, n in counts.items()
+               if n > 0}
+        logz = math.log(sum(ppb.values()))
+        logp = {p: math.log(v) - logz for p, v in ppb.items() if v > 0}
+        ref = _ray.put(logp)
+
+        def count_partial(t: pa.Table, _ml=max_len) -> pa.Table:
+            lp = _ray.get(ref)
+            acc: dict[str, int] = {}
+            for w, n in zip(t["word"].to_pylist(), t["n"].to_pylist()):
+                for piece in unigram_viterbi(w, lp, _ml):
+                    acc[piece] = acc.get(piece, 0) + int(n)
+            return pa.table({"piece": pa.array(list(acc), pa.string()),
+                             "n": pa.array(list(acc.values()),
+                                           pa.int64())})
+
+        rows = wf.map_batches(count_partial, batch_format="pyarrow") \
+            .groupby("piece").aggregate(Sum("n", alias_name="n")) \
+            .take_all()
+        new_counts = {r["piece"]: int(r["n"]) for r in rows}
+        # char floor keeps the base alphabet alive
+        for p in counts:
+            if len(p) == 1:
+                new_counts[p] = max(new_counts.get(p, 0), 1)
+        counts = {p: n for p, n in new_counts.items() if n > 0}
+
+    total = sum(counts.values())
+    pieces = sorted(counts)
+    return pa.table({
+        "piece": pa.array(pieces, pa.string()),
+        "n": pa.array([counts[p] for p in pieces], pa.int64()),
+        "prob_ppb": pa.array([counts[p] * 1_000_000_000 // total
+                              for p in pieces], pa.int64())})

@@ -1401,3 +1401,38 @@ def test_melt_roundtrips_columns(ray_session):
     wide = df.pivot(index="k", columns="attr", values="val")
     assert (wide["x"] == [i * 2 for i in range(10)]).all()
     assert (wide["y"] == [i * 3.0 for i in range(10)]).all()
+
+
+def test_unigram_lm_vocab_properties(ray_session):
+    """Unigram trainer invariants: base alphabet present, probs are the
+    exact integer quantization of counts, and the trained model
+    segments every corpus word losslessly (round-trip concat)."""
+    import math
+
+    from pomp_ray.pipelines import tokenizer as tok
+
+    t = tok.unigram_lm_vocab("/root/testdata/sf0.001")
+    pieces = t["piece"].to_pylist()
+    counts = t["n"].to_pylist()
+    ppb = t["prob_ppb"].to_pylist()
+    total = sum(counts)
+    assert all(p == c * 1_000_000_000 // total
+               for c, p in zip(counts, ppb))
+    assert sum(ppb) <= 1_000_000_000
+
+    model = dict(zip(pieces, counts))
+    logz = math.log(sum(model.values()))
+    logp = {p: math.log(v) - logz for p, v in model.items()}
+    import pyarrow.parquet as pq_
+
+    docs = pq_.read_table("/root/testdata/sf0.001/documents.parquet",
+                          columns=["text"])
+    import re
+    words = set()
+    for s in docs["text"].to_pylist():
+        words.update(re.findall(r"[a-z]+", (s or "").lower()))
+    chars = {c for w in words for c in w}
+    assert chars <= {p for p in pieces if len(p) == 1}
+    for w in sorted(words):
+        seg = tok.unigram_viterbi(w, logp)
+        assert "".join(seg) == w

@@ -1802,6 +1802,85 @@ def gen_pava_golden(sf_dir: str = SF001) -> None:
     print(f"pava golden: {len(rows)} buckets -> {len(pools)} pools")
 
 
+def gen_unigram_golden(sf_dir: str = SF001, n_iters: int = 3,
+                       max_len: int = 4, top_m: int = 48) -> None:
+    """Independent serial unigram-LM (hard-EM Viterbi) trainer: plain
+    dict word counts, nested-loop substring candidates, memoized
+    recursive Viterbi (same pinned arithmetic contract: dp[j] + logp
+    single additions, strict improvement, j ascending)."""
+    import math
+    import re
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["text"])
+    wf: dict[str, int] = {}
+    for s in t["text"].to_pylist():
+        for w in re.findall(r"[a-z]+", (s or "").lower()):
+            wf[w] = wf.get(w, 0) + 1
+
+    cand: dict[str, int] = {}
+    for w, n in wf.items():
+        for L in range(1, max_len + 1):
+            for i in range(len(w) - L + 1):
+                s = w[i:i + L]
+                cand[s] = cand.get(s, 0) + n
+    chars = sorted((p, n) for p, n in cand.items() if len(p) == 1)
+    multi = sorted(((p, n) for p, n in cand.items() if len(p) > 1),
+                   key=lambda x: (-x[1], x[0]))[:top_m]
+    counts = dict(chars + sorted(multi))
+
+    def viterbi(word: str, logp: dict) -> list:
+        memo: dict[int, float] = {0: 0.0}
+        back: dict[int, int] = {}
+
+        for i in range(1, len(word) + 1):
+            best = float("-inf")
+            bj = 0
+            for j in range(max(0, i - max_len), i):
+                lp = logp.get(word[j:i])
+                if lp is None or memo.get(j, float("-inf")) == float("-inf"):
+                    continue
+                c = memo[j] + lp
+                if c > best:
+                    best = c
+                    bj = j
+            memo[i] = best
+            back[i] = bj
+        out = []
+        i = len(word)
+        while i > 0:
+            j = back[i]
+            out.append(word[j:i])
+            i = j
+        return out[::-1]
+
+    for _ in range(n_iters):
+        total = sum(counts.values())
+        ppb = {p: n * 1_000_000_000 // total for p, n in counts.items()
+               if n > 0}
+        logz = math.log(sum(ppb.values()))
+        logp = {p: math.log(v) - logz for p, v in ppb.items() if v > 0}
+        acc: dict[str, int] = {}
+        for w, n in wf.items():
+            for piece in viterbi(w, logp):
+                acc[piece] = acc.get(piece, 0) + n
+        for p in counts:
+            if len(p) == 1:
+                acc[p] = max(acc.get(p, 0), 1)
+        counts = {p: n for p, n in acc.items() if n > 0}
+
+    total = sum(counts.values())
+    pieces = sorted(counts)
+    out = pa.table({
+        "piece": pa.array(pieces, pa.string()),
+        "n": pa.array([counts[p] for p in pieces], pa.int64()),
+        "prob_ppb": pa.array([counts[p] * 1_000_000_000 // total
+                              for p in pieces], pa.int64())})
+    pq.write_table(out, os.path.join(GOLDEN_DIR,
+                                     "unigram_lm_sf001.parquet"))
+    print(f"unigram golden: {len(pieces)} pieces after {n_iters} EM iters")
+
+
 if __name__ == "__main__":
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     gen_signature_goldens()
@@ -1842,3 +1921,4 @@ if __name__ == "__main__":
     gen_ncd_golden()
     gen_mmr_golden()
     gen_pava_golden()
+    gen_unigram_golden()
