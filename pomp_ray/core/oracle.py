@@ -84,6 +84,9 @@ class OracleResult:
     rounds: int = 0
 
 
+from pomp_ray.functions.robotsfns import path_matches as _path_matches
+
+
 def _robots_maps(robots_rows: list[dict]) -> tuple[dict, dict]:
     disallow = {r["host"]: list(r.get("disallow_prefixes") or []) for r in robots_rows}
     delay = {r["host"]: float(r.get("crawl_delay") or 0.0) for r in robots_rows}
@@ -142,7 +145,7 @@ def crawl_oracle(
             return
         host = url_host(canon)
         path = url_path(canon)
-        if any(path.startswith(p) for p in disallow.get(host, ())):
+        if any(_path_matches(path, p) for p in disallow.get(host, ())):
             res.seen.add(canon)
             res.errors.append({"url": canon, "stage": "robots", "round": rnd})
             return

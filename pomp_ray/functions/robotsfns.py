@@ -106,3 +106,33 @@ def write_robots_table(pages_path: str, out_path: str,
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     pq.write_table(t, out_path)
     return t.num_rows
+
+
+def rule_regex(rule: str) -> str | None:
+    """RFC 9309 wildcard rule -> anchored RE2 pattern, or None when the
+    rule is a plain prefix (the vectorized starts_with fast path
+    handles those).  ``*`` matches any character sequence; a trailing
+    ``$`` anchors the end of the path; both only have meaning when
+    present, so the common prefix-only rule never pays regex cost."""
+    if "*" not in rule and not rule.endswith("$"):
+        return None
+    import re as _re
+
+    anchored_end = rule.endswith("$")
+    body = rule[:-1] if anchored_end else rule
+    pat = "^" + ".*".join(_re.escape(part)
+                          for part in body.split("*"))
+    return pat + "$" if anchored_end else pat
+
+
+def path_matches(path: str, rule: str) -> bool:
+    """Does a URL path match one disallow rule?  Shared by the serial
+    conformance oracle and unit tests; the engine's vectorized gate
+    (stages/enqueue.make_robots_flag) implements the identical
+    semantics with Arrow kernels."""
+    pat = rule_regex(rule)
+    if pat is None:
+        return path.startswith(rule)
+    import re as _re
+
+    return _re.match(pat, path) is not None

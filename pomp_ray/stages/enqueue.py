@@ -104,9 +104,14 @@ def make_robots_flag(disallow: dict[str, list[str]]):
         active = [(h, p) for h in present
                   for p in by_host.get(h, ())]
         blocked = np.zeros(n, bool)
+        from pomp_ray.functions.robotsfns import rule_regex
         for host, pref in active:
-            m = pc.and_(pc.equal(hosts, host),
-                        pc.starts_with(paths, pattern=pref))
+            pat = rule_regex(pref)
+            if pat is None:            # plain prefix: fast path
+                pm = pc.starts_with(paths, pattern=pref)
+            else:                      # RFC 9309 wildcard rule
+                pm = pc.match_substring_regex(paths, pattern=pat)
+            m = pc.and_(pc.equal(hosts, host), pm)
             blocked |= np.asarray(m.combine_chunks(), dtype=bool)
         return batch.append_column("blocked", pa.array(blocked, pa.bool_()))
 
