@@ -84,13 +84,14 @@ class OracleResult:
     rounds: int = 0
 
 
-from pomp_ray.functions.robotsfns import path_matches as _path_matches
+from pomp_ray.functions.robotsfns import robots_blocked as _robots_blocked
 
 
-def _robots_maps(robots_rows: list[dict]) -> tuple[dict, dict]:
+def _robots_maps(robots_rows: list[dict]) -> tuple[dict, dict, dict]:
     disallow = {r["host"]: list(r.get("disallow_prefixes") or []) for r in robots_rows}
+    allow = {r["host"]: list(r.get("allow_prefixes") or []) for r in robots_rows}
     delay = {r["host"]: float(r.get("crawl_delay") or 0.0) for r in robots_rows}
-    return disallow, delay
+    return disallow, allow, delay
 
 
 def crawl_oracle(
@@ -118,7 +119,7 @@ def crawl_oracle(
     """``corpus`` maps canonical url -> html bytes; ``seeds`` rows have
     url/priority/depth; ``robots_rows`` rows follow schemas.ROBOTS."""
     import re
-    disallow, delay = _robots_maps(robots_rows or [])
+    disallow, allow, delay = _robots_maps(robots_rows or [])
     allow_re = re.compile(url_allow) if url_allow else None
     deny_re = re.compile(url_deny) if url_deny else None
     res = OracleResult()
@@ -145,7 +146,8 @@ def crawl_oracle(
             return
         host = url_host(canon)
         path = url_path(canon)
-        if any(_path_matches(path, p) for p in disallow.get(host, ())):
+        if _robots_blocked(path, disallow.get(host, ()),
+                           allow.get(host, ())):
             res.seen.add(canon)
             res.errors.append({"url": canon, "stage": "robots", "round": rnd})
             return

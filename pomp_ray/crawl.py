@@ -75,6 +75,7 @@ from pomp_ray.functions.textfns import (
     url_join,
     url_path,
 )
+from pomp_ray.functions.robotsfns import robots_blocked
 from pomp_ray.stages.enqueue import (
     ContentDedupGate,
     SeenFilter,
@@ -256,11 +257,13 @@ class CrawlEngine:
         self.cfg = cfg
         self.parse_fn = cfg.parse_fn or default_parse
         self.disallow: dict[str, list[str]] = {}
+        self.allow: dict[str, list[str]] = {}
         self.delay: dict[str, float] = {}
         if cfg.robots_path and os.path.exists(cfg.robots_path):
             rt = pq.read_table(cfg.robots_path)
             for r in rt.to_pylist():
                 self.disallow[r["host"]] = list(r.get("disallow_prefixes") or [])
+                self.allow[r["host"]] = list(r.get("allow_prefixes") or [])
                 self.delay[r["host"]] = float(r.get("crawl_delay") or 0.0)
         self.caps = caps_from_delay(self.delay, cfg.round_budget_s)
         # The broadcast corpus index is built LAZILY: join-strategy crawls
@@ -433,8 +436,9 @@ class CrawlEngine:
         for c, is_new in zip(ordered, mask):
             if not is_new:
                 continue
-            if any(c["path"].startswith(p)
-                   for p in self.disallow.get(c["host"], ())):
+            if robots_blocked(c["path"],
+                              self.disallow.get(c["host"], ()),
+                              self.allow.get(c["host"], ())):
                 errors.append({"url": c["canon_url"], "stage": "robots",
                                "exc_type": "RobotsDisallowed",
                                "message": c["path"], "retryable": False,
@@ -529,7 +533,7 @@ class CrawlEngine:
             ds.map_batches(norm, batch_format="pyarrow")
             .map_batches(canonicalize_batch, batch_format="pyarrow")
             .map_batches(dedup_local, batch_format="pyarrow")
-            .map_batches(make_robots_flag(self.disallow),
+            .map_batches(make_robots_flag(self.disallow, self.allow),
                          batch_format="pyarrow")
             .map_batches(SeenFilter(self.seen.shards), batch_format="pyarrow")
             .map_batches(write_split, batch_format="pyarrow")
@@ -569,7 +573,8 @@ class CrawlEngine:
             if not is_new:
                 continue
             path = url_path(canon)
-            if any(path.startswith(p) for p in self.disallow.get(host, ())):
+            if robots_blocked(path, self.disallow.get(host, ()),
+                              self.allow.get(host, ())):
                 errors.append({"url": canon, "stage": "robots",
                                "exc_type": "RobotsDisallowed", "message": path,
                                "retryable": False, "round": 0})
@@ -939,7 +944,7 @@ class CrawlEngine:
         if cfg.priority_fn is not None:
             cands = cands.map_batches(_make_priority_stage(cfg.priority_fn),
                                       batch_format="pyarrow")
-        cands = cands.map_batches(make_robots_flag(self.disallow),
+        cands = cands.map_batches(make_robots_flag(self.disallow, self.allow),
                                   batch_format="pyarrow")
         cands = cands.map_batches(SeenFilter(self.seen.shards),
                                   batch_format="pyarrow").materialize()
@@ -1259,7 +1264,7 @@ class CrawlEngine:
             cands = cands.map_batches(_make_priority_stage(cfg.priority_fn),
                                       batch_format="pyarrow")
         cands = (
-            cands.map_batches(make_robots_flag(self.disallow), batch_format="pyarrow")
+            cands.map_batches(make_robots_flag(self.disallow, self.allow), batch_format="pyarrow")
             .map_batches(SeenFilter(self.seen.shards), batch_format="pyarrow")
             .map_batches(_hash_seq, batch_format="pyarrow")
         )

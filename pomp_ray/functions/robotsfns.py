@@ -28,9 +28,10 @@ from pomp_ray.functions.textfns import body_decode, url_host, url_path
 
 def parse_robots_txt(text: str | bytes,
                      user_agent: str = "*") -> dict:
-    """robots.txt body -> {"disallow_prefixes": [...], "crawl_delay": float}."""
+    """robots.txt body -> {"disallow_prefixes": [...],
+    "allow_prefixes": [...], "crawl_delay": float}."""
     ua = user_agent.lower()
-    groups: dict[str, dict] = {}   # ua -> {"disallow": [...], "delay": float}
+    groups: dict[str, dict] = {}   # ua -> {"disallow": [...], ...}
     current: list[str] = []
     last_was_ua = False
     for raw in body_decode(text).splitlines():
@@ -46,7 +47,8 @@ def parse_robots_txt(text: str | bytes,
                 current.append(name)
             else:
                 current = [name]
-            groups.setdefault(name, {"disallow": [], "delay": 0.0})
+            groups.setdefault(name, {"disallow": [], "allow": [],
+                                     "delay": 0.0})
             last_was_ua = True
             continue
         last_was_ua = False
@@ -56,6 +58,8 @@ def parse_robots_txt(text: str | bytes,
             g = groups[name]
             if field == "disallow" and value:
                 g["disallow"].append(value)
+            elif field == "allow" and value:
+                g["allow"].append(value)
             elif field == "crawl-delay":
                 try:
                     g["delay"] = float(value)
@@ -63,24 +67,28 @@ def parse_robots_txt(text: str | bytes,
                     pass
     chosen = groups.get(ua) if ua != "*" else None
     if chosen is None:
-        chosen = groups.get("*", {"disallow": [], "delay": 0.0})
+        chosen = groups.get("*", {"disallow": [], "allow": [],
+                                  "delay": 0.0})
     return {"disallow_prefixes": list(chosen["disallow"]),
+            "allow_prefixes": list(chosen.get("allow") or []),
             "crawl_delay": float(chosen["delay"])}
 
 
 def robots_batch(t: pa.Table, user_agent: str = "*") -> pa.Table:
     """Pages-schema batch -> ROBOTS-schema rows for its /robots.txt urls."""
-    hosts, dis, delay = [], [], []
+    hosts, dis, allow, delay = [], [], [], []
     for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
         if url_path(url) != "/robots.txt":
             continue
         rules = parse_robots_txt(html or b"", user_agent)
         hosts.append(url_host(url))
         dis.append(rules["disallow_prefixes"])
+        allow.append(rules["allow_prefixes"])
         delay.append(rules["crawl_delay"])
     return pa.table({
         "host": pa.array(hosts, pa.string()),
         "disallow_prefixes": pa.array(dis, pa.list_(pa.string())),
+        "allow_prefixes": pa.array(allow, pa.list_(pa.string())),
         "crawl_delay": pa.array(delay, pa.float64()),
     }, schema=schemas.ROBOTS)
 
@@ -136,3 +144,24 @@ def path_matches(path: str, rule: str) -> bool:
     import re as _re
 
     return _re.match(pat, path) is not None
+
+
+def robots_blocked(path: str, disallow_rules, allow_rules=()) -> bool:
+    """RFC 9309 rule-group decision: among ALL matching rules (allow
+    and disallow), the most specific -- longest raw pattern -- wins;
+    an allow/disallow tie at equal length resolves to ALLOW (the least
+    restrictive reading, matching Google's reference matcher).  No
+    matching rule = allowed.  Shared by the serial driver paths, the
+    conformance oracle and tests; the vectorized gate
+    (stages/enqueue.make_robots_flag) mirrors it with Arrow kernels."""
+    best_dis = -1
+    for r in disallow_rules:
+        if len(r) > best_dis and path_matches(path, r):
+            best_dis = len(r)
+    if best_dis < 0:
+        return False
+    best_allow = -1
+    for r in allow_rules or ():
+        if len(r) > best_allow and path_matches(path, r):
+            best_allow = len(r)
+    return best_dis > best_allow

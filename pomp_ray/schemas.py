@@ -50,6 +50,7 @@ ROBOTS = pa.schema(
     [
         ("host", pa.string()),
         ("disallow_prefixes", pa.list_(pa.string())),
+        ("allow_prefixes", pa.list_(pa.string())),
         ("crawl_delay", pa.float64()),
     ]
 )

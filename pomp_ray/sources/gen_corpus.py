@@ -319,6 +319,8 @@ def generate(out_dir: str, profile: CorpusProfile = TINY) -> GeneratedCorpus:
                 [["/p/7"] if h % 5 == 0 else [] for h in range(profile.n_hosts)],
                 pa.list_(pa.string()),
             ),
+            pa.array([[] for _ in range(profile.n_hosts)],
+                     pa.list_(pa.string())),
             pa.array(
                 [1.0 if h % 7 == 0 else 0.0 for h in range(profile.n_hosts)],
                 pa.float64(),

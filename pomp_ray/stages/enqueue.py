@@ -79,17 +79,24 @@ def canonicalize_batch(batch: pa.Table) -> pa.Table:
     return batch.append_column("path", path_arr)
 
 
-def make_robots_flag(disallow: dict[str, list[str]]):
+def make_robots_flag(disallow: dict[str, list[str]],
+                     allow: dict[str, list[str]] | None = None):
     """Broadcast-small-side robots gate: adds a ``blocked`` bool column.
-    ``disallow`` maps host -> disallow path prefixes (tiny vs the frontier;
-    at production scale ship it via ray.put and read it in actor __init__).
-    Vectorized per (host, prefix) rule -- one equality mask + one
-    starts_with kernel per rule, never a Python loop over rows -- and the
-    rule loop is RESTRICTED to hosts actually present in the batch (one
-    unique() pass), so per-batch cost scales with the batch's hosts, not
-    the global rule-table size (a production robots table has thousands
-    of hosts; a frontier batch touches a handful)."""
+    ``disallow``/``allow`` map host -> path rules (tiny vs the frontier;
+    at production scale ship them via ray.put and read in actor
+    __init__).  RFC 9309 decision, mirroring
+    functions.robotsfns.robots_blocked: among all matching rules the
+    longest raw pattern wins, allow beats disallow on equal length.
+    Vectorized per (host, rule) -- one equality mask + one starts_with
+    (prefix fast path) or match_substring_regex (wildcard rule) kernel
+    per rule, never a Python loop over rows -- and the rule loop is
+    RESTRICTED to hosts actually present in the batch (one unique()
+    pass), so per-batch cost scales with the batch's hosts, not the
+    global rule-table size."""
+    from pomp_ray.functions.robotsfns import rule_regex
+
     by_host = {h: prefs for h, prefs in disallow.items() if prefs}
+    allow = allow or {}
 
     def robots_flag(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -101,18 +108,25 @@ def make_robots_flag(disallow: dict[str, list[str]]):
         present = pc.unique(hosts.combine_chunks()
                             if isinstance(hosts, pa.ChunkedArray)
                             else hosts).to_pylist()
-        active = [(h, p) for h in present
-                  for p in by_host.get(h, ())]
-        blocked = np.zeros(n, bool)
-        from pomp_ray.functions.robotsfns import rule_regex
-        for host, pref in active:
-            pat = rule_regex(pref)
-            if pat is None:            # plain prefix: fast path
-                pm = pc.starts_with(paths, pattern=pref)
-            else:                      # RFC 9309 wildcard rule
-                pm = pc.match_substring_regex(paths, pattern=pat)
-            m = pc.and_(pc.equal(hosts, host), pm)
-            blocked |= np.asarray(m.combine_chunks(), dtype=bool)
+        best_dis = np.full(n, -1, np.int64)
+        best_allow = np.full(n, -1, np.int64)
+        for h in present:
+            dis_rules = by_host.get(h, ())
+            if not dis_rules:
+                continue   # no disallow -> nothing can block this host
+            hm = pc.equal(hosts, h)
+            for rules, best in ((dis_rules, best_dis),
+                                (allow.get(h, ()), best_allow)):
+                for rule in rules:
+                    pat = rule_regex(rule)
+                    if pat is None:       # plain prefix: fast path
+                        pm = pc.starts_with(paths, pattern=rule)
+                    else:                 # RFC 9309 wildcard rule
+                        pm = pc.match_substring_regex(paths, pattern=pat)
+                    m = np.asarray(pc.and_(hm, pm).combine_chunks(),
+                                   dtype=bool)
+                    np.maximum(best, np.where(m, len(rule), -1), out=best)
+        blocked = best_dis > best_allow
         return batch.append_column("blocked", pa.array(blocked, pa.bool_()))
 
     return robots_flag

@@ -35,18 +35,21 @@ Disallow:
 def test_parse_robots_txt_groups():
     star = parse_robots_txt(ROBOTS_A)
     assert star == {"disallow_prefixes": ["/private/", "/tmp/"],
-                    "crawl_delay": 2.5}
+                    "allow_prefixes": [], "crawl_delay": 2.5}
     evil = parse_robots_txt(ROBOTS_A, user_agent="EvilBot")
     assert evil["disallow_prefixes"] == ["/"]
     # stacked User-agent lines share one record group; specific UA
     # overrides the (empty) * group entirely
     pomp = parse_robots_txt(ROBOTS_B, user_agent="pompbot")
-    assert pomp == {"disallow_prefixes": ["/secret/"], "crawl_delay": 7.0}
+    assert pomp == {"disallow_prefixes": ["/secret/"],
+                    "allow_prefixes": [], "crawl_delay": 7.0}
     other = parse_robots_txt(ROBOTS_B, user_agent="otherbot")
     assert other["disallow_prefixes"] == ["/secret/"]
     default = parse_robots_txt(ROBOTS_B)
-    assert default == {"disallow_prefixes": [], "crawl_delay": 0.0}
+    assert default == {"disallow_prefixes": [], "allow_prefixes": [],
+                       "crawl_delay": 0.0}
     assert parse_robots_txt(b"") == {"disallow_prefixes": [],
+                                     "allow_prefixes": [],
                                      "crawl_delay": 0.0}
 
 
@@ -172,3 +175,66 @@ def test_wildcard_robots_crawl_conformance(ray_session, tmp_path):
     # the wildcard rules actually fired on some urls
     assert any("/p/3" in u or "/p/13" in u for u in blocked) \
         or any(u.endswith("/p/1") for u in blocked)
+
+
+def test_allow_rule_precedence_semantics():
+    """RFC 9309 longest-match decision: allow carve-outs override
+    shorter disallows, disallow wins when longer, allow wins ties."""
+    from pomp_ray.functions.robotsfns import robots_blocked
+
+    assert robots_blocked("/p/1", ["/p/"])
+    assert not robots_blocked("/p/13", ["/p/"], ["/p/13"])
+    assert robots_blocked("/p/13", ["/p/13x"[:5]], ["/p/"])  # longer dis
+    # equal length -> allow (least restrictive)
+    assert not robots_blocked("/p/1", ["/p/1"], ["/p/1"])
+    # wildcard allow carve-out over a wildcard disallow
+    assert robots_blocked("/cal/2026/1", ["/cal/*"])
+    assert not robots_blocked("/cal/2026/1", ["/cal/*"], ["/cal/2026*"])
+
+
+def test_allow_rules_crawl_conformance(ray_session, tmp_path):
+    """End-to-end: Disallow /p/1 with an Allow /p/13 carve-out gates the
+    crawl bit-identically in engine and oracle, and /p/13 is visited
+    while /p/1 and /p/10 are robots-blocked."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pomp_ray import schemas
+    from pomp_ray.core.oracle import crawl_oracle
+    from pomp_ray.crawl import CrawlConfig, CrawlEngine
+    from pomp_ray.sources import gen_corpus
+    from tests.helpers import (
+        errors_set, fixture_corpus, oracle_errors_set, oracle_inputs,
+        oracle_visited_tuples, read_ckpt, visited_tuples)
+
+    fix = fixture_corpus(gen_corpus.TINY)
+    robots_rows = [
+        {"host": "site0.test", "disallow_prefixes": ["/p/1"],
+         "allow_prefixes": ["/p/13"], "crawl_delay": 0.0},
+    ]
+    robots_path = str(tmp_path / "robots.parquet")
+    pq.write_table(pa.Table.from_pylist(robots_rows,
+                                        schema=schemas.ROBOTS),
+                   robots_path)
+
+    ckpt = str(tmp_path / "ckpt")
+    cfg = CrawlConfig(corpus_path=fix.pages_path, ckpt_dir=ckpt,
+                      robots_path=robots_path, mode="bfs",
+                      min_distributed_rows=0, n_seen_shards=2)
+    eng = CrawlEngine(cfg)
+    try:
+        seeds = pq.read_table(fix.seeds_path).to_pylist()
+        eng.run(seeds=seeds)
+    finally:
+        eng.close()
+
+    corpus, seeds, _, _ = oracle_inputs(fix)
+    res = crawl_oracle(corpus, seeds, robots_rows, mode="bfs")
+    vis = read_ckpt(ckpt, "visited")
+    assert visited_tuples(vis) == oracle_visited_tuples(res)
+    assert errors_set(read_ckpt(ckpt, "errors")) == oracle_errors_set(res)
+    urls = set(vis["url"].to_pylist())
+    assert "http://site0.test/p/13" in urls
+    assert "http://site0.test/p/1" not in urls
+    blocked = {e["url"] for e in res.errors if e["stage"] == "robots"}
+    assert "http://site0.test/p/1" in blocked
