@@ -306,6 +306,17 @@ def bench_queries(sf_dir: str) -> dict:
          .knn_graph_edges(sf_dir).num_rows),
         ("leakage_splits", lambda: docs.leakage_safe_splits(
             sf_dir).count()),
+        # seventeenth-block shapes: skew-salted hash join (dim
+        # replication + composite key), CDC full-outer merge, unigram-LM
+        # tokenizer training (word-freq pass + broadcast-model EM)
+        ("salted_join", lambda: __import__(
+            "pomp_ray.pipelines.joins", fromlist=["joins"])
+         .salted_join_rollup(sf_dir).count()),
+        ("merge_upsert", lambda: __import__(
+            "pomp_ray.pipelines.delta", fromlist=["delta"])
+         .merge_upsert_docs(sf_dir).count()),
+        ("unigram_lm", lambda: tokenizer.unigram_lm_vocab(
+            sf_dir).num_rows),
     ):
         t0 = time.monotonic()
         fn()
