@@ -551,6 +551,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_count_anomalies": windows.event_count_anomalies,
         "grouping_sets_revenue": relational.grouping_sets_revenue,
         "k_anonymity_report": docs.k_anonymity_report,
+        "corpus_datasheet": docs.corpus_datasheet,
         "host_cocitation": lambda sf: __import__(
             "pomp_ray.pipelines.graph", fromlist=["graph"]
         ).host_cocitation(_mirror_pages_path()),
@@ -1795,6 +1796,29 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
             ORDER BY 1, 2
+        """,
+        "corpus_datasheet": """
+            WITH m AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                       CAST(COUNT(DISTINCT source) AS BIGINT)
+                           AS n_sources,
+                       CAST(COUNT(*) - COUNT(DISTINCT md5(text))
+                            AS BIGINT) AS n_dup,
+                       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+                       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+                FROM documents)
+            SELECT metric, value FROM m UNPIVOT (
+                value FOR metric IN (
+                    n_docs, n_langs, n_sources,
+                    n_dup AS n_exact_dup_docs, total_chars,
+                    min_chars, max_chars))
+            UNION ALL
+            SELECT 'mean_chars_x100',
+                   CAST(SUM(n_chars) * 100 // COUNT(*) AS BIGINT)
+            FROM documents
+            ORDER BY 1
         """,
         "k_anonymity_report": """
             WITH g AS (

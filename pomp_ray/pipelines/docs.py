@@ -3618,3 +3618,53 @@ def banned_word_report(sf_dir: str, banned=("spark", "slow", "dup")) \
             "n_docs": pc.cast(t["n_docs"], pa.int64()),
             "n_occurrences": pc.cast(t["n_occurrences"], pa.int64())}),
         batch_format="pyarrow").sort("word")
+
+
+def corpus_datasheet(sf_dir: str) -> pa.Table:
+    """One-call data card: the corpus-level summary a dataset release
+    ships (datasheets-for-datasets shape) as a tall (metric, value)
+    table -- counts, distinct keys, exact-dup volume, integer length
+    moments.
+
+    One pruned scan feeds per-batch partials (counts, char sums,
+    md5-text digests for the dup rate); the only shuffles are the tiny
+    digest/lang/source groupbys.  All metrics are integers (mean is
+    reported x100 via floor division) so the DuckDB oracle is exact."""
+    import hashlib
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        digs = [hashlib.md5((x or "").encode()).digest() for x in texts]
+        nchars = pc.cast(t["n_chars"], pa.int64())
+        return pa.table({
+            "digest": pa.array(digs, pa.binary()),
+            "lang": t["lang"], "source": t["source"],
+            "n_chars": nchars})
+
+    rows = _docs(sf_dir, ["text", "lang", "source", "n_chars"]) \
+        .map_batches(partial, batch_format="pyarrow").materialize()
+
+    n_docs = rows.count()
+    n_langs = rows.groupby("lang").aggregate(Count(alias_name="_c")) \
+        .count()
+    n_sources = rows.groupby("source").aggregate(Count(alias_name="_c")) \
+        .count()
+    n_distinct_texts = rows.groupby("digest") \
+        .aggregate(Count(alias_name="_c")).count()
+    total_chars = int(rows.sum("n_chars"))
+    max_chars = int(rows.max("n_chars"))
+    min_chars = int(rows.min("n_chars"))
+
+    metrics = [
+        ("n_docs", n_docs),
+        ("n_langs", n_langs),
+        ("n_sources", n_sources),
+        ("n_exact_dup_docs", n_docs - n_distinct_texts),
+        ("total_chars", total_chars),
+        ("mean_chars_x100", total_chars * 100 // n_docs),
+        ("min_chars", min_chars),
+        ("max_chars", max_chars),
+    ]
+    return pa.table({
+        "metric": pa.array([m for m, _ in metrics], pa.string()),
+        "value": pa.array([int(v) for _, v in metrics], pa.int64())})
