@@ -552,6 +552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouping_sets_revenue": relational.grouping_sets_revenue,
         "k_anonymity_report": docs.k_anonymity_report,
         "corpus_datasheet": docs.corpus_datasheet,
+        "coverage_sample": docs.coverage_sample,
         "host_cocitation": lambda sf: __import__(
             "pomp_ray.pipelines.graph", fromlist=["graph"]
         ).host_cocitation(_mirror_pages_path()),
@@ -3745,6 +3746,8 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM read_parquet('{_GOLDEN}/mmr_topk_sf001.parquet')",
         "pava_calibration":
             f"SELECT * FROM read_parquet('{_GOLDEN}/pava_sf001.parquet')",
+        "coverage_sample":
+            f"SELECT * FROM read_parquet('{_GOLDEN}/coverage_sf001.parquet')",
         # MERGE rules re-derived in SQL: U = doc_id%7=0 (text doubles,
         # version 2), D = doc_id%11=3 and not U, I = one new row per U
         "merge_upsert_docs": """

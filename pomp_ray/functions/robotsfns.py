@@ -32,6 +32,7 @@ def parse_robots_txt(text: str | bytes,
     "allow_prefixes": [...], "crawl_delay": float}."""
     ua = user_agent.lower()
     groups: dict[str, dict] = {}   # ua -> {"disallow": [...], ...}
+    sitemaps: list[str] = []       # group-independent per RFC 9309
     current: list[str] = []
     last_was_ua = False
     for raw in body_decode(text).splitlines():
@@ -41,6 +42,11 @@ def parse_robots_txt(text: str | bytes,
         field, _, value = line.partition(":")
         field = field.strip().lower()
         value = value.strip()
+        if field == "sitemap":
+            if value and value not in sitemaps:
+                sitemaps.append(value)
+            last_was_ua = False
+            continue
         if field == "user-agent":
             name = value.lower()
             if last_was_ua:
@@ -71,7 +77,8 @@ def parse_robots_txt(text: str | bytes,
                                   "delay": 0.0})
     return {"disallow_prefixes": list(chosen["disallow"]),
             "allow_prefixes": list(chosen.get("allow") or []),
-            "crawl_delay": float(chosen["delay"])}
+            "crawl_delay": float(chosen["delay"]),
+            "sitemaps": sitemaps}
 
 
 def robots_batch(t: pa.Table, user_agent: str = "*") -> pa.Table:

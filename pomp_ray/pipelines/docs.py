@@ -3668,3 +3668,76 @@ def corpus_datasheet(sf_dir: str) -> pa.Table:
     return pa.table({
         "metric": pa.array([m for m, _ in metrics], pa.string()),
         "value": pa.array([int(v) for _, v in metrics], pa.int64())})
+
+
+def coverage_sample(sf_dir: str, k: int = 8,
+                    shingle_k: int = 3) -> pa.Table:
+    """Greedy maximum-coverage selection: pick k documents one at a
+    time, each maximizing the number of word-3-shingles NOT yet covered
+    by the picks so far -- the facility-location-style data-selection
+    op (coverage pruning), completing the selection family beside
+    kcenter_sample (pure diversity) and mmr_topk (relevance-diversity).
+
+    Shape mirrors both siblings: the doc -> shingle-hash table is
+    computed once (md5-derived 64-bit hashes -- NEVER builtin hash()
+    across workers) and materialized; each greedy step broadcasts the
+    covered-hash set (ray.put; at 100-TB scale a Bloom filter takes its
+    place -- documented seam) and reduces per-batch (gain, -doc_id)
+    winner partials on the driver.  Integer gains + the doc_id tie rule
+    make every pick bit-identical to the serial golden."""
+    import hashlib
+
+    import ray as _ray
+
+    def to_hashes(t: pa.Table) -> pa.Table:
+        out = []
+        for x in t["text"].to_pylist():
+            hs = sorted({int.from_bytes(
+                hashlib.md5(s.encode()).digest()[:8], "little")
+                for s in an.shingles(x or "", k=shingle_k)})
+            out.append(hs)
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "h": pa.array(out, pa.list_(pa.uint64()))})
+
+    docs_h = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        to_hashes, batch_format="pyarrow").materialize()
+
+    picked: list[tuple[int, int]] = []   # (doc_id, gain)
+    covered: set[int] = set()
+    for _ in range(k):
+        ref = _ray.put(covered)
+        chosen = np.array([d for d, _ in picked], np.int64)
+
+        def winner(t: pa.Table, _chosen=chosen) -> pa.Table:
+            cov = _ray.get(ref)
+            best = None
+            for d, hs in zip(t["doc_id"].to_pylist(),
+                             t["h"].to_pylist()):
+                if d in _chosen:
+                    continue
+                gain = sum(1 for h in hs if h not in cov)
+                if best is None or gain > best[1] or \
+                        (gain == best[1] and d < best[0]):
+                    best = (d, gain, hs)
+            if best is None:
+                return pa.table({
+                    "doc_id": pa.array([], pa.int64()),
+                    "gain": pa.array([], pa.int64()),
+                    "h": pa.array([], pa.list_(pa.uint64()))})
+            return pa.table({
+                "doc_id": pa.array([best[0]], pa.int64()),
+                "gain": pa.array([best[1]], pa.int64()),
+                "h": pa.array([best[2]], pa.list_(pa.uint64()))})
+
+        cands = docs_h.map_batches(winner,
+                                   batch_format="pyarrow").take_all()
+        if not cands:
+            break
+        best = max(cands, key=lambda r: (r["gain"], -r["doc_id"]))
+        picked.append((int(best["doc_id"]), int(best["gain"])))
+        covered.update(int(h) for h in best["h"])
+
+    return pa.table({
+        "rank": pa.array(range(len(picked)), pa.int64()),
+        "doc_id": pa.array([d for d, _ in picked], pa.int64()),
+        "gain": pa.array([g for _, g in picked], pa.int64())})

@@ -230,3 +230,41 @@ def compact_parquet_dir(in_dir: str, out_dir: str,
     files_out = _glob.glob(os.path.join(out_dir, "*.parquet"))
     return {"rows": rows, "files_in": len(files_in),
             "files_out": len(files_out)}
+
+
+def discover_robots_sitemap_seeds(pages_path: str) -> rd.Dataset:
+    """Seed discovery from robots.txt ``Sitemap:`` directives (the
+    standard place real sites announce their sitemaps): one pruned
+    distributed pass over the corpus's ``/robots.txt`` pages, parsed by
+    the same RFC-9309 parser the gate uses, emitting a SEEDS-schema
+    Dataset.  Complements ``discover_sitemap_seeds`` (which reads the
+    sitemap PAGES); chain them -- robots -> sitemap urls -> crawl."""
+    from pomp_ray import schemas as _schemas
+    from pomp_ray.functions.robotsfns import parse_robots_txt
+    from pomp_ray.functions.textfns import url_path
+
+    def parse(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.equal(
+            pc.replace_substring_regex(t["url"],
+                                       pattern="^[a-z]+://[^/]+",
+                                       replacement=""),
+            "/robots.txt")
+        t = t.filter(mask)
+        out: list[str] = []
+        seen: set[str] = set()
+        for html in t["html"].to_pylist():
+            for sm in parse_robots_txt(html or b"")["sitemaps"]:
+                if sm not in seen:
+                    seen.add(sm)
+                    out.append(sm)
+        n = len(out)
+        return pa.table({
+            "url": pa.array(out, pa.string()),
+            "priority": pa.array([0] * n, pa.int32()),
+            "depth": pa.array([0] * n, pa.int32()),
+        }, schema=_schemas.SEEDS)
+
+    return rd.read_parquet(pages_path, columns=["url", "html"]) \
+        .map_batches(parse, batch_format="pyarrow")

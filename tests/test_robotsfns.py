@@ -35,22 +35,25 @@ Disallow:
 def test_parse_robots_txt_groups():
     star = parse_robots_txt(ROBOTS_A)
     assert star == {"disallow_prefixes": ["/private/", "/tmp/"],
-                    "allow_prefixes": [], "crawl_delay": 2.5}
+                    "allow_prefixes": [], "crawl_delay": 2.5,
+                    "sitemaps": []}
     evil = parse_robots_txt(ROBOTS_A, user_agent="EvilBot")
     assert evil["disallow_prefixes"] == ["/"]
     # stacked User-agent lines share one record group; specific UA
     # overrides the (empty) * group entirely
     pomp = parse_robots_txt(ROBOTS_B, user_agent="pompbot")
     assert pomp == {"disallow_prefixes": ["/secret/"],
-                    "allow_prefixes": [], "crawl_delay": 7.0}
+                    "allow_prefixes": [], "crawl_delay": 7.0,
+                    "sitemaps": []}
     other = parse_robots_txt(ROBOTS_B, user_agent="otherbot")
     assert other["disallow_prefixes"] == ["/secret/"]
     default = parse_robots_txt(ROBOTS_B)
     assert default == {"disallow_prefixes": [], "allow_prefixes": [],
-                       "crawl_delay": 0.0}
+                       "crawl_delay": 0.0, "sitemaps": []}
     assert parse_robots_txt(b"") == {"disallow_prefixes": [],
                                      "allow_prefixes": [],
-                                     "crawl_delay": 0.0}
+                                     "crawl_delay": 0.0,
+                                     "sitemaps": []}
 
 
 def _pages(tmp_path, rows):
@@ -238,3 +241,37 @@ def test_allow_rules_crawl_conformance(ray_session, tmp_path):
     assert "http://site0.test/p/1" not in urls
     blocked = {e["url"] for e in res.errors if e["stage"] == "robots"}
     assert "http://site0.test/p/1" in blocked
+
+
+def test_sitemap_directive_and_seed_discovery(ray_session, tmp_path):
+    """Sitemap: lines are group-independent, deduped in order; the
+    discovery pass turns /robots.txt pages into a SEEDS table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pomp_ray.functions.robotsfns import parse_robots_txt
+    from pomp_ray.sources.corpus import discover_robots_sitemap_seeds
+
+    body = b"""User-agent: *\nDisallow: /x\nSitemap: http://a.test/sm1\n
+User-agent: bot\nSitemap: http://a.test/sm1\nSitemap: http://a.test/sm2\n"""
+    got = parse_robots_txt(body)
+    assert got["sitemaps"] == ["http://a.test/sm1", "http://a.test/sm2"]
+    # UA-specific view still sees the global sitemap list
+    assert parse_robots_txt(body, user_agent="bot")["sitemaps"] \
+        == ["http://a.test/sm1", "http://a.test/sm2"]
+
+    pages = pa.table({
+        "url": ["http://a.test/robots.txt", "http://a.test/p/1",
+                "http://b.test/robots.txt"],
+        "warc_ts": pa.array([0, 0, 0], pa.timestamp("us")),
+        "html": [body, b"<p>x</p>",
+                 b"Sitemap: http://b.test/map\nUser-agent: *\nDisallow:\n"],
+        "text": ["", "x", ""],
+        "lang": ["en", "en", "en"]})
+    path = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, path)
+    seeds = discover_robots_sitemap_seeds(path).to_pandas()
+    assert sorted(seeds["url"]) == ["http://a.test/sm1",
+                                    "http://a.test/sm2",
+                                    "http://b.test/map"]
+    assert set(seeds["depth"]) == {0}

@@ -1881,6 +1881,47 @@ def gen_unigram_golden(sf_dir: str = SF001, n_iters: int = 3,
     print(f"unigram golden: {len(pieces)} pieces after {n_iters} EM iters")
 
 
+def gen_coverage_golden(sf_dir: str = SF001, k: int = 8,
+                        shingle_k: int = 3) -> None:
+    """Independent serial greedy max-coverage: plain loops, same
+    md5-derived shingle hashes and (gain, doc_id) tie rule."""
+    import hashlib
+    import re
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    tok = re.compile(r"[a-z0-9]+")
+    hsets = {}
+    for d, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        toks = tok.findall((s or "").lower())
+        if len(toks) < shingle_k:
+            sh = {" ".join(toks)} if toks else set()
+        else:
+            sh = {" ".join(toks[i:i + shingle_k])
+                  for i in range(len(toks) - shingle_k + 1)}
+        hsets[int(d)] = {int.from_bytes(
+            hashlib.md5(x.encode()).digest()[:8], "little") for x in sh}
+    covered = set()
+    picked = []
+    for _ in range(k):
+        best = None
+        for d in sorted(hsets):
+            if any(d == p for p, _ in picked):
+                continue
+            gain = len(hsets[d] - covered)
+            if best is None or gain > best[1]:
+                best = (d, gain)
+        picked.append(best)
+        covered |= hsets[best[0]]
+    out = pa.table({
+        "rank": pa.array(range(len(picked)), pa.int64()),
+        "doc_id": pa.array([d for d, _ in picked], pa.int64()),
+        "gain": pa.array([g for _, g in picked], pa.int64())})
+    pq.write_table(out, os.path.join(GOLDEN_DIR,
+                                     "coverage_sf001.parquet"))
+    print(f"coverage golden: picks {[d for d, _ in picked]}")
+
+
 if __name__ == "__main__":
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     gen_signature_goldens()
@@ -1922,3 +1963,4 @@ if __name__ == "__main__":
     gen_mmr_golden()
     gen_pava_golden()
     gen_unigram_golden()
+    gen_coverage_golden()
