@@ -565,6 +565,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "activity_streaks": windows.activity_streaks,
         "kwic_snippets": lambda sf: docs.kwic_snippets(sf, term="dup"),
         "lineitem_corr_stats": relational.lineitem_corr_stats,
+        "monthly_growth": relational.monthly_growth,
+        "hapax_rate_by_source": docs.hapax_rate_by_source,
         "char_collision_stats": docs.char_collision_stats,
         "source_length_drift": docs.source_length_drift,
         "pareto_docs": docs.pareto_docs,
@@ -1913,6 +1915,42 @@ def oracle_sql() -> dict[str, str]:
                         * 1000000 // (COUNT(*) * SUM(n)) AS BIGINT)
                        AS gini_ppm
             FROM r
+        """,
+        "monthly_growth": """
+            WITH m AS (
+                SELECT CAST(date_part('year', o_orderdate) AS BIGINT)
+                           AS year,
+                       CAST(date_part('month', o_orderdate) AS BIGINT)
+                           AS month,
+                       CAST(SUM(CAST(round(o_totalprice * 100)
+                                     AS BIGINT)) AS BIGINT)
+                           AS revenue_cents
+                FROM orders GROUP BY 1, 2)
+            SELECT year, month, revenue_cents,
+                   CAST((revenue_cents - LAG(revenue_cents)
+                             OVER (ORDER BY year, month)) * 1000000
+                        // LAG(revenue_cents)
+                             OVER (ORDER BY year, month) AS BIGINT)
+                       AS growth_ppm
+            FROM m ORDER BY year, month
+        """,
+        "hapax_rate_by_source": """
+            WITH w AS (
+                SELECT source,
+                       unnest(string_split_regex(lower(text),
+                                                 '[^a-z]+')) AS word
+                FROM documents),
+            c AS (SELECT source, word, COUNT(*) AS n FROM w
+                  WHERE word <> '' GROUP BY 1, 2),
+            r AS (SELECT source,
+                         CAST(COUNT(*) AS BIGINT) AS n_vocab,
+                         CAST(COUNT(*) FILTER (n = 1) AS BIGINT)
+                             AS n_hapax
+                  FROM c GROUP BY 1)
+            SELECT source, n_vocab, n_hapax,
+                   CAST(n_hapax * 1000000 // n_vocab AS BIGINT)
+                       AS hapax_ppm
+            FROM r ORDER BY 1
         """,
         # salted join is provably identical to the plain join it salts
         "salted_join_rollup": """

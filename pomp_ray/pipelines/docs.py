@@ -3741,3 +3741,52 @@ def coverage_sample(sf_dir: str, k: int = 8,
         "rank": pa.array(range(len(picked)), pa.int64()),
         "doc_id": pa.array([d for d, _ in picked], pa.int64()),
         "gain": pa.array([g for _, g in picked], pa.int64())})
+
+
+def hapax_rate_by_source(sf_dir: str) -> rd.Dataset:
+    """Per-source hapax legomena rate in ppm: the share of the source's
+    DISTINCT vocabulary that occurs exactly once -- a classic corpus
+    health signal (high hapax = noisy/OCR-ish text, low = templated).
+
+    Per-batch (source, word) partial counts bound the shuffle to the
+    batch vocabulary; one groupby sums, one tiny rollup divides."""
+    def partial(t: pa.Table) -> pa.Table:
+        src_arr = t["source"].to_numpy(zero_copy_only=False)
+        words = pc.split_pattern_regex(
+            pc.utf8_lower(t["text"]), pattern=r"[^a-z]+")
+        flat = pc.list_flatten(words)
+        idx = np.repeat(np.arange(len(src_arr)),
+                        pc.list_value_length(words).to_numpy())
+        df = pd.DataFrame({
+            "source": src_arr[idx],
+            "word": flat.to_numpy(zero_copy_only=False)})
+        df = df[df["word"] != ""]
+        g = df.groupby(["source", "word"], sort=False).size() \
+            .reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = _docs(sf_dir, ["source", "text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["source", "word"]).aggregate(Sum("n", alias_name="n"))
+
+    def roll(t: pa.Table) -> pa.Table:
+        srcs = t["source"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy()
+        df = pd.DataFrame({"source": srcs, "v": 1,
+                           "hapax": (n == 1).astype(np.int64)})
+        g = df.groupby("source", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = counts.map_batches(roll, batch_format="pyarrow") \
+        .groupby("source").aggregate(Sum("v", alias_name="n_vocab"),
+                                     Sum("hapax", alias_name="n_hapax"))
+    return out.map_batches(
+        lambda t: pa.table({
+            "source": t["source"],
+            "n_vocab": pc.cast(t["n_vocab"], pa.int64()),
+            "n_hapax": pc.cast(t["n_hapax"], pa.int64()),
+            "hapax_ppm": pc.cast(pc.divide(
+                pc.multiply(pc.cast(t["n_hapax"], pa.int64()),
+                            1_000_000),
+                pc.cast(t["n_vocab"], pa.int64())), pa.int64())}),
+        batch_format="pyarrow").sort("source")

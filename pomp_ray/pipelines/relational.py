@@ -2466,3 +2466,49 @@ def grouping_sets_revenue(sf_dir: str) -> pa.Table:
         "l_linestatus": pa.array(out_s, pa.string()),
         "revenue_units": pa.array(out_u, pa.int64()),
         "n": pa.array(out_n, pa.int64())})
+
+
+def monthly_growth(sf_dir: str) -> pa.Table:
+    """Month-over-month revenue growth in ppm (integer LAG ratio:
+    (cur - prev) * 1e6 // prev) -- the seasonality read on the orders
+    table.  One integer-cent partial pass + a tiny month groupby; the
+    LAG fold runs on the bounded month series (the ewma_daily_events
+    lesson)."""
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].to_numpy()
+        ym = (d.astype("datetime64[M]").astype(np.int64))
+        cents = np.rint(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        df = pd.DataFrame({"ym": ym, "cents": cents, "n": 1})
+        g = df.groupby("ym", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rows = _t(sf_dir, "orders", ["o_orderdate", "o_totalprice"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("ym").aggregate(Sum("cents", alias_name="cents"),
+                                 Sum("n", alias_name="n")).take_all()
+    ser = sorted((int(r["ym"]), int(r["cents"]), int(r["n"]))
+                 for r in rows)
+    out_y, out_m, out_c, out_g = [], [], [], []
+    prev = None
+    for ym, cents, n in ser:
+        out_y.append(1970 + ym // 12)
+        out_m.append(ym % 12 + 1)
+        out_c.append(cents)
+        if prev is None:
+            out_g.append(None)
+        else:
+            delta = (cents - prev) * 1_000_000
+            # DuckDB integer // TRUNCATES toward zero (C semantics);
+            # python floors -- mirror by dividing magnitudes
+            q = abs(delta) * 1 // prev
+            out_g.append(-q if delta < 0 else q)
+        prev = cents
+    return pa.table({
+        "year": pa.array(out_y, pa.int64()),
+        "month": pa.array(out_m, pa.int64()),
+        "revenue_cents": pa.array(out_c, pa.int64()),
+        # nullable BIGINT comes back float64 through DuckDB .df() --
+        # match dtypes on the engine side (first month has no prior)
+        "growth_ppm": pa.array(
+            [float(g) if g is not None else None for g in out_g],
+            pa.float64())})
