@@ -844,6 +844,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_bytes_by_round": lambda sf: _crawl_bytes_by_round(),
         "host_round_fetches": lambda sf: _host_round_fetches(),
         "user_activity_span": windows.user_activity_span,
+        "market_basket_pairs": relational.market_basket_pairs,
+        "rfm_segments": windows.rfm_segments,
+        "session_bounce_rate": windows.session_bounce_rate,
+        "title_dup_report":
+            lambda sf: webtext.title_dup_report(_mirror_pages_path()),
     }
 
 
@@ -4351,5 +4356,82 @@ def oracle_sql() -> dict[str, str]:
         "filter_project": """
             SELECT o_orderkey, o_totalprice FROM orders
             WHERE o_orderstatus = 'O' AND o_totalprice > 200000.0
+        """,
+        # pair support denominator = COUNT(*) FROM orders (the engine
+        # reads it from parquet metadata); integer // is exact (positive)
+        "market_basket_pairs": """
+            WITH d AS (SELECT DISTINCT l_orderkey, l_partkey
+                       FROM lineitem)
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(COUNT(*) * 1000000
+                        // (SELECT COUNT(*) FROM orders) AS BIGINT)
+                       AS support_ppm
+            FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        """,
+        # floor-cents monetary; recency in whole days vs the global max
+        # purchase day; NTILE ordered by (metric, user_id) -- the engine
+        # mirrors DuckDB's first-(n%k)-tiles-get-ceil(n/k) rule in
+        # closed form from the global sort position
+        "rfm_segments": """
+            WITH p AS (SELECT user_id, ts,
+                              CAST(FLOOR(value * 100) AS BIGINT) AS cents
+                       FROM events WHERE event_type = 'purchase'),
+            u AS (SELECT user_id,
+                         date_diff('day', MAX(CAST(ts AS DATE)),
+                                   (SELECT MAX(CAST(ts AS DATE)) FROM p))
+                             AS recency_days,
+                         CAST(COUNT(*) AS BIGINT) AS frequency,
+                         CAST(SUM(cents) AS BIGINT) AS monetary_cents
+                  FROM p GROUP BY 1)
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(recency_days AS BIGINT) AS recency_days,
+                   frequency, monetary_cents,
+                   CAST(NTILE(5) OVER (ORDER BY recency_days, user_id)
+                        AS BIGINT) AS r_score,
+                   CAST(NTILE(5) OVER (ORDER BY frequency, user_id)
+                        AS BIGINT) AS f_score,
+                   CAST(NTILE(5) OVER (ORDER BY monetary_cents, user_id)
+                        AS BIGINT) AS m_score
+            FROM u
+        """,
+        # session rule mirrors sessionize: new session when the gap to
+        # the previous event (per user, ordered by ts, event_id) exceeds
+        # 30 minutes; bounce = single-event session
+        "session_bounce_rate": """
+            WITH o AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                                 OR ts - LAG(ts) OVER w
+                                    > INTERVAL '30 minutes'
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (SELECT user_id, ts,
+                         SUM(brk) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM o),
+            g AS (SELECT user_id, sid, MIN(ts) AS t0, COUNT(*) AS n
+                  FROM s GROUP BY 1, 2)
+            SELECT CAST(date_trunc('day', t0) AS TIMESTAMP) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                   CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_bounce,
+                   CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000
+                        // COUNT(*) AS BIGINT) AS bounce_ppm
+            FROM g GROUP BY 1
+        """,
+        "title_dup_report": f"""
+            WITH t AS (
+                SELECT regexp_extract(decode(html),
+                                      '<title>([^<]*)</title>', 1) AS title,
+                       regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host
+                FROM read_parquet('{_MP}'))
+            SELECT title, CAST(COUNT(*) AS BIGINT) AS n_pages,
+                   CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
+            FROM t GROUP BY 1 HAVING COUNT(*) > 1
         """,
     }

@@ -2512,3 +2512,71 @@ def monthly_growth(sf_dir: str) -> pa.Table:
         "growth_ppm": pa.array(
             [float(g) if g is not None else None for g in out_g],
             pa.float64())})
+
+
+def market_basket_pairs(sf_dir: str, min_support: int = 2,
+                        n_buckets: int = 64) -> rd.Dataset:
+    """Association-rule pair mining (market-basket analysis) over the
+    lineitem fact table: for every pair of parts bought together in the
+    same order, the number of co-occurring orders and its support in ppm
+    of all orders.
+
+    Scale shape: orders hash into ``n_buckets`` groups (one C-speed
+    pandas self-merge per bucket -- the sessionize bucketing lesson;
+    size n_buckets so a bucket's orders fit one worker), pair partials
+    reduce through a (part_a, part_b) groupby, and the support
+    denominator is the orders parquet metadata count (no extra pass).
+    Per-order pair fan-out is k*(k-1)/2 for a k-part order -- bounded by
+    basket size, never by corpus size.  Reference analog: pomp item
+    pipelines compute per-crawl co-occurrence rollups serially
+    (SURVEY.md section 2 A2)."""
+    n_orders_total = pq.read_metadata(
+        os.path.join(sf_dir, "orders.parquet")).num_rows
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["l_orderkey"], n_buckets - 1),
+                    pa.int32())
+        return t.append_column("bucket", b)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["l_orderkey", "l_partkey"]].drop_duplicates()
+        m = d.merge(d, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        out = (m.groupby(["l_partkey_x", "l_partkey_y"], sort=False)
+                .size().reset_index(name="n"))
+        return out.rename(columns={"l_partkey_x": "part_a",
+                                   "l_partkey_y": "part_b"})
+
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        # re-bucket the pair partials by pair hash: a Dataset groupby
+        # over ~100k 1-2 row groups pays Python per group boundary in
+        # the sort-based aggregate (the span_dup_stats lesson); 64
+        # groups each running ONE C-speed pandas groupby do not
+        a = t["part_a"].to_numpy()
+        b = t["part_b"].to_numpy()
+        pb = ((a * 2654435761 + b * 40503) & 63).astype(np.int32)
+        return t.append_column("pbucket", pa.array(pb))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["part_a", "part_b"], sort=False)["n"]
+                .sum().reset_index(name="n_orders"))
+        return out
+
+    agg = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]) \
+        .map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(pairs, batch_format="pandas") \
+        .map_batches(pair_bucket, batch_format="pyarrow") \
+        .groupby("pbucket").map_groups(combine, batch_format="pandas")
+
+    def fin(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["n_orders"], min_support))
+        n = pc.cast(t["n_orders"], pa.int64())
+        supp = pc.divide(pc.multiply(n, pa.scalar(1_000_000, pa.int64())),
+                         pa.scalar(n_orders_total, pa.int64()))
+        return pa.table({
+            "part_a": pc.cast(t["part_a"], pa.int64()),
+            "part_b": pc.cast(t["part_b"], pa.int64()),
+            "n_orders": n,
+            "support_ppm": pc.cast(supp, pa.int64())})
+
+    return agg.map_batches(fin, batch_format="pyarrow")

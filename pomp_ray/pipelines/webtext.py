@@ -751,3 +751,42 @@ def host_load_gini(pages_path: str) -> pa.Table:
     return pa.table({"n_hosts": pa.array([n_hosts], pa.int64()),
                      "total_pages": pa.array([total], pa.int64()),
                      "gini_ppm": pa.array([gini_ppm], pa.int64())})
+
+
+def title_dup_report(pages_path: str) -> rd.Dataset:
+    """Duplicate-title audit: titles served by more than one page, with
+    page and distinct-host counts (mirrored sites and boilerplate
+    templates surface here before content hashing even runs).
+
+    Shape: per-batch (title, host) distinct partials (one vectorized
+    extract_regex pass over the html -- titles never leave the worker
+    un-aggregated), a (title, host) groupby, then a title groupby whose
+    Count IS the distinct-host count.  Reference analog: pomp
+    extract_items title parsing (SURVEY.md section 2 M1)."""
+    _TITLE_RE = r"<title>(?P<t>[^<]*)</title>"
+
+    def partial(t: pa.Table) -> pa.Table:
+        html = pc.cast(t["html"], pa.string())
+        ti = pc.struct_field(pc.extract_regex(html, pattern=_TITLE_RE), "t")
+        df = pd.DataFrame({"title": ti.to_pandas(),
+                           "host": _host_col(t["url"]).to_pandas()})
+        df = df.dropna(subset=["title"])
+        g = (df.groupby(["title", "host"], sort=False)
+               .size().reset_index(name="n"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    th = _pages(pages_path, ["url", "html"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["title", "host"]).aggregate(Sum("n", alias_name="n"))
+    agg = th.groupby("title").aggregate(
+        Sum("n", alias_name="n_pages"),
+        Count(alias_name="n_hosts"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["n_pages"], 1))
+        return pa.table({
+            "title": t["title"],
+            "n_pages": pc.cast(t["n_pages"], pa.int64()),
+            "n_hosts": pc.cast(t["n_hosts"], pa.int64())})
+
+    return agg.map_batches(fin, batch_format="pyarrow")

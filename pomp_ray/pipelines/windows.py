@@ -1058,3 +1058,108 @@ def constrained_funnel(sf_dir: str,
             [sum(r["n_users_click"] for r in rows)], pa.int64()),
         "n_users_converted": pa.array(
             [sum(r["n_users_converted"] for r in rows)], pa.int64())}))
+
+
+def rfm_segments(sf_dir: str, k: int = 5) -> rd.Dataset:
+    """RFM (recency / frequency / monetary) customer segmentation over
+    purchase events, with exact NTILE(k) quintile scores.
+
+    Distributed shape: per-user aggregates are a partial-agg groupby
+    (floor-cents integers, day-granular recency vs the global max
+    purchase day); each score is one global sort + zip_with_index pass
+    over a composite ``metric:user_id`` key (the lang_rank pattern -- no
+    partition ever co-locates), and the NTILE tile is a closed-form
+    function of the global position and row count, mirroring DuckDB's
+    first-(n%k)-tiles-get-one-extra rule exactly.  Three sorted passes
+    over the USER table (already reduced), not the event log."""
+    from pomp_ray.stages.index import zip_with_index
+
+    def partial(t: pa.Table) -> pa.Table:
+        mask = pc.equal(t["event_type"], "purchase")
+        t = t.filter(mask)
+        day = t["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        cents = np.floor(t["value"].to_numpy() * 100).astype(np.int64)
+        df = pd.DataFrame({"user_id": t["user_id"].to_numpy(),
+                           "day": day, "cents": cents, "n": 1})
+        g = df.groupby("user_id", sort=False).agg(
+            max_day=("day", "max"), n=("n", "sum"), cents=("cents", "sum"))
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    users = _events(sf_dir, ["user_id", "ts", "event_type", "value"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(
+            Max("max_day", alias_name="max_day"),
+            Sum("n", alias_name="frequency"),
+            Sum("cents", alias_name="monetary_cents")).materialize()
+    gmax = users.aggregate(Max("max_day"))["max(max_day)"]
+    n_users = users.count()
+
+    def base_cols(t: pa.Table) -> pa.Table:
+        rec = gmax - pc.cast(t["max_day"], pa.int64()).to_numpy()
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "recency_days": pa.array(rec, pa.int64()),
+            "frequency": pc.cast(t["frequency"], pa.int64()),
+            "monetary_cents": pc.cast(t["monetary_cents"], pa.int64())})
+
+    ds = users.map_batches(base_cols, batch_format="pyarrow")
+
+    def ntile(pos: np.ndarray) -> np.ndarray:
+        # DuckDB NTILE(k): first n%k tiles hold ceil(n/k) rows
+        base, rem = divmod(n_users, k)
+        cut = rem * (base + 1)
+        small = pos // (base + 1) + 1
+        large = rem + (pos - cut) // max(base, 1) + 1
+        return np.where(pos < cut, small, large).astype(np.int64)
+
+    for metric, score in (("recency_days", "r_score"),
+                          ("frequency", "f_score"),
+                          ("monetary_cents", "m_score")):
+        def add_key(t: pa.Table, m=metric) -> pa.Table:
+            v = t[m].to_numpy()
+            u = t["user_id"].to_numpy()
+            key = [f"{a:015d}:{b:012d}" for a, b in zip(v, u)]
+            return t.append_column("k", pa.array(key, pa.string()))
+
+        pos = zip_with_index(
+            ds.map_batches(add_key, batch_format="pyarrow"), "k")
+
+        def assign(t: pa.Table, s=score) -> pa.Table:
+            p = pc.cast(t["pos"], pa.int64()).to_numpy()
+            t = t.drop_columns(["k", "pos"])
+            return t.append_column(s, pa.array(ntile(p), pa.int64()))
+
+        ds = pos.map_batches(assign, batch_format="pyarrow")
+    return ds
+
+
+def session_bounce_rate(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
+    """Per-day session bounce rate (sessions with exactly one event, in
+    ppm of that day's sessions) -- rides the sessionize pipeline's
+    64-bucket user hashing, then one tiny day groupby."""
+    s = sessionize(sf_dir, gap_minutes)
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(t["session_start"], unit="day"),
+                      pa.timestamp("us"))
+        b = pc.cast(pc.equal(t["n_events"], 1), pa.int64())
+        return pa.table({"day": day,
+                         "s": pa.array(np.ones(t.num_rows, np.int64)),
+                         "b": b})
+
+    g = s.map_batches(partial, batch_format="pyarrow") \
+        .groupby("day").aggregate(Sum("s", alias_name="n_sessions"),
+                                  Sum("b", alias_name="n_bounce"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        ns = pc.cast(t["n_sessions"], pa.int64())
+        nb = pc.cast(t["n_bounce"], pa.int64())
+        ppm = pc.divide(pc.multiply(nb, pa.scalar(1_000_000, pa.int64())),
+                        ns)
+        # hash groupby narrows timestamp[us] keys to [s] -- re-widen
+        return pa.table({"day": pc.cast(t["day"], pa.timestamp("us")),
+                         "n_sessions": ns,
+                         "n_bounce": nb,
+                         "bounce_ppm": pc.cast(ppm, pa.int64())})
+
+    return g.map_batches(fin, batch_format="pyarrow")
