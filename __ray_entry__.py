@@ -849,6 +849,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_bounce_rate": windows.session_bounce_rate,
         "title_dup_report":
             lambda sf: webtext.title_dup_report(_mirror_pages_path()),
+        "heavy_hitter_words": docs.heavy_hitter_words,
+        "word_burstiness": docs.word_burstiness,
+        "host_clustering_coeffs": lambda sf: __import__(
+            "pomp_ray.pipelines.graph", fromlist=["graph"]
+        ).host_clustering_coeffs(_mirror_pages_path()),
     }
 
 
@@ -4433,5 +4438,72 @@ def oracle_sql() -> dict[str, str]:
             SELECT title, CAST(COUNT(*) AS BIGINT) AS n_pages,
                    CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
             FROM t GROUP BY 1 HAVING COUNT(*) > 1
+        """,
+        # exact phi-heavy hitters: every word with count*30 >= N
+        "heavy_hitter_words": """
+            WITH w AS (SELECT unnest(regexp_extract_all(lower(text),
+                                                        '[a-z]+')) AS word
+                       FROM documents)
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+            FROM w GROUP BY 1
+            HAVING COUNT(*) * 30 >= (SELECT COUNT(*) FROM w)
+        """,
+        # Fano factor of per-doc counts across ALL docs (absent = 0):
+        # VMR = (n*S2 - S1^2) / (n*S1); HUGEINT keeps products exact
+        "word_burstiness": """
+            WITH w AS (SELECT doc_id,
+                              unnest(regexp_extract_all(lower(text),
+                                                        '[a-z]+')) AS word
+                       FROM documents),
+            pc_ AS (SELECT word, doc_id, COUNT(*) AS c FROM w GROUP BY 1, 2),
+            a AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df,
+                         CAST(SUM(c) AS BIGINT) AS total,
+                         SUM(c * c) AS s2
+                  FROM pc_ GROUP BY 1),
+            n AS (SELECT COUNT(*) AS nd FROM documents)
+            SELECT word, df, total,
+                   CAST(((SELECT nd FROM n) * s2 - total * total) * 1000000
+                        // ((SELECT nd FROM n) * total) AS BIGINT) AS vmr_ppm
+            FROM a WHERE df >= 5
+        """,
+        "host_clustering_coeffs": f"""
+            WITH links AS (
+                SELECT lower(regexp_extract(url, '^[a-z]+://([^/]+)', 1))
+                           AS src,
+                       unnest(regexp_extract_all(
+                           decode(html), 'href="([^"]+)"', 1)) AS href
+                FROM read_parquet('{_MP}')),
+            edges0 AS (
+                SELECT src,
+                       CASE WHEN href LIKE 'http://%'
+                            THEN lower(regexp_extract(
+                                href, '^http://([^/]+)', 1))
+                            ELSE src END AS dst
+                FROM links),
+            e AS (
+                SELECT DISTINCT least(src, dst) AS a,
+                                greatest(src, dst) AS b
+                FROM edges0 WHERE src <> dst),
+            tri AS (
+                SELECT e1.a AS a, e1.b AS b, e2.b AS c
+                FROM e e1
+                JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+                JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+            tc AS (
+                SELECT host, CAST(COUNT(*) AS BIGINT) AS n_triangles
+                FROM (SELECT a AS host FROM tri
+                      UNION ALL SELECT b FROM tri
+                      UNION ALL SELECT c FROM tri) GROUP BY 1),
+            deg AS (
+                SELECT host, CAST(COUNT(*) AS BIGINT) AS degree
+                FROM (SELECT a AS host FROM e
+                      UNION ALL SELECT b FROM e) GROUP BY 1)
+            SELECT d.host, d.degree,
+                   CAST(COALESCE(t.n_triangles, 0) AS BIGINT)
+                       AS n_triangles,
+                   CAST(2 * COALESCE(t.n_triangles, 0) * 1000000
+                        // (d.degree * (d.degree - 1)) AS BIGINT) AS cc_ppm
+            FROM deg d LEFT JOIN tc t ON d.host = t.host
+            WHERE d.degree >= 2
         """,
     }

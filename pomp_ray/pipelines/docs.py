@@ -3790,3 +3790,115 @@ def hapax_rate_by_source(sf_dir: str) -> rd.Dataset:
                             1_000_000),
                 pc.cast(t["n_vocab"], pa.int64())), pa.int64())}),
         batch_format="pyarrow").sort("source")
+
+
+def heavy_hitter_words(sf_dir: str, k: int = 30) -> pa.Table:
+    """EXACT phi-heavy hitters (all words with global count >= N/k)
+    without ever shuffling the full word-count table: the classic
+    two-pass frequent-items shape.
+
+    Pass A emits, per batch, only the words that are batch-local heavy
+    (count_b * k >= n_b) -- by averaging, every GLOBAL heavy hitter is
+    batch-local heavy somewhere, so the union is a guaranteed candidate
+    superset (|candidates| <= blocks * k, independent of corpus size) --
+    plus one sentinel row carrying the batch token count.  Pass B
+    broadcasts the candidate set and exact-counts ONLY those words
+    (is_in gate before value_counts), then filters n * k >= N.  Unlike
+    ``top_words`` (top-k by rank) this answers the threshold question
+    count-exactly at any scale."""
+    def partial_a(t: pa.Table) -> pa.Table:
+        flat, _ = _tokenize_flat(t)
+        vc = flat.value_counts()
+        n_b = len(flat)
+        cnt = pc.cast(vc.field("counts"), pa.int64())
+        keep = pc.greater_equal(
+            pc.multiply(cnt, pa.scalar(k, pa.int64())),
+            pa.scalar(n_b, pa.int64()))
+        words = vc.field("values").filter(keep)
+        return pa.table({
+            "word": pa.concat_arrays([words.combine_chunks()
+                                      if isinstance(words, pa.ChunkedArray)
+                                      else words,
+                                      pa.array(["\x00total"], pa.string())]),
+            "n": pa.concat_arrays([
+                pa.nulls(len(words), pa.int64()).fill_null(0),
+                pa.array([n_b], pa.int64())])})
+
+    rows = _docs(sf_dir, ["text"]).map_batches(
+        partial_a, batch_format="pyarrow").take_all()
+    n_total = sum(r["n"] for r in rows if r["word"] == "\x00total")
+    cands = sorted({r["word"] for r in rows if r["word"] != "\x00total"})
+    cand_ref = ray.put(pa.array(cands, pa.string()))
+
+    def partial_b(t: pa.Table) -> pa.Table:
+        flat, _ = _tokenize_flat(t)
+        flat = flat.filter(pc.is_in(flat, value_set=ray.get(cand_ref)))
+        vc = flat.value_counts()
+        return pa.table({"word": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    agg = _docs(sf_dir, ["text"]).map_batches(
+        partial_b, batch_format="pyarrow") \
+        .groupby("word").aggregate(Sum("n", alias_name="n"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n"], pa.int64())
+        keep = pc.greater_equal(
+            pc.multiply(n, pa.scalar(k, pa.int64())),
+            pa.scalar(n_total, pa.int64()))
+        return pa.table({"word": t["word"], "n": n}).filter(keep)
+
+    t = pa.Table.from_pandas(
+        agg.map_batches(fin, batch_format="pyarrow").to_pandas(),
+        preserve_index=False)
+    return _i64(t, ["n"])
+
+
+def word_burstiness(sf_dir: str, min_df: int = 5) -> pa.Table:
+    """Per-word burstiness: the variance-to-mean ratio (Fano factor) of
+    per-document counts ACROSS ALL DOCS (absent docs count 0), in exact
+    integer ppm -- bursty words concentrate in few docs (VMR >> 1e6),
+    function words spread evenly (VMR near the Poisson 1e6... or below).
+
+    Shape: each row is a whole doc, so per-(word, doc) counts complete
+    inside the batch (one pandas groupby per batch); the shuffle carries
+    only per-word (df, sum, sumsq) partials, and the final VMR math runs
+    in exact python ints on the vocabulary-sized aggregate
+    ((n*S2 - S1^2) can exceed int64 at corpus scale; DuckDB mirrors in
+    HUGEINT)."""
+    def partial(t: pa.Table) -> pa.Table:
+        flat, parent = _tokenize_flat(t)
+        df = pd.DataFrame({"word": flat.to_pandas(),
+                           "doc": parent.to_pandas()})
+        g = (df.groupby(["word", "doc"], sort=False)
+               .size().reset_index(name="c"))
+        g["c"] = g["c"].astype("int64")
+        g["c2"] = g["c"] * g["c"]
+        g["one"] = 1
+        agg = g.groupby("word", sort=False).agg(
+            df_=("one", "sum"), s1=("c", "sum"), s2=("c2", "sum"))
+        return pa.Table.from_pandas(agg.reset_index(),
+                                    preserve_index=False)
+
+    n_docs = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    rows = _docs(sf_dir, ["text"]).map_batches(
+        partial, batch_format="pyarrow") \
+        .groupby("word").aggregate(
+            Sum("df_", alias_name="df"),
+            Sum("s1", alias_name="total"),
+            Sum("s2", alias_name="s2")).take_all()
+    out_w, out_df, out_t, out_v = [], [], [], []
+    for r in sorted(rows, key=lambda r: r["word"]):
+        dfc, s1, s2 = int(r["df"]), int(r["total"]), int(r["s2"])
+        if dfc < min_df:
+            continue
+        out_w.append(r["word"])
+        out_df.append(dfc)
+        out_t.append(s1)
+        out_v.append((n_docs * s2 - s1 * s1) * 1_000_000
+                     // (n_docs * s1))
+    return pa.table({"word": pa.array(out_w, pa.string()),
+                     "df": pa.array(out_df, pa.int64()),
+                     "total": pa.array(out_t, pa.int64()),
+                     "vmr_ppm": pa.array(out_v, pa.int64())})

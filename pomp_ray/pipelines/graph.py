@@ -713,16 +713,9 @@ def broken_links(pages_path: str, num_partitions: int = 8) -> pa.Table:
     return tbl.sort_by("host")
 
 
-def host_triangles(pages_path: str, num_partitions: int = 4) -> pa.Table:
-    """Triangle participation per host over the UNDIRECTED foreign host
-    graph -- the classic clustering-structure probe (link rings / spam
-    constellations close many triangles; organic link graphs are
-    sparse).  Shape: distinct undirected edges (a < b, one groupby over
-    skinny host pairs), a hash self-join on the shared endpoint builds
-    2-paths (a-b-c with a < b < c after orientation -- each triangle
-    enumerated exactly once), and one membership join against the edge
-    table closes them.  Per-host counts then roll up from the closed
-    (a, b, c) rows: each triangle credits all three corners."""
+def _undirected_host_edges(pages_path: str) -> rd.Dataset:
+    """Distinct undirected (a < b) foreign host edges, materialized --
+    shared base of the triangle / clustering-coefficient family."""
     from ray.data.aggregate import Count
 
     def und(t: pa.Table) -> pa.Table:
@@ -732,12 +725,27 @@ def host_triangles(pages_path: str, num_partitions: int = 4) -> pa.Table:
         hi = pc.max_element_wise(t["src"], t["dst"])
         return pa.table({"a": lo, "b": hi})
 
-    edges = corpus_host_edges(pages_path) \
+    return corpus_host_edges(pages_path) \
         .map_batches(und, batch_format="pyarrow") \
         .groupby(["a", "b"]).aggregate(Count(alias_name="_n")) \
         .map_batches(lambda t: t.select(["a", "b"]),
                      batch_format="pyarrow") \
         .repartition(2).materialize()
+
+
+def host_triangles(pages_path: str, num_partitions: int = 4,
+                   edges: rd.Dataset | None = None) -> pa.Table:
+    """Triangle participation per host over the UNDIRECTED foreign host
+    graph -- the classic clustering-structure probe (link rings / spam
+    constellations close many triangles; organic link graphs are
+    sparse).  Shape: distinct undirected edges (a < b, one groupby over
+    skinny host pairs), a hash self-join on the shared endpoint builds
+    2-paths (a-b-c with a < b < c after orientation -- each triangle
+    enumerated exactly once), and one membership join against the edge
+    table closes them.  Per-host counts then roll up from the closed
+    (a, b, c) rows: each triangle credits all three corners."""
+    if edges is None:
+        edges = _undirected_host_edges(pages_path)
 
     # 2-paths pivoting on the LOWEST corner: (a,b) ⋈ (a,c) with b < c
     left = edges.map_batches(
@@ -1314,3 +1322,50 @@ def degree_assortativity(pages_path: str,
     assort = float(num) / float(den)
     return pa.table({"n_endpoints": pa.array([n], pa.int64()),
                      "assortativity": pa.array([assort], pa.float64())})
+
+
+def host_clustering_coeffs(pages_path: str,
+                           num_partitions: int = 4) -> pa.Table:
+    """Local clustering coefficient per host (2 * triangles /
+    deg * (deg-1), exact integer ppm) over the undirected foreign host
+    graph -- the per-node sibling of host_triangles: template networks
+    read near 0, mirror rings near 1e6.
+
+    Shape: ONE materialized distinct-edge table feeds both the triangle
+    pipeline (reused verbatim) and a degree groupby; the final
+    host-cardinality merge runs on the driver (O(hosts) state, the
+    robots-map posture).  Hosts of degree < 2 have no defined
+    coefficient and are excluded, matching the oracle."""
+    from ray.data.aggregate import Sum as _Sum
+
+    edges = _undirected_host_edges(pages_path)
+    tri = host_triangles(pages_path, num_partitions, edges=edges)
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+        hosts, cnts = np.unique(
+            np.concatenate([t["a"].to_numpy(zero_copy_only=False),
+                            t["b"].to_numpy(zero_copy_only=False)]),
+            return_counts=True)
+        return pa.table({"host": pa.array(hosts, pa.string()),
+                         "degree": pa.array(cnts, pa.int64())})
+
+    deg_rows = edges.map_batches(deg_partial, batch_format="pyarrow") \
+        .groupby("host").aggregate(
+            _Sum("degree", alias_name="degree")).take_all()
+    tri_map = {h.as_py(): n.as_py()
+               for h, n in zip(tri["host"], tri["n_triangles"])}
+    out_h, out_d, out_t, out_c = [], [], [], []
+    for r in sorted(deg_rows, key=lambda r: r["host"]):
+        d = int(r["degree"])
+        if d < 2:
+            continue
+        n_tri = int(tri_map.get(r["host"], 0))
+        out_h.append(r["host"])
+        out_d.append(d)
+        out_t.append(n_tri)
+        out_c.append(2 * n_tri * 1_000_000 // (d * (d - 1)))
+    return pa.table({"host": pa.array(out_h, pa.string()),
+                     "degree": pa.array(out_d, pa.int64()),
+                     "n_triangles": pa.array(out_t, pa.int64()),
+                     "cc_ppm": pa.array(out_c, pa.int64())})
