@@ -854,6 +854,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_clustering_coeffs": lambda sf: __import__(
             "pomp_ray.pipelines.graph", fromlist=["graph"]
         ).host_clustering_coeffs(_mirror_pages_path()),
+        "markov_stationary": windows.markov_stationary,
+        "daily_cusum_drift": windows.daily_cusum_drift,
     }
 
 
@@ -4505,5 +4507,38 @@ def oracle_sql() -> dict[str, str]:
                         // (d.degree * (d.degree - 1)) AS BIGINT) AS cc_ppm
             FROM deg d LEFT JOIN tc t ON d.host = t.host
             WHERE d.degree >= 2
+        """,
+        # integer power-iteration steady state -- golden pinned by an
+        # independent serial walk + the same fixed-point contract
+        "markov_stationary":
+            f"SELECT * FROM read_parquet('{_GOLDEN}/markov_sf001.parquet')",
+        # one-sided CUSUM fold mirrored by a recursive CTE; mu is the
+        # per-type floor mean of the daily counts
+        "daily_cusum_drift": """
+            WITH RECURSIVE c AS (
+                SELECT event_type,
+                       epoch_us(ts) // 86400000000 AS day,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2),
+            m AS (
+                SELECT event_type, SUM(n) // COUNT(*) AS mu
+                FROM c GROUP BY 1),
+            r AS (
+                SELECT c.event_type, c.day, c.n, m.mu,
+                       ROW_NUMBER() OVER (PARTITION BY c.event_type
+                                          ORDER BY c.day) AS rn
+                FROM c JOIN m ON m.event_type = c.event_type),
+            e AS (
+                SELECT event_type, day, n, mu, rn,
+                       GREATEST(0, n - mu) AS cusum
+                FROM r WHERE rn = 1
+                UNION ALL
+                SELECT r.event_type, r.day, r.n, r.mu, r.rn,
+                       GREATEST(0, e.cusum + r.n - r.mu)
+                FROM e JOIN r ON r.event_type = e.event_type
+                             AND r.rn = e.rn + 1)
+            SELECT event_type, CAST(day AS BIGINT) AS day, n,
+                   CAST(cusum AS BIGINT) AS cusum
+            FROM e
         """,
     }

@@ -1163,3 +1163,86 @@ def session_bounce_rate(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
                          "bounce_ppm": pc.cast(ppm, pa.int64())})
 
     return g.map_batches(fin, batch_format="pyarrow")
+
+
+def markov_stationary(sf_dir: str, n_iters: int = 40,
+                      scale: int = 10**12) -> pa.Table:
+    """Stationary distribution of the first-order event-type Markov
+    chain (the long-run share of each action) by integer fixed-point
+    power iteration -- the steady-state sibling of
+    ``event_type_transitions``.
+
+    Shape: transition counts come from the distributed 64-bucket
+    transition pipeline (the only corpus-scale pass); the chain itself
+    is a k x k matrix (k = #event types, bounded), so the power
+    iteration folds on the driver in exact python ints:
+    ``pi'_j = sum_i pi_i * c_ij // rowsum_i`` with dangling rows
+    (rowsum 0) spreading uniformly, n_iters fixed -- every term is
+    order-independent integer math, so the distributed count table
+    yields bit-identical results to the serial golden
+    (tools/gen_golden.py gen_markov_golden)."""
+    rows = event_type_transitions(sf_dir).take_all()
+    types = sorted({r["prev_type"] for r in rows}
+                   | {r["next_type"] for r in rows})
+    idx = {t: i for i, t in enumerate(types)}
+    k = len(types)
+    c = [[0] * k for _ in range(k)]
+    for r in rows:
+        c[idx[r["prev_type"]]][idx[r["next_type"]]] = int(r["n"])
+    rowsum = [sum(row) for row in c]
+    pi = [scale] * k
+    for _ in range(n_iters):
+        nxt = [0] * k
+        for i in range(k):
+            if rowsum[i] == 0:
+                for j in range(k):
+                    nxt[j] += pi[i] // k
+            else:
+                for j in range(k):
+                    nxt[j] += pi[i] * c[i][j] // rowsum[i]
+        pi = nxt
+    tot = sum(pi)
+    return pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "stationary_ppm": pa.array(
+            [p * 1_000_000 // tot for p in pi], pa.int64())})
+
+
+def daily_cusum_drift(sf_dir: str) -> pa.Table:
+    """One-sided CUSUM drift statistic per event type over daily counts:
+    ``S_t = max(0, S_{t-1} + (n_t - mu))`` with ``mu = floor(total /
+    n_days)`` -- the classic change-point accumulator (a sustained rate
+    shift grows S linearly; isolated spikes decay).  The distributed
+    pass is one (event_type, day) groupby; the fold runs on the bounded
+    day series in exact ints (the ewma_daily_events shape), mirrored by
+    a DuckDB recursive CTE."""
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.divide(pc.cast(t["ts"], pa.int64()),
+                                pa.scalar(86_400_000_000, pa.int64())),
+                      pa.int64())
+        return pa.table({"event_type": t["event_type"], "day": day,
+                         "n": pa.array(np.ones(t.num_rows, np.int64))})
+
+    rows = _events(sf_dir, ["ts", "event_type"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "day"]).aggregate(
+            Sum("n", alias_name="n")).take_all()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(
+            (int(r["day"]), int(r["n"])))
+    out_e, out_d, out_n, out_c = [], [], [], []
+    for et in sorted(by_type):
+        ser = sorted(by_type[et])
+        mu = sum(n for _, n in ser) // len(ser)
+        s = 0
+        for day, n in ser:
+            s = max(0, s + n - mu)
+            out_e.append(et)
+            out_d.append(day)
+            out_n.append(n)
+            out_c.append(s)
+    return pa.table({"event_type": pa.array(out_e, pa.string()),
+                     "day": pa.array(out_d, pa.int64()),
+                     "n": pa.array(out_n, pa.int64()),
+                     "cusum": pa.array(out_c, pa.int64())})

@@ -1922,6 +1922,50 @@ def gen_coverage_golden(sf_dir: str = SF001, k: int = 8,
     print(f"coverage golden: picks {[d for d, _ in picked]}")
 
 
+def gen_markov_golden(n_iters: int = 40, scale: int = 10**12) -> None:
+    """Independent serial Markov stationary distribution over sf0.01
+    events: transition counts from a plain per-user python walk (sorted
+    by ts, event_id), then the SAME pinned integer power-iteration
+    contract as pipelines/windows.markov_stationary
+    (pi'_j = sum_i pi_i * c_ij // rowsum_i, dangling rows uniform)."""
+    t = pq.read_table("/root/testdata/sf0.01/events.parquet",
+                      columns=["event_id", "ts", "user_id", "event_type"])
+    rows = sorted(t.to_pylist(),
+                  key=lambda r: (r["user_id"], r["ts"], r["event_id"]))
+    counts: dict[tuple, int] = {}
+    prev_user, prev_type = None, None
+    for r in rows:
+        if r["user_id"] == prev_user:
+            k2 = (prev_type, r["event_type"])
+            counts[k2] = counts.get(k2, 0) + 1
+        prev_user, prev_type = r["user_id"], r["event_type"]
+    types = sorted({a for a, _ in counts} | {b for _, b in counts})
+    idx = {t2: i for i, t2 in enumerate(types)}
+    k = len(types)
+    c = [[0] * k for _ in range(k)]
+    for (a, b), n in counts.items():
+        c[idx[a]][idx[b]] = n
+    rowsum = [sum(row) for row in c]
+    pi = [scale] * k
+    for _ in range(n_iters):
+        nxt = [0] * k
+        for i in range(k):
+            if rowsum[i] == 0:
+                for j in range(k):
+                    nxt[j] += pi[i] // k
+            else:
+                for j in range(k):
+                    nxt[j] += pi[i] * c[i][j] // rowsum[i]
+        pi = nxt
+    tot = sum(pi)
+    out = pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "stationary_ppm": pa.array([p * 1_000_000 // tot for p in pi],
+                                   pa.int64())})
+    pq.write_table(out, os.path.join(GOLDEN_DIR, "markov_sf001.parquet"))
+    print(f"markov golden: {k} types, ppm={[p * 1_000_000 // tot for p in pi]}")
+
+
 if __name__ == "__main__":
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     gen_signature_goldens()
@@ -1964,3 +2008,4 @@ if __name__ == "__main__":
     gen_pava_golden()
     gen_unigram_golden()
     gen_coverage_golden()
+    gen_markov_golden()
