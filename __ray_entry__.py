@@ -856,6 +856,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).host_clustering_coeffs(_mirror_pages_path()),
         "markov_stationary": windows.markov_stationary,
         "daily_cusum_drift": windows.daily_cusum_drift,
+        "ab_assignment_metrics": windows.ab_assignment_metrics,
+        "rich_club_coefficients": lambda sf: __import__(
+            "pomp_ray.pipelines.graph", fromlist=["graph"]
+        ).rich_club_coefficients(_mirror_pages_path()),
     }
 
 
@@ -4540,5 +4544,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, CAST(day AS BIGINT) AS day, n,
                    CAST(cusum AS BIGINT) AS cusum
             FROM e
+        """,
+        # md5-hex-prefix arm assignment (int32 trap: wrap the hex CAST
+        # in BIGINT); conversion = any purchase event for the user
+        "ab_assignment_metrics": """
+            WITH u AS (
+                SELECT user_id,
+                       MAX(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS p
+                FROM events GROUP BY 1),
+            a AS (
+                SELECT CAST(CAST('0x' || substr(
+                           md5(CAST(user_id AS VARCHAR)), 1, 4)
+                           AS BIGINT) % 2 AS BIGINT) AS arm, p
+                FROM u)
+            SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(p) AS BIGINT) AS n_purchasers,
+                   CAST(SUM(p) * 1000000 // COUNT(*) AS BIGINT)
+                       AS purchase_rate_ppm
+            FROM a GROUP BY 1
+        """,
+        "rich_club_coefficients": f"""
+            WITH links AS (
+                SELECT lower(regexp_extract(url, '^[a-z]+://([^/]+)', 1))
+                           AS src,
+                       unnest(regexp_extract_all(
+                           decode(html), 'href="([^"]+)"', 1)) AS href
+                FROM read_parquet('{_MP}')),
+            edges0 AS (
+                SELECT src,
+                       CASE WHEN href LIKE 'http://%'
+                            THEN lower(regexp_extract(
+                                href, '^http://([^/]+)', 1))
+                            ELSE src END AS dst
+                FROM links),
+            e AS (
+                SELECT DISTINCT least(src, dst) AS a,
+                                greatest(src, dst) AS b
+                FROM edges0 WHERE src <> dst),
+            deg AS (
+                SELECT host, CAST(COUNT(*) AS BIGINT) AS degree
+                FROM (SELECT a AS host FROM e
+                      UNION ALL SELECT b FROM e) GROUP BY 1),
+            em AS (
+                SELECT LEAST(da.degree, db.degree) AS m
+                FROM e JOIN deg da ON da.host = e.a
+                       JOIN deg db ON db.host = e.b),
+            ks AS (SELECT UNNEST(range(1,
+                       (SELECT MAX(degree) FROM deg) + 1)) AS k),
+            agg AS (
+                SELECT k,
+                       (SELECT COUNT(*) FROM deg WHERE degree >= k)
+                           AS n_hosts,
+                       (SELECT COUNT(*) FROM em WHERE m >= k) AS n_edges
+                FROM ks)
+            SELECT CAST(k AS BIGINT) AS k,
+                   CAST(n_hosts AS BIGINT) AS n_hosts,
+                   CAST(n_edges AS BIGINT) AS n_edges,
+                   CAST(n_edges * 1000000
+                        // (n_hosts * (n_hosts - 1) // 2) AS BIGINT)
+                       AS phi_ppm
+            FROM agg WHERE n_hosts >= 2
         """,
     }

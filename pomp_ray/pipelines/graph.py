@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data as rd
 from ray.data.aggregate import Min
 
@@ -1369,3 +1370,78 @@ def host_clustering_coeffs(pages_path: str,
                      "degree": pa.array(out_d, pa.int64()),
                      "n_triangles": pa.array(out_t, pa.int64()),
                      "cc_ppm": pa.array(out_c, pa.int64())})
+
+
+def rich_club_coefficients(pages_path: str) -> pa.Table:
+    """Rich-club curve over the undirected foreign host graph: for each
+    degree threshold k, the density phi(k) (in ppm) of the subgraph
+    induced by hosts of degree >= k -- link cliques between big hubs
+    push phi toward 1e6 while organic graphs thin out.
+
+    Shape: one degree groupby over the shared distinct-edge table, one
+    per-edge min-endpoint-degree partial, then two O(max_degree)
+    suffix-sum folds on the driver (degree histograms, never edges)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    edges = _undirected_host_edges(pages_path)
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+        hosts, cnts = np.unique(
+            np.concatenate([t["a"].to_numpy(zero_copy_only=False),
+                            t["b"].to_numpy(zero_copy_only=False)]),
+            return_counts=True)
+        return pa.table({"host": pa.array(hosts, pa.string()),
+                         "degree": pa.array(cnts, pa.int64())})
+
+    deg_rows = edges.map_batches(deg_partial, batch_format="pyarrow") \
+        .groupby("host").aggregate(
+            _Sum("degree", alias_name="degree")).take_all()
+    deg = {r["host"]: int(r["degree"]) for r in deg_rows}
+    deg_ref = ray.put(deg)
+
+    def edge_min_deg(t: pa.Table) -> pa.Table:
+        import numpy as np
+        d = ray.get(deg_ref)
+        a = t["a"].to_pylist()
+        b = t["b"].to_pylist()
+        m = np.fromiter((min(d[x], d[y]) for x, y in zip(a, b)),
+                        np.int64, len(a))
+        md, cnt = np.unique(m, return_counts=True)
+        return pa.table({"min_deg": pa.array(md, pa.int64()),
+                         "n": pa.array(cnt, pa.int64())})
+
+    m_rows = edges.map_batches(edge_min_deg, batch_format="pyarrow") \
+        .groupby("min_deg").aggregate(_Sum("n", alias_name="n")).take_all()
+    if not deg:
+        return pa.table({"k": pa.array([], pa.int64()),
+                         "n_hosts": pa.array([], pa.int64()),
+                         "n_edges": pa.array([], pa.int64()),
+                         "phi_ppm": pa.array([], pa.int64())})
+    max_k = max(deg.values())
+    # suffix counts: hosts with degree >= k / edges with min endpoint
+    # degree >= k
+    hist_h = [0] * (max_k + 2)
+    for v in deg.values():
+        hist_h[v] += 1
+    hist_e = [0] * (max_k + 2)
+    for r in m_rows:
+        hist_e[int(r["min_deg"])] += int(r["n"])
+    out_k, out_h, out_e, out_p = [], [], [], []
+    nh = ne = 0
+    acc = []
+    for k in range(max_k, 0, -1):
+        nh += hist_h[k]
+        ne += hist_e[k]
+        acc.append((k, nh, ne))
+    for k, nh, ne in sorted(acc):
+        if nh < 2:
+            continue
+        out_k.append(k)
+        out_h.append(nh)
+        out_e.append(ne)
+        out_p.append(ne * 1_000_000 // (nh * (nh - 1) // 2))
+    return pa.table({"k": pa.array(out_k, pa.int64()),
+                     "n_hosts": pa.array(out_h, pa.int64()),
+                     "n_edges": pa.array(out_e, pa.int64()),
+                     "phi_ppm": pa.array(out_p, pa.int64())})

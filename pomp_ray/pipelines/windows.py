@@ -1246,3 +1246,55 @@ def daily_cusum_drift(sf_dir: str) -> pa.Table:
                      "day": pa.array(out_d, pa.int64()),
                      "n": pa.array(out_n, pa.int64()),
                      "cusum": pa.array(out_c, pa.int64())})
+
+
+def ab_assignment_metrics(sf_dir: str, n_arms: int = 2) -> pa.Table:
+    """Deterministic experiment-arm assignment + per-arm conversion
+    metrics: users hash into arms by md5 of their id (stable across
+    sessions, workers and cluster sizes -- the reproducible-assignment
+    requirement of any A/B readout; builtin hash() is salted per process
+    and must never cross workers), then each arm reports users,
+    purchasers and purchase rate in ppm.
+
+    Shape: per-batch distinct (user, purchased) partials; one tiny
+    groupby(user) resolves cross-batch purchases; arm math runs on the
+    bounded arm table.  The md5-hex-prefix arm rule is the same integer
+    contract DuckDB can mirror (token_shard_stats pattern)."""
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(),
+            "p": pc.equal(t["event_type"], "purchase").to_numpy(
+                zero_copy_only=False).astype(np.int64)})
+        g = df.groupby("user_id", sort=False)["p"].max().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    users = _events(sf_dir, ["user_id", "event_type"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Max("p", alias_name="p"))
+
+    def arm_partial(t: pa.Table) -> pa.Table:
+        import hashlib
+        uid = t["user_id"].to_pylist()
+        arm = np.fromiter(
+            (int(hashlib.md5(str(u).encode()).hexdigest()[:4], 16) % n_arms
+             for u in uid), np.int64, len(uid))
+        return pa.table({
+            "arm": pa.array(arm, pa.int64()),
+            "n_users": pa.array(np.ones(len(uid), np.int64)),
+            "n_purchasers": pc.cast(t["p"], pa.int64())})
+
+    agg = users.map_batches(arm_partial, batch_format="pyarrow") \
+        .groupby("arm").aggregate(Sum("n_users", alias_name="n_users"),
+                                  Sum("n_purchasers",
+                                      alias_name="n_purchasers"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        nu = pc.cast(t["n_users"], pa.int64())
+        np_ = pc.cast(t["n_purchasers"], pa.int64())
+        rate = pc.divide(pc.multiply(np_, pa.scalar(1_000_000, pa.int64())),
+                         nu)
+        return pa.table({"arm": pc.cast(t["arm"], pa.int64()),
+                         "n_users": nu, "n_purchasers": np_,
+                         "purchase_rate_ppm": pc.cast(rate, pa.int64())})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
