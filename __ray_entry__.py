@@ -710,6 +710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_dedup_stats": media.media_dedup_stats,
         "key_skew_report": relational.key_skew_report,
         "minhash_lsh_pairs": docs.minhash_lsh_pairs,
+        "ppjoin_pairs": docs.ppjoin_pairs,
         "jaccard_pairs_sample": docs.jaccard_pairs_sample,
         "simhash_dup_groups": docs.simhash_dup_groups,
         "dedup_method_agreement": docs.dedup_method_agreement,
@@ -845,6 +846,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_round_fetches": lambda sf: _host_round_fetches(),
         "user_activity_span": windows.user_activity_span,
         "market_basket_pairs": relational.market_basket_pairs,
+        "item_similarity_topk": relational.item_similarity_topk,
+        "acctbal_percentile_ranks": relational.acctbal_percentile_ranks,
+        "daily_trend_slopes": windows.daily_trend_slopes,
+        "skipgram_cooc": docs.skipgram_cooc,
         "rfm_segments": windows.rfm_segments,
         "session_bounce_rate": windows.session_bounce_rate,
         "title_dup_report":
@@ -1013,6 +1018,32 @@ _CDX_SQL = """
            CAST(ROW_NUMBER() OVER (ORDER BY surt_key) - 1
                 AS BIGINT) AS idx
     FROM s
+"""
+
+
+_SHINGLE_JACCARD_PAIRS_SQL = """
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '\\S+') AS tk
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               CASE WHEN len(tk) = 0 THEN []
+                    WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
+                    ELSE list_distinct(list_transform(
+                        range(1, len(tk) - 3),
+                        i -> array_to_string(tk[i:i+4], ' ')))
+               END AS s
+        FROM toks
+    )
+    SELECT doc_a, doc_b, jaccard FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+               (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                   AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(a.s) + len(b.s) > 0) t
+    WHERE jaccard >= 0.5
 """
 
 
@@ -3155,30 +3186,12 @@ def oracle_sql() -> dict[str, str]:
         # ~1 at the corpus's minimum near-dup similarity (j=0.875 ->
         # 1-(1-0.875^4)^16 ~ 0.9999993), so candidate generation loses
         # nothing and the verified output equals the exhaustive scan.
-        "minhash_lsh_pairs": """
-            WITH toks AS (
-                SELECT doc_id,
-                       regexp_extract_all(lower(text), '\\S+') AS tk
-                FROM documents
-            ), sh AS (
-                SELECT doc_id,
-                       CASE WHEN len(tk) = 0 THEN []
-                            WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
-                            ELSE list_distinct(list_transform(
-                                range(1, len(tk) - 3),
-                                i -> array_to_string(tk[i:i+4], ' ')))
-                       END AS s
-                FROM toks
-            )
-            SELECT doc_a, doc_b, jaccard FROM (
-                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-                       (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
-                           AS jaccard
-                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-                WHERE len(a.s) + len(b.s) > 0) t
-            WHERE jaccard >= 0.5
-        """,
+        "minhash_lsh_pairs": _SHINGLE_JACCARD_PAIRS_SQL,
+        # ppjoin's prefix filter is candidate-COMPLETE by theorem (the
+        # smallest common shingle of any qualifying pair lies in both
+        # prefixes), so its verified output equals the same brute-force
+        # scan -- the exact-family cross-check of the LSH result.
+        "ppjoin_pairs": _SHINGLE_JACCARD_PAIRS_SQL,
         # Directed set-containment join over word-5-shingles restricted
         # to the df window [2, 10] (the engine's stop-shingle cut,
         # mirrored here); int/int -> DOUBLE division is bit-identical.
@@ -4367,6 +4380,89 @@ def oracle_sql() -> dict[str, str]:
         "filter_project": """
             SELECT o_orderkey, o_totalprice FROM orders
             WHERE o_orderstatus = 'O' AND o_totalprice > 200000.0
+        """,
+        # cosine^2 in integer ppb: BIGINT products stay exact (DuckDB
+        # widens to HUGEINT; the final CAST narrows back), // on
+        # nonnegative values == floor == the engine's numpy //
+        "item_similarity_topk": """
+            WITH b AS (SELECT DISTINCT l_orderkey, l_partkey
+                       FROM lineitem),
+            cnt AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM b GROUP BY l_partkey),
+            pr AS (SELECT a.l_partkey AS pa_, b2.l_partkey AS pb_,
+                          CAST(COUNT(*) AS BIGINT) AS n
+                   FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey
+                        AND a.l_partkey < b2.l_partkey
+                   GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+            dir AS (SELECT pa_ AS part_a, pb_ AS part_b, n FROM pr
+                    UNION ALL SELECT pb_, pa_, n FROM pr),
+            sc AS (SELECT d.part_a, d.part_b, d.n AS n_orders,
+                          CAST((d.n * d.n * 1000000000)
+                               // (ca.c * cb.c) AS BIGINT) AS score_ppb
+                   FROM dir d
+                   JOIN cnt ca ON ca.l_partkey = d.part_a
+                   JOIN cnt cb ON cb.l_partkey = d.part_b),
+            rk AS (SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY part_a
+                       ORDER BY score_ppb DESC, part_b) AS rnk
+                   FROM sc)
+            SELECT part_a, part_b, n_orders, score_ppb,
+                   CAST(rnk AS BIGINT) AS rnk
+            FROM rk WHERE rnk <= 3
+        """,
+        # PERCENT_RANK in exact integer ppm; ROW_NUMBER ordered by the
+        # raw DOUBLE balance equals the engine's cents ordering (2-dp
+        # values are exact in both)
+        "acctbal_percentile_ranks": """
+            SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                   CAST(CASE WHEN cnt = 1 THEN 0
+                        ELSE (rn - 1) * 1000000 // (cnt - 1) END
+                        AS BIGINT) AS pr_ppm
+            FROM (SELECT c_custkey, c_nationkey,
+                         ROW_NUMBER() OVER (
+                             PARTITION BY c_nationkey
+                             ORDER BY c_acctbal, c_custkey) AS rn,
+                         COUNT(*) OVER (
+                             PARTITION BY c_nationkey) AS cnt
+                  FROM customer) t
+        """,
+        # OLS slope as an unreduced integer rational -- no division, no
+        # rounding convention to match
+        "daily_trend_slopes": """
+            WITH d AS (SELECT event_type,
+                              date_diff('day', DATE '1970-01-01',
+                                        CAST(ts AS DATE)) AS x,
+                              CAST(COUNT(*) AS BIGINT) AS y
+                       FROM events GROUP BY 1, 2),
+            a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(x) AS BIGINT) AS sx,
+                         CAST(SUM(y) AS BIGINT) AS sy,
+                         CAST(SUM(x * y) AS BIGINT) AS sxy,
+                         CAST(SUM(x * x) AS BIGINT) AS sxx
+                  FROM d GROUP BY 1)
+            SELECT event_type, n AS n_days,
+                   CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+                   CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
+            FROM a
+        """,
+        # positional self-join; engine tokenization ([a-z]+ over lowered
+        # text) mirrored exactly
+        "skipgram_cooc": """
+            WITH toks AS (SELECT doc_id,
+                                 regexp_extract_all(lower(text),
+                                                    '[a-z]+') AS tk
+                          FROM documents),
+            pos AS (SELECT doc_id, unnest(tk) AS w,
+                           unnest(range(1, len(tk) + 1)) AS i
+                    FROM toks),
+            pr AS (SELECT least(a.w, b.w) AS w_a,
+                          greatest(a.w, b.w) AS w_b
+                   FROM pos a JOIN pos b
+                   ON a.doc_id = b.doc_id
+                      AND b.i - a.i BETWEEN 1 AND 3)
+            SELECT w_a, w_b, CAST(COUNT(*) AS BIGINT) AS n
+            FROM pr GROUP BY w_a, w_b
+            ORDER BY n DESC, w_a, w_b LIMIT 100
         """,
         # pair support denominator = COUNT(*) FROM orders (the engine
         # reads it from parquet metadata); integer // is exact (positive)

@@ -273,16 +273,22 @@ def minhash_lsh_pairs(sf_dir: str, n_perm: int = 64, bands: int = 16,
         Count(alias_name="n_buckets"))
     cand_tbl = pa.Table.from_pandas(
         cand.to_pandas(), preserve_index=False).select(["doc_a", "doc_b"])
+    return _verify_jaccard_candidates(sf_dir, cand_tbl, jaccard_threshold)
+
+
+def _verify_jaccard_candidates(sf_dir: str, cand_tbl: pa.Table,
+                               jaccard_threshold: float) -> pa.Table:
+    """Shared exact-Jaccard verify over a (doc_a, doc_b) candidate table
+    (minhash_lsh_pairs / ppjoin_pairs): the candidate-id SET
+    (output-scale, tiny vs the corpus) gates a distributed filter over
+    documents, which emits each candidate's SHINGLE SET (computed once,
+    in the workers); only those sets ever reach the driver/object store,
+    and pair rows verify against the broadcast set dict inside
+    map_batches."""
     if cand_tbl.num_rows == 0:
         return pa.table({"doc_a": pa.array([], pa.int64()),
                          "doc_b": pa.array([], pa.int64()),
                          "jaccard": pa.array([], pa.float64())})
-
-    # Verify stage, distributed: the candidate-id SET (output-scale, tiny
-    # vs the corpus) gates a distributed filter over documents, which
-    # emits each candidate's SHINGLE SET (computed once, in the workers);
-    # only those sets ever reach the driver/object store, and pair rows
-    # verify against the broadcast set dict inside map_batches.
     import ray as _ray
     cand_ids = set(cand_tbl["doc_a"].to_pylist()) | \
         set(cand_tbl["doc_b"].to_pylist())
@@ -3902,3 +3908,125 @@ def word_burstiness(sf_dir: str, min_df: int = 5) -> pa.Table:
                      "df": pa.array(out_df, pa.int64()),
                      "total": pa.array(out_t, pa.int64()),
                      "vmr_ppm": pa.array(out_v, pa.int64())})
+
+
+def ppjoin_pairs(sf_dir: str, threshold: float = 0.5) -> pa.Table:
+    """Prefix-filtering set-similarity self-join (the AllPairs/PPJoin
+    family, Bayardo et al. WWW'07 / Xiao et al. WWW'08) over word-5-
+    shingle sets: EXACT Jaccard >= threshold without LSH and without
+    all-pairs -- the third, candidate-complete near-dup mechanism next
+    to minhash_lsh_pairs (probabilistic bands) and winnowing (sampled
+    fingerprints).  Same output as the LSH sibling; the oracle is the
+    identical brute-force shingle-Jaccard SQL.
+
+    Prefix-filter guarantee: fix ANY global total order on shingles and
+    give every doc a prefix of its |d| - ceil(t*|d|) + 1 smallest
+    shingles.  If J(a,b) >= t, the smallest COMMON shingle of a and b
+    lies in both prefixes (were it outside a's prefix, the whole
+    intersection would fit in a's ceil(t*|a|)-1 suffix slots -- fewer
+    than the t*|a| the threshold demands).  We order by the stable
+    64-bit shingle hash (order-only variant; the classic df-ascending
+    ordering is a bucket-size optimisation that costs one extra
+    groupby+join and changes nothing about exactness).
+
+    Scale shape: docs emit only their PREFIX shingle hashes as compact
+    (h, doc_id, sz) rows; candidates come from a bucket self-join on h
+    with the length filter (J >= t forces t*|a| <= |b| <= |a|/t);
+    pair-dedup is a Count groupby; the exact verify reuses the shared
+    output-scale broadcast stage.  Nothing corpus-scale is ever
+    broadcast or collected.  Reference analog: pomp dedups per-item
+    serially via a seen dict (SURVEY.md section 2 D1)."""
+    import math
+
+    def prefix_rows(t: pa.Table) -> pa.Table:
+        out_h, out_d, out_sz = [], [], []
+        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            sh = an.shingles(x or "")
+            if not sh:
+                continue
+            hs = np.sort(pd.util.hash_array(
+                np.asarray(sorted(sh), dtype=object)).astype(np.int64))
+            n = len(hs)
+            p = n - math.ceil(threshold * n) + 1
+            out_h.extend(int(h) for h in hs[:p])
+            out_d.extend([d] * p)
+            out_sz.extend([n] * p)
+        return pa.table({"h": pa.array(out_h, pa.int64()),
+                         "doc_id": pa.array(out_d, pa.int64()),
+                         "sz": pa.array(out_sz, pa.int64())})
+
+    pref = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        prefix_rows, batch_format="pyarrow")
+    right = pref.map_batches(
+        lambda t: pa.table({"h": t["h"], "doc_b": t["doc_id"],
+                            "sz_b": t["sz"]}),
+        batch_format="pyarrow")
+    joined = pref.join(right, join_type="inner", on=("h",),
+                       num_partitions=8)
+
+    def pair_filter(t: pa.Table) -> pa.Table:
+        a = pc.cast(t["doc_id"], pa.int64())
+        b = pc.cast(t["doc_b"], pa.int64())
+        sa = pc.cast(t["sz"], pa.int64()).to_numpy()
+        sb = pc.cast(t["sz_b"], pa.int64()).to_numpy()
+        ordered = pc.less(a, b).to_numpy(zero_copy_only=False)
+        # length filter: J >= t  =>  t*|a| <= |b| and t*|b| <= |a|
+        ok = ordered & (threshold * sa <= sb) & (threshold * sb <= sa)
+        return pa.table({"doc_a": a, "doc_b": b}).filter(
+            pa.array(ok, pa.bool_()))
+
+    cand = joined.map_batches(pair_filter, batch_format="pyarrow") \
+        .groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="nb"))
+    cand_tbl = pa.Table.from_pandas(
+        cand.to_pandas(), preserve_index=False)
+    if cand_tbl.num_rows:
+        cand_tbl = cand_tbl.select(["doc_a", "doc_b"])
+    return _verify_jaccard_candidates(sf_dir, cand_tbl, threshold)
+
+
+def skipgram_cooc(sf_dir: str, window: int = 3, k: int = 100) -> pa.Table:
+    """Skip-gram co-occurrence counts (the word2vec/GloVe input
+    statistic): unordered word pairs co-occurring within ``window``
+    token positions inside a document, global top-k by count.  The
+    partial-aggregation shape of ``top_words``: per batch, the Arrow-
+    tokenized flat word array pairs with itself at offsets 1..window
+    (pure numpy slices gated on equal parent-row indices -- no per-doc
+    Python), one compact pandas count per batch, then a tiny
+    groupby(pair) sum and a top-k sort.  The pair table is bounded by
+    vocabulary^2, never by corpus size.  Exact DuckDB oracle
+    (positional self-join).  Reference analog: pomp computes per-item
+    word statistics serially (SURVEY.md section 2 A2)."""
+    empty = pa.table({"w_a": pa.array([], pa.string()),
+                      "w_b": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, parent = _tokenize_flat(t)
+        w = flat.to_numpy(zero_copy_only=False)
+        p = parent.to_numpy(zero_copy_only=False).astype(np.int64)
+        parts = []
+        for d in range(1, window + 1):
+            if len(w) <= d:
+                break
+            a, b = w[:-d], w[d:]
+            same = p[:-d] == p[d:]
+            a, b = a[same], b[same]
+            swap = a > b
+            lo = np.where(swap, b, a)
+            hi = np.where(swap, a, b)
+            parts.append(pd.DataFrame({"w_a": lo, "w_b": hi}))
+        if not parts:
+            return empty
+        g = (pd.concat(parts).groupby(["w_a", "w_b"], sort=False)
+             .size().reset_index(name="n"))
+        return pa.table({"w_a": pa.array(g["w_a"], pa.string()),
+                         "w_b": pa.array(g["w_b"], pa.string()),
+                         "n": pa.array(g["n"].to_numpy(np.int64))})
+
+    agg = _docs(sf_dir, ["text"]).map_batches(
+        partial, batch_format="pyarrow") \
+        .groupby(["w_a", "w_b"]).aggregate(Sum("n", alias_name="n"))
+    top = agg.sort(["n", "w_a", "w_b"],
+                   descending=[True, False, False]).limit(k)
+    t = pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
+    return _i64(t.select(["w_a", "w_b", "n"]), ["n"])

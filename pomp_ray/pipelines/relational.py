@@ -2580,3 +2580,111 @@ def market_basket_pairs(sf_dir: str, min_support: int = 2,
             "support_ppm": pc.cast(supp, pa.int64())})
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def item_similarity_topk(sf_dir: str, k: int = 3,
+                         min_support: int = 2) -> pa.Table:
+    """Item-item collaborative filtering: for every part, its top-k
+    most-similar parts by cosine^2 over order-basket co-occurrence
+    (score_ppb = floor(1e9 * c_ab^2 / (c_a * c_b)) -- integer, so the
+    ranking is bit-identical cross-engine; ties break on neighbor key).
+
+    Scale shape: co-occurrence counts reuse ``market_basket_pairs``
+    (order-bucketed pandas self-merges, pair-hash combine); per-part
+    basket counts are a two-stage distinct groupby; the per-part count
+    table is catalog-scale (bounded by #parts, not corpus size) so it
+    broadcasts like a dim table; top-k per part runs as per-batch
+    partial top-k (a global winner is a batch winner) with one final
+    output-scale merge.  Reference analog: pomp item pipelines rank
+    related items serially per crawl (SURVEY.md section 2 A2)."""
+    import ray as _ray
+
+    # distinct (order, part) -> baskets per part (catalog-scale table)
+    cnt_rows = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]) \
+        .groupby(["l_orderkey", "l_partkey"]).aggregate(
+            Count(alias_name="_one")) \
+        .groupby("l_partkey").aggregate(Count(alias_name="c")).take_all()
+    c_of = {int(r["l_partkey"]): int(r["c"]) for r in cnt_rows}
+    c_ref = _ray.put(c_of)
+
+    pairs = market_basket_pairs(sf_dir, min_support=min_support)
+
+    def score(t: pa.Table) -> pa.Table:
+        c = _ray.get(c_ref)
+        a = t["part_a"].to_numpy()
+        b = t["part_b"].to_numpy()
+        n = t["n_orders"].to_numpy()
+        ca = np.fromiter((c[int(x)] for x in a), np.int64, len(a))
+        cb = np.fromiter((c[int(x)] for x in b), np.int64, len(b))
+        ppb = n * n * 1_000_000_000 // (ca * cb)
+        # directed expansion: each undirected pair serves both items
+        return pa.table({
+            "part_a": pa.array(np.concatenate([a, b]), pa.int64()),
+            "part_b": pa.array(np.concatenate([b, a]), pa.int64()),
+            "n_orders": pa.array(np.concatenate([n, n]), pa.int64()),
+            "score_ppb": pa.array(np.concatenate([ppb, ppb]), pa.int64())})
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["part_a", "score_ppb", "part_b"],
+                            ascending=[True, False, True])
+        return df.groupby("part_a", sort=False).head(k)
+
+    partials = pairs.map_batches(score, batch_format="pyarrow") \
+        .map_batches(partial_topk, batch_format="pandas").to_pandas()
+    fin = partials.sort_values(["part_a", "score_ppb", "part_b"],
+                               ascending=[True, False, True])
+    fin = fin.groupby("part_a", sort=False).head(k).reset_index(drop=True)
+    fin["rnk"] = fin.groupby("part_a", sort=False).cumcount() + 1
+    return pa.table({
+        "part_a": pa.array(fin["part_a"].to_numpy(np.int64)),
+        "part_b": pa.array(fin["part_b"].to_numpy(np.int64)),
+        "n_orders": pa.array(fin["n_orders"].to_numpy(np.int64)),
+        "score_ppb": pa.array(fin["score_ppb"].to_numpy(np.int64)),
+        "rnk": pa.array(fin["rnk"].to_numpy(np.int64))})
+
+
+def acctbal_percentile_ranks(sf_dir: str) -> rd.Dataset:
+    """PERCENT_RANK within nation over customer account balance, in
+    exact integer ppm: pr_ppm = (rank-1) * 1e6 // (n_nation - 1), rank
+    ordered by (balance, custkey).  The lang_rank shape -- ONE global
+    zip_with_index over the composite key nation:zfill(cents):zfill(
+    custkey) minus broadcast per-nation prefix offsets (25 nations is
+    the only driver state; no nation partition ever co-locates)."""
+    from pomp_ray.stages.index import zip_with_index
+
+    def add_key(t: pa.Table) -> pa.Table:
+        nk = pc.cast(t["c_nationkey"], pa.int64()).to_numpy()
+        ck = pc.cast(t["c_custkey"], pa.int64()).to_numpy()
+        cents = np.rint(t["c_acctbal"].to_numpy() * 100).astype(np.int64)
+        key = [f"{n:03d}:{c + 10_000_000:09d}:{u:012d}"
+               for n, c, u in zip(nk, cents, ck)]
+        return pa.table({"c_custkey": pa.array(ck, pa.int64()),
+                         "c_nationkey": pa.array(nk, pa.int64()),
+                         "k": pa.array(key, pa.string())})
+
+    ds = _t(sf_dir, "customer",
+            ["c_custkey", "c_nationkey", "c_acctbal"]).map_batches(
+        add_key, batch_format="pyarrow")
+    pos = zip_with_index(ds, "k", out_col="pos")
+
+    counts = {int(r["c_nationkey"]): int(r["count()"])
+              for r in _t(sf_dir, "customer", ["c_nationkey"])
+              .groupby("c_nationkey").count().take_all()}
+    off: dict[int, int] = {}
+    acc = 0
+    for nk in sorted(counts):
+        off[nk] = acc
+        acc += counts[nk]
+
+    def fin(t: pa.Table) -> pa.Table:
+        nk = pc.cast(t["c_nationkey"], pa.int64()).to_numpy()
+        p = pc.cast(t["pos"], pa.int64()).to_numpy()
+        o = np.fromiter((off[int(x)] for x in nk), np.int64, len(nk))
+        n = np.fromiter((counts[int(x)] for x in nk), np.int64, len(nk))
+        rank = p - o   # 0-based within nation
+        ppm = np.where(n > 1, rank * 1_000_000 // np.maximum(n - 1, 1), 0)
+        return pa.table({"c_custkey": t["c_custkey"],
+                         "c_nationkey": t["c_nationkey"],
+                         "pr_ppm": pa.array(ppm, pa.int64())})
+
+    return pos.map_batches(fin, batch_format="pyarrow")

@@ -1298,3 +1298,61 @@ def ab_assignment_metrics(sf_dir: str, n_arms: int = 2) -> pa.Table:
                          "purchase_rate_ppm": pc.cast(rate, pa.int64())})
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def daily_trend_slopes(sf_dir: str) -> rd.Dataset:
+    """Per-type linear trend of daily event volume, as an EXACT integer
+    rational: slope = slope_num / slope_den with
+    slope_num = n*S(xy) - S(x)*S(y), slope_den = n*S(xx) - S(x)^2 over
+    (x = epoch day, y = daily count) -- the ordinary-least-squares
+    closed form with the division never performed, so sign/rounding
+    conventions cannot diverge cross-engine (the lineitem_corr_stats
+    moment discipline).  Fully distributed: daily counts via one
+    groupby, moment columns derived per batch, one tiny groupby(type)
+    Sum -- the day table is bounded by the time span, never event
+    volume."""
+    us_per_day = 86_400_000_000
+
+    def add_day(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()),
+                        pa.scalar(us_per_day, pa.int64()))
+        return pa.table({"event_type": t["event_type"],
+                         "x": pc.cast(day, pa.int64())})
+
+    daily = _events(sf_dir, ["ts", "event_type"]) \
+        .map_batches(add_day, batch_format="pyarrow") \
+        .groupby(["event_type", "x"]).aggregate(Count(alias_name="y"))
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = pc.cast(t["x"], pa.int64()).to_numpy()
+        y = pc.cast(t["y"], pa.int64()).to_numpy()
+        return pa.table({"event_type": t["event_type"],
+                         "x": pa.array(x, pa.int64()),
+                         "y": pa.array(y, pa.int64()),
+                         "xy": pa.array(x * y, pa.int64()),
+                         "xx": pa.array(x * x, pa.int64())})
+
+    agg = daily.map_batches(moments, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(
+            Count(alias_name="n_days"), Sum("x", alias_name="sx"),
+            Sum("y", alias_name="sy"), Sum("xy", alias_name="sxy"),
+            Sum("xx", alias_name="sxx"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n_days"], pa.int64()).to_numpy()
+        sx = pc.cast(t["sx"], pa.int64()).to_numpy()
+        sy = pc.cast(t["sy"], pa.int64()).to_numpy()
+        sxy = pc.cast(t["sxy"], pa.int64()).to_numpy()
+        sxx = pc.cast(t["sxx"], pa.int64()).to_numpy()
+        # python-int products: n*sxy overflows int64 only past ~1e14
+        # day-count mass; keep exact regardless of scale
+        num = [int(a) * int(b) - int(c) * int(d)
+               for a, b, c, d in zip(n, sxy, sx, sy)]
+        den = [int(a) * int(b) - int(c) * int(c)
+               for a, b, c in zip(n, sxx, sx)]
+        return pa.table({"event_type": t["event_type"],
+                         "n_days": pa.array(n, pa.int64()),
+                         "slope_num": pa.array(num, pa.int64()),
+                         "slope_den": pa.array(den, pa.int64())})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
