@@ -665,6 +665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_order": lambda sf: docs.epoch_order(sf, epoch=2),
         "token_budget_cut": docs.token_budget_cut,
         "warc_shard_stats": archive.warc_shard_stats,
+        "orc_shard_stats": archive.orc_shard_stats,
         "cdx_index": archive.cdx_index,
         "cdx_partition_manifest": archive.cdx_partition_manifest,
         "cdx_domain_lookup": archive.cdx_domain_lookup,
@@ -3371,6 +3372,16 @@ def oracle_sql() -> dict[str, str]:
         # numbers straight off the table, so framing/compression/parse
         # defects break the hash (payload = utf-8 text bytes)
         "warc_shard_stats": """
+            SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                             1, 4))
+                             AS INTEGER) % 8 AS BIGINT) AS shard,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(octet_length(encode(text))) AS BIGINT) AS n_bytes
+            FROM documents GROUP BY shard
+        """,
+        # same per-shard numbers straight off the table; the engine
+        # round-trips them through REAL .orc files first
+        "orc_shard_stats": """
             SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
                                              1, 4))
                              AS INTEGER) % 8 AS BIGINT) AS shard,

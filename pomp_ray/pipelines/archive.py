@@ -424,3 +424,79 @@ def archive_to_seeds(archive_dir: str, out_path: str) -> int:
     import pyarrow.parquet as _pq
     return sum(_pq.ParquetFile(p).metadata.num_rows
                for p in _glob.glob(os.path.join(out_path, "*.parquet")))
+
+
+def write_orc_shards(sf_dir: str, out_dir: str) -> list[dict]:
+    """Materialize documents as md5-bucketed ORC shards (the Hadoop-
+    ecosystem columnar interchange): same shard assignment and
+    deterministic within-file doc_id order as the WARC sink, one
+    ``shard-N.orc`` per bucket, atomic replace (resumable/idempotent
+    under task retry).  Returns per-shard written counts."""
+    from pyarrow import orc as _orc
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        shard = int(g["shard"].iloc[0])
+        t = pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy(np.int64)),
+            "url": pa.array(g["url"].tolist(), pa.string()),
+            "html": pa.array(g["html"].tolist(), pa.binary())})
+        path = os.path.join(out_dir, f"shard-{shard}.orc")
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            _orc.write_table(t, f)
+        os.replace(tmp, path)
+        return pd.DataFrame({"shard": [shard], "n_written": [len(g)]})
+
+    pages = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _to_pages_batch, batch_format="pyarrow")
+    return pages.groupby("shard").map_groups(
+        write_shard, batch_format="pandas").take_all()
+
+
+def orc_shard_stats(sf_dir: str) -> rd.Dataset:
+    """documents -> sharded ORC archive -> distributed read-back ->
+    per-shard (n_docs, n_bytes).  Proves the ORC sink/source pair the
+    same way warc_shard_stats proves WARC: stats come off the PARSED
+    files (read_binary_files distributes whole shards; pyarrow.orc
+    decodes in the workers), so encode/decode defects break the
+    oracle hash.  n_bytes counts utf-8 payload bytes."""
+    from pyarrow import orc as _orc
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out_dir = f"/tmp/pomp_orc_{tag}"
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)   # stale shards from another corpus size
+    write_orc_shards(sf_dir, out_dir)
+
+    import glob as _glob
+    files = sorted(_glob.glob(os.path.join(out_dir, "*.orc")))
+
+    def partial(t: pa.Table) -> pa.Table:
+        parts = []
+        for b in t["bytes"].to_pylist():
+            tab = _orc.ORCFile(pa.BufferReader(b)).read()
+            ids = pc.cast(pc.replace_substring(tab["url"], "doc://", ""),
+                          pa.int64()).to_pylist()
+            shard = _shard_ids(ids, N_SHARDS)
+            nbytes = pc.binary_length(tab["html"]).to_numpy() \
+                .astype(np.int64)
+            df = pd.DataFrame({"shard": shard, "n_bytes": nbytes})
+            parts.append(df.groupby("shard", as_index=False).agg(
+                n_docs=("n_bytes", "size"), n_bytes=("n_bytes", "sum")))
+        if not parts:
+            return pa.table({"shard": pa.array([], pa.int64()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "n_bytes": pa.array([], pa.int64())})
+        return pa.Table.from_pandas(pd.concat(parts), preserve_index=False)
+
+    out = rd.read_binary_files(files).map_batches(
+        partial, batch_format="pyarrow").groupby("shard").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("n_bytes", alias_name="n_bytes"))
+    return out.map_batches(
+        lambda t: pa.table({c: pc.cast(t[c], pa.int64())
+                            for c in ("shard", "n_docs", "n_bytes")}),
+        batch_format="pyarrow")

@@ -75,6 +75,25 @@ def read_pages(path: str, fmt: str = "parquet") -> rd.Dataset:
                 else pa.table({}, schema=schemas.PAGES)
 
         ds = ds.map_batches(dec, batch_format="pyarrow")
+    elif fmt == "orc":
+        # ORC shards (the Hadoop-ecosystem interchange format): ray
+        # 2.49 has no native ORC reader, so file = parallelism unit via
+        # read_binary_files + a pyarrow.orc decode in the workers;
+        # _normalize re-casts ORC's ns timestamps back to the canonical
+        # us schema
+        import glob
+
+        files = sorted(glob.glob(os.path.join(path, "*.orc")))
+        ds = rd.read_binary_files(files)
+
+        def dec_orc(t: pa.Table) -> pa.Table:
+            from pyarrow import orc as _orc
+            tables = [_orc.ORCFile(pa.BufferReader(b)).read()
+                      for b in t["bytes"].to_pylist()]
+            return pa.concat_tables(tables) if tables \
+                else pa.table({}, schema=schemas.PAGES)
+
+        ds = ds.map_batches(dec_orc, batch_format="pyarrow")
     else:
         raise ValueError(f"unsupported corpus format: {fmt}")
     return ds.map_batches(_normalize, batch_format="pyarrow")
@@ -115,6 +134,31 @@ def write_pages(ds: rd.Dataset, out_dir: str, fmt: str = "parquet") -> None:
                              "n_rows": pa.array([t.num_rows], pa.int64())})
 
         ds.map_batches(write_block, batch_format="pyarrow").take_all()
+        return
+    if fmt == "orc":
+        # ORC shards, one per block, content-hash names (idempotent
+        # under task retry); binary columns are native, so the
+        # round-trip is lossless after the canonical-schema re-cast
+        os.makedirs(out_dir, exist_ok=True)
+
+        def write_orc_block(t: pa.Table) -> pa.Table:
+            import hashlib
+
+            from pyarrow import orc as _orc
+
+            sink = pa.BufferOutputStream()
+            _orc.write_table(t, sink)
+            buf = sink.getvalue()
+            name = hashlib.md5(buf).hexdigest()[:16]
+            path = os.path.join(out_dir, f"part-{name}.orc")
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(buf.to_pybytes())
+            os.replace(tmp, path)
+            return pa.table({"path": pa.array([path], pa.string()),
+                             "n_rows": pa.array([t.num_rows], pa.int64())})
+
+        ds.map_batches(write_orc_block, batch_format="pyarrow").take_all()
         return
     if fmt not in ("json", "csv", "json_gz"):
         raise ValueError(f"unsupported corpus format: {fmt}")

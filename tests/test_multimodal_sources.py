@@ -90,7 +90,7 @@ def test_write_pages_roundtrip_json_csv(ray_session, tmp_path):
     want = pa.concat_tables(
         b for b in src.iter_batches(batch_format="pyarrow"))
     want = want.sort_by("url")
-    for fmt in ("json", "csv", "ipc", "json_gz"):
+    for fmt in ("json", "csv", "ipc", "json_gz", "orc"):
         out = str(tmp_path / fmt)
         write_pages(read_pages(fix.pages_path), out, fmt=fmt)
         got = pa.concat_tables(
