@@ -534,6 +534,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_transitions": windows.event_type_transitions,
         "cohort_retention": windows.cohort_retention,
         "user_state_history": windows.user_state_history,
+        "point_in_time_join": windows.point_in_time_join,
         "zorder_layout_stats": relational.zorder_layout_stats,
         "event_gap_quantiles": windows.event_gap_quantiles,
         "rolling_window_1h": windows.rolling_window_1h,
@@ -603,6 +604,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_distances": lambda sf: __import__(
             "pomp_ray.pipelines.graph", fromlist=["graph"]
         ).host_distances(_mirror_pages_path()),
+        "host_harmonic_centrality": lambda sf: __import__(
+            "pomp_ray.pipelines.graph", fromlist=["graph"]
+        ).host_harmonic_centrality(_mirror_pages_path()),
         "orphan_pages": lambda sf: __import__(
             "pomp_ray.pipelines.graph", fromlist=["graph"]
         ).orphan_pages(_mirror_pages_path()),
@@ -1382,6 +1386,42 @@ def oracle_sql() -> dict[str, str]:
                 WHERE b.dist < 10)
             SELECT host, CAST(MIN(dist) AS BIGINT) AS dist
             FROM bfs GROUP BY 1 ORDER BY 1
+        """,
+        # per-seed BFS distances -> harmonic sum 1e6 // d (exact
+        # integers; // on positives == floor both engines)
+        "host_harmonic_centrality": f"""
+            WITH RECURSIVE links AS (
+                SELECT lower(regexp_extract(url, '^[a-z]+://([^/]+)', 1))
+                           AS src,
+                       unnest(regexp_extract_all(
+                           decode(html), 'href="([^"]+)"', 1)) AS href
+                FROM read_parquet('{_MP}')),
+            edges AS (
+                SELECT DISTINCT src,
+                       CASE WHEN href LIKE 'http://%'
+                            THEN lower(regexp_extract(
+                                href, '^http://([^/]+)', 1))
+                            ELSE src END AS dst
+                FROM links WHERE CASE WHEN href LIKE 'http://%'
+                            THEN lower(regexp_extract(
+                                href, '^http://([^/]+)', 1))
+                            ELSE src END <> src),
+            seeds AS (
+                SELECT DISTINCT lower(regexp_extract(
+                           url, '^[a-z]+://([^/]+)', 1)) AS host
+                FROM read_parquet('{_MP}') ORDER BY 1 LIMIT 4),
+            bfs AS (
+                SELECT host AS seed, host, 0 AS dist FROM seeds
+                UNION
+                SELECT b.seed, e.dst, b.dist + 1
+                FROM bfs b JOIN edges e ON e.src = b.host
+                WHERE b.dist < 10),
+            d AS (
+                SELECT seed, host, MIN(dist) AS dist
+                FROM bfs GROUP BY 1, 2)
+            SELECT host, CAST(COUNT(*) AS BIGINT) AS n_reached,
+                   CAST(SUM(1000000 // dist) AS BIGINT) AS harmonic_ppm
+            FROM d WHERE dist >= 1 GROUP BY 1 ORDER BY 1
         """,
         # orphan = page url never constructed as a link target (absolute
         # http hrefs verbatim; relative hrefs resolve against the source
@@ -2247,6 +2287,45 @@ def oracle_sql() -> dict[str, str]:
                             TIMESTAMP '2100-01-01') AS valid_to,
                    CAST(n_events AS BIGINT) AS n_events
             FROM runs
+        """,
+        # point-in-time feature join: runs computed over the stream
+        # with the fact type excluded, facts LEFT JOIN on interval
+        # containment -- at most one interval contains a timestamp, so
+        # cardinality is fact-stable; COALESCE matches the engine's
+        # 'none' fill
+        "point_in_time_join": """
+            WITH s AS (
+                SELECT user_id, event_type, ts, event_id,
+                       CASE WHEN lag(event_type) OVER w
+                                 IS DISTINCT FROM event_type
+                            THEN 1 ELSE 0 END AS chg
+                FROM events WHERE event_type <> 'purchase'
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), r AS (
+                SELECT user_id, event_type, ts, event_id,
+                       SUM(chg) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS run
+                FROM s
+            ), runs AS (
+                SELECT user_id, event_type AS state,
+                       MIN(ts) AS valid_from,
+                       MIN(event_id) AS first_eid
+                FROM r GROUP BY user_id, run, event_type
+            ), h AS (
+                SELECT user_id, state, valid_from,
+                       COALESCE(LEAD(valid_from) OVER (
+                                    PARTITION BY user_id
+                                    ORDER BY valid_from, first_eid),
+                                TIMESTAMP '2100-01-01') AS valid_to
+                FROM runs
+            )
+            SELECT p.event_id, CAST(p.user_id AS BIGINT) AS user_id,
+                   p.ts, COALESCE(h.state, 'none') AS state_at_ts
+            FROM events p LEFT JOIN h
+              ON h.user_id = p.user_id
+                 AND h.valid_from <= p.ts AND p.ts < h.valid_to
+            WHERE p.event_type = 'purchase'
         """,
         # gaps-and-islands in SQL: break flags -> running session id ->
         # per-session rollup -> size-binned stats (exact integer µs)

@@ -1445,3 +1445,89 @@ def rich_club_coefficients(pages_path: str) -> pa.Table:
                      "n_hosts": pa.array(out_h, pa.int64()),
                      "n_edges": pa.array(out_e, pa.int64()),
                      "phi_ppm": pa.array(out_p, pa.int64())})
+
+
+def host_harmonic_centrality(pages_path: str, n_seeds: int = 4,
+                             max_depth: int = 10,
+                             num_partitions: int = 4) -> pa.Table:
+    """Sampled harmonic centrality over the directed host graph:
+    centrality(h) = sum over sample sources s of 1/d(s, h), the
+    standard finite-distance-safe closeness variant (Boldi & Vigna,
+    "Axioms for Centrality"), here in exact integer ppm
+    (1_000_000 // d sums, so cross-engine bit-identical) from the
+    ``n_seeds`` lexicographically smallest hosts -- the sampling
+    estimator a full graph would run from a hash-sampled source set.
+
+    Scale shape: the ``host_distances`` BFS loop generalized to a
+    composite (seed, host) frontier -- per-seed distances ride ONE
+    shared edge join per round (shuffle volume = frontier out-edges x
+    live seeds, never graph x seeds); the final rollup is a tiny
+    groupby(host).  Exact vs the DuckDB recursive-CTE per-seed BFS."""
+    from ray.data.aggregate import Count, Min, Sum
+
+    edges = corpus_host_edges(pages_path) \
+        .map_batches(lambda t: t.filter(
+            pc.invert(pc.equal(t["src"], t["dst"]))),
+            batch_format="pyarrow") \
+        .groupby(["src", "dst"]).aggregate(Count(alias_name="_n")) \
+        .map_batches(lambda t: t.select(["src", "dst"]),
+                     batch_format="pyarrow") \
+        .repartition(2).materialize()
+
+    from pomp_ray.stages.enqueue import _FAST_EXTRACT
+    hosts = rd.read_parquet(pages_path, columns=["url"]).map_batches(
+        lambda t: pa.table({"host": pc.struct_field(
+            pc.extract_regex(t["url"], pattern=_FAST_EXTRACT), "host")}),
+        batch_format="pyarrow").groupby("host").aggregate(
+            Count(alias_name="_n")).take_all()
+    seeds = sorted(r["host"] for r in hosts)[:n_seeds]
+
+    known = rd.from_arrow(pa.table({
+        "seed": pa.array(seeds, pa.string()),
+        "host": pa.array(seeds, pa.string()),
+        "dist": pa.array([0] * len(seeds), pa.int64())})).materialize()
+    frontier = known
+    for r in range(1, max_depth + 1):
+        probe = frontier.map_batches(
+            lambda t: pa.table({"seed": t["seed"], "src": t["host"]}),
+            batch_format="pyarrow").repartition(2).materialize()
+        reached = probe.join(edges, join_type="inner", on=("src",),
+                             num_partitions=num_partitions) \
+            .map_batches(lambda t, rr=r: pa.table({
+                "seed": t["seed"], "host": t["dst"],
+                "dist": pa.array([rr] * t.num_rows, pa.int64())}),
+                batch_format="pyarrow")
+        merged = known.union(reached).groupby(["seed", "host"]).aggregate(
+            Min("dist", alias_name="dist"))
+        known = merged.map_batches(
+            lambda t: pa.table({"seed": t["seed"], "host": t["host"],
+                                "dist": pc.cast(t["dist"], pa.int64())}),
+            batch_format="pyarrow").repartition(2).materialize()
+        frontier = known.map_batches(
+            lambda t, rr=r: t.filter(pc.equal(t["dist"], rr)),
+            batch_format="pyarrow").repartition(2).materialize()
+        if frontier.count() == 0:
+            break
+
+    def rollup(t: pa.Table) -> pa.Table:
+        import numpy as np   # graph.py keeps no module-level numpy
+        t = t.filter(pc.greater_equal(t["dist"], 1))
+        d = pc.cast(t["dist"], pa.int64()).to_numpy()
+        return pa.table({"host": t["host"],
+                         "one": pa.array(np.ones(len(d), np.int64)),
+                         "hp": pa.array(1_000_000 // d, pa.int64())})
+
+    agg = known.map_batches(rollup, batch_format="pyarrow") \
+        .groupby("host").aggregate(
+            Sum("one", alias_name="n_reached"),
+            Sum("hp", alias_name="harmonic_ppm"))
+    tbl = pa.concat_tables(
+        list(agg.iter_batches(batch_format="pyarrow"))
+        or [pa.table({"host": pa.array([], pa.string()),
+                      "n_reached": pa.array([], pa.int64()),
+                      "harmonic_ppm": pa.array([], pa.int64())})])
+    out = pa.table({"host": tbl["host"],
+                    "n_reached": pc.cast(tbl["n_reached"], pa.int64()),
+                    "harmonic_ppm": pc.cast(tbl["harmonic_ppm"],
+                                            pa.int64())})
+    return out.sort_by("host")

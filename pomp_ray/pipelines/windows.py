@@ -1356,3 +1356,69 @@ def daily_trend_slopes(sf_dir: str) -> rd.Dataset:
                          "slope_den": pa.array(den, pa.int64())})
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def point_in_time_join(sf_dir: str, fact_type: str = "purchase") -> rd.Dataset:
+    """Point-in-time (as-of-state) join -- the feature-store
+    correctness primitive: each ``fact_type`` event joins to the user
+    state that was valid AT its timestamp, where state = the user's
+    current run of non-fact activity (the SCD2 intervals of
+    ``user_state_history`` computed over the stream WITH the fact type
+    excluded, so the feature never leaks the label).  Facts before any
+    state interval get 'none' (both engines COALESCE).
+
+    Shape: users hash into 64 buckets (facts and state derive from the
+    SAME co-located event slice, so no second shuffle); each bucket
+    builds its interval runs with one shift/cumsum pass and resolves
+    facts with ONE C-speed backward merge_asof -- intervals sorted by
+    (valid_from, valid_to) so zero-length same-timestamp runs order
+    before the covering interval and the asof tie-pick is exactly the
+    containing one.  Exact vs the DuckDB interval-containment LEFT
+    JOIN."""
+    SENTINEL = pd.Timestamp("2100-01-01")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32())
+        return t.append_column("bucket", b)
+
+    def pit(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        p = g[g["event_type"] == fact_type][["event_id", "user_id", "ts"]]
+        if p.empty:
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "ts": pd.Series([], dtype="datetime64[us]"),
+                "state_at_ts": pd.Series([], dtype="object")})
+        s = g[g["event_type"] != fact_type]
+        if s.empty:
+            m = p.copy()
+            m["state_at_ts"] = "none"
+            return m[["event_id", "user_id", "ts", "state_at_ts"]]
+        change = ((s["user_id"] != s["user_id"].shift())
+                  | (s["event_type"] != s["event_type"].shift()))
+        run = change.cumsum()
+        runs = s.groupby(run).agg(
+            user_id=("user_id", "first"),
+            state_at_ts=("event_type", "first"),
+            valid_from=("ts", "first")).reset_index(drop=True)
+        nxt = runs["valid_from"].shift(-1)
+        same = runs["user_id"] == runs["user_id"].shift(-1)
+        runs["valid_to"] = nxt.where(same, SENTINEL)
+        runs = runs.sort_values(["valid_from", "valid_to"])
+        m = pd.merge_asof(p.sort_values(["ts", "event_id"]), runs,
+                          left_on="ts", right_on="valid_from",
+                          by="user_id", direction="backward")
+        m["state_at_ts"] = m["state_at_ts"].fillna("none")
+        return m[["event_id", "user_id", "ts", "state_at_ts"]]
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"]) \
+        .map_batches(add_bucket, batch_format="pyarrow")
+    out = ds.groupby("bucket").map_groups(pit, batch_format="pandas")
+    return out.map_batches(
+        lambda t: pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "ts": pc.cast(t["ts"], pa.timestamp("us")),
+            "state_at_ts": pc.cast(t["state_at_ts"], pa.string())}),
+        batch_format="pyarrow")
