@@ -4030,3 +4030,39 @@ def skipgram_cooc(sf_dir: str, window: int = 3, k: int = 100) -> pa.Table:
                    descending=[True, False, False]).limit(k)
     t = pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
     return _i64(t.select(["w_a", "w_b", "n"]), ["n"])
+
+
+def proximity_search(sf_dir: str, w1: str = "table", w2: str = "scan",
+                     k: int = 5) -> rd.Dataset:
+    """Proximity query over positional postings: documents where ``w1``
+    and ``w2`` co-occur within ``k`` token positions, with the pair
+    count and the minimum gap -- the NEAR operator of a search engine,
+    the sibling of ``phrase_search`` (exact adjacency).  Per batch:
+    Arrow-tokenized flat words get within-doc positions from one
+    C-speed cumcount, the two posting lists merge on doc (fan-out
+    bounded by per-doc term frequency, never corpus size), and the
+    rollup is a groupby(doc) count/min.  Exact DuckDB oracle
+    (positional self-join)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, parent = _tokenize_flat(t)
+        w = flat.to_numpy(zero_copy_only=False)
+        p = parent.to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = pd.Series(np.arange(len(p))).groupby(p).cumcount().to_numpy()
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy()
+        a = pd.DataFrame({"doc": ids[p[w == w1]], "pa": pos[w == w1]})
+        b = pd.DataFrame({"doc": ids[p[w == w2]], "pb": pos[w == w2]})
+        m = a.merge(b, on="doc")
+        m["gap"] = (m["pa"] - m["pb"]).abs()
+        m = m[m["gap"] <= k]
+        g = m.groupby("doc", as_index=False).agg(
+            n_pairs=("gap", "size"), min_gap=("gap", "min"))
+        return pa.table({"doc_id": pa.array(g["doc"].to_numpy(np.int64)),
+                         "n_pairs": pa.array(
+                             g["n_pairs"].to_numpy(np.int64)),
+                         "min_gap": pa.array(
+                             g["min_gap"].to_numpy(np.int64))})
+
+    # per-doc partials are already final (a doc never spans batches)
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        partial, batch_format="pyarrow")
