@@ -4,6 +4,11 @@
 order-insensitive value comparison (sorted rows, columns sorted by name).
 
 Usage: python tools/check_oracle.py [sf_dir] [--only name1,name2,...]
+                                    [--shard i/n] [--first k]
+
+--shard i/n  checks only queries whose board position % n == i (0-based),
+             so two sessions can split a full sweep (VERDICT r3 item 6).
+--first k    checks only the first k registrations (the driver's window).
 
 NOTE: the fingerprints / simhash_dup_groups oracles are committed golden
 parquet generated for sf0.01 (the scale the driver's gate runs at, per
@@ -50,9 +55,18 @@ def main() -> int:
 
     args = sys.argv[1:]
     only: set[str] | None = None
+    shard_i, shard_n, first_k = 0, 1, None
     if "--only" in args:
         i = args.index("--only")
         only = set(args[i + 1].split(","))
+        args = args[:i] + args[i + 2:]
+    if "--shard" in args:
+        i = args.index("--shard")
+        shard_i, shard_n = map(int, args[i + 1].split("/"))
+        args = args[:i] + args[i + 2:]
+    if "--first" in args:
+        i = args.index("--first")
+        first_k = int(args[i + 1])
         args = args[:i] + args[i + 2:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     con = duckdb.connect()
@@ -63,8 +77,12 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     n_fail = 0
-    for name, fn in qs.items():
+    for pos, (name, fn) in enumerate(qs.items()):
         if only is not None and name not in only:
+            continue
+        if first_k is not None and pos >= first_k:
+            continue
+        if pos % shard_n != shard_i:
             continue
         t0 = time.monotonic()
         try:
