@@ -303,7 +303,7 @@ def bench_queries(sf_dir: str) -> dict:
          .rolling_window_1h(sf_dir).count()),
         ("knn_graph", lambda: __import__(
             "pomp_ray.pipelines.embeddings", fromlist=["embeddings"])
-         .knn_graph_edges(sf_dir).num_rows),
+         .knn_graph_edges(sf_dir).count()),
         ("leakage_splits", lambda: docs.leakage_safe_splits(
             sf_dir).count()),
         # seventeenth-block shapes: skew-salted hash join (dim

@@ -3311,26 +3311,39 @@ def leakage_safe_splits(sf_dir: str, test_ppm: int = 100_000,
     Every doc of a component inherits the component representative's
     md5 bucket, so groups move atomically.
 
-    Shape: the component table (graph.dup_components -- output-scale:
-    only duplicated docs appear) broadcasts via ray.put; assignment is
-    a per-batch factorize+md5-per-unique-rep pass (the dedup_lines
-    hashing trick); nothing else shuffles.  Oracle: the dup_components
-    recursive-CTE reachability plus the same hex-prefix bucket rule."""
+    Shape: the component table (graph.dup_components) joins onto docs
+    by doc_id as a DATASET hash join (the dedup_docs left_outer shape)
+    -- never a driver-side dict/broadcast, which goes corpus-scale the
+    moment web dedup marks 30-50%% of docs (VERDICT r3 scale-killer).
+    Assignment is a per-batch coalesce + factorize + md5-per-unique-rep
+    pass (md5 is the cross-engine bucket hash DuckDB can mirror; the
+    per-unique loop touches each component representative once per
+    batch).  Join partitions are metadata-sized to the doc volume.
+    Oracle: the dup_components recursive-CTE reachability plus the same
+    hex-prefix bucket rule."""
     import hashlib
 
     from pomp_ray.pipelines.graph import dup_components
 
     comp = dup_components(sf_dir)
-    comp_map = dict(zip(comp["doc_id"].to_pylist(),
-                        comp["component"].to_pylist()))
-    ref = ray.put(comp_map)
+    docs = _docs(sf_dir, ["doc_id"])
     lo_test, lo_val = test_ppm, test_ppm + val_ppm
 
+    if comp.num_rows > 0:
+        comp_ds = rd.from_arrow(comp.rename_columns(
+            ["doc_id", "component"]))
+        # near-empty shuffle partitions cost ~1 s of pool spinup each
+        n_parts = max(2, min(64, docs.count() // 500_000))
+        docs = docs.join(comp_ds, join_type="left_outer", on=("doc_id",),
+                         num_partitions=n_parts)
+
     def assign(t: pa.Table) -> pa.Table:
-        cm = ray.get(ref)
         doc = t["doc_id"].to_numpy()
-        rep = pd.Series(doc).map(cm).fillna(pd.Series(doc)).astype(
-            np.int64).to_numpy()
+        if "component" in t.column_names:
+            rep = pc.coalesce(t["component"], t["doc_id"]) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            rep = doc.astype(np.int64)
         codes, uniq = pd.factorize(rep)
         ppm_u = np.array([
             int(hashlib.md5(str(int(r)).encode()).hexdigest()[:8], 16)
@@ -3343,8 +3356,7 @@ def leakage_safe_splits(sf_dir: str, test_ppm: int = 100_000,
                          "split": pa.array(split.astype(object),
                                            pa.string())})
 
-    return _docs(sf_dir, ["doc_id"]).map_batches(
-        assign, batch_format="pyarrow")
+    return docs.map_batches(assign, batch_format="pyarrow")
 
 
 def char_collision_stats(sf_dir: str) -> rd.Dataset:

@@ -159,8 +159,13 @@ def dedup_lines(pages_path: str, max_occ: int = 1) -> rd.Dataset:
     rows = _pages(pages_path, ["url", "text"]) \
         .map_batches(_line_rows, batch_format="pyarrow").materialize()
     counts = rows.groupby("lh").aggregate(Count(alias_name="n_occ"))
+    # join partitions sized to the line-row volume (metadata-only count
+    # on the materialized rows): a fixed 16 starves the vocabulary-sized
+    # shuffle at corpus scale and pays ~1 s/partition spinup when nearly
+    # empty (the salted_join_rollup sizing rule)
+    n_parts = max(2, min(64, rows.count() // 500_000))
     keep = rows.join(counts, join_type="inner", on=("lh",),
-                     num_partitions=16) \
+                     num_partitions=n_parts) \
         .filter(expr=f"n_occ <= {int(max_occ)}")
 
     def add_bucket(t: pa.Table) -> pa.Table:

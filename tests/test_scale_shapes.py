@@ -1,0 +1,70 @@
+"""Guards for the VERDICT r3 scale-shape fixes: the corpus-scale paths
+must not collect the input to the driver (`take_all`) or broadcast a
+driver-built dict, and the rewritten operators must agree with an
+independent in-test brute computation at fixture scale."""
+
+import inspect
+
+import numpy as np
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_no_driver_materialization_in_scale_paths():
+    import pomp_ray.pipelines.docs as D
+    import pomp_ray.pipelines.embeddings as E
+    import pomp_ray.pipelines.webtext as W
+    for fn in (E.knn_graph_edges, E.hard_negatives):
+        src = inspect.getsource(fn)
+        assert "take_all" not in src, fn.__name__
+        assert "ray.put" not in src, fn.__name__
+    src = inspect.getsource(D.leakage_safe_splits)
+    assert "ray.put" not in src
+    assert "dict(" not in src
+    # dedup_lines joins with metadata-sized partitions, not a constant
+    src = inspect.getsource(W.dedup_lines)
+    assert "num_partitions=16" not in src
+
+
+def _brute_knn(ids, mat, k):
+    n = np.linalg.norm(mat, axis=1)
+    n[n == 0] = 1.0
+    sims = (mat @ mat.T) / (n[:, None] * n[None, :])
+    np.fill_diagonal(sims, -np.inf)
+    edges = set()
+    for i in range(len(ids)):
+        order = np.lexsort((ids, -sims[i]))[:min(k, len(ids) - 1)]
+        for j in order:
+            edges.add((int(ids[i]), int(ids[j])))
+    return edges
+
+
+def test_knn_graph_edges_matches_brute():
+    from pomp_ray.pipelines.embeddings import knn_graph_edges
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = np.asarray(t["vec_id"].to_pylist(), np.int64)
+    mat = np.array(t["embedding"].to_pylist(), np.float64)
+    want = _brute_knn(ids, mat, k=5)
+    got = {(r["vec_id"], r["neighbor_id"])
+           for r in knn_graph_edges(SF, k=5).take_all()}
+    assert got == want
+
+
+def test_hard_negatives_matches_brute():
+    from pomp_ray.pipelines.embeddings import hard_negatives
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = np.asarray(t["vec_id"].to_pylist(), np.int64)
+    mat = np.array(t["embedding"].to_pylist(), np.float64)
+    lab = np.asarray(t["label"].to_pylist(), np.int64)
+    n = np.linalg.norm(mat, axis=1)
+    n[n == 0] = 1.0
+    sims = (mat @ mat.T) / (n[:, None] * n[None, :])
+    sims[lab[:, None] == lab[None, :]] = -np.inf
+    want = {}
+    for i in range(len(ids)):
+        j = np.lexsort((ids, -sims[i]))[0]
+        want[int(ids[i])] = (int(ids[j]), int(lab[j]))
+    got = {r["vec_id"]: (r["negative_id"], r["negative_label"])
+           for r in hard_negatives(SF).take_all()}
+    assert got == want
