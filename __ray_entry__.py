@@ -870,6 +870,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rich_club_coefficients": lambda sf: __import__(
             "pomp_ray.pipelines.graph", fromlist=["graph"]
         ).rich_club_coefficients(_mirror_pages_path()),
+        "proximity_search": docs.proximity_search,
+        "proximity_search_self":
+            lambda sf: docs.proximity_search(sf, w1="table", w2="table",
+                                             k=3),
     }
     # The external correctness driver hashes only the FIRST 50 entries of
     # this dict (insertion order).  Front-load the core engine — crawl
@@ -983,6 +987,30 @@ def _gopher_oracle() -> str:
             ({" AND ".join(gates)}) AS keep
         FROM c
     """
+
+def _proximity_sql(w1: str, w2: str, k: int) -> str:
+    """Positional-postings NEAR oracle mirroring docs.proximity_search:
+    0-based token positions, |p_a - p_b| <= k, per-doc pair count and
+    minimum gap."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z]+') AS ts
+            FROM documents),
+        pos AS (
+            SELECT doc_id, ts[CAST(i AS INTEGER)] AS w,
+                   CAST(i AS BIGINT) - 1 AS p
+            FROM toks, UNNEST(range(1, len(ts) + 1)) AS t(i))
+        SELECT a.doc_id AS doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(MIN(abs(a.p - b.p)) AS BIGINT) AS min_gap
+        FROM (SELECT doc_id, p FROM pos WHERE w = '{w1}') a
+        JOIN (SELECT doc_id, p FROM pos WHERE w = '{w2}') b
+          ON a.doc_id = b.doc_id
+        WHERE abs(a.p - b.p) <= {k}
+        GROUP BY 1
+    """
+
 
 _GOLDEN = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "tests", "golden")
@@ -4830,4 +4858,8 @@ def oracle_sql() -> dict[str, str]:
                        AS phi_ppm
             FROM agg WHERE n_hosts >= 2
         """,
+        # positional NEAR self-join; w1==w2 keeps the self pair
+        # (p_a == p_b, gap 0), matching the engine's unrestricted merge
+        "proximity_search": _proximity_sql("table", "scan", 5),
+        "proximity_search_self": _proximity_sql("table", "table", 3),
     }

@@ -3947,8 +3947,17 @@ def ppjoin_pairs(sf_dir: str, threshold: float = 0.5) -> pa.Table:
     pair-dedup is a Count groupby; the exact verify reuses the shared
     output-scale broadcast stage.  Nothing corpus-scale is ever
     broadcast or collected.  Reference analog: pomp dedups per-item
-    serially via a seen dict (SURVEY.md section 2 D1)."""
-    import math
+    serially via a seen dict (SURVEY.md section 2 D1).
+
+    Threshold arithmetic is RATIONAL (t = t_num/t_den from the decimal
+    literal): prefix length and length filter compare integer cross
+    products, so a non-dyadic threshold (0.3, 2/3, ...) can never lose
+    a qualifying candidate to float rounding at an integer boundary --
+    a false negative the exact verify could not restore (ADVICE r3)."""
+    from fractions import Fraction
+
+    fr = Fraction(str(threshold))
+    t_num, t_den = fr.numerator, fr.denominator
 
     def prefix_rows(t: pa.Table) -> pa.Table:
         out_h, out_d, out_sz = [], [], []
@@ -3959,7 +3968,7 @@ def ppjoin_pairs(sf_dir: str, threshold: float = 0.5) -> pa.Table:
             hs = np.sort(pd.util.hash_array(
                 np.asarray(sorted(sh), dtype=object)).astype(np.int64))
             n = len(hs)
-            p = n - math.ceil(threshold * n) + 1
+            p = n - (-(-(n * t_num) // t_den)) + 1   # n - ceil(t*n) + 1
             out_h.extend(int(h) for h in hs[:p])
             out_d.extend([d] * p)
             out_sz.extend([n] * p)
@@ -3982,8 +3991,10 @@ def ppjoin_pairs(sf_dir: str, threshold: float = 0.5) -> pa.Table:
         sa = pc.cast(t["sz"], pa.int64()).to_numpy()
         sb = pc.cast(t["sz_b"], pa.int64()).to_numpy()
         ordered = pc.less(a, b).to_numpy(zero_copy_only=False)
-        # length filter: J >= t  =>  t*|a| <= |b| and t*|b| <= |a|
-        ok = ordered & (threshold * sa <= sb) & (threshold * sb <= sa)
+        # length filter: J >= t  =>  t*|a| <= |b| and t*|b| <= |a|,
+        # compared as exact integer cross products (sizes are bounded
+        # by doc length, so sz * t_num stays far inside int64)
+        ok = ordered & (t_num * sa <= t_den * sb) & (t_num * sb <= t_den * sa)
         return pa.table({"doc_a": a, "doc_b": b}).filter(
             pa.array(ok, pa.bool_()))
 

@@ -2616,7 +2616,11 @@ def item_similarity_topk(sf_dir: str, k: int = 3,
         n = t["n_orders"].to_numpy()
         ca = np.fromiter((c[int(x)] for x in a), np.int64, len(a))
         cb = np.fromiter((c[int(x)] for x in b), np.int64, len(b))
-        ppb = n * n * 1_000_000_000 // (ca * cb)
+        # n*n*1e9 overflows int64 once a pair co-occurs in >~95k orders
+        # (the DuckDB oracle widens to HUGEINT); Python-int math via an
+        # object array keeps the quotient exact at any scale
+        ppb = ((n.astype(object) * n.astype(object) * 1_000_000_000)
+               // (ca.astype(object) * cb.astype(object))).astype(np.int64)
         # directed expansion: each undirected pair serves both items
         return pa.table({
             "part_a": pa.array(np.concatenate([a, b]), pa.int64()),

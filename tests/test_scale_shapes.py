@@ -27,6 +27,31 @@ def test_no_driver_materialization_in_scale_paths():
     assert "num_partitions=16" not in src
 
 
+def test_ppjoin_nondyadic_threshold_candidate_complete():
+    """ADVICE r3: at a non-dyadic threshold the rational prefix/length
+    arithmetic must lose no qualifying pair vs brute-force Jaccard."""
+    from pomp_ray.functions.analysis import shingles
+    from pomp_ray.pipelines.docs import ppjoin_pairs
+    thr = 0.3
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"])
+    sh = {d: frozenset(shingles(x or ""))
+          for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())}
+    ids = sorted(sh)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            sa, sb = sh[a], sh[b]
+            if not sa and not sb:
+                continue
+            inter = len(sa & sb)
+            if inter / (len(sa) + len(sb) - inter) >= thr:
+                want.add((a, b))
+    got = ppjoin_pairs(SF, threshold=thr)
+    assert set(zip(got["doc_a"].to_pylist(),
+                   got["doc_b"].to_pylist())) == want
+
+
 def _brute_knn(ids, mat, k):
     n = np.linalg.norm(mat, axis=1)
     n[n == 0] = 1.0
