@@ -874,6 +874,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "proximity_search_self":
             lambda sf: docs.proximity_search(sf, w1="table", w2="table",
                                              k=3),
+        "sitemap_xml_entries": lambda sf: __import__(
+            "pomp_ray.sources.corpus", fromlist=["corpus"]
+        ).sitemap_xml_entries(_xmlmap_pages_path()),
     }
     # The external correctness driver hashes only the FIRST 50 entries of
     # this dict (insertion order).  Front-load the core engine — crawl
@@ -1053,6 +1056,14 @@ def _small_pages_path() -> str:
     from pomp_ray.sources import gen_corpus
     return gen_corpus.generate("/tmp/pomp_q_corpus_small",
                                gen_corpus.SMALL).pages_path
+
+
+def _xmlmap_pages_path() -> str:
+    """Pages parquet of the XMLMAP corpus fixture (idempotent via the
+    generator's manifest; no ray needed, safe from oracle_sql)."""
+    from pomp_ray.sources import gen_corpus
+    return gen_corpus.generate("/tmp/pomp_q_corpus_xmlmap",
+                               gen_corpus.XMLMAP).pages_path
 
 
 def _mirror_pages_path() -> str:
@@ -4862,4 +4873,35 @@ def oracle_sql() -> dict[str, str]:
         # (p_a == p_b, gap 0), matching the engine's unrestricted merge
         "proximity_search": _proximity_sql("table", "scan", 5),
         "proximity_search_self": _proximity_sql("table", "table", 3),
+        # sitemapindex recursion mirrored as a recursive CTE over the
+        # (index url -> child url) ref graph; urlset entries parsed with
+        # the same <url><loc>/<lastmod> block regex as the engine
+        "sitemap_xml_entries": f"""
+            WITH RECURSIVE p AS (
+                SELECT url, decode(html) AS x
+                FROM read_parquet('{_xmlmap_pages_path()}')
+                WHERE url LIKE '%/sitemap%.xml'),
+            edges AS (
+                SELECT url AS src,
+                       trim(UNNEST(regexp_extract_all(
+                           x, '<sitemap>\\s*<loc>([^<]*)</loc>', 1)))
+                           AS dst
+                FROM p WHERE contains(x, '<sitemapindex')),
+            reach AS (
+                SELECT url AS u FROM p
+                WHERE regexp_matches(url, 'https?://[^/]*/sitemap\\.xml$')
+                UNION
+                SELECT e.dst FROM reach r JOIN edges e ON e.src = r.u),
+            blocks AS (
+                SELECT UNNEST(regexp_extract_all(
+                    x, '<url>\\s*<loc>[^<]*</loc>'
+                       || '(?:\\s*<lastmod>[^<]*</lastmod>)?')) AS b
+                FROM p JOIN reach ON p.url = reach.u
+                WHERE contains(x, '<urlset'))
+            SELECT DISTINCT
+                   trim(regexp_extract(b, '<loc>([^<]*)</loc>', 1)) AS url,
+                   trim(coalesce(regexp_extract(
+                       b, '<lastmod>([^<]*)</lastmod>', 1), '')) AS lastmod
+            FROM blocks
+        """,
     }

@@ -252,6 +252,110 @@ def discover_sitemap_seeds(pages_path: str) -> rd.Dataset:
         .map_batches(parse, batch_format="pyarrow")
 
 
+_SM_LOC_RE = r"<sitemap>\s*<loc>([^<]*)</loc>"
+_URL_BLOCK_RE = (r"<url>\s*<loc>([^<]*)</loc>"
+                 r"(?:\s*<lastmod>([^<]*)</lastmod>)?")
+
+
+def sitemap_xml_entries(pages_path: str) -> rd.Dataset:
+    """XML sitemap discovery (sitemaps.org urlset + sitemapindex): the
+    distinct (url, lastmod) entries of every ``<urlset>`` reachable
+    from a host root ``/sitemap.xml`` -- following ``<sitemapindex>``
+    references recursively.  ``lastmod`` feeds ``recrawl_intervals``-
+    style revisit policies; ``discover_sitemap_xml_seeds`` projects to
+    the SEEDS schema.
+
+    Scale shape: pass 1 extracts only the (index url, child url) REF
+    graph from sitemapindex docs (a few rows per host -- the tiny
+    side), the driver BFSes reachability over it, and pass 2 parses
+    urlset docs gated by the broadcast reachable set.  Page html never
+    leaves the sitemap-suffix filter; parsing is per-sitemap-row regex
+    over one-per-host documents."""
+    import re
+
+    import pyarrow.compute as pc
+    import ray as _ray
+
+    def sitemap_rows(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.match_substring(t["url"], pattern="/sitemap"),
+                       pc.ends_with(t["url"], pattern=".xml"))
+        return t.filter(mask)
+
+    docs = rd.read_parquet(pages_path, columns=["url", "html"]) \
+        .map_batches(sitemap_rows, batch_format="pyarrow")
+
+    def index_refs(t: pa.Table) -> pa.Table:
+        src, dst = [], []
+        for u, h in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            x = (h or b"").decode("utf-8", errors="replace")
+            if "<sitemapindex" not in x:
+                continue
+            for child in re.findall(_SM_LOC_RE, x):
+                src.append(u)
+                dst.append(child.strip())
+        return pa.table({"src": pa.array(src, pa.string()),
+                         "dst": pa.array(dst, pa.string())})
+
+    edges = docs.map_batches(index_refs, batch_format="pyarrow").take_all()
+    children: dict[str, list[str]] = {}
+    for r in edges:
+        children.setdefault(r["src"], []).append(r["dst"])
+    roots = {u for u in children
+             if re.match(r"https?://[^/]*/sitemap\.xml$", u)}
+    # roots with no index refs (a bare urlset at /sitemap.xml) are found
+    # by the urlset pass below; seed the BFS with every /sitemap.xml
+    reachable: set[str] = set()
+    frontier = list(roots)
+    while frontier:
+        nxt = []
+        for u in frontier:
+            if u in reachable:
+                continue
+            reachable.add(u)
+            nxt.extend(children.get(u, ()))
+        frontier = nxt
+    reach_ref = _ray.put(frozenset(reachable))
+
+    def parse_urlsets(t: pa.Table) -> pa.Table:
+        wanted = _ray.get(reach_ref)
+        out_u, out_m = [], []
+        for u, h in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            is_root = re.match(r"https?://[^/]*/sitemap\.xml$", u)
+            if u not in wanted and not is_root:
+                continue
+            x = (h or b"").decode("utf-8", errors="replace")
+            if "<urlset" not in x:
+                continue
+            for loc, lastmod in re.findall(_URL_BLOCK_RE, x):
+                out_u.append(loc.strip())
+                out_m.append(lastmod.strip())
+        return pa.table({"url": pa.array(out_u, pa.string()),
+                         "lastmod": pa.array(out_m, pa.string())})
+
+    from ray.data.aggregate import Min
+    ents = docs.map_batches(parse_urlsets, batch_format="pyarrow") \
+        .groupby("url").aggregate(Min("lastmod", alias_name="lastmod"))
+    return ents.map_batches(
+        lambda t: t.select(["url", "lastmod"]), batch_format="pyarrow")
+
+
+def discover_sitemap_xml_seeds(pages_path: str) -> rd.Dataset:
+    """SEEDS-schema projection of ``sitemap_xml_entries`` -- the XML
+    sibling of ``discover_sitemap_seeds``, ready for
+    ``CrawlEngine.run(seeds=...)`` / the distributed seed chain."""
+    ents = sitemap_xml_entries(pages_path)
+
+    def to_seeds(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "url": t["url"],
+            "priority": pa.array([0] * n, pa.int32()),
+            "depth": pa.array([0] * n, pa.int32()),
+        }, schema=schemas.SEEDS)
+
+    return ents.map_batches(to_seeds, batch_format="pyarrow")
+
+
 def compact_parquet_dir(in_dir: str, out_dir: str,
                         target_rows_per_file: int = 100_000) -> dict:
     """Small-file compaction -- the table-maintenance pass every

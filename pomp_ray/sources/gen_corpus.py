@@ -62,6 +62,12 @@ class CorpusProfile:
     # carrying IDENTICAL text, each linking to /cal/{i+1} -- the
     # calendar-trap shape (infinite url space, no new content).  0 = off.
     trap_pages: int = 0
+    # XML sitemaps (sitemaps.org): each host gains /sitemap.xml (a
+    # sitemapindex referencing two child urlsets) plus /sitemap-0.xml
+    # and /sitemap-1.xml listing the SAME urls as the plain-text
+    # /sitemap.txt, each with a deterministic <lastmod> date.  False =
+    # off (existing corpora unchanged).
+    xml_sitemaps: bool = False
 
     def key(self) -> str:
         # -v2: page template gained per-link anchor words; -v3: per-host
@@ -76,6 +82,7 @@ class CorpusProfile:
         # "l": trap chains are LINKED from host 0's root page (key bump
         # invalidating pre-link trap corpora; no-op for trap_pages=0)
         m += f"-t{self.trap_pages}l" if self.trap_pages else ""
+        m += "-x1" if self.xml_sitemaps else ""
         return (
             f"{self.name}-h{self.n_hosts}-p{self.n_pages}"
             f"-z{self.zipf_skew}-w{self.sentence_words}-s{self.seed}{m}-v4"
@@ -93,6 +100,9 @@ REDIR = CorpusProfile("redir", n_hosts=4, n_pages=240, redirects=True)
 # Trap fixture: host 0 carries a 120-page calendar trap (one template,
 # identical content) beside the normal per-host page trees.
 TRAP = CorpusProfile("trap", n_hosts=6, n_pages=300, trap_pages=120)
+# XML-sitemap fixture: per-host sitemapindex + two urlset children with
+# lastmod dates, beside the plain-text /sitemap.txt.
+XMLMAP = CorpusProfile("xmlmap", n_hosts=4, n_pages=240, xml_sitemaps=True)
 BENCH = CorpusProfile("bench", n_hosts=200, n_pages=200_000, zipf_skew=1.2,
                       sentence_words=60)
 # Flat throughput corpus: one production-shaped mega-round (each round at
@@ -240,6 +250,47 @@ def generate(out_dir: str, profile: CorpusProfile = TINY) -> GeneratedCorpus:
                       f"<body><p>{body}</p></body></html>").encode())
         texts.append(f"{title}\n{body}")
         langs.append("en")
+
+    if profile.xml_sitemaps:
+        # XML sitemaps (sitemaps.org): one <sitemapindex> per host
+        # referencing two <urlset> children that split the same listing
+        # as /sitemap.txt; each entry carries a deterministic <lastmod>.
+        # Raw XML has no <title>/<p>, so the golden text is "" (the
+        # extractor byte-identity invariant holds).  Emitted after the
+        # rng stream -- xml-off profiles stay byte-identical.
+        def _emit_xml(url: str, body: str) -> None:
+            urls.append(url)
+            warc_ts.append(epoch_us
+                           + (profile.n_hosts * 400_000 + len(urls))
+                           * 1_000_000)
+            htmls.append(body.encode("utf-8"))
+            texts.append("")
+            langs.append("en")
+
+        _XMLNS = "http://www.sitemaps.org/schemas/sitemap/0.9"
+        for h, n_in_host in enumerate(counts):
+            listed = [_page_url(h, i)
+                      for i in range(0, n_in_host, max(1, n_in_host // 8))]
+            cut = (len(listed) + 1) // 2
+            halves = (listed[:cut], listed[cut:])
+            child_urls = [f"http://site{h}.test/sitemap-{j}.xml"
+                          for j in range(2)]
+            _emit_xml(
+                f"http://site{h}.test/sitemap.xml",
+                '<?xml version="1.0" encoding="UTF-8"?>'
+                f'<sitemapindex xmlns="{_XMLNS}">'
+                + "".join(f"<sitemap><loc>{c}</loc></sitemap>"
+                          for c in child_urls)
+                + "</sitemapindex>")
+            for j, part in enumerate(halves):
+                entries = "".join(
+                    f"<url><loc>{u}</loc>"
+                    f"<lastmod>2026-01-{(h * 7 + ei) % 28 + 1:02d}"
+                    f"</lastmod></url>"
+                    for ei, u in enumerate(part))
+                _emit_xml(child_urls[j],
+                          '<?xml version="1.0" encoding="UTF-8"?>'
+                          f'<urlset xmlns="{_XMLNS}">{entries}</urlset>')
 
     if profile.trap_pages:
         # calendar trap on host 0: every /cal/i serves the SAME text and
