@@ -877,6 +877,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sitemap_xml_entries": lambda sf: __import__(
             "pomp_ray.sources.corpus", fromlist=["corpus"]
         ).sitemap_xml_entries(_xmlmap_pages_path()),
+        "sitemap_stale_report": lambda sf: __import__(
+            "pomp_ray.sources.corpus", fromlist=["corpus"]
+        ).sitemap_stale_report(_xmlmap_pages_path()),
+        "bottomk_sample": docs.bottomk_sample,
     }
     # The external correctness driver hashes only the FIRST 50 entries of
     # this dict (insertion order).  Front-load the core engine — crawl
@@ -990,6 +994,41 @@ def _gopher_oracle() -> str:
             ({" AND ".join(gates)}) AS keep
         FROM c
     """
+
+def _sitemap_entries_sql() -> str:
+    """Shared sitemap-entries SQL (sitemapindex recursion as a recursive
+    CTE; urlset entries via the same <url><loc>/<lastmod> block regex as
+    the engine) -- reused by sitemap_xml_entries and
+    sitemap_stale_report (the _CDX_SQL WITH-reuse pattern)."""
+    return f"""
+        WITH RECURSIVE p AS (
+            SELECT url, decode(html) AS x
+            FROM read_parquet('{_xmlmap_pages_path()}')
+            WHERE url LIKE '%/sitemap%.xml'),
+        edges AS (
+            SELECT url AS src,
+                   trim(UNNEST(regexp_extract_all(
+                       x, '<sitemap>\\s*<loc>([^<]*)</loc>', 1)))
+                       AS dst
+            FROM p WHERE contains(x, '<sitemapindex')),
+        reach AS (
+            SELECT url AS u FROM p
+            WHERE regexp_matches(url, 'https?://[^/]*/sitemap\\.xml$')
+            UNION
+            SELECT e.dst FROM reach r JOIN edges e ON e.src = r.u),
+        blocks AS (
+            SELECT UNNEST(regexp_extract_all(
+                x, '<url>\\s*<loc>[^<]*</loc>'
+                   || '(?:\\s*<lastmod>[^<]*</lastmod>)?')) AS b
+            FROM p JOIN reach ON p.url = reach.u
+            WHERE contains(x, '<urlset'))
+        SELECT DISTINCT
+               trim(regexp_extract(b, '<loc>([^<]*)</loc>', 1)) AS url,
+               trim(coalesce(regexp_extract(
+                   b, '<lastmod>([^<]*)</lastmod>', 1), '')) AS lastmod
+        FROM blocks
+    """
+
 
 def _proximity_sql(w1: str, w2: str, k: int) -> str:
     """Positional-postings NEAR oracle mirroring docs.proximity_search:
@@ -4873,35 +4912,24 @@ def oracle_sql() -> dict[str, str]:
         # (p_a == p_b, gap 0), matching the engine's unrestricted merge
         "proximity_search": _proximity_sql("table", "scan", 5),
         "proximity_search_self": _proximity_sql("table", "table", 3),
-        # sitemapindex recursion mirrored as a recursive CTE over the
-        # (index url -> child url) ref graph; urlset entries parsed with
-        # the same <url><loc>/<lastmod> block regex as the engine
-        "sitemap_xml_entries": f"""
-            WITH RECURSIVE p AS (
-                SELECT url, decode(html) AS x
-                FROM read_parquet('{_xmlmap_pages_path()}')
-                WHERE url LIKE '%/sitemap%.xml'),
-            edges AS (
-                SELECT url AS src,
-                       trim(UNNEST(regexp_extract_all(
-                           x, '<sitemap>\\s*<loc>([^<]*)</loc>', 1)))
-                           AS dst
-                FROM p WHERE contains(x, '<sitemapindex')),
-            reach AS (
-                SELECT url AS u FROM p
-                WHERE regexp_matches(url, 'https?://[^/]*/sitemap\\.xml$')
-                UNION
-                SELECT e.dst FROM reach r JOIN edges e ON e.src = r.u),
-            blocks AS (
-                SELECT UNNEST(regexp_extract_all(
-                    x, '<url>\\s*<loc>[^<]*</loc>'
-                       || '(?:\\s*<lastmod>[^<]*</lastmod>)?')) AS b
-                FROM p JOIN reach ON p.url = reach.u
-                WHERE contains(x, '<urlset'))
-            SELECT DISTINCT
-                   trim(regexp_extract(b, '<loc>([^<]*)</loc>', 1)) AS url,
-                   trim(coalesce(regexp_extract(
-                       b, '<lastmod>([^<]*)</lastmod>', 1), '')) AS lastmod
-            FROM blocks
+        "sitemap_xml_entries": _sitemap_entries_sql(),
+        "sitemap_stale_report": f"""
+            WITH ents AS ({_sitemap_entries_sql()}),
+            pg AS (
+                SELECT url,
+                       DATEDIFF('day', DATE '1970-01-01',
+                                CAST(warc_ts AS DATE)) AS crawl_day
+                FROM read_parquet('{_xmlmap_pages_path()}'))
+            SELECT e.url AS url, e.lastmod AS lastmod,
+                   CAST(pg.crawl_day AS DOUBLE) AS crawl_day,
+                   ((pg.url IS NULL) OR
+                    (DATEDIFF('day', DATE '1970-01-01',
+                              CAST(e.lastmod AS DATE)) > pg.crawl_day))
+                       AS stale
+            FROM ents e LEFT JOIN pg ON pg.url = e.url
+        """,
+        "bottomk_sample": """
+            SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+            FROM documents ORDER BY h, doc_id LIMIT 64
         """,
     }

@@ -927,8 +927,10 @@ class CrawlEngine:
             cands = cands.map_batches(
                 lambda t: t.filter(pc.less(t["link_idx"], mlp)),
                 batch_format="pyarrow")
-        cands = cands.map_batches(canonicalize_batch,
-                                  batch_format="pyarrow")
+        canon_stats_dir = self._dir("canonstats", rnd)
+        cands = cands.map_batches(
+            lambda t, _d=canon_stats_dir: canonicalize_batch(t, stats_dir=_d),
+            batch_format="pyarrow")
         if cfg.same_host_only:
             cands = cands.map_batches(same_host_filter,
                                       batch_format="pyarrow")
@@ -989,7 +991,9 @@ class CrawlEngine:
                 "n_deferred": n_deferred, "n_visited": n_visited,
                 "n_items": n_visited, "n_errors": n_errors, "n_new": n_new,
                 "n_frontier_next": n_new + n_deferred,
-                "n_text_bytes": n_text_bytes}
+                "n_text_bytes": n_text_bytes,
+                "n_canon_slow": _sum_canon_stats(
+                    self._dir("canonstats", rnd))}
         if hosts_sel is not None:
             info["hosts_selected"] = hosts_sel
         if hosts_err is not None:
@@ -1246,8 +1250,10 @@ class CrawlEngine:
             cands = cands.map_batches(
                 lambda t: t.filter(pc.less(t["link_idx"], mlp)),
                 batch_format="pyarrow")
-        cands = cands.map_batches(canonicalize_batch,
-                                  batch_format="pyarrow")
+        canon_stats_dir = self._dir("canonstats", rnd)
+        cands = cands.map_batches(
+            lambda t, _d=canon_stats_dir: canonicalize_batch(t, stats_dir=_d),
+            batch_format="pyarrow")
         if cfg.same_host_only:
             cands = cands.map_batches(same_host_filter,
                                       batch_format="pyarrow")
@@ -1288,7 +1294,9 @@ class CrawlEngine:
                 "t_exec_a": round(t_exec_a, 3),
                 "t_counts_a": round(t_counts_a, 3),
                 "t_exec_b": round(t_exec_b, 3),
-                "t_counts_b": round(_t() - t0, 3)}
+                "t_counts_b": round(_t() - t0, 3),
+                "n_canon_slow": _sum_canon_stats(
+                    self._dir("canonstats", rnd))}
         if hosts_sel is not None:
             info["hosts_selected"] = hosts_sel
         if hosts_err is not None:
@@ -1339,7 +1347,8 @@ class CrawlEngine:
                     break
                 # a previously crashed attempt may have left partial output
                 for kind, r in (("items", rnd), ("errors", rnd),
-                                ("deferred", rnd), ("frontier", rnd + 1)):
+                                ("deferred", rnd), ("canonstats", rnd),
+                                ("frontier", rnd + 1)):
                     d = self._dir(kind, r)
                     if os.path.isdir(d):
                         shutil.rmtree(d)
@@ -1704,6 +1713,23 @@ def _frontier_stats(t: pa.Table) -> dict:
         for v in un["host"].value_counts():
             hosts[v["values"].as_py()] = int(v["counts"].as_py())
     return {"n": t.num_rows, "n_blocked": nb, "hosts": hosts}
+
+
+def _sum_canon_stats(stats_dir: str) -> int:
+    """Total slow-path (per-row Python fallback) canonicalizations
+    recorded by the round's canonicalize stage -- sidecars exist only
+    for batches where the fallback fired, so generated corpora read 0
+    without touching the filesystem beyond one isdir."""
+    if not os.path.isdir(stats_dir):
+        return 0
+    total = 0
+    for p in glob.glob(os.path.join(stats_dir, "canon-*.json")):
+        try:
+            with open(p) as f:
+                total += int(json.load(f).get("n_slow", 0))
+        except (json.JSONDecodeError, OSError):
+            continue
+    return total
 
 
 def _write_stats_sidecar(parquet_path: str, stats: dict) -> None:

@@ -184,7 +184,10 @@ def gc_checkpoint(ckpt_dir: str) -> dict:
 
     n_dirs = 0
     n_bytes = 0
-    for kind, upto in (("frontier", last), ("deferred", last - 1)):
+    # canonstats sidecars are folded into the round JSON at commit time;
+    # past-round dirs are pure lineage residue
+    for kind, upto in (("frontier", last), ("deferred", last - 1),
+                       ("canonstats", last)):
         for d in sorted(glob.glob(os.path.join(ckpt_dir, kind,
                                                "round-*"))):
             if _round_of(d) <= upto:

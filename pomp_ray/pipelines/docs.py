@@ -4089,3 +4089,33 @@ def proximity_search(sf_dir: str, w1: str = "table", w2: str = "scan",
     # per-doc partials are already final (a doc never spans batches)
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         partial, batch_format="pyarrow")
+
+
+def bottomk_sample(sf_dir: str, k: int = 64) -> pa.Table:
+    """KMV / bottom-k sketch of the document set: the ``k`` docs with
+    the smallest md5(doc_id) -- a mergeable, deterministic uniform
+    sample (the k-minimum-values sketch of Bar-Yossef et al. 2002; the
+    kth value also yields the classic distinct-count estimator).  The
+    repo's sketch family sibling to count-min (heavy hitters), Bloom
+    (membership) and HLL (cardinality): KMV gives SAMPLING + distinct
+    estimation with exact cross-engine semantics -- md5 is shared with
+    DuckDB, so the oracle is an exact ORDER BY md5 LIMIT k.
+
+    Shape: per-batch partial bottom-k (one pandas nsmallest per batch,
+    candidates bounded by k x n_blocks), tiny driver merge.  Nothing
+    corpus-scale ever shuffles or lands driver-side."""
+    import hashlib
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy()
+        hs = np.array([hashlib.md5(str(int(d)).encode()).hexdigest()
+                       for d in ids], dtype=object)
+        order = np.lexsort((ids, hs))[:k]
+        return pa.table({"doc_id": pa.array(ids[order], pa.int64()),
+                         "h": pa.array(hs[order], pa.string())})
+
+    parts = _docs(sf_dir, ["doc_id"]).map_batches(
+        partial, batch_format="pyarrow").take_all()
+    rows = sorted(((r["h"], r["doc_id"]) for r in parts))[:k]
+    return pa.table({"doc_id": pa.array([d for _, d in rows], pa.int64()),
+                     "h": pa.array([h for h, _ in rows], pa.string())})

@@ -339,6 +339,50 @@ def sitemap_xml_entries(pages_path: str) -> rd.Dataset:
         lambda t: t.select(["url", "lastmod"]), batch_format="pyarrow")
 
 
+def sitemap_stale_report(pages_path: str) -> rd.Dataset:
+    """Recrawl targeting from sitemap freshness: join the XML sitemap
+    entries' ``lastmod`` against each crawled page's capture date
+    (``warc_ts``) and flag entries whose lastmod POSTDATES the capture
+    -- the pages a continuous crawl should refetch first (the
+    sitemap-driven sibling of ``recrawl_intervals``'s change-rate
+    policy).  Entries never crawled (no pages row) flag stale with a
+    null crawl date.
+
+    Shape: the entries table is sitemap-scale (the tiny side); the join
+    is a Dataset hash join on canonical url; dates compare as integer
+    epoch days -- no float time math."""
+    import pyarrow.compute as pc
+
+    ents = sitemap_xml_entries(pages_path).materialize()
+
+    def crawled(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(t["warc_ts"], unit="day"),
+                      pa.date32())
+        return pa.table({"url": t["url"],
+                         "crawl_day": pc.cast(day, pa.int32())})
+
+    pages = rd.read_parquet(pages_path, columns=["url", "warc_ts"]) \
+        .map_batches(crawled, batch_format="pyarrow")
+    joined = ents.join(pages, join_type="left_outer", on=("url",),
+                       num_partitions=2)
+
+    def flag(t: pa.Table) -> pa.Table:
+        lastmod_day = pc.cast(pc.cast(
+            pc.strptime(t["lastmod"], format="%Y-%m-%d", unit="s"),
+            pa.date32()), pa.int32())
+        no_crawl = pc.is_null(t["crawl_day"])
+        stale = pc.or_kleene(
+            no_crawl, pc.greater(lastmod_day, t["crawl_day"]))
+        return pa.table({
+            "url": t["url"],
+            "lastmod": t["lastmod"],
+            # nullable int -> float64 (DuckDB .df() nullable-int rule)
+            "crawl_day": pc.cast(t["crawl_day"], pa.float64()),
+            "stale": pc.cast(stale, pa.bool_())})
+
+    return joined.map_batches(flag, batch_format="pyarrow")
+
+
 def discover_sitemap_xml_seeds(pages_path: str) -> rd.Dataset:
     """SEEDS-schema projection of ``sitemap_xml_entries`` -- the XML
     sibling of ``discover_sitemap_seeds``, ready for

@@ -18,6 +18,8 @@ Order of operations (must match pomp_ray.core.oracle.try_enqueue exactly):
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -41,18 +43,72 @@ from pomp_ray.state.seen import check_and_add_via
 # Equivalence with the per-row path is asserted in tests/test_textfns.py.
 _FAST_EXTRACT = r"^(?:http|https)://(?P<host>[a-z0-9.-]+)(?P<path>/[^#?@\s]*)$"
 
+# Second vectorized tier: ROOT-RELATIVE hrefs ("/a/b") against a base url
+# already in canonical absolute shape resolve to scheme://base_host + href
+# (urljoin ignores the base path for root-relative refs), and the result
+# is already canonical -- so the whole class joins via two Arrow
+# binary_join kernels.  Conservative char set (no query/fragment/colon):
+# anything else falls through to the per-row library path.
+_REL_FAST = r"^/[^#?@:\s]*$"
+_BASE_EXTRACT = r"^(?P<scheme>https?)://(?P<host>[a-z0-9.-]+)(?:/[^#?@\s]*)?$"
 
-def canonicalize_batch(batch: pa.Table) -> pa.Table:
-    """Resolve + canonicalize candidate urls; adds canon_url, host, path."""
+
+def _record_canon_stats(stats_dir: str, urls: list,
+                        n: int, n_slow: int) -> None:
+    """Per-batch fast-path coverage sidecar (same discipline as the
+    frontier ``.stats.json`` files): written ONLY when the per-row
+    Python fallback fired, under a content-derived name so task retries
+    overwrite idempotently.  The crawl driver sums the directory into
+    the round JSON's ``n_canon_slow`` -- the guard against a messy
+    real-web corpus silently degrading the hot path (VERDICT r3)."""
+    import hashlib
+    import json as _json
+    os.makedirs(stats_dir, exist_ok=True)
+    key = hashlib.md5(
+        ("|".join(map(str, urls[:8])) + f":{n}:{n_slow}").encode()
+    ).hexdigest()[:16]
+    path = os.path.join(stats_dir, f"canon-{key}.json")
+    tmp = f"{path}.tmp{os.getpid()}"
+    with open(tmp, "w") as f:
+        _json.dump({"n": n, "n_slow": n_slow}, f)
+    os.replace(tmp, path)
+
+
+def canonicalize_batch(batch: pa.Table,
+                       stats_dir: str | None = None) -> pa.Table:
+    """Resolve + canonicalize candidate urls; adds canon_url, host, path.
+    With ``stats_dir``, batches that fall off the vectorized fast path
+    leave a coverage sidecar (see ``_record_canon_stats``)."""
     urls = batch["url"]
     ex = pc.extract_regex(urls, pattern=_FAST_EXTRACT)
     fast = pc.is_valid(ex)
     n = batch.num_rows
     n_fast = int(pc.sum(fast).as_py() or 0)
+    exb = None
+    covered, n_cov = fast, n_fast
+    if n_fast < n and "base" in batch.column_names:
+        exb = pc.extract_regex(batch["base"], pattern=_BASE_EXTRACT)
+        rel = pc.and_(pc.invert(fast), pc.and_(
+            pc.match_substring_regex(urls, pattern=_REL_FAST),
+            pc.is_valid(exb)))
+        covered = pc.or_(fast, rel)
+        n_cov = int(pc.sum(covered).as_py() or 0)
+    if stats_dir is not None and n_cov < n:
+        _record_canon_stats(stats_dir, urls.to_pylist(), n, n - n_cov)
     if n_fast == n:
         canon_arr = pc.cast(urls, pa.string())
         host_arr = pc.struct_field(ex, "host")
         path_arr = pc.struct_field(ex, "path")
+    elif n_cov == n:
+        # fast + root-relative tiers cover the batch: all-Arrow merge
+        scheme = pc.struct_field(exb, "scheme")
+        bh = pc.struct_field(exb, "host")
+        u_str = pc.cast(urls, pa.string())
+        hostpath = pc.binary_join_element_wise(bh, u_str, "")
+        rel_canon = pc.binary_join_element_wise(scheme, hostpath, "://")
+        canon_arr = pc.if_else(fast, u_str, rel_canon)
+        host_arr = pc.if_else(fast, pc.struct_field(ex, "host"), bh)
+        path_arr = pc.if_else(fast, pc.struct_field(ex, "path"), u_str)
     else:
         fast_mask = fast.to_pylist() if hasattr(fast, "to_pylist") else fast
         urls_py = urls.to_pylist()
