@@ -881,6 +881,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "pomp_ray.sources.corpus", fromlist=["corpus"]
         ).sitemap_stale_report(_xmlmap_pages_path()),
         "bottomk_sample": docs.bottomk_sample,
+        "exclusion_funnel": joins.exclusion_funnel,
+        "event_trigram_transitions": windows.event_trigram_transitions,
+        "user_action_simpson": windows.user_action_simpson,
+        "doc_ahash": docs.doc_ahash,
+        "host_adamic_adar": lambda sf: __import__(
+            "pomp_ray.pipelines.graph", fromlist=["graph"]
+        ).host_adamic_adar(_mirror_pages_path()),
+        "quantity_quantiles_cont": relational.quantity_quantiles_cont,
     }
     # The external correctness driver hashes only the FIRST 50 entries of
     # this dict (insertion order).  Front-load the core engine — crawl
@@ -4932,4 +4940,112 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
             FROM documents ORDER BY h, doc_id LIMIT 64
         """,
+        "exclusion_funnel": """
+            WITH pairs AS (
+                SELECT p.event_id, p.user_id, p.ts,
+                       (SELECT c.event_id FROM events c
+                        WHERE c.user_id = p.user_id
+                          AND c.event_type = 'click' AND c.ts <= p.ts
+                        ORDER BY c.ts DESC, c.event_id DESC LIMIT 1)
+                           AS click_event_id,
+                       (SELECT c.ts FROM events c
+                        WHERE c.user_id = p.user_id
+                          AND c.event_type = 'click' AND c.ts <= p.ts
+                        ORDER BY c.ts DESC, c.event_id DESC LIMIT 1)
+                           AS click_ts
+                FROM events p WHERE p.event_type = 'purchase')
+            SELECT event_id, CAST(user_id AS BIGINT) AS user_id, ts,
+                   CAST(click_event_id AS DOUBLE) AS click_event_id,
+                   CASE WHEN click_event_id IS NULL THEN FALSE
+                        ELSE NOT EXISTS (SELECT 1 FROM events e
+                                         WHERE e.user_id = pairs.user_id
+                                           AND e.event_type = 'error'
+                                           AND e.ts > pairs.click_ts
+                                           AND e.ts < pairs.ts) END
+                       AS clean
+            FROM pairs
+        """,
+        "event_trigram_transitions": """
+            WITH s AS (
+                SELECT user_id, event_type AS t1,
+                       LEAD(event_type, 1) OVER w AS t2,
+                       LEAD(event_type, 2) OVER w AS t3
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+            FROM s WHERE t3 IS NOT NULL
+            GROUP BY 1, 2, 3
+            ORDER BY n DESC, t1, t2, t3 LIMIT 50
+        """,
+        "user_action_simpson": """
+            WITH ut AS (
+                SELECT user_id, event_type, COUNT(*) AS c
+                FROM events GROUP BY 1, 2)
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(SUM(c) AS BIGINT) AS n_events,
+                   CAST(SUM(c * c) * 1000000 // (SUM(c) * SUM(c))
+                        AS BIGINT) AS simpson_ppm
+            FROM ut GROUP BY 1
+        """,
+        # aHash: integer cross-product mean threshold per 64 code-point
+        # slices; two 32-bit halves dodge the BIGINT sign bit, printf
+        # packs the same hex as the engine's np.packbits bytes
+        "doc_ahash": """
+            WITH d AS (
+                SELECT doc_id,
+                       list_transform(string_split(text, ''),
+                                      c -> unicode(c)) AS cs,
+                       CAST(length(text) AS BIGINT) AS n
+                FROM documents WHERE length(text) > 0),
+            b AS (
+                SELECT doc_id, n, i,
+                       coalesce(list_sum(cs[CAST(i*n//64 AS BIGINT)+1 :
+                                            CAST((i+1)*n//64 AS BIGINT)]),
+                                0) AS sj,
+                       (i+1)*n//64 - i*n//64 AS lj,
+                       list_sum(cs) AS total
+                FROM d, UNNEST(range(0, 64)) AS t(i)),
+            bits AS (
+                SELECT doc_id,
+                       SUM(CASE WHEN i < 32 AND sj*n >= total*lj
+                                THEN (CAST(1 AS BIGINT)
+                                      << CAST(31 - i AS INTEGER))
+                                ELSE 0 END) AS hi,
+                       SUM(CASE WHEN i >= 32 AND sj*n >= total*lj
+                                THEN (CAST(1 AS BIGINT)
+                                      << CAST(63 - i AS INTEGER))
+                                ELSE 0 END) AS lo
+                FROM b GROUP BY doc_id)
+            SELECT doc_id, printf('%08x%08x', CAST(hi AS BIGINT),
+                                  CAST(lo AS BIGINT)) AS ahash
+            FROM bits
+        """,
+        "host_adamic_adar": f"""
+            WITH links AS (
+                SELECT lower(regexp_extract(url, '^[a-z]+://([^/]+)', 1))
+                           AS src,
+                       unnest(regexp_extract_all(
+                           decode(html), 'href="([^"]+)"', 1)) AS href
+                FROM read_parquet('{_MP}')),
+            edges0 AS (
+                SELECT src,
+                       CASE WHEN href LIKE 'http://%'
+                            THEN lower(regexp_extract(
+                                href, '^http://([^/]+)', 1))
+                            ELSE src END AS dst
+                FROM links),
+            e AS (SELECT DISTINCT src, dst FROM edges0 WHERE src <> dst),
+            ind AS (SELECT dst, CAST(1000000000 AS BIGINT) // COUNT(*)
+                               AS w
+                    FROM e GROUP BY dst)
+            SELECT e1.src AS a, e2.src AS b,
+                   CAST(SUM(ind.w) AS BIGINT) AS aa_ppb
+            FROM e e1 JOIN e e2 ON e1.dst = e2.dst AND e1.src < e2.src
+            JOIN ind ON ind.dst = e1.dst
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "quantity_quantiles_cont": " UNION ALL ".join(
+            f"SELECT l_returnflag, CAST({q} AS DOUBLE) AS q, "
+            f"quantile_cont(l_quantity, {q}) AS quantile_val "
+            f"FROM lineitem GROUP BY 1" for q in (0.25, 0.5, 0.75)),
     }

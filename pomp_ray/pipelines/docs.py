@@ -4119,3 +4119,57 @@ def bottomk_sample(sf_dir: str, k: int = 64) -> pa.Table:
     rows = sorted(((r["h"], r["doc_id"]) for r in parts))[:k]
     return pa.table({"doc_id": pa.array([d for _, d in rows], pa.int64()),
                      "h": pa.array([h for h, _ in rows], pa.string())})
+
+
+def doc_ahash(sf_dir: str, n_bits: int = 64) -> rd.Dataset:
+    """Average-hash (aHash) perceptual fingerprint per document, the
+    mean-threshold hash image dedup uses, applied to the text payload's
+    code points (the multimodal decode stand-in): split the code-point
+    sequence into ``n_bits`` equal slices; bit j = 1 iff slice j's mean
+    >= the whole document's mean, compared as exact integer cross
+    products (sum_j * n >= total * len_j -- no float means).  Docs
+    sharing an aHash are perceptual near-dups (robust to local edits
+    that don't move slice means across the global mean).
+
+    Vectorization: code points come from one utf-32-le reinterpret per
+    batch (no per-char Python), slice sums are one np.add.reduceat over
+    flattened boundaries, and the 64-bit pack is np.packbits ->
+    bytes.hex().  Empty docs drop (no mean exists).  Exact DuckDB
+    oracle: list slices of unicode() code points, the same integer
+    comparison, and a two-halves printf('%%08x%%08x') pack."""
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy()
+        keep = [i for i, x in enumerate(texts) if x]
+        if not keep:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "ahash": pa.array([], pa.string())})
+        ids = ids[keep]
+        texts = [texts[i] for i in keep]
+        lens = np.array([len(x) for x in texts], np.int64)
+        codes = np.frombuffer("".join(texts).encode("utf-32-le"),
+                              np.uint32).astype(np.int64)
+        starts = np.cumsum(lens) - lens
+        # per-doc slice boundaries: start + j*n//n_bits, flattened
+        j = np.arange(n_bits, dtype=np.int64)
+        bounds = (starts[:, None] + (j[None, :] * lens[:, None]) // n_bits)
+        flat_bounds = bounds.ravel()
+        sums = np.add.reduceat(codes, flat_bounds).reshape(-1, n_bits)
+        # reduceat quirk: equal consecutive indices yield the single
+        # element, and the last segment runs to the end -- fix empty
+        # slices to 0 and recompute true slice lengths
+        ends = np.concatenate([bounds[:, 1:],
+                               (starts + lens)[:, None]], axis=1)
+        lj = ends - bounds
+        sums = np.where(lj == 0, 0, sums)
+        total = np.add.reduceat(codes, starts)
+        bits = (sums * lens[:, None]) >= (total[:, None] * lj)
+        packed = np.packbits(bits, axis=1)
+        hexes = packed.tobytes().hex()
+        w = n_bits // 4
+        ah = [hexes[i * w:(i + 1) * w] for i in range(len(ids))]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "ahash": pa.array(ah, pa.string())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        partial, batch_format="pyarrow")

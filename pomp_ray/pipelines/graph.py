@@ -1531,3 +1531,60 @@ def host_harmonic_centrality(pages_path: str, n_seeds: int = 4,
                     "harmonic_ppm": pc.cast(tbl["harmonic_ppm"],
                                             pa.int64())})
     return out.sort_by("host")
+
+
+def host_adamic_adar(pages_path: str, num_partitions: int = 4) -> pa.Table:
+    """Adamic-Adar-style link similarity over the foreign host graph:
+    host pairs (a < b) scored by the sum over SHARED destinations of
+    an inverse-popularity weight -- rare shared outlinks say more than
+    links everyone makes (Adamic & Adar 2003).  The classic weight is
+    1/log(indeg); this engine uses the log-free exact-integer variant
+    w(dst) = 10^9 // indeg(dst) (the pmi_top_pairs discipline: integer
+    ratios rank identically cross-engine, no last-ulp float risk).
+
+    Shape: distinct foreign (src, dst) edges (one skinny groupby), an
+    in-degree groupby on dst, ONE hash join attaching weights to edges
+    (materialized -- the two-live-joins rule), then the cocitation
+    dst-pivot self-join and a pair-sum groupby.  Everything after the
+    corpus scan is host-cardinality-scale."""
+    from ray.data.aggregate import Count as _Count, Sum as _Sum
+
+    def foreign(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(pc.equal(t["src"], t["dst"])))
+
+    edges = corpus_host_edges(pages_path) \
+        .map_batches(foreign, batch_format="pyarrow") \
+        .groupby(["src", "dst"]).aggregate(_Count(alias_name="_n")) \
+        .map_batches(lambda t: t.select(["src", "dst"]),
+                     batch_format="pyarrow") \
+        .repartition(2).materialize()
+
+    indeg = edges.groupby("dst").aggregate(_Count(alias_name="indeg")) \
+        .map_batches(
+            lambda t: pa.table({
+                "dst": t["dst"],
+                "w": pc.cast(pc.divide(
+                    pa.scalar(1_000_000_000, pa.int64()),
+                    pc.cast(t["indeg"], pa.int64())), pa.int64())}),
+            batch_format="pyarrow").repartition(2).materialize()
+
+    weighted = edges.join(indeg, join_type="inner", on=("dst",),
+                          num_partitions=num_partitions) \
+        .repartition(2).materialize()
+    left = weighted.map_batches(
+        lambda t: pa.table({"a": t["src"], "dst": t["dst"], "w": t["w"]}),
+        batch_format="pyarrow")
+    right = weighted.map_batches(
+        lambda t: pa.table({"b": t["src"], "dst": t["dst"]}),
+        batch_format="pyarrow")
+    pairs = left.join(right, join_type="inner", on=("dst",),
+                      num_partitions=num_partitions) \
+        .map_batches(lambda t: t.filter(pc.less(t["a"], t["b"])),
+                     batch_format="pyarrow").repartition(2)
+    rows = pairs.groupby(["a", "b"]).aggregate(
+        _Sum("w", alias_name="aa_ppb")).take_all()
+    rows.sort(key=lambda r: (r["a"], r["b"]))
+    return pa.table({
+        "a": pa.array([r["a"] for r in rows], pa.string()),
+        "b": pa.array([r["b"] for r in rows], pa.string()),
+        "aa_ppb": pa.array([int(r["aa_ppb"]) for r in rows], pa.int64())})

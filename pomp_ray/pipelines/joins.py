@@ -277,3 +277,71 @@ def salted_join_rollup(sf_dir: str, n_salts: int = 8) -> rd.Dataset:
         lambda t: pa.table({"first_day": pc.cast(t["first_day"], pa.int64()),
                             "n_events": pc.cast(t["n_events"], pa.int64())}),
         batch_format="pyarrow").sort("first_day")
+
+
+def exclusion_funnel(sf_dir: str) -> rd.Dataset:
+    """NOT-step (exclusion) funnel: for every purchase, the latest
+    same-user click at-or-before it (the asof_click_before_purchase
+    pair), plus ``clean`` = no same-user ERROR event strictly between
+    the click and the purchase -- the funnel variant product analytics
+    uses to separate converted-despite-friction from clean conversions.
+    Purchases with no prior click report clean = false (the funnel
+    never started).
+
+    Shape: the 64-bucket per-user asof (one C-speed merge_asof per
+    bucket), then error lookups inside the same bucket via ONE
+    composite-axis searchsorted (factorized user codes x in-bucket
+    time offset, the rolling_window_1h trick) -- no per-pair loop, no
+    second shuffle.  Composite keys stay in int64 while
+    bucket-user-count x time-span-us < 2^63 (at larger spans widen to
+    int128 via two-level searchsorted)."""
+    import numpy as np
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32())
+        return t.append_column("bucket", b)
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        p = g[g["event_type"] == "purchase"][["event_id", "user_id", "ts"]]
+        out_cols = ["event_id", "user_id", "ts", "click_event_id", "clean"]
+        if p.empty:
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "ts": pd.Series([], dtype="datetime64[us]"),
+                "click_event_id": pd.Series([], dtype="float64"),
+                "clean": pd.Series([], dtype="bool")})
+        c = g[g["event_type"] == "click"][["event_id", "user_id", "ts"]] \
+            .rename(columns={"event_id": "click_event_id",
+                             "ts": "click_ts"})
+        m = pd.merge_asof(p, c, left_on="ts", right_on="click_ts",
+                          by="user_id", direction="backward")
+        e = g[g["event_type"] == "error"][["user_id", "ts"]]
+        has_click = m["click_event_id"].notna().to_numpy()
+        n_err = np.zeros(len(m), np.int64)
+        if len(e) and has_click.any():
+            all_users = pd.concat([e["user_id"], m["user_id"]])
+            codes_all, _ = pd.factorize(all_users)
+            ce = codes_all[:len(e)]
+            cm = codes_all[len(e):]
+            t0 = int(g["ts"].astype("int64").min())
+            span = int(g["ts"].astype("int64").max()) - t0 + 2
+            ekey = np.sort(ce * span + (e["ts"].astype("int64").to_numpy()
+                                        - t0))
+            lo = cm * span + (m["click_ts"].astype("int64")
+                              .fillna(0).to_numpy() - t0)
+            hi = cm * span + (m["ts"].astype("int64").to_numpy() - t0)
+            n_err = (np.searchsorted(ekey, hi, side="left")
+                     - np.searchsorted(ekey, lo, side="right"))
+        m["click_event_id"] = m["click_event_id"].astype("float64")
+        m["clean"] = has_click & (n_err == 0)
+        return m[out_cols]
+
+    ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]) \
+        .map_batches(add_bucket, batch_format="pyarrow")
+    out = ds.groupby("bucket").map_groups(funnel, batch_format="pandas")
+    return out.map_batches(
+        lambda t: t.set_column(t.column_names.index("user_id"), "user_id",
+                               pc.cast(t["user_id"], pa.int64())),
+        batch_format="pyarrow")

@@ -2692,3 +2692,59 @@ def acctbal_percentile_ranks(sf_dir: str) -> rd.Dataset:
                          "pr_ppm": pa.array(ppm, pa.int64())})
 
     return pos.map_batches(fin, batch_format="pyarrow")
+
+
+def quantity_quantiles_cont(sf_dir: str) -> pa.Table:
+    """Interpolated (PERCENT_CONT-style) quartiles of l_quantity per
+    return flag -- the continuous sibling of ``length_quantiles``'s
+    quantile_disc rule.  Exactness: l_quantity is a small integer (as a
+    double) and the quartile fractions are dyadic, so position
+    ``q*(n-1)``, its fractional part, and the interpolation
+    ``(crn-pos)*v_lo + (pos-frn)*v_hi`` are ALL exactly-representable
+    floats -- any algebraically equivalent formula (DuckDB's included)
+    yields the identical double, no last-ulp risk.
+
+    Shape: the corpus reduces to a per-(flag, quantity) HISTOGRAM via
+    per-batch value_counts partials (value cardinality << rows, the
+    length_quantiles trick); the driver walks the tiny cumulative grid.
+    """
+    import math
+
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pa.table({"f": t["l_returnflag"],
+                       "v": t["l_quantity"]}).to_pandas()
+        vc = df.value_counts().rename("c").reset_index()
+        vc["c"] = vc["c"].astype("int64")
+        return pa.Table.from_pandas(vc, preserve_index=False)
+
+    hist = _t(sf_dir, "lineitem", ["l_returnflag", "l_quantity"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["f", "v"]).aggregate(_Sum("c", alias_name="c")) \
+        .take_all()
+    by_flag: dict[str, list[tuple[float, int]]] = {}
+    for r in hist:
+        by_flag.setdefault(r["f"], []).append((float(r["v"]),
+                                               int(r["c"])))
+    out_f, out_q, out_v = [], [], []
+    for f in sorted(by_flag):
+        vals = sorted(by_flag[f])
+        vs = [v for v, _ in vals]
+        cum = np.cumsum([c for _, c in vals])
+        n = int(cum[-1])
+
+        def at(i: int) -> float:
+            return vs[int(np.searchsorted(cum, i + 1))]
+
+        for q in (0.25, 0.5, 0.75):
+            pos = q * (n - 1)
+            frn, crn = math.floor(pos), math.ceil(pos)
+            v = (at(frn) if frn == crn
+                 else (crn - pos) * at(frn) + (pos - frn) * at(crn))
+            out_f.append(f)
+            out_q.append(q)
+            out_v.append(v)
+    return pa.table({"l_returnflag": pa.array(out_f, pa.string()),
+                     "q": pa.array(out_q, pa.float64()),
+                     "quantile_val": pa.array(out_v, pa.float64())})

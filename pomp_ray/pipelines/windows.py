@@ -1422,3 +1422,89 @@ def point_in_time_join(sf_dir: str, fact_type: str = "purchase") -> rd.Dataset:
             "ts": pc.cast(t["ts"], pa.timestamp("us")),
             "state_at_ts": pc.cast(t["state_at_ts"], pa.string())}),
         batch_format="pyarrow")
+
+
+def event_trigram_transitions(sf_dir: str, k: int = 50) -> pa.Table:
+    """Second-order Markov transition counts: how often the event-type
+    pair (A, B) is immediately followed by C within one user's stream
+    (ordered by ts, event_id), global top-``k`` by count -- the
+    sequence statistic behind second-order next-action models, the
+    order-2 sibling of ``event_type_transitions``.
+
+    Shape: the same 64-bucket user hashing (a user's events co-locate);
+    each bucket runs one sort + two shifts + value_counts; per-bucket
+    partials reduce through a tiny groupby(t1,t2,t3) sum and one
+    bounded top-k sort (type-vocabulary^3 rows at most).  Exact vs the
+    DuckDB double-LEAD oracle; ties rank lexicographically."""
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32())
+        return t.append_column("bucket", b)
+
+    def trans(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy()
+        e = g["event_type"].to_numpy()
+        same2 = (u[2:] == u[1:-1]) & (u[1:-1] == u[:-2])
+        vc = pd.DataFrame({"t1": e[:-2][same2], "t2": e[1:-1][same2],
+                           "t3": e[2:][same2]}).value_counts()
+        out = vc.rename("n").reset_index()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"]) \
+        .map_batches(add_bucket, batch_format="pyarrow")
+    out = ds.groupby("bucket").map_groups(trans, batch_format="pandas")
+    agg = out.groupby(["t1", "t2", "t3"]).aggregate(
+        Sum("n", alias_name="n"))
+    top = agg.sort(["n", "t1", "t2", "t3"],
+                   descending=[True, False, False, False]).limit(k)
+    t = pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
+    return pa.table({"t1": t["t1"], "t2": t["t2"], "t3": t["t3"],
+                     "n": pc.cast(t["n"], pa.int64())})
+
+
+def user_action_simpson(sf_dir: str) -> rd.Dataset:
+    """Per-user Simpson (collision) index over event types, in exact
+    ppm: sum(count_t^2) * 10^6 // n^2 -- the log-free diversity metric
+    (char_collision_stats' discipline applied to behavior): 10^6 means
+    the user does one thing; near 1/|types| means uniform behavior.
+    Bot/script detection reads high Simpson + high volume.
+
+    Shape: per-batch (user, type) counts collapse through ONE
+    groupby(user, type) sum (type vocabulary is tiny, so rows are
+    bounded by users x |types|), then a second groupby(user) folds the
+    squares -- no event row ever shuffles twice.  Exact integer DuckDB
+    oracle."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pa.table({"user_id": t["user_id"],
+                       "event_type": t["event_type"]}).to_pandas()
+        vc = df.value_counts().rename("c").reset_index()
+        vc["c"] = vc["c"].astype("int64")
+        return pa.Table.from_pandas(vc, preserve_index=False)
+
+    ut = _events(sf_dir, ["user_id", "event_type"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["user_id", "event_type"]).aggregate(
+            _Sum("c", alias_name="c"))
+
+    def squares(t: pa.Table) -> pa.Table:
+        c = pc.cast(t["c"], pa.int64())
+        return pa.table({"user_id": pc.cast(t["user_id"], pa.int64()),
+                         "n": c,
+                         "ss": pc.multiply(c, c)})
+
+    agg = ut.map_batches(squares, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(_Sum("n", alias_name="n"),
+                                      _Sum("ss", alias_name="ss"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n"], pa.int64()).to_numpy()
+        ss = pc.cast(t["ss"], pa.int64()).to_numpy()
+        ppm = ss * 1_000_000 // (n * n)
+        return pa.table({"user_id": pc.cast(t["user_id"], pa.int64()),
+                         "n_events": pa.array(n, pa.int64()),
+                         "simpson_ppm": pa.array(ppm, pa.int64())})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
