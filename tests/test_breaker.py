@@ -4,6 +4,7 @@ frontier rows drop through the host-cap channel (stage=host_budget),
 exactly like an exhausted page budget.  Round-start snapshot semantics;
 serial spec in core/oracle.py."""
 
+import pytest
 import pyarrow.parquet as pq
 
 from pomp_ray.crawl import CrawlConfig, CrawlEngine
@@ -28,6 +29,7 @@ def _run(fix, ckpt, **cfg_kw):
         eng.close()
 
 
+@pytest.mark.slow
 def test_breaker_trips_and_matches_oracle(tmp_path):
     fix = fixture_corpus(gen_corpus.SMALL)
     res = run_oracle(fix, mode="bfs", max_errors_per_host=2)

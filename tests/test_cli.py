@@ -1,6 +1,7 @@
 """CLI entry point (the ray-job-submit surface) via real subprocesses --
 the CLI owns its own Ray session, separate from the test session."""
 
+import pytest
 import json
 import os
 import subprocess
@@ -18,6 +19,7 @@ def _run(args):
     return json.loads(r.stdout.strip().splitlines()[-1])
 
 
+@pytest.mark.slow
 def test_cli_crawl_and_dedup(tmp_path):
     from pomp_ray.sources import gen_corpus
     fix = gen_corpus.generate(str(tmp_path / "corpus"), gen_corpus.TINY)
@@ -31,6 +33,7 @@ def test_cli_crawl_and_dedup(tmp_path):
     assert dd["rows_written"] > 0
 
 
+@pytest.mark.slow
 def test_cli_tick_publish_export(tmp_path):
     """The continuous-crawl lifecycle over one checkpoint, driven
     entirely through the CLI: crawl -> tick (+publish) -> export-seeds

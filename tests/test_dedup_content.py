@@ -15,6 +15,7 @@ deferral-free run (no robots), while the exact paths conform under the
 full robots fixture.
 """
 
+import pytest
 import pyarrow.parquet as pq
 
 from pomp_ray.crawl import CrawlConfig, CrawlEngine, read_visited
@@ -43,6 +44,7 @@ def _run(fix, ckpt, **cfg_kw):
     return summary
 
 
+@pytest.mark.slow
 def test_dedup_bfs_exact_mirror(tmp_path):
     """Mixed driver/distributed exact rounds on the MIRROR corpus must be
     bit-exact vs the oracle, and must visit strictly fewer pages than a
@@ -97,6 +99,7 @@ def test_dedup_scale_set_equality(tmp_path):
         {(v["url"], v["round"]) for v in res.visited}
 
 
+@pytest.mark.slow
 def test_dedup_resume(tmp_path):
     """Kill after 3 rounds, resume: the digest shards must restore from
     the parquet deltas so post-resume rounds still honor digests

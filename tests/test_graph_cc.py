@@ -14,6 +14,7 @@ def _chain(n: int) -> pa.Table:
         "doc_b": pa.array(list(range(1, n)), pa.int64())})
 
 
+@pytest.mark.slow
 def test_pointer_jump_converges_on_chain():
     n = 64
     out = connected_components(_chain(n), max_iters=12)
@@ -21,6 +22,7 @@ def test_pointer_jump_converges_on_chain():
     assert set(out["component"].to_pylist()) == {0}
 
 
+@pytest.mark.slow
 def test_plain_propagation_exceeds_budget_loudly():
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(_chain(64), max_iters=12, pointer_jump=False)
@@ -57,6 +59,7 @@ def test_scc_unit_digraph():
                    "f": "f", "g": "g"}
 
 
+@pytest.mark.slow
 def test_scc_all_singletons_dag():
     """A pure DAG has only singleton SCCs (and exercises the
     empty-edge-table early-exit path on the later rounds)."""

@@ -2,6 +2,7 @@
 seam wired through a full crawl (round-1 gap: the retryable error column
 was never True anywhere and no HTTP-shaped fetch path existed)."""
 
+import pytest
 import urllib.error
 
 import pyarrow as pa
@@ -209,6 +210,7 @@ def test_crawl_with_async_fetcher(tmp_path):
     assert fetch_msgs == {"HTTP 404"}
 
 
+@pytest.mark.slow
 def test_requeue_retryable_resume_completes_crawl(tmp_path):
     """The retry loop closed end-to-end: a crawl whose fetcher gives up
     after one attempt (max_retries=0) fails every url with a RETRYABLE

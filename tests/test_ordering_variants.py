@@ -1,6 +1,7 @@
 """Priority ordering, wide DFS, best-first mode, and the join fetch path."""
 
 
+import pytest
 import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data as rd
@@ -82,6 +83,7 @@ def test_fetch_via_join(tmp_path):
         assert got[u][0] == want[u] and got[u][1]
 
 
+@pytest.mark.slow
 def test_dfs_distributed_exact(tmp_path):
     """Wide DFS through the DISTRIBUTED exact path (round-1 gap: every
     DFS round used to serialize onto the driver).  With dfs_width >=
@@ -114,6 +116,7 @@ def test_dfs_distributed_exact(tmp_path):
     assert summary.n_seen == len(res.seen)
 
 
+@pytest.mark.slow
 def test_crawl_with_join_and_actor_fetch(tmp_path):
     """The crawl's fetch stage through the all-large Dataset.join path and
     the actor-pool path (round-1 gap: join fetch was never the crawl's
@@ -175,6 +178,7 @@ def test_best_first_exact_driver(tmp_path):
     assert summary.rounds > res_bfs.rounds
 
 
+@pytest.mark.slow
 def test_best_first_distributed_exact(tmp_path):
     """Wide best-first through the DISTRIBUTED exact path (global
     (priority desc, seq asc) sort + width split): bit-exact vs the
@@ -266,6 +270,7 @@ def test_dfs_scale_set_equality(tmp_path):
     assert any(r["n_deferred"] > 0 for r in s.per_round)
 
 
+@pytest.mark.slow
 def test_focused_crawl_distributed_exact(tmp_path):
     """Focused crawl = best-first with the HostPriority domain-whitelist
     scorer, through the DISTRIBUTED exact path: bit-exact vs the serial
@@ -305,6 +310,7 @@ def test_focused_crawl_distributed_exact(tmp_path):
     assert mean_rank(focused_order) < mean_rank(bfs_order)
 
 
+@pytest.mark.slow
 def test_pagerank_priority_recrawl(tmp_path):
     """The continuous-crawl loop: BFS crawl -> host PageRank over its
     link graph -> PageRankPriority steers a best-first recrawl.  The

@@ -2,6 +2,7 @@
 the pipelines lean on: SWAR popcount vs Python bit_count, and
 label-propagation components vs a brute-force union-find."""
 
+import pytest
 import numpy as np
 import pyarrow as pa
 from hypothesis import given, settings
@@ -41,6 +42,7 @@ def _uf_components(pairs):
                 min_size=1, max_size=25))
 @settings(max_examples=5, deadline=None)   # each example is a full
                                            # multi-iteration Ray pipeline
+@pytest.mark.slow
 def test_connected_components_matches_union_find(edges):
     from pomp_ray.pipelines.graph import connected_components
 

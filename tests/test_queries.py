@@ -48,7 +48,7 @@ SPOT = [
     "mixture_sample",
     "token_shard_stats",
     "rolling_user_spend",
-    "pretraining_shards",
+    pytest.param("pretraining_shards", marks=pytest.mark.slow),
     "q6_revenue",
     "q14_promo_revenue",
     "q15_top_supplier",
@@ -66,7 +66,7 @@ SPOT = [
     "temperature_mixture",
     "bm25_topk",
     "gopher_quality_flags",
-    "neardup_dedup_docs",
+    pytest.param("neardup_dedup_docs", marks=pytest.mark.slow),
     "ngram_diversity",
     "user_state_history",
     "host_distances",
@@ -166,6 +166,7 @@ def test_neardup_ivf_recall_and_precision():
     assert len(got & ex) / max(1, len(ex)) >= 0.9, (len(got), len(ex))
 
 
+@pytest.mark.slow
 def test_neardup_dedup_docs_matches_union_find():
     """The materialized near-dup dedup must keep exactly: every doc not
     in any verified-pair component, plus each component's minimum
@@ -200,6 +201,7 @@ def test_neardup_dedup_docs_matches_union_find():
     assert drop, "fixture should contain at least one near-dup group"
 
 
+@pytest.mark.slow
 def test_connected_components_unit():
     """Label propagation on a hand-built graph: a 4-chain, a triangle
     sharing no nodes, and a 2-pair -- components must equal the min
@@ -218,6 +220,7 @@ def test_connected_components_unit():
                    20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
 
 
+@pytest.mark.slow
 def test_connected_components_nonconvergence_raises():
     """A chain longer than the iteration budget must fail loudly, not
     return partially-merged groups."""
@@ -340,6 +343,7 @@ def test_srp_neardup_recall_and_precision():
     assert len(got & ex) / max(1, len(ex)) >= 0.9, (len(got), len(ex))
 
 
+@pytest.mark.slow
 def test_write_pretraining_shards_matches_stats(tmp_path):
     """The materialized pretraining export agrees with the stats query:
     same per-shard doc counts (metadata-only readback), and every written
@@ -380,6 +384,7 @@ def test_lm_quality_buckets_terciles():
     pd.testing.assert_frame_equal(a, b)
 
 
+@pytest.mark.slow
 def test_pagerank_clicks_matches_serial():
     """Distributed fixed-point PageRank vs an inline serial dict
     reference over the same event transitions -- bit-exact equality is
@@ -528,6 +533,7 @@ def test_dsir_weights_match_serial():
     pd.testing.assert_frame_equal(eng, expect, check_exact=True)
 
 
+@pytest.mark.slow
 def test_crawl_host_pagerank_matches_serial(tmp_path):
     """Crawl -> host link graph -> PageRank composite over the TINY
     fixture vs an inline serial reference built from the crawl ORACLE's
@@ -757,6 +763,7 @@ def test_bpe_token_counts_matches_serial():
     pd.testing.assert_frame_equal(got, expect, check_exact=True)
 
 
+@pytest.mark.slow
 def test_tokenized_docs_roundtrip_and_writer(tmp_path):
     """The tokenized export must be LOSSLESS: decoding each doc's ids
     through the deterministic vocabulary and splitting on the
@@ -822,6 +829,7 @@ def test_embedding_pca_deterministic_and_orthogonal():
     assert a["pc1"].var() >= a["pc2"].var() * 0.999
 
 
+@pytest.mark.slow
 def test_hits_matches_golden_and_invariants():
     """Fixed-point HITS: bit-identical to the committed serial golden,
     scores renormalized to ~HITS_SCALE each half-step, and hosts that
@@ -857,6 +865,7 @@ def test_compression_stats_flags_and_bounds():
     assert 0 < df["too_compressible"].sum() < len(df)
 
 
+@pytest.mark.slow
 def test_canonical_docs_keeps_best_per_cluster():
     """Quality-ranked near-dup dedup: independent union-find over the
     simhash pairs + argmax-by-(n_words, -doc_id) must reproduce the

@@ -2,6 +2,7 @@
 files, salted grouping, resume on the scale layout, and seen-shard
 snapshot/restore."""
 
+import pytest
 import collections
 import glob
 
@@ -133,6 +134,7 @@ def _tiny_one_host_corpus(tmp_path, n_pages=40, crawl_delay=10.0):
     return pages_path, robots_path, urls
 
 
+@pytest.mark.slow
 def test_salted_cap_below_salts_no_starvation(tmp_path):
     """cap(1) < n_salts(4): every page must still be visited (clamped
     effective salts + rotating remainder), the per-round cap must hold,

@@ -3,6 +3,7 @@ BASELINE.json north_star): the engine's BFS/DFS crawl over the synthetic
 sitemap corpus must match the serial reference loop -- visited set AND
 per-round order, items, errors, seen set."""
 
+import pytest
 import os
 
 import pyarrow.parquet as pq
@@ -75,6 +76,7 @@ def test_dfs_exact(tmp_path):
     _assert_conformance(fix, ckpt, s, "dfs")
 
 
+@pytest.mark.slow
 def test_bfs_small_corpus_mixed_paths(tmp_path):
     """SMALL corpus with default threshold: big rounds distributed, tail
     rounds on the driver -- the hybrid must stay exact end to end."""
@@ -158,6 +160,7 @@ def test_redirects_distributed_exact(tmp_path):
     _assert_conformance(fix, ckpt, s, "bfs")
 
 
+@pytest.mark.slow
 def test_redirects_join_fetch(tmp_path):
     """REDIR crawl through the all-large join-fetch path: redirect hops
     resolve via filtered parquet point reads (no broadcast corpus index

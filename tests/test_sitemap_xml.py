@@ -2,6 +2,7 @@
 fidelity vs the plain-text sibling, lastmod extraction, and the
 superset conformance law for crawls seeded from discovered entries."""
 
+import pytest
 import pyarrow.parquet as pq
 
 from pomp_ray import crawl as crawl_mod
@@ -69,6 +70,7 @@ def test_sitemapindex_recursion_only_reachable(ray_session, tmp_path):
     assert urls == base
 
 
+@pytest.mark.slow
 def test_xml_seeded_crawl_superset(ray_session, tmp_path):
     """Crawl seeded from XML sitemap entries covers everything the
     root-seeded crawl reached (directly listed pages behind blocked
