@@ -53,6 +53,10 @@ def connected_components(pairs: pa.Table, max_iters: int = 50,
     edges = rd.from_arrow(pa.table({"src": src, "dst": dst}))
     nodes = pc.unique(src)
     labels = rd.from_arrow(pa.table({"node": nodes, "label": nodes}))
+    # join-pool width sized to the edge volume (driver-known here):
+    # near-empty shuffle partitions cost ~1 s of pool spinup each, and
+    # the loop pays it EVERY iteration (the bpe_merges lesson)
+    n_parts = max(2, min(8, -(-len(src) // 4096)))
 
     prev_sum = int(pc.sum(nodes).as_py())
     converged = False
@@ -66,7 +70,7 @@ def connected_components(pairs: pa.Table, max_iters: int = 50,
                 labels.map_batches(
                     lambda t: t.rename_columns(["label", "ll"]),
                     batch_format="pyarrow"),
-                join_type="inner", on=("label",), num_partitions=8) \
+                join_type="inner", on=("label",), num_partitions=n_parts) \
                 .map_batches(
                     lambda t: pa.table({"node": t["node"],
                                         "cand": t["ll"]}),
@@ -77,7 +81,7 @@ def connected_components(pairs: pa.Table, max_iters: int = 50,
             labels.map_batches(
                 lambda t: t.rename_columns(["src", "label"]),
                 batch_format="pyarrow"),
-            join_type="inner", on=("src",), num_partitions=8)
+            join_type="inner", on=("src",), num_partitions=n_parts)
         msgs = msgs.map_batches(
             lambda t: pa.table({"node": t["dst"], "cand": t["label"]}),
             batch_format="pyarrow")
@@ -95,7 +99,7 @@ def connected_components(pairs: pa.Table, max_iters: int = 50,
         new_labels = (
             u.groupby("node")
             .aggregate(Min("cand", alias_name="label"))
-            .repartition(8).materialize())
+            .repartition(n_parts).materialize())
         # convergence without a join: labels only ever DECREASE, so the
         # label sum is strictly monotone until fixpoint -- one tiny
         # aggregate per round instead of a compare join
