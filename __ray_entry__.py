@@ -889,6 +889,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "pomp_ray.pipelines.graph", fromlist=["graph"]
         ).host_adamic_adar(_mirror_pages_path()),
         "quantity_quantiles_cont": relational.quantity_quantiles_cont,
+        "suffix_array_sample": lambda sf: __import__(
+            "pomp_ray.pipelines.suffix", fromlist=["suffix"]
+        ).suffix_array(sf),
+        "exactsubstr_spans": lambda sf: __import__(
+            "pomp_ray.pipelines.suffix", fromlist=["suffix"]
+        ).exactsubstr_spans(sf),
     }
     # The external correctness driver hashes only the FIRST 50 entries of
     # this dict (insertion order).  Front-load the core engine — crawl
@@ -1036,6 +1042,29 @@ def _sitemap_entries_sql() -> str:
                    b, '<lastmod>([^<]*)</lastmod>', 1), '')) AS lastmod
         FROM blocks
     """
+
+
+# Shared CTE prefix for the suffix-array oracles: the doc_id < 30
+# sample joined with chr(1), per-doc offsets, all positions, and the
+# suffix sort (DuckDB VARCHAR comparison is binary, matching the
+# engine's byte-code order on this ASCII corpus).
+_SUFFIX_BASE_SQL = """
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 30),
+    txt AS (SELECT string_agg(text, chr(1) ORDER BY doc_id) AS s FROM d),
+    lens AS (SELECT doc_id, length(text) AS l FROM d),
+    offs AS (SELECT doc_id,
+                    CAST(coalesce(SUM(l + 1) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS BIGINT) AS off
+             FROM lens),
+    pos AS (SELECT CAST(UNNEST(range(0, length(s))) AS BIGINT) AS p, s
+            FROM txt),
+    sa AS (SELECT p, s,
+                  ROW_NUMBER() OVER (
+                      ORDER BY substring(s, CAST(p AS INTEGER) + 1))
+                      AS rn
+           FROM pos)
+"""
 
 
 def _proximity_sql(w1: str, w2: str, k: int) -> str:
@@ -5048,4 +5077,36 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT l_returnflag, CAST({q} AS DOUBLE) AS q, "
             f"quantile_cont(l_quantity, {q}) AS quantile_val "
             f"FROM lineitem GROUP BY 1" for q in (0.25, 0.5, 0.75)),
+        "suffix_array_sample": _SUFFIX_BASE_SQL + """
+            SELECT CAST(sa.rn - 1 AS BIGINT) AS rank, sa.p AS pos,
+                   (SELECT o.doc_id FROM offs o WHERE o.off <= sa.p
+                    ORDER BY o.off DESC LIMIT 1) AS doc_id,
+                   sa.p - (SELECT MAX(o.off) FROM offs o
+                           WHERE o.off <= sa.p) AS off
+            FROM sa
+        """,
+        "exactsubstr_spans": _SUFFIX_BASE_SQL + """,
+            adj AS (SELECT a.p AS pa, b.p AS pb, a.s AS s
+                    FROM sa a JOIN sa b ON b.rn = a.rn + 1),
+            lcps AS (SELECT pa, pb, CAST(MAX(j) AS BIGINT) AS lcp
+                     FROM adj, UNNEST(range(0, 81)) AS t(j)
+                     WHERE substring(s, CAST(pa AS INTEGER) + 1,
+                                     CAST(j AS INTEGER))
+                         = substring(s, CAST(pb AS INTEGER) + 1,
+                                     CAST(j AS INTEGER))
+                       AND strpos(substring(s, CAST(pa AS INTEGER) + 1,
+                                            CAST(j AS INTEGER)),
+                                  chr(1)) = 0
+                     GROUP BY pa, pb)
+            SELECT (SELECT o.doc_id FROM offs o WHERE o.off <= pa
+                    ORDER BY o.off DESC LIMIT 1) AS doc_a,
+                   pa - (SELECT MAX(o.off) FROM offs o
+                         WHERE o.off <= pa) AS off_a,
+                   (SELECT o.doc_id FROM offs o WHERE o.off <= pb
+                    ORDER BY o.off DESC LIMIT 1) AS doc_b,
+                   pb - (SELECT MAX(o.off) FROM offs o
+                         WHERE o.off <= pb) AS off_b,
+                   lcp
+            FROM lcps WHERE lcp >= 20
+        """,
     }

@@ -1,0 +1,223 @@
+"""Distributed suffix array (Manber-Myers prefix doubling) and
+ExactSubstr-style duplicate-span detection (Lee et al. 2022,
+"Deduplicating Training Data Makes Language Models Better") -- the
+exact-substring member of the dedup family beside exact-hash, MinHash/
+SimHash, winnowing and span hashing.
+
+Shape: every doubling step is pure Dataset machinery -- one global sort
+(zip_with_index over a fixed-width composite key, the lang_rank
+pattern), one Min-groupby and two hash joins (materialized between, the
+two-live-joins rule) -- so the SAME pipeline runs at any corpus size;
+the driver holds only doc offsets and loop counters.  The registered
+queries run over a BOUNDED doc sample (default 30 docs, ~9k positions)
+so the O(log n) iteration count stays test-time friendly and the DuckDB
+oracle (ORDER BY substring suffix sort) stays cheap; at 100-TB scale
+the zfill key widths widen and the LCP verify shards by suffix prefix
+bucket instead of broadcasting the sample text (the
+jaccard_pairs_sample bounding convention).
+
+Reference analog: pomp has no substring dedup at all; this implements
+the public ExactSubstr algorithm Ray-Data-first.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+SEP = 1          # separator byte between docs (sorts below all text)
+LCP_CAP = 80     # capped common-prefix length (mirrored by the oracle)
+
+
+def _sample_layout(sf_dir: str, max_docs: int):
+    """(doc_ids, lengths, offsets, total) for the doc_id < max_docs
+    sample -- lengths come from the n_chars column (metadata-light);
+    offsets include one separator slot after every doc but the last."""
+    import pyarrow.parquet as pq
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "n_chars"])
+    t = t.filter(pc.less(t["doc_id"], max_docs)).sort_by("doc_id")
+    ids = t["doc_id"].to_numpy()
+    lens = t["n_chars"].to_numpy().astype(np.int64)
+    offs = np.zeros(len(ids), np.int64)
+    if len(ids) > 1:
+        offs[1:] = np.cumsum(lens[:-1] + 1)
+    total = int(offs[-1] + lens[-1]) if len(ids) else 0
+    return ids, lens, offs, total
+
+
+def _docs(sf_dir: str, max_docs: int) -> rd.Dataset:
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"]).filter(
+        expr=f"doc_id < {int(max_docs)}")
+
+
+def _char_rows(sf_dir: str, max_docs: int, offs_by_doc: dict,
+               last_doc: int) -> rd.Dataset:
+    """(pos, rank=byte code) rows, one per corpus position, generated
+    vectorized per batch from the broadcast offset dict; every doc but
+    the last appends its separator position."""
+    def f(t: pa.Table) -> pa.Table:
+        out_p, out_c = [], []
+        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            codes = np.frombuffer((x or "").encode("utf-8"), np.uint8)
+            off = offs_by_doc[int(d)]
+            out_p.append(off + np.arange(len(codes), dtype=np.int64))
+            out_c.append(codes.astype(np.int64))
+            if int(d) != last_doc:
+                out_p.append(np.array([off + len(codes)], np.int64))
+                out_c.append(np.array([SEP], np.int64))
+        if not out_p:
+            return pa.table({"pos": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64())})
+        return pa.table({"pos": pa.array(np.concatenate(out_p), pa.int64()),
+                         "rank": pa.array(np.concatenate(out_c),
+                                          pa.int64())})
+
+    return _docs(sf_dir, max_docs).map_batches(f, batch_format="pyarrow")
+
+
+def suffix_array(sf_dir: str, max_docs: int = 30) -> rd.Dataset:
+    """(rank, pos, doc_id, off) suffix array of the doc sample joined
+    with chr(SEP): rank = lexicographic position of the suffix starting
+    at pos (byte order == DuckDB binary VARCHAR order for this ASCII
+    corpus), doc_id/off locate the position.  See module docstring for
+    the doubling-step shape."""
+    from ray.data.aggregate import Min
+
+    from pomp_ray.stages.index import zip_with_index
+
+    ids, lens, offs, n = _sample_layout(sf_dir, max_docs)
+    offs_by_doc = {int(d): int(o) for d, o in zip(ids, offs)}
+    rows = _char_rows(sf_dir, max_docs, offs_by_doc,
+                      int(ids[-1])).materialize()
+    width = max(6, len(str(n)))
+
+    k = 1
+    while True:
+        shifted = rows.map_batches(
+            lambda t, _k=k: pa.table({
+                "pos": pc.subtract(t["pos"], _k),
+                "r2": t["rank"]}).filter(
+                pc.greater_equal(pc.subtract(t["pos"], _k), 0)),
+            batch_format="pyarrow").materialize()
+        paired = rows.join(shifted, join_type="left_outer", on=("pos",),
+                           num_partitions=2).materialize()
+
+        def keyed(t: pa.Table, _w=width) -> pa.Table:
+            r1 = t["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+            r2 = pc.coalesce(t["r2"], pa.scalar(-1, pa.int64())) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            p = t["pos"].to_numpy()
+            ck = [f"{a:0{_w}d}:{b + 1:0{_w}d}:{q:0{_w}d}"
+                  for a, b, q in zip(r1, r2, p)]
+            return pa.table({"pos": pa.array(p, pa.int64()),
+                             "rank": pa.array(r1, pa.int64()),
+                             "r2": pa.array(r2, pa.int64()),
+                             "ck": pa.array(ck, pa.string())})
+
+        idxed = zip_with_index(
+            paired.map_batches(keyed, batch_format="pyarrow"),
+            key="ck", out_col="idx").materialize()
+        groups = idxed.groupby(["rank", "r2"]).aggregate(
+            Min("idx", alias_name="new_rank")).repartition(2).materialize()
+        n_groups = groups.count()
+        rows = idxed.join(groups, join_type="inner", on=("rank", "r2"),
+                          num_partitions=2).map_batches(
+            lambda t: pa.table({
+                "pos": t["pos"],
+                "rank": pc.cast(t["new_rank"], pa.int64())}),
+            batch_format="pyarrow").materialize()
+        if n_groups == n or k > n:
+            break
+        k *= 2
+
+    offs_ref = ray.put(offs)
+    ids_ref = ray.put(ids.astype(np.int64))
+
+    def locate(t: pa.Table) -> pa.Table:
+        o = ray.get(offs_ref)
+        di = ray.get(ids_ref)
+        p = t["pos"].to_numpy()
+        j = np.searchsorted(o, p, side="right") - 1
+        return pa.table({
+            "rank": pc.cast(t["rank"], pa.int64()),
+            "pos": pa.array(p, pa.int64()),
+            "doc_id": pa.array(di[j], pa.int64()),
+            "off": pa.array(p - o[j], pa.int64())})
+
+    return rows.map_batches(locate, batch_format="pyarrow")
+
+
+def exactsubstr_spans(sf_dir: str, max_docs: int = 30,
+                      min_len: int = 20) -> rd.Dataset:
+    """Duplicated text spans >= ``min_len`` chars: ExactSubstr's core
+    observation -- every duplicated substring makes two ADJACENT
+    suffixes in the suffix array share a long common prefix.  Emits
+    (doc_a, off_a, doc_b, off_b, lcp) for each adjacent suffix pair
+    with capped LCP >= min_len (separator-fenced, so spans never cross
+    doc boundaries).  The LCP verify broadcasts the BOUNDED sample's
+    byte codes (documented bound; prefix-bucket sharding is the full-
+    scale path)."""
+    ids, lens, offs, n = _sample_layout(sf_dir, max_docs)
+    sa = suffix_array(sf_dir, max_docs).materialize()
+
+    # codes of the whole (bounded) sample, assembled distributed then
+    # broadcast once for the vectorized LCP pass
+    parts = _char_rows(sf_dir, max_docs,
+                       {int(d): int(o) for d, o in zip(ids, offs)},
+                       int(ids[-1])).take_all()
+    codes = np.zeros(n, np.int64)
+    for r in parts:
+        codes[r["pos"]] = r["rank"]
+    codes_ref = ray.put(codes)
+    offs_ref = ray.put(offs)
+    ids_ref = ray.put(ids.astype(np.int64))
+
+    nxt = sa.map_batches(
+        lambda t: pa.table({"rank": pc.subtract(t["rank"], 1),
+                            "pos_b": t["pos"]}).filter(
+            pc.greater_equal(pc.subtract(t["rank"], 1), 0)),
+        batch_format="pyarrow").materialize()
+    adj = sa.join(nxt, join_type="inner", on=("rank",), num_partitions=2)
+
+    def lcp(t: pa.Table) -> pa.Table:
+        c = ray.get(codes_ref)
+        o = ray.get(offs_ref)
+        di = ray.get(ids_ref)
+        pa_ = t["pos"].to_numpy().astype(np.int64)
+        pb_ = t["pos_b"].to_numpy().astype(np.int64)
+        m = len(pa_)
+        lcps = np.full(m, LCP_CAP, np.int64)
+        alive = np.ones(m, bool)
+        for j in range(LCP_CAP):
+            va = pa_ + j < n
+            vb = pb_ + j < n
+            eq = np.zeros(m, bool)
+            both = va & vb
+            ca = c[np.minimum(pa_ + j, n - 1)]
+            cb = c[np.minimum(pb_ + j, n - 1)]
+            eq[both] = (ca[both] == cb[both]) & (ca[both] != SEP)
+            stop = alive & ~eq
+            lcps[stop] = j
+            alive &= eq
+            if not alive.any():
+                break
+        keep = lcps >= min_len
+        pa_, pb_, lcps = pa_[keep], pb_[keep], lcps[keep]
+        ja = np.searchsorted(o, pa_, side="right") - 1
+        jb = np.searchsorted(o, pb_, side="right") - 1
+        return pa.table({
+            "doc_a": pa.array(di[ja], pa.int64()),
+            "off_a": pa.array(pa_ - o[ja], pa.int64()),
+            "doc_b": pa.array(di[jb], pa.int64()),
+            "off_b": pa.array(pb_ - o[jb], pa.int64()),
+            "lcp": pa.array(lcps, pa.int64())})
+
+    return adj.map_batches(lcp, batch_format="pyarrow")
