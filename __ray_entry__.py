@@ -895,6 +895,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exactsubstr_spans": lambda sf: __import__(
             "pomp_ray.pipelines.suffix", fromlist=["suffix"]
         ).exactsubstr_spans(sf),
+        "brand_price_size_slopes": relational.brand_price_size_slopes,
+        "order_gap_histogram": relational.order_gap_histogram,
+        "priority_transitions": relational.priority_transitions,
     }
     # The external correctness driver hashes only the FIRST 50 entries of
     # this dict (insertion order).  Front-load the core engine — crawl
@@ -5077,6 +5080,43 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT l_returnflag, CAST({q} AS DOUBLE) AS q, "
             f"quantile_cont(l_quantity, {q}) AS quantile_val "
             f"FROM lineitem GROUP BY 1" for q in (0.25, 0.5, 0.75)),
+        "brand_price_size_slopes": """
+            WITH m AS (
+                SELECT p_brand, CAST(p_size AS BIGINT) AS x,
+                       CAST(round(p_retailprice * 100) AS BIGINT) AS y
+                FROM part)
+            SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+                   CAST(COUNT(*) * SUM(x*y) - SUM(x) * SUM(y) AS BIGINT)
+                       AS slope_num,
+                   CAST(COUNT(*) * SUM(x*x) - SUM(x) * SUM(x) AS BIGINT)
+                       AS slope_den
+            FROM m GROUP BY 1
+        """,
+        "order_gap_histogram": """
+            WITH s AS (
+                SELECT o_custkey,
+                       CAST(epoch_ms(o_orderdate) // 86400000 AS BIGINT)
+                           AS day,
+                       LEAD(CAST(epoch_ms(o_orderdate) // 86400000
+                                 AS BIGINT))
+                           OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS nxt
+                FROM orders)
+            SELECT nxt - day AS gap_days, CAST(COUNT(*) AS BIGINT) AS n
+            FROM s WHERE nxt IS NOT NULL GROUP BY 1
+        """,
+        "priority_transitions": """
+            WITH s AS (
+                SELECT o_custkey, o_orderpriority AS prev_priority,
+                       LEAD(o_orderpriority) OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey)
+                           AS next_priority
+                FROM orders)
+            SELECT prev_priority, next_priority,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM s WHERE next_priority IS NOT NULL GROUP BY 1, 2
+        """,
         "suffix_array_sample": _SUFFIX_BASE_SQL + """
             SELECT CAST(sa.rn - 1 AS BIGINT) AS rank, sa.p AS pos,
                    (SELECT o.doc_id FROM offs o WHERE o.off <= sa.p

@@ -2748,3 +2748,117 @@ def quantity_quantiles_cont(sf_dir: str) -> pa.Table:
     return pa.table({"l_returnflag": pa.array(out_f, pa.string()),
                      "q": pa.array(out_q, pa.float64()),
                      "quantile_val": pa.array(out_v, pa.float64())})
+
+
+def brand_price_size_slopes(sf_dir: str) -> rd.Dataset:
+    """Per-brand OLS slope of retail price (cents) on part size, as the
+    EXACT integer rational (slope_num, slope_den) -- the
+    daily_trend_slopes moment discipline on catalog data: does a brand
+    price by size?  Moments are int64 partial sums (cents and sizes are
+    small); the division is never performed, so no rounding convention
+    can diverge cross-engine."""
+    def moments(t: pa.Table) -> pa.Table:
+        x = pc.cast(t["p_size"], pa.int64()).to_numpy()
+        cents = np.rint(t["p_retailprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        return pa.table({"p_brand": t["p_brand"],
+                         "x": pa.array(x, pa.int64()),
+                         "y": pa.array(cents, pa.int64()),
+                         "xy": pa.array(x * cents, pa.int64()),
+                         "xx": pa.array(x * x, pa.int64())})
+
+    agg = _t(sf_dir, "part", ["p_brand", "p_size", "p_retailprice"]) \
+        .map_batches(moments, batch_format="pyarrow") \
+        .groupby("p_brand").aggregate(
+            Count(alias_name="n_parts"), Sum("x", alias_name="sx"),
+            Sum("y", alias_name="sy"), Sum("xy", alias_name="sxy"),
+            Sum("xx", alias_name="sxx"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n_parts"], pa.int64()).to_numpy()
+        sx = pc.cast(t["sx"], pa.int64()).to_numpy()
+        sy = pc.cast(t["sy"], pa.int64()).to_numpy()
+        sxy = pc.cast(t["sxy"], pa.int64()).to_numpy()
+        sxx = pc.cast(t["sxx"], pa.int64()).to_numpy()
+        num = [int(a) * int(b) - int(c) * int(d)
+               for a, b, c, d in zip(n, sxy, sx, sy)]
+        den = [int(a) * int(b) - int(c) * int(c)
+               for a, b, c in zip(n, sxx, sx)]
+        return pa.table({"p_brand": t["p_brand"],
+                         "n_parts": pa.array(n, pa.int64()),
+                         "slope_num": pa.array(num, pa.int64()),
+                         "slope_den": pa.array(den, pa.int64())})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def order_gap_histogram(sf_dir: str) -> rd.Dataset:
+    """Corpus-wide histogram of per-customer consecutive-order gaps in
+    whole days (reorder cadence): customers hash into 64 buckets (all
+    of a customer's orders co-locate), one C-speed sort + shift per
+    bucket emits gap partials, a tiny groupby(gap) sums.  Ties on the
+    same date order by o_orderkey (gap 0 rows count)."""
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["o_custkey"], 63), pa.int32())
+        day = pc.divide(pc.cast(t["o_orderdate"], pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        return pa.table({"o_custkey": t["o_custkey"],
+                         "o_orderkey": t["o_orderkey"],
+                         "day": pc.cast(day, pa.int64()),
+                         "bucket": b})
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "day", "o_orderkey"])
+        same = g["o_custkey"].to_numpy()[1:] == g["o_custkey"].to_numpy()[:-1]
+        d = g["day"].to_numpy()
+        gap = (d[1:] - d[:-1])[same]
+        vc = pd.Series(gap).value_counts()
+        return pd.DataFrame({"gap_days": vc.index.astype("int64"),
+                             "n": vc.to_numpy().astype("int64")})
+
+    ds = _t(sf_dir, "orders",
+            ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(add_bucket, batch_format="pyarrow")
+    out = ds.groupby("bucket").map_groups(gaps, batch_format="pandas")
+    agg = out.groupby("gap_days").aggregate(Sum("n", alias_name="n"))
+    return agg.map_batches(
+        lambda t: pa.table({"gap_days": pc.cast(t["gap_days"], pa.int64()),
+                            "n": pc.cast(t["n"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def priority_transitions(sf_dir: str) -> rd.Dataset:
+    """First-order transition counts between a customer's consecutive
+    order PRIORITIES (ordered by o_orderdate then o_orderkey) -- the
+    event_type_transitions shape on relational data: does urgency
+    escalate or decay across a customer's order history?"""
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["o_custkey"], 63), pa.int32())
+        return pa.table({"o_custkey": t["o_custkey"],
+                         "o_orderkey": t["o_orderkey"],
+                         "o_orderdate": t["o_orderdate"],
+                         "o_orderpriority": t["o_orderpriority"],
+                         "bucket": b})
+
+    def trans(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        same = g["o_custkey"].to_numpy()[1:] == g["o_custkey"].to_numpy()[:-1]
+        p = g["o_orderpriority"].to_numpy()
+        vc = pd.DataFrame({"prev_priority": p[:-1][same],
+                           "next_priority": p[1:][same]}).value_counts()
+        out = vc.rename("n").reset_index()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    ds = _t(sf_dir, "orders",
+            ["o_orderkey", "o_custkey", "o_orderdate",
+             "o_orderpriority"]) \
+        .map_batches(add_bucket, batch_format="pyarrow")
+    out = ds.groupby("bucket").map_groups(trans, batch_format="pandas")
+    agg = out.groupby(["prev_priority", "next_priority"]).aggregate(
+        Sum("n", alias_name="n"))
+    return agg.map_batches(
+        lambda t: pa.table({"prev_priority": t["prev_priority"],
+                            "next_priority": t["next_priority"],
+                            "n": pc.cast(t["n"], pa.int64())}),
+        batch_format="pyarrow")
