@@ -898,6 +898,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_price_size_slopes": relational.brand_price_size_slopes,
         "order_gap_histogram": relational.order_gap_histogram,
         "priority_transitions": relational.priority_transitions,
+        "url_path_tree_rollup":
+            lambda sf: webtext.url_path_tree_rollup(_mirror_pages_path()),
+        "episode_counts": windows.episode_counts,
+        "debounced_events": windows.debounced_events,
     }
     # The external correctness driver hashes only the FIRST 50 entries of
     # this dict (insertion order).  Front-load the core engine — crawl
@@ -5080,6 +5084,47 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT l_returnflag, CAST({q} AS DOUBLE) AS q, "
             f"quantile_cont(l_quantity, {q}) AS quantile_val "
             f"FROM lineitem GROUP BY 1" for q in (0.25, 0.5, 0.75)),
+        "url_path_tree_rollup": f"""
+            WITH p AS (
+                SELECT lower(regexp_extract(url, '^[a-z]+://([^/]+)', 1))
+                           AS host,
+                       coalesce(regexp_extract(
+                           url, '^[a-z]+://[^/]+(/.*)$', 1), '/') AS path
+                FROM read_parquet('{_MP}')),
+            segs AS (
+                SELECT host, path, string_split(path, '/') AS ss FROM p),
+            pref AS (
+                SELECT host, '/' AS prefix, CAST(0 AS BIGINT) AS depth
+                FROM segs
+                UNION ALL
+                SELECT host,
+                       '/' || array_to_string(
+                           ss[2 : CAST(d AS INTEGER) + 1], '/') AS prefix,
+                       CAST(d AS BIGINT) AS depth
+                FROM segs,
+                     UNNEST(range(1, LEAST(4, len(ss) - 2) + 1)) AS t(d))
+            SELECT host, prefix, depth, CAST(COUNT(*) AS BIGINT) AS n_pages
+            FROM pref GROUP BY 1, 2, 3
+        """,
+        "episode_counts": """
+            SELECT a.event_type AS t_a, b.event_type AS t_b,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events a JOIN events b
+              ON b.user_id = a.user_id
+             AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+            GROUP BY 1, 2
+        """,
+        "debounced_events": """
+            WITH s AS (
+                SELECT event_id, user_id, event_type, ts,
+                       LAG(ts) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS prev_ts
+                FROM events)
+            SELECT event_id, CAST(user_id AS BIGINT) AS user_id,
+                   event_type, ts
+            FROM s WHERE prev_ts IS NULL
+               OR ts - prev_ts > INTERVAL 5 MINUTE
+        """,
         "brand_price_size_slopes": """
             WITH m AS (
                 SELECT p_brand, CAST(p_size AS BIGINT) AS x,

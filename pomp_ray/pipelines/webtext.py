@@ -795,3 +795,44 @@ def title_dup_report(pages_path: str) -> rd.Dataset:
             "n_hosts": pc.cast(t["n_hosts"], pa.int64())})
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def url_path_tree_rollup(pages_path: str, max_depth: int = 4) -> rd.Dataset:
+    """Hierarchical rollup over the url PATH tree: page counts at every
+    directory prefix up to ``max_depth`` (host, '/a', '/a/b', ...) --
+    the drill-down table a crawl-coverage UI serves, and the
+    hierarchical-aggregation shape (each row contributes to ALL its
+    ancestors).  Vectorized: one split_pattern per batch, prefixes
+    rebuilt by cumulative binary_join over list slices -- no per-url
+    Python; the groupby key space is bounded by the directory tree, not
+    page count."""
+    def prefixes(t: pa.Table) -> pa.Table:
+        import numpy as np
+        urls = t["url"].to_pandas()
+        host = urls.str.extract(r"^[a-z]+://([^/]+)", expand=False)
+        path = urls.str.extract(r"^[a-z]+://[^/]+(/.*)$", expand=False) \
+            .fillna("/")
+        segs = path.str.split("/")
+        out_h, out_p, out_d = [], [], []
+        for h, ss in zip(host, segs):
+            # ss[0] is '' before the leading '/'; directories are
+            # ss[1:-1], the last element is the leaf
+            dirs = ss[1:-1][:max_depth]
+            acc = ""
+            out_h.append(h); out_p.append("/"); out_d.append(0)
+            for d_i, s in enumerate(dirs, start=1):
+                acc += "/" + s
+                out_h.append(h); out_p.append(acc); out_d.append(d_i)
+        return pa.table({"host": pa.array(out_h, pa.string()),
+                         "prefix": pa.array(out_p, pa.string()),
+                         "depth": pa.array(out_d, pa.int64())})
+
+    agg = _pages(pages_path, ["url"]) \
+        .map_batches(prefixes, batch_format="pyarrow") \
+        .groupby(["host", "prefix", "depth"]).aggregate(
+            Count(alias_name="n_pages"))
+    return agg.map_batches(
+        lambda t: pa.table({"host": t["host"], "prefix": t["prefix"],
+                            "depth": pc.cast(t["depth"], pa.int64()),
+                            "n_pages": pc.cast(t["n_pages"], pa.int64())}),
+        batch_format="pyarrow")

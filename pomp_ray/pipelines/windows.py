@@ -1508,3 +1508,88 @@ def user_action_simpson(sf_dir: str) -> rd.Dataset:
                          "simpson_ppm": pa.array(ppm, pa.int64())})
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def episode_counts(sf_dir: str, window_minutes: int = 30) -> rd.Dataset:
+    """Windowed co-occurrence episodes: for every ordered event-type
+    pair (A, B), how often a user's A event is followed by a B event of
+    the SAME user within ``window_minutes`` (NOT necessarily adjacent
+    -- the episode-mining statistic, vs event_type_transitions'
+    adjacency).  Per 64-bucket: one sort, then per type pair ONE
+    composite-axis double-searchsorted (user code x in-bucket offset)
+    counts all B events in each A event's (t, t+w] -- no per-user or
+    per-event loop; the pair space is |types|^2."""
+    import numpy as np
+
+    w_us = window_minutes * 60_000_000
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32())
+        return t.append_column("bucket", b)
+
+    def episodes(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].astype("int64").to_numpy()
+        et = g["event_type"].to_numpy()
+        codes, _ = pd.factorize(u)
+        t0 = int(ts.min()) if len(ts) else 0
+        span = (int(ts.max()) - t0 + w_us + 2) if len(ts) else 1
+        key = codes * span + (ts - t0)
+        types = sorted(set(et))
+        rows = []
+        for tb in types:
+            kb = np.sort(key[et == tb])
+            for ta in types:
+                ka = key[et == ta]
+                n = int((np.searchsorted(kb, ka + w_us, side="right")
+                         - np.searchsorted(kb, ka, side="right")).sum())
+                if n:
+                    rows.append((ta, tb, n))
+        return pd.DataFrame({
+            "t_a": pd.Series([r[0] for r in rows], dtype="object"),
+            "t_b": pd.Series([r[1] for r in rows], dtype="object"),
+            "n": pd.Series([r[2] for r in rows], dtype="int64")})
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"]) \
+        .map_batches(add_bucket, batch_format="pyarrow")
+    out = ds.groupby("bucket").map_groups(episodes, batch_format="pandas")
+    agg = out.groupby(["t_a", "t_b"]).aggregate(Sum("n", alias_name="n"))
+    return agg.map_batches(
+        lambda t: pa.table({"t_a": t["t_a"], "t_b": t["t_b"],
+                            "n": pc.cast(t["n"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def debounced_events(sf_dir: str, window_minutes: int = 5) -> rd.Dataset:
+    """Debounce / throttle dedup: keep an event only if the same user's
+    PREVIOUS event of the same type is more than ``window_minutes``
+    older (or absent) -- the duplicate-suppression rule event ingestion
+    applies to double-clicks and retry storms.  Per 64-bucket: one sort
+    + one shift; emits the surviving event ids."""
+    import numpy as np
+
+    w_us = window_minutes * 60_000_000
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32())
+        return t.append_column("bucket", b)
+
+    def debounce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "ts", "event_id"])
+        u = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        ts = g["ts"].astype("int64").to_numpy()
+        same = np.zeros(len(g), bool)
+        same[1:] = (u[1:] == u[:-1]) & (et[1:] == et[:-1])
+        gap_ok = np.ones(len(g), bool)
+        gap_ok[1:] = (ts[1:] - ts[:-1]) > w_us
+        keep = ~same | gap_ok
+        out = g[keep][["event_id", "user_id", "event_type", "ts"]].copy()
+        out["user_id"] = out["user_id"].astype("int64")
+        return out
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"]) \
+        .map_batches(add_bucket, batch_format="pyarrow")
+    return ds.groupby("bucket").map_groups(debounce,
+                                           batch_format="pandas")
