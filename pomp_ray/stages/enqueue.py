@@ -385,3 +385,30 @@ def same_host_filter(t: pa.Table) -> pa.Table:
         bh = pa.array([url_host(b) if b else "" for b in
                        t["base"].to_pylist()], pa.string())
     return t.filter(pc.fill_null(pc.equal(t["host"], bh), False))
+
+
+class SitemapFreshnessPriority:
+    """Freshness-informed crawl scorer for ``CrawlConfig.priority_fn``
+    (mode="best"): link priority from the XML sitemap staleness report
+    (``sources.corpus.sitemap_stale_report``) -- stale entries (lastmod
+    postdating the stored capture, or never crawled) outrank
+    fresh-listed urls, which outrank unlisted ones.  The
+    sitemap-lastmod sibling of ``PageRankPriority``'s authority loop
+    (and of ``recrawl_intervals``' change-rate policy): publish dates
+    steer the recrawl.  The url->level dict is sitemap-scale and
+    pickles by value -- the robots-map broadcast posture."""
+
+    def __init__(self, url_priority: dict[str, int]):
+        self.pri = dict(url_priority)
+
+    @classmethod
+    def from_stale_report(cls, report_rows, stale_boost: int = 2,
+                          fresh_boost: int = 1):
+        if hasattr(report_rows, "to_pylist"):
+            report_rows = report_rows.to_pylist()
+        return cls({r["url"]: (stale_boost if r["stale"] else fresh_boost)
+                    for r in report_rows})
+
+    def __call__(self, urls: list[str], depths: list[int]) -> list[int]:
+        pri = self.pri
+        return [pri.get(u, 0) for u in urls]
