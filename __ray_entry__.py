@@ -902,6 +902,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: webtext.url_path_tree_rollup(_mirror_pages_path()),
         "episode_counts": windows.episode_counts,
         "debounced_events": windows.debounced_events,
+        "order_brand_diversity": relational.order_brand_diversity,
+        "supplier_hhi_by_type": relational.supplier_hhi_by_type,
+        "benford_first_digits": relational.benford_first_digits,
     }
     # The external correctness driver hashes only the FIRST 50 entries of
     # this dict (insertion order).  Front-load the core engine — crawl
@@ -5084,6 +5087,38 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT l_returnflag, CAST({q} AS DOUBLE) AS q, "
             f"quantile_cont(l_quantity, {q}) AS quantile_val "
             f"FROM lineitem GROUP BY 1" for q in (0.25, 0.5, 0.75)),
+        "order_brand_diversity": """
+            WITH ob AS (
+                SELECT l_orderkey, COUNT(DISTINCT p_brand) AS n_brands
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                GROUP BY 1)
+            SELECT CAST(n_brands AS BIGINT) AS n_brands,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM ob GROUP BY 1
+        """,
+        "supplier_hhi_by_type": f"""
+            WITH {_PS},
+            ts AS (
+                SELECT p_type, ps_suppkey, SUM(ps_availqty) AS q
+                FROM ps GROUP BY 1, 2),
+            agg AS (
+                SELECT p_type, COUNT(*) AS n_suppliers,
+                       SUM(q) AS total, SUM(q * q) AS ss
+                FROM ts GROUP BY 1)
+            SELECT p_type, CAST(n_suppliers AS BIGINT) AS n_suppliers,
+                   CAST(total AS BIGINT) AS total_qty,
+                   CAST(ss * 1000000 // (total * total) AS BIGINT)
+                       AS hhi_ppm
+            FROM agg
+        """,
+        "benford_first_digits": """
+            WITH d AS (
+                SELECT CAST(substring(CAST(GREATEST(CAST(abs(round(
+                           o_totalprice * 100)) AS BIGINT), 1)
+                           AS VARCHAR), 1, 1) AS BIGINT) AS digit
+                FROM orders)
+            SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1
+        """,
         "url_path_tree_rollup": f"""
             WITH p AS (
                 SELECT lower(regexp_extract(url, '^[a-z]+://([^/]+)', 1))

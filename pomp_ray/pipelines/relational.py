@@ -2862,3 +2862,104 @@ def priority_transitions(sf_dir: str) -> rd.Dataset:
                             "next_priority": t["next_priority"],
                             "n": pc.cast(t["n"], pa.int64())}),
         batch_format="pyarrow")
+
+
+def order_brand_diversity(sf_dir: str) -> rd.Dataset:
+    """Histogram of per-order distinct-brand counts: how many brands a
+    basket mixes -- the assortment-diversity statistic.  One hash join
+    attaches p_brand to lineitem (part is the catalog-scale dim side),
+    a distinct groupby collapses (order, brand), a per-order Count, and
+    a final tiny histogram groupby."""
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    pt = _t(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
+        lambda t: t.rename_columns(["l_partkey", "p_brand"]),
+        batch_format="pyarrow").materialize()
+    n_parts = max(2, min(64, li.count() // 500_000))
+    joined = li.join(pt, join_type="inner", on=("l_partkey",),
+                     num_partitions=n_parts).repartition(2)
+    ob = joined.groupby(["l_orderkey", "p_brand"]).aggregate(
+        Count(alias_name="_c"))
+    per_order = ob.groupby("l_orderkey").aggregate(
+        Count(alias_name="n_brands"))
+    hist = per_order.groupby("n_brands").aggregate(
+        Count(alias_name="n_orders"))
+    return hist.map_batches(
+        lambda t: pa.table({
+            "n_brands": pc.cast(t["n_brands"], pa.int64()),
+            "n_orders": pc.cast(t["n_orders"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def supplier_hhi_by_type(sf_dir: str) -> rd.Dataset:
+    """Supplier-concentration Herfindahl-Hirschman index per part type
+    over the SYNTHESIZED partsupp (the Q2/Q11/Q20 table): HHI_ppm =
+    sum_s(share_s^2) where share_s is supplier s's fraction of the
+    type's total avail quantity -- computed as the exact integer
+    floor SUM(q_s^2 * 10^6) // T^2 ... NOT quite: the ppm floor must
+    apply ONCE over the summed squares (sum(q_s^2) * 10^6 // T^2), so
+    engine and SQL agree bit for bit.  Partsupp expands 4x inside
+    map_batches over the part scan (never materialized); per-(type,
+    supplier) quantities reduce through one groupby; the per-type fold
+    is a second tiny groupby."""
+    S = _supplier_count(sf_dir)
+
+    def expand(t: pa.Table) -> pa.Table:
+        e = _partsupp_batch(t, S, carry=["p_type"])
+        return pa.table({"p_type": e["p_type"],
+                         "ps_suppkey": e["ps_suppkey"],
+                         "q": e["ps_availqty"]})
+
+    ts = _t(sf_dir, "part", ["p_partkey", "p_type"]) \
+        .map_batches(expand, batch_format="pyarrow") \
+        .groupby(["p_type", "ps_suppkey"]).aggregate(
+            Sum("q", alias_name="q"))
+
+    def squares(t: pa.Table) -> pa.Table:
+        q = pc.cast(t["q"], pa.int64()).to_numpy()
+        return pa.table({"p_type": t["p_type"],
+                         "q": pa.array(q, pa.int64()),
+                         "qq": pa.array(q * q, pa.int64())})
+
+    agg = ts.map_batches(squares, batch_format="pyarrow") \
+        .groupby("p_type").aggregate(
+            Sum("q", alias_name="total"), Sum("qq", alias_name="ss"),
+            Count(alias_name="n_suppliers"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        tot = pc.cast(t["total"], pa.int64()).to_numpy()
+        ss = pc.cast(t["ss"], pa.int64()).to_numpy()
+        hhi = [int(s) * 1_000_000 // (int(x) * int(x))
+               for s, x in zip(ss, tot)]
+        return pa.table({
+            "p_type": t["p_type"],
+            "n_suppliers": pc.cast(t["n_suppliers"], pa.int64()),
+            "total_qty": pa.array(tot, pa.int64()),
+            "hhi_ppm": pa.array(hhi, pa.int64())})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def benford_first_digits(sf_dir: str) -> rd.Dataset:
+    """Benford's-law audit of order totals: the distribution of first
+    significant digits of o_totalprice cents -- the classic synthetic-
+    data / fraud smoke test (generated uniform data FAILS Benford, and
+    this table records by how much).  First digit extracted vectorized
+    (repeated integer division by 10 -- no string round-trip); exact
+    counts."""
+    def digits(t: pa.Table) -> pa.Table:
+        c = np.rint(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        c = np.abs(c)
+        c = np.maximum(c, 1)
+        while (c >= 10).any():
+            c = np.where(c >= 10, c // 10, c)
+        vc = pd.Series(c).value_counts()
+        return pa.table({"digit": pa.array(vc.index.to_numpy(np.int64)),
+                         "n": pa.array(vc.to_numpy().astype(np.int64))})
+
+    agg = _t(sf_dir, "orders", ["o_totalprice"]) \
+        .map_batches(digits, batch_format="pyarrow") \
+        .groupby("digit").aggregate(Sum("n", alias_name="n"))
+    return agg.map_batches(
+        lambda t: pa.table({"digit": pc.cast(t["digit"], pa.int64()),
+                            "n": pc.cast(t["n"], pa.int64())}),
+        batch_format="pyarrow")
