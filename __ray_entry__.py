@@ -905,6 +905,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_brand_diversity": relational.order_brand_diversity,
         "supplier_hhi_by_type": relational.supplier_hhi_by_type,
         "benford_first_digits": relational.benford_first_digits,
+        "events_dow_hour_heatmap": windows.events_dow_hour_heatmap,
+        "discount_band_quantity": relational.discount_band_quantity,
     }
     # The external correctness driver hashes only the FIRST 50 entries of
     # this dict (insertion order).  Front-load the core engine — crawl
@@ -5087,6 +5089,23 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT l_returnflag, CAST({q} AS DOUBLE) AS q, "
             f"quantile_cont(l_quantity, {q}) AS quantile_val "
             f"FROM lineitem GROUP BY 1" for q in (0.25, 0.5, 0.75)),
+        "events_dow_hour_heatmap": """
+            SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+                   CAST(hour(ts) AS BIGINT) AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "discount_band_quantity": """
+            WITH k AS (SELECT CAST(round(l_discount * 100) AS BIGINT)
+                                  AS band,
+                              CAST(l_quantity AS BIGINT) AS qty
+                       FROM lineitem)
+            SELECT band, CAST(SUM(qty) AS BIGINT) AS sum_qty,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(qty) * 100 // COUNT(*) AS BIGINT)
+                       AS avg_qty_centi
+            FROM k GROUP BY 1
+        """,
         "order_brand_diversity": """
             WITH ob AS (
                 SELECT l_orderkey, COUNT(DISTINCT p_brand) AS n_brands

@@ -2963,3 +2963,31 @@ def benford_first_digits(sf_dir: str) -> rd.Dataset:
         lambda t: pa.table({"digit": pc.cast(t["digit"], pa.int64()),
                             "n": pc.cast(t["n"], pa.int64())}),
         batch_format="pyarrow")
+
+
+def discount_band_quantity(sf_dir: str) -> rd.Dataset:
+    """Price-elasticity probe: average ordered quantity per discount
+    band (cents band = round(discount*100)), as the exact integer pair
+    (sum_qty, n_rows) plus the floor average in centi-units -- no float
+    division crosses engines."""
+    def keys(t: pa.Table) -> pa.Table:
+        band = np.rint(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        qty = t["l_quantity"].to_numpy().astype(np.int64)
+        return pa.table({"band": pa.array(band, pa.int64()),
+                         "qty": pa.array(qty, pa.int64())})
+
+    agg = _t(sf_dir, "lineitem", ["l_discount", "l_quantity"]) \
+        .map_batches(keys, batch_format="pyarrow") \
+        .groupby("band").aggregate(Sum("qty", alias_name="sum_qty"),
+                                   Count(alias_name="n_rows"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        s = pc.cast(t["sum_qty"], pa.int64()).to_numpy()
+        n = pc.cast(t["n_rows"], pa.int64()).to_numpy()
+        return pa.table({
+            "band": pc.cast(t["band"], pa.int64()),
+            "sum_qty": pa.array(s, pa.int64()),
+            "n_rows": pa.array(n, pa.int64()),
+            "avg_qty_centi": pa.array(s * 100 // n, pa.int64())})
+
+    return agg.map_batches(fin, batch_format="pyarrow")

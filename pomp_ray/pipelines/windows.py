@@ -1593,3 +1593,30 @@ def debounced_events(sf_dir: str, window_minutes: int = 5) -> rd.Dataset:
         .map_batches(add_bucket, batch_format="pyarrow")
     return ds.groupby("bucket").map_groups(debounce,
                                            batch_format="pandas")
+
+
+def events_dow_hour_heatmap(sf_dir: str) -> rd.Dataset:
+    """Traffic heatmap: event counts per (ISO weekday, hour-of-day) --
+    the ops/capacity matrix.  Pure integer epoch arithmetic (day
+    1970-01-01 was a Thursday => dow = (epoch_day + 3) % 7 + 1 matches
+    DuckDB's isodow), one groupby over the bounded 7x24 key space."""
+    US_H, US_D = 3_600_000_000, 86_400_000_000
+
+    def keys(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy()
+        day = us // US_D
+        dow = (day + 3) % 7 + 1
+        hour = (us % US_D) // US_H
+        df = pd.DataFrame({"dow": dow, "hour": hour})
+        vc = df.value_counts().rename("n").reset_index()
+        vc["n"] = vc["n"].astype("int64")
+        return pa.Table.from_pandas(vc, preserve_index=False)
+
+    agg = _events(sf_dir, ["ts"]) \
+        .map_batches(keys, batch_format="pyarrow") \
+        .groupby(["dow", "hour"]).aggregate(Sum("n", alias_name="n"))
+    return agg.map_batches(
+        lambda t: pa.table({"dow": pc.cast(t["dow"], pa.int64()),
+                            "hour": pc.cast(t["hour"], pa.int64()),
+                            "n": pc.cast(t["n"], pa.int64())}),
+        batch_format="pyarrow")
