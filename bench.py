@@ -317,6 +317,16 @@ def bench_queries(sf_dir: str) -> dict:
          .merge_upsert_docs(sf_dir).count()),
         ("unigram_lm", lambda: tokenizer.unigram_lm_vocab(
             sf_dir).num_rows),
+        # round-4 shapes: NOT-step funnel (composite-axis error
+        # exclusion), windowed episode co-occurrence, perceptual aHash
+        # (utf-32 reinterpret + reduceat + packbits per batch)
+        ("exclusion_funnel", lambda: __import__(
+            "pomp_ray.pipelines.joins", fromlist=["joins"])
+         .exclusion_funnel(sf_dir).count()),
+        ("episode_counts", lambda: __import__(
+            "pomp_ray.pipelines.windows", fromlist=["windows"])
+         .episode_counts(sf_dir).count()),
+        ("doc_ahash", lambda: docs.doc_ahash(sf_dir).count()),
     ):
         t0 = time.monotonic()
         fn()
