@@ -907,6 +907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_first_digits": relational.benford_first_digits,
         "events_dow_hour_heatmap": windows.events_dow_hour_heatmap,
         "discount_band_quantity": relational.discount_band_quantity,
+        "ppm_decode_check": media.ppm_decode_check,
     }
     # The external correctness driver hashes only the FIRST 50 entries of
     # this dict (insertion order).  Front-load the core engine — crawl
@@ -5089,6 +5090,17 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT l_returnflag, CAST({q} AS DOUBLE) AS q, "
             f"quantile_cont(l_quantity, {q}) AS quantile_val "
             f"FROM lineitem GROUP BY 1" for q in (0.25, 0.5, 0.75)),
+        # engine decodes a synthesized 8x8 P5 netpbm through the REAL
+        # parser and recovers the raster from the feature grid; the
+        # mirror is a plain integer sum over the same first-64 code
+        # points (zero padding adds nothing)
+        "ppm_decode_check": """
+            SELECT doc_id,
+                   CAST(coalesce(list_sum(list_transform(
+                       string_split(substring(text, 1, 64), ''),
+                       c -> unicode(c))), 0) AS BIGINT) AS px_sum
+            FROM documents
+        """,
         "events_dow_hour_heatmap": """
             SELECT CAST(isodow(ts) AS BIGINT) AS dow,
                    CAST(hour(ts) AS BIGINT) AS hour,

@@ -164,3 +164,32 @@ def media_dedup_stats(sf_dir: str) -> rd.Dataset:
             "n_media": pc.cast(t["n_media"], pa.int64()),
             "n_unique": pc.cast(t["n_unique"], pa.int64())}),
         batch_format="pyarrow").sort("kind")
+
+
+def ppm_decode_check(sf_dir: str) -> rd.Dataset:
+    """REAL image decode on the distributed path, with an exact DuckDB
+    mirror: each doc's first 64 utf-8 bytes (zero-padded) become the
+    raster of a synthesized 8x8 P5 netpbm payload; the stage decodes it
+    through ``stages.multimodal.real_decode`` (the actual netpbm
+    parser, not the fake) and emits the integer pixel sum recovered
+    FROM THE DECODED FEATURES.  With 1-pixel blocks the 8x8 block-mean
+    grid is px/255 exactly, so round(feat*255) round-trips the raster
+    bytes and the oracle is a plain integer SUM over the same code
+    points -- decoder correctness rides the hard external hash gate."""
+    import numpy as np
+
+    from pomp_ray.stages.multimodal import real_decode
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        sums = []
+        for x in t["text"].to_pylist():
+            raster = (x or "").encode("utf-8")[:64].ljust(64, b"\x00")
+            payload = b"P5\n8 8\n255\n" + raster
+            feats = real_decode(payload, "image")
+            sums.append(int(np.rint(feats * 255.0).sum()))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "px_sum": pa.array(sums, pa.int64())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")

@@ -45,12 +45,101 @@ def fake_decode(payload: bytes, kind: str) -> np.ndarray:
     return rng.standard_normal(FEATURE_DIM).astype(np.float32)
 
 
+def _parse_netpbm(payload: bytes) -> np.ndarray:
+    """Binary netpbm (P5 grayscale / P6 RGB) -> float64 gray matrix in
+    [0, 1].  Pure bytes parsing (header tokens with # comments, raster
+    reinterpret) -- no image library needed for this classic format."""
+    if payload[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary netpbm (P5/P6) payload")
+    rgb = payload[:2] == b"P6"
+    i, tokens = 2, []
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i:i + 1].isspace():
+            i += 1
+        if payload[i:i + 1] == b"#":
+            while i < len(payload) and payload[i:i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j:j + 1].isspace():
+            j += 1
+        tokens.append(int(payload[i:j]))
+        i = j
+    i += 1   # single whitespace after maxval, then the raster
+    w, h, maxval = tokens
+    n = w * h * (3 if rgb else 1)
+    if maxval > 255 or len(payload) - i < n:
+        raise ValueError("unsupported or truncated netpbm raster")
+    px = np.frombuffer(payload, np.uint8, count=n, offset=i) \
+        .astype(np.float64)
+    if rgb:
+        px = px.reshape(h, w, 3).mean(axis=2)
+    else:
+        px = px.reshape(h, w)
+    return px / maxval
+
+
+def _block_means_8x8(gray: np.ndarray) -> np.ndarray:
+    """64 features: means over an 8x8 grid of blocks (integer boundary
+    slicing; empty blocks -- images smaller than 8px -- read 0)."""
+    h, w = gray.shape
+    out = np.zeros((8, 8), np.float64)
+    for bi in range(8):
+        r0, r1 = bi * h // 8, (bi + 1) * h // 8
+        for bj in range(8):
+            c0, c1 = bj * w // 8, (bj + 1) * w // 8
+            if r1 > r0 and c1 > c0:
+                out[bi, bj] = gray[r0:r1, c0:c1].mean()
+    return out.ravel()
+
+
+def _parse_wav(payload: bytes) -> np.ndarray:
+    """RIFF/WAVE -> mono float64 samples in [-1, 1] via the stdlib
+    ``wave`` module (16-bit PCM; no external audio library needed)."""
+    import io
+    import wave
+    if payload[:4] != b"RIFF":
+        raise ValueError("not a RIFF/WAVE payload")
+    with wave.open(io.BytesIO(payload)) as f:
+        if f.getsampwidth() != 2:
+            raise ValueError("only 16-bit PCM WAV is supported here")
+        raw = f.readframes(f.getnframes())
+        nch = f.getnchannels()
+    samples = np.frombuffer(raw, np.int16).astype(np.float64)
+    if nch > 1:
+        samples = samples.reshape(-1, nch).mean(axis=1)
+    return samples / 32768.0
+
+
 def real_decode(payload: bytes, kind: str) -> np.ndarray:
-    """Where a real decoder goes (Pillow / torchaudio / PyAV).  The
-    sandbox image has none of these, so this is an explicit stub."""
+    """REAL decoders for the formats the stdlib + numpy can parse --
+    no Pillow/torchaudio/ffmpeg in this sandbox, but binary netpbm
+    images (P5/P6) and 16-bit PCM WAV audio decode exactly:
+
+    * image: netpbm raster -> gray [0,1] -> 8x8 block means (64 dims)
+    * audio: WAV via the stdlib ``wave`` module -> 64 equal time-bucket
+      RMS energies
+    * video: still an explicit stub -- no container format is parseable
+      without ffmpeg/PyAV (the documented plug-in seam)
+
+    Other codecs (JPEG/PNG/MP3/...) raise ValueError naming the seam
+    where Pillow/torchaudio would plug in."""
+    if kind == "image":
+        feats = _block_means_8x8(_parse_netpbm(payload or b""))
+        return feats.astype(np.float32)
+    if kind == "audio":
+        s = _parse_wav(payload or b"")
+        n = len(s)
+        out = np.zeros(FEATURE_DIM, np.float64)
+        for b in range(FEATURE_DIM):
+            a, z = b * n // FEATURE_DIM, (b + 1) * n // FEATURE_DIM
+            if z > a:
+                out[b] = np.sqrt((s[a:z] ** 2).mean())
+        return out.astype(np.float32)
     raise NotImplementedError(
-        "real media decoding requires Pillow/torchaudio/ffmpeg, which are "
-        "not available in this environment; use decode='fake'"
+        "video decoding requires ffmpeg/PyAV, which are not available in "
+        "this environment; use decode='fake' (images: P5/P6 netpbm and "
+        "16-bit WAV decode for real via decode='real')"
     )
 
 

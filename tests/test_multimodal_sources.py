@@ -37,12 +37,87 @@ def test_media_featurizer_actor_pool():
         np.testing.assert_array_equal(feats[k], feats2[k])
 
 
-def test_real_decode_is_stubbed():
+def test_real_decode_codec_boundaries():
+    # video: still the explicit ffmpeg/PyAV stub
     with pytest.raises(NotImplementedError):
-        real_decode(b"x", "image")
+        real_decode(b"x", "video")
+    # unsupported image/audio codecs name the plug-in seam
+    with pytest.raises(ValueError):
+        real_decode(b"\x89PNG...", "image")
+    with pytest.raises(ValueError):
+        real_decode(b"ID3...", "audio")
     # fake decode is pure + deterministic
     assert np.array_equal(fake_decode(b"abc", "image"),
                           fake_decode(b"abc", "image"))
+
+
+def _ppm_bytes(w, h, pixel_fn):
+    raster = bytes(pixel_fn(x, y, c)
+                   for y in range(h) for x in range(w) for c in range(3))
+    return b"P6\n# test image\n%d %d\n255\n" % (w, h) + raster
+
+
+def _wav_bytes(samples_int16, framerate=8000):
+    import io
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(framerate)
+        f.writeframes(np.asarray(samples_int16, np.int16).tobytes())
+    return buf.getvalue()
+
+
+def test_real_decode_ppm_block_means():
+    # 16x16 image, gray value = x*16 in every channel: block means are
+    # exactly the mean of two adjacent column values / 255
+    img = _ppm_bytes(16, 16, lambda x, y, c: x * 16)
+    feats = real_decode(img, "image")
+    assert feats.shape == (64,)
+    for bj in range(8):
+        # block bj spans x in {2bj, 2bj+1}: mean of the two gray values
+        expect = ((2 * bj) * 16 + (2 * bj + 1) * 16) / 2 / 255.0
+        assert abs(float(feats[bj]) - expect) < 1e-6
+    # P5 grayscale parses too, and comments are skipped
+    p5 = b"P5\n#c\n4 4\n255\n" + bytes(range(16))
+    f5 = real_decode(p5, "image")
+    assert f5.shape == (64,)
+    assert abs(float(f5.reshape(8, 8)[0, 0]) - 0 / 255.0) < 1e-6
+
+
+def test_real_decode_wav_rms():
+    # constant-amplitude signal: every time bucket reads the same RMS
+    amp = 8192
+    wav = _wav_bytes([amp, -amp] * 640)
+    feats = real_decode(wav, "audio")
+    assert feats.shape == (64,)
+    np.testing.assert_allclose(feats, amp / 32768.0, rtol=1e-6)
+
+
+def test_media_featurizer_real_decode_end_to_end():
+    import pyarrow as pa
+
+    from pomp_ray.stages.multimodal import MEDIA_SCHEMA, MediaFeaturizer
+    rows = []
+    for i in range(6):
+        if i % 2 == 0:
+            payload = _ppm_bytes(8, 8, lambda x, y, c, _i=i: (x * y + _i) % 256)
+            kind = "image"
+        else:
+            payload = _wav_bytes([(i * 997 + j * 13) % 4096 - 2048
+                                  for j in range(256)])
+            kind = "audio"
+        rows.append({"media_id": i, "kind": kind, "payload": payload,
+                     "width": 8, "height": 8, "duration_ms": 0})
+    t = pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+    fz = MediaFeaturizer(decode="real")
+    out = fz(t)
+    assert out["features"].type.list_size == 64
+    out2 = MediaFeaturizer(decode="real")(t)
+    for a, b in zip(out["features"].to_pylist(),
+                    out2["features"].to_pylist()):
+        assert a == b
 
 
 def test_resize_stub():
