@@ -908,6 +908,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dow_hour_heatmap": windows.events_dow_hour_heatmap,
         "discount_band_quantity": relational.discount_band_quantity,
         "ppm_decode_check": media.ppm_decode_check,
+        "conversion_latency_quantiles": joins.conversion_latency_quantiles,
     }
     # The external correctness driver hashes only the FIRST 50 entries of
     # this dict (insertion order).  Front-load the core engine — crawl
@@ -5090,6 +5091,29 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT l_returnflag, CAST({q} AS DOUBLE) AS q, "
             f"quantile_cont(l_quantity, {q}) AS quantile_val "
             f"FROM lineitem GROUP BY 1" for q in (0.25, 0.5, 0.75)),
+        # floor-microsecond latency (date_diff 'second' counts boundary
+        # crossings, not elapsed floor -- the session_duration lesson)
+        "conversion_latency_quantiles": """
+            WITH lat AS (
+                SELECT date_diff('microsecond',
+                           (SELECT c.ts FROM events c
+                            WHERE c.user_id = p.user_id
+                              AND c.event_type = 'click'
+                              AND c.ts <= p.ts
+                            ORDER BY c.ts DESC, c.event_id DESC LIMIT 1),
+                           p.ts) // 1000000 AS lat_s
+                FROM events p WHERE p.event_type = 'purchase'),
+            l AS (SELECT lat_s FROM lat WHERE lat_s IS NOT NULL)
+            SELECT CAST(0.5 AS DOUBLE) AS q,
+                   CAST(quantile_disc(lat_s, 0.5) AS BIGINT) AS latency_s
+            FROM l
+            UNION ALL
+            SELECT CAST(0.9 AS DOUBLE),
+                   CAST(quantile_disc(lat_s, 0.9) AS BIGINT) FROM l
+            UNION ALL
+            SELECT CAST(0.99 AS DOUBLE),
+                   CAST(quantile_disc(lat_s, 0.99) AS BIGINT) FROM l
+        """,
         # engine decodes a synthesized 8x8 P5 netpbm through the REAL
         # parser and recovers the raster from the feature grid; the
         # mirror is a plain integer sum over the same first-64 code

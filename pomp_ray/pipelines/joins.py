@@ -345,3 +345,58 @@ def exclusion_funnel(sf_dir: str) -> rd.Dataset:
         lambda t: t.set_column(t.column_names.index("user_id"), "user_id",
                                pc.cast(t["user_id"], pa.int64())),
         batch_format="pyarrow")
+
+
+def conversion_latency_quantiles(sf_dir: str) -> pa.Table:
+    """Click-to-purchase latency distribution: p50/p90/p99 of the
+    seconds between each purchase and its latest same-user prior click
+    (the asof pair), via the quantile_disc rule sorted[ceil(n*q)-1] --
+    exact integers end to end.  Shape: the 64-bucket per-user asof
+    emits floor-second latencies, a SECOND-granularity histogram bounds
+    the shuffle (the event_gap_quantiles trick), and the driver walks
+    the tiny cumulative grid."""
+    import math
+
+    import numpy as np
+    from ray.data.aggregate import Sum as _Sum
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32())
+        return t.append_column("bucket", b)
+
+    def latencies(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        p = g[g["event_type"] == "purchase"][["event_id", "user_id", "ts"]]
+        c = g[g["event_type"] == "click"][["user_id", "ts"]] \
+            .rename(columns={"ts": "click_ts"})
+        if p.empty or c.empty:
+            return pd.DataFrame({"lat_s": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        m = pd.merge_asof(p, c, left_on="ts", right_on="click_ts",
+                          by="user_id", direction="backward")
+        m = m[m["click_ts"].notna()]
+        lat = ((m["ts"].astype("int64") - m["click_ts"].astype("int64"))
+               // 1_000_000)
+        vc = lat.value_counts()
+        return pd.DataFrame({"lat_s": vc.index.astype("int64"),
+                             "n": vc.to_numpy().astype("int64")})
+
+    ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]) \
+        .map_batches(add_bucket, batch_format="pyarrow")
+    hist = ds.groupby("bucket").map_groups(latencies,
+                                           batch_format="pandas") \
+        .groupby("lat_s").aggregate(_Sum("n", alias_name="n")).take_all()
+    lat = np.array([r["lat_s"] for r in hist], np.int64)
+    cnt = np.array([r["n"] for r in hist], np.int64)
+    order = np.argsort(lat)
+    lat, cnt = lat[order], cnt[order]
+    cum = np.cumsum(cnt)
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in (0.5, 0.9, 0.99):
+        k = max(1, math.ceil(n * q))
+        v = int(lat[int(np.searchsorted(cum, k))]) if n else 0
+        out_q.append(q)
+        out_v.append(v)
+    return pa.table({"q": pa.array(out_q, pa.float64()),
+                     "latency_s": pa.array(out_v, pa.int64())})
