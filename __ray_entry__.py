@@ -909,6 +909,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "discount_band_quantity": relational.discount_band_quantity,
         "ppm_decode_check": media.ppm_decode_check,
         "conversion_latency_quantiles": joins.conversion_latency_quantiles,
+        "curriculum_shards": docs.curriculum_shards,
     }
     # The external correctness driver hashes only the FIRST 50 entries of
     # this dict (insertion order).  Front-load the core engine — crawl
@@ -5091,6 +5092,23 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT l_returnflag, CAST({q} AS DOUBLE) AS q, "
             f"quantile_cont(l_quantity, {q}) AS quantile_val "
             f"FROM lineitem GROUP BY 1" for q in (0.25, 0.5, 0.75)),
+        "curriculum_shards": """
+            WITH t AS (
+                SELECT doc_id, n_chars,
+                       NTILE(3) OVER (ORDER BY n_chars, doc_id) AS stage
+                FROM documents),
+            r AS (
+                SELECT stage, n_chars,
+                       ROW_NUMBER() OVER (PARTITION BY stage
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                    doc_id) - 1 AS rk
+                FROM t)
+            SELECT CAST(stage AS BIGINT) AS stage,
+                   CAST(rk // 64 AS BIGINT) AS shard,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM r GROUP BY 1, 2
+        """,
         # floor-microsecond latency (date_diff 'second' counts boundary
         # crossings, not elapsed floor -- the session_duration lesson)
         "conversion_latency_quantiles": """

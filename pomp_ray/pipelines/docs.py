@@ -4173,3 +4173,81 @@ def doc_ahash(sf_dir: str, n_bits: int = 64) -> rd.Dataset:
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         partial, batch_format="pyarrow")
+
+
+def curriculum_shards(sf_dir: str, n_stages: int = 3,
+                      docs_per_shard: int = 64) -> rd.Dataset:
+    """Curriculum export layout: docs split into ``n_stages`` length
+    terciles (short -> long, the classic curriculum-learning baseline
+    signal), each stage internally shuffled by md5(doc_id) (the
+    shuffle_positions convention) and cut into ``docs_per_shard``-doc
+    shards; emits per-(stage, shard) doc and char counts -- the
+    manifest a staged training run consumes.
+
+    Exactness: stage assignment mirrors DuckDB's NTILE rule (first
+    ``n %% k`` tiles take the extra row) off ONE global zip_with_index
+    over the (n_chars, doc_id) composite key; within-stage ranks come
+    from a second zip_with_index over the stage:md5 key minus broadcast
+    per-stage offsets (the lang_rank pattern -- no stage ever
+    co-locates)."""
+    import hashlib
+
+    from pomp_ray.stages.index import zip_with_index
+
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
+    n = docs.count()
+    base, extra = n // n_stages, n % n_stages
+
+    def len_key(t: pa.Table) -> pa.Table:
+        nc = pc.cast(t["n_chars"], pa.int64()).to_numpy()
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy()
+        k = [f"{c:012d}:{d:012d}" for c, d in zip(nc, ids)]
+        return pa.table({"doc_id": t["doc_id"], "n_chars": t["n_chars"],
+                         "lk": pa.array(k, pa.string())})
+
+    pos = zip_with_index(docs.map_batches(len_key, batch_format="pyarrow"),
+                         key="lk", out_col="gpos")
+
+    def stage_of(t: pa.Table) -> pa.Table:
+        p = t["gpos"].to_numpy()
+        cut = extra * (base + 1)
+        stage = np.where(p < cut, p // (base + 1),
+                         extra + (p - cut) // max(1, base)) + 1
+        h = [hashlib.md5(str(int(d)).encode()).hexdigest()
+             for d in t["doc_id"].to_pylist()]
+        sk = [f"{s:02d}:{x}:{int(d):012d}"
+              for s, x, d in zip(stage, h, t["doc_id"].to_pylist())]
+        return pa.table({"doc_id": t["doc_id"], "n_chars": t["n_chars"],
+                         "stage": pa.array(stage.astype(np.int64),
+                                           pa.int64()),
+                         "sk": pa.array(sk, pa.string())})
+
+    staged = zip_with_index(
+        pos.map_batches(stage_of, batch_format="pyarrow"),
+        key="sk", out_col="spos").materialize()
+
+    # per-stage offsets: n_stages rows to the driver
+    offs_rows = staged.groupby("stage").aggregate(
+        Min("spos", alias_name="off")).take_all()
+    offs = {int(r["stage"]): int(r["off"]) for r in offs_rows}
+
+    def shard_of(t: pa.Table) -> pa.Table:
+        s = t["stage"].to_numpy()
+        sp = t["spos"].to_numpy()
+        rk = sp - np.array([offs[int(x)] for x in s], np.int64)
+        return pa.table({"stage": pa.array(s, pa.int64()),
+                         "shard": pa.array(rk // docs_per_shard,
+                                           pa.int64()),
+                         "n_chars": pc.cast(t["n_chars"], pa.int64())})
+
+    agg = staged.map_batches(shard_of, batch_format="pyarrow") \
+        .groupby(["stage", "shard"]).aggregate(
+            Count(alias_name="n_docs"), Sum("n_chars",
+                                            alias_name="sum_chars"))
+    return agg.map_batches(
+        lambda t: pa.table({"stage": pc.cast(t["stage"], pa.int64()),
+                            "shard": pc.cast(t["shard"], pa.int64()),
+                            "n_docs": pc.cast(t["n_docs"], pa.int64()),
+                            "sum_chars": pc.cast(t["sum_chars"],
+                                                 pa.int64())}),
+        batch_format="pyarrow")
