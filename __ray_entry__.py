@@ -910,6 +910,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppm_decode_check": media.ppm_decode_check,
         "conversion_latency_quantiles": joins.conversion_latency_quantiles,
         "curriculum_shards": docs.curriculum_shards,
+        "hashed_features": docs.hashed_features,
     }
     # The external correctness driver hashes only the FIRST 50 entries of
     # this dict (insertion order).  Front-load the core engine — crawl
@@ -5092,6 +5093,23 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT l_returnflag, CAST({q} AS DOUBLE) AS q, "
             f"quantile_cont(l_quantity, {q}) AS quantile_val "
             f"FROM lineitem GROUP BY 1" for q in (0.25, 0.5, 0.75)),
+        "hashed_features": """
+            WITH toks AS (
+                SELECT doc_id,
+                       UNNEST(regexp_extract_all(lower(text), '[a-z]+'))
+                           AS w
+                FROM documents),
+            h AS (
+                SELECT doc_id,
+                       CAST(CAST('0x' || substring(md5(w), 1, 4)
+                                 AS BIGINT) % 64 AS BIGINT) AS bucket,
+                       CASE WHEN CAST('0x' || substring(md5(w), 5, 1)
+                                      AS BIGINT) % 2 = 1
+                            THEN 1 ELSE -1 END AS s
+                FROM toks)
+            SELECT doc_id, bucket, CAST(SUM(s) AS BIGINT) AS v
+            FROM h GROUP BY 1, 2
+        """,
         "curriculum_shards": """
             WITH t AS (
                 SELECT doc_id, n_chars,

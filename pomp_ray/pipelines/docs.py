@@ -4251,3 +4251,42 @@ def curriculum_shards(sf_dir: str, n_stages: int = 3,
                             "sum_chars": pc.cast(t["sum_chars"],
                                                  pa.int64())}),
         batch_format="pyarrow")
+
+
+def hashed_features(sf_dir: str, n_buckets: int = 64) -> rd.Dataset:
+    """Signed feature hashing (the Vowpal-Wabbit / Weinberger et al.
+    2009 trick): each token maps to md5-derived (bucket, sign) and the
+    doc's feature vector is the signed token-count per bucket --
+    collision-tolerant fixed-width features for linear probes/quality
+    classifiers without a vocabulary.  md5 is the cross-engine hash, so
+    the oracle is exact: bucket = first 4 hex digits %% n_buckets, sign
+    from the 5th hex digit's low bit.  Per batch: one Arrow tokenize,
+    md5 once per DISTINCT token (factorize), one compact (doc, bucket)
+    signed-count partial; the shuffle carries docs x <= n_buckets
+    rows."""
+    import hashlib
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, parent = _tokenize_flat(t)
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy()
+        w = flat.to_pandas()
+        codes, uniq = pd.factorize(w)
+        hx = [hashlib.md5(u.encode()).hexdigest() for u in uniq]
+        bu = np.array([int(h[:4], 16) % n_buckets for h in hx], np.int64)
+        sg = np.array([1 if int(h[4], 16) & 1 else -1 for h in hx],
+                      np.int64)
+        doc = ids[parent.to_numpy(zero_copy_only=False)]
+        df = pd.DataFrame({"doc_id": doc, "bucket": bu[codes],
+                           "v": sg[codes]})
+        g = df.groupby(["doc_id", "bucket"], as_index=False)["v"].sum()
+        g["v"] = g["v"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["doc_id", "bucket"]).aggregate(Sum("v", alias_name="v"))
+    return agg.map_batches(
+        lambda t: pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                            "bucket": pc.cast(t["bucket"], pa.int64()),
+                            "v": pc.cast(t["v"], pa.int64())}),
+        batch_format="pyarrow")
