@@ -911,6 +911,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversion_latency_quantiles": joins.conversion_latency_quantiles,
         "curriculum_shards": docs.curriculum_shards,
         "hashed_features": docs.hashed_features,
+        "exactsubstr_doc_stats": lambda sf: __import__(
+            "pomp_ray.pipelines.suffix", fromlist=["suffix"]
+        ).exactsubstr_doc_stats(sf),
     }
     # The external correctness driver hashes only the FIRST 50 entries of
     # this dict (insertion order).  Front-load the core engine — crawl
@@ -5287,6 +5290,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT prev_priority, next_priority,
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM s WHERE next_priority IS NOT NULL GROUP BY 1, 2
+        """,
+        # later-position side of each qualifying span is the duplicate;
+        # covered chars dedup via DISTINCT unnested offsets
+        "exactsubstr_doc_stats": _SUFFIX_BASE_SQL + """,
+            adj AS (SELECT a.p AS pa, b.p AS pb, a.s AS s
+                    FROM sa a JOIN sa b ON b.rn = a.rn + 1),
+            lcps AS (SELECT pa, pb, CAST(MAX(j) AS BIGINT) AS lcp
+                     FROM adj, UNNEST(range(0, 81)) AS t(j)
+                     WHERE substring(s, CAST(pa AS INTEGER) + 1,
+                                     CAST(j AS INTEGER))
+                         = substring(s, CAST(pb AS INTEGER) + 1,
+                                     CAST(j AS INTEGER))
+                       AND strpos(substring(s, CAST(pa AS INTEGER) + 1,
+                                            CAST(j AS INTEGER)),
+                                  chr(1)) = 0
+                     GROUP BY pa, pb),
+            spans AS (SELECT GREATEST(pa, pb) AS p, lcp
+                      FROM lcps WHERE lcp >= 20),
+            cover AS (SELECT DISTINCT
+                             p + UNNEST(range(0, CAST(lcp AS INTEGER)))
+                                 AS q
+                      FROM spans),
+            marked AS (
+                SELECT (SELECT o.doc_id FROM offs o WHERE o.off <= q
+                        ORDER BY o.off DESC LIMIT 1) AS doc_id, q
+                FROM cover)
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_chars
+            FROM marked GROUP BY 1
         """,
         "suffix_array_sample": _SUFFIX_BASE_SQL + """
             SELECT CAST(sa.rn - 1 AS BIGINT) AS rank, sa.p AS pos,

@@ -4290,3 +4290,92 @@ def hashed_features(sf_dir: str, n_buckets: int = 64) -> rd.Dataset:
                             "bucket": pc.cast(t["bucket"], pa.int64()),
                             "v": pc.cast(t["v"], pa.int64())}),
         batch_format="pyarrow")
+
+
+def write_curriculum_shards(sf_dir: str, out_dir: str,
+                            n_stages: int = 3,
+                            docs_per_shard: int = 64) -> dict:
+    """Materialize the ``curriculum_shards`` layout on disk: one
+    parquet file per (stage, shard) under ``stage-S/shard-NNNN.parquet``
+    (no key=value dir names -- the hive-inference trap), rows carrying
+    (doc_id, n_chars, stage, shard, rank_in_shard).  Deterministic
+    content-derived layout = resumable/idempotent republish; returns
+    {n_files, n_docs}."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    # reuse the exact stage/shard assignment by recomputing the staged
+    # table (the curriculum_shards pipeline minus the final rollup)
+    import hashlib
+
+    from pomp_ray.stages.index import zip_with_index
+
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
+    n = docs.count()
+    base, extra = n // n_stages, n % n_stages
+
+    def len_key(t: pa.Table) -> pa.Table:
+        nc = pc.cast(t["n_chars"], pa.int64()).to_numpy()
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy()
+        k = [f"{c:012d}:{d:012d}" for c, d in zip(nc, ids)]
+        return pa.table({"doc_id": t["doc_id"], "n_chars": t["n_chars"],
+                         "lk": pa.array(k, pa.string())})
+
+    pos = zip_with_index(docs.map_batches(len_key, batch_format="pyarrow"),
+                         key="lk", out_col="gpos")
+
+    def stage_of(t: pa.Table) -> pa.Table:
+        p = t["gpos"].to_numpy()
+        cut = extra * (base + 1)
+        stage = np.where(p < cut, p // (base + 1),
+                         extra + (p - cut) // max(1, base)) + 1
+        h = [hashlib.md5(str(int(d)).encode()).hexdigest()
+             for d in t["doc_id"].to_pylist()]
+        sk = [f"{s:02d}:{x}:{int(d):012d}"
+              for s, x, d in zip(stage, h, t["doc_id"].to_pylist())]
+        return pa.table({"doc_id": t["doc_id"], "n_chars": t["n_chars"],
+                         "stage": pa.array(stage.astype(np.int64),
+                                           pa.int64()),
+                         "sk": pa.array(sk, pa.string())})
+
+    staged = zip_with_index(
+        pos.map_batches(stage_of, batch_format="pyarrow"),
+        key="sk", out_col="spos").materialize()
+    offs_rows = staged.groupby("stage").aggregate(
+        Min("spos", alias_name="off")).take_all()
+    offs = {int(r["stage"]): int(r["off"]) for r in offs_rows}
+
+    def write_shard(g) -> "pd.DataFrame":
+        s = int(g["stage"].iloc[0])
+        sh = int(g["shard"].iloc[0])
+        d = _os.path.join(out_dir, f"stage-{s}")
+        _os.makedirs(d, exist_ok=True)
+        g = g.sort_values("rank_in_shard")
+        path = _os.path.join(d, f"shard-{sh:04d}.parquet")
+        tmp = path + ".tmp"
+        _pq.write_table(pa.Table.from_pandas(
+            g[["doc_id", "n_chars", "stage", "shard", "rank_in_shard"]],
+            preserve_index=False), tmp, row_group_size=8192)
+        _os.replace(tmp, path)
+        return g[["stage", "shard"]].head(1)
+
+    def assign(t: pa.Table) -> pa.Table:
+        s = t["stage"].to_numpy()
+        sp = t["spos"].to_numpy()
+        rk = sp - np.array([offs[int(x)] for x in s], np.int64)
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_chars": pc.cast(t["n_chars"], pa.int64()),
+            "stage": pa.array(s, pa.int64()),
+            "shard": pa.array(rk // docs_per_shard, pa.int64()),
+            "rank_in_shard": pa.array(rk % docs_per_shard, pa.int64())})
+
+    written = staged.map_batches(assign, batch_format="pyarrow") \
+        .groupby(["stage", "shard"]).map_groups(
+            write_shard, batch_format="pandas").take_all()
+    n_files = len(_glob.glob(_os.path.join(out_dir, "stage-*",
+                                           "shard-*.parquet")))
+    return {"n_files": n_files, "n_docs": n,
+            "n_groups": len(written)}

@@ -221,3 +221,56 @@ def exactsubstr_spans(sf_dir: str, max_docs: int = 30,
             "lcp": pa.array(lcps, pa.int64())})
 
     return adj.map_batches(lcp, batch_format="pyarrow")
+
+
+def exactsubstr_doc_stats(sf_dir: str, max_docs: int = 30,
+                          min_len: int = 20) -> rd.Dataset:
+    """Per-doc duplicated-character accounting, the actionable half of
+    ExactSubstr: for every adjacent-suffix span (>= min_len), the
+    occurrence at the LARGER corpus position is the duplicate (keep the
+    first, the deterministic Lee-et-al-style rule); a doc's
+    ``n_dup_chars`` is the size of the UNION of its duplicate spans'
+    character intervals (overlapping spans never double-count).  Spans
+    are bounded by LCP_CAP, so the union computes vectorized from one
+    np.unique over concatenated aranges per doc batch."""
+    spans = exactsubstr_spans(sf_dir, max_docs, min_len).materialize()
+    ids, lens, offs, n = _sample_layout(sf_dir, max_docs)
+
+    def dup_side(t: pa.Table) -> pa.Table:
+        # global positions back from (doc, off): the larger position is
+        # the duplicate occurrence
+        off_by_doc = {int(d): int(o) for d, o in zip(ids, offs)}
+        da = t["doc_a"].to_numpy()
+        db = t["doc_b"].to_numpy()
+        oa = t["off_a"].to_numpy()
+        ob = t["off_b"].to_numpy()
+        lc = t["lcp"].to_numpy()
+        pa_ = np.array([off_by_doc[int(d)] for d in da], np.int64) + oa
+        pb_ = np.array([off_by_doc[int(d)] for d in db], np.int64) + ob
+        later = pb_ > pa_
+        doc = np.where(later, db, da)
+        off = np.where(later, ob, oa)
+        return pa.table({"doc_id": pa.array(doc, pa.int64()),
+                         "off": pa.array(off, pa.int64()),
+                         "lcp": pa.array(lc, pa.int64())})
+
+    marked = spans.map_batches(dup_side, batch_format="pyarrow")
+
+    def union_len(g) -> "pd.DataFrame":
+        import pandas as pd
+        doc = g["doc_id"].to_numpy()
+        off = g["off"].to_numpy()
+        lc = g["lcp"].to_numpy()
+        out_d, out_n = [], []
+        for d in np.unique(doc):
+            m = doc == d
+            cover = np.unique(np.concatenate(
+                [np.arange(o, o + l) for o, l in zip(off[m], lc[m])]))
+            out_d.append(int(d))
+            out_n.append(int(len(cover)))
+        return pd.DataFrame({"doc_id": pd.Series(out_d, dtype="int64"),
+                             "n_dup_chars": pd.Series(out_n,
+                                                      dtype="int64")})
+
+    return marked.groupby("doc_id").map_groups(union_len,
+                                               batch_format="pandas")
