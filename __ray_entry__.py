@@ -914,6 +914,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exactsubstr_doc_stats": lambda sf: __import__(
             "pomp_ray.pipelines.suffix", fromlist=["suffix"]
         ).exactsubstr_doc_stats(sf),
+        "host_tag_histogram":
+            lambda sf: webtext.host_tag_histogram(_mirror_pages_path()),
+        "ann_topk_batch": embeddings.ann_topk_batch,
     }
     # The external correctness driver hashes only the FIRST 50 entries of
     # this dict (insertion order).  Front-load the core engine — crawl
@@ -5096,6 +5099,36 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT l_returnflag, CAST({q} AS DOUBLE) AS q, "
             f"quantile_cont(l_quantity, {q}) AS quantile_val "
             f"FROM lineitem GROUP BY 1" for q in (0.25, 0.5, 0.75)),
+        "host_tag_histogram": f"""
+            WITH p AS (SELECT lower(regexp_extract(
+                                  url, '^[a-z]+://([^/]+)', 1)) AS host,
+                              decode(html) AS x
+                       FROM read_parquet('{_MP}'))
+            SELECT host, CAST(COUNT(*) AS BIGINT) AS n_pages,
+                   CAST(SUM(len(regexp_extract_all(x, '<a ')))
+                        AS BIGINT) AS n_a,
+                   CAST(SUM(len(regexp_extract_all(x, '<p>')))
+                        AS BIGINT) AS n_p,
+                   CAST(SUM(len(regexp_extract_all(x, '<title>')))
+                        AS BIGINT) AS n_title
+            FROM p GROUP BY 1
+        """,
+        "ann_topk_batch": """
+            WITH q AS (SELECT vec_id AS query_id,
+                              CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings WHERE vec_id < 10),
+            s AS (SELECT q.query_id, e.vec_id,
+                         list_cosine_similarity(q.qe,
+                             CAST(e.embedding AS DOUBLE[])) AS sim,
+                         ROW_NUMBER() OVER (PARTITION BY q.query_id
+                             ORDER BY list_cosine_similarity(q.qe,
+                                 CAST(e.embedding AS DOUBLE[])) DESC,
+                                 e.vec_id) AS rnk
+                  FROM q JOIN embeddings e ON e.vec_id <> q.query_id)
+            SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rnk,
+                   round(sim, 6) AS sim
+            FROM s WHERE rnk <= 3
+        """,
         "hashed_features": """
             WITH toks AS (
                 SELECT doc_id,

@@ -1180,3 +1180,56 @@ def mmr_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> pa.Table:
         "rank": pa.array(range(len(selected)), pa.int64()),
         "vec_id": pa.array([i for i, _, _ in selected], pa.int64()),
         "score": pa.array([s for _, _, s in selected], pa.int64())})
+
+
+def ann_topk_batch(sf_dir: str, n_queries: int = 10,
+                   k: int = 3) -> rd.Dataset:
+    """Batched exact cosine top-k: the first ``n_queries`` stored
+    vectors each retrieve their ``k`` nearest neighbours in ONE
+    distributed scan (the serving-batch shape -- one matmul per data
+    batch against the broadcast query matrix, per-(query, batch)
+    partial top-k, tiny global merge).  DuckDB cosine formula; ties by
+    neighbour id."""
+    q_tbl = _emb(sf_dir).map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], n_queries)),
+        batch_format="pyarrow").take_all()
+    q_tbl.sort(key=lambda r: r["vec_id"])
+    q_ids = np.asarray([r["vec_id"] for r in q_tbl], np.int64)
+    q_mat = np.asarray([r["embedding"] for r in q_tbl], np.float64)
+    qn = np.linalg.norm(q_mat, axis=1)
+    qn[qn == 0] = 1.0
+    ref = ray.put((q_ids, q_mat, qn))
+
+    def score(t: pa.Table) -> pa.Table:
+        qi, qm, qnorm = ray.get(ref)
+        ids, mat = _to_matrix(t)
+        bn = np.linalg.norm(mat, axis=1)
+        bn[bn == 0] = 1.0
+        sims = (qm @ mat.T) / (qnorm[:, None] * bn[None, :])
+        sims[qi[:, None] == ids[None, :]] = -np.inf   # self
+        kk = min(k, sims.shape[1])
+        cand = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        cs = np.take_along_axis(sims, cand, axis=1)
+        good = np.isfinite(cs).ravel()
+        return pa.table({
+            "query_id": pa.array(np.repeat(qi, kk)[good], pa.int64()),
+            "vec_id": pa.array(ids[cand.ravel()][good], pa.int64()),
+            "sim": pa.array(cs.ravel()[good], pa.float64())})
+
+    parts = _emb(sf_dir).map_batches(score, batch_format="pyarrow") \
+        .take_all()
+    import pandas as pd
+    df = pd.DataFrame({
+        "query_id": [r["query_id"] for r in parts],
+        "vec_id": [r["vec_id"] for r in parts],
+        "sim": [r["sim"] for r in parts]})
+    df = df.sort_values(["query_id", "sim", "vec_id"],
+                        ascending=[True, False, True])
+    top = df.groupby("query_id", sort=True).head(k)
+    top["rnk"] = top.groupby("query_id", sort=False).cumcount() + 1
+    return rd.from_arrow(pa.table({
+        "query_id": pa.array(top["query_id"].to_numpy(np.int64)),
+        "vec_id": pa.array(top["vec_id"].to_numpy(np.int64)),
+        "rnk": pa.array(top["rnk"].to_numpy(np.int64)),
+        "sim": pa.array(np.round(top["sim"].to_numpy(), 6),
+                        pa.float64())}))

@@ -836,3 +836,36 @@ def url_path_tree_rollup(pages_path: str, max_depth: int = 4) -> rd.Dataset:
                             "depth": pc.cast(t["depth"], pa.int64()),
                             "n_pages": pc.cast(t["n_pages"], pa.int64())}),
         batch_format="pyarrow")
+
+
+def host_tag_histogram(pages_path: str) -> rd.Dataset:
+    """Per-host HTML tag usage counts (<a>, <p>, <title>) -- the markup
+    profile that separates link farms (anchor-heavy) from content pages
+    (paragraph-heavy).  One Arrow count_substring kernel per tag per
+    batch; only (host, 3 ints) rows shuffle."""
+    def partial(t: pa.Table) -> pa.Table:
+        html = pc.cast(t["html"], pa.string())
+        return pa.table({
+            "host": _host_col(t["url"]),
+            "n_a": pc.cast(pc.count_substring(html, pattern="<a "),
+                           pa.int64()),
+            "n_p": pc.cast(pc.count_substring(html, pattern="<p>"),
+                           pa.int64()),
+            "n_title": pc.cast(pc.count_substring(html,
+                                                  pattern="<title>"),
+                               pa.int64())})
+
+    agg = _pages(pages_path, ["url", "html"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("host").aggregate(Sum("n_a", alias_name="n_a"),
+                                   Sum("n_p", alias_name="n_p"),
+                                   Sum("n_title", alias_name="n_title"),
+                                   Count(alias_name="n_pages"))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "host": t["host"],
+            "n_pages": pc.cast(t["n_pages"], pa.int64()),
+            "n_a": pc.cast(t["n_a"], pa.int64()),
+            "n_p": pc.cast(t["n_p"], pa.int64()),
+            "n_title": pc.cast(t["n_title"], pa.int64())}),
+        batch_format="pyarrow")
