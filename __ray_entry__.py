@@ -917,6 +917,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_tag_histogram":
             lambda sf: webtext.host_tag_histogram(_mirror_pages_path()),
         "ann_topk_batch": embeddings.ann_topk_batch,
+        "bottomk_by_lang": docs.bottomk_by_lang,
+        "reactivation_report": windows.reactivation_report,
     }
     # The external correctness driver hashes only the FIRST 50 entries of
     # this dict (insertion order).  Front-load the core engine — crawl
@@ -5099,6 +5101,31 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT l_returnflag, CAST({q} AS DOUBLE) AS q, "
             f"quantile_cont(l_quantity, {q}) AS quantile_val "
             f"FROM lineitem GROUP BY 1" for q in (0.25, 0.5, 0.75)),
+        "bottomk_by_lang": """
+            WITH h AS (SELECT lang, doc_id,
+                              md5(CAST(doc_id AS VARCHAR)) AS h,
+                              ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                           doc_id) AS rn
+                       FROM documents)
+            SELECT lang, doc_id, h FROM h WHERE rn <= 8
+        """,
+        "reactivation_report": """
+            WITH s AS (
+                SELECT o_custkey, o_orderdate,
+                       LAG(CAST(epoch_ms(o_orderdate) // 86400000
+                                AS BIGINT))
+                           OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey)
+                           AS prev_day,
+                       CAST(epoch_ms(o_orderdate) // 86400000 AS BIGINT)
+                           AS day
+                FROM orders)
+            SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM s WHERE prev_day IS NOT NULL AND day - prev_day > 60
+            GROUP BY 1
+        """,
         "host_tag_histogram": f"""
             WITH p AS (SELECT lower(regexp_extract(
                                   url, '^[a-z]+://([^/]+)', 1)) AS host,

@@ -4379,3 +4379,33 @@ def write_curriculum_shards(sf_dir: str, out_dir: str,
                                            "shard-*.parquet")))
     return {"n_files": n_files, "n_docs": n,
             "n_groups": len(written)}
+
+
+def bottomk_by_lang(sf_dir: str, k: int = 8) -> pa.Table:
+    """Per-group KMV: the ``k`` docs with the smallest md5(doc_id)
+    WITHIN each language -- deterministic per-stratum uniform samples
+    (the group-wise sibling of ``bottomk_sample``; mergeable partials,
+    so no group ever co-locates more than k x n_blocks candidate
+    rows)."""
+    import hashlib
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy()
+        langs = t["lang"].to_pylist()
+        hs = np.array([hashlib.md5(str(int(d)).encode()).hexdigest()
+                       for d in ids], dtype=object)
+        df = pd.DataFrame({"lang": langs, "doc_id": ids, "h": hs})
+        top = df.sort_values(["lang", "h", "doc_id"]) \
+            .groupby("lang", sort=False).head(k)
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    parts = _docs(sf_dir, ["doc_id", "lang"]).map_batches(
+        partial, batch_format="pyarrow").take_all()
+    df = pd.DataFrame([{k2: r[k2] for k2 in ("lang", "doc_id", "h")}
+                       for r in parts])
+    top = df.sort_values(["lang", "h", "doc_id"]) \
+        .groupby("lang", sort=False).head(k)
+    return pa.table({
+        "lang": pa.array(top["lang"].tolist(), pa.string()),
+        "doc_id": pa.array(top["doc_id"].to_numpy(np.int64)),
+        "h": pa.array(top["h"].tolist(), pa.string())})

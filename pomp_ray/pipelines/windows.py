@@ -1620,3 +1620,53 @@ def events_dow_hour_heatmap(sf_dir: str) -> rd.Dataset:
                             "hour": pc.cast(t["hour"], pa.int64()),
                             "n": pc.cast(t["n"], pa.int64())}),
         batch_format="pyarrow")
+
+
+def reactivation_report(sf_dir: str, dormant_days: int = 60) -> rd.Dataset:
+    """Winback analytics over orders: reactivations (an order placed
+    after more than ``dormant_days`` of customer silence) counted per
+    reactivation month -- the retention team's recovery curve.  The
+    64-bucket custkey shape: one sort + shift per bucket emits
+    (month, 1) partials, a tiny month groupby sums."""
+    import numpy as np
+
+    US_D = 86_400_000_000
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["o_custkey"], 63), pa.int32())
+        return pa.table({"o_custkey": t["o_custkey"],
+                         "o_orderkey": t["o_orderkey"],
+                         "o_orderdate": t["o_orderdate"],
+                         "bucket": b})
+
+    def react(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        u = g["o_custkey"].to_numpy()
+        d = g["o_orderdate"].astype("int64").to_numpy() // US_D
+        same = np.zeros(len(g), bool)
+        same[1:] = u[1:] == u[:-1]
+        gap = np.zeros(len(g), np.int64)
+        gap[1:] = d[1:] - d[:-1]
+        hit = same & (gap > dormant_days)
+        months = g["o_orderdate"].dt.strftime("%Y-%m").to_numpy()[hit]
+        vc = pd.Series(months).value_counts()
+        return pd.DataFrame({"month": vc.index.astype(str),
+                             "n": vc.to_numpy().astype("int64")})
+
+    ds = _t(sf_dir, "orders",
+            ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(add_bucket, batch_format="pyarrow")
+    out = ds.groupby("bucket").map_groups(react, batch_format="pandas")
+    agg = out.groupby("month").aggregate(Sum("n", alias_name="n"))
+    return agg.map_batches(
+        lambda t: pa.table({"month": t["month"],
+                            "n": pc.cast(t["n"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def _t(sf_dir, name, columns=None):
+    import os as _os
+
+    import ray.data as _rd
+    return _rd.read_parquet(_os.path.join(sf_dir, f"{name}.parquet"),
+                            columns=columns)
