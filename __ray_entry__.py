@@ -919,6 +919,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_batch": embeddings.ann_topk_batch,
         "bottomk_by_lang": docs.bottomk_by_lang,
         "reactivation_report": windows.reactivation_report,
+        "market_basket_triples":
+            lambda sf: relational.market_basket_triples(sf, min_support=2),
     }
     # The external correctness driver hashes only the FIRST 50 entries of
     # this dict (insertion order).  Front-load the core engine — crawl
@@ -5101,6 +5103,22 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT l_returnflag, CAST({q} AS DOUBLE) AS q, "
             f"quantile_cont(l_quantity, {q}) AS quantile_val "
             f"FROM lineitem GROUP BY 1" for q in (0.25, 0.5, 0.75)),
+        "market_basket_triples": """
+            WITH d AS (SELECT DISTINCT l_orderkey, l_partkey
+                       FROM lineitem),
+            t AS (
+                SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                       c.l_partkey AS part_c, COUNT(*) AS n_orders
+                FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                                  AND a.l_partkey < b.l_partkey
+                         JOIN d c ON b.l_orderkey = c.l_orderkey
+                                  AND b.l_partkey < c.l_partkey
+                GROUP BY 1, 2, 3)
+            SELECT part_a, part_b, part_c,
+                   CAST(n_orders AS BIGINT) AS n_orders
+            FROM t WHERE n_orders >= 2
+            ORDER BY n_orders DESC, part_a, part_b, part_c LIMIT 50
+        """,
         "bottomk_by_lang": """
             WITH h AS (SELECT lang, doc_id,
                               md5(CAST(doc_id AS VARCHAR)) AS h,

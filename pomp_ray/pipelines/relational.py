@@ -2991,3 +2991,65 @@ def discount_band_quantity(sf_dir: str) -> rd.Dataset:
             "avg_qty_centi": pa.array(s * 100 // n, pa.int64())})
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def market_basket_triples(sf_dir: str, min_support: int = 3,
+                          n_buckets: int = 64, k: int = 50) -> pa.Table:
+    """3-itemset mining: the top-``k`` part TRIPLES co-bought in the
+    same order (ordered a < b < c), the Apriori step beyond
+    ``market_basket_pairs``.  Same 64-bucket order hashing; per bucket
+    the triple fan-out is one double self-merge over the distinct
+    (order, part) rows -- C(k,3) per k-part basket, bounded by basket
+    size; triple partials reduce through one pair-hash bucketing +
+    per-bucket pandas combine and a driver top-k."""
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["l_orderkey"], n_buckets - 1),
+                    pa.int32())
+        return t.append_column("bucket", b)
+
+    def triples(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["l_orderkey", "l_partkey"]].drop_duplicates()
+        m = d.merge(d, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        m = m.merge(d, on="l_orderkey")
+        m = m[m["l_partkey_y"] < m["l_partkey"]]
+        out = (m.groupby(["l_partkey_x", "l_partkey_y", "l_partkey"],
+                         sort=False).size().reset_index(name="n"))
+        return out.rename(columns={"l_partkey_x": "part_a",
+                                   "l_partkey_y": "part_b",
+                                   "l_partkey": "part_c"})
+
+    def tri_bucket(t: pa.Table) -> pa.Table:
+        a = t["part_a"].to_numpy()
+        b = t["part_b"].to_numpy()
+        c = t["part_c"].to_numpy()
+        pb = ((a * 2654435761 + b * 40503 + c * 69069) & 63) \
+            .astype(np.int32)
+        return t.append_column("pbucket", pa.array(pb))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["part_a", "part_b", "part_c"], sort=False)["n"]
+                .sum().reset_index(name="n_orders"))
+        return out[out["n_orders"] >= min_support]
+
+    parts = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]) \
+        .map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(triples, batch_format="pandas") \
+        .map_batches(tri_bucket, batch_format="pyarrow") \
+        .groupby("pbucket").map_groups(combine, batch_format="pandas") \
+        .take_all()
+    df = pd.DataFrame([{c: r[c] for c in
+                        ("part_a", "part_b", "part_c", "n_orders")}
+                       for r in parts])
+    if df.empty:
+        return pa.table({"part_a": pa.array([], pa.int64()),
+                         "part_b": pa.array([], pa.int64()),
+                         "part_c": pa.array([], pa.int64()),
+                         "n_orders": pa.array([], pa.int64())})
+    df = df.sort_values(["n_orders", "part_a", "part_b", "part_c"],
+                        ascending=[False, True, True, True]).head(k)
+    return pa.table({
+        "part_a": pa.array(df["part_a"].to_numpy(np.int64)),
+        "part_b": pa.array(df["part_b"].to_numpy(np.int64)),
+        "part_c": pa.array(df["part_c"].to_numpy(np.int64)),
+        "n_orders": pa.array(df["n_orders"].to_numpy(np.int64))})
