@@ -921,6 +921,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reactivation_report": windows.reactivation_report,
         "market_basket_triples":
             lambda sf: relational.market_basket_triples(sf, min_support=2),
+        "nation_revenue_share": relational.nation_revenue_share,
+        "first_touch_attribution": joins.first_touch_attribution,
     }
     # The external correctness driver hashes only the FIRST 50 entries of
     # this dict (insertion order).  Front-load the core engine — crawl
@@ -5103,6 +5105,33 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT l_returnflag, CAST({q} AS DOUBLE) AS q, "
             f"quantile_cont(l_quantity, {q}) AS quantile_val "
             f"FROM lineitem GROUP BY 1" for q in (0.25, 0.5, 0.75)),
+        "nation_revenue_share": """
+            WITH pn AS (
+                SELECT r_name, n_name,
+                       SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS cents
+                FROM orders JOIN customer ON c_custkey = o_custkey
+                     JOIN nation ON n_nationkey = c_nationkey
+                     JOIN region ON r_regionkey = n_regionkey
+                GROUP BY 1, 2)
+            SELECT r_name, n_name, CAST(cents AS BIGINT) AS revenue_cents,
+                   CAST(cents * 1000000
+                        // SUM(cents) OVER (PARTITION BY r_name)
+                        AS BIGINT) AS share_ppm
+            FROM pn
+        """,
+        "first_touch_attribution": """
+            SELECT p.event_id, CAST(p.user_id AS BIGINT) AS user_id,
+                   p.ts,
+                   CAST((SELECT c.event_id FROM events c
+                         WHERE c.user_id = p.user_id
+                           AND c.event_type = 'click'
+                           AND c.ts <= p.ts
+                           AND c.ts > p.ts - INTERVAL 7 DAY
+                         ORDER BY c.ts ASC, c.event_id ASC LIMIT 1)
+                        AS DOUBLE) AS first_click_event_id
+            FROM events p WHERE p.event_type = 'purchase'
+        """,
         "market_basket_triples": """
             WITH d AS (SELECT DISTINCT l_orderkey, l_partkey
                        FROM lineitem),

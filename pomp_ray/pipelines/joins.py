@@ -400,3 +400,62 @@ def conversion_latency_quantiles(sf_dir: str) -> pa.Table:
         out_v.append(v)
     return pa.table({"q": pa.array(out_q, pa.float64()),
                      "latency_s": pa.array(out_v, pa.int64())})
+
+
+def first_touch_attribution(sf_dir: str,
+                            window_days: int = 7) -> rd.Dataset:
+    """First-touch attribution: for every purchase, the EARLIEST
+    same-user click within the preceding ``window_days`` (the marketing
+    counterpart of the asof join's last-touch).  Per 64-bucket: clicks
+    sort once per user; each purchase does two searchsorted probes
+    (window start / purchase ts) on the composite user x time axis and
+    takes the first hit -- no per-pair loop.  Ties on the same ts pick
+    the lowest event_id (positional first)."""
+    import numpy as np
+
+    w_us = window_days * 86_400_000_000
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32())
+        return t.append_column("bucket", b)
+
+    def attribute(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        p = g[g["event_type"] == "purchase"]
+        c = g[g["event_type"] == "click"]
+        out = {"event_id": p["event_id"].to_numpy(np.int64),
+               "user_id": p["user_id"].to_numpy(np.int64),
+               "ts": p["ts"].to_numpy()}
+        if c.empty or p.empty:
+            first = np.full(len(p), np.nan)
+        else:
+            all_u = pd.concat([c["user_id"], p["user_id"]])
+            codes, _ = pd.factorize(all_u)
+            cc, cp = codes[:len(c)], codes[len(c):]
+            ct = c["ts"].astype("int64").to_numpy()
+            ce = c["event_id"].to_numpy(np.int64)
+            t0 = int(g["ts"].astype("int64").min())
+            span = int(g["ts"].astype("int64").max()) - t0 + w_us + 2
+            # sort clicks by (user, ts, event_id) so the first in-window
+            # index is the earliest click with the lowest event_id
+            order = np.lexsort((ce, ct, cc))
+            key = (cc * span + (ct - t0))[order]
+            ce_s = ce[order]
+            pt = p["ts"].astype("int64").to_numpy()
+            lo = np.searchsorted(key, cp * span + (pt - w_us - t0),
+                                 side="left")
+            hi = np.searchsorted(key, cp * span + (pt - t0),
+                                 side="right")
+            first = np.where(hi > lo, ce_s[np.minimum(lo, len(ce_s) - 1)],
+                             np.nan)
+        out["first_click_event_id"] = first.astype("float64")
+        return pd.DataFrame(out)
+
+    ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]) \
+        .map_batches(add_bucket, batch_format="pyarrow")
+    out = ds.groupby("bucket").map_groups(attribute,
+                                          batch_format="pandas")
+    return out.map_batches(
+        lambda t: t.set_column(t.column_names.index("user_id"), "user_id",
+                               pc.cast(t["user_id"], pa.int64())),
+        batch_format="pyarrow")

@@ -3053,3 +3053,56 @@ def market_basket_triples(sf_dir: str, min_support: int = 3,
         "part_b": pa.array(df["part_b"].to_numpy(np.int64)),
         "part_c": pa.array(df["part_c"].to_numpy(np.int64)),
         "n_orders": pa.array(df["n_orders"].to_numpy(np.int64))})
+
+
+def nation_revenue_share(sf_dir: str) -> rd.Dataset:
+    """Percent-of-total window shape: each nation's share (ppm,
+    integer cents) of its REGION's customer-order revenue -- two
+    grouped sums stitched by one broadcast-dim join chain (region and
+    nation are catalog tables), the share computed as exact integer
+    cents * 10^6 // region cents."""
+    import ray as _ray
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]).take_all()
+    nat = _t(sf_dir, "nation",
+             ["n_nationkey", "n_name", "n_regionkey"]).take_all()
+    reg = _t(sf_dir, "region", ["r_regionkey", "r_name"]).take_all()
+    nation_of_cust = {int(r["c_custkey"]): int(r["c_nationkey"])
+                      for r in cust}
+    n_name = {int(r["n_nationkey"]): r["n_name"] for r in nat}
+    region_of_nat = {int(r["n_nationkey"]): int(r["n_regionkey"])
+                     for r in nat}
+    r_name = {int(r["r_regionkey"]): r["r_name"] for r in reg}
+    ref = _ray.put((nation_of_cust, n_name, region_of_nat, r_name))
+
+    def partial(t: pa.Table) -> pa.Table:
+        noc, nn, ron, rn = _ray.get(ref)
+        ck = t["o_custkey"].to_numpy()
+        cents = np.rint(t["o_totalprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        nk = np.array([noc[int(c)] for c in ck], np.int64)
+        df = pd.DataFrame({"nk": nk, "cents": cents})
+        g = df.groupby("nk", as_index=False)["cents"].sum()
+        return pa.table({
+            "n_name": pa.array([nn[int(k)] for k in g["nk"]], pa.string()),
+            "r_name": pa.array([rn[ron[int(k)]] for k in g["nk"]],
+                               pa.string()),
+            "cents": pa.array(g["cents"].to_numpy(np.int64), pa.int64())})
+
+    per_nat = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["r_name", "n_name"]).aggregate(
+            Sum("cents", alias_name="cents")).take_all()
+    per_reg: dict[str, int] = {}
+    for r in per_nat:
+        per_reg[r["r_name"]] = per_reg.get(r["r_name"], 0) \
+            + int(r["cents"])
+    rows = sorted(per_nat, key=lambda r: (r["r_name"], r["n_name"]))
+    return rd.from_arrow(pa.table({
+        "r_name": pa.array([r["r_name"] for r in rows], pa.string()),
+        "n_name": pa.array([r["n_name"] for r in rows], pa.string()),
+        "revenue_cents": pa.array([int(r["cents"]) for r in rows],
+                                  pa.int64()),
+        "share_ppm": pa.array(
+            [int(r["cents"]) * 1_000_000 // per_reg[r["r_name"]]
+             for r in rows], pa.int64())}))
