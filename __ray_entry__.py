@@ -923,6 +923,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: relational.market_basket_triples(sf, min_support=2),
         "nation_revenue_share": relational.nation_revenue_share,
         "first_touch_attribution": joins.first_touch_attribution,
+        "multi_touch_credit": joins.multi_touch_credit,
     }
     # The external correctness driver hashes only the FIRST 50 entries of
     # this dict (insertion order).  Front-load the core engine — crawl
@@ -5105,6 +5106,19 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT l_returnflag, CAST({q} AS DOUBLE) AS q, "
             f"quantile_cont(l_quantity, {q}) AS quantile_val "
             f"FROM lineitem GROUP BY 1" for q in (0.25, 0.5, 0.75)),
+        "multi_touch_credit": """
+            WITH pairs AS (
+                SELECT c.event_id AS click_event_id, c.user_id,
+                       p.event_id AS pe,
+                       COUNT(*) OVER (PARTITION BY p.event_id) AS n
+                FROM events p JOIN events c
+                  ON c.user_id = p.user_id AND c.event_type = 'click'
+                 AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 7 DAY
+                WHERE p.event_type = 'purchase')
+            SELECT click_event_id, CAST(user_id AS BIGINT) AS user_id,
+                   CAST(SUM(1000000 // n) AS BIGINT) AS credit_ppm
+            FROM pairs GROUP BY 1, 2
+        """,
         "nation_revenue_share": """
             WITH pn AS (
                 SELECT r_name, n_name,

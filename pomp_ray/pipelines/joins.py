@@ -459,3 +459,67 @@ def first_touch_attribution(sf_dir: str,
         lambda t: t.set_column(t.column_names.index("user_id"), "user_id",
                                pc.cast(t["user_id"], pa.int64())),
         batch_format="pyarrow")
+
+
+def multi_touch_credit(sf_dir: str, window_days: int = 7) -> rd.Dataset:
+    """Linear multi-touch attribution: every purchase splits 10^6 ppm
+    of credit EVENLY (integer floor) across all same-user clicks in the
+    preceding ``window_days``; each click's total credit sums over the
+    purchases it assisted.  The many-to-many sibling of first/last
+    touch.  Per 64-bucket: one sorted click axis, two searchsorted
+    probes per purchase, and ONE np.add.at over the concatenated
+    in-window index ranges -- fan-out bounded by clicks-per-window,
+    no per-pair Python."""
+    import numpy as np
+
+    w_us = window_days * 86_400_000_000
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32())
+        return t.append_column("bucket", b)
+
+    def credit(g: pd.DataFrame) -> pd.DataFrame:
+        c = g[g["event_type"] == "click"]
+        p = g[g["event_type"] == "purchase"]
+        if c.empty:
+            return pd.DataFrame({
+                "click_event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "credit_ppm": pd.Series([], dtype="int64")})
+        all_u = pd.concat([c["user_id"], p["user_id"]])
+        codes, _ = pd.factorize(all_u)
+        cc, cp = codes[:len(c)], codes[len(c):]
+        ct = c["ts"].astype("int64").to_numpy()
+        ce = c["event_id"].to_numpy(np.int64)
+        cu = c["user_id"].to_numpy(np.int64)
+        t0 = int(g["ts"].astype("int64").min())
+        span = (int(g["ts"].astype("int64").max()) - t0 + w_us + 2)
+        order = np.lexsort((ce, ct, cc))
+        key = (cc * span + (ct - t0))[order]
+        ce_s, cu_s = ce[order], cu[order]
+        cred = np.zeros(len(ce_s), np.int64)
+        if len(p):
+            pt = p["ts"].astype("int64").to_numpy()
+            lo = np.searchsorted(key, cp * span + (pt - w_us - t0),
+                                 side="left")
+            hi = np.searchsorted(key, cp * span + (pt - t0),
+                                 side="right")
+            n = hi - lo
+            m = n > 0
+            per = np.zeros(len(n), np.int64)
+            per[m] = 1_000_000 // n[m]
+            reps = n[m]
+            idx = np.concatenate([np.arange(a, b)
+                                  for a, b in zip(lo[m], hi[m])]) \
+                if m.any() else np.array([], np.int64)
+            vals = np.repeat(per[m], reps)
+            np.add.at(cred, idx, vals)
+        keep = cred > 0
+        return pd.DataFrame({
+            "click_event_id": pd.Series(ce_s[keep], dtype="int64"),
+            "user_id": pd.Series(cu_s[keep], dtype="int64"),
+            "credit_ppm": pd.Series(cred[keep], dtype="int64")})
+
+    ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]) \
+        .map_batches(add_bucket, batch_format="pyarrow")
+    return ds.groupby("bucket").map_groups(credit, batch_format="pandas")
