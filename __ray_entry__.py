@@ -924,6 +924,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue_share": relational.nation_revenue_share,
         "first_touch_attribution": joins.first_touch_attribution,
         "multi_touch_credit": joins.multi_touch_credit,
+        "parts_above_type_p90": relational.parts_above_type_p90,
     }
     # The external correctness driver hashes only the FIRST 50 entries of
     # this dict (insertion order).  Front-load the core engine — crawl
@@ -5106,6 +5107,19 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT l_returnflag, CAST({q} AS DOUBLE) AS q, "
             f"quantile_cont(l_quantity, {q}) AS quantile_val "
             f"FROM lineitem GROUP BY 1" for q in (0.25, 0.5, 0.75)),
+        "parts_above_type_p90": """
+            WITH c AS (SELECT p_partkey, p_type,
+                              CAST(round(p_retailprice * 100) AS BIGINT)
+                                  AS price_cents
+                       FROM part),
+            q AS (SELECT p_type,
+                         CAST(quantile_disc(price_cents, 0.9) AS BIGINT)
+                             AS p90_cents
+                  FROM c GROUP BY 1)
+            SELECT c.p_partkey, c.p_type, c.price_cents, q.p90_cents
+            FROM c JOIN q USING (p_type)
+            WHERE c.price_cents > q.p90_cents
+        """,
         "multi_touch_credit": """
             WITH pairs AS (
                 SELECT c.event_id AS click_event_id, c.user_id,

@@ -3106,3 +3106,57 @@ def nation_revenue_share(sf_dir: str) -> rd.Dataset:
         "share_ppm": pa.array(
             [int(r["cents"]) * 1_000_000 // per_reg[r["r_name"]]
              for r in rows], pa.int64())}))
+
+
+def parts_above_type_p90(sf_dir: str) -> rd.Dataset:
+    """Above-quantile gate: parts priced strictly above their TYPE's
+    p90 retail price (quantile_disc rule sorted[ceil(n*q)-1] over exact
+    cents) -- the outlier-pricing screen.  Per-(type, cents) histogram
+    partials bound the shuffle (value cardinality << rows); the tiny
+    cut table broadcasts back into one vectorized filter pass."""
+    import math
+
+    import ray as _ray
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        cents = np.rint(t["p_retailprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        df = pd.DataFrame({"p_type": t["p_type"].to_pylist(),
+                           "c": cents})
+        g = df.value_counts().rename("n").reset_index()
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = _t(sf_dir, "part", ["p_type", "p_retailprice"]) \
+        .map_batches(hist_partial, batch_format="pyarrow") \
+        .groupby(["p_type", "c"]).aggregate(Sum("n", alias_name="n")) \
+        .take_all()
+    by_type: dict[str, list[tuple[int, int]]] = {}
+    for r in hist:
+        by_type.setdefault(r["p_type"], []).append((int(r["c"]),
+                                                    int(r["n"])))
+    cuts: dict[str, int] = {}
+    for ty, vals in by_type.items():
+        vals.sort()
+        cum = np.cumsum([n for _, n in vals])
+        k = max(1, math.ceil(int(cum[-1]) * 0.9))
+        cuts[ty] = vals[int(np.searchsorted(cum, k))][0]
+    ref = _ray.put(cuts)
+
+    def gate(t: pa.Table) -> pa.Table:
+        cs = _ray.get(ref)
+        cents = np.rint(t["p_retailprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        cut = np.array([cs[ty] for ty in t["p_type"].to_pylist()],
+                       np.int64)
+        keep = cents > cut
+        return pa.table({
+            "p_partkey": pc.cast(t["p_partkey"], pa.int64()),
+            "p_type": t["p_type"],
+            "price_cents": pa.array(cents, pa.int64()),
+            "p90_cents": pa.array(cut, pa.int64())}).filter(
+            pa.array(keep, pa.bool_()))
+
+    return _t(sf_dir, "part",
+              ["p_partkey", "p_type", "p_retailprice"]) \
+        .map_batches(gate, batch_format="pyarrow")
