@@ -925,6 +925,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first_touch_attribution": joins.first_touch_attribution,
         "multi_touch_credit": joins.multi_touch_credit,
         "parts_above_type_p90": relational.parts_above_type_p90,
+        "ushape_touch_credit": joins.ushape_touch_credit,
     }
     # The external correctness driver hashes only the FIRST 50 entries of
     # this dict (insertion order).  Front-load the core engine — crawl
@@ -5107,6 +5108,29 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT l_returnflag, CAST({q} AS DOUBLE) AS q, "
             f"quantile_cont(l_quantity, {q}) AS quantile_val "
             f"FROM lineitem GROUP BY 1" for q in (0.25, 0.5, 0.75)),
+        "ushape_touch_credit": """
+            WITH pairs AS (
+                SELECT c.event_id AS click_event_id, c.user_id,
+                       p.event_id AS pe,
+                       COUNT(*) OVER (PARTITION BY p.event_id) AS n,
+                       ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                          ORDER BY c.ts, c.event_id)
+                           AS rn
+                FROM events p JOIN events c
+                  ON c.user_id = p.user_id AND c.event_type = 'click'
+                 AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 7 DAY
+                WHERE p.event_type = 'purchase'),
+            w AS (
+                SELECT click_event_id, user_id,
+                       CASE WHEN n = 1 THEN 1000000
+                            WHEN n = 2 THEN 500000
+                            WHEN rn = 1 OR rn = n THEN 400000
+                            ELSE 200000 // (n - 2) END AS cr
+                FROM pairs)
+            SELECT click_event_id, CAST(user_id AS BIGINT) AS user_id,
+                   CAST(SUM(cr) AS BIGINT) AS credit_ppm
+            FROM w GROUP BY 1, 2
+        """,
         "parts_above_type_p90": """
             WITH c AS (SELECT p_partkey, p_type,
                               CAST(round(p_retailprice * 100) AS BIGINT)

@@ -523,3 +523,72 @@ def multi_touch_credit(sf_dir: str, window_days: int = 7) -> rd.Dataset:
     ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]) \
         .map_batches(add_bucket, batch_format="pyarrow")
     return ds.groupby("bucket").map_groups(credit, batch_format="pandas")
+
+
+def ushape_touch_credit(sf_dir: str, window_days: int = 7) -> rd.Dataset:
+    """Position-based (U-shaped 40/20/40) attribution: per purchase,
+    the FIRST in-window click takes 400000 ppm, the LAST 400000, the
+    middles split 200000 evenly (integer floors; 1 click takes the
+    full 10^6, 2 clicks split 500000/500000) -- the position-weighted
+    member of the attribution family beside first/last touch and
+    linear credit.  Same bucketed double-searchsorted machinery; the
+    endpoint adds are two np.add.at calls on lo / hi-1."""
+    import numpy as np
+
+    w_us = window_days * 86_400_000_000
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32())
+        return t.append_column("bucket", b)
+
+    def credit(g: pd.DataFrame) -> pd.DataFrame:
+        c = g[g["event_type"] == "click"]
+        p = g[g["event_type"] == "purchase"]
+        if c.empty:
+            return pd.DataFrame({
+                "click_event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "credit_ppm": pd.Series([], dtype="int64")})
+        all_u = pd.concat([c["user_id"], p["user_id"]])
+        codes, _ = pd.factorize(all_u)
+        cc, cp = codes[:len(c)], codes[len(c):]
+        ct = c["ts"].astype("int64").to_numpy()
+        ce = c["event_id"].to_numpy(np.int64)
+        cu = c["user_id"].to_numpy(np.int64)
+        t0 = int(g["ts"].astype("int64").min())
+        span = (int(g["ts"].astype("int64").max()) - t0 + w_us + 2)
+        order = np.lexsort((ce, ct, cc))
+        key = (cc * span + (ct - t0))[order]
+        ce_s, cu_s = ce[order], cu[order]
+        cred = np.zeros(len(ce_s), np.int64)
+        if len(p):
+            pt = p["ts"].astype("int64").to_numpy()
+            lo = np.searchsorted(key, cp * span + (pt - w_us - t0),
+                                 side="left")
+            hi = np.searchsorted(key, cp * span + (pt - t0),
+                                 side="right")
+            n = hi - lo
+            one = n == 1
+            two = n == 2
+            many = n > 2
+            np.add.at(cred, lo[one], 1_000_000)
+            np.add.at(cred, lo[two], 500_000)
+            np.add.at(cred, hi[two] - 1, 500_000)
+            np.add.at(cred, lo[many], 400_000)
+            np.add.at(cred, hi[many] - 1, 400_000)
+            if many.any():
+                mid_per = 200_000 // (n[many] - 2)
+                idx = np.concatenate(
+                    [np.arange(a + 1, b - 1)
+                     for a, b in zip(lo[many], hi[many])])
+                vals = np.repeat(mid_per, n[many] - 2)
+                np.add.at(cred, idx, vals)
+        keep = cred > 0
+        return pd.DataFrame({
+            "click_event_id": pd.Series(ce_s[keep], dtype="int64"),
+            "user_id": pd.Series(cu_s[keep], dtype="int64"),
+            "credit_ppm": pd.Series(cred[keep], dtype="int64")})
+
+    ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]) \
+        .map_batches(add_bucket, batch_format="pyarrow")
+    return ds.groupby("bucket").map_groups(credit, batch_format="pandas")
