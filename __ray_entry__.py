@@ -926,6 +926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multi_touch_credit": joins.multi_touch_credit,
         "parts_above_type_p90": relational.parts_above_type_p90,
         "ushape_touch_credit": joins.ushape_touch_credit,
+        "churn_labels": windows.churn_labels,
     }
     # The external correctness driver hashes only the FIRST 50 entries of
     # this dict (insertion order).  Front-load the core engine — crawl
@@ -5108,6 +5109,28 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT l_returnflag, CAST({q} AS DOUBLE) AS q, "
             f"quantile_cont(l_quantity, {q}) AS quantile_val "
             f"FROM lineitem GROUP BY 1" for q in (0.25, 0.5, 0.75)),
+        "churn_labels": """
+            WITH e AS (SELECT user_id,
+                              CAST(epoch_ms(ts) // 86400000 AS BIGINT)
+                                  AS day,
+                              event_type
+                       FROM events),
+            agg AS (
+                SELECT CAST(user_id AS BIGINT) AS user_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_events,
+                       CAST(SUM(CASE WHEN event_type = 'purchase'
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_purchases,
+                       CAST(COUNT(DISTINCT day) AS BIGINT)
+                           AS active_days,
+                       CAST(MAX(day) AS BIGINT) AS last_seen_day
+                FROM e GROUP BY 1),
+            w AS (SELECT MAX(last_seen_day) AS end_day FROM agg)
+            SELECT user_id, n_events, n_purchases, active_days,
+                   last_seen_day,
+                   last_seen_day < end_day - 14 AS churned
+            FROM agg, w
+        """,
         "ushape_touch_credit": """
             WITH pairs AS (
                 SELECT c.event_id AS click_event_id, c.user_id,

@@ -1670,3 +1670,66 @@ def _t(sf_dir, name, columns=None):
     import ray.data as _rd
     return _rd.read_parquet(_os.path.join(sf_dir, f"{name}.parquet"),
                             columns=columns)
+
+
+def churn_labels(sf_dir: str, horizon_days: int = 14) -> rd.Dataset:
+    """ML label engineering: per-user churn label + feature row --
+    ``churned`` = no activity in the final ``horizon_days`` of the
+    observed window (label), with n_events / n_purchases /
+    active_days / last_seen_day features.  One pass of per-user
+    partials (the user_activity_span shape), the global window end from
+    parquet statistics-level aggregates; exact integer day math."""
+    US_D = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy()
+        day = us // US_D
+        et = t["event_type"].to_pylist()
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(),
+            "day": day,
+            "purchase": np.array([1 if x == "purchase" else 0
+                                  for x in et], np.int64)})
+        g = df.groupby("user_id").agg(
+            n_events=("day", "size"), n_purchases=("purchase", "sum"),
+            last_day=("day", "max"),
+            days=("day", lambda s: len(set(s)))).reset_index()
+        for c in ("n_events", "n_purchases", "last_day", "days"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Max as _Max
+
+    parts = _events(sf_dir, ["ts", "user_id", "event_type"]) \
+        .map_batches(partial, batch_format="pyarrow")
+    # NOTE: per-batch "days" partials may double-count a day split
+    # across batches; collapse via a second exact distinct pass instead
+    days = _events(sf_dir, ["ts", "user_id"]).map_batches(
+        lambda t: pa.table({
+            "user_id": t["user_id"],
+            "day": pc.cast(pc.divide(pc.cast(t["ts"], pa.int64()),
+                                     pa.scalar(US_D, pa.int64())),
+                           pa.int64())}),
+        batch_format="pyarrow") \
+        .groupby(["user_id", "day"]).aggregate(Count(alias_name="_c")) \
+        .groupby("user_id").aggregate(Count(alias_name="active_days"))
+    agg = parts.groupby("user_id").aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("n_purchases", alias_name="n_purchases"),
+        _Max("last_day", alias_name="last_seen_day"))
+    end_day = int(agg.max("last_seen_day"))
+    joined = agg.join(days.materialize(), join_type="inner",
+                      on=("user_id",), num_partitions=2)
+
+    def fin(t: pa.Table) -> pa.Table:
+        last = pc.cast(t["last_seen_day"], pa.int64()).to_numpy()
+        churned = last < (end_day - horizon_days)
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "n_events": pc.cast(t["n_events"], pa.int64()),
+            "n_purchases": pc.cast(t["n_purchases"], pa.int64()),
+            "active_days": pc.cast(t["active_days"], pa.int64()),
+            "last_seen_day": pa.array(last, pa.int64()),
+            "churned": pa.array(churned, pa.bool_())})
+
+    return joined.map_batches(fin, batch_format="pyarrow")
