@@ -927,6 +927,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_above_type_p90": relational.parts_above_type_p90,
         "ushape_touch_credit": joins.ushape_touch_credit,
         "churn_labels": windows.churn_labels,
+        "dedup_bias_report": docs.dedup_bias_report,
     }
     # The external correctness driver hashes only the FIRST 50 entries of
     # this dict (insertion order).  Front-load the core engine — crawl
@@ -5109,6 +5110,27 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT l_returnflag, CAST({q} AS DOUBLE) AS q, "
             f"quantile_cont(l_quantity, {q}) AS quantile_val "
             f"FROM lineitem GROUP BY 1" for q in (0.25, 0.5, 0.75)),
+        "dedup_bias_report": """
+            WITH b AS (SELECT lang, COUNT(*) AS n_before
+                       FROM documents GROUP BY 1),
+            s AS (SELECT lang, COUNT(*) AS n_after FROM documents
+                  WHERE doc_id IN (SELECT MIN(doc_id) FROM documents
+                                   GROUP BY md5(text))
+                  GROUP BY 1),
+            tot AS (SELECT (SELECT SUM(n_before) FROM b) AS nb,
+                           (SELECT SUM(n_after) FROM s) AS na)
+            SELECT b.lang,
+                   CAST(b.n_before AS BIGINT) AS n_before,
+                   CAST(coalesce(s.n_after, 0) AS BIGINT) AS n_after,
+                   CAST(b.n_before * 1000000 // tot.nb AS BIGINT)
+                       AS share_before_ppm,
+                   CAST(coalesce(s.n_after, 0) * 1000000 // tot.na
+                        AS BIGINT) AS share_after_ppm,
+                   CAST(coalesce(s.n_after, 0) * 1000000 // tot.na
+                        - b.n_before * 1000000 // tot.nb AS BIGINT)
+                       AS delta_ppm
+            FROM b LEFT JOIN s USING (lang), tot
+        """,
         "churn_labels": """
             WITH e AS (SELECT user_id,
                               CAST(epoch_ms(ts) // 86400000 AS BIGINT)

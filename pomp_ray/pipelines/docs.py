@@ -4409,3 +4409,33 @@ def bottomk_by_lang(sf_dir: str, k: int = 8) -> pa.Table:
         "lang": pa.array(top["lang"].tolist(), pa.string()),
         "doc_id": pa.array(top["doc_id"].to_numpy(np.int64)),
         "h": pa.array(top["h"].tolist(), pa.string())})
+
+
+def dedup_bias_report(sf_dir: str) -> pa.Table:
+    """Dedup survivorship-bias audit: per language, doc counts and
+    corpus shares (ppm) BEFORE vs AFTER exact dedup, with the share
+    delta -- the governance check that deduplication didn't silently
+    reweight the language mix (boilerplate-heavy languages lose more).
+    Composes the dedup_exact survivor set with two tiny lang groupbys;
+    integer ppm floors both sides."""
+    from ray.data.aggregate import Count as _Count
+
+    before = {r["lang"]: int(r["n"])
+              for r in lang_counts(sf_dir).take_all()}
+    after_rows = dedup_docs(sf_dir).groupby("lang").aggregate(
+        _Count(alias_name="n")).take_all()
+    after = {r["lang"]: int(r["n"]) for r in after_rows}
+    nb = sum(before.values())
+    na = sum(after.values())
+    langs = sorted(before)
+    share_b = [before[l] * 1_000_000 // nb for l in langs]
+    share_a = [after.get(l, 0) * 1_000_000 // na for l in langs]
+    return pa.table({
+        "lang": pa.array(langs, pa.string()),
+        "n_before": pa.array([before[l] for l in langs], pa.int64()),
+        "n_after": pa.array([after.get(l, 0) for l in langs],
+                            pa.int64()),
+        "share_before_ppm": pa.array(share_b, pa.int64()),
+        "share_after_ppm": pa.array(share_a, pa.int64()),
+        "delta_ppm": pa.array([a - b for a, b in zip(share_a, share_b)],
+                              pa.int64())})
