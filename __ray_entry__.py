@@ -928,6 +928,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ushape_touch_credit": joins.ushape_touch_credit,
         "churn_labels": windows.churn_labels,
         "dedup_bias_report": docs.dedup_bias_report,
+        "doc_length_gini": docs.doc_length_gini,
+        "cohort_ltv_curves": windows.cohort_ltv_curves,
     }
     # The external correctness driver hashes only the FIRST 50 entries of
     # this dict (insertion order).  Front-load the core engine — crawl
@@ -5110,6 +5112,36 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT l_returnflag, CAST({q} AS DOUBLE) AS q, "
             f"quantile_cont(l_quantity, {q}) AS quantile_val "
             f"FROM lineitem GROUP BY 1" for q in (0.25, 0.5, 0.75)),
+        "doc_length_gini": """
+            WITH r AS (SELECT n_chars,
+                              ROW_NUMBER() OVER (ORDER BY n_chars,
+                                                 doc_id) AS i
+                       FROM documents)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                   CAST((2 * SUM(i * n_chars)
+                         - (COUNT(*) + 1) * SUM(n_chars))
+                        * 1000000 // (COUNT(*) * SUM(n_chars))
+                        AS BIGINT) AS gini_ppm
+            FROM r
+        """,
+        "cohort_ltv_curves": """
+            WITH e AS (SELECT user_id,
+                              CAST(epoch_ms(ts) // (7 * 86400000)
+                                   AS BIGINT) AS w,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events),
+            f AS (SELECT user_id, MIN(w) AS cohort FROM e GROUP BY 1),
+            cell AS (SELECT f.cohort, e.w - f.cohort AS off,
+                            SUM(e.cents) AS c
+                     FROM e JOIN f USING (user_id) GROUP BY 1, 2)
+            SELECT CAST(cohort AS BIGINT) AS cohort_week,
+                   CAST(off AS BIGINT) AS week_offset,
+                   CAST(SUM(c) OVER (PARTITION BY cohort ORDER BY off
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS cum_spend_cents
+            FROM cell
+        """,
         "dedup_bias_report": """
             WITH b AS (SELECT lang, COUNT(*) AS n_before
                        FROM documents GROUP BY 1),

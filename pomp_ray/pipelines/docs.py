@@ -4439,3 +4439,49 @@ def dedup_bias_report(sf_dir: str) -> pa.Table:
         "share_after_ppm": pa.array(share_a, pa.int64()),
         "delta_ppm": pa.array([a - b for a, b in zip(share_a, share_b)],
                               pa.int64())})
+
+
+def doc_length_gini(sf_dir: str) -> pa.Table:
+    """Gini coefficient of the doc-length distribution in exact ppm --
+    the corpus-inequality gauge (a handful of giant docs dominating
+    token mass skews packing and sampling).  The host_load_gini
+    closed form G = (2*SUM(i*x_i) - (n+1)*SUM(x)) / (n*SUM(x)) over
+    lengths sorted by (n_chars, doc_id): distributed sort + per-block
+    (local-rank x value) partials, only block offsets combine on the
+    driver."""
+    lens = _docs(sf_dir, ["doc_id", "n_chars"]) \
+        .sort(["n_chars", "doc_id"]).materialize()
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"first_n": pa.array([], pa.int64()),
+                             "first_d": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64()),
+                             "sx": pa.array([], pa.int64()),
+                             "s_ix": pa.array([], pa.int64())})
+        x = pc.cast(t["n_chars"], pa.int64()).to_numpy()
+        i = np.arange(len(x), dtype=np.int64)
+        return pa.table({
+            "first_n": pa.array([int(x[0])], pa.int64()),
+            "first_d": pa.array([int(t["doc_id"][0].as_py())],
+                                pa.int64()),
+            "cnt": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "s_ix": pa.array([int((i * x).sum())], pa.int64())})
+
+    parts = sorted(
+        lens.map_batches(partial, batch_size=None,
+                         batch_format="pyarrow").take_all(),
+        key=lambda r: (r["first_n"], r["first_d"]))
+    n = sum(r["cnt"] for r in parts)
+    total = sum(r["sx"] for r in parts)
+    s_ix0, off = 0, 0
+    for r in parts:
+        s_ix0 += r["s_ix"] + off * r["sx"]
+        off += r["cnt"]
+    s_ix1 = s_ix0 + total
+    gini_ppm = ((2 * s_ix1 - (n + 1) * total) * 1_000_000
+                // (n * total))
+    return pa.table({"n_docs": pa.array([n], pa.int64()),
+                     "total_chars": pa.array([total], pa.int64()),
+                     "gini_ppm": pa.array([gini_ppm], pa.int64())})

@@ -1733,3 +1733,53 @@ def churn_labels(sf_dir: str, horizon_days: int = 14) -> rd.Dataset:
             "churned": pa.array(churned, pa.bool_())})
 
     return joined.map_batches(fin, batch_format="pyarrow")
+
+
+def cohort_ltv_curves(sf_dir: str) -> rd.Dataset:
+    """Cohort LTV curves: cumulative spend CENTS per (first-seen-week
+    cohort, week offset) -- the canonical retention-revenue matrix.
+    Per 64-bucket: each user's first week and per-week spend come from
+    one sorted pandas pass; the (cohort, offset) partials reduce
+    through a tiny groupby, and the cumulative fold runs on the
+    driver-side bounded week grid (weeks x weeks cells)."""
+    import numpy as np
+
+    US_W = 7 * 86_400_000_000
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32())
+        return t.append_column("bucket", b)
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        w = (g["ts"].astype("int64") // US_W).to_numpy()
+        cents = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        u = g["user_id"].to_numpy()
+        df = pd.DataFrame({"u": u, "w": w, "c": cents})
+        first = df.groupby("u")["w"].min().rename("cohort")
+        df = df.join(first, on="u")
+        df["off"] = df["w"] - df["cohort"]
+        out = df.groupby(["cohort", "off"], as_index=False)["c"].sum()
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    ds = _events(sf_dir, ["ts", "user_id", "value"]) \
+        .map_batches(add_bucket, batch_format="pyarrow")
+    agg = ds.groupby("bucket").map_groups(partial,
+                                          batch_format="pandas") \
+        .groupby(["cohort", "off"]).aggregate(Sum("c", alias_name="c")) \
+        .take_all()
+    rows = sorted(((int(r["cohort"]), int(r["off"]), int(r["c"]))
+                   for r in agg))
+    out_c, out_o, out_cum = [], [], []
+    cum, cur = 0, None
+    for coh, off, c in rows:
+        if coh != cur:
+            cur, cum = coh, 0
+        cum += c
+        out_c.append(coh)
+        out_o.append(off)
+        out_cum.append(cum)
+    return rd.from_arrow(pa.table({
+        "cohort_week": pa.array(out_c, pa.int64()),
+        "week_offset": pa.array(out_o, pa.int64()),
+        "cum_spend_cents": pa.array(out_cum, pa.int64())}))
