@@ -930,6 +930,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_bias_report": docs.dedup_bias_report,
         "doc_length_gini": docs.doc_length_gini,
         "cohort_ltv_curves": windows.cohort_ltv_curves,
+        "dedup_savings_by_source": docs.dedup_savings_by_source,
     }
     # The external correctness driver hashes only the FIRST 50 entries of
     # this dict (insertion order).  Front-load the core engine — crawl
@@ -5112,6 +5113,22 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT l_returnflag, CAST({q} AS DOUBLE) AS q, "
             f"quantile_cont(l_quantity, {q}) AS quantile_val "
             f"FROM lineitem GROUP BY 1" for q in (0.25, 0.5, 0.75)),
+        "dedup_savings_by_source": """
+            WITH k AS (SELECT MIN(doc_id) AS d FROM documents
+                       GROUP BY md5(text)),
+            m AS (SELECT source, n_chars,
+                         CASE WHEN doc_id IN (SELECT d FROM k) THEN 0
+                              ELSE 1 END AS dropped
+                  FROM documents)
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(dropped) AS BIGINT) AS n_dropped,
+                   CAST(SUM(dropped * n_chars) AS BIGINT)
+                       AS dropped_chars,
+                   CAST(SUM(dropped * n_chars) * 1000000
+                        // GREATEST(SUM(n_chars), 1) AS BIGINT)
+                       AS saved_ppm
+            FROM m GROUP BY 1
+        """,
         "doc_length_gini": """
             WITH r AS (SELECT n_chars,
                               ROW_NUMBER() OVER (ORDER BY n_chars,

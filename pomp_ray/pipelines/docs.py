@@ -4485,3 +4485,49 @@ def doc_length_gini(sf_dir: str) -> pa.Table:
     return pa.table({"n_docs": pa.array([n], pa.int64()),
                      "total_chars": pa.array([total], pa.int64()),
                      "gini_ppm": pa.array([gini_ppm], pa.int64())})
+
+
+def dedup_savings_by_source(sf_dir: str) -> rd.Dataset:
+    """Bytes-saved accounting for exact dedup: per source, the char
+    mass of DROPPED duplicate docs (everything but each content hash's
+    min-doc survivor) and its ppm share of the source -- the capacity
+    planning number behind a dedup rollout."""
+    from ray.data.aggregate import Count as _Count, Sum as _Sum
+
+    keep = {int(r["doc_id"])
+            for r in dedup_docs(sf_dir).select_columns(["doc_id"])
+            .take_all()}
+    ref = ray.put(keep)
+
+    def partial(t: pa.Table) -> pa.Table:
+        kp = ray.get(ref)
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy()
+        nc = pc.cast(t["n_chars"], pa.int64()).to_numpy()
+        dropped = np.array([int(d) not in kp for d in ids], bool)
+        return pa.table({
+            "source": t["source"],
+            "total_chars": pa.array(nc, pa.int64()),
+            "dropped_chars": pa.array(np.where(dropped, nc, 0),
+                                      pa.int64()),
+            "dropped": pa.array(dropped.astype(np.int64), pa.int64())})
+
+    agg = _docs(sf_dir, ["doc_id", "source", "n_chars"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("source").aggregate(
+            _Count(alias_name="n_docs"),
+            _Sum("total_chars", alias_name="total_chars"),
+            _Sum("dropped_chars", alias_name="dropped_chars"),
+            _Sum("dropped", alias_name="n_dropped"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        tot = pc.cast(t["total_chars"], pa.int64()).to_numpy()
+        dr = pc.cast(t["dropped_chars"], pa.int64()).to_numpy()
+        return pa.table({
+            "source": t["source"],
+            "n_docs": pc.cast(t["n_docs"], pa.int64()),
+            "n_dropped": pc.cast(t["n_dropped"], pa.int64()),
+            "dropped_chars": pa.array(dr, pa.int64()),
+            "saved_ppm": pa.array(dr * 1_000_000 // np.maximum(tot, 1),
+                                  pa.int64())})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
