@@ -931,6 +931,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_gini": docs.doc_length_gini,
         "cohort_ltv_curves": windows.cohort_ltv_curves,
         "dedup_savings_by_source": docs.dedup_savings_by_source,
+        "basket_concentration_histogram":
+            relational.basket_concentration_histogram,
     }
     # The external correctness driver hashes only the FIRST 50 entries of
     # this dict (insertion order).  Front-load the core engine — crawl
@@ -5113,6 +5115,18 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT l_returnflag, CAST({q} AS DOUBLE) AS q, "
             f"quantile_cont(l_quantity, {q}) AS quantile_val "
             f"FROM lineitem GROUP BY 1" for q in (0.25, 0.5, 0.75)),
+        "basket_concentration_histogram": """
+            WITH c AS (SELECT l_orderkey,
+                              CAST(round(l_extendedprice * 100)
+                                   AS BIGINT) AS cents
+                       FROM lineitem),
+            a AS (SELECT l_orderkey,
+                         MAX(cents) * 1000000 // SUM(cents) AS ppm
+                  FROM c GROUP BY 1)
+            SELECT CAST(LEAST(ppm // 100000, 9) AS BIGINT) AS decile,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM a GROUP BY 1
+        """,
         "dedup_savings_by_source": """
             WITH k AS (SELECT MIN(doc_id) AS d FROM documents
                        GROUP BY md5(text)),

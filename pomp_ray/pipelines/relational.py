@@ -3160,3 +3160,38 @@ def parts_above_type_p90(sf_dir: str) -> rd.Dataset:
     return _t(sf_dir, "part",
               ["p_partkey", "p_type", "p_retailprice"]) \
         .map_batches(gate, batch_format="pyarrow")
+
+
+def basket_concentration_histogram(sf_dir: str) -> rd.Dataset:
+    """Basket revenue concentration: per order, the top line item's
+    share of order revenue (integer cents, ppm floor), rolled into a
+    decile histogram -- single-item-dominated baskets vs spread ones.
+    Per 64-bucket orderkey hashing: one pandas groupby max/sum pass per
+    bucket; only (decile, 1) partials shuffle."""
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["l_orderkey"], 63), pa.int32())
+        cents = np.rint(t["l_extendedprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "cents": pa.array(cents, pa.int64()),
+                         "bucket": b})
+
+    def conc(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("l_orderkey")["cents"].agg(["max", "sum"])
+        ppm = (a["max"].to_numpy(np.int64) * 1_000_000
+               // a["sum"].to_numpy(np.int64))
+        dec = np.minimum(ppm // 100_000, 9)
+        vc = pd.Series(dec).value_counts()
+        return pd.DataFrame({"decile": vc.index.astype("int64"),
+                             "n_orders": vc.to_numpy().astype("int64")})
+
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"]) \
+        .map_batches(add_bucket, batch_format="pyarrow")
+    agg = ds.groupby("bucket").map_groups(conc, batch_format="pandas") \
+        .groupby("decile").aggregate(Sum("n_orders",
+                                         alias_name="n_orders"))
+    return agg.map_batches(
+        lambda t: pa.table({"decile": pc.cast(t["decile"], pa.int64()),
+                            "n_orders": pc.cast(t["n_orders"],
+                                                pa.int64())}),
+        batch_format="pyarrow")
