@@ -933,6 +933,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_savings_by_source": docs.dedup_savings_by_source,
         "basket_concentration_histogram":
             relational.basket_concentration_histogram,
+        "weekday_seasonality_index": windows.weekday_seasonality_index,
+        "q6_sensitivity_grid": relational.q6_sensitivity_grid,
     }
     # The external correctness driver hashes only the FIRST 50 entries of
     # this dict (insertion order).  Front-load the core engine — crawl
@@ -5115,6 +5117,27 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT l_returnflag, CAST({q} AS DOUBLE) AS q, "
             f"quantile_cont(l_quantity, {q}) AS quantile_val "
             f"FROM lineitem GROUP BY 1" for q in (0.25, 0.5, 0.75)),
+        "weekday_seasonality_index": """
+            WITH c AS (SELECT event_type,
+                              CAST(isodow(ts) AS BIGINT) AS dow,
+                              COUNT(*) AS n
+                       FROM events GROUP BY 1, 2)
+            SELECT event_type, dow, CAST(n AS BIGINT) AS n,
+                   CAST(n * 7 * 1000000
+                        // SUM(n) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS index_ppm
+            FROM c
+        """,
+        "q6_sensitivity_grid": " UNION ALL ".join(
+            f"SELECT CAST({lo} AS BIGINT) AS disc_lo,"
+            f" CAST({cap} AS BIGINT) AS qty_cap,"
+            f" CAST(coalesce(SUM(CAST(round(l_extendedprice*100)"
+            f" AS BIGINT) * CAST(round(l_discount*100) AS BIGINT)), 0)"
+            f" AS BIGINT) AS rev_e4"
+            f" FROM lineitem"
+            f" WHERE round(l_discount*100) BETWEEN {lo} AND {lo + 2}"
+            f" AND l_quantity < {cap}"
+            for lo in (5, 6, 7) for cap in (23, 24, 25)),
         "basket_concentration_histogram": """
             WITH c AS (SELECT l_orderkey,
                               CAST(round(l_extendedprice * 100)

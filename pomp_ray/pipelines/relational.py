@@ -3195,3 +3195,45 @@ def basket_concentration_histogram(sf_dir: str) -> rd.Dataset:
                             "n_orders": pc.cast(t["n_orders"],
                                                 pa.int64())}),
         batch_format="pyarrow")
+
+
+def q6_sensitivity_grid(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q6 what-if grid: revenue under all 9 combinations of
+    discount band {5-7, 6-8, 7-9 cents} x quantity cap {23, 24, 25},
+    evaluated in ONE lineitem pass (9 masked integer-cents sums per
+    batch -- the multi-predicate single-scan shape a parameter sweep
+    wants; 9 separate scans would read the fact table 9 times)."""
+    W_LO = (5, 6, 7)
+    Q_CAP = (23, 24, 25)
+
+    def partial(t: pa.Table) -> pa.Table:
+        price_c = np.rint(t["l_extendedprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        disc_c = np.rint(t["l_discount"].to_numpy() * 100) \
+            .astype(np.int64)
+        qty = t["l_quantity"].to_numpy().astype(np.int64)
+        # revenue in 10^-4 units: price_cents * disc_cents
+        rev = price_c * disc_c
+        out_lo, out_cap, out_rev = [], [], []
+        for lo in W_LO:
+            band = (disc_c >= lo) & (disc_c <= lo + 2)
+            for cap in Q_CAP:
+                m = band & (qty < cap)
+                out_lo.append(lo)
+                out_cap.append(cap)
+                out_rev.append(int(rev[m].sum()))
+        return pa.table({"disc_lo": pa.array(out_lo, pa.int64()),
+                         "qty_cap": pa.array(out_cap, pa.int64()),
+                         "rev_e4": pa.array(out_rev, pa.int64())})
+
+    agg = _t(sf_dir, "lineitem",
+             ["l_extendedprice", "l_discount", "l_quantity"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["disc_lo", "qty_cap"]).aggregate(
+            Sum("rev_e4", alias_name="rev_e4"))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "disc_lo": pc.cast(t["disc_lo"], pa.int64()),
+            "qty_cap": pc.cast(t["qty_cap"], pa.int64()),
+            "rev_e4": pc.cast(t["rev_e4"], pa.int64())}),
+        batch_format="pyarrow")

@@ -1783,3 +1783,38 @@ def cohort_ltv_curves(sf_dir: str) -> rd.Dataset:
         "cohort_week": pa.array(out_c, pa.int64()),
         "week_offset": pa.array(out_o, pa.int64()),
         "cum_spend_cents": pa.array(out_cum, pa.int64())}))
+
+
+def weekday_seasonality_index(sf_dir: str) -> rd.Dataset:
+    """Per-type weekday seasonality index: each ISO weekday's share of
+    the type's volume vs a uniform week, in ppm (n_cell * 7 * 10^6 //
+    n_type; 10^6 = flat) -- the day-of-week effect table.  One bounded
+    (type, dow) groupby; the per-type totals fold on the tiny grid."""
+    US_D = 86_400_000_000
+
+    def keys(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy()
+        dow = (us // US_D + 3) % 7 + 1
+        df = pd.DataFrame({"event_type": t["event_type"].to_pylist(),
+                           "dow": dow})
+        vc = df.value_counts().rename("n").reset_index()
+        vc["n"] = vc["n"].astype("int64")
+        return pa.Table.from_pandas(vc, preserve_index=False)
+
+    cells = _events(sf_dir, ["ts", "event_type"]) \
+        .map_batches(keys, batch_format="pyarrow") \
+        .groupby(["event_type", "dow"]).aggregate(
+            Sum("n", alias_name="n")).take_all()
+    totals: dict[str, int] = {}
+    for r in cells:
+        totals[r["event_type"]] = totals.get(r["event_type"], 0) \
+            + int(r["n"])
+    rows = sorted(cells, key=lambda r: (r["event_type"], r["dow"]))
+    return rd.from_arrow(pa.table({
+        "event_type": pa.array([r["event_type"] for r in rows],
+                               pa.string()),
+        "dow": pa.array([int(r["dow"]) for r in rows], pa.int64()),
+        "n": pa.array([int(r["n"]) for r in rows], pa.int64()),
+        "index_ppm": pa.array(
+            [int(r["n"]) * 7 * 1_000_000 // totals[r["event_type"]]
+             for r in rows], pa.int64())}))
