@@ -935,6 +935,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             relational.basket_concentration_histogram,
         "weekday_seasonality_index": windows.weekday_seasonality_index,
         "q6_sensitivity_grid": relational.q6_sensitivity_grid,
+        "vocab_overlap_jaccard": docs.vocab_overlap_jaccard,
     }
     # The external correctness driver hashes only the FIRST 50 entries of
     # this dict (insertion order).  Front-load the core engine — crawl
@@ -5117,6 +5118,24 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT l_returnflag, CAST({q} AS DOUBLE) AS q, "
             f"quantile_cont(l_quantity, {q}) AS quantile_val "
             f"FROM lineitem GROUP BY 1" for q in (0.25, 0.5, 0.75)),
+        "vocab_overlap_jaccard": """
+            WITH v AS (SELECT DISTINCT lang,
+                              UNNEST(regexp_extract_all(lower(text),
+                                                        '[a-z]+')) AS w
+                       FROM documents),
+            sizes AS (SELECT lang, COUNT(DISTINCT w) AS n FROM v
+                      GROUP BY 1),
+            inter AS (
+                SELECT a.lang AS lang_a, b.lang AS lang_b,
+                       COUNT(*) AS i
+                FROM v a JOIN v b ON a.w = b.w AND a.lang < b.lang
+                GROUP BY 1, 2)
+            SELECT i.lang_a, i.lang_b,
+                   CAST(i.i * 1000000 // (sa.n + sb.n - i.i) AS BIGINT)
+                       AS jaccard_ppm
+            FROM inter i JOIN sizes sa ON sa.lang = i.lang_a
+                         JOIN sizes sb ON sb.lang = i.lang_b
+        """,
         "weekday_seasonality_index": """
             WITH c AS (SELECT event_type,
                               CAST(isodow(ts) AS BIGINT) AS dow,

@@ -4531,3 +4531,44 @@ def dedup_savings_by_source(sf_dir: str) -> rd.Dataset:
                                   pa.int64())})
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def vocab_overlap_jaccard(sf_dir: str) -> rd.Dataset:
+    """Pairwise language VOCABULARY Jaccard: |V_a ∩ V_b| / |V_a ∪ V_b|
+    in exact ppm over each language pair's distinct word sets -- the
+    cross-lingual contamination gauge for a lang-ID pipeline (high
+    overlap = the classifier's hard pairs).  Distinct (lang, word) rows
+    reduce through one groupby; the bounded vocab table pivots to
+    per-word lang sets and the pair counts fold on the tiny lang
+    grid."""
+    from ray.data.aggregate import Count as _Count
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, parent = _tokenize_flat(t)
+        langs = t["lang"].to_pylist()
+        pl = [langs[i] for i in
+              parent.to_numpy(zero_copy_only=False)]
+        df = pd.DataFrame({"lang": pl,
+                           "w": flat.to_pylist()}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    lw = _docs(sf_dir, ["lang", "text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["lang", "w"]).aggregate(_Count(alias_name="_c")) \
+        .take_all()
+    vocab: dict[str, set] = {}
+    for r in lw:
+        vocab.setdefault(r["lang"], set()).add(r["w"])
+    langs = sorted(vocab)
+    out_a, out_b, out_j = [], [], []
+    for i, a in enumerate(langs):
+        for b in langs[i + 1:]:
+            inter = len(vocab[a] & vocab[b])
+            union = len(vocab[a] | vocab[b])
+            out_a.append(a)
+            out_b.append(b)
+            out_j.append(inter * 1_000_000 // union)
+    return rd.from_arrow(pa.table({
+        "lang_a": pa.array(out_a, pa.string()),
+        "lang_b": pa.array(out_b, pa.string()),
+        "jaccard_ppm": pa.array(out_j, pa.int64())}))
