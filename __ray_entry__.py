@@ -936,6 +936,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekday_seasonality_index": windows.weekday_seasonality_index,
         "q6_sensitivity_grid": relational.q6_sensitivity_grid,
         "vocab_overlap_jaccard": docs.vocab_overlap_jaccard,
+        "lang_source_lift": docs.lang_source_lift,
     }
     # The external correctness driver hashes only the FIRST 50 entries of
     # this dict (insertion order).  Front-load the core engine — crawl
@@ -5118,6 +5119,17 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT l_returnflag, CAST({q} AS DOUBLE) AS q, "
             f"quantile_cont(l_quantity, {q}) AS quantile_val "
             f"FROM lineitem GROUP BY 1" for q in (0.25, 0.5, 0.75)),
+        "lang_source_lift": """
+            WITH c AS (SELECT lang, source, COUNT(*) AS n
+                       FROM documents GROUP BY 1, 2),
+            m AS (SELECT lang, SUM(n) AS nl FROM c GROUP BY 1),
+            s AS (SELECT source, SUM(n) AS ns FROM c GROUP BY 1),
+            t AS (SELECT SUM(n) AS total FROM c)
+            SELECT c.lang, c.source, CAST(c.n AS BIGINT) AS n,
+                   CAST(c.n * t.total * 1000000 // (m.nl * s.ns)
+                        AS BIGINT) AS lift_ppm
+            FROM c JOIN m USING (lang) JOIN s USING (source), t
+        """,
         "vocab_overlap_jaccard": """
             WITH v AS (SELECT DISTINCT lang,
                               UNNEST(regexp_extract_all(lower(text),

@@ -4572,3 +4572,33 @@ def vocab_overlap_jaccard(sf_dir: str) -> rd.Dataset:
         "lang_a": pa.array(out_a, pa.string()),
         "lang_b": pa.array(out_b, pa.string()),
         "jaccard_ppm": pa.array(out_j, pa.int64())}))
+
+
+def lang_source_lift(sf_dir: str) -> rd.Dataset:
+    """Association lift between language and source: lift_ppm =
+    n(lang, source) * N * 10^6 // (n(lang) * n(source)) -- 10^6 means
+    independence, higher means the source specialises in the language
+    (the integer-ratio cousin of PMI, the pmi_top_pairs discipline on
+    the metadata grid).  One bounded (lang, source) groupby; marginals
+    fold on the tiny grid."""
+    from ray.data.aggregate import Count as _Count
+
+    cells = _docs(sf_dir, ["lang", "source"]) \
+        .groupby(["lang", "source"]).aggregate(
+            _Count(alias_name="n")).take_all()
+    n_lang: dict[str, int] = {}
+    n_src: dict[str, int] = {}
+    total = 0
+    for r in cells:
+        n_lang[r["lang"]] = n_lang.get(r["lang"], 0) + int(r["n"])
+        n_src[r["source"]] = n_src.get(r["source"], 0) + int(r["n"])
+        total += int(r["n"])
+    rows = sorted(cells, key=lambda r: (r["lang"], r["source"]))
+    return rd.from_arrow(pa.table({
+        "lang": pa.array([r["lang"] for r in rows], pa.string()),
+        "source": pa.array([r["source"] for r in rows], pa.string()),
+        "n": pa.array([int(r["n"]) for r in rows], pa.int64()),
+        "lift_ppm": pa.array(
+            [int(r["n"]) * total * 1_000_000
+             // (n_lang[r["lang"]] * n_src[r["source"]])
+             for r in rows], pa.int64())}))
