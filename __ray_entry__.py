@@ -937,6 +937,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_sensitivity_grid": relational.q6_sensitivity_grid,
         "vocab_overlap_jaccard": docs.vocab_overlap_jaccard,
         "lang_source_lift": docs.lang_source_lift,
+        "daily_type_correlation": windows.daily_type_correlation,
     }
     # The external correctness driver hashes only the FIRST 50 entries of
     # this dict (insertion order).  Front-load the core engine — crawl
@@ -5119,6 +5120,35 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT l_returnflag, CAST({q} AS DOUBLE) AS q, "
             f"quantile_cont(l_quantity, {q}) AS quantile_val "
             f"FROM lineitem GROUP BY 1" for q in (0.25, 0.5, 0.75)),
+        "daily_type_correlation": """
+            WITH c AS (SELECT event_type,
+                              CAST(epoch_ms(ts) // 86400000 AS BIGINT)
+                                  AS day,
+                              COUNT(*) AS n
+                       FROM events GROUP BY 1, 2),
+            grid AS (SELECT DISTINCT day FROM c),
+            types AS (SELECT DISTINCT event_type FROM c),
+            full_g AS (
+                SELECT t.event_type, g.day, coalesce(c.n, 0) AS n
+                FROM types t CROSS JOIN grid g
+                LEFT JOIN c ON c.event_type = t.event_type
+                           AND c.day = g.day),
+            pairs AS (
+                SELECT a.event_type AS type_a, b.event_type AS type_b,
+                       COUNT(*) AS n,
+                       SUM(a.n) AS sx, SUM(b.n) AS sy,
+                       SUM(a.n * b.n) AS sxy,
+                       SUM(a.n * a.n) AS sxx, SUM(b.n * b.n) AS syy
+                FROM full_g a JOIN full_g b
+                  ON a.day = b.day AND a.event_type < b.event_type
+                GROUP BY 1, 2)
+            SELECT type_a, type_b,
+                   round(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))),
+                         6) AS r
+            FROM pairs
+        """,
         "lang_source_lift": """
             WITH c AS (SELECT lang, source, COUNT(*) AS n
                        FROM documents GROUP BY 1, 2),

@@ -1818,3 +1818,58 @@ def weekday_seasonality_index(sf_dir: str) -> rd.Dataset:
         "index_ppm": pa.array(
             [int(r["n"]) * 7 * 1_000_000 // totals[r["event_type"]]
              for r in rows], pa.int64())}))
+
+
+def daily_type_correlation(sf_dir: str) -> rd.Dataset:
+    """Pearson correlation between event types' DAILY volumes, for
+    every type pair over the shared day grid -- do clicks and
+    purchases move together?  The lineitem_corr_stats discipline: the
+    corpus reduces to the bounded (type, day) count grid, all moments
+    are exact Python-int sums, and the final r is ONE float expression
+    over exact ints -- the SQL mirror computes the identical formula
+    (never the built-in corr(), whose accumulation order differs)."""
+    import math
+
+    US_D = 86_400_000_000
+
+    def keys(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.divide(pc.cast(t["ts"], pa.int64()),
+                                pa.scalar(US_D, pa.int64())), pa.int64())
+        df = pd.DataFrame({"event_type": t["event_type"].to_pylist(),
+                           "day": day.to_numpy()})
+        vc = df.value_counts().rename("n").reset_index()
+        vc["n"] = vc["n"].astype("int64")
+        return pa.Table.from_pandas(vc, preserve_index=False)
+
+    cells = _events(sf_dir, ["ts", "event_type"]) \
+        .map_batches(keys, batch_format="pyarrow") \
+        .groupby(["event_type", "day"]).aggregate(
+            Sum("n", alias_name="n")).take_all()
+    by_type: dict[str, dict[int, int]] = {}
+    days: set[int] = set()
+    for r in cells:
+        by_type.setdefault(r["event_type"], {})[int(r["day"])] = \
+            int(r["n"])
+        days.add(int(r["day"]))
+    grid = sorted(days)
+    types = sorted(by_type)
+    out_a, out_b, out_r = [], [], []
+    for i, a in enumerate(types):
+        xa = [by_type[a].get(d, 0) for d in grid]
+        for b in types[i + 1:]:
+            xb = [by_type[b].get(d, 0) for d in grid]
+            n = len(grid)
+            sx, sy = sum(xa), sum(xb)
+            sxy = sum(p * q for p, q in zip(xa, xb))
+            sxx = sum(p * p for p in xa)
+            syy = sum(q * q for q in xb)
+            num = float(n * sxy - sx * sy)
+            den = math.sqrt(float(n * sxx - sx * sx)) \
+                * math.sqrt(float(n * syy - sy * sy))
+            out_a.append(a)
+            out_b.append(b)
+            out_r.append(num / den if den else 0.0)
+    return rd.from_arrow(pa.table({
+        "type_a": pa.array(out_a, pa.string()),
+        "type_b": pa.array(out_b, pa.string()),
+        "r": pa.array([round(v, 6) for v in out_r], pa.float64())}))
