@@ -1079,12 +1079,15 @@ def _sitemap_entries_sql() -> str:
                    || '(?:\\s*<lastmod>[^<]*</lastmod>)?')) AS b
             FROM p JOIN reach ON p.url = reach.u
             WHERE contains(x, '<urlset'))
-        SELECT DISTINCT
-               trim(regexp_extract(b, '<loc>([^<]*)</loc>', 1)) AS url,
-               trim(coalesce(regexp_extract(
-                   b, '<lastmod>([^<]*)</lastmod>', 1), '')) AS lastmod
+        SELECT trim(regexp_extract(b, '<loc>([^<]*)</loc>', 1)) AS url,
+               MIN(trim(coalesce(regexp_extract(
+                   b, '<lastmod>([^<]*)</lastmod>', 1), ''))) AS lastmod
         FROM blocks
+        GROUP BY 1
     """
+    # one row per url with the MIN lastmod string ('' sorts below any
+    # date), mirroring the engine's groupby(url)+Min rule so duplicate
+    # listings with differing lastmod agree (ADVICE r4 low)
 
 
 # Shared CTE prefix for the suffix-array oracles: the doc_id < 30

@@ -4491,19 +4491,30 @@ def dedup_savings_by_source(sf_dir: str) -> rd.Dataset:
     """Bytes-saved accounting for exact dedup: per source, the char
     mass of DROPPED duplicate docs (everything but each content hash's
     min-doc survivor) and its ppm share of the source -- the capacity
-    planning number behind a dedup rollout."""
+    planning number behind a dedup rollout.
+
+    Shape: survivors (corpus-scale -- MOST docs survive dedup) join
+    onto docs by doc_id as a Dataset hash join with a marker column
+    (the leakage_safe_splits left_outer + coalesce shape), never a
+    driver-side set/broadcast (ADVICE r4 medium; guarded by the
+    test_scale_shapes source grep)."""
     from ray.data.aggregate import Count as _Count, Sum as _Sum
 
-    keep = {int(r["doc_id"])
-            for r in dedup_docs(sf_dir).select_columns(["doc_id"])
-            .take_all()}
-    ref = ray.put(keep)
+    survivors = dedup_exact(sf_dir).map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "_keep": pa.array(np.ones(t.num_rows, np.int64))}),
+        batch_format="pyarrow")
+    docs = _docs(sf_dir, ["doc_id", "source", "n_chars"])
+    n_parts = max(2, min(64, docs.count() // 500_000))
+    joined = docs.join(survivors, join_type="left_outer", on=("doc_id",),
+                       num_partitions=n_parts)
 
     def partial(t: pa.Table) -> pa.Table:
-        kp = ray.get(ref)
-        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy()
         nc = pc.cast(t["n_chars"], pa.int64()).to_numpy()
-        dropped = np.array([int(d) not in kp for d in ids], bool)
+        keep = pc.coalesce(t["_keep"], pa.scalar(0, pa.int64())) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        dropped = keep == 0
         return pa.table({
             "source": t["source"],
             "total_chars": pa.array(nc, pa.int64()),
@@ -4511,7 +4522,7 @@ def dedup_savings_by_source(sf_dir: str) -> rd.Dataset:
                                       pa.int64()),
             "dropped": pa.array(dropped.astype(np.int64), pa.int64())})
 
-    agg = _docs(sf_dir, ["doc_id", "source", "n_chars"]) \
+    agg = joined \
         .map_batches(partial, batch_format="pyarrow") \
         .groupby("source").aggregate(
             _Count(alias_name="n_docs"),

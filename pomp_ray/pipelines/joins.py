@@ -442,8 +442,11 @@ def first_touch_attribution(sf_dir: str,
             key = (cc * span + (ct - t0))[order]
             ce_s = ce[order]
             pt = p["ts"].astype("int64").to_numpy()
+            # half-open window (pt - w, pt]: side="right" skips clicks
+            # EXACTLY window_days before the purchase, mirroring the
+            # oracle's strict `c.ts > p.ts - INTERVAL w DAY` (ADVICE r4)
             lo = np.searchsorted(key, cp * span + (pt - w_us - t0),
-                                 side="left")
+                                 side="right")
             hi = np.searchsorted(key, cp * span + (pt - t0),
                                  side="right")
             first = np.where(hi > lo, ce_s[np.minimum(lo, len(ce_s) - 1)],
@@ -500,8 +503,11 @@ def multi_touch_credit(sf_dir: str, window_days: int = 7) -> rd.Dataset:
         cred = np.zeros(len(ce_s), np.int64)
         if len(p):
             pt = p["ts"].astype("int64").to_numpy()
+            # half-open window (pt - w, pt]: side="right" skips clicks
+            # EXACTLY window_days before the purchase, mirroring the
+            # oracle's strict `c.ts > p.ts - INTERVAL w DAY` (ADVICE r4)
             lo = np.searchsorted(key, cp * span + (pt - w_us - t0),
-                                 side="left")
+                                 side="right")
             hi = np.searchsorted(key, cp * span + (pt - t0),
                                  side="right")
             n = hi - lo
@@ -563,8 +569,11 @@ def ushape_touch_credit(sf_dir: str, window_days: int = 7) -> rd.Dataset:
         cred = np.zeros(len(ce_s), np.int64)
         if len(p):
             pt = p["ts"].astype("int64").to_numpy()
+            # half-open window (pt - w, pt]: side="right" skips clicks
+            # EXACTLY window_days before the purchase, mirroring the
+            # oracle's strict `c.ts > p.ts - INTERVAL w DAY` (ADVICE r4)
             lo = np.searchsorted(key, cp * span + (pt - w_us - t0),
-                                 side="left")
+                                 side="right")
             hi = np.searchsorted(key, cp * span + (pt - t0),
                                  side="right")
             n = hi - lo

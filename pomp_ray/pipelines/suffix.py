@@ -36,14 +36,17 @@ LCP_CAP = 80     # capped common-prefix length (mirrored by the oracle)
 
 def _sample_layout(sf_dir: str, max_docs: int):
     """(doc_ids, lengths, offsets, total) for the doc_id < max_docs
-    sample -- lengths come from the n_chars column (metadata-light);
+    sample -- lengths are utf-8 BYTE lengths (the unit _char_rows
+    generates positions in; n_chars counts CHARACTERS, which silently
+    misaligns the global offsets on any non-ASCII doc -- ADVICE r4);
     offsets include one separator slot after every doc but the last."""
     import pyarrow.parquet as pq
     t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                      columns=["doc_id", "n_chars"])
+                      columns=["doc_id", "text"])
     t = t.filter(pc.less(t["doc_id"], max_docs)).sort_by("doc_id")
     ids = t["doc_id"].to_numpy()
-    lens = t["n_chars"].to_numpy().astype(np.int64)
+    lens = pc.binary_length(pc.cast(t["text"], pa.binary())) \
+        .to_numpy().astype(np.int64)
     offs = np.zeros(len(ids), np.int64)
     if len(ids) > 1:
         offs[1:] = np.cumsum(lens[:-1] + 1)

@@ -48,8 +48,12 @@ _FAST_EXTRACT = r"^(?:http|https)://(?P<host>[a-z0-9.-]+)(?P<path>/[^#?@\s]*)$"
 # (urljoin ignores the base path for root-relative refs), and the result
 # is already canonical -- so the whole class joins via two Arrow
 # binary_join kernels.  Conservative char set (no query/fragment/colon):
-# anything else falls through to the per-row library path.
-_REL_FAST = r"^/[^#?@:\s]*$"
+# anything else falls through to the per-row library path.  The second
+# character must NOT be another slash: protocol-relative hrefs
+# ("//other.test/x") resolve to a DIFFERENT host and must take the
+# per-row urljoin path (ADVICE r4 high; RE2 has no lookahead, so the
+# bare-root "/" case is a separate alternative).
+_REL_FAST = r"^/$|^/[^/#?@:\s][^#?@:\s]*$"
 _BASE_EXTRACT = r"^(?P<scheme>https?)://(?P<host>[a-z0-9.-]+)(?:/[^#?@\s]*)?$"
 
 

@@ -22,6 +22,11 @@ def test_no_driver_materialization_in_scale_paths():
     src = inspect.getsource(D.leakage_safe_splits)
     assert "ray.put" not in src
     assert "dict(" not in src
+    # dedup_savings_by_source: survivors are corpus-scale -- must be a
+    # marker-column hash join, never a driver set (ADVICE r4 medium)
+    src = inspect.getsource(D.dedup_savings_by_source)
+    assert "take_all" not in src
+    assert "ray.put" not in src
     # dedup_lines joins with metadata-sized partitions, not a constant
     src = inspect.getsource(W.dedup_lines)
     assert "num_partitions=16" not in src

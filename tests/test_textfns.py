@@ -96,7 +96,7 @@ def test_canonicalize_batch_equivalence():
         "http://site0.test:80/p/1", "http://site0.test:8080/p/1",
         "http://site0.test/p/1?q=2", "http://site0.test/p/1#frag",
         "http://user@site0.test/p/1", "http://site0.test", "",
-        "http://site0.test/p/sp ace",
+        "http://site0.test/p/sp ace", "//proto.test/x", "//proto.test",
     ]
     bases = ["http://base.test/dir/page"] * len(urls)
     batch = pa.table({"url": pa.array(urls, pa.string()),
@@ -113,6 +113,36 @@ def test_canonicalize_batch_equivalence():
     out2 = canonicalize_batch(pa.table({"url": pa.array(urls, pa.string())}))
     for u, c in zip(urls, out2["canon_url"].to_pylist()):
         assert c == url_canonicalize(u), (u, c)
+
+
+def test_canonicalize_protocol_relative_not_rel_tier():
+    """A protocol-relative href ('//other.test/x') in a batch that is
+    otherwise fully fast/rel-covered must resolve to the OTHER host via
+    the per-row urljoin path, not be mis-joined against the base host by
+    the root-relative Arrow tier (ADVICE r4 high)."""
+    import pyarrow as pa
+
+    from pomp_ray.functions.textfns import url_canonicalize, url_join
+    from pomp_ray.stages.enqueue import canonicalize_batch
+
+    urls = ["http://fast.test/a", "/rel/b", "/", "//other.test/x"]
+    bases = ["http://base.test/dir/page"] * len(urls)
+    out = canonicalize_batch(pa.table({
+        "url": pa.array(urls, pa.string()),
+        "base": pa.array(bases, pa.string())}))
+    canon = out["canon_url"].to_pylist()
+    for u, b, c in zip(urls, bases, canon):
+        assert c == url_canonicalize(url_join(b, u)), (u, c)
+    assert canon[3] == "http://other.test/x"
+    assert out["host"].to_pylist()[3] == "other.test"
+    # and WITHOUT the protocol-relative row the batch must still take the
+    # all-Arrow merged tier (same answers; coverage asserted indirectly by
+    # the n_canon_slow==0 crawl invariant on generated corpora)
+    out2 = canonicalize_batch(pa.table({
+        "url": pa.array(urls[:3], pa.string()),
+        "base": pa.array(bases[:3], pa.string())}))
+    for u, b, c in zip(urls[:3], bases[:3], out2["canon_url"].to_pylist()):
+        assert c == url_canonicalize(url_join(b, u)), (u, c)
 
 
 def test_minhash_signatures_batch_equivalence():
