@@ -160,8 +160,8 @@ def test_neardup_ivf_recall_and_precision():
     from pomp_ray.pipelines import embeddings
     exact = embeddings.neardup_pairs(SF).to_pandas()
     ex = set(zip(exact["id_a"], exact["id_b"]))
-    ivf = embeddings.neardup_pairs_ivf(SF)
-    got = set(zip(ivf["id_a"].to_pylist(), ivf["id_b"].to_pylist()))
+    ivf = embeddings.neardup_pairs_ivf(SF).to_pandas()
+    got = set(zip(ivf["id_a"], ivf["id_b"]))
     assert not (got - ex), "IVF produced pairs the exact path lacks"
     assert len(got & ex) / max(1, len(ex)) >= 0.9, (len(got), len(ex))
 

@@ -15,10 +15,14 @@ def test_no_driver_materialization_in_scale_paths():
     import pomp_ray.pipelines.docs as D
     import pomp_ray.pipelines.embeddings as E
     import pomp_ray.pipelines.webtext as W
-    for fn in (E.knn_graph_edges, E.hard_negatives):
+    for fn in (E.knn_graph_edges, E.hard_negatives, E.neardup_pairs):
         src = inspect.getsource(fn)
         assert "take_all" not in src, fn.__name__
         assert "ray.put" not in src, fn.__name__
+    # the IVF sibling may broadcast CENTROIDS (bounded) but must not
+    # collect the corpus-scale pair table to the driver
+    src = inspect.getsource(E.neardup_pairs_ivf)
+    assert "take_all" not in src
     src = inspect.getsource(D.leakage_safe_splits)
     assert "ray.put" not in src
     assert "dict(" not in src
