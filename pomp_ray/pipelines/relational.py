@@ -1623,7 +1623,10 @@ def _partsupp_batch(t: pa.Table, S: int, carry: list[str] = ()) -> pa.Table:
     n = len(pk)
     pk4 = np.repeat(pk, 4)
     i4 = np.tile(np.arange(4, dtype=np.int64), n)
-    sk = (pk4 + i4 * ((S + 3) // 4)) % S
+    # floor step: 3*(S//4) < S, so the four offsets never wrap past S
+    # and the suppkeys are always DISTINCT (ceil stepped past S for
+    # S % 4 != 0, e.g. S=9 -> {0,3,6,0}; hypothesis-found)
+    sk = (pk4 + i4 * (S // 4)) % S
     cols = {
         "ps_partkey": pa.array(pk4, pa.int64()),
         "ps_suppkey": pa.array(sk, pa.int64()),
@@ -1641,7 +1644,7 @@ PARTSUPP_SQL = """
     sc AS (SELECT COUNT(*) AS s FROM supplier),
     ps0 AS (
         SELECT p_partkey, p_size, p_type,
-               (p_partkey + t.i * ((sc.s + 3) // 4)) % sc.s AS ps_suppkey
+               (p_partkey + t.i * (sc.s // 4)) % sc.s AS ps_suppkey
         FROM part CROSS JOIN sc
              CROSS JOIN (SELECT UNNEST(range(0, 4)) AS i) t),
     ps AS (
