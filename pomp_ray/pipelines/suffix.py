@@ -226,6 +226,115 @@ def exactsubstr_spans(sf_dir: str, max_docs: int = 30,
     return adj.map_batches(lcp, batch_format="pyarrow")
 
 
+def _window_rows(sf_dir: str, max_docs: int, offs_by_doc: dict,
+                 cap: int = LCP_CAP, bucket_len: int = 20) -> rd.Dataset:
+    """(pos, window, bucket) rows, one per TEXT position of the sample:
+    ``window`` is the position's next ``cap`` bytes zero-padded past the
+    doc end (0 sorts below every corpus byte and never equals one, so a
+    pad byte stops any LCP exactly where the separator fence would);
+    ``bucket`` is the window's first ``bucket_len`` bytes.  Separator
+    positions are omitted -- chr(1) sorts below all text, so separator
+    suffixes occupy a contiguous rank prefix and only border pairs with
+    LCP 0.  Fully vectorized: one sliding_window_view per doc, Arrow
+    fixed-width binary built from the contiguous buffer."""
+    def f(t: pa.Table) -> pa.Table:
+        mats, poss = [], []
+        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            b = (x or "").encode("utf-8")
+            if not b:
+                continue
+            padded = np.frombuffer(b + b"\0" * cap, np.uint8)
+            w = np.lib.stride_tricks.sliding_window_view(
+                padded, cap)[:len(b)]
+            mats.append(np.ascontiguousarray(w))
+            poss.append(offs_by_doc[int(d)]
+                        + np.arange(len(b), dtype=np.int64))
+        if not mats:
+            return pa.table({"pos": pa.array([], pa.int64()),
+                             "window": pa.array([], pa.binary(cap)),
+                             "bucket": pa.array([], pa.string())})
+        mat = np.concatenate(mats)
+        n_rows = len(mat)
+        win = pa.Array.from_buffers(
+            pa.binary(cap), n_rows,
+            [None, pa.py_buffer(mat.tobytes())])
+        bk = pa.Array.from_buffers(
+            pa.binary(bucket_len), n_rows,
+            [None, pa.py_buffer(
+                np.ascontiguousarray(mat[:, :bucket_len]).tobytes())])
+        return pa.table({
+            "pos": pa.array(np.concatenate(poss), pa.int64()),
+            "window": win,
+            # latin-1 keeps the byte order and makes the groupby key a
+            # plain string (0-pad bytes included)
+            "bucket": pc.cast(bk, pa.binary()).cast(pa.string())})
+
+    return _docs(sf_dir, max_docs).map_batches(f, batch_format="pyarrow")
+
+
+def exactsubstr_spans_scaled(sf_dir: str, max_docs: int = 300,
+                             min_len: int = 20) -> rd.Dataset:
+    """Full-corpus ExactSubstr span detection WITHOUT the sample-text
+    broadcast (VERDICT r4 #3): the LCP verify shards by suffix PREFIX
+    BUCKET instead of shipping the corpus bytes to every task.
+
+    Key fact: suffixes sharing their first ``min_len`` bytes form a
+    contiguous rank interval, so (a) every adjacent pair with
+    LCP >= min_len lives inside one bucket, (b) pairs straddling a
+    bucket boundary have LCP < min_len and are exactly the pairs the
+    gate drops anyway, and (c) within a bucket, rank-consecutive rows
+    are rank-consecutive globally.  The pipeline is therefore: suffix
+    array (pure Dataset doubling) -> hash join with the per-position
+    window table (next LCP_CAP bytes, generated vectorized per doc,
+    zero-padded at doc end) -> groupby(bucket) -> per-group vectorized
+    adjacent-LCP over the stacked window matrix.  Nothing corpus-scale
+    touches the driver and no text is broadcast; the only driver state
+    is the O(#docs) offset table (same posture as ``suffix_array``'s
+    locate stage).  Output convention matches ``exactsubstr_spans``
+    (doc_a/off_a = the lower-ranked suffix)."""
+    import pandas as pd
+
+    ids, lens, offs, n = _sample_layout(sf_dir, max_docs)
+    offs_by_doc = {int(d): int(o) for d, o in zip(ids, offs)}
+    sa = suffix_array(sf_dir, max_docs)
+    wins = _window_rows(sf_dir, max_docs, offs_by_doc,
+                        bucket_len=min_len).repartition(2).materialize()
+    joined = sa.join(wins, join_type="inner", on=("pos",),
+                     num_partitions=2)
+
+    cap = LCP_CAP
+
+    def group_lcp(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "doc_a": pd.Series([], dtype="int64"),
+            "off_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            "off_b": pd.Series([], dtype="int64"),
+            "lcp": pd.Series([], dtype="int64")})
+        if len(g) < 2:
+            return empty
+        order = np.argsort(g["rank"].to_numpy())
+        W = np.frombuffer(b"".join(g["window"].tolist()),
+                          np.uint8).reshape(-1, cap)[order]
+        doc = g["doc_id"].to_numpy(np.int64)[order]
+        off = g["off"].to_numpy(np.int64)[order]
+        eq = (W[:-1] == W[1:]) & (W[:-1] != 0)
+        lcps = np.where(eq.all(axis=1), cap, eq.argmin(axis=1))
+        keep = lcps >= min_len
+        if not keep.any():
+            return empty
+        i = np.flatnonzero(keep)
+        return pd.DataFrame({
+            "doc_a": pd.Series(doc[i], dtype="int64"),
+            "off_a": pd.Series(off[i], dtype="int64"),
+            "doc_b": pd.Series(doc[i + 1], dtype="int64"),
+            "off_b": pd.Series(off[i + 1], dtype="int64"),
+            "lcp": pd.Series(lcps[i], dtype="int64")})
+
+    return joined.groupby("bucket").map_groups(group_lcp,
+                                               batch_format="pandas")
+
+
 def exactsubstr_doc_stats(sf_dir: str, max_docs: int = 30,
                           min_len: int = 20) -> rd.Dataset:
     """Per-doc duplicated-character accounting, the actionable half of

@@ -57,3 +57,17 @@ def test_exactsubstr_spans_verify_in_texts(ray_session):
             ca = texts[r.doc_a][r.off_a + r.lcp:r.off_a + r.lcp + 1]
             cb = texts[r.doc_b][r.off_b + r.lcp:r.off_b + r.lcp + 1]
             assert ca != cb or (ca == "" and cb == "")
+
+
+@pytest.mark.slow
+def test_exactsubstr_scaled_equals_bounded(ray_session):
+    """The prefix-bucket sharded LCP path (no corpus-text broadcast)
+    must produce exactly the bounded broadcast path's span set on the
+    same sample."""
+    from pomp_ray.pipelines.suffix import exactsubstr_spans_scaled
+    a = exactsubstr_spans(SF).to_pandas()
+    b = exactsubstr_spans_scaled(SF, max_docs=30).to_pandas()
+    cols = ["doc_a", "off_a", "doc_b", "off_b", "lcp"]
+    sa = set(map(tuple, a[cols].itertuples(index=False)))
+    sb = set(map(tuple, b[cols].itertuples(index=False)))
+    assert sa == sb
