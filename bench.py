@@ -334,28 +334,68 @@ def bench_queries(sf_dir: str) -> dict:
     return out
 
 
-def run_once(num_cpus: int, sf_dir: str, flat_only: bool = False) -> dict:
+def _cap_thread_pools(num_cpus: int) -> None:
     # Cap library-internal thread pools to the declared budget, otherwise
     # pyarrow/numpy threads silently use every host core and the two
     # parallelism levels measure the same thing.
     os.environ.setdefault("OMP_NUM_THREADS", "1")
     import pyarrow as _pa
     _pa.set_cpu_count(max(2, num_cpus // 2))
+
+
+def _fresh_session(num_cpus: int) -> None:
+    # each crawl component gets an ISOLATED Ray session: leftover
+    # object-store contents from a previous component (600k-page
+    # corpus broadcasts, spilled shuffle blocks) measurably slow the
+    # next one (crawl_join read 23s fresh vs 40-62s after crawl_flat).
+    # Session startup happens OUTSIDE the timed windows.
+    import ray
+    if ray.is_initialized():
+        ray.shutdown()
+    ray.init(address="local", num_cpus=num_cpus,
+             include_dashboard=False, ignore_reinit_error=True,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+
+def run_quick(num_cpus: int, draws: int = 3) -> dict:
+    """``--quick``: tri-draw median +/- spread for the 5 headline crawl
+    components (VERDICT r4 #8: a single draw can't distinguish host
+    noise from regression -- absolute numbers vary ~2x with co-tenant
+    load; medians across fresh-session draws are the comparable
+    number)."""
+    import statistics
+
+    _cap_thread_pools(num_cpus)
+    import ray
+
+    comps = [
+        ("crawl_flat", bench_crawl_flat, "pages_per_s"),
+        ("crawl_join", bench_crawl_join, "pages_per_s"),
+        ("crawl_bfs", bench_crawl_bfs, "pages_per_s"),
+        ("crawl_dfs", bench_crawl_dfs, "pages_per_s"),
+        ("dedup_ops", bench_dedup_ops, "ops_per_s"),
+    ]
+    vals: dict[str, list[float]] = {name: [] for name, _, _ in comps}
+    for _ in range(draws):
+        for name, fn, key in comps:
+            _fresh_session(num_cpus)
+            vals[name].append(float(fn()[key]))
+    ray.shutdown()
+    return {
+        name: {"median": round(statistics.median(v), 1),
+               "min": round(min(v), 1), "max": round(max(v), 1)}
+        for name, v in vals.items()
+    }
+
+
+def run_once(num_cpus: int, sf_dir: str, flat_only: bool = False) -> dict:
+    _cap_thread_pools(num_cpus)
     import ray
 
     def fresh_session():
-        # each crawl component gets an ISOLATED Ray session: leftover
-        # object-store contents from a previous component (600k-page
-        # corpus broadcasts, spilled shuffle blocks) measurably slow the
-        # next one (crawl_join read 23s fresh vs 40-62s after crawl_flat).
-        # Session startup happens OUTSIDE the timed windows.
-        if ray.is_initialized():
-            ray.shutdown()
-        ray.init(address="local", num_cpus=num_cpus,
-                 include_dashboard=False, ignore_reinit_error=True,
-                 logging_level="ERROR")
-        from ray.data import DataContext
-        DataContext.get_current().enable_progress_bars = False
+        _fresh_session(num_cpus)
 
     queries: dict = {}
     result: dict = {}
@@ -419,6 +459,17 @@ def main() -> None:
             f"pages_per_s_{lo}": tput_lo,
             f"pages_per_s_{hi}": tput_hi,
             "scaling_efficiency": round(tput_hi / (hi / lo * tput_lo), 3),
+        }))
+        return
+
+    if "--quick" in sys.argv:
+        draws = int(os.environ.get("RAY_GRAFT_QUICK_DRAWS", "3"))
+        print(json.dumps({
+            "metric": f"headline crawl components, median of {draws} "
+                      "fresh-session draws (units: pages/s, dedup ops/s)",
+            "num_cpus": num_cpus,
+            "draws": draws,
+            "components": run_quick(num_cpus, draws),
         }))
         return
 

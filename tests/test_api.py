@@ -35,6 +35,24 @@ def test_csv_pipeline(tmp_path):
     assert p.read_bytes() == b"u1,t1,1\r\n"
 
 
+def test_console_pipeline(capsys):
+    """ConsolePipeline (SURVEY.md S7): prints one line per item row and
+    passes the batch through unchanged."""
+    from pomp_ray.core.api import ConsolePipeline
+
+    pipe = ConsolePipeline()
+    pipe.start(None)
+    batch = PageItem.table_from([PageItem(url="u1", title="t1", n=1),
+                                 PageItem(url="u2", title="t2", n=2)])
+    out = pipe.process_batch(None, batch)
+    pipe.stop(None)
+    assert out is batch
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 2
+    assert "u1" in lines[0] and "t1" in lines[0]
+    assert "u2" in lines[1] and "n" in lines[1]
+
+
 def test_row_crawler_adapter():
     class MyCrawler(RowCrawler):
         ENTRY_REQUESTS = "http://site0.test/p/0"

@@ -38,17 +38,77 @@ def test_media_featurizer_actor_pool():
 
 
 def test_real_decode_codec_boundaries():
-    # video: still the explicit ffmpeg/PyAV stub
-    with pytest.raises(NotImplementedError):
-        real_decode(b"x", "video")
-    # unsupported image/audio codecs name the plug-in seam
-    with pytest.raises(ValueError):
-        real_decode(b"\x89PNG...", "image")
+    import shutil
+
+    from pomp_ray.stages import multimodal as mm
+    if shutil.which("ffmpeg") is None:
+        # video: explicit stub when the ffmpeg CLI is absent
+        with pytest.raises(NotImplementedError):
+            real_decode(b"x", "video")
+    if mm._pillow_image_module() is None:
+        # unsupported image codecs name the Pillow seam when it's absent
+        with pytest.raises(ValueError):
+            real_decode(b"\x89PNG...", "image")
     with pytest.raises(ValueError):
         real_decode(b"ID3...", "audio")
     # fake decode is pure + deterministic
     assert np.array_equal(fake_decode(b"abc", "image"),
                           fake_decode(b"abc", "image"))
+
+
+def test_real_decode_pillow_seam_dispatch(monkeypatch):
+    """The optional-import dispatch really routes non-netpbm images
+    through the Pillow module when one is importable -- exercised by
+    injecting a stand-in module (Pillow itself is absent here)."""
+    from pomp_ray.stages import multimodal as mm
+
+    class _FakeImg:
+        def convert(self, mode):
+            assert mode == "L"
+            return np.full((16, 16), 128, np.uint8)
+
+    class _FakeImageModule:
+        @staticmethod
+        def open(fp):
+            assert fp.read(4) == b"\x89PNG"
+            return _FakeImg()
+
+    monkeypatch.setattr(mm, "_PIL_IMAGE", _FakeImageModule)
+    feats = real_decode(b"\x89PNGrest-of-payload", "image")
+    assert feats.shape == (64,)
+    np.testing.assert_allclose(feats, np.float32(128 / 255.0))
+    # netpbm still takes the exact built-in path with the seam present
+    p5 = b"P5 8 8 255 " + bytes(range(64))
+    assert real_decode(p5, "image").dtype == np.float32
+
+
+def test_real_decode_pillow_real_roundtrip():
+    """Runs only where Pillow is actually installed (skipped in this
+    sandbox): a real PNG decodes through the seam."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.fromarray(np.full((16, 16), 100, np.uint8)).save(buf, "PNG")
+    feats = real_decode(buf.getvalue(), "image")
+    np.testing.assert_allclose(feats, np.float32(100 / 255.0))
+
+
+def test_real_decode_ffmpeg_seam_dispatch(monkeypatch):
+    """Video dispatch calls the ffmpeg frame extractor when a CLI is
+    found; absent CLI raises the documented stub."""
+    from pomp_ray.stages import multimodal as mm
+
+    monkeypatch.setattr(mm, "_ffmpeg_path", lambda: None)
+    with pytest.raises(NotImplementedError):
+        real_decode(b"x", "video")
+    monkeypatch.setattr(mm, "_ffmpeg_path", lambda: "/usr/bin/ffmpeg")
+    monkeypatch.setattr(
+        mm, "_ffmpeg_first_frame_gray",
+        lambda payload: np.full((64, 64), 0.5))
+    feats = real_decode(b"any-container", "video")
+    np.testing.assert_allclose(feats, np.float32(0.5))
 
 
 def _ppm_bytes(w, h, pixel_fn):
