@@ -953,32 +953,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 # First-50 window for the external correctness driver (see queries()).
+# Round-5 window rotation (VERDICT r4 #6): ~30 core entries stay pinned
+# (crawl conformance, dedup family, decontamination, ANN, ranking); the
+# other 20 slots rotate to never-driver-hashed families -- this round
+# the TPC-H remainder and the windows/joins family (including the three
+# attribution queries whose boundary convention changed in r5).
+# Overlap with the r4 window: exactly the 30 pinned entries.
 _CORRECTNESS_FRONT = [
-    # crawl engine conformance goldens (serial pomp-semantics oracle)
+    # pinned: crawl engine conformance goldens (serial pomp oracle)
     "crawl_bfs_visited", "crawl_bfs_items", "crawl_bfs_errors",
-    "crawl_dfs_visited", "crawl_best_visited", "crawl_focused_visited",
-    "crawl_budget_visited", "crawl_budget_errors",
-    "crawl_redirect_visited", "crawl_redirect_errors",
-    "crawl_dedup_visited", "crawl_dedup_errors",
-    "crawl_aged_visited", "crawl_filtered_visited", "crawl_capped_visited",
-    "crawl_samehost_visited", "crawl_breaker_visited",
+    "crawl_dfs_visited", "crawl_best_visited",
+    "crawl_budget_visited", "crawl_redirect_visited",
+    "crawl_dedup_visited", "crawl_samehost_visited",
     "robots_audit", "trap_report", "crawl_round_metrics",
-    # dedup family
+    # pinned: dedup family
     "dedup_exact", "dedup_docs", "minhash_lsh_pairs", "simhash_dup_groups",
-    "span_dup_stats", "dedup_lines", "winnow_dup_pairs",
-    "jaccard_pairs_sample", "semdedup", "dup_components",
-    # decontamination
-    "decontaminate", "decontaminate_bloom", "contamination_report",
-    # ANN / embeddings
-    "ivf_topk", "pq_topk", "srp_neardup_pairs", "neardup_pairs_ivf",
-    "sq8_topk", "knn_graph_edges",
-    # TPC-H core
-    "q2_min_cost_supplier", "q3_shipping_priority",
-    "q5_local_supplier_volume", "q6_revenue", "q21_waiting_suppliers",
-    "lineitem_pricing_summary",
-    # ranking / scoring / export
-    "pagerank_clicks", "bm25_topk", "trigram_lm_scores",
-    "gopher_quality_flags", "pretraining_shards",
+    "dedup_lines", "winnow_dup_pairs", "semdedup", "dup_components",
+    # pinned: decontamination
+    "decontaminate", "decontaminate_bloom",
+    # pinned: ANN / embeddings
+    "ivf_topk", "pq_topk", "srp_neardup_pairs", "knn_graph_edges",
+    # pinned: ranking / scoring / export
+    "pagerank_clicks", "bm25_topk", "gopher_quality_flags",
+    "pretraining_shards",
+    # rotated in r5: TPC-H remainder
+    "q4_order_priority", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "q10_returned_revenue", "q11_important_stock",
+    "q12_ship_lag_priority", "q14_promo_revenue", "q19_discounted_revenue",
+    "q20_promotion_parts",
+    # rotated in r5: windows / joins family
+    "sessionize", "rolling_user_spend", "rolling_window_1h",
+    "asof_click_after_purchase", "constrained_funnel", "exclusion_funnel",
+    "first_touch_attribution", "multi_touch_credit", "ushape_touch_credit",
+    "salted_join_rollup",
 ]
 
 
