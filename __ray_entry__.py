@@ -941,6 +941,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exactsubstr_spans_scaled": lambda sf: __import__(
             "pomp_ray.pipelines.suffix", fromlist=["suffix"]
         ).exactsubstr_spans_scaled(sf),
+        "heavy_hitter_users": relational.heavy_hitter_users,
+        "ctfidf_top_terms": docs.ctfidf_top_terms,
+        "stratified_split_report": docs.stratified_split_report,
     }
     # The external correctness driver hashes only the FIRST 50 entries of
     # this dict (insertion order).  Front-load the core engine — crawl
@@ -5755,5 +5758,52 @@ def oracle_sql() -> dict[str, str]:
                          WHERE o.off <= pb) AS off_b,
                    lcp
             FROM lcps WHERE lcp >= 20
+        """,
+        "heavy_hitter_users": """
+            WITH tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM events)
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(CAST(COUNT(*) AS BIGINT) * 1000000 // t
+                        AS BIGINT) AS share_ppm
+            FROM events, tot
+            GROUP BY user_id, t
+            HAVING CAST(COUNT(*) AS BIGINT) * 1000000 // t >= 7000
+        """,
+        "ctfidf_top_terms": """
+            WITH toks AS (SELECT source,
+                                 UNNEST(regexp_extract_all(lower(text),
+                                        '[a-z]+')) AS w
+                          FROM documents),
+            tf AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM toks GROUP BY 1, 2),
+            df AS (SELECT w, CAST(COUNT(DISTINCT source) AS BIGINT) AS df
+                   FROM tf GROUP BY 1),
+            ns AS (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n
+                   FROM documents),
+            scored AS (SELECT source, tf.w AS word,
+                              tf * n * 1000000 // df AS score,
+                              ROW_NUMBER() OVER (
+                                  PARTITION BY source
+                                  ORDER BY tf * n * 1000000 // df DESC,
+                                           tf.w) AS rn
+                       FROM tf JOIN df ON tf.w = df.w CROSS JOIN ns)
+            SELECT source, word, CAST(score AS BIGINT) AS score,
+                   CAST(rn AS BIGINT) AS rn
+            FROM scored WHERE rn <= 5
+        """,
+        "stratified_split_report": """
+            WITH s AS (
+                SELECT lang, source,
+                       CASE WHEN ppm < 100000 THEN 'test'
+                            WHEN ppm < 200000 THEN 'val'
+                            ELSE 'train' END AS split
+                FROM (SELECT lang, source,
+                             CAST(('0x' || substr(
+                                 md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                                 AS BIGINT) % 1000000 AS ppm
+                      FROM documents))
+            SELECT lang, source, split,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM s GROUP BY 1, 2, 3
         """,
     }

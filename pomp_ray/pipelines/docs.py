@@ -4613,3 +4613,84 @@ def lang_source_lift(sf_dir: str) -> rd.Dataset:
             [int(r["n"]) * total * 1_000_000
              // (n_lang[r["lang"]] * n_src[r["source"]])
              for r in rows], pa.int64())}))
+
+
+def ctfidf_top_terms(sf_dir: str, k: int = 5) -> pa.Table:
+    """c-TF-IDF (class-based TF-IDF, the BERTopic scoring rule) top-k
+    terms per SOURCE: score = tf_class * n_classes * 10^6 // df_classes,
+    where df counts the classes (sources) containing the term -- the
+    log-free exact-integer ranking convention (the pmi_top_pairs
+    pattern), so both engines rank identically with zero float risk.
+    Ties break by word ascending.
+
+    Shape: vectorized tokenize partials -> groupby(source, word) count;
+    everything after the groupby is BOUNDED (n_sources x vocab, corpus-
+    size-independent), so the final df/rank pass is a driver reduce of
+    a bounded table (the bpe_merges convention)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, parent = _tokenize_flat(t)
+        src = t["source"].take(parent)
+        df = pd.DataFrame({"source": src.to_pylist(),
+                           "word": flat.to_pylist()})
+        g = df.groupby(["source", "word"], sort=False).size() \
+            .reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = _docs(sf_dir, ["source", "text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["source", "word"]).aggregate(_Sum("n", alias_name="tf"))
+    tbl = agg.take_all()   # bounded: sources x vocab rows
+    df = pd.DataFrame(tbl)
+    n_classes = df["source"].nunique()
+    dfc = df.groupby("word")["source"].nunique()
+    df["score"] = (df["tf"].astype(int) * n_classes * 1_000_000
+                   // df["word"].map(dfc).astype(int))
+    df = df.sort_values(["source", "score", "word"],
+                        ascending=[True, False, True])
+    df["rn"] = df.groupby("source").cumcount() + 1
+    out = df[df["rn"] <= k]
+    return pa.table({
+        "source": pa.array(out["source"], pa.string()),
+        "word": pa.array(out["word"], pa.string()),
+        "score": pa.array(out["score"].to_numpy(np.int64), pa.int64()),
+        "rn": pa.array(out["rn"].to_numpy(np.int64), pa.int64())})
+
+
+def stratified_split_report(sf_dir: str, test_ppm: int = 100_000,
+                            val_ppm: int = 100_000) -> rd.Dataset:
+    """Per-stratum split audit: docs hash into train/val/test by
+    md5(doc_id) ppm (the leakage_safe_splits bucket rule WITHOUT the
+    component join -- this is the report that shows what plain
+    per-document hashing does to each (lang, source) stratum, the
+    before-picture of the leakage-safe split).  One vectorized-batch
+    pass (md5 per row of the bounded batch), one groupby; exact DuckDB
+    md5 mirror."""
+    import hashlib
+
+    from ray.data.aggregate import Count as _Count
+
+    lo_test, lo_val = test_ppm, test_ppm + val_ppm
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        ppm = np.fromiter(
+            (int(hashlib.md5(str(int(d)).encode()).hexdigest()[:8], 16)
+             % 1_000_000 for d in ids), np.int64, len(ids))
+        split = np.where(ppm < lo_test, "test",
+                         np.where(ppm < lo_val, "val", "train"))
+        return pa.table({"lang": t["lang"], "source": t["source"],
+                         "split": pa.array(split.astype(object),
+                                           pa.string())})
+
+    agg = _docs(sf_dir, ["doc_id", "lang", "source"]) \
+        .map_batches(assign, batch_format="pyarrow") \
+        .groupby(["lang", "source", "split"]) \
+        .aggregate(_Count(alias_name="n_docs"))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "lang": t["lang"], "source": t["source"], "split": t["split"],
+            "n_docs": pc.cast(t["n_docs"], pa.int64())}),
+        batch_format="pyarrow")

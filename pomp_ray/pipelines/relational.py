@@ -3240,3 +3240,81 @@ def q6_sensitivity_grid(sf_dir: str) -> rd.Dataset:
             "qty_cap": pc.cast(t["qty_cap"], pa.int64()),
             "rev_e4": pc.cast(t["rev_e4"], pa.int64())}),
         batch_format="pyarrow")
+
+
+def heavy_hitter_users(sf_dir: str, k: int = 256,
+                       min_share_ppm: int = 7000) -> rd.Dataset:
+    """Heavy-hitter users by event volume via a Misra-Gries summary
+    (Misra & Gries 1982) -- the deterministic-guarantee frequent-items
+    sketch beside the count-min estimate (``cms_word_counts``): a
+    ``k``-counter dict accumulates per block (vectorized value_counts,
+    one decrement-trim per overflow) and merges by counter addition +
+    re-trim.  The classic guarantee: every key with true share >
+    1/k survives every trim order, so with k > 10^6 / min_share_ppm the
+    candidate set is a SUPERSET of the answer regardless of block
+    order/partitioning.  A second exact pass recounts only the <= k
+    candidates (bounded broadcast) and applies the integer ppm gate, so
+    the OUTPUT is exact and deterministic even though intermediate
+    sketch states are merge-order-dependent.  At 100 TB the sketch
+    ships k counters per partition instead of shuffling every event.
+    Exact integer-division DuckDB oracle."""
+    from ray.data.aggregate import AggregateFn
+
+    assert k > 1_000_000 // min_share_ppm, "MG guarantee needs k > 1/share"
+
+    # sketch state = (m, 2) int64 array of [user, count] rows (Arrow-
+    # friendly, like the CMS counter matrix; dict states don't convert)
+    def _trim(st: np.ndarray) -> np.ndarray:
+        u, inv = np.unique(st[:, 0], return_inverse=True)
+        c = np.zeros(len(u), np.int64)
+        np.add.at(c, inv, st[:, 1])
+        if len(u) > k:
+            # subtract the (k+1)-th largest count; drop <= 0
+            cut = np.partition(c, len(c) - k - 1)[len(c) - k - 1]
+            keep = c > cut
+            u, c = u[keep], c[keep] - cut
+        return np.stack([u, c], axis=1)
+
+    def accumulate(st: np.ndarray, blk: pa.Table) -> np.ndarray:
+        vc = blk.column("user_id").combine_chunks().value_counts()
+        rows = np.stack([
+            vc.field("values").to_numpy().astype(np.int64),
+            vc.field("counts").to_numpy().astype(np.int64)], axis=1)
+        return _trim(np.concatenate([st, rows]))
+
+    mg = AggregateFn(
+        init=lambda _: np.zeros((0, 2), np.int64),
+        accumulate_block=accumulate,
+        merge=lambda a, b: _trim(np.concatenate([a, b])),
+        finalize=lambda st: sorted(int(x) for x in st[:, 0]),
+        name="candidates")
+
+    ev = _t(sf_dir, "events", ["user_id"])
+    cand = set(ev.aggregate(mg)["candidates"])
+
+    def exact_counts(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        hit = np.isin(u, np.fromiter(cand, np.int64, len(cand)))
+        vc = pa.array(u[hit], pa.int64()).value_counts()
+        return pa.table({
+            "user_id": pc.cast(vc.field("values"), pa.int64()),
+            "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    from ray.data.aggregate import Sum as _Sum
+    # total event count rides the same pass as a per-block column, but
+    # the global total must sum over ALL blocks -- aggregate separately
+    total = ev.count()
+    agg = ev.map_batches(exact_counts, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(_Sum("n", alias_name="n_events"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n_events"], pa.int64()).to_numpy()
+        ppm = n * 1_000_000 // total
+        keep = ppm >= min_share_ppm
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()).filter(
+                pa.array(keep)),
+            "n_events": pa.array(n[keep], pa.int64()),
+            "share_ppm": pa.array(ppm[keep], pa.int64())})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
