@@ -69,11 +69,16 @@ class CorpusIndex:
         canon = [url_canonicalize(u) for u in t["url"].to_pylist()]
         h1, h2 = _url_hash2(canon)
         order = np.argsort(h1, kind="stable")
+        # large_binary: 64-bit offsets -- a multi-million-page corpus's
+        # html column exceeds the 2 GiB 32-bit-offset limit and plain
+        # combine_chunks dies with "offset overflow" (found by the 3M-page
+        # scale-stress run)
         return cls(
             h1_sorted=h1[order],
             h2_sorted=h2[order],
             row_sorted=order.astype(np.int64),
-            htmls=t["html"].combine_chunks(),
+            htmls=pc.cast(t["html"],
+                          pa.large_binary()).combine_chunks(),
         )
 
     def put(self) -> "CorpusIndexRefs":
