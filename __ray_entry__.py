@@ -944,6 +944,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_users": relational.heavy_hitter_users,
         "ctfidf_top_terms": docs.ctfidf_top_terms,
         "stratified_split_report": docs.stratified_split_report,
+        "order_lines_histogram": relational.order_lines_histogram,
+        "supplier_balance_deciles": relational.supplier_balance_deciles,
+        "dau_mau_stickiness": windows.dau_mau_stickiness,
+        "repeat_purchase_rate": windows.repeat_purchase_rate,
     }
     # The external correctness driver hashes only the FIRST 50 entries of
     # this dict (insertion order).  Front-load the core engine — crawl
@@ -5790,6 +5794,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, word, CAST(score AS BIGINT) AS score,
                    CAST(rn AS BIGINT) AS rn
             FROM scored WHERE rn <= 5
+        """,
+        "order_lines_histogram": """
+            SELECT n_lines, CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+                  FROM lineitem GROUP BY 1)
+            GROUP BY 1
+        """,
+        "supplier_balance_deciles": """
+            WITH s AS (SELECT s_suppkey,
+                              CAST(floor(s_acctbal * 100) AS BIGINT)
+                                  AS cents
+                       FROM supplier),
+            d AS (SELECT cents,
+                         NTILE(10) OVER (ORDER BY cents, s_suppkey)
+                             AS decile
+                  FROM s)
+            SELECT CAST(decile AS BIGINT) AS decile,
+                   CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+                   MIN(cents) AS min_bal_c, MAX(cents) AS max_bal_c
+            FROM d GROUP BY 1
+        """,
+        "dau_mau_stickiness": """
+            WITH mdu AS (SELECT DISTINCT date_trunc('month', ts) AS month,
+                                         date_trunc('day', ts) AS day,
+                                         user_id
+                         FROM events),
+            dau AS (SELECT month, day, CAST(COUNT(*) AS BIGINT) AS dau
+                    FROM mdu GROUP BY 1, 2),
+            mau AS (SELECT month,
+                           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+                    FROM mdu GROUP BY 1),
+            ds AS (SELECT month, CAST(SUM(dau) AS BIGINT) AS dau_sum,
+                          CAST(COUNT(*) AS BIGINT) AS n_days
+                   FROM dau GROUP BY 1)
+            SELECT CAST(ds.month AS TIMESTAMP) AS month, n_days, mau,
+                   CAST(dau_sum * 1000000 // (n_days * mau) AS BIGINT)
+                       AS stickiness_ppm
+            FROM ds JOIN mau ON ds.month = mau.month
+        """,
+        "repeat_purchase_rate": """
+            WITH pu AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+                        FROM events WHERE event_type = 'purchase'
+                        GROUP BY 1)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_buyers,
+                   CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_repeaters,
+                   CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END)
+                        * 1000000 // GREATEST(1, COUNT(*)) AS BIGINT)
+                       AS repeat_ppm
+            FROM pu
         """,
         "stratified_split_report": """
             WITH s AS (

@@ -3318,3 +3318,75 @@ def heavy_hitter_users(sf_dir: str, k: int = 256,
             "share_ppm": pa.array(ppm[keep], pa.int64())})
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def order_lines_histogram(sf_dir: str) -> rd.Dataset:
+    """Distribution of line counts per order -- the order-fanout shape
+    a capacity planner reads: groupby(orderkey) count, then a TINY
+    second groupby over the bounded line-count domain.  The first
+    shuffle ships only (orderkey) keys; the histogram is
+    corpus-size-independent."""
+    from ray.data.aggregate import Count as _Count
+
+    per_order = _t(sf_dir, "lineitem", ["l_orderkey"]) \
+        .groupby("l_orderkey").aggregate(_Count(alias_name="n_lines"))
+    hist = per_order.map_batches(
+        lambda t: pa.table({"n_lines": pc.cast(t["n_lines"], pa.int64())}),
+        batch_format="pyarrow") \
+        .groupby("n_lines").aggregate(_Count(alias_name="n_orders"))
+    return hist.map_batches(
+        lambda t: pa.table({
+            "n_lines": pc.cast(t["n_lines"], pa.int64()),
+            "n_orders": pc.cast(t["n_orders"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def supplier_balance_deciles(sf_dir: str, k: int = 10) -> rd.Dataset:
+    """Account-balance deciles over suppliers: per decile the count and
+    min/max balance in integer CENTS (floor(bal*100) -- the exact
+    cross-engine float convention).  Decile assignment mirrors DuckDB's
+    NTILE rule (first n %% k tiles take the extra row) off one global
+    zip_with_index over the (cents, suppkey) composite key (the
+    curriculum_shards pattern); negative balances zfill via a +10^6
+    offset."""
+    from ray.data.aggregate import (Count as _Count, Max as _Max,
+                                    Min as _Min)
+
+    from pomp_ray.stages.index import zip_with_index
+
+    sup = _t(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
+    n = sup.count()
+    base, extra = n // k, n % k
+
+    def key(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            t["s_acctbal"].to_numpy().astype(np.float64) * 100
+        ).astype(np.int64)
+        sk = pc.cast(t["s_suppkey"], pa.int64()).to_numpy()
+        ck = [f"{c + 1_000_000:012d}:{s:012d}" for c, s in zip(cents, sk)]
+        return pa.table({"cents": pa.array(cents, pa.int64()),
+                         "ck": pa.array(ck, pa.string())})
+
+    pos = zip_with_index(sup.map_batches(key, batch_format="pyarrow"),
+                         key="ck", out_col="gpos")
+
+    def decile_of(t: pa.Table) -> pa.Table:
+        p = t["gpos"].to_numpy()
+        cut = extra * (base + 1)
+        d = np.where(p < cut, p // (base + 1),
+                     extra + (p - cut) // max(1, base)) + 1
+        return pa.table({"decile": pa.array(d.astype(np.int64), pa.int64()),
+                         "cents": t["cents"]})
+
+    agg = pos.map_batches(decile_of, batch_format="pyarrow") \
+        .groupby("decile").aggregate(
+            _Count(alias_name="n_suppliers"),
+            _Min("cents", alias_name="min_bal_c"),
+            _Max("cents", alias_name="max_bal_c"))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "decile": pc.cast(t["decile"], pa.int64()),
+            "n_suppliers": pc.cast(t["n_suppliers"], pa.int64()),
+            "min_bal_c": pc.cast(t["min_bal_c"], pa.int64()),
+            "max_bal_c": pc.cast(t["max_bal_c"], pa.int64())}),
+        batch_format="pyarrow")

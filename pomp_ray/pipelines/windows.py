@@ -1873,3 +1873,110 @@ def daily_type_correlation(sf_dir: str) -> rd.Dataset:
         "type_a": pa.array(out_a, pa.string()),
         "type_b": pa.array(out_b, pa.string()),
         "r": pa.array([round(v, 6) for v in out_r], pa.float64())}))
+
+
+def dau_mau_stickiness(sf_dir: str) -> rd.Dataset:
+    """Monthly DAU/MAU stickiness in exact ppm: per month,
+    sum-of-daily-distinct-users * 10^6 // (n_active_days * MAU) -- the
+    classic engagement ratio, integer-exact so both engines agree to
+    the last digit.  One distinct (month, day, user) pass feeds both
+    the daily and the monthly distinct counts; everything after is
+    bounded by the calendar."""
+    from ray.data.aggregate import Count as _Count, Sum as _Sum
+
+    def mdu(t: pa.Table) -> pa.Table:
+        # timestamp[us] keys: the floor_temporal-narrows-in-groupby trap
+        day = pc.cast(pc.floor_temporal(t["ts"], unit="day"),
+                      pa.timestamp("us"))
+        month = pc.cast(pc.floor_temporal(t["ts"], unit="month"),
+                        pa.timestamp("us"))
+        return pa.table({"month": month, "day": day,
+                         "user_id": pc.cast(t["user_id"], pa.int64())}) \
+            .group_by(["month", "day", "user_id"]).aggregate([])
+
+    distinct = _events(sf_dir, ["ts", "user_id"]) \
+        .map_batches(mdu, batch_format="pyarrow") \
+        .groupby(["month", "day", "user_id"]) \
+        .aggregate(_Count(alias_name="_c"))
+
+    dau = distinct.map_batches(
+        lambda t: t.select(["month", "day"]), batch_format="pyarrow") \
+        .groupby(["month", "day"]).aggregate(_Count(alias_name="dau"))
+    mau = distinct.map_batches(
+        lambda t: t.select(["month", "user_id"]).group_by(
+            ["month", "user_id"]).aggregate([]),
+        batch_format="pyarrow") \
+        .groupby(["month", "user_id"]).aggregate(_Count(alias_name="_c")) \
+        .map_batches(lambda t: t.select(["month"]),
+                     batch_format="pyarrow") \
+        .groupby("month").aggregate(_Count(alias_name="mau"))
+
+    # bounded: one row per (month, day) / month -- join on the calendar
+    dsum = dau.map_batches(
+        lambda t: pa.table({"month": pc.cast(t["month"],
+                                             pa.timestamp("us")),
+                            "dau": pc.cast(t["dau"], pa.int64())}),
+        batch_format="pyarrow").groupby("month").aggregate(
+        _Sum("dau", alias_name="dau_sum"), _Count(alias_name="n_days"))
+    # .repartition(2): a hash groupby can emit a zero-row EMPTY-SCHEMA
+    # block that breaks the next join (the ray 2.49 trap family)
+    mau_m = mau.map_batches(
+        lambda t: pa.table({"month": pc.cast(t["month"],
+                                             pa.timestamp("us")),
+                            "mau": pc.cast(t["mau"], pa.int64())}),
+        batch_format="pyarrow").repartition(2).materialize()
+    # the groupby narrows timestamp[us] keys to [s] -- re-widen AFTER
+    dsum = dsum.map_batches(
+        lambda t: pa.table({"month": pc.cast(t["month"],
+                                             pa.timestamp("us")),
+                            "dau_sum": pc.cast(t["dau_sum"], pa.int64()),
+                            "n_days": pc.cast(t["n_days"], pa.int64())}),
+        batch_format="pyarrow")
+    joined = dsum.repartition(2).join(mau_m, join_type="inner",
+                                      on=("month",), num_partitions=2)
+
+    def fin(t: pa.Table) -> pa.Table:
+        ds = pc.cast(t["dau_sum"], pa.int64()).to_numpy()
+        nd = pc.cast(t["n_days"], pa.int64()).to_numpy()
+        ma = pc.cast(t["mau"], pa.int64()).to_numpy()
+        import numpy as np
+        ppm = ds * 1_000_000 // (nd * ma)
+        return pa.table({
+            "month": t["month"],
+            "n_days": pa.array(nd, pa.int64()),
+            "mau": pa.array(ma, pa.int64()),
+            "stickiness_ppm": pa.array(ppm, pa.int64())})
+
+    return joined.map_batches(fin, batch_format="pyarrow")
+
+
+def repeat_purchase_rate(sf_dir: str) -> pa.Table:
+    """Repeat-buyer share: users with >= 2 purchase events as exact ppm
+    of users with >= 1 -- the one-number retention headline.  Per-batch
+    partial (user, count) rows, one groupby, bounded finalize."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["event_type"], "purchase")
+        vc = t.filter(m)["user_id"].combine_chunks().value_counts()
+        return pa.table({
+            "user_id": pc.cast(vc.field("values"), pa.int64()),
+            "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    per_user = _events(sf_dir, ["user_id", "event_type"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(_Sum("n", alias_name="n_purchases"))
+    rows = per_user.map_batches(
+        lambda t: pa.table({
+            "b": pa.array([t.num_rows], pa.int64()),
+            "r": pa.array([int(pc.sum(pc.greater_equal(
+                pc.cast(t["n_purchases"], pa.int64()), 2)).as_py() or 0)],
+                pa.int64())}),
+        batch_format="pyarrow").take_all()
+    n_buyers = sum(r["b"] for r in rows)
+    n_repeat = sum(r["r"] for r in rows)
+    return pa.table({
+        "n_buyers": pa.array([n_buyers], pa.int64()),
+        "n_repeaters": pa.array([n_repeat], pa.int64()),
+        "repeat_ppm": pa.array(
+            [n_repeat * 1_000_000 // max(1, n_buyers)], pa.int64())})
