@@ -948,6 +948,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_balance_deciles": relational.supplier_balance_deciles,
         "dau_mau_stickiness": windows.dau_mau_stickiness,
         "repeat_purchase_rate": windows.repeat_purchase_rate,
+        "winsorized_value_stats": windows.winsorized_value_stats,
+        "gap_burstiness_by_type": windows.gap_burstiness_by_type,
     }
     # The external correctness driver hashes only the FIRST 50 entries of
     # this dict (insertion order).  Front-load the core engine — crawl
@@ -5794,6 +5796,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, word, CAST(score AS BIGINT) AS score,
                    CAST(rn AS BIGINT) AS rn
             FROM scored WHERE rn <= 5
+        """,
+        "winsorized_value_stats": """
+            WITH c AS (SELECT event_type,
+                              CAST(floor(value * 100) AS BIGINT) AS cents
+                       FROM events),
+            q AS (SELECT event_type,
+                         CAST(quantile_disc(cents, 0.05) AS BIGINT) AS lo_c,
+                         CAST(quantile_disc(cents, 0.95) AS BIGINT) AS hi_c,
+                         CAST(COUNT(*) AS BIGINT) AS n
+                  FROM c GROUP BY 1)
+            SELECT q.event_type, q.n, q.lo_c, q.hi_c,
+                   CAST(SUM(LEAST(GREATEST(c.cents, q.lo_c), q.hi_c))
+                        AS BIGINT) AS winsorized_sum_c,
+                   CAST(SUM(LEAST(GREATEST(c.cents, q.lo_c), q.hi_c))
+                        // q.n AS BIGINT) AS winsorized_mean_c
+            FROM c JOIN q ON c.event_type = q.event_type
+            GROUP BY 1, 2, 3, 4
+        """,
+        "gap_burstiness_by_type": """
+            WITH g AS (
+                SELECT event_type,
+                       date_diff('microsecond',
+                                 LAG(ts) OVER (
+                                     PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id),
+                                 ts) // 1000000 AS d
+                FROM events)
+            SELECT event_type,
+                   CAST(COUNT(d) AS BIGINT) AS n_gaps,
+                   CAST(SUM(d) AS BIGINT) AS sum_gap_s,
+                   CAST((COUNT(d) * SUM(d * d) - SUM(d) * SUM(d))
+                        * 1000000 // (SUM(d) * SUM(d)) AS BIGINT)
+                       AS burstiness_ppm
+            FROM g WHERE d IS NOT NULL
+            GROUP BY 1
         """,
         "order_lines_histogram": """
             SELECT n_lines, CAST(COUNT(*) AS BIGINT) AS n_orders

@@ -1980,3 +1980,121 @@ def repeat_purchase_rate(sf_dir: str) -> pa.Table:
         "n_repeaters": pa.array([n_repeat], pa.int64()),
         "repeat_ppm": pa.array(
             [n_repeat * 1_000_000 // max(1, n_buyers)], pa.int64())})
+
+
+def winsorized_value_stats(sf_dir: str, lo_q: float = 0.05,
+                           hi_q: float = 0.95) -> pa.Table:
+    """Winsorized (clamped-tail) value statistics per event type -- the
+    robust-mean a spend dashboard shows when outliers poison the plain
+    average.  Values become integer CENTS (floor(value*100), the exact
+    cross-engine convention); per-(type, cents) histogram partials fold
+    through one groupby into a BOUNDED table (types x distinct cents),
+    from which the driver derives the quantile_disc cut points
+    (sorted[ceil(n*q)-1], DuckDB's rule) and the exact clamped sum --
+    the full pass never runs twice and nothing float touches the
+    result."""
+    import math
+
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            t["value"].to_numpy().astype(np.float64) * 100
+        ).astype(np.int64)
+        df = pd.DataFrame({"event_type": t["event_type"].to_pylist(),
+                           "cents": cents})
+        g = df.groupby(["event_type", "cents"], sort=False).size() \
+            .reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = _events(sf_dir, ["event_type", "value"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "cents"]) \
+        .aggregate(_Sum("n", alias_name="n")).take_all()
+
+    rows = {}
+    for r in hist:
+        rows.setdefault(r["event_type"], []).append(
+            (int(r["cents"]), int(r["n"])))
+    out = {"event_type": [], "n": [], "lo_c": [], "hi_c": [],
+           "winsorized_sum_c": [], "winsorized_mean_c": []}
+    for et in sorted(rows):
+        pairs = sorted(rows[et])
+        cents = np.array([p[0] for p in pairs], np.int64)
+        cnt = np.array([p[1] for p in pairs], np.int64)
+        n = int(cnt.sum())
+        cum = np.cumsum(cnt)
+
+        def q_disc(q: float) -> int:
+            k = math.ceil(n * q) - 1          # 0-based rank, DuckDB rule
+            return int(cents[np.searchsorted(cum, k, side="right")])
+
+        lo, hi = q_disc(lo_q), q_disc(hi_q)
+        clamped = np.clip(cents, lo, hi)
+        s = int((clamped * cnt).sum())
+        out["event_type"].append(et)
+        out["n"].append(n)
+        out["lo_c"].append(lo)
+        out["hi_c"].append(hi)
+        out["winsorized_sum_c"].append(s)
+        out["winsorized_mean_c"].append(s // n)
+    return pa.table({k: pa.array(v, pa.string() if k == "event_type"
+                                 else pa.int64())
+                     for k, v in out.items()})
+
+
+def gap_burstiness_by_type(sf_dir: str) -> pa.Table:
+    """Inter-arrival burstiness per event type: CV^2 of the per-(user,
+    type) consecutive gaps in exact integer ppm --
+    (n * sum(d^2) - sum(d)^2) * 10^6 // sum(d)^2 over floor-second gaps
+    (diff in microseconds FIRST, then floor-divide: floor of the diff,
+    not diff of floors -- the date_diff mirror).  0 = metronome,
+    1e6 = Poisson, above = bursty.  Shape: 64-bucket by user, per-batch
+    lexsort + segment diff, integer moment partials; the driver reduce
+    runs in Python ints (sum d^2 would overflow int64 at full scale;
+    DuckDB's HUGEINT SUM mirrors)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32())
+        return t.append_column("bucket", b)
+
+    def partials(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].astype("int64").to_numpy()
+        eid = g["event_id"].to_numpy(np.int64)
+        uid = g["user_id"].to_numpy(np.int64)
+        et, ecode = pd.factorize(g["event_type"])
+        order = np.lexsort((eid, ts, et, uid))
+        ts_s, et_s, uid_s = ts[order], et[order], uid[order]
+        same = (uid_s[1:] == uid_s[:-1]) & (et_s[1:] == et_s[:-1])
+        d = (ts_s[1:] - ts_s[:-1]) // 1_000_000
+        d, grp = d[same], et_s[1:][same]
+        out = []
+        for code in np.unique(grp):
+            m = grp == code
+            dd = d[m]
+            out.append((ecode[code], len(dd), int(dd.sum()),
+                        int((dd.astype(object) ** 2).sum())))
+        return pd.DataFrame(out, columns=["event_type", "n_gaps",
+                                          "sum_d", "sum_d2"]) \
+            .astype({"n_gaps": "int64", "sum_d": "int64"})
+
+    parts = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"]) \
+        .map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(partials, batch_format="pandas") \
+        .take_all()
+
+    agg: dict[str, list[int]] = {}
+    for r in parts:
+        a = agg.setdefault(r["event_type"], [0, 0, 0])
+        a[0] += int(r["n_gaps"])
+        a[1] += int(r["sum_d"])
+        a[2] += int(r["sum_d2"])
+    ets = sorted(agg)
+    return pa.table({
+        "event_type": pa.array(ets, pa.string()),
+        "n_gaps": pa.array([agg[e][0] for e in ets], pa.int64()),
+        "sum_gap_s": pa.array([agg[e][1] for e in ets], pa.int64()),
+        "burstiness_ppm": pa.array(
+            [(agg[e][0] * agg[e][2] - agg[e][1] ** 2) * 1_000_000
+             // (agg[e][1] ** 2) for e in ets], pa.int64())})
