@@ -950,6 +950,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repeat_purchase_rate": windows.repeat_purchase_rate,
         "winsorized_value_stats": windows.winsorized_value_stats,
         "gap_burstiness_by_type": windows.gap_burstiness_by_type,
+        "link_shape_report":
+            lambda sf: webtext.link_shape_report(_mirror_pages_path()),
     }
     # The external correctness driver hashes only the FIRST 50 entries of
     # this dict (insertion order).  Front-load the core engine — crawl
@@ -5796,6 +5798,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, word, CAST(score AS BIGINT) AS score,
                    CAST(rn AS BIGINT) AS rn
             FROM scored WHERE rn <= 5
+        """,
+        "link_shape_report": f"""
+            WITH h AS (SELECT UNNEST(regexp_extract_all(
+                                  decode(html), 'href="([^"]*)"', 1))
+                                  AS href
+                       FROM read_parquet('{_MP}')),
+            c AS (SELECT CASE
+                      WHEN regexp_matches(href, '^https?://')
+                          THEN 'absolute'
+                      WHEN regexp_matches(href, '^//')
+                          THEN 'protocol_relative'
+                      WHEN regexp_matches(href, '^/')
+                          THEN 'root_relative'
+                      WHEN regexp_matches(href, '^#') THEN 'fragment'
+                      ELSE 'relative' END AS shape
+                  FROM h WHERE href <> '')
+            SELECT shape, CAST(COUNT(*) AS BIGINT) AS n_links
+            FROM c GROUP BY 1
         """,
         "winsorized_value_stats": """
             WITH c AS (SELECT event_type,
