@@ -952,6 +952,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gap_burstiness_by_type": windows.gap_burstiness_by_type,
         "link_shape_report":
             lambda sf: webtext.link_shape_report(_mirror_pages_path()),
+        "cosine_histogram_sample": embeddings.cosine_histogram_sample,
     }
     # The external correctness driver hashes only the FIRST 50 entries of
     # this dict (insertion order).  Front-load the core engine — crawl
@@ -5798,6 +5799,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, word, CAST(score AS BIGINT) AS score,
                    CAST(rn AS BIGINT) AS rn
             FROM scored WHERE rn <= 5
+        """,
+        "cosine_histogram_sample": """
+            WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings
+                       WHERE CAST(('0x' || substr(
+                                 md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                                 AS BIGINT) % 8 = 0)
+            SELECT CAST(floor(list_cosine_similarity(a.e, b.e) * 100)
+                        AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM s a JOIN s b ON a.vec_id < b.vec_id
+            GROUP BY 1
         """,
         "link_shape_report": f"""
             WITH h AS (SELECT UNNEST(regexp_extract_all(

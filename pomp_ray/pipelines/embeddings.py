@@ -1258,3 +1258,55 @@ def ann_topk_batch(sf_dir: str, n_queries: int = 10,
         "rnk": pa.array(top["rnk"].to_numpy(np.int64)),
         "sim": pa.array(np.round(top["sim"].to_numpy(), 6),
                         pa.float64())}))
+
+
+def cosine_histogram_sample(sf_dir: str, gate_mod: int = 8) -> rd.Dataset:
+    """Pairwise-cosine distribution over an md5-gated vector sample:
+    floor(sim * 100) bucket counts for every (a < b) pair of the
+    sample -- the calibration curve a near-dup threshold is read off
+    (where does the corpus mass sit vs the 0.35 gate?).  The gate
+    BOUNDS the sample by construction (hash-gate convention:
+    reproducible across sessions, no random_sample), so the broadcast
+    sample matrix is bounded metadata, not corpus data; scoring runs
+    distributed over the gated subset.  Cosine follows DuckDB's
+    list_cosine_similarity formula (dot / (|a||b|), float64) and the
+    bucket is floor of that identical double -- the knn_graph_edges
+    float convention."""
+    import hashlib
+
+    from ray.data.aggregate import Sum as _Sum
+
+    def gate(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy()
+        keep = np.fromiter(
+            (int(hashlib.md5(str(int(v)).encode()).hexdigest()[:8], 16)
+             % gate_mod == 0 for v in ids), bool, len(ids))
+        return t.filter(pa.array(keep))
+
+    sample = _emb(sf_dir).map_batches(gate, batch_format="pyarrow")
+    # bounded by the gate: ~n/gate_mod rows of metadata-scale
+    tbl = sample.take_all()
+    sids = np.array([r["vec_id"] for r in tbl], np.int64)
+    smat = np.array([r["embedding"] for r in tbl], np.float64)
+    snorm = np.linalg.norm(smat, axis=1)
+    snorm[snorm == 0] = 1.0
+    ref = ray.put((sids, smat, snorm))
+
+    def score(t: pa.Table) -> pa.Table:
+        bids, bmat = _to_matrix(t)
+        aids, amat, anorm = ray.get(ref)
+        bn = np.linalg.norm(bmat, axis=1)
+        bn[bn == 0] = 1.0
+        sims = (bmat @ amat.T) / (bn[:, None] * anorm[None, :])
+        bi, ai = np.nonzero(bids[:, None] < aids[None, :])
+        buckets = np.floor(sims[bi, ai] * 100).astype(np.int64)
+        u, c = np.unique(buckets, return_counts=True)
+        return pa.table({"bucket": pa.array(u, pa.int64()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    agg = sample.map_batches(score, batch_format="pyarrow") \
+        .groupby("bucket").aggregate(_Sum("n", alias_name="n_pairs"))
+    return agg.map_batches(
+        lambda t: pa.table({"bucket": pc.cast(t["bucket"], pa.int64()),
+                            "n_pairs": pc.cast(t["n_pairs"], pa.int64())}),
+        batch_format="pyarrow")
