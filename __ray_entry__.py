@@ -953,6 +953,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_shape_report":
             lambda sf: webtext.link_shape_report(_mirror_pages_path()),
         "cosine_histogram_sample": embeddings.cosine_histogram_sample,
+        "dup_component_size_histogram": graph.dup_component_size_histogram,
     }
     # The external correctness driver hashes only the FIRST 50 entries of
     # this dict (insertion order).  Front-load the core engine — crawl
@@ -5799,6 +5800,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, word, CAST(score AS BIGINT) AS score,
                    CAST(rn AS BIGINT) AS rn
             FROM scored WHERE rn <= 5
+        """,
+        "dup_component_size_histogram": f"""
+            WITH RECURSIVE und AS (
+                SELECT doc_a a, doc_b b
+                FROM read_parquet('{_GOLDEN}/simhash_dup_groups_sf001.parquet')
+                UNION
+                SELECT doc_b, doc_a
+                FROM read_parquet('{_GOLDEN}/simhash_dup_groups_sf001.parquet')
+            ), reach(a, b) AS (
+                SELECT a, b FROM und
+                UNION
+                SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+            ), comp AS (
+                SELECT a AS doc_id,
+                       CAST(LEAST(a, MIN(b)) AS BIGINT) AS component
+                FROM reach GROUP BY a
+            ), sizes AS (
+                SELECT component, CAST(COUNT(*) AS BIGINT) AS size
+                FROM comp GROUP BY 1)
+            SELECT size, CAST(COUNT(*) AS BIGINT) AS n_components
+            FROM sizes GROUP BY 1
         """,
         "cosine_histogram_sample": """
             WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e

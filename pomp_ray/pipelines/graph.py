@@ -1592,3 +1592,23 @@ def host_adamic_adar(pages_path: str, num_partitions: int = 4) -> pa.Table:
         "a": pa.array([r["a"] for r in rows], pa.string()),
         "b": pa.array([r["b"] for r in rows], pa.string()),
         "aa_ppb": pa.array([int(r["aa_ppb"]) for r in rows], pa.int64())})
+
+
+def dup_component_size_histogram(sf_dir: str) -> pa.Table:
+    """Near-dup component SIZE distribution -- the dedup-governance
+    number that says whether duplication is pairwise noise or giant
+    mirror clusters (a long tail here changes the dedup strategy).
+    Sizes fold from the bounded dup_components table (docs that appear
+    in at least one verified near-dup pair); one numpy pass."""
+    import numpy as np
+
+    comp = dup_components(sf_dir)
+    if comp.num_rows == 0:
+        return pa.table({"size": pa.array([], pa.int64()),
+                         "n_components": pa.array([], pa.int64())})
+    c = comp["component"].to_numpy()
+    _, sizes = np.unique(c, return_counts=True)
+    u, n = np.unique(sizes, return_counts=True)
+    return pa.table({"size": pa.array(u.astype(np.int64), pa.int64()),
+                     "n_components": pa.array(n.astype(np.int64),
+                                              pa.int64())})
