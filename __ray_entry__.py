@@ -954,6 +954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: webtext.link_shape_report(_mirror_pages_path()),
         "cosine_histogram_sample": embeddings.cosine_histogram_sample,
         "dup_component_size_histogram": graph.dup_component_size_histogram,
+        "rfm_segments": relational.rfm_segments,
     }
     # The external correctness driver hashes only the FIRST 50 entries of
     # this dict (insertion order).  Front-load the core engine — crawl
@@ -5800,6 +5801,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, word, CAST(score AS BIGINT) AS score,
                    CAST(rn AS BIGINT) AS rn
             FROM scored WHERE rn <= 5
+        """,
+        "rfm_segments": """
+            WITH cu AS (SELECT o_custkey AS custkey,
+                               MAX(o_orderdate) AS last_day,
+                               CAST(COUNT(*) AS BIGINT) AS n_orders,
+                               CAST(SUM(CAST(floor(o_totalprice * 100)
+                                             AS BIGINT)) AS BIGINT)
+                                   AS cents
+                        FROM orders GROUP BY 1),
+            q AS (SELECT custkey,
+                         NTILE(4) OVER (ORDER BY last_day DESC, custkey)
+                             AS r,
+                         NTILE(4) OVER (ORDER BY n_orders DESC, custkey)
+                             AS f,
+                         NTILE(4) OVER (ORDER BY cents DESC, custkey)
+                             AS m
+                  FROM cu)
+            SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+                   CAST(m AS BIGINT) AS m,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers
+            FROM q GROUP BY 1, 2, 3
         """,
         "dup_component_size_histogram": f"""
             WITH RECURSIVE und AS (

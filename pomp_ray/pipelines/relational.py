@@ -3390,3 +3390,87 @@ def supplier_balance_deciles(sf_dir: str, k: int = 10) -> rd.Dataset:
             "min_bal_c": pc.cast(t["min_bal_c"], pa.int64()),
             "max_bal_c": pc.cast(t["max_bal_c"], pa.int64())}),
         batch_format="pyarrow")
+
+
+def rfm_segments(sf_dir: str) -> rd.Dataset:
+    """RFM customer segmentation (recency / frequency / monetary
+    quartiles) -- the classic CRM cube: per customer the last order
+    day, order count, and lifetime cents (floor(price*100) per order,
+    the exact float convention); each axis ranks DESC with custkey
+    tie-break and quartiles follow DuckDB's NTILE rule off one global
+    zip_with_index per axis (the curriculum_shards machinery); output
+    is the bounded 4x4x4 segment histogram.  Joins between the three
+    rank tables carry the empty-schema repartition guard."""
+    from ray.data.aggregate import (Count as _Count, Max as _Max,
+                                    Sum as _Sum)
+
+    from pomp_ray.stages.index import zip_with_index
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            t["o_totalprice"].to_numpy().astype(np.float64) * 100
+        ).astype(np.int64)
+        day = t["o_orderdate"].cast(pa.int64()).to_numpy()  # epoch us
+        return pa.table({
+            "custkey": pc.cast(t["o_custkey"], pa.int64()),
+            "day": pa.array(day, pa.int64()),
+            "cents": pa.array(cents, pa.int64())})
+
+    cu = _t(sf_dir, "orders", ["o_custkey", "o_orderdate",
+                               "o_totalprice"]) \
+        .map_batches(prep, batch_format="pyarrow") \
+        .groupby("custkey").aggregate(
+            _Max("day", alias_name="last_day"),
+            _Count(alias_name="n_orders"),
+            _Sum("cents", alias_name="cents"))
+
+    def keys(t: pa.Table) -> pa.Table:
+        ck = pc.cast(t["custkey"], pa.int64()).to_numpy()
+        d = pc.cast(t["last_day"], pa.int64()).to_numpy()
+        f = pc.cast(t["n_orders"], pa.int64()).to_numpy()
+        m = pc.cast(t["cents"], pa.int64()).to_numpy()
+        mk = lambda big, v: [f"{big - x:020d}:{c:012d}"
+                             for x, c in zip(v, ck)]
+        return pa.table({
+            "custkey": pa.array(ck, pa.int64()),
+            "rk": pa.array(mk(10**18, d), pa.string()),
+            "fk": pa.array(mk(10**6, f), pa.string()),
+            "mk": pa.array(mk(10**13, m), pa.string())})
+
+    keyed = cu.map_batches(keys, batch_format="pyarrow").materialize()
+    n = keyed.count()
+    base, extra = n // 4, n % 4
+
+    def quart(col: str, out: str):
+        zi = zip_with_index(keyed.map_batches(
+            lambda t, _c=col: t.select(["custkey", _c]),
+            batch_format="pyarrow"), key=col, out_col="gpos")
+
+        def f(t: pa.Table, _o=out) -> pa.Table:
+            p = t["gpos"].to_numpy()
+            cut = extra * (base + 1)
+            q = np.where(p < cut, p // (base + 1),
+                         extra + (p - cut) // max(1, base)) + 1
+            return pa.table({
+                "custkey": pc.cast(t["custkey"], pa.int64()),
+                _o: pa.array(q.astype(np.int64), pa.int64())})
+        return zi.map_batches(f, batch_format="pyarrow") \
+            .repartition(2).materialize()
+
+    r = quart("rk", "r")
+    f_ = quart("fk", "f")
+    m = quart("mk", "m")
+    rf = r.join(f_, join_type="inner", on=("custkey",),
+                num_partitions=2).repartition(2).materialize()
+    rfm = rf.join(m, join_type="inner", on=("custkey",), num_partitions=2)
+    agg = rfm.map_batches(
+        lambda t: t.select(["r", "f", "m"]), batch_format="pyarrow") \
+        .groupby(["r", "f", "m"]) \
+        .aggregate(_Count(alias_name="n_customers"))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "r": pc.cast(t["r"], pa.int64()),
+            "f": pc.cast(t["f"], pa.int64()),
+            "m": pc.cast(t["m"], pa.int64()),
+            "n_customers": pc.cast(t["n_customers"], pa.int64())}),
+        batch_format="pyarrow")
