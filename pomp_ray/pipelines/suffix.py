@@ -109,9 +109,11 @@ def suffix_array(sf_dir: str, max_docs: int = 30) -> rd.Dataset:
                 "pos": pc.subtract(t["pos"], _k),
                 "r2": t["rank"]}).filter(
                 pc.greater_equal(pc.subtract(t["pos"], _k), 0)),
-            batch_format="pyarrow").materialize()
+            batch_format="pyarrow")
+        # one live join per execution: rows is materialized, shifted is a
+        # cheap map off it; the zip sort pulls the join through lazily
         paired = rows.join(shifted, join_type="left_outer", on=("pos",),
-                           num_partitions=2).materialize()
+                           num_partitions=2)
 
         def keyed(t: pa.Table, _w=width) -> pa.Table:
             r1 = t["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
