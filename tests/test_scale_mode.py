@@ -334,3 +334,46 @@ def test_distributed_seed_from_parquet_path(tmp_path):
                                    errs["stage"].to_pylist())}
     oracle = {(e["url"], e["stage"]) for e in res.errors}
     assert mine == oracle
+
+
+def test_items_sidecar_accounting_matches_files(tmp_path):
+    """The fused round's driver accounting is sidecar-driven (no counts
+    execution): every committed round's (n_selected, n_visited,
+    n_text_bytes) must equal a full read-back of the items parquet --
+    the invariant that keeps the one-execution design honest."""
+    import json
+    import os
+
+    import pyarrow.compute as pc
+
+    fix = fixture_corpus(gen_corpus.SMALL)
+    ckpt = str(tmp_path / "c")
+    cfg = _scale_cfg(fix, ckpt, max_rounds=12)
+    eng = CrawlEngine(cfg)
+    s = eng.run(seeds=pq.read_table(fix.seeds_path).to_pylist())
+    eng.close()
+    checked = 0
+    for p in sorted(glob.glob(os.path.join(ckpt, "rounds",
+                                           "round-*.json"))):
+        with open(p) as f:
+            info = json.load(f)
+        if info.get("path") != "scale":
+            continue
+        rd_dir = os.path.join(ckpt, "items",
+                              f"round-{info['round']:06d}")
+        files = glob.glob(os.path.join(rd_dir, "*.parquet"))
+        n_sel = n_vis = n_bytes = 0
+        for fp in files:
+            t = pq.read_table(fp, columns=["fetch_ok", "text"])
+            n_sel += t.num_rows
+            n_vis += int(pc.sum(t["fetch_ok"]).as_py() or 0)
+            n_bytes += int(pc.sum(pc.binary_length(
+                t.filter(t["fetch_ok"])["text"])).as_py() or 0)
+            # every part carries its sidecar
+            assert os.path.exists(fp[:-len(".parquet")] + ".stats.json")
+        assert info["n_selected"] == n_sel, info["round"]
+        assert info["n_visited"] == n_vis, info["round"]
+        assert info["n_text_bytes"] == n_bytes, info["round"]
+        checked += 1
+    assert checked >= 2    # the crawl really exercised scale rounds
+    assert s.n_visited > 0
