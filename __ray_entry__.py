@@ -105,6 +105,10 @@ def _crawl_outputs(kind: str, mode: str) -> pa.Table:
         # extracted-text byte budget (round-granular)
         kw = {"max_text_bytes": 800}
         mode = "bfs"
+    elif mode == "fcap":
+        # bounded-frontier admission (cap 8 binds hard on TINY)
+        kw = {"max_frontier_rows": 8}
+        mode = "bfs"
     elif mode == "samehost":
         # stay-on-site scope (cross-host links drop at enqueue)
         kw = {"same_host_only": True}
@@ -815,6 +819,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: _crawl_outputs("visited", "capped"),
         "crawl_bytecap_visited":
             lambda sf: _crawl_outputs("visited", "bytecap"),
+        "crawl_fcap_visited":
+            lambda sf: _crawl_outputs("visited", "fcap"),
+        "crawl_fcap_errors":
+            lambda sf: _crawl_outputs("errors", "fcap"),
         "crawl_linkcap_visited":
             lambda sf: _crawl_outputs("visited", "linkcap"),
         "crawl_samehost_visited":
@@ -3956,6 +3964,12 @@ def oracle_sql() -> dict[str, str]:
         "crawl_bytecap_visited":
             f"SELECT * FROM "
             f"read_parquet('{_GOLDEN}/crawl_bytecap_visited.parquet')",
+        "crawl_fcap_visited":
+            f"SELECT * FROM "
+            f"read_parquet('{_GOLDEN}/crawl_fcap_visited.parquet')",
+        "crawl_fcap_errors":
+            f"SELECT * FROM "
+            f"read_parquet('{_GOLDEN}/crawl_fcap_errors.parquet')",
         "crawl_linkcap_visited":
             f"SELECT * FROM "
             f"read_parquet('{_GOLDEN}/crawl_linkcap_visited.parquet')",

@@ -54,6 +54,7 @@ def cmd_crawl(args: argparse.Namespace) -> int:
         priority_aging=args.priority_aging,
         url_allow=args.url_allow, url_deny=args.url_deny,
         max_visited=args.max_visited,
+        max_frontier_rows=args.max_frontier_rows,
         same_host_only=args.same_host_only,
     )
     seeds = None
@@ -174,6 +175,10 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--max-visited", type=int, default=None,
                    help="stop after this many visited pages "
                         "(round-granular)")
+    c.add_argument("--max-frontier-rows", type=int, default=None,
+                   help="bounded-frontier admission: keep only the best "
+                        "N pending rows at each round barrier, drop the "
+                        "overflow as frontier_cap errors")
     c.add_argument("--same-host-only", action="store_true",
                    help="drop links leaving their parent page's host "
                         "(stay-on-site crawl)")

@@ -115,6 +115,7 @@ def crawl_oracle(
     max_text_bytes: int | None = None,
     same_host_only: bool = False,
     max_links_per_page: int | None = None,
+    max_frontier_rows: int | None = None,
 ) -> OracleResult:
     """``corpus`` maps canonical url -> html bytes; ``seeds`` rows have
     url/priority/depth; ``robots_rows`` rows follow schemas.ROBOTS."""
@@ -274,6 +275,19 @@ def crawl_oracle(
             for href in expand:
                 try_enqueue(href, base, e["depth"] + 1, 0, rnd)
         seen_digests.update(round_digests)
+        if max_frontier_rows is not None \
+                and len(frontier) > max_frontier_rows:
+            # bounded-frontier admission (the 10^10-frontier safety
+            # valve): keep the BEST cap rows by (priority desc, seq asc)
+            # -- the "best"-mode total order -- and drop the overflow as
+            # stage="frontier_cap" errors.  Applied at the round barrier,
+            # after aging and all of the round's enqueues.
+            order = sorted(frontier,
+                           key=lambda e: (-e["priority"], e["seq"]))
+            for e in order[max_frontier_rows:]:
+                res.errors.append({"url": e["url"],
+                                   "stage": "frontier_cap", "round": rnd})
+            frontier = order[:max_frontier_rows]
         rnd += 1
 
     res.rounds = rnd

@@ -176,6 +176,18 @@ class CrawlConfig:
     # link list, distributed chains filter link_idx < N.  None = off
     # (pomp parity).  Serial spec: core/oracle.py max_links_per_page.
     max_links_per_page: int | None = None
+    # Bounded-frontier admission (the 10^10-frontier safety valve): if a
+    # round ends with more than this many PENDING rows (new + deferred,
+    # blocked error records excluded), only the best cap rows survive --
+    # (priority desc, seq asc), the "best"-mode total order -- and the
+    # overflow drops as stage="frontier_cap" errors.  Applied at the
+    # round barrier on every path; the distributed cut is one Dataset
+    # sort + split over the frontier files.  Serial spec:
+    # core/oracle.py max_frontier_rows.  None = off (pomp parity).
+    # NOTE scale mode assigns hash seqs, so the capped SURVIVOR SET
+    # legitimately differs from the serial oracle's (the content-dedup
+    # caveat family); driver/exact paths are bit-exact.
+    max_frontier_rows: int | None = None
     # Stay-on-site scope: links leaving their parent page's host are
     # silently dropped at enqueue (seeds still plant any host) -- the
     # site-mirroring crawl.  Composes with the regex filters.
@@ -407,6 +419,70 @@ class CrawlEngine:
                     freq[h] = freq.get(h, 0) + v["counts"].as_py()
         self._host_freq = freq
         return n
+
+    def _apply_frontier_cap(self, rnd: int, info: dict) -> dict:
+        """Bounded-frontier admission at the round barrier (serial spec:
+        core/oracle.py max_frontier_rows): if the round left more than
+        ``max_frontier_rows`` PENDING rows (new + deferred; in-band
+        blocked error records excluded and preserved), keep the best cap
+        rows by (priority desc, seq asc) via one distributed Dataset
+        sort + split over the frontier files, drop the overflow as
+        stage="frontier_cap" errors, and atomically swap the rewritten
+        frontier dir in (deferred side files fold into it -- they were
+        part of the capped pending set)."""
+        cap = self.cfg.max_frontier_rows
+        if cap is None or int(info.get("n_frontier_next", 0)) <= cap:
+            return info
+        next_rnd = rnd + 1
+        files = self._frontier_sources(next_rnd)
+        if not files:
+            return info
+        n_pending = int(info["n_frontier_next"])
+        ds = rd.read_parquet(
+            files, override_num_blocks=self._n_blocks(n_pending)) \
+            .map_batches(_cast_frontier, batch_format="pyarrow") \
+            .materialize()
+        unblocked = ds.map_batches(
+            lambda t: t.filter(pc.invert(t["blocked"])),
+            batch_format="pyarrow")
+        blocked = ds.map_batches(lambda t: t.filter(t["blocked"]),
+                                 batch_format="pyarrow")
+        s = unblocked.sort(["priority", "seq"],
+                           descending=[True, False]).materialize()
+        head, tail = s.split_at_indices([cap])
+        tmp_dir = self._dir("frontier", next_rnd) + ".tmpcap"
+        if os.path.isdir(tmp_dir):
+            shutil.rmtree(tmp_dir)
+        head.union(blocked).map_batches(
+            _make_frontier_writer(tmp_dir),
+            batch_format="pyarrow").take_all()
+        errors_dir = self._dir("errors", rnd)
+
+        def write_err(t: pa.Table) -> pa.Table:
+            if t.num_rows:
+                import hashlib
+                os.makedirs(errors_dir, exist_ok=True)
+                key = hashlib.md5(
+                    t["seq"].combine_chunks().to_numpy().tobytes()
+                ).hexdigest()[:16]
+                pq.write_table(
+                    _cap_errors(t, rnd),
+                    os.path.join(errors_dir, f"cap-{key}.parquet"))
+            return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+        dropped = sum(r["n"] for r in tail.map_batches(
+            write_err, batch_format="pyarrow").take_all())
+        for d in (self._dir("frontier", next_rnd),
+                  self._dir("deferred", rnd)):
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+        os.rename(tmp_dir, self._dir("frontier", next_rnd))
+        info = dict(info)
+        info["n_frontier_next"] = cap
+        info["n_frontier_capped"] = dropped
+        info["n_deferred"] = 0   # deferred rows folded into the cut
+        info["n_errors"] = int(info.get("n_errors", 0)) + dropped
+        return info
 
     # -------------------------------------------------------- driver enqueue
     def _enqueue_driver(self, cands: list[dict], rnd: int,
@@ -1297,6 +1373,7 @@ class CrawlEngine:
                     # scale mode; DFS runs the approximate LIFO width cut
                     # inside the scale round (no global frontier sort)
                     info = self._run_round_scale(rnd, n_frontier)
+                info = self._apply_frontier_cap(rnd, info)
                 info["wall_s"] = time.monotonic() - t_r
                 info["seq_counter"] = self.seq_counter
                 self.seen.snapshot(seen_dir, rnd + 1)
@@ -1623,6 +1700,20 @@ def _budget_errors(t: pa.Table, rnd: int) -> pa.Table:
         "stage": pa.array(["host_budget"] * n),
         "exc_type": pa.array(["HostBudget"] * n),
         "message": pa.array(["host page budget exhausted"] * n),
+        "retryable": pa.array([False] * n),
+        "round": pa.array([rnd] * n, pa.int32()),
+    }, schema=schemas.ERRORS)
+
+
+def _cap_errors(t: pa.Table, rnd: int) -> pa.Table:
+    """Frontier rows dropped by the bounded-frontier cap -> error rows
+    (stage="frontier_cap"; matching the oracle's admission drop)."""
+    n = t.num_rows
+    return pa.table({
+        "url": t["canon_url"],
+        "stage": pa.array(["frontier_cap"] * n),
+        "exc_type": pa.array(["FrontierCap"] * n),
+        "message": pa.array(["frontier row cap exceeded"] * n),
         "retryable": pa.array([False] * n),
         "round": pa.array([rnd] * n, pa.int32()),
     }, schema=schemas.ERRORS)

@@ -110,7 +110,7 @@ def test_all_policies_combined_conformance(tmp_path):
               url_deny=r"/p/9[0-9]$", same_host_only=True,
               max_visited=400, max_pages_per_host=80,
               max_errors_per_host=3, max_text_bytes=40_000,
-              round_budget_s=5.0)
+              max_frontier_rows=300, round_budget_s=5.0)
     _run(fix, ckpt, min_distributed_rows=16, **kw)
     res = run_oracle(fix, mode="bfs", **kw)
     assert visited_tuples(read_ckpt(ckpt, "visited")) == \

@@ -174,7 +174,7 @@ def gen_crawl_goldens() -> None:
     # "focused" = best-first with a domain-whitelist scorer (HostPriority);
     # "budget" = BFS under a per-host page quota (max_pages_per_host)
     for mode in ("bfs", "dfs", "best", "focused", "budget", "aged",
-                 "filtered", "capped", "linkcap", "bytecap"):
+                 "filtered", "capped", "linkcap", "bytecap", "fcap"):
         kw = {}
         oracle_mode = mode
         if mode == "filtered":
@@ -192,6 +192,10 @@ def gen_crawl_goldens() -> None:
         elif mode == "bytecap":
             # extracted-text byte budget, round-granular
             kw = {"max_text_bytes": 800}
+            oracle_mode = "bfs"
+        elif mode == "fcap":
+            # bounded-frontier admission: cap 8 binds hard on TINY
+            kw = {"max_frontier_rows": 8}
             oracle_mode = "bfs"
         if mode == "best":
             # mirrors _crawl_outputs' config: width 32, md5-bucket scorer
@@ -214,7 +218,7 @@ def gen_crawl_goldens() -> None:
         visited = pa.Table.from_pylist(res.visited, schema=schemas.VISITED)
         pq.write_table(visited, os.path.join(
             GOLDEN_DIR, f"crawl_{mode}_visited.parquet"))
-        if mode in ("bfs", "budget"):
+        if mode in ("bfs", "budget", "fcap"):
             if mode == "bfs":
                 items = pa.Table.from_pylist(
                     [{**i, "depth": depth_by_url[i["url"]]}
@@ -225,7 +229,9 @@ def gen_crawl_goldens() -> None:
             exc = {"fetch": ("FetchMiss", lambda u: "not in corpus"),
                    "robots": ("RobotsDisallowed", url_path),
                    "host_budget": ("HostBudget",
-                                   lambda u: "host page budget exhausted")}
+                                   lambda u: "host page budget exhausted"),
+                   "frontier_cap": ("FrontierCap",
+                                    lambda u: "frontier row cap exceeded")}
             errors = pa.Table.from_pylist(
                 [{"url": e["url"], "stage": e["stage"],
                   "exc_type": exc[e["stage"]][0],
