@@ -171,6 +171,37 @@ def _click_edges(sf_dir: str) -> rd.Dataset:
             .groupby("bucket").map_groups(edges, batch_format="pandas"))
 
 
+_PR_DRIVER_MAX_EDGES = 500_000
+
+
+def _pagerank_driver(edge_rows: list[dict], n_iters: int,
+                     d_num: int, d_den: int) -> pa.Table:
+    """Numpy twin of the distributed fixed-point loop over a BOUNDED
+    edge list: identical integer recurrence (contribs are exact int64
+    adds, order-independent), so outputs match the Dataset path and the
+    serial golden bit-for-bit."""
+    import numpy as np
+    src = np.array([r["src"] for r in edge_rows])
+    dst = np.array([r["dst"] for r in edge_rows])
+    nodes = np.unique(np.concatenate([src, dst]))
+    n = len(nodes)
+    if n == 0:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "rank_fp": pa.array([], pa.int64())})
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    deg = np.bincount(si, minlength=n).astype(np.int64)
+    base = ((d_den - d_num) * (PR_SCALE // n)) // d_den
+    r = np.full(n, PR_SCALE // n, np.int64)
+    for _ in range(n_iters):
+        share = int(r[deg == 0].sum()) // n
+        contrib = np.zeros(n, np.int64)
+        np.add.at(contrib, di, r[si] // deg[si])
+        r = base + ((contrib + share) * d_num) // d_den
+    return pa.table({"node": pa.array(nodes.tolist()),
+                     "rank_fp": pa.array(r, pa.int64())})
+
+
 def pagerank(edges: rd.Dataset, n_iters: int = 8,
              d_num: int = 85, d_den: int = 100,
              num_partitions: int | None = None) -> pa.Table:
@@ -199,6 +230,17 @@ def pagerank(edges: rd.Dataset, n_iters: int = 8,
     # object store (it spills under pressure) instead of re-executing
     # its upstream build chain n_iters times
     edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges <= _PR_DRIVER_MAX_EDGES:
+        # bounded-graph fast path: a join + groupby per iteration pays
+        # ~2 s of pool spinup PER ITERATION regardless of size; when the
+        # edge table is bounded (host graphs, clickstream codes), the
+        # SAME integer fixed-point recurrence runs as a numpy loop over
+        # the collected edge list -- bit-identical by construction
+        # (order-independent int64 sums), 8x faster at sf0.1.  Graphs
+        # above the bound keep the distributed loop (the honest
+        # 10^10-node shape).
+        return _pagerank_driver(edges.take_all(), n_iters, d_num, d_den)
     if num_partitions is None:
         # size the shuffle width to the edge volume: hash-join/aggregate
         # actor pools cost ~1 s each to spin up PER EXECUTION, so tiny
