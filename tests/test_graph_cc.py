@@ -23,7 +23,11 @@ def test_pointer_jump_converges_on_chain():
 
 
 @pytest.mark.slow
-def test_plain_propagation_exceeds_budget_loudly():
+def test_plain_propagation_exceeds_budget_loudly(monkeypatch):
+    # force the DISTRIBUTED loop (the budget under test); the bounded
+    # union-find fast path would just converge
+    import pomp_ray.pipelines.graph as G
+    monkeypatch.setattr(G, "_PR_DRIVER_MAX_EDGES", 0)
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(_chain(64), max_iters=12, pointer_jump=False)
 
