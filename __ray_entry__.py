@@ -963,6 +963,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_histogram_sample": embeddings.cosine_histogram_sample,
         "dup_component_size_histogram": graph.dup_component_size_histogram,
         "rfm_segments": relational.rfm_segments,
+        "ship_lag_by_priority": relational.ship_lag_by_priority,
+        "brand_type_chi2": relational.brand_type_chi2,
     }
     # The external correctness driver hashes only the FIRST 50 entries of
     # this dict (insertion order).  Front-load the core engine — crawl
@@ -4809,6 +4811,42 @@ def oracle_sql() -> dict[str, str]:
         # purchase day; NTILE ordered by (metric, user_id) -- the engine
         # mirrors DuckDB's first-(n%k)-tiles-get-ceil(n/k) rule in
         # closed form from the global sort position
+        "ship_lag_by_priority": """
+            WITH j AS (
+                SELECT o.o_orderpriority,
+                       date_diff('microsecond', o.o_orderdate,
+                                 l.l_shipdate) // 86400000000 AS lag
+                FROM lineitem l JOIN orders o
+                  ON l.l_orderkey = o.o_orderkey)
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(lag) AS BIGINT) AS sum_lag_days,
+                   CAST(CAST(SUM(lag) AS BIGINT) // COUNT(*) AS BIGINT)
+                       AS mean_lag_days
+            FROM j GROUP BY 1
+        """,
+        "brand_type_chi2": """
+            WITH c AS (SELECT p_brand AS brand,
+                              string_split(p_type, ' ')[1] AS ty,
+                              CAST(COUNT(*) AS HUGEINT) AS o
+                       FROM part GROUP BY 1, 2),
+            r AS (SELECT brand, CAST(SUM(o) AS HUGEINT) AS rt
+                  FROM c GROUP BY 1),
+            col AS (SELECT ty, CAST(SUM(o) AS HUGEINT) AS ct
+                    FROM c GROUP BY 1),
+            tot AS (SELECT CAST(SUM(o) AS HUGEINT) AS n FROM c),
+            grid AS (SELECT r.brand, col.ty, r.rt, col.ct,
+                            COALESCE(c.o, 0) AS o
+                     FROM r CROSS JOIN col
+                     LEFT JOIN c ON c.brand = r.brand AND c.ty = col.ty)
+            SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n_parts,
+                   CAST((SELECT COUNT(*) FROM r) AS BIGINT) AS n_brands,
+                   CAST((SELECT COUNT(*) FROM col) AS BIGINT) AS n_types,
+                   CAST(SUM((o * n - rt * ct) * (o * n - rt * ct)
+                            * 1000000 // (n * rt * ct)) AS BIGINT)
+                       AS chi2_ppm
+            FROM grid, tot
+        """,
         "rfm_segments": """
             WITH p AS (SELECT user_id, ts,
                               CAST(FLOOR(value * 100) AS BIGINT) AS cents
@@ -5815,6 +5853,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, word, CAST(score AS BIGINT) AS score,
                    CAST(rn AS BIGINT) AS rn
             FROM scored WHERE rn <= 5
+        """,
+        "ship_lag_by_priority": """
+            WITH j AS (
+                SELECT o.o_orderpriority,
+                       date_diff('microsecond', o.o_orderdate,
+                                 l.l_shipdate) // 86400000000 AS lag
+                FROM lineitem l JOIN orders o
+                  ON l.l_orderkey = o.o_orderkey)
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(lag) AS BIGINT) AS sum_lag_days,
+                   CAST(CAST(SUM(lag) AS BIGINT) // COUNT(*) AS BIGINT)
+                       AS mean_lag_days
+            FROM j GROUP BY 1
+        """,
+        "brand_type_chi2": """
+            WITH c AS (SELECT p_brand AS brand,
+                              string_split(p_type, ' ')[1] AS ty,
+                              CAST(COUNT(*) AS HUGEINT) AS o
+                       FROM part GROUP BY 1, 2),
+            r AS (SELECT brand, CAST(SUM(o) AS HUGEINT) AS rt
+                  FROM c GROUP BY 1),
+            col AS (SELECT ty, CAST(SUM(o) AS HUGEINT) AS ct
+                    FROM c GROUP BY 1),
+            tot AS (SELECT CAST(SUM(o) AS HUGEINT) AS n FROM c),
+            grid AS (SELECT r.brand, col.ty, r.rt, col.ct,
+                            COALESCE(c.o, 0) AS o
+                     FROM r CROSS JOIN col
+                     LEFT JOIN c ON c.brand = r.brand AND c.ty = col.ty)
+            SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n_parts,
+                   CAST((SELECT COUNT(*) FROM r) AS BIGINT) AS n_brands,
+                   CAST((SELECT COUNT(*) FROM col) AS BIGINT) AS n_types,
+                   CAST(SUM((o * n - rt * ct) * (o * n - rt * ct)
+                            * 1000000 // (n * rt * ct)) AS BIGINT)
+                       AS chi2_ppm
+            FROM grid, tot
         """,
         "rfm_segments": """
             WITH cu AS (SELECT o_custkey AS custkey,

@@ -3474,3 +3474,97 @@ def rfm_segments(sf_dir: str) -> rd.Dataset:
             "m": pc.cast(t["m"], pa.int64()),
             "n_customers": pc.cast(t["n_customers"], pa.int64())}),
         batch_format="pyarrow")
+
+
+def ship_lag_by_priority(sf_dir: str) -> rd.Dataset:
+    """Order-to-ship lead time by order priority: per priority class the
+    line count, total and mean floor-day lag (diff in microseconds
+    FIRST, then floor-divide -- the date_diff mirror; mean as integer
+    sum // n).  One hash join on orderkey shipping only two timestamp
+    columns, partial (priority, n, sum) rows, tiny groupby."""
+    from ray.data.aggregate import Sum as _Sum
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    od = _t(sf_dir, "orders", ["o_orderkey", "o_orderdate",
+                               "o_orderpriority"]) \
+        .map_batches(lambda t: t.select(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"]
+        ).rename_columns(["l_orderkey", "o_orderdate",
+                          "o_orderpriority"]),
+                     batch_format="pyarrow") \
+        .repartition(2).materialize()
+    joined = li.repartition(2).join(od, join_type="inner",
+                                    on=("l_orderkey",), num_partitions=4)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].cast(pa.int64()).to_numpy()
+        order = t["o_orderdate"].cast(pa.int64()).to_numpy()
+        lag = (ship - order) // 86_400_000_000
+        df = pd.DataFrame({"o_orderpriority":
+                           t["o_orderpriority"].to_pylist(),
+                           "lag": lag})
+        g = df.groupby("o_orderpriority", sort=False).agg(
+            n=("lag", "size"), s=("lag", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = joined.map_batches(partial, batch_format="pyarrow") \
+        .groupby("o_orderpriority").aggregate(
+            _Sum("n", alias_name="n_lines"),
+            _Sum("s", alias_name="sum_lag_days"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n_lines"], pa.int64()).to_numpy()
+        s = pc.cast(t["sum_lag_days"], pa.int64()).to_numpy()
+        return pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "n_lines": pa.array(n, pa.int64()),
+            "sum_lag_days": pa.array(s, pa.int64()),
+            "mean_lag_days": pa.array(s // n, pa.int64())})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def brand_type_chi2(sf_dir: str) -> pa.Table:
+    """Pearson chi-square of the (p_brand, p_type-prefix) contingency
+    table in exact integer ppm: per cell the term
+    (o*N - r*c)^2 * 10^6 // (N * r * c), summed in python ints -- the
+    log-free association test between two categorical part attributes
+    (the pmi_top_pairs convention at table level).  Per-batch cell
+    partials, one tiny groupby, bounded driver finalize."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        ty = [x.split(" ")[0] for x in t["p_type"].to_pylist()]
+        df = pd.DataFrame({"brand": t["p_brand"].to_pylist(), "ty": ty})
+        g = df.groupby(["brand", "ty"], sort=False).size() \
+            .reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = _t(sf_dir, "part", ["p_brand", "p_type"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["brand", "ty"]).aggregate(_Sum("n", alias_name="o")) \
+        .take_all()   # bounded: brands x type-prefixes
+    rows: dict[str, int] = {}
+    cols: dict[str, int] = {}
+    N = 0
+    for c in cells:
+        o = int(c["o"])
+        rows[c["brand"]] = rows.get(c["brand"], 0) + o
+        cols[c["ty"]] = cols.get(c["ty"], 0) + o
+        N += o
+    chi2_ppm = 0
+    for c in cells:
+        o, r, col = int(c["o"]), rows[c["brand"]], cols[c["ty"]]
+        chi2_ppm += (o * N - r * col) ** 2 * 1_000_000 // (N * r * col)
+    # cells with zero observed count contribute (0*N - r*c)^2/(N*r*c)
+    # = r*c*1e6//N... include them: iterate the FULL grid
+    seen = {(c["brand"], c["ty"]) for c in cells}
+    for br, r in rows.items():
+        for ty, col in cols.items():
+            if (br, ty) not in seen:
+                chi2_ppm += (r * col) ** 2 * 1_000_000 // (N * r * col)
+    return pa.table({
+        "n_parts": pa.array([N], pa.int64()),
+        "n_brands": pa.array([len(rows)], pa.int64()),
+        "n_types": pa.array([len(cols)], pa.int64()),
+        "chi2_ppm": pa.array([chi2_ppm], pa.int64())})
