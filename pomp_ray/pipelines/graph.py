@@ -962,6 +962,62 @@ def host_core_numbers(pages_path: str) -> pa.Table:
         "core": pa.array([core[h] for h in hosts], pa.int64())})
 
 
+def _scc_driver(edge_tbl: pa.Table, node_list: list) -> pa.Table:
+    """Serial iterative Kosaraju twin of the distributed FW-BW loop over
+    a bounded graph: SCC membership plus label = min member id is a SET
+    property, so the output is identical by construction (and the
+    algorithm differs from both the distributed FW-BW coloring AND the
+    golden's Tarjan, keeping the three-way independence)."""
+    nodes = sorted(set(node_list))
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    adj: list[list[int]] = [[] for _ in range(n)]
+    radj: list[list[int]] = [[] for _ in range(n)]
+    for s, d in zip(edge_tbl["src"].to_pylist(),
+                    edge_tbl["dst"].to_pylist()):
+        si, di = idx[s], idx[d]
+        adj[si].append(di)
+        radj[di].append(si)
+    seen = [False] * n
+    order: list[int] = []
+    for start in range(n):
+        if seen[start]:
+            continue
+        stack = [(start, 0)]
+        seen[start] = True
+        while stack:
+            v, ei = stack[-1]
+            if ei < len(adj[v]):
+                stack[-1] = (v, ei + 1)
+                w = adj[v][ei]
+                if not seen[w]:
+                    seen[w] = True
+                    stack.append((w, 0))
+            else:
+                order.append(v)
+                stack.pop()
+    comp = [-1] * n
+    labels: dict[int, str] = {}
+    for v in reversed(order):
+        if comp[v] != -1:
+            continue
+        members = [v]
+        comp[v] = v
+        stack2 = [v]
+        while stack2:
+            x = stack2.pop()
+            for w in radj[x]:
+                if comp[w] == -1:
+                    comp[w] = v
+                    members.append(w)
+                    stack2.append(w)
+        labels[v] = min(nodes[m] for m in members)
+    return pa.table({
+        "node": pa.array(nodes, pa.string()),
+        "scc": pa.array([labels[comp[i]] for i in range(n)],
+                        pa.string())})
+
+
 def strongly_connected_components(edges: rd.Dataset, max_rounds: int = 30,
                                   max_prop_iters: int = 60,
                                   num_partitions: int = 4) -> pa.Table:
@@ -999,6 +1055,23 @@ def strongly_connected_components(edges: rd.Dataset, max_rounds: int = 30,
         .aggregate(_Count(alias_name="_n")) \
         .map_batches(lambda t: t.select(["node"]),
                      batch_format="pyarrow").repartition(2).materialize()
+
+    if E.count() <= _PR_DRIVER_MAX_EDGES:
+        # bounded-graph fast path (the pagerank/CC convention): SCC
+        # membership + min-member label is a set property, identical
+        # from any correct algorithm; the serial Kosaraju twin skips
+        # ~4 pool spinups per FW-BW round.  Arrow-ref collection, never
+        # per-row take_all.
+        import ray as _ray
+        et = [t for t in _ray.get(E.to_arrow_refs()) if t.num_rows]
+        nt = [t for t in _ray.get(nodes.to_arrow_refs()) if t.num_rows]
+        nl = (pa.concat_tables(nt)["node"].to_pylist() if nt else [])
+        if not et:
+            return pa.table({"node": pa.array(sorted(set(nl)),
+                                              pa.string()),
+                             "scc": pa.array(sorted(set(nl)),
+                                             pa.string())})
+        return _scc_driver(pa.concat_tables(et), nl)
 
     assigned: dict = {}
     for _round in range(max_rounds):

@@ -79,3 +79,22 @@ def test_scc_all_singletons_dag():
     out = strongly_connected_components(rd.from_arrow(edges))
     got = dict(zip(out["node"].to_pylist(), out["scc"].to_pylist()))
     assert got == {"a": "a", "b": "b", "c": "c"}
+
+
+def test_scc_driver_twin_equals_distributed(monkeypatch):
+    """The bounded Kosaraju fast path and the distributed FW-BW loop
+    must emit identical (node, scc) tables (SCC membership + min-member
+    label is a set property)."""
+    import ray.data as rd
+
+    import pomp_ray.pipelines.graph as G
+
+    edges = pa.table({
+        "src": pa.array(list("aabbccdexy"), pa.string()),
+        "dst": pa.array(list("bccaadeexz"), pa.string())})
+    fast = G.strongly_connected_components(rd.from_arrow(edges))
+    monkeypatch.setattr(G, "_PR_DRIVER_MAX_EDGES", 0)
+    slow = G.strongly_connected_components(rd.from_arrow(edges))
+    assert sorted(zip(fast["node"].to_pylist(),
+                      fast["scc"].to_pylist())) == \
+        sorted(zip(slow["node"].to_pylist(), slow["scc"].to_pylist()))
