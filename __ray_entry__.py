@@ -965,6 +965,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_segments": relational.rfm_segments,
         "ship_lag_by_priority": relational.ship_lag_by_priority,
         "brand_type_chi2": relational.brand_type_chi2,
+        "type_user_jaccard_matrix": windows.type_user_jaccard_matrix,
     }
     # The external correctness driver hashes only the FIRST 50 entries of
     # this dict (insertion order).  Front-load the core engine — crawl
@@ -4811,6 +4812,28 @@ def oracle_sql() -> dict[str, str]:
         # purchase day; NTILE ordered by (metric, user_id) -- the engine
         # mirrors DuckDB's first-(n%k)-tiles-get-ceil(n/k) rule in
         # closed form from the global sort position
+        "type_user_jaccard_matrix": """
+            WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+            s AS (SELECT event_type,
+                         CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+            inter AS (SELECT a.event_type AS type_a,
+                             b.event_type AS type_b,
+                             CAST(COUNT(*) AS BIGINT) AS n_common
+                      FROM d a JOIN d b
+                        ON a.user_id = b.user_id
+                       AND a.event_type < b.event_type
+                      GROUP BY 1, 2)
+            SELECT sa.event_type AS type_a, sb.event_type AS type_b,
+                   COALESCE(i.n_common, 0) AS n_common,
+                   sa.n + sb.n - COALESCE(i.n_common, 0) AS n_union,
+                   CAST(COALESCE(i.n_common, 0) * 1000000
+                        // GREATEST(1, sa.n + sb.n
+                                       - COALESCE(i.n_common, 0))
+                        AS BIGINT) AS jaccard_ppm
+            FROM s sa JOIN s sb ON sa.event_type < sb.event_type
+            LEFT JOIN inter i ON i.type_a = sa.event_type
+                             AND i.type_b = sb.event_type
+        """,
         "ship_lag_by_priority": """
             WITH j AS (
                 SELECT o.o_orderpriority,
@@ -5853,6 +5876,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, word, CAST(score AS BIGINT) AS score,
                    CAST(rn AS BIGINT) AS rn
             FROM scored WHERE rn <= 5
+        """,
+        "type_user_jaccard_matrix": """
+            WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+            s AS (SELECT event_type,
+                         CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+            inter AS (SELECT a.event_type AS type_a,
+                             b.event_type AS type_b,
+                             CAST(COUNT(*) AS BIGINT) AS n_common
+                      FROM d a JOIN d b
+                        ON a.user_id = b.user_id
+                       AND a.event_type < b.event_type
+                      GROUP BY 1, 2)
+            SELECT sa.event_type AS type_a, sb.event_type AS type_b,
+                   COALESCE(i.n_common, 0) AS n_common,
+                   sa.n + sb.n - COALESCE(i.n_common, 0) AS n_union,
+                   CAST(COALESCE(i.n_common, 0) * 1000000
+                        // GREATEST(1, sa.n + sb.n
+                                       - COALESCE(i.n_common, 0))
+                        AS BIGINT) AS jaccard_ppm
+            FROM s sa JOIN s sb ON sa.event_type < sb.event_type
+            LEFT JOIN inter i ON i.type_a = sa.event_type
+                             AND i.type_b = sb.event_type
         """,
         "ship_lag_by_priority": """
             WITH j AS (

@@ -2098,3 +2098,36 @@ def gap_burstiness_by_type(sf_dir: str) -> pa.Table:
         "burstiness_ppm": pa.array(
             [(agg[e][0] * agg[e][2] - agg[e][1] ** 2) * 1_000_000
              // (agg[e][1] ** 2) for e in ets], pa.int64())})
+
+
+def type_user_jaccard_matrix(sf_dir: str) -> pa.Table:
+    """Pairwise Jaccard overlap of the USER sets behind each event type
+    in exact ppm (|A ∩ B| * 10^6 // |A ∪ B|) -- the audience-overlap
+    matrix behind funnel design (do clickers and purchasers share a
+    population?).  One distinct (type, user) groupby bounds everything;
+    the pair fold runs on the tiny type grid."""
+    from ray.data.aggregate import Count as _Count
+
+    distinct = _events(sf_dir, ["event_type", "user_id"]) \
+        .groupby(["event_type", "user_id"]) \
+        .aggregate(_Count(alias_name="_c")).take_all()
+    sets: dict[str, set] = {}
+    for r in distinct:
+        sets.setdefault(r["event_type"], set()).add(int(r["user_id"]))
+    types = sorted(sets)
+    out_a, out_b, out_j, out_i, out_u = [], [], [], [], []
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            out_a.append(a)
+            out_b.append(b)
+            out_i.append(inter)
+            out_u.append(union)
+            out_j.append(inter * 1_000_000 // max(1, union))
+    return pa.table({
+        "type_a": pa.array(out_a, pa.string()),
+        "type_b": pa.array(out_b, pa.string()),
+        "n_common": pa.array(out_i, pa.int64()),
+        "n_union": pa.array(out_u, pa.int64()),
+        "jaccard_ppm": pa.array(out_j, pa.int64())})

@@ -221,14 +221,17 @@ def test_connected_components_unit():
 
 
 @pytest.mark.slow
-def test_connected_components_nonconvergence_raises():
+def test_connected_components_nonconvergence_raises(monkeypatch):
     """A chain longer than the iteration budget must fail loudly, not
-    return partially-merged groups."""
+    return partially-merged groups.  Pins the DISTRIBUTED loop -- the
+    bounded union-find fast path would just converge."""
     import pyarrow as pa
     import pytest
 
+    import pomp_ray.pipelines.graph as G
     from pomp_ray.pipelines.graph import connected_components
 
+    monkeypatch.setattr(G, "_PR_DRIVER_MAX_EDGES", 0)
     n = 12
     chain = pa.table({
         "doc_a": pa.array(list(range(n - 1)), pa.int64()),
